@@ -1,0 +1,163 @@
+"""Fixture catalog: driver-provided parquet tables + reference-derived views.
+
+The driver materializes ten parquet tables per scale factor
+(TESTDATA.md). The reference's own data collections (image folders,
+sidecar captions, line-oriented text files — SURVEY.md §1.1) are
+modeled as deterministic SQL views over those tables (FIXTURES.md),
+so the Spark engine and the DuckDB oracle compute them identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright. Read nanos as long and floor to
+    microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    does (event times are post-epoch, so floor == trunc)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be static in some deployments; fall through
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-folder abstraction (SURVEY.md §1.1; reference scan
+    loops at /root/reference/modules/filter_crop.py:36-46).
+
+    One row per synthetic image; dims derived deterministically from
+    ``part`` (FIXTURES.md) so DuckDB agrees exactly.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("image_id"),
+        F.concat(F.lit("img_"), F.col("p_partkey")).alias("basename"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpg"), F.lit("jpeg"), F.lit("heic")),
+            (F.col("p_partkey") % 4 + 1).cast("int"),
+        ).alias("ext"),
+        (F.lit(512) + (F.col("p_partkey") * 37) % 3584).cast("int").alias("width"),
+        (F.lit(512) + (F.col("p_partkey") * 53) % 3584).cast("int").alias("height"),
+    )
+
+
+# Inline DuckDB-compatible CTE of the same view, for oracle_sql()
+# strings (DuckDB only has the base tables registered as views).
+IMAGES_META_SQL = """
+images_meta AS (
+  SELECT p_partkey AS image_id,
+         concat('img_', p_partkey) AS basename,
+         CASE (p_partkey % 4) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+              WHEN 2 THEN 'jpeg' ELSE 'heic' END AS ext,
+         CAST(512 + (p_partkey * 37) % 3584 AS INT) AS width,
+         CAST(512 + (p_partkey * 53) % 3584 AS INT) AS height
+  FROM part
+)
+"""
+
+
+def captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar caption set keyed by basename (SURVEY.md §1.1; the
+    image<->caption FK at /root/reference/modules/skip_tiles.py:41-48).
+    ~1/3 of images lack a sidecar, exercising the left join's nulls.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") % 3 != 0).select(
+        F.concat(F.lit("img_"), F.col("p_partkey")).alias("basename"),
+        F.col("p_name").alias("caption"),
+    )
+
+
+CAPTIONS_SQL = """
+captions AS (
+  SELECT concat('img_', p_partkey) AS basename, p_name AS caption
+  FROM part WHERE p_partkey % 3 <> 0
+)
+"""
+
+
+def text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text-file abstraction (SURVEY.md §1.1; the
+    ``for line in infile`` loops at
+    /root/reference/modules/other_tasks.py:85-87,108-109).
+
+    ``line_no`` makes the reference's implicit sequential-read order
+    explicit; ``input_file`` models 8 synthetic source files for
+    merge-order semantics (A2).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("line_no"),
+        F.concat(F.lit("f_"), F.col("doc_id") % 8).alias("input_file"),
+        F.col("text").alias("value"),
+    )
+
+
+TEXT_LINES_SQL = """
+text_lines AS (
+  SELECT doc_id AS line_no,
+         concat('f_', doc_id % 8) AS input_file,
+         text AS value
+  FROM documents
+)
+"""
+
+
+def caption_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRU caption dictionary (Unified_Caps.txt,
+    /root/reference/modules/caption_manager.py:3-26) as a tiny
+    dimension table with a monotone recency surrogate."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(F.col("p_brand").alias("caption")).agg(
+        F.max("p_partkey").alias("last_used_seq")
+    )
+
+
+CAPTION_DICT_SQL = """
+caption_dict AS (
+  SELECT p_brand AS caption, max(p_partkey) AS last_used_seq
+  FROM part GROUP BY p_brand
+)
+"""
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register base tables + derived views as temp views for spark.sql."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    images_meta(spark, sf_dir).createOrReplaceTempView("images_meta")
+    captions(spark, sf_dir).createOrReplaceTempView("captions")
+    text_lines(spark, sf_dir).createOrReplaceTempView("text_lines")
+    caption_dict(spark, sf_dir).createOrReplaceTempView("caption_dict")

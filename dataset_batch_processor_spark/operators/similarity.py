@@ -1,0 +1,235 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension surface (no counterpart in the reference, whose only ML
+operator is the dead-code MTCNN face filter at
+/root/reference/modules/skip_tiles.py — SURVEY.md §2.9.9). Two paths:
+
+- **brute-force cosine top-k** — the correctness baseline. A
+  broadcast of the (small) query set against the full corpus:
+  queries × corpus is a broadcast nested-loop, the per-row cosine is
+  a JVM higher-order function (zip_with + aggregate), top-k is a
+  per-query window. At 100 TB the corpus side stays partitioned and
+  the query side broadcasts — no corpus shuffle at all until the
+  final per-query top-k (k rows per partition per query after the
+  partial window, then one tiny shuffle).
+
+- **LSH-bucketed ANN** — the scale path. Sign-random-projection
+  buckets (hyperplanes derived deterministically from md5 so the
+  DuckDB oracle agrees): corpus is bucketed once (linear scan), a
+  query probes only its own bucket. The expensive cross join
+  disappears; the bucket join is an equi-join on the signature.
+
+Float determinism: cosines are computed element-sequentially in
+double and ROUNDED to 6 decimals before ranking; ties break by
+neighbor id. Rounded doubles are compared, so partial-sum ordering
+noise (≈1e-16 relative) cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import vector
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 -> 10 queries per 500 vectors
+N_PLANES = 8  # LSH signature bits
+DIM = 64
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id % query_mod == 0)."""
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(vector.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _q_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+
+
+# DuckDB oracle: same math with an explicit index-ordered dot product.
+# list_dot_product/list_cosine_similarity are avoided on purpose: their
+# accumulation order/precision is unspecified; the unnest-based sum is
+# explicit, and rounding to 6 decimals absorbs last-ulp noise anyway.
+BRUTE_FORCE_DUCK = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding AS c_emb
+  FROM embeddings e, queries q
+  WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))),
+           6) AS cos_sim
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _hyperplane_sign(plane_idx: int, dim_idx: int) -> int:
+    """Deterministic pseudo-random ±1 for hyperplane ``plane_idx`` at
+    1-based dimension ``dim_idx``: parity of the first md5 nibble of
+    "t:i" — computable identically in SQL (see ANN_LSH_DUCK). Folded
+    to Python constants here so the Spark plan carries literal plane
+    arrays instead of re-hashing per row×element."""
+    import hashlib
+
+    nibble = int(hashlib.md5(f"{plane_idx}:{dim_idx}".encode()).hexdigest()[0], 16)
+    return (nibble % 2) * 2 - 1
+
+
+def lsh_signature(emb_col) -> F.Column:
+    """N_PLANES-bit sign-random-projection signature as an int.
+
+    Each plane is a literal ±1 array (constant-folded), so the per-row
+    cost is N_PLANES fused zip_with/aggregate passes — all JVM-side.
+    """
+    bits = []
+    for t in range(N_PLANES):
+        plane = F.array(
+            *[F.lit(float(_hyperplane_sign(t, i))) for i in range(1, DIM + 1)]
+        )
+        proj = F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(2**t)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def ann_lsh_topk(
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own LSH bucket.
+
+    At scale: corpus signatures are computed in one narrow pass (and
+    would be persisted as a bucketed table); the probe is an equi-join
+    on the signature — shuffle on bucket key instead of a cross join.
+    """
+    bucketed = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
+    queries = bucketed.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(vector.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+
+
+ANN_LSH_DUCK = f"""
+WITH planes AS (
+  SELECT CAST(t AS INT) AS t, CAST(i AS INT) AS i,
+         (CAST(concat('0x', substr(md5(concat(t, ':', i)), 1, 1)) AS INT) % 2) * 2 - 1
+             AS sgn
+  FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS t),
+       (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, t) AS INT) ELSE 0 END) AS INT)
+             AS bucket
+  FROM (
+    SELECT e.vec_id, p.t,
+           sum(CAST(e.embedding[p.i] AS DOUBLE) * p.sgn) AS proj
+    FROM embeddings e, planes p
+    GROUP BY e.vec_id, p.t
+  ) e
+  GROUP BY e.vec_id
+),
+bucketed AS (
+  SELECT e.vec_id, e.embedding, s.bucket
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+),
+cands AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, q.q_emb, b.embedding AS c_emb
+  FROM bucketed b JOIN queries q
+    ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))),
+           6) AS cos_sim
+  FROM cands
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "emb_cosine_topk": _q_brute_force,
+    "emb_ann_lsh_topk": _q_ann_lsh,
+}
+
+ORACLES = {
+    "emb_cosine_topk": BRUTE_FORCE_DUCK,
+    "emb_ann_lsh_topk": ANN_LSH_DUCK,
+}

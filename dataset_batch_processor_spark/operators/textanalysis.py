@@ -1,0 +1,230 @@
+"""Text-analysis operators for training-data curation.
+
+Extension surface (SURVEY.md §0 north star): language ID, quality
+scoring, token counting, document fingerprinting — each a declarative
+plan over the ``documents`` table, each DuckDB-oracled.
+
+Scale shape: every query is scan → narrow per-row expressions →
+(at most) one groupBy shuffle. Token explosion stays bounded because
+aggregation is per-doc (map-side combine collapses it before the
+shuffle).
+
+Float rule: only ratios of integers (single correctly-rounded IEEE
+division — deterministic on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ------------------------------------------------------------ token stats
+
+TOKEN_STATS_SPARK = """
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct_tokens,
+       sum(length(token)) AS sum_token_chars,
+       CAST(sum(length(token)) AS DOUBLE) / count(*) AS avg_token_len
+FROM toks GROUP BY doc_id
+"""
+
+TOKEN_STATS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct_tokens,
+       sum(length(token)) AS sum_token_chars,
+       CAST(sum(length(token)) AS DOUBLE) / count(*) AS avg_token_len
+FROM toks GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------- quality score
+# Heuristic quality signals: stopword ratio (fluency proxy),
+# type-token ratio (repetitiveness), mean token length. The composite
+# score is a linear blend of integer ratios — deterministic doubles.
+
+QUALITY_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct,
+         sum(CASE WHEN token IN ({_SW_LIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_chars, s.n_tokens,
+       CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stopword_ratio,
+       CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS type_token_ratio,
+       CAST(d.n_chars AS DOUBLE) / s.n_tokens AS chars_per_token,
+       CAST(s.n_stop AS DOUBLE) / s.n_tokens
+         + CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS quality_score
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+QUALITY_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct,
+         sum(CASE WHEN token IN ({_SW_LIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_chars, s.n_tokens,
+       CAST(s.n_stop AS DOUBLE) / s.n_tokens AS stopword_ratio,
+       CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS type_token_ratio,
+       CAST(d.n_chars AS DOUBLE) / s.n_tokens AS chars_per_token,
+       CAST(s.n_stop AS DOUBLE) / s.n_tokens
+         + CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS quality_score
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+# ------------------------------------------------------------ language ID
+# N-gram-free marker-word heuristic: count hits against per-language
+# marker lists, pick the argmax with a deterministic tiebreak
+# (hit count DESC, then language code ASC), 'und' when zero hits.
+
+_MARKERS = {
+    "en": ("the", "a", "is", "of", "and"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "es", "y"),
+}
+
+
+def _lang_case(engine: str) -> str:
+    # one hit-count expression per language, then a greatest-based argmax
+    parts = []
+    for lang, words in _MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"sum(CASE WHEN token IN ({lst}) THEN 1 ELSE 0 END) AS hits_{lang}"
+        )
+    return ",\n         ".join(parts)
+
+
+_LANG_BODY = """
+SELECT doc_id, hits_en, hits_fr, hits_de, hits_es,
+       CASE
+         WHEN hits_en = 0 AND hits_fr = 0 AND hits_de = 0 AND hits_es = 0
+           THEN 'und'
+         WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es
+           THEN 'en'
+         WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         WHEN hits_es >= hits_fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_guess
+FROM hits
+"""
+
+LANG_ID_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+),
+hits AS (
+  SELECT doc_id,
+         {_lang_case('spark')}
+  FROM toks GROUP BY doc_id
+)
+{_LANG_BODY}
+"""
+
+LANG_ID_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE length(token) > 0
+),
+hits AS (
+  SELECT doc_id,
+         {_lang_case('duck')}
+  FROM toks GROUP BY doc_id
+)
+{_LANG_BODY}
+"""
+
+# ------------------------------------------------------- fingerprinting
+# Bottom-k document sketch (winnowing-style): the 4 lexicographically
+# smallest md5(shingle) values per doc. Shared shingle definition with
+# the dedup module (width 8, stride 4).
+
+FINGERPRINT_SPARK = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substr(text, p, 8) AS shingle
+  FROM documents
+  LATERAL VIEW explode(sequence(1, greatest(length(text) - 7, 1), 4)) t AS p
+  WHERE length(text) >= 8
+),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS fp_hash,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS fp_rank
+  FROM shingles
+)
+SELECT doc_id, CAST(fp_rank AS INT) AS fp_rank, fp_hash
+FROM hashed WHERE fp_rank <= 4
+"""
+
+FINGERPRINT_DUCK = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 8) AS shingle
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 7, 4)) AS p)
+  WHERE len(text) >= 8
+),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS fp_hash,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS fp_rank
+  FROM shingles
+)
+SELECT doc_id, CAST(fp_rank AS INT) AS fp_rank, fp_hash
+FROM hashed WHERE fp_rank <= 4
+"""
+
+
+def _run(sql: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "documents"
+        )
+        return spark.sql(sql)
+
+    return f
+
+
+QUERIES = {
+    "docs_token_stats": _run(TOKEN_STATS_SPARK),
+    "docs_quality_score": _run(QUALITY_SPARK),
+    "docs_lang_id": _run(LANG_ID_SPARK),
+    "docs_fingerprint": _run(FINGERPRINT_SPARK),
+}
+
+ORACLES = {
+    "docs_token_stats": TOKEN_STATS_DUCK,
+    "docs_quality_score": QUALITY_DUCK,
+    "docs_lang_id": LANG_ID_DUCK,
+    "docs_fingerprint": FINGERPRINT_DUCK,
+}

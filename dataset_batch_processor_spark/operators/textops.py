@@ -1,0 +1,180 @@
+"""Line-oriented text operators — SURVEY.md §2.7/§2.8 (A2, A3, A4, W1, K4).
+
+The reference processes text files one line at a time on one thread
+(/root/reference/modules/other_tasks.py). Here every operator is a
+DataFrame transformation over the ``text_lines`` abstraction
+(line_no, input_file, value); order is an explicit column, never an
+artifact of read sequence.
+
+Scale notes:
+- A4 dedup is one hash-partial-agg shuffle on the line payload; at
+  100 TB that is the canonical map-side-combine groupBy — no global
+  sort needed because order is recovered from min(line_no).
+- W1 chunk assignment needs a global row_number; a single-partition
+  window would serialize 100 TB through one task, so the scalable
+  path computes per-partition counts and adds offsets (see
+  :func:`attach_global_row_number`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_text(lines: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """A2 ordered concat-all (merge .txt files,
+    /root/reference/modules/other_tasks.py:6-26).
+
+    The reference's file order is os.listdir order — filesystem
+    dependent. Documented deviation (SURVEY.md §2.9.11): this engine
+    DEFINES the order as (input_file, line_no) lexicographic.
+    """
+    # collect_list order is not guaranteed across partitions, so sort
+    # explicitly: collect (input_file, line_no, value) structs and
+    # array_sort (struct compare = field order) before joining.
+    arr = F.array_sort(F.collect_list(F.struct("input_file", "line_no", "value")))
+    return lines.agg(
+        F.concat_ws(sep, F.transform(arr, lambda s: s["value"])).alias("merged"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+MERGE_TEXT_SQL = """
+WITH {text_lines_cte}
+SELECT string_agg(value, '\n\n' ORDER BY input_file, line_no) AS merged,
+       count(*) AS n_lines
+FROM text_lines
+"""
+
+
+def dedup_lines(lines: DataFrame, key_len: int | None = None) -> DataFrame:
+    """A4 order-preserving first-occurrence dedup
+    (/root/reference/modules/other_tasks.py:110-117).
+
+    Identity is the exact line content (optionally truncated to
+    ``key_len`` chars to force collisions in the synthetic corpus —
+    FIXTURES.md). NOT dropDuplicates(): order must be recoverable, so
+    the plan is groupBy(value).min(line_no) — one shuffle, map-side
+    combine, and first_line_no itself encodes the original order.
+    """
+    key = F.col("value") if key_len is None else F.substring("value", 1, key_len)
+    return (
+        lines.groupBy(key.alias("line_key"))
+        .agg(F.min("line_no").alias("first_line_no"))
+        .orderBy("first_line_no")
+    )
+
+
+DEDUP_LINES_SQL = """
+WITH {text_lines_cte}
+SELECT substr(value, 1, {key_len}) AS line_key,
+       min(line_no) AS first_line_no
+FROM text_lines
+GROUP BY 1 ORDER BY first_line_no
+"""
+
+
+def dedup_stats(lines: DataFrame, key_len: int | None = None) -> DataFrame:
+    """A3 removed-duplicates count: original - distinct
+    (/root/reference/modules/other_tasks.py:110,117)."""
+    key = F.col("value") if key_len is None else F.substring("value", 1, key_len)
+    return lines.agg(
+        F.count("*").alias("original_count"),
+        F.countDistinct(key).alias("unique_count"),
+        (F.count("*") - F.countDistinct(key)).alias("removed_count"),
+    )
+
+
+DEDUP_STATS_SQL = """
+WITH {text_lines_cte}
+SELECT count(*) AS original_count,
+       count(DISTINCT substr(value, 1, {key_len})) AS unique_count,
+       count(*) - count(DISTINCT substr(value, 1, {key_len})) AS removed_count
+FROM text_lines
+"""
+
+
+def attach_global_row_number(lines: DataFrame) -> DataFrame:
+    """Scalable global row_number ordered by (input_file, line_no).
+
+    A naive ``row_number() OVER (ORDER BY ...)`` funnels everything
+    through ONE partition — fine at sf0.01, fatal at 100 TB. The
+    scalable pattern: range-repartition on the order key (so ranges
+    are contiguous per partition), count rows per partition, broadcast
+    the per-partition offsets, add offset + intra-partition rank.
+
+    Implemented here with the two-window trick that keeps everything
+    in Catalyst: an intra-partition row_number partitioned by a range
+    bucket, plus a running offset from the bucket sizes. The bucket =
+    ntile-free range partitioning via a precomputed quantile would add
+    a pass; since the order key (input_file, line_no) is already
+    range-partitionable we use repartitionByRange + spark_partition_id.
+    """
+    ranged = lines.repartitionByRange(F.col("input_file"), F.col("line_no"))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    intra = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("input_file", "line_no")
+    )
+    with_intra = with_pid.withColumn("_intra_rn", intra)
+    # per-partition counts are tiny (one row per partition) -> broadcast join
+    sizes = with_pid.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = (
+        sizes.withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        ).select("_pid", "_offset")
+    )
+    return (
+        with_intra.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_offset") + F.col("_intra_rn")).cast("long"))
+        .drop("_pid", "_intra_rn", "_offset")
+    )
+
+
+def split_chunks(lines: DataFrame, records_per_file: int = 50) -> DataFrame:
+    """W1 + K4: assign each line to an output chunk of ≤N records.
+
+    The reference counts 2 per source line (injected blank separator,
+    /root/reference/modules/other_tasks.py:88,146 — SURVEY.md §2.9.3),
+    so its "100 lines per file" means 50 records; this engine's
+    primary knob is the sane ``records_per_file``. Trailing empty
+    chunks are never emitted (deviation per SURVEY.md §2.9.4).
+
+    Output: (line_no, input_file, rn, file_id) — the chunk assignment
+    is the checkable contract; the partitioned write is
+    ``.write.partitionBy("file_id")``.
+    """
+    numbered = attach_global_row_number(lines)
+    return numbered.select(
+        "line_no",
+        "input_file",
+        "rn",
+        F.floor((F.col("rn") - 1) / records_per_file).cast("long").alias("file_id"),
+    )
+
+
+SPLIT_CHUNKS_SQL = """
+WITH {text_lines_cte}
+SELECT line_no, input_file,
+       CAST(row_number() OVER (ORDER BY input_file, line_no) AS BIGINT) AS rn,
+       CAST(floor(((row_number() OVER (ORDER BY input_file, line_no)) - 1)
+            / {records_per_file}) AS BIGINT) AS file_id
+FROM text_lines
+"""
+
+
+def write_chunks(lines: DataFrame, path: str, records_per_file: int = 50) -> None:
+    """K4 chunked split sink: one directory per chunk via partitionBy —
+    the distributed replacement for sequential split_{k}.txt writes
+    (/root/reference/modules/other_tasks.py:80-95)."""
+    split_chunks(lines, records_per_file).write.partitionBy("file_id").mode(
+        "errorifexists"
+    ).parquet(path)
