@@ -21,6 +21,7 @@ from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     dedup as dedup_ops,
+    mlfilter,
     relational,
     routing,
     similarity,
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup_ops.QUERIES)
     q.update(similarity.QUERIES)
     q.update(textanalysis.QUERIES)
+    q.update(mlfilter.QUERIES)
     return q
 
 
@@ -198,4 +200,5 @@ FROM images_meta GROUP BY 1
     o.update(dedup_ops.ORACLES)
     o.update(similarity.ORACLES)
     o.update(textanalysis.ORACLES)
+    o.update(mlfilter.ORACLES)
     return o

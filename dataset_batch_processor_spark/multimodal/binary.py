@@ -1,0 +1,209 @@
+"""Multimodal binary-column plumbing — decode / transform kernels.
+
+Design: image/audio/video payloads are opaque ``binary`` columns with
+typed metadata columns alongside. Every kernel is an Arrow-batched
+``mapInPandas`` transformation with an explicit output schema, so the
+Spark-side contract (schema, batch shape, partitioning) is real and
+tested even where the actual codec is stubbed.
+
+STUBS vs real: this container has numpy but no image codec libraries
+(PIL/imageio/pillow-heif), so *decode* goes through a pluggable codec
+registry whose default raises NotImplementedError for real formats —
+mirroring S3-S5 (/root/reference/modules/other_tasks.py:45-53,
+batch_processor.py:346-357) — plus two REAL codecs:
+
+- ``rawrgb``: a trivial deterministic container (12-byte header +
+  raw uint8 HxWx3) used by tests and the synthetic pipeline;
+- header-only dimension probes for PNG/JPEG/GIF (sources/images.py)
+  which need no decoder at all.
+
+The pixel kernels themselves (crop G1, pad G2/G3, resize) are REAL
+numpy code operating on decoded arrays — identical math to
+tiling.py:12-18 — and run against rawrgb payloads in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ------------------------------------------------------------------ codecs
+
+RAWRGB_MAGIC = b"RAW1"
+
+
+def encode_rawrgb(arr: np.ndarray) -> bytes:
+    """Deterministic toy container: magic + H + W + raw uint8 HxWx3."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return RAWRGB_MAGIC + struct.pack(">II", h, w) + arr.tobytes()
+
+
+def decode_rawrgb(content: bytes) -> np.ndarray:
+    if content[:4] != RAWRGB_MAGIC:
+        raise ValueError("not a rawrgb payload")
+    h, w = struct.unpack(">II", content[4:12])
+    return np.frombuffer(content[12:], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _missing_codec(fmt: str) -> Callable[[bytes], np.ndarray]:
+    def decode(_content: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            f"codec '{fmt}' requires an image library not present in this "
+            "container (PIL/imageio/pillow-heif); register a decoder via "
+            "register_codec() in a full deployment"
+        )
+
+    return decode
+
+
+# S4/S5 formats (RAW/HEIC/animated) are registered so the dispatch
+# path is exercised; their decoders are the documented stubs above.
+CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "rawrgb": decode_rawrgb,
+    **{
+        fmt: _missing_codec(fmt)
+        for fmt in ("png", "jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng",
+                    "gif", "webp")
+    },
+}
+
+
+def register_codec(fmt: str, decoder: Callable[[bytes], np.ndarray]) -> None:
+    CODECS[fmt.lower()] = decoder
+
+
+# ------------------------------------------------------------- pixel kernels
+
+
+def pad_extend_edges(arr: np.ndarray, tile_size: int) -> np.ndarray:
+    """G2 'Extend Edges' (/root/reference/modules/tiling.py:12-18):
+    replicate the last row/column out to tile_size × tile_size."""
+    h, w = arr.shape[:2]
+    pad_bottom, pad_right = max(0, tile_size - h), max(0, tile_size - w)
+    if pad_bottom == 0 and pad_right == 0:
+        return arr
+    return np.pad(arr, ((0, pad_bottom), (0, pad_right), (0, 0)), mode="edge")
+
+
+def pad_to_square(arr: np.ndarray, tile_size: int) -> np.ndarray:
+    """G3 'Pad to Square' (/root/reference/modules/tiling.py:57-62):
+    paste at (0,0) onto a black tile_size² canvas."""
+    h, w = arr.shape[:2]
+    canvas = np.zeros((tile_size, tile_size, arr.shape[2]), dtype=arr.dtype)
+    canvas[: min(h, tile_size), : min(w, tile_size)] = arr[
+        : min(h, tile_size), : min(w, tile_size)
+    ]
+    return canvas
+
+
+def crop(arr: np.ndarray, left: int, top: int, right: int, bottom: int) -> np.ndarray:
+    """The PIL ``im.crop(box)`` analogue (tiling.py:38-41 semantics)."""
+    return arr[top:bottom, left:right]
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — numpy-only (no codec lib needed)."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+# ------------------------------------------------------- Spark plumbing
+
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_metadata(binary_df: DataFrame, id_col: str = "id",
+                    fmt_col: str = "fmt", content_col: str = "content") -> DataFrame:
+    """Decode each payload via the codec registry and emit typed
+    metadata. Errors (including NotImplementedError from stub codecs)
+    are captured per row (F7 quarantine semantics), never fatal."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, fmt, content in zip(pdf[id_col], pdf[fmt_col], pdf[content_col]):
+                row = {"id": str(rid), "fmt": fmt, "width": None, "height": None,
+                       "n_bytes": len(content), "error": None}
+                try:
+                    arr = CODECS[fmt.lower()](bytes(content))
+                    row["height"], row["width"] = int(arr.shape[0]), int(arr.shape[1])
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_META_SCHEMA.fields])
+
+    return binary_df.select(id_col, fmt_col, content_col).mapInPandas(
+        run, schema=DECODE_META_SCHEMA
+    )
+
+
+TILE_PIXELS_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("tile_w", IntegerType()),
+        StructField("tile_h", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
+                      pad_option: str = "None") -> DataFrame:
+    """Stage (b) of the tiling operator: actually crop (and pad) the
+    pixel tiles that operators/tiling.py computed geometry for.
+
+    Input columns: id, content, fmt, i, j, box_left/top/right/bottom.
+    Skew note: callers should ``repartition(id, j)`` first so one
+    giant image's tiles spread across tasks.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"id": str(row.id), "i": int(row.i), "j": int(row.j),
+                       "tile_w": None, "tile_h": None, "content": None,
+                       "error": None}
+                try:
+                    arr = CODECS[row.fmt.lower()](bytes(row.content))
+                    t = crop(arr, row.box_left, row.box_top,
+                             row.box_right, row.box_bottom)
+                    if pad_option == "Extend Edges":
+                        t = pad_extend_edges(t, tile_size)
+                    elif pad_option == "Pad to Square":
+                        t = pad_to_square(t, tile_size)
+                    t = np.ascontiguousarray(t)
+                    rec["tile_h"], rec["tile_w"] = int(t.shape[0]), int(t.shape[1])
+                    rec["content"] = encode_rawrgb(t)
+                except Exception as e:
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_PIXELS_SCHEMA.fields])
+
+    return tiles_with_content.mapInPandas(run, schema=TILE_PIXELS_SCHEMA)
