@@ -23,6 +23,7 @@ from dataset_batch_processor_spark.operators import (
     dedup as dedup_ops,
     mlfilter,
     relational,
+    relational2,
     routing,
     similarity,
     textanalysis,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(mlfilter.QUERIES)
+    q.update(relational2.QUERIES)
     return q
 
 
@@ -201,4 +203,5 @@ FROM images_meta GROUP BY 1
     o.update(similarity.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(mlfilter.ORACLES)
+    o.update(relational2.ORACLES)
     return o

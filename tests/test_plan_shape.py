@@ -1,0 +1,65 @@
+"""Plan-shape assertions (SURVEY.md §5.2 item 5): pushdown, pruning,
+broadcast, and shuffle budgets for the headline queries. These guard
+the 100 TB story — a regression here can hide inside a passing
+correctness run at sf0.01."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.operators import relational, tiling, textops
+from dataset_batch_processor_spark.plans import explain
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    # shipdate predicate must reach the parquet scan
+    assert explain.has_pushed_filter(df, "l_shipdate")
+    # scan must not read columns q1 doesn't touch (e.g. l_comment-ish ones)
+    cols = explain.read_schema_columns(df)
+    assert cols and all("l_orderkey" not in c for c in cols)
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = relational.q5_regional_revenue(spark, sf_dir)
+    # customer, supplier, nation, region all broadcast; only
+    # lineitem⋈orders may shuffle
+    assert explain.broadcast_join_count(df) >= 4
+
+
+def test_tile_grid_is_shuffle_free(spark, sf_dir):
+    """The flagship explode is a narrow pipeline: scan → project →
+    explode → filter. Any Exchange here would be a scale bug."""
+    df = tiling.tile_grid(
+        catalog.images_meta(spark, sf_dir),
+        tiling.TileSpec(tile_size=1024, overlap_ratio=0.5, padding=10),
+    )
+    assert explain.count_exchanges(df) == 0
+
+
+def test_tile_grid_prunes_part_columns(spark, sf_dir):
+    df = tiling.tile_grid(
+        catalog.images_meta(spark, sf_dir),
+        tiling.TileSpec(tile_size=1024, overlap_ratio=0.5, padding=10),
+    )
+    for cols in explain.read_schema_columns(df):
+        # images_meta derives from p_partkey only — the wide part
+        # columns (p_name, p_type, ...) must not be scanned
+        assert set(cols) <= {"p_partkey"}, cols
+
+
+def test_dedup_single_shuffle(spark, sf_dir):
+    df = textops.dedup_lines(catalog.text_lines(spark, sf_dir), key_len=24)
+    # one exchange for the groupBy; the orderBy adds a range exchange.
+    assert explain.count_exchanges(df) <= 2
+
+
+def test_caption_join_is_broadcast(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import captions as cap_ops
+
+    df = cap_ops.join_captions(
+        catalog.images_meta(spark, sf_dir), catalog.captions(spark, sf_dir)
+    )
+    assert explain.broadcast_join_count(df) == 1
+    assert explain.count_exchanges(df) == 0

@@ -1,0 +1,99 @@
+"""Structured Streaming: file-watch ingestion, watermarked rollup,
+bounded-state dedup — driven with availableNow triggers."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.streaming import watch
+
+
+def _run_stream(writer, timeout_s=120):
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    assert not q.isActive
+
+
+def test_file_watch_text(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.txt").write_text("l1\nl2\n")
+    (land / "b.txt").write_text("l3\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = watch.watch_text_folder(spark, str(land))
+    assert stream.isStreaming
+    _run_stream(watch.start_parquet_sink(stream, out, ckpt))
+    got = {(r.input_file, r.value) for r in spark.read.parquet(out).collect()}
+    assert got == {("a.txt", "l1"), ("a.txt", "l2"), ("b.txt", "l3")}
+
+    # incremental semantics: a NEW file is picked up, old ones are not reread
+    (land / "c.txt").write_text("l4\n")
+    _run_stream(watch.start_parquet_sink(
+        watch.watch_text_folder(spark, str(land)), out, ckpt))
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == ["l1", "l2", "l3", "l4"]
+
+
+def test_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming rollup over the events fixture (availableNow)
+    must agree with the batch events_hourly aggregation."""
+    ev_batch = catalog.load_events(spark, sf_dir)
+    # FileStreamSource needs a DIRECTORY; expose the single events
+    # parquet through a symlinked landing dir, with the nanos fix.
+    import os
+
+    evdir = tmp_path / "ev_landing"
+    evdir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", evdir / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(str(evdir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    )
+    out, ckpt = str(tmp_path / "roll"), str(tmp_path / "roll_ckpt")
+    # availableNow + append emits only windows closed by the final
+    # watermark; with watermark=0 seconds every window closes at drain.
+    _run_stream(watch.start_parquet_sink(
+        watch.hourly_rollup(ev_stream, watermark="0 seconds"), out, ckpt))
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp_rows = (
+        ev_batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s"))
+        .collect()
+    )
+    expected = {(r.hour, r.event_type): (r.n, r.s) for r in exp_rows}
+    # append mode drops the final (unclosed-by-data) windows per type;
+    # everything emitted must match batch exactly, and coverage must be
+    # nearly complete.
+    assert got
+    for key, v in got.items():
+        assert expected[key] == v, key
+    assert len(got) >= len(expected) - len({k[1] for k in expected})
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    land = tmp_path / "dl"
+    land.mkdir()
+    (land / "x.txt").write_text("dup\nuniq1\ndup\n")
+    stream = (
+        watch.watch_text_folder(spark, str(land))
+        .withColumn("ts", F.current_timestamp())
+    )
+    deduped = watch.streaming_dedup_lines(stream)
+    out, ckpt = str(tmp_path / "dd"), str(tmp_path / "dd_ckpt")
+    _run_stream(watch.start_parquet_sink(deduped, out, ckpt))
+    vals = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert vals == ["dup", "uniq1"]
