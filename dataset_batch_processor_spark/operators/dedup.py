@@ -6,29 +6,42 @@ covers parity). This module adds the document-level dedup family a
 100 TB text pipeline needs:
 
 - exact:   md5-hash groupBy — one shuffle on the hash.
-- MinHash: shingle → K minhashes → LSH band buckets → candidate-pair
-           join. The band-bucket join replaces the O(n²) pairwise
-           comparison with a shuffle on bucket keys; only same-bucket
-           pairs are compared. At scale this is a plain shuffle join
-           whose key cardinality grows with the corpus, so no
-           broadcast requirement and no single hot key (bucket sizes
-           are bounded by band collision probability).
+- MinHash + LSH: shingle → one 28-bit base hash per shingle → K
+  affine-permutation minhashes → band buckets → candidate-pair join.
 - n-gram Jaccard verification of LSH candidates (exact set overlap,
   computed only for candidate pairs — the standard verify step).
 - SimHash: 16-bit signatures; near-identical docs get equal/adjacent
   signatures.
 
-All hashing is md5-based so the DuckDB oracle computes bit-identical
-values (see functions/text.py). Every operator is declarative SQL —
-JVM-side, whole-stage codegen, no Python UDFs.
+Scale design:
+- Each shingle is md5-hashed ONCE; the K permutations are affine maps
+  ``(a_k * h + b_k) mod P`` over a 31-bit prime — pure integer
+  arithmetic that never overflows int64 in either engine (h < 2^28,
+  a_k < 2^31 → product < 2^59). This is 8× cheaper than hashing per
+  permutation and is the standard MinHash construction.
+- The K minhashes are computed as ONE wide aggregation
+  (groupBy(doc).agg(min(h_0) … min(h_7))): a single shuffle with
+  map-side partial mins, instead of exploding k (K× the rows).
+- The LSH band-bucket join replaces the O(n²) comparison with a
+  shuffle on bucket keys; bucket-key cardinality grows with the
+  corpus, so no broadcast requirement and no single hot key.
+- Jaccard verification touches only the candidate pairs.
+
+All hashing bottoms out in md5 so the DuckDB oracle computes
+bit-identical values (functions/text.py); permutation constants are
+derived from md5 in Python at import time and inlined as literals in
+both dialects.
 
 Fixed parameters for the oracle-checked queries: shingle width 8,
-stride 4, K=8 minhash permutations, 4 bands × 2 rows.
+stride 4, K=8 permutations, 4 bands × 2 rows.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import catalog
 
@@ -36,6 +49,20 @@ SHINGLE_W = 8
 SHINGLE_STRIDE = 4
 NUM_HASHES = 8
 BAND_ROWS = 2  # -> 4 bands
+N_BANDS = NUM_HASHES // BAND_ROWS
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# Affine permutation constants, deterministic from md5 (a_k odd-ish
+# nonzero mod P, b_k arbitrary mod P).
+PERMS = [
+    ((_md5int(f"a{k}") % (MERSENNE_P - 1)) + 1, _md5int(f"b{k}") % MERSENNE_P)
+    for k in range(NUM_HASHES)
+]
 
 # ---------------------------------------------------------------- exact
 
@@ -50,16 +77,132 @@ GROUP BY md5(text)
 EXACT_DUCK = EXACT_SPARK  # dialect-identical
 
 
-# ------------------------------------------------------------ CTE pieces
-# Character-shingle SET per doc: substr(text, p, W) at p = 1, 1+S, ...
-# Spark and DuckDB differ only in explode vs unnest spelling.
+# --------------------------------------------------------- Spark side
+# DataFrame-API pipeline (the engine's public operator surface); the
+# SQL strings further down are the DuckDB oracle of the same math.
 
-_SHINGLES_SPARK = f"""shingles AS (
-  SELECT DISTINCT doc_id, substr(text, p, {SHINGLE_W}) AS shingle
-  FROM documents
-  LATERAL VIEW explode(sequence(1, greatest(length(text) - {SHINGLE_W} + 1, 1), {SHINGLE_STRIDE})) t AS p
-  WHERE length(text) >= {SHINGLE_W}
-)"""
+
+def shingle_sets(docs: DataFrame, width: int = SHINGLE_W,
+                 stride: int = SHINGLE_STRIDE) -> DataFrame:
+    """Distinct character shingles per doc with their 28-bit base hash."""
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - width + 1, F.lit(1)),
+            F.lit(stride),
+        )
+    )
+    return (
+        docs.filter(F.length("text") >= width)
+        .select("doc_id", "text", pos.alias("p"))
+        .select("doc_id", F.expr(f"substr(text, p, {width})").alias("shingle"))
+        .distinct()
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+        )
+    )
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """K minhashes per doc as one wide aggregation — single shuffle,
+    map-side partial mins."""
+    sh = shingle_sets(docs)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{k}")
+        for k, (a, b) in enumerate(PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands_df(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — bucket hashes the band's signature
+    slice. Unpivoted with stack() so the signatures are scanned ONCE
+    (a per-band union would recompute the upstream aggregation once
+    per band)."""
+    stack_args = []
+    for band in range(N_BANDS):
+        cols = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        stack_args.append(F.lit(band))
+        stack_args.append(F.md5(F.concat_ws(",", F.lit(band), *cols)))
+    return sigs.select(
+        "doc_id",
+        F.stack(F.lit(N_BANDS), *stack_args).alias("band", "bucket"),
+    )
+
+
+def lsh_pairs_df(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any band bucket."""
+    bands = lsh_bands_df(minhash_signatures_df(docs)).persist()
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify_df(docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for each LSH candidate pair."""
+    sh = shingle_sets(docs).select("doc_id", "shingle").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairs = lsh_pairs_df(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_df(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_pairs_df(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_verify_df(catalog.load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------- DuckDB oracle
 
 _SHINGLES_DUCK = f"""shingles AS (
   SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {SHINGLE_W}) AS shingle
@@ -67,66 +210,49 @@ _SHINGLES_DUCK = f"""shingles AS (
        LATERAL (SELECT unnest(generate_series(1, len(text) - {SHINGLE_W} + 1,
                 {SHINGLE_STRIDE})) AS p)
   WHERE len(text) >= {SHINGLE_W}
-)"""
-
-# K minhashes per doc: min over the shingle set of md5("k:shingle").
-# DuckDB's generate_series yields BIGINT; cast k to INT to match
-# Spark's sequence(int, int) element type.
-
-_SIGS_SPARK = f"""sigs AS (
-  SELECT doc_id, k, min(md5(concat(CAST(k AS STRING), ':', shingle))) AS minhash
+),
+hashed AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
   FROM shingles
-  LATERAL VIEW explode(sequence(0, {NUM_HASHES - 1})) t AS k
-  GROUP BY doc_id, k
 )"""
+
+_SIG_COLS_DUCK = ",\n         ".join(
+    f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{k}"
+    for k, (a, b) in enumerate(PERMS)
+)
 
 _SIGS_DUCK = f"""sigs AS (
-  SELECT doc_id, CAST(k AS INT) AS k,
-         min(md5(concat(k, ':', shingle))) AS minhash
-  FROM shingles,
-       LATERAL (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS k)
-  GROUP BY doc_id, CAST(k AS INT)
+  SELECT doc_id,
+         {_SIG_COLS_DUCK}
+  FROM hashed GROUP BY doc_id
 )"""
 
-# LSH band buckets: hash the ordered (k=minhash) slice of the
-# signature per band. The bucket string differs in glue between
-# engines, which is irrelevant: only bucket EQUALITY within one
-# engine decides pair membership, and both glue schemes are
-# collision-free for fixed k ordering.
-
-_BANDS_SPARK = f"""bands AS (
-  SELECT doc_id, CAST(floor(k / {BAND_ROWS}) AS INT) AS band,
-         md5(concat_ws(',', sort_array(
-             collect_list(concat(CAST(k AS STRING), '=', minhash))))) AS bucket
-  FROM sigs
-  GROUP BY doc_id, CAST(floor(k / {BAND_ROWS}) AS INT)
-)"""
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, CAST({band} AS INT) AS band, "
+    "md5(concat({band}, ',', mh_{r0}, ',', mh_{r1})) AS bucket FROM sigs".format(
+        band=band, r0=band * BAND_ROWS, r1=band * BAND_ROWS + 1
+    )
+    for band in range(N_BANDS)
+)
 
 _BANDS_DUCK = f"""bands AS (
-  SELECT doc_id, CAST(floor(k / {BAND_ROWS}) AS INT) AS band,
-         md5(string_agg(concat(k, '=', minhash), ','
-                        ORDER BY concat(k, '=', minhash))) AS bucket
-  FROM sigs
-  GROUP BY doc_id, CAST(floor(k / {BAND_ROWS}) AS INT)
+{_BAND_SELECTS}
 )"""
 
-_PAIRS_BODY = """
+MINHASH_DUCK = f"WITH {_SHINGLES_DUCK},\n{_SIGS_DUCK}\nSELECT * FROM sigs"
+
+LSH_PAIRS_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
-# ------------------------------------------------------------- statements
-
-MINHASH_SPARK = f"WITH {_SHINGLES_SPARK},\n{_SIGS_SPARK}\nSELECT doc_id, k, minhash FROM sigs"
-MINHASH_DUCK = f"WITH {_SHINGLES_DUCK},\n{_SIGS_DUCK}\nSELECT doc_id, k, minhash FROM sigs"
-
-LSH_PAIRS_SPARK = (
-    f"WITH {_SHINGLES_SPARK},\n{_SIGS_SPARK},\n{_BANDS_SPARK}\n{_PAIRS_BODY}"
-)
-LSH_PAIRS_DUCK = f"WITH {_SHINGLES_DUCK},\n{_SIGS_DUCK},\n{_BANDS_DUCK}\n{_PAIRS_BODY}"
-
-_JACCARD_BODY = """
+JACCARD_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
 sizes AS (
   SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
 ),
@@ -151,12 +277,10 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
-JACCARD_SPARK = (
-    f"WITH {_SHINGLES_SPARK},\n{_SIGS_SPARK},\n{_BANDS_SPARK},\n{_JACCARD_BODY}"
-)
-JACCARD_DUCK = (
-    f"WITH {_SHINGLES_DUCK},\n{_SIGS_DUCK},\n{_BANDS_DUCK},\n{_JACCARD_BODY}"
-)
+# NOTE Spark's bucket string is concat_ws(',', band, mh…) and DuckDB's
+# is concat(band, ',', mh…, …) — identical byte strings, so the md5
+# buckets agree; but even textual drift would be harmless, since only
+# bucket EQUALITY within one engine decides pair membership.
 
 # ---------------------------------------------------------------- simhash
 # 16-bit SimHash over the distinct-token set. Token hash = 60-bit
@@ -228,9 +352,9 @@ def _run(sql: str):
 
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
-    "minhash_signatures": _run(MINHASH_SPARK),
-    "minhash_lsh_pairs": _run(LSH_PAIRS_SPARK),
-    "minhash_jaccard_verify": _run(JACCARD_SPARK),
+    "minhash_signatures": _q_minhash,
+    "minhash_lsh_pairs": _q_lsh_pairs,
+    "minhash_jaccard_verify": _q_jaccard,
     "simhash_signatures": _run(SIMHASH_SPARK),
 }
 
