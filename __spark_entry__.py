@@ -24,6 +24,7 @@ from dataset_batch_processor_spark.operators import (
     mlfilter,
     relational,
     relational2,
+    relational3,
     routing,
     similarity,
     textanalysis,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textanalysis.QUERIES)
     q.update(mlfilter.QUERIES)
     q.update(relational2.QUERIES)
+    q.update(relational3.QUERIES)
     return q
 
 
@@ -204,4 +206,5 @@ FROM images_meta GROUP BY 1
     o.update(textanalysis.ORACLES)
     o.update(mlfilter.ORACLES)
     o.update(relational2.ORACLES)
+    o.update(relational3.ORACLES)
     return o

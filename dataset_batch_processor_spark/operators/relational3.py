@@ -1,0 +1,96 @@
+"""Third relational wave: TPC-H Q7/Q10 shapes + approximate sketches.
+
+Q7 (volume shipping) exercises a join where BOTH sides need a
+dimension attribute before the fact join — the classic snowflake
+pattern. Q10 is the returned-item report: selective fact filter, then
+customer rollup + top-k.
+
+The sketch query is rows-only (no oracle): Spark's HyperLogLog++ and
+DuckDB's HLL produce different estimates by design; the query instead
+carries its own ground truth (exact distinct counts) so the test can
+bound the estimation error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .relational2 import _run
+
+NATION_A = "NATION_1"
+NATION_B = "NATION_2"
+
+Q7_SPARK = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
+     OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q7_DUCK = Q7_SPARK.replace(
+    "year(l_shipdate) AS l_year", "CAST(year(l_shipdate) AS INT) AS l_year"
+)
+
+Q10_SPARK = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_returned_items
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q10_DUCK = Q10_SPARK
+
+
+def _q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count sketches next to exact ground truth.
+
+    rows-only check (no DuckDB oracle — HLL estimates are
+    engine-specific); tests/test_relational3.py bounds the error."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+QUERIES = {
+    "q7_volume_shipping": _run(
+        Q7_SPARK, ("lineitem", "supplier", "orders", "customer", "nation")
+    ),
+    "q10_returned_items": _run(
+        Q10_SPARK, ("customer", "orders", "lineitem", "nation")
+    ),
+    "distinct_sketches": _q_sketches,
+}
+
+ORACLES = {
+    "q7_volume_shipping": Q7_DUCK,
+    "q10_returned_items": Q10_DUCK,
+    # distinct_sketches: intentionally no oracle (rows-only)
+}

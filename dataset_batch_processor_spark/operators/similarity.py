@@ -233,3 +233,143 @@ ORACLES = {
     "emb_cosine_topk": BRUTE_FORCE_DUCK,
     "emb_ann_lsh_topk": ANN_LSH_DUCK,
 }
+
+
+# -------------------------------------------------------------- IVF ANN
+# Inverted-file index: coarse-quantize the corpus against a small
+# centroid set (here: deterministic sample vectors, vec_id % 31 == 0 —
+# a real deployment trains k-means centroids the same shape), then a
+# query probes only the inverted lists of its N_PROBE nearest
+# centroids. Corpus-side work is one broadcast-scored narrow pass; the
+# probe join is an equi-join on centroid_id — the second scale path
+# next to LSH bucketing, with recall tunable via N_PROBE.
+
+CENTROID_MOD = 31  # ~1/31 of vectors serve as centroids
+N_PROBE = 2
+
+
+def _cos6(a, b) -> F.Column:
+    return F.round(vector.cosine(a, b), 6)
+
+
+def ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, cos_sim): each vector binned to its
+    nearest centroid (rounded cosine, centroid-id tiebreak)."""
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        _cos6(F.col("embedding"), F.col("c_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.col("centroid_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "centroid_id", "cos_sim")
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
+             n_probe: int = N_PROBE) -> DataFrame:
+    """Probe the n_probe nearest inverted lists, exact-rank inside."""
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    assign = ivf_assignments(emb).select("vec_id", "centroid_id")
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "centroid_id",
+        _cos6(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.col("centroid_id"))
+    probes = (
+        probe_scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos6(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    ).distinct()  # a candidate can arrive via both probed lists
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (f"list_sum(list_transform(generate_series(1, {DIM}), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    na = (f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+          f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))")
+    nb = (f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+          f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))")
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+IVF_TOPK_DUCK = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.c_emb')} AS cos_sim
+  FROM embeddings e, centroids c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, centroid_id) AS rnk
+    FROM assign_scored
+  ) WHERE rnk = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.query_id, q.q_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC,
+                                       c.centroid_id) AS rnk
+    FROM queries q, centroids c
+  ) WHERE rnk <= {N_PROBE}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.q_emb', 'e.embedding')} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM cands
+QUALIFY rank <= {TOP_K}
+"""
+
+QUERIES["emb_ivf_topk"] = _q_ivf_topk
+ORACLES["emb_ivf_topk"] = IVF_TOPK_DUCK

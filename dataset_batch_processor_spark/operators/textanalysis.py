@@ -228,3 +228,70 @@ ORACLES = {
     "docs_lang_id": LANG_ID_DUCK,
     "docs_fingerprint": FINGERPRINT_DUCK,
 }
+
+
+# ------------------------------------------------- rolling-hash winnowing
+# Karp-Rabin polynomial rolling hash over 8-char windows (stride 1),
+# winnowed with a window of 4: keep min(hash) of every 4 consecutive
+# window hashes, dedupe per doc — the classic winnowing fingerprint
+# (local algorithm => document sketches robust to insertion/deletion).
+# Pure integer arithmetic mod a small prime: B^j mod P constants are
+# folded in Python, every product stays < 2^31 — exact in both engines.
+
+KR_B = 257
+KR_P = 1_000_003
+KR_W = 8  # chars per hash window
+WIN_W = 4  # winnowing window (hashes)
+
+_KR_POWS = [pow(KR_B, j, KR_P) for j in range(KR_W)]
+
+_KR_TERMS_SPARK = " + ".join(
+    f"ascii(substr(text, p + {j}, 1)) * {_KR_POWS[j]}" for j in range(KR_W)
+)
+_KR_TERMS_DUCK = " + ".join(
+    f"ascii(substr(text, CAST(p AS INT) + {j}, 1)) * {_KR_POWS[j]}"
+    for j in range(KR_W)
+)
+
+WINNOW_SPARK = f"""
+WITH hashes AS (
+  SELECT doc_id, p, ({_KR_TERMS_SPARK}) % {KR_P} AS h,
+         length(text) AS n
+  FROM documents
+  LATERAL VIEW explode(sequence(1, greatest(length(text) - {KR_W} + 1, 1))) t AS p
+  WHERE length(text) >= {KR_W}
+),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
+         p, n
+  FROM hashes
+)
+SELECT DISTINCT doc_id, fp
+FROM winnowed
+WHERE p <= n - {KR_W} + 1 - {WIN_W - 1}
+"""
+
+WINNOW_DUCK = f"""
+WITH hashes AS (
+  SELECT doc_id, CAST(p AS INT) AS p, ({_KR_TERMS_DUCK}) % {KR_P} AS h,
+         len(text) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - {KR_W} + 1)) AS p)
+  WHERE len(text) >= {KR_W}
+),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
+         p, n
+  FROM hashes
+)
+SELECT DISTINCT doc_id, fp
+FROM winnowed
+WHERE p <= n - {KR_W} + 1 - {WIN_W - 1}
+"""
+
+QUERIES["docs_winnow_fingerprint"] = _run(WINNOW_SPARK)
+ORACLES["docs_winnow_fingerprint"] = WINNOW_DUCK

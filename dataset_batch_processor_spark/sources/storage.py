@@ -1,0 +1,98 @@
+"""Storage layout for scale: bucketing and skew mitigation.
+
+At 100 TB the dominant costs are shuffles. Two standard levers:
+
+- **Bucketing**: persist fact tables bucketed (and sorted) by their
+  join/aggregation key. Two tables bucketed identically join WITHOUT
+  any Exchange — the shuffle happened once at write time and is
+  amortized over every subsequent query. This is the put-the-work-
+  where-it-runs-once move for star-schema fact-fact joins
+  (lineitem ⋈ orders on orderkey being the canonical case).
+- **Salting**: when a groupBy/join key is skewed (one hot key owns a
+  double-digit percentage of rows), prepend a deterministic salt to
+  fan the hot key across reducers, then merge partials. AQE's skew
+  handling covers sort-merge joins; explicit salting covers
+  aggregations and the cases AQE can't re-plan.
+
+Both helpers are deterministic (salts from xxhash64, not rand()) so
+results stay reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist as a bucketed (+sorted) managed table. Reading it back
+    exposes the bucketing to the planner, eliminating the Exchange on
+    ``bucket_col`` for joins/aggregations between co-bucketed tables."""
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str,
+    right_key: str
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys — shuffle-free
+    by construction (see tests/test_storage.py plan assertion)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key])
+
+
+def salt_column(cols: list[Column], n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): xxhash64 of the row's
+    non-key columns — NOT rand(), so retries/speculative tasks agree."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    salt_from: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups by (key, salt) — the hot key fans out over
+    ``n_salts`` reducers; phase 2 merges the partials on the key
+    alone (tiny: n_salts rows per key). Supported merges: sum/count
+    (re-summed), min, max — the decomposable aggregates.
+
+    ``agg_exprs``: {output_col: "sum(col)" | "count(*)" | "min(col)"
+    | "max(col)"}.
+    """
+    salted = df.withColumn(
+        "_salt", salt_column([F.col(c) for c in salt_from], n_salts)
+    )
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, expr in agg_exprs.items():
+        fn, _, arg = expr.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"non-decomposable aggregate: {expr}")
+        col = F.count("*") if (fn == "count" and arg == "*") else getattr(F, fn)(arg)
+        phase1_aggs.append(col.alias(f"_p_{out}"))
+        merge = F.sum if fn in ("sum", "count") else getattr(F, fn)
+        phase2_aggs.append(merge(f"_p_{out}").alias(out))
+    return (
+        salted.groupBy(*group_cols, "_salt")
+        .agg(*phase1_aggs)
+        .groupBy(*group_cols)
+        .agg(*phase2_aggs)
+    )
