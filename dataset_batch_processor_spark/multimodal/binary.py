@@ -84,6 +84,16 @@ def register_codec(fmt: str, decoder: Callable[[bytes], np.ndarray]) -> None:
     CODECS[fmt.lower()] = decoder
 
 
+def decode_any(fmt: str, content: bytes) -> np.ndarray:
+    """Decode with content sniffing before extension dispatch (the
+    same robustness PIL gives the reference: magic bytes win over the
+    filename). Currently sniffs the rawrgb container; real codecs
+    added via register_codec get dispatched by format name."""
+    if content[:4] == RAWRGB_MAGIC:
+        return decode_rawrgb(content)
+    return CODECS[fmt.lower()](content)
+
+
 # ------------------------------------------------------------- pixel kernels
 
 
@@ -148,7 +158,7 @@ def decode_metadata(binary_df: DataFrame, id_col: str = "id",
                 row = {"id": str(rid), "fmt": fmt, "width": None, "height": None,
                        "n_bytes": len(content), "error": None}
                 try:
-                    arr = CODECS[fmt.lower()](bytes(content))
+                    arr = decode_any(fmt, bytes(content))
                     row["height"], row["width"] = int(arr.shape[0]), int(arr.shape[1])
                 except Exception as e:
                     row["error"] = f"{type(e).__name__}: {e}"
@@ -191,7 +201,7 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
                        "tile_w": None, "tile_h": None, "content": None,
                        "error": None}
                 try:
-                    arr = CODECS[row.fmt.lower()](bytes(row.content))
+                    arr = decode_any(row.fmt, bytes(row.content))
                     t = crop(arr, row.box_left, row.box_top,
                              row.box_right, row.box_bottom)
                     if pad_option == "Extend Edges":
@@ -207,3 +217,58 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
             yield pd.DataFrame(out, columns=[f.name for f in TILE_PIXELS_SCHEMA.fields])
 
     return tiles_with_content.mapInPandas(run, schema=TILE_PIXELS_SCHEMA)
+
+
+# ----------------------------------------------------------- conversion
+
+ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
+    "rawrgb": encode_rawrgb,
+}
+
+
+def register_encoder(fmt: str, encoder: Callable[[np.ndarray], bytes]) -> None:
+    ENCODERS[fmt.lower()] = encoder
+
+
+CONVERT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("src_fmt", StringType()),
+        StructField("dst_fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def convert_batch(binary_df: DataFrame, target_fmt: str) -> DataFrame:
+    """Format conversion (other_tasks.py:29-67 semantics): decode by
+    source format, re-encode to ``target_fmt``. Stub codecs and
+    corrupt payloads are quarantined per row (F7), never fatal. A
+    real deployment registers PIL/imageio codecs via register_codec/
+    register_encoder; the plumbing below is identical either way."""
+    tf = target_fmt.lower()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"id": str(row.id), "src_fmt": row.fmt, "dst_fmt": tf,
+                       "width": None, "height": None, "content": None,
+                       "error": None}
+                try:
+                    arr = decode_any(row.fmt, bytes(row.content))
+                    if tf not in ENCODERS:
+                        raise NotImplementedError(
+                            f"encoder '{tf}' not registered in this environment"
+                        )
+                    rec["height"], rec["width"] = int(arr.shape[0]), int(arr.shape[1])
+                    rec["content"] = ENCODERS[tf](np.ascontiguousarray(arr))
+                except Exception as e:
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in CONVERT_SCHEMA.fields])
+
+    return binary_df.mapInPandas(run, schema=CONVERT_SCHEMA)

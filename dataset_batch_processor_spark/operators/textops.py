@@ -104,38 +104,41 @@ def attach_global_row_number(lines: DataFrame) -> DataFrame:
     are contiguous per partition), count rows per partition, broadcast
     the per-partition offsets, add offset + intra-partition rank.
 
-    Implemented here with the two-window trick that keeps everything
-    in Catalyst: an intra-partition row_number partitioned by a range
-    bucket, plus a running offset from the bucket sizes. The bucket =
-    ntile-free range partitioning via a precomputed quantile would add
-    a pass; since the order key (input_file, line_no) is already
-    range-partitionable we use repartitionByRange + spark_partition_id.
+    Implementation: ONE full-data shuffle (repartitionByRange on the
+    order key) + sortWithinPartitions, then the intra-partition index
+    is recovered for free from monotonically_increasing_id (which is
+    ``partition_id * 2^33 + index_within_partition`` by construction)
+    — no second shuffle for a window over the partition id. The only
+    other exchange moves one count per partition (bytes, not data).
+
+    Output rn is deterministic because the order key is a total order
+    (unique (input_file, line_no)); range-boundary sampling only
+    decides WHERE a row sits, never its global rank.
     """
-    ranged = lines.repartitionByRange(F.col("input_file"), F.col("line_no"))
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    intra = F.row_number().over(
-        Window.partitionBy("_pid").orderBy("input_file", "line_no")
+    ranged = lines.repartitionByRange(
+        F.col("input_file"), F.col("line_no")
+    ).sortWithinPartitions("input_file", "line_no")
+    with_idx = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33)).alias("_idx"),
     )
-    with_intra = with_pid.withColumn("_intra_rn", intra)
-    # per-partition counts are tiny (one row per partition) -> broadcast join
-    sizes = with_pid.groupBy("_pid").agg(F.count("*").alias("_n"))
-    offsets = (
-        sizes.withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+    # per-partition counts are tiny (one row per partition) -> the
+    # offset table is a driver-size aggregate, broadcast back
+    sizes = with_idx.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = sizes.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
             ),
-        ).select("_pid", "_offset")
-    )
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
     return (
-        with_intra.join(F.broadcast(offsets), "_pid")
-        .withColumn("rn", (F.col("_offset") + F.col("_intra_rn")).cast("long"))
-        .drop("_pid", "_intra_rn", "_offset")
+        with_idx.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_offset") + F.col("_idx") + 1).cast("long"))
+        .drop("_pid", "_idx", "_offset")
     )
 
 

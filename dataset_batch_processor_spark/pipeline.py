@@ -1,0 +1,218 @@
+"""End-to-end workflows — the reference's UI tabs as engine functions.
+
+A user of the reference runs three workflows (SURVEY.md §3):
+prepare (filter → auto-crop), tiling (the flagship), and the text
+tasks (merge / split / dedup), plus format conversion. Each function
+here is that workflow as one declarative pipeline over a folder —
+the Gradio button click becomes a function call, the status string
+becomes a metrics dict, and every intermediate is a queryable
+DataFrame instead of a filesystem state.
+
+All pixel stages run through the codec registry
+(multimodal/binary.py): fully real for the rawrgb container, stubbed
+(quarantined, never fatal) for formats whose codec libraries are not
+in this environment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .multimodal import binary as mm
+from .operators import routing as routing_ops
+from .operators import textops
+from .operators.tiling import TileSpec, tile_grid
+from .sources import images as img_src
+from .sources import sinks
+from .sources import text as text_src
+
+
+@dataclass
+class RunResult:
+    """The reference's status string, structured (A1 counters)."""
+
+    metrics: dict[str, Any] = field(default_factory=dict)
+    output: DataFrame | None = None
+
+
+# ------------------------------------------------------------- prepare
+
+def prepare_images(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    tile_size: int = 1024,
+    overlap_ratio: float = 0.5,
+    write_reports: bool = True,
+) -> RunResult:
+    """§3.2 prepare pipeline: scan → header-only meta → route (F2∨F3)
+    → routed write + K6 crop reports. One DataFrame chain replaces the
+    two filesystem-coupled button clicks."""
+    meta = img_src.build_images_meta(img_src.scan_image_folder(spark, in_dir))
+    valid = img_src.valid_images(meta).withColumn("image_id", F.col("basename"))
+    routed = routing_ops.route_images(valid, tile_size, overlap_ratio)
+    sinks.write_routed(routed, f"{out_dir}/routed")
+    n_reports = (
+        sinks.export_crop_reports(routed, f"{out_dir}/reports")
+        if write_reports
+        else 0
+    )
+    counts = {
+        r["route"]: r["n_images"]
+        for r in routing_ops.route_counts(routed).collect()
+    }
+    quarantined = img_src.quarantine(meta).count()
+    return RunResult(
+        metrics={
+            "kept": counts.get(routing_ops.ROUTE_OK, 0),
+            "moved": counts.get(routing_ops.ROUTE_INCOMPATIBLE, 0),
+            "reports": n_reports,
+            "quarantined": quarantined,
+        },
+        output=routed,
+    )
+
+
+# -------------------------------------------------------------- tiling
+
+def tile_folder(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    spec: TileSpec,
+    export_sidecars: bool = False,
+    make_zip: bool = False,
+) -> RunResult:
+    """§3.1 flagship pipeline: scan → meta → geometry explode →
+    re-join content → pixel materialization → tiles table
+    (+ optional sidecar/zip exporters).
+
+    Shuffle budget: ONE repartition before the pixel UDF, keyed
+    (path, j) so a giant image's tile rows spread across tasks (the
+    skew mitigation from SURVEY §4.2); geometry itself is narrow.
+    """
+    scanned = img_src.scan_image_folder(spark, in_dir)
+    meta = img_src.valid_images(img_src.build_images_meta(scanned))
+    images = meta.select(
+        F.col("path").alias("image_id"), "basename", "ext", "width", "height"
+    )
+    geom = tile_grid(images, spec)
+    content_df = scanned.select(F.col("path").alias("image_id"), "content").join(
+        images.select("image_id", "ext"), "image_id"
+    )
+    with_content = geom.join(content_df, "image_id").select(
+        F.col("image_id").alias("id"),
+        F.col("ext").alias("fmt"),
+        "content",
+        "i",
+        "j",
+        "box_left",
+        "box_top",
+        "box_right",
+        "box_bottom",
+        "tile_name",
+        *(["caption"] if spec.caption is not None else []),
+    )
+    tiles = mm.materialize_tiles(
+        with_content.repartition(F.col("id"), F.col("j")),
+        tile_size=spec.tile_size,
+        pad_option=spec.pad_option,
+    )
+    named = tiles.join(
+        geom.select(
+            F.col("image_id").alias("id"), "i", "j", "tile_name",
+            *(["caption"] if spec.caption is not None else []),
+        ),
+        ["id", "i", "j"],
+    )
+    named.write.mode("errorifexists").parquet(f"{out_dir}/tiles")
+    written = spark.read.parquet(f"{out_dir}/tiles")
+    n_tiles = written.filter(F.col("error").isNull()).count()
+    n_failed = written.filter(F.col("error").isNotNull()).count()
+    metrics = {"tiles": n_tiles, "failed": n_failed}
+    if export_sidecars and spec.caption is not None:
+        metrics["sidecars"] = sinks.export_sidecar_files(
+            written.filter(F.col("error").isNull()), f"{out_dir}/sidecars"
+        )
+    if make_zip:
+        metrics["zip"] = sinks.create_zip(out_dir)
+    return RunResult(metrics=metrics, output=written)
+
+
+# ---------------------------------------------------------- conversion
+
+def convert_images(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_fmt: str = "rawrgb",
+) -> RunResult:
+    """Format-conversion workflow (/root/reference/modules/
+    other_tasks.py:29-67): decode via the codec registry, re-encode to
+    the target format. Unsupported codecs land in the quarantine
+    (error column), matching F7 instead of aborting the folder."""
+    scanned = img_src.scan_image_folder(spark, in_dir)
+    src = scanned.select(
+        F.col("path").alias("id"),
+        F.lower(F.element_at(F.split("path", r"\."), -1)).alias("fmt"),
+        "content",
+    )
+    decoded = mm.convert_batch(src, target_fmt)
+    decoded.write.mode("errorifexists").parquet(f"{out_dir}/converted")
+    written = spark.read.parquet(f"{out_dir}/converted")
+    return RunResult(
+        metrics={
+            "converted": written.filter(F.col("error").isNull()).count(),
+            "failed": written.filter(F.col("error").isNotNull()).count(),
+        },
+        output=written,
+    )
+
+
+# ---------------------------------------------------------- text tasks
+
+def merge_text_folder(spark: SparkSession, in_dir: str, out_path: str) -> RunResult:
+    """§3.3 merge: ordered concat of every file's lines (A2)."""
+    lines = text_src.read_lines(spark, in_dir)
+    sinks.export_merged_text(lines, out_path)
+    return RunResult(metrics={"n_lines": lines.count()})
+
+
+def split_text_file(
+    spark: SparkSession, in_path: str, out_dir: str, records_per_file: int = 50
+) -> RunResult:
+    """§3.3 split: W1 chunk assignment + K4 exporter."""
+    lines = text_src.read_lines(spark, in_path)
+    n_files = sinks.export_chunked_text(lines, out_dir, records_per_file)
+    return RunResult(metrics={"n_files": n_files, "n_lines": lines.count()})
+
+
+def dedup_text_file(spark: SparkSession, in_path: str, out_path: str) -> RunResult:
+    """§3.3 dedup: order-preserving first occurrences (A4) written in
+    original order; metrics carry the A3 counts."""
+    lines = text_src.read_lines(spark, in_path)
+    stats = textops.dedup_stats(lines).collect()[0]
+    # line_no is per-file; dedup across a folder needs the GLOBAL
+    # (input_file, line_no) order, i.e. the W1 row number
+    numbered = textops.attach_global_row_number(lines)
+    kept = (
+        numbered.groupBy("value")
+        .agg(F.min("rn").alias("first_rn"))
+        .orderBy("first_rn")
+        .select(F.col("value").alias("line_key"))
+        .collect()
+    )
+    with open(out_path, "w") as fh:
+        for r in kept:
+            fh.write(r["line_key"] + "\n")
+    return RunResult(
+        metrics={
+            "original": stats["original_count"],
+            "unique": stats["unique_count"],
+            "removed": stats["removed_count"],
+        }
+    )

@@ -91,7 +91,22 @@ def parse_jpeg_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
-_HEADER_PARSERS = (parse_png_header, parse_jpeg_header, parse_gif_header)
+def parse_rawrgb_header(content: bytes) -> tuple[int, int] | None:
+    """Dims from the engine's own rawrgb toy container
+    (multimodal/binary.py) — lets the full pipeline run end-to-end in
+    environments without image codec libraries."""
+    if len(content) >= 12 and content[:4] == b"RAW1":
+        h, w = struct.unpack(">II", content[4:12])
+        return w, h
+    return None
+
+
+_HEADER_PARSERS = (
+    parse_png_header,
+    parse_jpeg_header,
+    parse_gif_header,
+    parse_rawrgb_header,
+)
 
 _META_SCHEMA = StructType(
     [

@@ -1,0 +1,92 @@
+"""End-to-end workflow facade: the reference's UI tabs as pipelines,
+driven over real files (rawrgb payloads in .png-named files so the
+codec path is fully real)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark import pipeline
+from dataset_batch_processor_spark.multimodal import binary as mm
+from dataset_batch_processor_spark.operators.tiling import TileSpec
+
+
+def grad_image(h, w, seed=0):
+    return ((np.arange(h * w * 3, dtype=np.int64) + seed) % 251).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+
+
+@pytest.fixture()
+def image_folder(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    # compatible at tile=8, overlap=0: 16x16
+    (d / "big.png").write_bytes(mm.encode_rawrgb(grad_image(16, 16)))
+    # too small at tile=8? 12x6 -> height<8 … width 12 ok, 6 < 8 -> incompatible
+    (d / "small.png").write_bytes(mm.encode_rawrgb(grad_image(6, 12, seed=7)))
+    # corrupt payload
+    (d / "broken.jpg").write_bytes(b"\xff\xd8nope")
+    return str(d)
+
+
+def test_prepare_pipeline(spark, image_folder, tmp_path):
+    res = pipeline.prepare_images(
+        spark, image_folder, str(tmp_path / "prep"), tile_size=8, overlap_ratio=0.0
+    )
+    assert res.metrics["kept"] == 1  # big.png (16x16, tileable at 8/8)
+    assert res.metrics["moved"] == 1  # small.png
+    assert res.metrics["quarantined"] == 1  # broken.jpg
+    assert res.metrics["reports"] == 1
+    routed = spark.read.parquet(str(tmp_path / "prep" / "routed"))
+    assert {r.route for r in routed.collect()} == {"ok", "incompatible"}
+
+
+def test_tile_pipeline_end_to_end(spark, image_folder, tmp_path):
+    spec = TileSpec(tile_size=8, overlap_ratio=0.0, padding=0, caption="cap")
+    res = pipeline.tile_folder(
+        spark, image_folder, str(tmp_path / "tiles"), spec, export_sidecars=True
+    )
+    # big.png -> 2x2 grid of 8x8 tiles; small.png -> 1 tile row (6>=?):
+    # h_tiles = 12//8 = 1, v_tiles = 6//8 = 0 -> no tiles for small.png
+    assert res.metrics["tiles"] == 4
+    assert res.metrics["failed"] == 0
+    assert res.metrics["sidecars"] == 4
+    out = res.output.filter(res.output.error.isNull()).collect()
+    # every materialized tile decodes to exactly 8x8 pixels
+    for r in out:
+        arr = mm.decode_rawrgb(bytes(r.content))
+        assert arr.shape == (8, 8, 3)
+    # pixel truth: tile (1,1) of big.png is the bottom-right 8x8 block
+    big = grad_image(16, 16)
+    t11 = next(r for r in out if r.i == 1 and r.j == 1 and "big" in r.id)
+    assert np.array_equal(mm.decode_rawrgb(bytes(t11.content)), big[8:16, 8:16])
+
+
+def test_convert_pipeline(spark, image_folder, tmp_path):
+    res = pipeline.convert_images(
+        spark, image_folder, str(tmp_path / "conv"), target_fmt="rawrgb"
+    )
+    assert res.metrics["converted"] == 2  # both rawrgb payloads round-trip
+    assert res.metrics["failed"] == 1  # broken.jpg quarantined
+
+
+def test_text_pipelines(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("x\ny\nx\n")
+    (d / "b.txt").write_text("z\n")
+
+    merged = tmp_path / "merged.txt"
+    res = pipeline.merge_text_folder(spark, str(d), str(merged))
+    assert res.metrics["n_lines"] == 4
+    assert merged.read_text() == "x\n\ny\n\nx\n\nz"
+
+    res = pipeline.split_text_file(spark, str(d), str(tmp_path / "sp"), 3)
+    assert res.metrics == {"n_files": 2, "n_lines": 4}
+
+    out = tmp_path / "dedup.txt"
+    res = pipeline.dedup_text_file(spark, str(d), str(out))
+    assert res.metrics == {"original": 4, "unique": 3, "removed": 1}
+    assert out.read_text() == "x\ny\nz\n"
