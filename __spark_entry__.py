@@ -91,6 +91,10 @@ def _q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_stats(catalog.text_lines(spark, sf_dir), key_len=24)
 
 
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.dedup_lines_normalized(catalog.text_lines(spark, sf_dir))
+
+
 def _q_merge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.merge_text(catalog.text_lines(spark, sf_dir))
 
@@ -126,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_crop": _q_auto_crop,
         "dedup_lines": _q_dedup_lines,
         "dedup_stats": _q_dedup_stats,
+        "dedup_lines_normalized": _q_dedup_normalized,
         "merge_text": _q_merge_text,
         "split_chunks": _q_split_chunks,
         "caption_join": _q_caption_join,
@@ -177,6 +182,9 @@ FROM images_meta GROUP BY 1
         ),
         "dedup_stats": textops.DEDUP_STATS_SQL.format(
             text_lines_cte=catalog.TEXT_LINES_SQL, key_len=24
+        ),
+        "dedup_lines_normalized": textops.DEDUP_NORMALIZED_SQL.format(
+            text_lines_cte=catalog.TEXT_LINES_SQL
         ),
         "merge_text": textops.MERGE_TEXT_SQL.format(
             text_lines_cte=catalog.TEXT_LINES_SQL

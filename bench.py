@@ -21,17 +21,25 @@ from dataset_batch_processor_spark.session import get_spark
 HEADLINE = (
     "tile_grid",
     "route_images",
+    "caption_join",
     "dedup_lines",
     "split_chunks",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q7_volume_shipping",
     "top_customers_per_nation",
     "events_hourly",
+    "events_sessionize",
+    "dedup_exact_docs",
     "minhash_lsh_pairs",
+    "minhash_jaccard_verify",
     "simhash_signatures",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "docs_quality_score",
+    "docs_bpe_tokens",
+    "docs_winnow_fingerprint",
 )
 
 

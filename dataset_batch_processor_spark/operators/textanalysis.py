@@ -253,20 +253,35 @@ _KR_TERMS_DUCK = " + ".join(
     for j in range(KR_W)
 )
 
+_KR_LEAD_TERMS = " + ".join(
+    ["c * {0}".format(_KR_POWS[0])]
+    + [f"lead(c, {j}) OVER w * {_KR_POWS[j]}" for j in range(1, KR_W)]
+)
+
+# Spark side: posexplode the char array once, then build each window
+# hash from lead() columns — every operator is JVM-native (window
+# exec), avoiding both the O(len^2) substr-per-position scan and the
+# interpreted higher-order-function lambda (transform() lambdas do
+# not participate in whole-stage codegen).
 WINNOW_SPARK = f"""
-WITH hashes AS (
-  SELECT doc_id, p, ({_KR_TERMS_SPARK}) % {KR_P} AS h,
-         length(text) AS n
+WITH codes AS (
+  SELECT doc_id, pos + 1 AS p, ascii(ch) AS c, length(text) AS n
   FROM documents
-  LATERAL VIEW explode(sequence(1, greatest(length(text) - {KR_W} + 1, 1))) t AS p
+  LATERAL VIEW posexplode(split(text, '')) t AS pos, ch
   WHERE length(text) >= {KR_W}
 ),
+leads AS (
+  SELECT doc_id, p, n,
+         ({_KR_LEAD_TERMS}) % {KR_P} AS h
+  FROM codes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
 winnowed AS (
-  SELECT doc_id,
+  SELECT doc_id, p, n,
          min(h) OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp,
-         p, n
-  FROM hashes
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS fp
+  FROM leads
+  WHERE p <= n - {KR_W} + 1
 )
 SELECT DISTINCT doc_id, fp
 FROM winnowed

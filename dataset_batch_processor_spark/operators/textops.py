@@ -181,3 +181,37 @@ def write_chunks(lines: DataFrame, path: str, records_per_file: int = 50) -> Non
     split_chunks(lines, records_per_file).write.partitionBy("file_id").mode(
         "errorifexists"
     ).parquet(path)
+
+
+def dedup_lines_exact_bytes(lines_exact: DataFrame) -> DataFrame:
+    """A4 with the reference's exact-byte identity (SURVEY.md §1.4):
+    dedup key = (value, is_terminated), so "abc\\n" and a final
+    unterminated "abc" stay distinct — byte parity with
+    ``if line not in seen`` over raw readlines."""
+    return (
+        lines_exact.groupBy("value", "is_terminated")
+        .agg(F.min("line_no").alias("first_line_no"))
+        .orderBy("first_line_no", "value")
+    )
+
+
+def dedup_lines_normalized(lines: DataFrame) -> DataFrame:
+    """Extension (off-by-default normalization, SURVEY.md §1.4): dedup
+    on lower(trim(value)) — the curation-pipeline variant where
+    whitespace/case drift should collapse."""
+    key = F.lower(F.trim(F.col("value")))
+    return (
+        lines.groupBy(key.alias("line_key"))
+        .agg(F.min("line_no").alias("first_line_no"), F.count("*").alias("n_variants"))
+        .orderBy("first_line_no")
+    )
+
+
+DEDUP_NORMALIZED_SQL = """
+WITH {text_lines_cte}
+SELECT lower(trim(value)) AS line_key,
+       min(line_no) AS first_line_no,
+       count(*) AS n_variants
+FROM text_lines
+GROUP BY 1 ORDER BY first_line_no
+"""

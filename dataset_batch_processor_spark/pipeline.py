@@ -175,9 +175,11 @@ def convert_images(
 
 # ---------------------------------------------------------- text tasks
 
-def merge_text_folder(spark: SparkSession, in_dir: str, out_path: str) -> RunResult:
-    """§3.3 merge: ordered concat of every file's lines (A2)."""
-    lines = text_src.read_lines(spark, in_dir)
+def merge_text_folder(spark: SparkSession, in_dir: str, out_path: str,
+                      glob: str = "*.txt") -> RunResult:
+    """§3.3 merge: ordered concat of every .txt file's lines (A2) —
+    the reference scans only .txt (other_tasks.py:8-10)."""
+    lines = text_src.read_lines(spark, in_dir, glob=glob)
     sinks.export_merged_text(lines, out_path)
     return RunResult(metrics={"n_lines": lines.count()})
 
@@ -186,7 +188,7 @@ def split_text_file(
     spark: SparkSession, in_path: str, out_dir: str, records_per_file: int = 50
 ) -> RunResult:
     """§3.3 split: W1 chunk assignment + K4 exporter."""
-    lines = text_src.read_lines(spark, in_path)
+    lines = text_src.read_lines(spark, in_path, glob="*.txt")
     n_files = sinks.export_chunked_text(lines, out_dir, records_per_file)
     return RunResult(metrics={"n_files": n_files, "n_lines": lines.count()})
 
@@ -194,7 +196,7 @@ def split_text_file(
 def dedup_text_file(spark: SparkSession, in_path: str, out_path: str) -> RunResult:
     """§3.3 dedup: order-preserving first occurrences (A4) written in
     original order; metrics carry the A3 counts."""
-    lines = text_src.read_lines(spark, in_path)
+    lines = text_src.read_lines(spark, in_path, glob="*.txt")
     stats = textops.dedup_stats(lines).collect()[0]
     # line_no is per-file; dedup across a folder needs the GLOBAL
     # (input_file, line_no) order, i.e. the W1 row number

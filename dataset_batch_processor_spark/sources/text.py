@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions import scalar
 
 
-def read_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_lines(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """S7: line-oriented read with explicit order.
 
     Output: (input_file, line_no, value). line_no is per-file,
@@ -35,8 +35,13 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     inputs prefer zipWithIndex-style offset assignment (textops.
     attach_global_row_number on a synthetic single file id).
     """
+    reader = spark.read
+    if glob:
+        # F1-style suffix predicate pushed into the file listing
+        # (the reference's merge scans only *.txt: other_tasks.py:8-10)
+        reader = reader.option("pathGlobFilter", glob)
     raw = (
-        spark.read.text(path)
+        reader.text(path)
         .withColumn("input_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .withColumn("_block", F.expr("input_file_block_start()"))
         .withColumn("_mono", F.monotonically_increasing_id())
@@ -49,11 +54,14 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
+def read_whole_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """S6: one row per file, entire content as a single string
     (``open(path).read()``, other_tasks.py:16-19)."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     return (
-        spark.read.text(path, wholetext=True)
+        reader.text(path, wholetext=True)
         .withColumn("input_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .select("input_file", F.col("value").alias("content"))
     )
@@ -72,4 +80,59 @@ def load_caption_dictionary(spark: SparkSession, path: str) -> DataFrame:
         .filter(scalar.is_nonempty_caption(F.col("caption")))
         .groupBy("caption")
         .agg(F.min("mru_seq").alias("mru_seq"))
+    )
+
+
+def read_lines_exact(spark: SparkSession, path: str) -> DataFrame:
+    """S7 with EXACT-BYTE identity (SURVEY.md §1.4): the reference's
+    dedup treats the trailing newline as part of line identity
+    (``if line not in seen`` over raw readlines), so a final
+    unterminated line differs from an identical terminated one.
+    ``spark.read.text`` strips newlines, losing that bit — recover it
+    from the whole-file read: every line except an unterminated final
+    one is terminated.
+
+    Output: (input_file, line_no, value, is_terminated). Exact-byte
+    identity = (value, is_terminated).
+
+    Scale note: wholetext materializes each file in one task — right
+    for the reference's many-small-files shape; for huge single files
+    use read_lines + a tail check on raw bytes instead.
+    """
+    whole = read_whole_files(spark, path)
+    split = whole.select(
+        "input_file",
+        F.split("content", "\n", -1).alias("parts"),
+        F.col("content").endswith("\n").alias("_ends_nl"),
+    )
+    # split on \n: a terminated file yields a trailing "" element —
+    # drop it; every kept line i is terminated unless it is the last
+    # kept line of an unterminated file.
+    lines = split.select(
+        "input_file",
+        F.posexplode(
+            F.when(
+                F.col("_ends_nl"), F.slice("parts", 1, F.size("parts") - 1)
+            ).otherwise(F.col("parts"))
+        ).alias("line_no", "value"),
+        F.col("_ends_nl"),
+        F.size(
+            F.when(
+                F.col("_ends_nl"), F.slice("parts", 1, F.size("parts") - 1)
+            ).otherwise(F.col("parts"))
+        ).alias("_n"),
+    )
+    return (
+        lines
+        # empty file: readlines() yields no lines, but split("") = [""]
+        # would fabricate one — drop that fabricated empty row
+        .filter(~((F.col("_n") == 1) & (F.col("value") == "") & ~F.col("_ends_nl")))
+        .select(
+            "input_file",
+            F.col("line_no").cast("long"),
+            "value",
+            (F.col("_ends_nl") | (F.col("line_no") < F.col("_n") - 1)).alias(
+                "is_terminated"
+            ),
+        )
     )
