@@ -94,3 +94,82 @@ ORACLES = {
     "q10_returned_items": Q10_DUCK,
     # distinct_sketches: intentionally no oracle (rows-only)
 }
+
+
+# ------------------------------------------------------- wave 2 queries
+
+CUBE_SPARK = """
+SELECT c_mktsegment, c_nationkey, count(*) AS n,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+       CAST(grouping(c_nationkey) AS INT) AS g_nat
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+GROUPING_SETS_SPARK = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+CORRELATED_SPARK = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (
+  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(25,6)))
+              / count(*) AS DOUBLE)
+  FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+UNION_SPARK = """
+SELECT name, kind FROM (
+  SELECT c_name AS name, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_name AS name, 'supplier' AS kind FROM supplier
+)
+"""
+
+ORDER_GAPS_SPARK = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff(o_orderdate, prev_date) AS INT) AS gap_days
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+)
+WHERE prev_date IS NOT NULL
+"""
+
+ORDER_GAPS_DUCK = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+)
+WHERE prev_date IS NOT NULL
+"""
+
+QUERIES.update(
+    {
+        "customer_cube": _run(CUBE_SPARK, ("customer",)),
+        "lineitem_grouping_sets": _run(GROUPING_SETS_SPARK, ("lineitem",)),
+        "parts_above_brand_avg": _run(CORRELATED_SPARK, ("part",)),
+        "names_union_all": _run(UNION_SPARK, ("customer", "supplier")),
+        "customer_order_gaps": _run(ORDER_GAPS_SPARK, ("orders",)),
+    }
+)
+ORACLES.update(
+    {
+        "customer_cube": CUBE_SPARK,
+        "lineitem_grouping_sets": GROUPING_SETS_SPARK,
+        "parts_above_brand_avg": CORRELATED_SPARK,
+        "names_union_all": UNION_SPARK,
+        "customer_order_gaps": ORDER_GAPS_DUCK,
+    }
+)
