@@ -27,6 +27,7 @@ from dataset_batch_processor_spark.operators import (
     relational3,
     routing,
     similarity,
+    temporal,
     textanalysis,
     textops,
     tiling,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mlfilter.QUERIES)
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
+    q.update(temporal.QUERIES)
     return q
 
 
@@ -215,4 +217,5 @@ FROM images_meta GROUP BY 1
     o.update(mlfilter.ORACLES)
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
+    o.update(temporal.ORACLES)
     return o

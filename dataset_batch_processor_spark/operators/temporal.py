@@ -1,0 +1,210 @@
+"""Temporal joins Spark lacks as built-ins: as-of and range joins.
+
+Neither exists in the reference (no value joins at all, SURVEY.md
+§2.6) nor as a native Spark operator; both are core to event/market
+data pipelines, so the engine provides them as compositions of
+built-in operators (the preferred strategy per SURVEY.md §4.2 —
+no custom physical operator needed):
+
+- **as-of join** — for each left row, the most recent right row at or
+  before its timestamp, per key. Implemented with the scalable
+  union + window construction: tag both sides, union, one window
+  partitioned by key ordered by (time, side), carry the last
+  non-null right attribute forward. Cost: ONE shuffle on the key
+  (the window partition), regardless of how many right rows precede
+  each left row — strictly better than the naive inequality join +
+  argmax (which explodes to |L|×|R| per key before aggregating).
+- **range join** — left rows matched to right rows in a bounded time
+  interval. Implemented as an equi-join on the key with the range
+  predicate as join condition: the shuffle is on the equality key,
+  the range filter applies during the join, and AQE handles key skew.
+
+Tie semantics (as-of): a right row exactly at the left timestamp
+matches; among right ties on the timestamp the largest right id wins
+(deterministic, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row: the latest right row with
+    right_ts <= left_ts, per ``on`` key. Returns left columns +
+    requested right columns (null when no right row precedes).
+
+    One shuffle (window partition on the key); linear in |L| + |R|.
+    """
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # order: time asc, right rows BEFORE left rows at equal time
+    # (so an exactly-simultaneous right row matches), right ties by
+    # the last right_col (assumed monotone id) via a secondary sort
+    tie = F.coalesce(F.col(f"_r_{right_cols[0]}").cast("long"), F.lit(-1))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side").desc(), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = lt.unionByName(rt)
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 0)
+        .drop("_k", "_t", "_side", *[f"_r_{c}" for c in right_cols])
+    )
+
+
+def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the user's most recent order at/before the
+    event time (+ its total price)."""
+    events = catalog.load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+    )
+
+
+ASOF_DUCK = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 0 AS side, event_id,
+         CAST(NULL AS BIGINT) AS r_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, 1 AS side,
+         CAST(NULL AS BIGINT) AS event_id, o_orderkey AS r_orderkey
+  FROM orders
+),
+carried AS (
+  SELECT k, side, event_id,
+         last_value(r_orderkey IGNORE NULLS) OVER (
+           PARTITION BY k
+           ORDER BY t, side DESC, coalesce(r_orderkey, -1)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_orderkey
+  FROM tagged
+)
+SELECT event_id, k AS user_id, last_orderkey
+FROM carried WHERE side = 0
+"""
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """left ⋈ right on key equality AND right_ts in
+    [left_ts + lower, left_ts + upper). Shuffle on the equality key;
+    the range predicate rides the join condition."""
+    lk, rk = on
+    return left.join(
+        right,
+        (F.col(lk) == F.col(rk))
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(lower))
+        & (F.col(right_ts) < F.col(left_ts) + F.expr(upper)),
+    )
+
+
+def _q_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range join: for each event, how many LATER events the same
+    user fires within the following hour — the follow-up/burst-count
+    shape (events and orders fixtures don't overlap in time, so the
+    self-join is the meaningful range-join exercise)."""
+    events = catalog.load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    later = events.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = range_join(
+        events,
+        later,
+        on=("user_id", "user_b"),
+        left_ts="ts",
+        right_ts="ts_b",
+        lower="INTERVAL 0 SECOND",
+        upper="INTERVAL 1 HOUR",
+    ).filter(F.col("event_b") != F.col("event_id"))
+    return (
+        events.join(
+            joined.groupBy("event_id").agg(F.count("*").alias("n_followups")),
+            "event_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_followups", F.lit(0)).alias("n_followups"),
+        )
+    )
+
+
+RANGE_DUCK = """
+WITH followups AS (
+  SELECT a.event_id, count(*) AS n_followups
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts >= a.ts + INTERVAL 0 SECOND
+   AND b.ts <  a.ts + INTERVAL 1 HOUR
+   AND b.event_id <> a.event_id
+  GROUP BY a.event_id
+)
+SELECT e.event_id, e.user_id, coalesce(f.n_followups, 0) AS n_followups
+FROM events e LEFT JOIN followups f ON e.event_id = f.event_id
+"""
+
+
+QUERIES = {
+    "asof_latest_order": _q_asof_latest_order,
+    "event_followups_within_hour": _q_followup_events,
+}
+
+ORACLES = {
+    "asof_latest_order": ASOF_DUCK,
+    "event_followups_within_hour": RANGE_DUCK,
+}
