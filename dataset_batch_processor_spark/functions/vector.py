@@ -9,6 +9,9 @@ Spark and an index-ordered DuckDB formulation reproduce exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed at module level so the
+# pandas_udf type-hint strings ("pd.Series") resolve
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,11 +45,11 @@ def cosine6_vectorized():
     UDF when throughput matters more than oracle bit-parity.
     """
     import numpy as np
-    import pandas as pd
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+    def cos6(a: "pd.Series", b: "pd.Series") -> "pd.Series":
         A = np.stack(a.to_numpy()).astype(np.float64)
         B = np.stack(b.to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", A, B)

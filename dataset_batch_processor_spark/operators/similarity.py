@@ -39,8 +39,19 @@ N_PLANES = 8  # LSH signature bits
 DIM = 64
 
 
+def _cos_expr(a, b, vectorized: bool):
+    """Vectorized numpy cosine (production default: the zip_with fold
+    is an interpreted higher-order function — measured 25x slower at
+    200k vectors) vs the exact sequential JVM fold (oracle queries:
+    provable bit-determinism, see vector.cosine6_vectorized docstring)."""
+    if vectorized:
+        return vector.cosine6_vectorized()(a, b)
+    return F.round(vector.cosine(a, b), 6)
+
+
 def brute_force_topk(
-    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id % query_mod == 0)."""
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
@@ -52,7 +63,7 @@ def brute_force_topk(
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(vector.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -63,7 +74,10 @@ def brute_force_topk(
 
 
 def _q_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_force_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+    # oracle entry: exact JVM fold for provable determinism
+    return brute_force_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"), vectorized=False
+    )
 
 
 # DuckDB oracle: same math with an explicit index-ordered dot product.
@@ -136,7 +150,8 @@ def lsh_signature(emb_col) -> F.Column:
 
 
 def ann_lsh_topk(
-    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD
+    emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's own LSH bucket.
 
@@ -157,7 +172,7 @@ def ann_lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(vector.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -168,7 +183,9 @@ def ann_lsh_topk(
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_lsh_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+    return ann_lsh_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"), vectorized=False
+    )
 
 
 ANN_LSH_DUCK = f"""
@@ -248,20 +265,65 @@ CENTROID_MOD = 31  # ~1/31 of vectors serve as centroids
 N_PROBE = 2
 
 
-def _cos6(a, b) -> F.Column:
-    return F.round(vector.cosine(a, b), 6)
+def ivf_assign_gemm(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFrame:
+    """Production IVF assignment: collect the (small) centroid matrix
+    to the driver, broadcast it, and assign each Arrow batch with ONE
+    normalized matrix multiply (E @ C.T, argmax row-wise) — turns
+    n_vectors x n_centroids pairwise scoring into ~n_batches GEMMs.
+    Tie-break matches the join formulation: cosines rounded to 6 dp,
+    lowest centroid id wins ties (centroid columns sorted by id,
+    np.argmax takes the first maximum)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") % centroid_mod == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((cent_ids, Cn))
+
+    def run(batches):
+        ids, Cn = bc.value
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cos = np.round(En @ Cn.T, 6)
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": ids[best],
+                    "cos_sim": cos[np.arange(len(best)), best],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, centroid_id long, cos_sim double"
+    )
 
 
-def ivf_assignments(emb: DataFrame) -> DataFrame:
+def ivf_assignments(emb: DataFrame, centroid_mod: int = CENTROID_MOD,
+                    vectorized: bool = True) -> DataFrame:
     """(vec_id, centroid_id, cos_sim): each vector binned to its
-    nearest centroid (rounded cosine, centroid-id tiebreak)."""
-    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    nearest centroid (rounded cosine, centroid-id tiebreak).
+
+    ``centroid_mod`` controls centroid density: production wants
+    ~sqrt(n) centroids (centroid_mod ≈ sqrt(n)), NOT a fixed divisor
+    — a divisor makes centroid count grow linearly with the corpus
+    and the assignment cross join quadratic. The oracle fixture keeps
+    the fixed default for determinism at fixture scale."""
+    centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "centroid_id",
-        _cos6(F.col("embedding"), F.col("c_emb")).alias("cos_sim"),
+        _cos_expr(F.col("embedding"), F.col("c_emb"), vectorized).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.col("centroid_id"))
     return (
@@ -272,12 +334,20 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
 
 
 def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
-             n_probe: int = N_PROBE) -> DataFrame:
-    """Probe the n_probe nearest inverted lists, exact-rank inside."""
-    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+             n_probe: int = N_PROBE, centroid_mod: int = CENTROID_MOD,
+             vectorized: bool = True, gemm_assign: bool = True) -> DataFrame:
+    """Probe the n_probe nearest inverted lists, exact-rank inside.
+
+    Note the IVF cost model: the assignment is an INDEX BUILD — pay it
+    once (persist the assignment table), amortize over every query
+    batch. This convenience wrapper builds inline; production persists
+    ``ivf_assign_gemm`` output as a bucketed table."""
+    centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
-    assign = ivf_assignments(emb).select("vec_id", "centroid_id")
+    assign_fn = ivf_assign_gemm(emb, centroid_mod) if gemm_assign else \
+        ivf_assignments(emb, centroid_mod, vectorized)
+    assign = assign_fn.select("vec_id", "centroid_id")
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -285,7 +355,7 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
         "query_id",
         "q_emb",
         "centroid_id",
-        _cos6(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+        _cos_expr(F.col("q_emb"), F.col("c_emb"), vectorized).alias("c_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.col("centroid_id"))
     probes = (
@@ -301,7 +371,7 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos6(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
     ).distinct()  # a candidate can arrive via both probed lists
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -312,7 +382,11 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(catalog.load_table(spark, sf_dir, "embeddings"))
+    # oracle entry: join-formulated assignment + exact JVM cosine fold
+    return ivf_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"),
+        vectorized=False, gemm_assign=False,
+    )
 
 
 def _cos_sql(a: str, b: str) -> str:
