@@ -173,3 +173,50 @@ ORACLES.update(
         "customer_order_gaps": ORDER_GAPS_DUCK,
     }
 )
+
+
+# ------------------------------------------------- hierarchical rollup
+# Hypertable-style continuous aggregate: the daily rollup is computed
+# FROM the hourly rollup, not by rescanning raw events — the
+# decimal-exact partials re-aggregate losslessly, so coarser grains
+# are free once the finest grain is materialized. The oracle computes
+# daily DIRECTLY from events; equality proves rollup-reuse validity.
+
+def _q_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour_ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+    return daily
+
+
+DAILY_DIRECT_DUCK = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+QUERIES["events_daily_from_hourly"] = _q_daily_from_hourly
+ORACLES["events_daily_from_hourly"] = DAILY_DIRECT_DUCK

@@ -40,9 +40,14 @@ def watch_text_folder(spark: SparkSession, path: str) -> DataFrame:
 
 
 def watch_binary_folder(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
-    """Streaming binary ingestion for image payloads."""
+    """Streaming binary ingestion for image payloads. (File streams
+    require an explicit schema; binaryFile's is fixed.)"""
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
     return (
         spark.readStream.format("binaryFile")
+        .schema(schema)
         .option("pathGlobFilter", glob)
         .load(path)
     )

@@ -97,3 +97,52 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     _run_stream(watch.start_parquet_sink(deduped, out, ckpt))
     vals = sorted(r.value for r in spark.read.parquet(out).collect())
     assert vals == ["dup", "uniq1"]
+
+
+def test_streaming_tile_geometry(spark, tmp_path):
+    """The flagship batch operator applied to a STREAM: new image
+    files landing in a watched folder flow through images_meta +
+    tile_grid geometry via foreachBatch — same operators,
+    incrementally (the reference has no incremental mode at all)."""
+    import numpy as np
+
+    from dataset_batch_processor_spark.multimodal import binary as mm
+    from dataset_batch_processor_spark.operators.tiling import TileSpec, tile_grid
+    from dataset_batch_processor_spark.sources import images as img_src
+
+    land = tmp_path / "cam"
+    land.mkdir()
+    img = (np.arange(16 * 16 * 3, dtype=np.int64) % 251).astype(np.uint8)
+    (land / "f1.png").write_bytes(mm.encode_rawrgb(img.reshape(16, 16, 3)))
+
+    out = str(tmp_path / "geom")
+    spec = TileSpec(tile_size=8, overlap_ratio=0.0)
+
+    def process(batch_df, _bid):
+        meta = img_src.valid_images(img_src.build_images_meta(batch_df))
+        images = meta.selectExpr(
+            "path AS image_id", "basename", "ext", "width", "height"
+        )
+        tile_grid(images, spec).write.mode("append").parquet(out)
+
+    stream = watch.watch_binary_folder(spark, str(land), glob="*.png")
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4  # 2x2 grid
+
+    # second landing: only the new file is tiled (incremental)
+    (land / "f2.png").write_bytes(mm.encode_rawrgb(img.reshape(16, 16, 3)))
+    q = (
+        watch.watch_binary_folder(spark, str(land), glob="*.png")
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 8

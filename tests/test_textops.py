@@ -67,3 +67,47 @@ def test_global_row_number_is_dense_and_ordered(spark):
     ordered = sorted(rows, key=lambda r: (r.input_file, r.line_no))
     for rank, r in enumerate(ordered, start=1):
         assert r.rn == rank
+
+
+def test_dedup_properties_hypothesis(spark):
+    """Property: dedup output size == distinct count; every first_line_no
+    is the true first occurrence (random corpora via hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=30
+        )
+    )
+    def check(values):
+        lines = make_lines(
+            spark, [(i, "f", v) for i, v in enumerate(values)]
+        )
+        got = {r.line_key: r.first_line_no for r in
+               textops.dedup_lines(lines).collect()}
+        assert len(got) == len(set(values))
+        for v in set(values):
+            assert got[v] == values.index(v)
+
+    check()
+
+
+def test_minhash_order_invariance(spark):
+    """Property: MinHash signatures depend on the shingle SET, not on
+    doc-id order or row order."""
+    from pyspark.sql import Row
+
+    from dataset_batch_processor_spark.operators import dedup
+
+    docs = [Row(doc_id=i, text=t) for i, t in enumerate(
+        ["spark batch engine pipeline", "pipeline engine batch spark",
+         "completely different content here"])]
+    d1 = spark.createDataFrame(docs)
+    d2 = spark.createDataFrame(list(reversed(docs))).repartition(3)
+    s1 = {(r.doc_id, r.mh_0, r.mh_7) for r in
+          dedup.minhash_signatures_df(d1).collect()}
+    s2 = {(r.doc_id, r.mh_0, r.mh_7) for r in
+          dedup.minhash_signatures_df(d2).collect()}
+    assert s1 == s2
