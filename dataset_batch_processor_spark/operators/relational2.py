@@ -77,10 +77,10 @@ ROLLUP_DUCK = ROLLUP_SPARK  # dialect-identical
 
 PIVOT_SPARK = """
 SELECT o_orderstatus,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-       sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS n_high,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-           AS n_other,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_other,
        count(*) AS n_total
 FROM orders
 GROUP BY o_orderstatus
@@ -113,13 +113,13 @@ sessions AS (
 ),
 per_session AS (
   SELECT user_id, session_id,
-         max(ts_us) - min(ts_us) AS session_len_us,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS session_len_us,
          count(*) AS n_events
   FROM sessions GROUP BY user_id, session_id
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        max(session_len_us) AS max_session_us
 FROM per_session
 GROUP BY user_id
@@ -187,13 +187,14 @@ FROM part
 STRINGS_DUCK = """
 SELECT p_partkey,
        upper(p_name) AS name_upper,
-       length(p_name) AS name_len,
+       CAST(length(p_name) AS INT) AS name_len,
        split_part(p_name, ' ', 1) AS first_word,
        list_extract(string_split(p_name, ' '), len(string_split(p_name, ' ')))
            AS last_word,
-       levenshtein(split_part(p_name, ' ', 1),
+       CAST(levenshtein(split_part(p_name, ' ', 1),
                    list_extract(string_split(p_name, ' '),
-                                len(string_split(p_name, ' ')))) AS lev_first_last,
+                                len(string_split(p_name, ' ')))) AS INT)
+           AS lev_first_last,
        md5(p_name) AS name_md5
 FROM part
 """
@@ -205,9 +206,9 @@ FROM part
 
 BPE_SPARK = r"""
 SELECT doc_id,
-       size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)) AS n_bpe_tokens,
-       size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)))
-           AS n_distinct_bpe
+       CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)))
+            AS BIGINT) AS n_distinct_bpe
 FROM documents
 """
 

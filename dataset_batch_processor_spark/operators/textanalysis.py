@@ -33,7 +33,7 @@ WITH toks AS (
 SELECT doc_id,
        count(*) AS n_tokens,
        count(DISTINCT token) AS n_distinct_tokens,
-       sum(length(token)) AS sum_token_chars,
+       CAST(sum(length(token)) AS BIGINT) AS sum_token_chars,
        CAST(sum(length(token)) AS DOUBLE) / count(*) AS avg_token_len
 FROM toks GROUP BY doc_id
 """
@@ -47,7 +47,7 @@ WITH toks AS (
 SELECT doc_id,
        count(*) AS n_tokens,
        count(DISTINCT token) AS n_distinct_tokens,
-       sum(length(token)) AS sum_token_chars,
+       CAST(sum(length(token)) AS BIGINT) AS sum_token_chars,
        CAST(sum(length(token)) AS DOUBLE) / count(*) AS avg_token_len
 FROM toks GROUP BY doc_id
 """
@@ -120,7 +120,7 @@ def _lang_case(engine: str) -> str:
     for lang, words in _MARKERS.items():
         lst = ", ".join(f"'{w}'" for w in words)
         parts.append(
-            f"sum(CASE WHEN token IN ({lst}) THEN 1 ELSE 0 END) AS hits_{lang}"
+            f"CAST(sum(CASE WHEN token IN ({lst}) THEN 1 ELSE 0 END) AS BIGINT) AS hits_{lang}"
         )
     return ",\n         ".join(parts)
 

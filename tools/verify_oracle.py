@@ -91,6 +91,28 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            # type parity: normalize both engines' type names; flags
+            # e.g. DuckDB HUGEINT (sum of ints) vs Spark BIGINT
+            duck_norm = {
+                "BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+                "VARCHAR": "string", "BOOLEAN": "boolean",
+                "TIMESTAMP": "timestamp", "DATE": "date", "BLOB": "binary",
+                "HUGEINT": "hugeint", "FLOAT": "float", "SMALLINT": "smallint",
+            }
+            stypes = dict(sdf.dtypes)
+            dtypes = {
+                r[0]: duck_norm.get(str(r[1]), str(r[1]))
+                for r in con.execute(
+                    f"DESCRIBE {oracles[name]}"
+                ).fetchall()
+            }
+            for c in scols:
+                st, dt = stypes[c], dtypes.get(c)
+                if st != dt and not (st.startswith("decimal") or
+                                     dt is None or "[" in str(dt).lower()):
+                    ok = False
+                    msgs.append(f"type {c}: spark={st} duck={dt}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
