@@ -86,10 +86,16 @@ def tile_folder(
     spec: TileSpec,
     export_sidecars: bool = False,
     make_zip: bool = False,
+    use_sidecar_captions: bool = False,
 ) -> RunResult:
     """§3.1 flagship pipeline: scan → meta → geometry explode →
     re-join content → pixel materialization → tiles table
     (+ optional sidecar/zip exporters).
+
+    Captions: ``spec.caption`` stamps one caption on every tile (J2,
+    tiling.py:71-75); ``use_sidecar_captions=True`` instead LEFT-joins
+    per-image ``<basename>.txt`` sidecars by basename (J1,
+    skip_tiles.py:41-48) — missing sidecars yield null captions.
 
     Shuffle budget: ONE repartition before the pixel UDF, keyed
     (path, j) so a giant image's tile rows spread across tasks (the
@@ -101,6 +107,17 @@ def tile_folder(
         F.col("path").alias("image_id"), "basename", "ext", "width", "height"
     )
     geom = tile_grid(images, spec)
+    has_caption = use_sidecar_captions or spec.caption is not None
+    if use_sidecar_captions:
+        side = (
+            text_src.read_whole_files(spark, in_dir, glob="*.txt")
+            .select(
+                F.regexp_replace("input_file", r"\.txt$", "").alias("basename"),
+                # rtrim only strips spaces; kill trailing newlines too
+                F.regexp_replace(F.col("content"), r"\s+$", "").alias("caption"),
+            )
+        )
+        geom = geom.join(F.broadcast(side), "basename", "left")
     content_df = scanned.select(F.col("path").alias("image_id"), "content").join(
         images.select("image_id", "ext"), "image_id"
     )
@@ -115,7 +132,7 @@ def tile_folder(
         "box_right",
         "box_bottom",
         "tile_name",
-        *(["caption"] if spec.caption is not None else []),
+        *(["caption"] if has_caption else []),
     )
     tiles = mm.materialize_tiles(
         with_content.repartition(F.col("id"), F.col("j")),
@@ -125,7 +142,7 @@ def tile_folder(
     named = tiles.join(
         geom.select(
             F.col("image_id").alias("id"), "i", "j", "tile_name",
-            *(["caption"] if spec.caption is not None else []),
+            *(["caption"] if has_caption else []),
         ),
         ["id", "i", "j"],
     )
@@ -134,7 +151,7 @@ def tile_folder(
     n_tiles = written.filter(F.col("error").isNull()).count()
     n_failed = written.filter(F.col("error").isNotNull()).count()
     metrics = {"tiles": n_tiles, "failed": n_failed}
-    if export_sidecars and spec.caption is not None:
+    if export_sidecars and has_caption:
         metrics["sidecars"] = sinks.export_sidecar_files(
             written.filter(F.col("error").isNull()), f"{out_dir}/sidecars"
         )

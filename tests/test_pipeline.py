@@ -90,3 +90,22 @@ def test_text_pipelines(spark, tmp_path):
     res = pipeline.dedup_text_file(spark, str(d), str(out))
     assert res.metrics == {"original": 4, "unique": 3, "removed": 1}
     assert out.read_text() == "x\ny\nz\n"
+
+
+def test_tile_pipeline_sidecar_captions(spark, tmp_path):
+    """J1 path: per-image sidecar .txt captions joined onto tiles by
+    basename; images without a sidecar get null captions."""
+    d = tmp_path / "sc"
+    d.mkdir()
+    (d / "capped.png").write_bytes(mm.encode_rawrgb(grad_image(16, 16)))
+    (d / "capped.txt").write_text("a nice photo\n")
+    (d / "plain.png").write_bytes(mm.encode_rawrgb(grad_image(16, 16, seed=3)))
+    spec = TileSpec(tile_size=8, overlap_ratio=0.0)
+    res = pipeline.tile_folder(
+        spark, str(d), str(tmp_path / "out"), spec, use_sidecar_captions=True
+    )
+    rows = res.output.collect()
+    caps = {(r.id.rsplit("/", 1)[-1], r.i, r.j): r.caption for r in rows}
+    assert caps[("capped.png", 0, 0)] == "a nice photo"
+    assert caps[("plain.png", 0, 0)] is None
+    assert len(rows) == 8
