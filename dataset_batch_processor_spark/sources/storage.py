@@ -96,3 +96,36 @@ def salted_aggregate(
         .groupBy(*group_cols)
         .agg(*phase2_aggs)
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the SKEWED side gets a deterministic
+    salt (xxhash64 of its non-key columns), the small side is
+    replicated ``n_salts`` times, and the join runs on (key, salt) —
+    the hot key's rows spread over n_salts reducers instead of one.
+
+    Use when AQE's skew-join can't help (e.g. the skewed side feeds a
+    chain AQE won't re-plan, or a broadcast is too large). The small
+    side is replicated n_salts×, so keep it the dimension side.
+    """
+    cols = salt_from or [c for c in skewed.columns if c != key]
+    left = skewed.withColumn(
+        "_salt", salt_column([F.col(c) for c in cols], n_salts)
+    )
+    from pyspark.sql import functions as _F
+
+    right = small.crossJoin(
+        _F.broadcast(
+            skewed.sparkSession.range(n_salts).select(
+                _F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    joined = left.join(right, [key, "_salt"])
+    return joined.drop("_salt")

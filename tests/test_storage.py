@@ -80,3 +80,20 @@ def test_salted_rejects_non_decomposable(spark, sf_dir):
             li, ["l_returnflag"], {"m": "median(l_quantity)"},
             salt_from=["l_orderkey"],
         )
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = storage.salted_join(li, orders, "l_orderkey", n_salts=8)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    s = {(r.l_orderkey, r.l_partkey, r.o_totalprice)
+         for r in salted.collect()}
+    p = {(r.l_orderkey, r.l_partkey, r.o_totalprice)
+         for r in plain.collect()}
+    assert s == p
