@@ -13,6 +13,11 @@ DECIMAL and cast to DOUBLE on both sides so hashes match exactly.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
+    curation,
     dedup as dedup_ops,
     mlfilter,
     relational,
@@ -153,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
     q.update(temporal.QUERIES)
+    q.update(curation.QUERIES)
     return q
 
 
@@ -218,4 +225,5 @@ FROM images_meta GROUP BY 1
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
     o.update(temporal.ORACLES)
+    o.update(curation.ORACLES)
     return o

@@ -1,0 +1,144 @@
+"""Corpus-curation operators: splits, samples, shard packing.
+
+The everyday moves of a training-data pipeline, all deterministic
+(hash-based, not rand()-based) so runs are reproducible, resumable,
+and oracle-checkable:
+
+- **train/val split** — md5-bucket assignment per doc. Hash-based
+  splits are stable under corpus growth (a doc's split never changes
+  when other docs are added) — the property rand() sampling lacks.
+- **stratified sample** — per-stratum deterministic rate via the same
+  hash; no shuffle at all (pure filter), stratification comes free
+  because the hash is uniform within every stratum.
+- **token-budget shard packing** — documents packed into shards of
+  ~BUDGET tokens each: cumulative token count over a deterministic
+  order, shard id = floor(cumsum / budget). The cumulative sum uses
+  the scalable range-partition pattern at 100 TB (here the window
+  form, with the order key hash-distributed so no stratum hotspot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from .relational2 import _run
+
+TRAIN_PCT = 90  # md5 % 100 < 90 -> train
+
+SPLIT_SPARK = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+                 AS BIGINT) % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+SPLIT_DUCK = f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+SPLIT_COUNTS_SPARK = f"""
+SELECT lang, split, count(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+                   AS BIGINT) % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+SPLIT_COUNTS_DUCK = f"""
+SELECT lang, split, count(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+SAMPLE_RATE_PCT = 20  # deterministic 20% per stratum
+
+STRATIFIED_SPARK = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(conv(substr(md5(concat(lang, ':', CAST(doc_id AS STRING))), 1, 15),
+          16, 10) AS BIGINT) % 100 < {SAMPLE_RATE_PCT}
+"""
+
+STRATIFIED_DUCK = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat(lang, ':', doc_id)), 1, 15))
+          AS BIGINT) % 100 < {SAMPLE_RATE_PCT}
+"""
+
+TOKEN_BUDGET = 20_000  # ~tokens per shard
+
+# shard packing: deterministic order = (hash, doc_id); token count =
+# whitespace tokens; shard id from the EXCLUSIVE running sum so a doc
+# that crosses the boundary starts the next shard.
+SHARD_SPARK = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+              AS BIGINT) AS h
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(tokens_before / {TOKEN_BUDGET}) AS BIGINT) AS shard_id
+FROM packed
+"""
+
+SHARD_DUCK = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before
+  FROM sized
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(tokens_before / {TOKEN_BUDGET}) AS BIGINT) AS shard_id
+FROM packed
+"""
+
+QUERIES = {
+    "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
+    "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
+    "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
+    "docs_shard_packing": _run(SHARD_SPARK, ("documents",)),
+}
+
+ORACLES = {
+    "docs_train_val_split": SPLIT_DUCK,
+    "docs_split_counts": SPLIT_COUNTS_DUCK,
+    "docs_stratified_sample": STRATIFIED_DUCK,
+    "docs_shard_packing": SHARD_DUCK,
+}
