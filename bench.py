@@ -40,6 +40,10 @@ HEADLINE = (
     "docs_quality_score",
     "docs_bpe_tokens",
     "docs_winnow_fingerprint",
+    "asof_latest_order",
+    "event_followups_within_hour",
+    "docs_shard_packing",
+    "q10_returned_items",
 )
 
 

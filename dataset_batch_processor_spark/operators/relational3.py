@@ -220,3 +220,90 @@ ORDER BY day, event_type
 
 QUERIES["events_daily_from_hourly"] = _q_daily_from_hourly
 ORACLES["events_daily_from_hourly"] = DAILY_DIRECT_DUCK
+
+
+# ------------------------------------------------------- wave 3 queries
+
+Q6_SPARK = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+Q4_SPARK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# trailing 30-day per-customer order total: RANGE frame over epoch-day
+TRAILING_SPARK = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(total_dec) OVER (
+         PARTITION BY o_custkey ORDER BY d
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS d,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS total_dec
+  FROM orders
+)
+"""
+
+TRAILING_DUCK = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(total_dec) OVER (
+         PARTITION BY o_custkey ORDER BY d
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS total_dec
+  FROM orders
+)
+"""
+
+NTILE_SPARK = """
+SELECT c_custkey, total_spent,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM (
+  SELECT c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spent
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+WINDOW w AS (ORDER BY total_spent DESC, c_custkey)
+"""
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": _run(Q6_SPARK, ("lineitem",)),
+        "q4_order_priority": _run(Q4_SPARK, ("orders", "lineitem")),
+        "orders_trailing_30d": _run(TRAILING_SPARK, ("orders",)),
+        "customer_value_ntiles": _run(NTILE_SPARK, ("customer", "orders")),
+    }
+)
+ORACLES.update(
+    {
+        "q6_forecast_revenue": Q6_SPARK,
+        "q4_order_priority": Q4_SPARK,
+        "orders_trailing_30d": TRAILING_DUCK,
+        "customer_value_ntiles": NTILE_SPARK,
+    }
+)
