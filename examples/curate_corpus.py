@@ -1,0 +1,124 @@
+"""End-to-end corpus curation — the engine's LLM-data-pipeline
+operators composed into one run:
+
+    ingest → quality filter → exact dedup → near-dup (MinHash+LSH,
+    Jaccard-verified) → train/val split → token-budget shards →
+    partitioned parquet
+
+Usage:
+    python examples/curate_corpus.py [sf_dir] [out_dir]
+
+Prints one JSON metrics line. Every stage is a declarative DataFrame
+transformation from the operator library; at 100 TB the same code
+runs with the shuffles analyzed in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataset_batch_processor_spark import catalog  # noqa: E402
+from dataset_batch_processor_spark.operators import dedup  # noqa: E402
+from dataset_batch_processor_spark.session import get_spark  # noqa: E402
+
+MIN_TOKENS = 30
+MAX_STOPWORD_RATIO = 0.9
+JACCARD_KILL = 0.8
+TRAIN_PCT = 90
+TOKENS_PER_SHARD = 20_000
+
+
+def curate(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    n_in = docs.count()
+
+    # 1. quality filter: token count + stopword ratio (cheap, narrow)
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "it")])
+    with_q = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            / F.size(toks)
+        ).alias("sw_ratio"),
+    )
+    quality = with_q.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("sw_ratio") <= MAX_STOPWORD_RATIO)
+    )
+    n_quality = quality.count()
+
+    # 2. exact dedup: keep the smallest doc_id per identical text
+    canonical = (
+        quality.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(quality, "doc_id")
+        .drop("h")
+    )
+    n_exact = canonical.count()
+
+    # 3. near-dup removal: LSH candidates verified by Jaccard; drop
+    #    the higher doc_id of every confirmed near-dup pair
+    near = (
+        dedup.jaccard_verify_df(canonical.select("doc_id", "text"))
+        .filter(F.col("jaccard") >= JACCARD_KILL)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = canonical.join(near, "doc_id", "left_anti")
+    n_near = kept.count()
+
+    # 4. hash-stable split + token-budget shard assignment
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    split_col = F.when(h % 100 < TRAIN_PCT, "train").otherwise("val")
+    assigned = kept.withColumn("split", split_col).withColumn("h", h)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("split").orderBy("h", "doc_id")
+    sharded = assigned.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / TOKENS_PER_SHARD
+        ).cast("long"),
+    ).drop("h")
+
+    # 5. write: split/shard partitioned layout
+    sharded.write.partitionBy("split", "shard_id").mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    per_split = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "input_docs": n_in,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_near,
+        "train_docs": per_split.get("train", 0),
+        "val_docs": per_split.get("val", 0),
+        "n_shards": back.select("split", "shard_id").distinct().count(),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="curated_"
+    ) + "/corpus"
+    spark = get_spark("curate_corpus")
+    print(json.dumps({"out": out_dir, **curate(spark, sf_dir, out_dir)}))
+
+
+if __name__ == "__main__":
+    main()

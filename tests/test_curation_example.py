@@ -1,0 +1,31 @@
+"""The composed curation pipeline (examples/curate_corpus.py) runs
+end-to-end and its funnel is monotone."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def load_example():
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus", "/root/repo/examples/curate_corpus.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["curate_corpus"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_curation_funnel(spark, sf_dir, tmp_path):
+    mod = load_example()
+    m = mod.curate(spark, sf_dir, str(tmp_path / "corpus"))
+    assert m["input_docs"] == 500
+    # funnel is monotone non-increasing
+    assert m["input_docs"] >= m["after_quality"] >= m["after_exact_dedup"]
+    assert m["after_exact_dedup"] >= m["after_near_dedup"] > 0
+    assert m["train_docs"] + m["val_docs"] == m["after_near_dedup"]
+    assert m["n_shards"] >= 2  # both splits produce at least one shard
+    # layout on disk is partitioned by split
+    out = tmp_path / "corpus"
+    assert (out / "split=train").exists() and (out / "split=val").exists()
