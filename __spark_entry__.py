@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.multimodal import queries as mm_queries
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     curation,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational3.QUERIES)
     q.update(temporal.QUERIES)
     q.update(curation.QUERIES)
+    q.update(mm_queries.QUERIES)
     return q
 
 
@@ -226,4 +228,5 @@ FROM images_meta GROUP BY 1
     o.update(relational3.ORACLES)
     o.update(temporal.ORACLES)
     o.update(curation.ORACLES)
+    o.update(mm_queries.ORACLES)
     return o
