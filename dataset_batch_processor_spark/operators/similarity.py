@@ -126,14 +126,16 @@ def _hyperplane_sign(plane_idx: int, dim_idx: int) -> int:
     return (nibble % 2) * 2 - 1
 
 
-def lsh_signature(emb_col) -> F.Column:
-    """N_PLANES-bit sign-random-projection signature as an int.
+def lsh_signature(emb_col, n_planes: int = N_PLANES) -> F.Column:
+    """n_planes-bit sign-random-projection signature as an int.
 
     Each plane is a literal ±1 array (constant-folded), so the per-row
-    cost is N_PLANES fused zip_with/aggregate passes — all JVM-side.
+    cost is n_planes fused zip_with/aggregate passes — all JVM-side.
+    Fewer planes = coarser buckets = higher recall & higher candidate
+    cost; 2^n_planes buckets should be ~corpus_size / desired_bucket.
     """
     bits = []
-    for t in range(N_PLANES):
+    for t in range(n_planes):
         plane = F.array(
             *[F.lit(float(_hyperplane_sign(t, i))) for i in range(1, DIM + 1)]
         )
@@ -151,20 +153,41 @@ def lsh_signature(emb_col) -> F.Column:
 
 def ann_lsh_topk(
     emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
-    vectorized: bool = True,
+    vectorized: bool = True, n_planes: int = N_PLANES,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own LSH bucket.
+    """Approximate top-k: probe the query's own LSH bucket, plus — with
+    ``multiprobe=r`` — every bucket within Hamming distance r of it
+    (standard multi-probe LSH: recall of a coarser table at the memory
+    cost of the finer one).
 
     At scale: corpus signatures are computed in one narrow pass (and
     would be persisted as a bucketed table); the probe is an equi-join
     on the signature — shuffle on bucket key instead of a cross join.
     """
-    bucketed = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
+    bucketed = emb.withColumn(
+        "bucket", lsh_signature(F.col("embedding"), n_planes)
+    )
     queries = bucketed.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe > 0:
+        # expand each query to its Hamming-ball of probe buckets
+        import itertools
+
+        masks = [0]
+        for r in range(1, multiprobe + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                masks.append(m)
+        mask_arr = F.array(*[F.lit(m) for m in masks])
+        queries = queries.withColumn("_m", F.explode(mask_arr)).withColumn(
+            "q_bucket", F.expr("int(q_bucket ^ _m)")
+        ).drop("_m")
     cands = bucketed.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
@@ -173,7 +196,7 @@ def ann_lsh_topk(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
-    )
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
