@@ -127,6 +127,40 @@ def _q_caption_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Names with a fully-green row in CORRECTNESS_r01.json (driver, sf0.01).
+# The driver verifies at most ~50 queries per round in dict-insertion
+# order, so anything NOT in this set is registered first (see
+# ``_prioritize``) until every query has a green driver row.
+_DRIVER_VERIFIED = {
+    "tile_grid", "tile_grid_auto_adjust", "tile_grid_num_tiles",
+    "route_images", "route_counts", "auto_crop", "dedup_lines",
+    "dedup_stats", "dedup_lines_normalized", "merge_text", "split_chunks",
+    "caption_join", "mru_captions", "caption_upsert", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "top_customers_per_nation", "events_hourly", "events_json_extract",
+    "orders_running_total", "dedup_exact_docs", "minhash_signatures",
+    "minhash_lsh_pairs", "minhash_jaccard_verify", "simhash_signatures",
+    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk",
+    "docs_token_stats", "docs_quality_score", "docs_lang_id",
+    "docs_fingerprint", "docs_winnow_fingerprint", "ml_face_route",
+    "customers_without_orders", "active_customers_semi", "partkey_set_ops",
+    "brand_type_rollup", "priority_pivot", "events_sessionize",
+    "lineitem_quantiles", "orders_date_parts", "part_string_funcs",
+    "docs_bpe_tokens", "emb_near_dup_pairs", "q7_volume_shipping",
+    "q10_returned_items", "customer_cube",
+    # distinct_sketches ran but was rows-only (no_oracle); keep it in the
+    # front block until it earns a hash-green row.
+}
+
+
+def _prioritize(d: dict) -> dict:
+    """Return ``d`` reordered: never-driver-verified names first."""
+    front = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
+    back = {k: v for k, v in d.items() if k in _DRIVER_VERIFIED}
+    front.update(back)
+    return front
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- reference parity (SURVEY.md §2) ---
@@ -162,7 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(temporal.QUERIES)
     q.update(curation.QUERIES)
     q.update(mm_queries.QUERIES)
-    return q
+    return _prioritize(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -229,4 +263,4 @@ FROM images_meta GROUP BY 1
     o.update(temporal.ORACLES)
     o.update(curation.ORACLES)
     o.update(mm_queries.ORACLES)
-    return o
+    return _prioritize(o)

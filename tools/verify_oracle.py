@@ -131,6 +131,10 @@ def main() -> int:
             f"{status}  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)"
             + ("  " + "; ".join(msgs) if msgs else "")
         )
+    unknown = only - set(qs)
+    if unknown:
+        print(f"\nERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     print(
         f"\n{len(failures)} failures" + (f": {failures}" if failures else "")
     )
