@@ -65,18 +65,47 @@ LIMIT 20
 Q10_DUCK = Q10_SPARK
 
 
-def _q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct-count sketches next to exact ground truth.
+SKETCH_TOL = 0.05  # 2.5× the requested rsd=0.02 — comfortable, still real
 
-    rows-only check (no DuckDB oracle — HLL estimates are
-    engine-specific); tests/test_relational3.py bounds the error."""
+
+def _q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-count sketches checked against ground truth.
+
+    HLL++ estimates are engine-specific, so the raw estimate can't be
+    hash-compared with DuckDB. Instead the query emits the EXACT counts
+    plus a boolean asserting |approx - exact| <= tol * exact; the oracle
+    emits the same exact counts with literal TRUE. A hash match therefore
+    proves the sketch's error bound holds — a real check, not rows-only.
+    (HLL++ is deterministic for a fixed dataset, so the booleans are
+    stable across runs.)"""
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    est = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(SKETCH_TOL)
+    )
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("_ap", "exact_parts").alias("parts_within_tol"),
+        within("_ao", "exact_orders").alias("orders_within_tol"),
+    )
+
+
+SKETCHES_DUCK = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS parts_within_tol,
+       TRUE AS orders_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 QUERIES = {
@@ -92,7 +121,7 @@ QUERIES = {
 ORACLES = {
     "q7_volume_shipping": Q7_DUCK,
     "q10_returned_items": Q10_DUCK,
-    # distinct_sketches: intentionally no oracle (rows-only)
+    "distinct_sketches": SKETCHES_DUCK,
 }
 
 
