@@ -27,6 +27,8 @@ noise (≈1e-16 relative) cannot flip a rank.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -277,27 +279,64 @@ ORACLES = {
 
 # -------------------------------------------------------------- IVF ANN
 # Inverted-file index: coarse-quantize the corpus against a small
-# centroid set (here: deterministic sample vectors, vec_id % 31 == 0 —
-# a real deployment trains k-means centroids the same shape), then a
-# query probes only the inverted lists of its N_PROBE nearest
-# centroids. Corpus-side work is one broadcast-scored narrow pass; the
-# probe join is an equi-join on centroid_id — the second scale path
-# next to LSH bucketing, with recall tunable via N_PROBE.
+# centroid set, then a query probes only the inverted lists of its
+# N_PROBE nearest centroids. Two centroid sources:
+#
+# - **trained** (production, `ivf_train_centroids`): ~sqrt(n) spherical
+#   k-means centroids. Centroid count scales with sqrt of the corpus, so
+#   the broadcast matrix stays bounded (1e9 vectors x 64 dims -> ~3e4
+#   centroids = 16 MB) and every pass is GEMM-speed. Persisted via
+#   `ivf_build_index` as a table bucketed by centroid_id, so the probe
+#   join needs no corpus-side Exchange.
+# - **fixed-mod sample** (oracle fixture only): vec_id % 31 == 0 —
+#   deterministic and DuckDB-expressible, but centroid count grows
+#   LINEARLY with the corpus; never use it beyond the oracle fixture.
 
-CENTROID_MOD = 31  # ~1/31 of vectors serve as centroids
+CENTROID_MOD = 31  # oracle-fixture centroid sampling (see above)
 N_PROBE = 2
+KMEANS_ITERS = 2
+
+
+def _gemm_assign_fn(bc, round6: bool = True):
+    """mapInPandas kernel: assign each Arrow batch against a broadcast
+    (ids, normalized-centroid-matrix) pair with ONE matrix multiply
+    (E @ C.T, argmax row-wise) — n_batches GEMMs instead of
+    n_vectors x n_centroids scalar cosines. Tie-break matches the join
+    formulation: cosines rounded to 6 dp, lowest centroid id wins ties
+    (centroid columns sorted by id, np.argmax takes the first max)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        ids, Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cos = En @ Cn.T
+            if round6:
+                cos = np.round(cos, 6)
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": ids[best],
+                    "cos_sim": cos[np.arange(len(best)), best],
+                }
+            )
+
+    return run
 
 
 def ivf_assign_gemm(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFrame:
-    """Production IVF assignment: collect the (small) centroid matrix
-    to the driver, broadcast it, and assign each Arrow batch with ONE
-    normalized matrix multiply (E @ C.T, argmax row-wise) — turns
-    n_vectors x n_centroids pairwise scoring into ~n_batches GEMMs.
-    Tie-break matches the join formulation: cosines rounded to 6 dp,
-    lowest centroid id wins ties (centroid columns sorted by id,
-    np.argmax takes the first maximum)."""
+    """Oracle-fixture GEMM assignment (fixed-mod sampled centroids).
+
+    Collects the sampled centroid matrix to the driver — bounded ONLY
+    because the oracle fixture is small; production goes through
+    `ivf_train_centroids` + `ivf_assign_trained` where the collect is
+    bounded at ~sqrt(n) rows by construction."""
     import numpy as np
-    import pandas as pd
 
     cent_rows = sorted(
         emb.filter(F.col("vec_id") % centroid_mod == 0)
@@ -309,25 +348,218 @@ def ivf_assign_gemm(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFra
     C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = emb.sparkSession.sparkContext.broadcast((cent_ids, Cn))
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _gemm_assign_fn(bc), schema="vec_id long, centroid_id long, cos_sim double"
+    )
 
-    def run(batches):
-        ids, Cn = bc.value
-        for pdf in batches:
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cos = np.round(En @ Cn.T, 6)
-            best = np.argmax(cos, axis=1)
+
+def ivf_train_centroids(
+    emb: DataFrame, n_centroids: int | None = None, iters: int = KMEANS_ITERS,
+):
+    """Spherical k-means-lite trainer, shaped for 100 TB.
+
+    Returns ``(ids, Cn)``: centroid ids ``0..k-1`` and the L2-normalized
+    centroid matrix (numpy, k x dim). Scale ledger:
+
+    - ``k`` defaults to ceil(sqrt(n)) — the classic IVF operating point
+      (nlist ~ sqrt(n): probe cost k + n/k is minimized). The driver
+      holds only k x dim doubles: 1e9 x 64-dim corpus -> ~31.6k
+      centroids = 16 MB. Nothing corpus-sized ever reaches the driver.
+    - init: deterministic hash-sample of ~k vectors (narrow filter +
+      limit(k) collect — k rows, not n).
+    - each Lloyd iteration is ONE Arrow pass over the corpus
+      (mapInPandas accumulates per-PARTITION (centroid, sum, count)
+      partials across its batches and emits <= k rows per partition),
+      then a groupBy over k keys sums the partials and the driver
+      collects exactly k mean rows. Shuffle per iteration is
+      n_partitions x k partial rows worst case — centroid-sized, not
+      corpus-sized.
+    - empty clusters keep their previous centroid (stable, determinism-
+      friendly); means are re-normalized each round (spherical k-means,
+      the right objective for cosine retrieval).
+
+    Determinism: init sample is xxhash64-based, iteration count fixed,
+    float accumulation is per-partition numpy sums — stable for a fixed
+    partitioning, which the tests pin. Not SQL-expressible, so trained-
+    IVF queries register rows-only (the oracle keeps the fixed-mod
+    formulation)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    n = emb.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    k = n_centroids or max(4, math.isqrt(n - 1) + 1)
+    k = min(k, n)
+    dim = len(emb.select("embedding").first()[0])
+
+    # deterministic ~k-row sample for init (filter passes ~k of n rows)
+    step = max(1, n // k)
+    init_rows = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0)
+        .select("vec_id", "embedding")
+        .sort("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:  # hash-sample undershot; top up deterministically
+        seen = {r.vec_id for r in init_rows}
+        extra = (
+            emb.filter(~F.col("vec_id").isin(list(seen)))
+            .select("vec_id", "embedding").sort("vec_id")
+            .limit(k - len(init_rows)).collect()
+        )
+        init_rows = init_rows + extra
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = np.arange(len(Cn), dtype=np.int64)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((ids, Cn))
+
+        def part_partials(batches):
+            idsb, Cb = bc.value
+            sums = np.zeros_like(Cb)
+            cnts = np.zeros(len(Cb), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                En = E / np.linalg.norm(E, axis=1, keepdims=True)
+                best = np.argmax(np.round(En @ Cb.T, 6), axis=1)
+                np.add.at(sums, best, En)
+                np.add.at(cnts, best, 1)
+            nz = np.flatnonzero(cnts)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "centroid_id": ids[best],
-                    "cos_sim": cos[np.arange(len(best)), best],
+                    "centroid_id": idsb[nz],
+                    "psum": [sums[i].tolist() for i in nz],
+                    "cnt": cnts[nz],
                 }
             )
 
+        def reduce_group(pdf):
+            s = np.sum(np.stack(pdf["psum"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {
+                    "centroid_id": [pdf["centroid_id"].iloc[0]],
+                    "psum": [s.tolist()],
+                    "cnt": [int(pdf["cnt"].sum())],
+                }
+            )
+
+        partial_schema = "centroid_id long, psum array<double>, cnt long"
+        means = (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(part_partials, schema=partial_schema)
+            .groupBy("centroid_id")
+            .applyInPandas(reduce_group, schema=partial_schema)
+            .collect()  # exactly k rows
+        )
+        newC = Cn.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            m = np.asarray(r.psum, dtype=np.float64) / r.cnt
+            nrm = np.linalg.norm(m)
+            if nrm > 0:
+                newC[r.centroid_id] = m / nrm
+        Cn = newC
+    return ids, Cn
+
+
+def ivf_assign_trained(emb: DataFrame, ids, Cn) -> DataFrame:
+    """(vec_id, centroid_id, cos_sim) against a trained centroid matrix
+    — one GEMM Arrow pass, no shuffle."""
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Cn))
     return emb.select("vec_id", "embedding").mapInPandas(
-        run, schema="vec_id long, centroid_id long, cos_sim double"
+        _gemm_assign_fn(bc), schema="vec_id long, centroid_id long, cos_sim double"
     )
+
+
+def ivf_build_index(
+    emb: DataFrame, table: str, n_centroids: int | None = None,
+    iters: int = KMEANS_ITERS, n_buckets: int = 32, mode: str = "errorifexists",
+):
+    """Train centroids, assign the corpus, persist assignments as a
+    table bucketed by centroid_id (`storage.write_bucketed`). The index
+    build is paid once; every probe equi-joins the bucketed table on
+    centroid_id with no corpus-side Exchange. Returns (ids, Cn)."""
+    from ..sources import storage
+
+    ids, Cn = ivf_train_centroids(emb, n_centroids, iters)
+    assign = ivf_assign_trained(emb, ids, Cn).select("vec_id", "centroid_id")
+    storage.write_bucketed(
+        assign, table, "centroid_id", n_buckets=n_buckets, mode=mode
+    )
+    return ids, Cn
+
+
+def ivf_topk_trained(
+    emb: DataFrame, ids, Cn, k: int = TOP_K, query_mod: int = QUERY_MOD,
+    n_probe: int = N_PROBE, assign: DataFrame | None = None,
+) -> DataFrame:
+    """Production IVF probe against trained centroids.
+
+    Per query: pick its n_probe nearest centroids driver-side-free (a
+    GEMM mapInPandas over the tiny query set), then EQUI-JOIN the
+    inverted lists on centroid_id (pass ``assign`` read back from the
+    bucketed index table to skip even that shuffle), exact-rank within
+    the probed lists. No cross join anywhere; the corpus is touched by
+    (a) the one-off index build and (b) the candidate equi-join."""
+    import numpy as np
+    import pandas as pd
+
+    if assign is None:
+        assign = ivf_assign_trained(emb, ids, Cn).select("vec_id", "centroid_id")
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Cn))
+
+    def probe_fn(batches):
+        idsb, Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            cos = np.round(Qn @ Cb.T, 6)
+            # n_probe nearest lists per query; stable sort of -cos keeps
+            # the smallest centroid index first among ties
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            qid = np.repeat(pdf["query_id"].to_numpy(), top.shape[1])
+            yield pd.DataFrame(
+                {"query_id": qid, "centroid_id": idsb[top].ravel()}
+            )
+
+    probes = queries.select("query_id", F.col("q_emb")).mapInPandas(
+        probe_fn, schema="query_id long, centroid_id long"
+    )
+    cands = (
+        probes.join(assign, "centroid_id")  # equi-join on the bucket key
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_expr(F.col("q_emb"), F.col("embedding"), True).alias("cos_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver query for the PRODUCTION IVF path (k-means is
+    not SQL-expressible; recall vs brute force is pytest-bounded)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    ids, Cn = ivf_train_centroids(emb)
+    return ivf_topk_trained(emb, ids, Cn, n_probe=4)
 
 
 def ivf_assignments(emb: DataFrame, centroid_mod: int = CENTROID_MOD,
@@ -470,3 +702,6 @@ QUALIFY rank <= {TOP_K}
 
 QUERIES["emb_ivf_topk"] = _q_ivf_topk
 ORACLES["emb_ivf_topk"] = IVF_TOPK_DUCK
+QUERIES["emb_ivf_trained_topk"] = _q_ivf_trained
+# emb_ivf_trained_topk: rows-only by design (k-means not SQL-expressible);
+# tests/test_similarity_ivf.py bounds its recall against brute force.
