@@ -8,10 +8,13 @@ tested even where the actual codec is stubbed.
 
 STUBS vs real: this container has numpy but no image codec libraries
 (PIL/imageio/pillow-heif), so *decode* goes through a pluggable codec
-registry whose default raises NotImplementedError for real formats —
-mirroring S3-S5 (/root/reference/modules/other_tasks.py:45-53,
-batch_processor.py:346-357) — plus two REAL codecs:
+registry whose default raises NotImplementedError for the library-
+bound formats (JPEG/HEIC/RAW/GIF/WebP) — mirroring S3-S5
+(/root/reference/modules/other_tasks.py:45-53,
+batch_processor.py:346-357) — plus three REAL codecs:
 
+- ``png``: full pure-Python PNG decode+encode (multimodal/png.py,
+  stdlib zlib) — S3/K1 run end-to-end on real image bytes;
 - ``rawrgb``: a trivial deterministic container (12-byte header +
   raw uint8 HxWx3) used by tests and the synthetic pipeline;
 - header-only dimension probes for PNG/JPEG/GIF (sources/images.py)
@@ -70,11 +73,16 @@ def _missing_codec(fmt: str) -> Callable[[bytes], np.ndarray]:
 
 # S4/S5 formats (RAW/HEIC/animated) are registered so the dispatch
 # path is exercised; their decoders are the documented stubs above.
+# PNG is REAL: pure-Python codec (multimodal/png.py, stdlib zlib), so
+# decode -> crop/pad -> encode runs end-to-end on actual image bytes.
+from . import png as _png  # noqa: E402
+
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "rawrgb": decode_rawrgb,
+    "png": _png.decode_png,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("png", "jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng",
+        for fmt in ("jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng",
                     "gif", "webp")
     },
 }
@@ -91,6 +99,8 @@ def decode_any(fmt: str, content: bytes) -> np.ndarray:
     added via register_codec get dispatched by format name."""
     if content[:4] == RAWRGB_MAGIC:
         return decode_rawrgb(content)
+    if content[: len(_png.SIGNATURE)] == _png.SIGNATURE:
+        return _png.decode_png(content)
     return CODECS[fmt.lower()](content)
 
 
@@ -223,6 +233,7 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
 
 ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "rawrgb": encode_rawrgb,
+    "png": _png.encode_png,
 }
 
 

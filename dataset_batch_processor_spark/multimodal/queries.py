@@ -75,5 +75,66 @@ SELECT doc_id,
 FROM chars
 """
 
-QUERIES = {"mm_decode_meta": _q_decode_meta}
-ORACLES = {"mm_decode_meta": DECODE_META_DUCK}
+# -------------------------------------------------- real-codec roundtrip
+# Unlike mm_decode_meta's fake decoder, this drives the REAL PNG codec
+# (multimodal/png.py) under the driver's hash gate: each doc_id yields a
+# deterministic gradient image, encoded with filter type doc_id % 5 (so
+# all five PNG filters are exercised), decoded back through the codec
+# registry, and checksummed pixel-by-pixel. The DuckDB oracle recomputes
+# the checksum in closed form — a hash match proves the encode -> decode
+# roundtrip preserved every pixel of every image.
+
+PNG_ROUNDTRIP_SCHEMA = "doc_id long, width int, height int, pix_sum bigint"
+
+
+def _q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, png
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 4, d % 13 + 4
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                data = png.encode_png(arr, filter_type=d % 5)
+                dec = binary.decode_any("png", data)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "pix_sum": int(dec.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    return docs.mapInPandas(run, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+PNG_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 4 AS INT) AS width,
+       CAST(doc_id % 13 + 4 AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 13 + 3), y ->
+         list_sum(list_transform(generate_series(0, doc_id % 16 + 3), x ->
+           list_sum(list_transform([0,1,2], c ->
+             (doc_id + 3*x + 7*y + 11*c) % 256)))))) AS BIGINT) AS pix_sum
+FROM documents
+"""
+
+QUERIES = {
+    "mm_decode_meta": _q_decode_meta,
+    "mm_png_roundtrip": _q_png_roundtrip,
+}
+ORACLES = {
+    "mm_decode_meta": DECODE_META_DUCK,
+    "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
+}

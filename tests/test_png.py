@@ -1,0 +1,156 @@
+"""Pure-Python PNG codec: golden roundtrips + end-to-end Spark path.
+
+Moves S3/K1 (full decode, image write) from 'partial' to real for one
+genuine format: reference parity per /root/reference/modules/
+tiling.py:21,68 (PIL open/crop/save) and other_tasks.py:54-60
+(save-format options), re-expressed as registry codecs feeding the
+Arrow mapInPandas kernels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import binary, png
+
+
+def _rand(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter(filter_type):
+    arr = _rand(23, 17, seed=filter_type)
+    out = png.decode_png(png.encode_png(arr, filter_type=filter_type))
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_gradient_and_extremes():
+    y, x = np.mgrid[0:40, 0:31]
+    grad = np.stack([(x + y) % 256, x % 256, y % 256], axis=2).astype(np.uint8)
+    for arr in (grad, np.zeros((5, 5, 3), np.uint8),
+                np.full((3, 9, 3), 255, np.uint8), _rand(1, 1)):
+        assert np.array_equal(png.decode_png(png.encode_png(arr)), arr)
+
+
+def test_gray_input_promoted_to_rgb():
+    g = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    out = png.decode_png(png.encode_png(g))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def _manual_png(w, h, ctype, bpp, raw_rows, extra_chunks=b""):
+    """Hand-build a PNG with arbitrary color type for decode tests."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = b"".join(b"\x00" + r for r in raw_rows)
+    return (
+        png.SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + extra_chunks
+        + png._chunk(b"IDAT", zlib.compress(scan))
+        + png._chunk(b"IEND", b"")
+    )
+
+
+def test_decode_rgba_drops_alpha():
+    rgba = np.random.default_rng(1).integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    data = _manual_png(6, 4, 6, 4, [rgba[y].tobytes() for y in range(4)])
+    assert np.array_equal(png.decode_png(data), rgba[:, :, :3])
+
+
+def test_decode_gray_alpha_replicates_gray():
+    ga = np.random.default_rng(2).integers(0, 256, (3, 5, 2), dtype=np.uint8)
+    data = _manual_png(5, 3, 4, 2, [ga[y].tobytes() for y in range(3)])
+    out = png.decode_png(data)
+    assert out.shape == (3, 5, 3)
+    assert np.array_equal(out[:, :, 1], ga[:, :, 0])
+
+
+def test_decode_palette():
+    palette = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]],
+                       dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    data = _manual_png(
+        4, 2, 3, 1, [idx[y].tobytes() for y in range(2)],
+        extra_chunks=png._chunk(b"PLTE", palette.tobytes()),
+    )
+    assert np.array_equal(png.decode_png(data), palette[idx])
+
+
+def test_unsupported_depth_and_interlace_raise():
+    arr = _rand(4, 4)
+    good = png.encode_png(arr)
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad_depth = (png.SIGNATURE + png._chunk(b"IHDR", ihdr16)
+                 + good[len(png.SIGNATURE) + 25:])
+    with pytest.raises(NotImplementedError):
+        png.decode_png(bad_depth)
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad_inter = (png.SIGNATURE + png._chunk(b"IHDR", ihdr_i)
+                 + good[len(png.SIGNATURE) + 25:])
+    with pytest.raises(NotImplementedError):
+        png.decode_png(bad_inter)
+    with pytest.raises(ValueError):
+        png.decode_png(b"definitely not a png")
+
+
+def test_registry_dispatch_and_sniffing():
+    arr = _rand(8, 8)
+    data = png.encode_png(arr)
+    assert np.array_equal(binary.decode_any("png", data), arr)
+    # magic sniffing wins over a lying extension
+    assert np.array_equal(binary.decode_any("jpg", data), arr)
+    assert np.array_equal(
+        binary.ENCODERS["png"](arr), data
+    )
+
+
+def test_header_probe_agrees_with_decode(spark):
+    from dataset_batch_processor_spark.sources import images
+
+    arr = _rand(13, 29)
+    dims = images.parse_png_header(png.encode_png(arr))
+    assert dims == (29, 13)
+
+
+def test_materialize_tiles_on_real_png(spark):
+    """S3/K1 end-to-end: PNG bytes -> geometry -> crop -> pad -> encode."""
+    arr = _rand(20, 20, seed=7)
+    rows = [
+        ("img1", png.encode_png(arr), "png", 0, 0, 0, 0, 12, 12),
+        ("img1", png.encode_png(arr), "png", 0, 1, 8, 0, 20, 12),
+        ("img2", b"corrupt bytes!!!", "png", 0, 0, 0, 0, 8, 8),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, content binary, fmt string, i int, j int, "
+        "box_left int, box_top int, box_right int, box_bottom int",
+    )
+    out = binary.materialize_tiles(df, tile_size=12, pad_option="Extend Edges")
+    got = {(r.id, r.i, r.j): r for r in out.collect()}
+    ok = got[("img1", 0, 0)]
+    assert (ok.tile_h, ok.tile_w) == (12, 12)
+    assert np.array_equal(
+        binary.decode_rawrgb(bytes(ok.content)), arr[0:12, 0:12]
+    )
+    edge = got[("img1", 0, 1)]  # 12-wide crop from x=8, edge-padded
+    dec = binary.decode_rawrgb(bytes(edge.content))
+    assert dec.shape == (12, 12, 3)
+    assert np.array_equal(dec[:, :12, :][:, : 20 - 8, :], arr[0:12, 8:20])
+    assert got[("img2", 0, 0)].error is not None  # F7 quarantine
+
+
+def test_convert_rawrgb_to_png_roundtrip(spark):
+    arr = _rand(9, 11, seed=3)
+    df = spark.createDataFrame(
+        [("a", binary.encode_rawrgb(arr), "rawrgb")],
+        "id string, content binary, fmt string",
+    )
+    out = binary.convert_batch(df, "png").collect()[0]
+    assert out.error is None and (out.height, out.width) == (9, 11)
+    assert np.array_equal(png.decode_png(bytes(out.content)), arr)
