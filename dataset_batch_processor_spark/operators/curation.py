@@ -12,9 +12,10 @@ and oracle-checkable:
   because the hash is uniform within every stratum.
 - **token-budget shard packing** — documents packed into shards of
   ~BUDGET tokens each: cumulative token count over a deterministic
-  order, shard id = floor(cumsum / budget). The cumulative sum uses
-  the scalable range-partition pattern at 100 TB (here the window
-  form, with the order key hash-distributed so no stratum hotspot).
+  order, shard id = floor(cumsum / budget). The cumulative sum runs
+  through textops.exclusive_prefix_sum (range-partitioned two-pass,
+  no single-task window), with the order key hash-distributed so no
+  stratum hotspot.
 """
 
 from __future__ import annotations
@@ -88,26 +89,36 @@ TOKEN_BUDGET = 20_000  # ~tokens per shard
 
 # shard packing: deterministic order = (hash, doc_id); token count =
 # whitespace tokens; shard id from the EXCLUSIVE running sum so a doc
-# that crosses the boundary starts the next shard.
-SHARD_SPARK = f"""
-WITH sized AS (
-  SELECT doc_id,
-         CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
-              AS BIGINT) AS h
-  FROM documents
-),
-packed AS (
-  SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS tokens_before
-  FROM sized
-)
-SELECT doc_id, n_tokens,
-       CAST(floor(tokens_before / {TOKEN_BUDGET}) AS BIGINT) AS shard_id
-FROM packed
-"""
+# that crosses the boundary starts the next shard. The running sum is
+# NOT an unpartitioned window (single-task funnel at 100 TB) — it goes
+# through textops.exclusive_prefix_sum: range partition on (h, doc_id),
+# per-partition cumsum, broadcast offsets.
+
+
+def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+    packed = exclusive_prefix_sum(
+        sized, ["h", "doc_id"], "n_tokens", out_col="tokens_before"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / TOKEN_BUDGET).cast("bigint").alias(
+            "shard_id"
+        ),
+    )
 
 SHARD_DUCK = f"""
 WITH sized AS (
@@ -133,7 +144,7 @@ QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
     "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
     "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
-    "docs_shard_packing": _run(SHARD_SPARK, ("documents",)),
+    "docs_shard_packing": _q_shard_packing,
 }
 
 ORACLES = {

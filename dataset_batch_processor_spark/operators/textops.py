@@ -142,6 +142,49 @@ def attach_global_row_number(lines: DataFrame) -> DataFrame:
     )
 
 
+def exclusive_prefix_sum(
+    df: DataFrame, order_cols: list[str], value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Scalable exclusive running sum over a global total order.
+
+    ``sum() OVER (ORDER BY ...)`` with no PARTITION BY serializes the
+    whole dataset through one WindowExec task. The scalable form mirrors
+    :func:`attach_global_row_number`: range-repartition on the order
+    key, take the per-partition exclusive cumsum with a window
+    PARTITIONED by the physical partition id (parallel, no single-task
+    funnel), then add broadcast per-partition totals-before. Only the
+    one-row-per-partition totals table crosses the cluster twice.
+
+    Deterministic when ``order_cols`` form a total order (callers pass
+    a unique tiebreak column last)."""
+    ranged = df.repartitionByRange(
+        *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    intra = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_local = with_pid.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(intra), F.lit(0))
+    )
+    totals = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offsets = totals.withColumn(
+        "_before",
+        F.coalesce(
+            F.sum("_t").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_before")
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_before") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_before")
+    )
+
+
 def split_chunks(lines: DataFrame, records_per_file: int = 50) -> DataFrame:
     """W1 + K4: assign each line to an output chunk of ≤N records.
 

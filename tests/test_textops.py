@@ -5,6 +5,7 @@ oracles over controlled inputs."""
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from dataset_batch_processor_spark.operators import textops
 
@@ -111,3 +112,49 @@ def test_minhash_order_invariance(spark):
     s2 = {(r.doc_id, r.mh_0, r.mh_7) for r in
           dedup.minhash_signatures_df(d2).collect()}
     assert s1 == s2
+
+
+def test_exclusive_prefix_sum_matches_window_form(spark):
+    lines = make_lines(spark, LINES).withColumn(
+        "w", F.length("value").cast("bigint")
+    )
+    got = textops.exclusive_prefix_sum(
+        lines.repartition(4), ["input_file", "line_no"], "w", out_col="before"
+    )
+    rows = {(r.input_file, r.line_no): r.before for r in got.collect()}
+    ordered = sorted(LINES, key=lambda t: (t[1], t[0]))
+    acc = 0
+    for n, f, v in ordered:
+        assert rows[(f, n)] == acc
+        acc += len(v)
+
+
+def test_exclusive_prefix_sum_no_single_partition_window(spark):
+    """The data-sized window is partitioned by _pid; only the
+    one-row-per-partition offsets table uses a global window."""
+    lines = make_lines(spark, LINES).withColumn("w", F.lit(1).cast("bigint"))
+    plan = textops.exclusive_prefix_sum(
+        lines, ["input_file", "line_no"], "w"
+    )._jdf.queryExecution().executedPlan().toString()
+    # every Window over the data carries a partition spec
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "_pid" in plan and "input_file" in spec:
+            assert "_pid" in spec or "ORDER" not in spec
+
+
+def test_distributed_merge_matches_single_file(spark, tmp_path):
+    from dataset_batch_processor_spark.sources import sinks
+
+    lines = make_lines(spark, LINES).repartition(3)
+    single = tmp_path / "merged.txt"
+    sinks.export_merged_text(lines, str(single))
+    parts_dir = tmp_path / "parts"
+    n = sinks.export_merged_text_distributed(lines, str(parts_dir))
+    assert n >= 1
+    merged = b"".join(
+        p.read_bytes() for p in sorted(parts_dir.glob("part-*.txt"))
+    )
+    assert merged == single.read_bytes()
