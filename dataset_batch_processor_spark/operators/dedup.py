@@ -39,6 +39,7 @@ stride 4, K=8 permutations, 4 bands × 2 rows.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +52,34 @@ NUM_HASHES = 8
 BAND_ROWS = 2  # -> 4 bands
 N_BANDS = NUM_HASHES // BAND_ROWS
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def banding_for_threshold(
+    threshold: float, num_hashes: int = NUM_HASHES
+) -> tuple[int, int]:
+    """Choose (n_bands, band_rows) for a target Jaccard threshold.
+
+    MinHash-LSH's S-curve crosses 50% capture at t ≈ (1/b)^(1/r); pick
+    the (b, r) factorization of ``num_hashes`` closest to the requested
+    threshold (log-space distance). Scale note: unlike the sign-LSH
+    plane count, banding does NOT need to grow with corpus size — the
+    bucket key is (band, r minhash values), an unbounded hash space, so
+    expected bucket size stays O(duplication density), not O(n/2^p).
+    What banding controls is the similarity threshold; corpus-size
+    adaptivity enters through ``num_hashes`` (more hashes = sharper
+    S-curve = fewer low-similarity candidate pairs on huge corpora)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        t = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        d = abs(math.log(t) - math.log(threshold))
+        if best is None or d < best[0]:
+            best = (d, b, r)
+    return best[1], best[2]
 
 
 def _md5int(s: str) -> int:

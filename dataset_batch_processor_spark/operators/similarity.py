@@ -37,8 +37,26 @@ from ..functions import vector
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % 50 == 0 -> 10 queries per 500 vectors
-N_PLANES = 8  # LSH signature bits
+N_PLANES = 8  # LSH signature bits (oracle fixture; production derives)
 DIM = 64
+TARGET_BUCKET = 64  # desired expected vectors per LSH bucket
+
+
+def adaptive_n_planes(
+    n: int, target_bucket: int = TARGET_BUCKET, lo: int = 4, hi: int = 30,
+) -> int:
+    """Derive the LSH plane count from corpus size: with p planes there
+    are 2^p buckets, so expected bucket occupancy is n / 2^p — solve
+    for ~``target_bucket`` (p = ceil(log2(n / target_bucket))). A
+    COMPILE-TIME plane count is the round-1 scale defect ("What's
+    wrong #3"): at 100 TB a fixed 8 planes leaves n/256 vectors per
+    bucket and the candidate join re-explodes; deriving p keeps bucket
+    size — and therefore per-query candidate cost — constant as the
+    corpus grows (candidate growth sub-linear in n; measured curve in
+    SCALE.md). ``hi`` caps signature width at int range."""
+    if n <= 0:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(max(1.0, n / target_bucket)))))
 
 
 def _cos_expr(a, b, vectorized: bool):
@@ -155,7 +173,7 @@ def lsh_signature(emb_col, n_planes: int = N_PLANES) -> F.Column:
 
 def ann_lsh_topk(
     emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
-    vectorized: bool = True, n_planes: int = N_PLANES,
+    vectorized: bool = True, n_planes: int | None = None,
     multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe the query's own LSH bucket, plus — with
@@ -163,10 +181,17 @@ def ann_lsh_topk(
     (standard multi-probe LSH: recall of a coarser table at the memory
     cost of the finer one).
 
+    ``n_planes=None`` (production default) derives the plane count
+    from the corpus size via :func:`adaptive_n_planes`, keeping
+    expected bucket occupancy constant as the corpus grows; oracle
+    queries pin ``n_planes=N_PLANES`` for DuckDB parity.
+
     At scale: corpus signatures are computed in one narrow pass (and
     would be persisted as a bucketed table); the probe is an equi-join
     on the signature — shuffle on bucket key instead of a cross join.
     """
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
     bucketed = emb.withColumn(
         "bucket", lsh_signature(F.col("embedding"), n_planes)
     )
@@ -208,8 +233,10 @@ def ann_lsh_topk(
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle entry: pinned plane count (DuckDB recomputes the same 8)
     return ann_lsh_topk(
-        catalog.load_table(spark, sf_dir, "embeddings"), vectorized=False
+        catalog.load_table(spark, sf_dir, "embeddings"),
+        vectorized=False, n_planes=N_PLANES,
     )
 
 
