@@ -1,8 +1,14 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: EVERY registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall over all queries. ``headline_total`` is
+the subtotal over the round-1 25-query headline set — the
+like-for-like number against BASELINE.md / BENCH_r01 (28.68 s), kept
+because round 2 widened the bench to the full query surface (verdict
+item 7) and the grand total is not comparable across that change.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from dataset_batch_processor_spark.session import get_spark
 
-# Headline set: the flagship + the heaviest of each operator family.
+# Round-1 headline set (BENCH_r01 / BASELINE.md comparison basis).
 HEADLINE = (
     "tile_grid",
     "route_images",
@@ -58,8 +64,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
+    for name, fn in qs.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()  # forces full execution without driver collect cost
@@ -68,14 +73,18 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "all_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "headline_total": round(headline_total, 3),
+                "headline_queries": len(HEADLINE),
             }
         )
     )

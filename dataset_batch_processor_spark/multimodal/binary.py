@@ -194,14 +194,24 @@ TILE_PIXELS_SCHEMA = StructType(
 
 
 def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
-                      pad_option: str = "None") -> DataFrame:
+                      pad_option: str = "None",
+                      spread_skew: bool = True) -> DataFrame:
     """Stage (b) of the tiling operator: actually crop (and pad) the
     pixel tiles that operators/tiling.py computed geometry for.
 
     Input columns: id, content, fmt, i, j, box_left/top/right/bottom.
-    Skew note: callers should ``repartition(id, j)`` first so one
-    giant image's tiles spread across tasks.
+    Skew: by default the input is repartitioned on (id, j) BEFORE the
+    decode kernel, so one giant image's tile rows spread across tasks
+    instead of pinning the task that read the file (plan-asserted in
+    tests/test_png.py). ``spread_skew=False`` opts out when the caller
+    already co-partitioned (e.g. reading a bucketed tile table).
     """
+    if spread_skew:
+        from pyspark.sql import functions as F
+
+        tiles_with_content = tiles_with_content.repartition(
+            F.col("id"), F.col("j")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -584,7 +584,9 @@ def ivf_topk_trained(
 def _q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only driver query for the PRODUCTION IVF path (k-means is
     not SQL-expressible; recall vs brute force is pytest-bounded)."""
-    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    # the trainer + probe make several passes; persist the (narrow)
+    # corpus projection once instead of re-scanning parquet per pass
+    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
     ids, Cn = ivf_train_centroids(emb)
     return ivf_topk_trained(emb, ids, Cn, n_probe=4)
 

@@ -56,7 +56,7 @@ def test_stub_codec_raises():
 def test_decode_metadata_plumbing(spark):
     rows = [
         Row(id="ok", fmt="rawrgb", content=bytearray(mm.encode_rawrgb(grad_image(8, 6)))),
-        Row(id="stub", fmt="png", content=bytearray(b"\x89PNG....")),
+        Row(id="stub", fmt="heic", content=bytearray(b"ftypheic")),
         Row(id="bad", fmt="rawrgb", content=bytearray(b"junk")),
     ]
     got = {r.id: r for r in mm.decode_metadata(spark.createDataFrame(rows)).collect()}

@@ -154,3 +154,21 @@ def test_convert_rawrgb_to_png_roundtrip(spark):
     out = binary.convert_batch(df, "png").collect()[0]
     assert out.error is None and (out.height, out.width) == (9, 11)
     assert np.array_equal(png.decode_png(bytes(out.content)), arr)
+
+
+def test_materialize_tiles_spreads_skew(spark):
+    """Verdict item 8: the (id, j) repartition before the decode UDF
+    must exist in the plan, not just in prose."""
+    arr = _rand(16, 16)
+    df = spark.createDataFrame(
+        [("img1", png.encode_png(arr), "png", 0, 0, 0, 0, 8, 8)],
+        "id string, content binary, fmt string, i int, j int, "
+        "box_left int, box_top int, box_right int, box_bottom int",
+    )
+    out = binary.materialize_tiles(df, tile_size=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan and ", j" in plan
+    no_spread = binary.materialize_tiles(df, tile_size=8, spread_skew=False)
+    assert "hashpartitioning(id" not in (
+        no_spread._jdf.queryExecution().executedPlan().toString()
+    )
