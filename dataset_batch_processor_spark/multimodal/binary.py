@@ -71,19 +71,27 @@ def _missing_codec(fmt: str) -> Callable[[bytes], np.ndarray]:
     return decode
 
 
-# S4/S5 formats (RAW/HEIC/animated) are registered so the dispatch
-# path is exercised; their decoders are the documented stubs above.
-# PNG is REAL: pure-Python codec (multimodal/png.py, stdlib zlib), so
-# decode -> crop/pad -> encode runs end-to-end on actual image bytes.
+# S4 formats (RAW/HEIC) are registered so the dispatch path is
+# exercised; their decoders are the documented stubs above.
+# REAL pure-Python codecs (no third-party libs):
+#   PNG  — full decode+encode (multimodal/png.py, stdlib zlib);
+#   BMP  — 24-bit decode+encode (codecs_extra.py);
+#   PPM  — P6 decode+encode (codecs_extra.py);
+#   GIF  — first-frame LZW decode (gif.py), the reference's S5
+#          animated-first-frame semantics.
+from . import codecs_extra as _extra  # noqa: E402
+from . import gif as _gif  # noqa: E402
 from . import png as _png  # noqa: E402
 
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "rawrgb": decode_rawrgb,
     "png": _png.decode_png,
+    "bmp": _extra.decode_bmp,
+    "ppm": _extra.decode_ppm,
+    "gif": _gif.decode_gif,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng",
-                    "gif", "webp")
+        for fmt in ("jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng", "webp")
     },
 }
 
@@ -101,6 +109,12 @@ def decode_any(fmt: str, content: bytes) -> np.ndarray:
         return decode_rawrgb(content)
     if content[: len(_png.SIGNATURE)] == _png.SIGNATURE:
         return _png.decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif.decode_gif(content)
+    if content[:2] == b"BM":
+        return _extra.decode_bmp(content)
+    if content[:2] == b"P6":
+        return _extra.decode_ppm(content)
     return CODECS[fmt.lower()](content)
 
 
@@ -244,6 +258,8 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
 ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "rawrgb": encode_rawrgb,
     "png": _png.encode_png,
+    "bmp": _extra.encode_bmp,
+    "ppm": _extra.encode_ppm,
 }
 
 
