@@ -32,6 +32,7 @@ from dataset_batch_processor_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     routing,
     similarity,
     temporal,
@@ -193,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mlfilter.QUERIES)
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
+    q.update(relational4.QUERIES)
     q.update(temporal.QUERIES)
     q.update(curation.QUERIES)
     q.update(mm_queries.QUERIES)
@@ -260,6 +262,7 @@ FROM images_meta GROUP BY 1
     o.update(mlfilter.ORACLES)
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
+    o.update(relational4.ORACLES)
     o.update(temporal.ORACLES)
     o.update(curation.ORACLES)
     o.update(mm_queries.ORACLES)
