@@ -37,6 +37,7 @@ from dataset_batch_processor_spark.operators import (
     similarity,
     temporal,
     textanalysis,
+    textclean,
     textops,
     tiling,
 )
@@ -191,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup_ops.QUERIES)
     q.update(similarity.QUERIES)
     q.update(textanalysis.QUERIES)
+    q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
@@ -259,6 +261,7 @@ FROM images_meta GROUP BY 1
     o.update(dedup_ops.ORACLES)
     o.update(similarity.ORACLES)
     o.update(textanalysis.ORACLES)
+    o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
