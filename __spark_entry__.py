@@ -26,6 +26,7 @@ from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
+    components,
     curation,
     dedup as dedup_ops,
     mlfilter,
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": relational.orders_running_total,
     }
     q.update(dedup_ops.QUERIES)
+    q.update(components.QUERIES)
     q.update(similarity.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
@@ -259,6 +261,7 @@ FROM images_meta GROUP BY 1
         "orders_running_total": relational.ORDERS_RUNNING_SQL,
     }
     o.update(dedup_ops.ORACLES)
+    o.update(components.ORACLES)
     o.update(similarity.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)

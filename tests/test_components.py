@@ -1,0 +1,58 @@
+"""Connected components: known-graph golden test + convergence."""
+
+from __future__ import annotations
+
+from dataset_batch_processor_spark.operators import components
+
+
+def _cc_reference(edges):
+    """Union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_union_find(spark):
+    # chain 1-2-3-4, triangle 10-11-12, pair 20-21, bridge 4-10
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in components.connected_components(df).collect()
+    }
+    assert got == _cc_reference(edges)
+    # chain+triangle merged via the bridge -> min id 1; pair -> 20
+    assert got[12] == 1 and got[21] == 20
+
+
+def test_components_single_edge_and_self_loop(spark):
+    df = spark.createDataFrame([(5, 5), (7, 8)], "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in components.connected_components(df).collect()
+    }
+    assert got == {5: 5, 7: 7, 8: 7}
+
+
+def test_long_chain_converges_within_cap(spark):
+    # path graph of 12 nodes: diameter 11, label propagation converges
+    # in <= ceil(log-ish) * few rounds; the cap must suffice
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in components.connected_components(df, max_iters=15).collect()
+    }
+    assert set(got.values()) == {0}
