@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
+from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     components,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(temporal.QUERIES)
     q.update(curation.QUERIES)
     q.update(mm_queries.QUERIES)
+    q.update(storage_ops.QUERIES)
     return _prioritize(q)
 
 
@@ -272,4 +274,5 @@ FROM images_meta GROUP BY 1
     o.update(temporal.ORACLES)
     o.update(curation.ORACLES)
     o.update(mm_queries.ORACLES)
+    o.update(storage_ops.ORACLES)
     return _prioritize(o)

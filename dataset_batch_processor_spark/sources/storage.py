@@ -98,6 +98,52 @@ def salted_aggregate(
     )
 
 
+# ------------------------------------------------------ oracled query
+# Proves the two-phase salted aggregation is RESULT-IDENTICAL to the
+# plain groupBy under the driver's hash gate: decimal-exact partials
+# re-merge losslessly, so fanning a hot key over 8 reducers changes
+# the plan, never the answer. events.event_type is the skew stand-in
+# (a handful of keys over many rows).
+
+
+def _q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(25,6)")
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": "count(*)",
+            "sum_value": "sum(value_dec)",
+            "max_value": "max(value_dec)",
+        },
+        salt_from=["event_id"],
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("event_type")
+
+
+SALTED_EVENT_STATS_DUCK = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(max(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES = {"salted_event_stats": _q_salted_event_stats}
+ORACLES = {"salted_event_stats": SALTED_EVENT_STATS_DUCK}
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
