@@ -83,6 +83,76 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    right_ts >= left_ts per key — optionally only if it falls within
+    ``tolerance`` (a SQL interval literal body, e.g. ``'30 DAYS'``);
+    outside the tolerance the asof columns are NULL.
+
+    Same one-shuffle union + window construction as :func:`asof_join`,
+    mirrored: the window frame looks FORWARD (current row to unbounded
+    following) and takes the first non-null right attribute. A right
+    row exactly at the left timestamp matches; right ties on the
+    timestamp resolve to the smallest right id."""
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        "*",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    tie = F.coalesce(F.col(f"_r_{right_cols[0]}").cast("long"), F.lit(-1))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), tie.asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.first("_r_ts", ignorenulls=True).over(w).alias("_asof_ts"),
+    )
+    out = carried.filter(F.col("_side") == 0)
+    if tolerance is not None:
+        in_tol = F.col("_asof_ts") <= F.expr(
+            f"_t + INTERVAL {tolerance}"
+        )
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    return out.drop(
+        "_k", "_t", "_side", "_asof_ts", "_r_ts",
+        *[f"_r_{c}" for c in right_cols],
+    )
+
+
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each event: the user's most recent order at/before the
     event time (+ its total price)."""
@@ -199,12 +269,66 @@ FROM events e LEFT JOIN followups f ON e.event_id = f.event_id
 """
 
 
+def _q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each event, the user's next
+    order within 30 days (NULL when none)."""
+    events = catalog.load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = asof_join_forward(
+        events,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+        tolerance="30 DAYS",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey").alias("next_orderkey"),
+    )
+
+
+ASOF_FORWARD_DUCK = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t, 0 AS side, event_id,
+         CAST(NULL AS BIGINT) AS r_orderkey,
+         CAST(NULL AS TIMESTAMP) AS r_ts
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS t, 1 AS side,
+         CAST(NULL AS BIGINT) AS event_id, o_orderkey AS r_orderkey,
+         o_orderdate AS r_ts
+  FROM orders
+),
+carried AS (
+  SELECT k, t, side, event_id,
+         first_value(r_orderkey IGNORE NULLS) OVER w AS nxt,
+         first_value(r_ts IGNORE NULLS) OVER w AS nxt_ts
+  FROM tagged
+  WINDOW w AS (
+    PARTITION BY k
+    ORDER BY t, side, coalesce(r_orderkey, -1)
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+  )
+)
+SELECT event_id, k AS user_id,
+       CASE WHEN nxt_ts <= t + INTERVAL 30 DAY THEN nxt END AS next_orderkey
+FROM carried WHERE side = 0
+"""
+
+
 QUERIES = {
     "asof_latest_order": _q_asof_latest_order,
+    "asof_next_order_30d": _q_asof_next_order,
     "event_followups_within_hour": _q_followup_events,
 }
 
 ORACLES = {
     "asof_latest_order": ASOF_DUCK,
+    "asof_next_order_30d": ASOF_FORWARD_DUCK,
     "event_followups_within_hour": RANGE_DUCK,
 }
