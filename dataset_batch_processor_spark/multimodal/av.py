@@ -7,6 +7,8 @@ formats whose libraries (ffmpeg/librosa/soundfile/decord) are not in
 this container. The Spark-side contract — schemas, batch shapes,
 partitioning — is real and tested either way.
 
+REAL codec: ``wav`` (16-bit PCM via stdlib ``wave`` — decode+encode,
+see decode_wav/encode_wav; oracled end-to-end by mm_wav_roundtrip).
 Toy containers:
 - ``rawpcm``:  b"PCM1" + sample_rate(u32) + n_samples(u32) + int16 mono
 - ``rawvid``:  b"VID1" + n_frames(u32) + H(u32) + W(u32) + fps(u32)
@@ -63,6 +65,43 @@ def decode_rawvid(content: bytes) -> tuple[np.ndarray, int]:
     )
 
 
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV codec — stdlib ``wave`` (RIFF/PCM), no soundfile
+    needed. 16-bit PCM only; multi-channel downmixes to channel 0
+    (deterministic, matches the mono feature contract)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV: only 16-bit PCM supported (got {8 * w.getsampwidth()}-bit)"
+            )
+        nch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        samples = samples[::nch]  # channel 0
+    return samples.copy(), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono -> 16-bit PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave as _wave
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def _missing(fmt: str, needs: str) -> Callable[[bytes], tuple]:
     def decode(_content: bytes) -> tuple:
         raise NotImplementedError(
@@ -75,7 +114,8 @@ def _missing(fmt: str, needs: str) -> Callable[[bytes], tuple]:
 
 AUDIO_CODECS: dict[str, Callable[[bytes], tuple[np.ndarray, int]]] = {
     "rawpcm": decode_rawpcm,
-    **{f: _missing(f, "soundfile/librosa") for f in ("wav", "mp3", "flac", "ogg")},
+    "wav": decode_wav,  # REAL (stdlib wave)
+    **{f: _missing(f, "soundfile/librosa") for f in ("mp3", "flac", "ogg")},
 }
 
 VIDEO_CODECS: dict[str, Callable[[bytes], tuple[np.ndarray, int]]] = {

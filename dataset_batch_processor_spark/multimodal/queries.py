@@ -130,11 +130,67 @@ SELECT doc_id,
 FROM documents
 """
 
+# WAV analogue of the PNG roundtrip: deterministic int16 ramp per doc,
+# encoded to real RIFF/PCM bytes (stdlib wave), decoded back through
+# the audio codec registry, sample-sum checksummed; DuckDB recomputes
+# the checksum in closed form. Hash match == every sample survived the
+# encode -> decode roundtrip.
+
+WAV_ROUNDTRIP_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, sample_sum bigint"
+)
+
+
+def _q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                data = av.encode_wav(samples, sample_rate=16_000)
+                dec, rate = av.AUDIO_CODECS["wav"](data)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": int(rate),
+                        "n_samples": int(len(dec)),
+                        "sample_sum": int(dec.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "sample_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
+WAV_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(doc_id % 500 + 100 AS INT) AS n_samples,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 500 + 99),
+              i -> (doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT)
+           AS sample_sum
+FROM documents
+"""
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_png_roundtrip": _q_png_roundtrip,
+    "mm_wav_roundtrip": _q_wav_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
+    "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
 }

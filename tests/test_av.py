@@ -47,3 +47,50 @@ def test_video_stub_quarantined(spark):
     rows = [Row(id="x", fmt="mp4", content=bytearray(b"\x00\x00\x00 ftypmp42"))]
     out = av.sample_frames(spark.createDataFrame(rows)).collect()
     assert len(out) == 1 and "NotImplementedError" in out[0].error
+
+
+def test_wav_roundtrip_and_features(spark):
+    rng = np.random.default_rng(12)
+    samples = rng.integers(-32768, 32768, 1600, dtype=np.int16)
+    data = av.encode_wav(samples, sample_rate=8000)
+    dec, rate = av.decode_wav(data)
+    assert rate == 8000 and np.array_equal(dec, samples)
+    df = spark.createDataFrame(
+        [("w", "wav", data)], "id string, fmt string, content binary"
+    )
+    row = av.audio_features(df).collect()[0]
+    assert row.error is None
+    assert (row.sample_rate, row.n_samples) == (8000, 1600)
+    assert abs(row.duration_s - 0.2) < 1e-9
+
+
+def test_wav_stereo_downmixes_to_channel0():
+    import io
+    import wave
+
+    left = np.arange(100, dtype=np.int16)
+    right = -left
+    inter = np.empty(200, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    dec, rate = av.decode_wav(buf.getvalue())
+    assert np.array_equal(dec, left)
+
+
+def test_wav_8bit_raises():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 50)
+    with pytest.raises(NotImplementedError):
+        av.decode_wav(buf.getvalue())
