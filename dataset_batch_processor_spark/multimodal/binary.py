@@ -8,17 +8,24 @@ tested even where the actual codec is stubbed.
 
 STUBS vs real: this container has numpy but no image codec libraries
 (PIL/imageio/pillow-heif), so *decode* goes through a pluggable codec
-registry whose default raises NotImplementedError for the library-
-bound formats (JPEG/HEIC/RAW/GIF/WebP) — mirroring S3-S5
-(/root/reference/modules/other_tasks.py:45-53,
-batch_processor.py:346-357) — plus three REAL codecs:
+registry. REAL pure-Python codecs (S3-S5/K1/P12 run end-to-end on
+actual image bytes):
 
-- ``png``: full pure-Python PNG decode+encode (multimodal/png.py,
-  stdlib zlib) — S3/K1 run end-to-end on real image bytes;
-- ``rawrgb``: a trivial deterministic container (12-byte header +
+- ``png``  — full decode+encode (png.py, stdlib zlib);
+- ``jpg``/``jpeg`` — baseline DCT decode+encode (jpeg.py, ITU-T
+  T.81), the reference's default save format;
+- ``bmp``/``ppm`` — decode+encode (codecs_extra.py);
+- ``gif``  — first-frame LZW decode (gif.py) = the reference's
+  animated-first-frame semantics;
+- ``rawrgb`` — trivial deterministic container (12-byte header +
   raw uint8 HxWx3) used by tests and the synthetic pipeline;
 - header-only dimension probes for PNG/JPEG/GIF (sources/images.py)
   which need no decoder at all.
+
+Still stubbed (library-bound, NotImplementedError into quarantine,
+mirroring /root/reference/modules/other_tasks.py:45-53,
+batch_processor.py:346-357): HEIC and camera-RAW (cr2/nef/arw/dng),
+WebP.
 
 The pixel kernels themselves (crop G1, pad G2/G3, resize) are REAL
 numpy code operating on decoded arrays — identical math to
@@ -81,17 +88,20 @@ def _missing_codec(fmt: str) -> Callable[[bytes], np.ndarray]:
 #          animated-first-frame semantics.
 from . import codecs_extra as _extra  # noqa: E402
 from . import gif as _gif  # noqa: E402
+from . import jpeg as _jpeg  # noqa: E402
 from . import png as _png  # noqa: E402
 
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "rawrgb": decode_rawrgb,
     "png": _png.decode_png,
+    "jpg": _jpeg.decode_jpeg,
+    "jpeg": _jpeg.decode_jpeg,
     "bmp": _extra.decode_bmp,
     "ppm": _extra.decode_ppm,
     "gif": _gif.decode_gif,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("jpg", "jpeg", "heic", "cr2", "nef", "arw", "dng", "webp")
+        for fmt in ("heic", "cr2", "nef", "arw", "dng", "webp")
     },
 }
 
@@ -111,6 +121,8 @@ def decode_any(fmt: str, content: bytes) -> np.ndarray:
         return _png.decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _gif.decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        return _jpeg.decode_jpeg(content)
     if content[:2] == b"BM":
         return _extra.decode_bmp(content)
     if content[:2] == b"P6":
@@ -258,6 +270,8 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
 ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "rawrgb": encode_rawrgb,
     "png": _png.encode_png,
+    "jpg": _jpeg.encode_jpeg,
+    "jpeg": _jpeg.encode_jpeg,
     "bmp": _extra.encode_bmp,
     "ppm": _extra.encode_ppm,
 }

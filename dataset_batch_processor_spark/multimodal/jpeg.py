@@ -1,0 +1,519 @@
+"""Pure-Python baseline JPEG codec (numpy + stdlib only).
+
+S3/K1/P12 parity for the reference's DEFAULT image format
+(/root/reference/modules/tiling.py:68 saves JPG; other_tasks.py:54-60
+JPEG save options; RGB coercion pre-JPEG = P12): baseline sequential
+DCT with Huffman entropy coding, implemented from the public JPEG
+spec (ITU-T T.81) — no PIL/libjpeg.
+
+Scope:
+- decode: baseline SOF0, 8-bit, 1 or 3 components, sampling factors
+  up to 2x2 (nearest-neighbor chroma upsampling), restart intervals,
+  tables read from the stream (so externally produced baseline JPEGs
+  decode too). Progressive (SOF2) and arithmetic coding raise
+  NotImplementedError into the F7 quarantine.
+- encode: 4:4:4 (no subsampling), quality-scaled Annex K quant
+  tables, standard Annex K Huffman tables, JFIF header. Grayscale
+  input is promoted to RGB first (P12 coercion direction).
+
+Lossy by nature: roundtrip tests bound reconstruction error rather
+than demanding bit equality; determinism is exact (pure integer/
+float pipeline, no randomness), so the oracle query can assert the
+error bound under the driver's value-hash gate.
+
+Performance note: entropy coding is a per-block Python loop —
+adequate for tile-sized images inside Arrow batches; a production
+deployment registers libjpeg-turbo via register_codec and keeps this
+as the dependency-free fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (bits[1..16], values)
+DC_LUMA_SPEC = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = np.sqrt(0.125) if _k == 0 else 0.5
+        _T[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ------------------------------------------------------------ Huffman
+
+
+def _build_codes(spec):
+    """(bits, values) -> {value: (code, length)} (canonical)."""
+    bits, values = spec
+    codes = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[values[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(spec):
+    """(bits, values) -> {(length, code): value}."""
+    bits, values = spec
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # un-stuff
+                else:
+                    # marker: rewind and starve the reader
+                    self.pos -= 1
+                    return
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0  # past-end: spec says pad with 1s; 0 ends safely
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t-bit magnitude to signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value -> (category t, t-bit code)."""
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+# ------------------------------------------------------------- encoder
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """H x W x 3 (or H x W gray) uint8 -> baseline JFIF bytes, 4:4:4."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)  # P12 coercion
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects H x W x 3 uint8")
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+
+    # RGB -> YCbCr (JFIF)
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    qy = _scaled_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scaled_quant(QUANT_CHROMA, quality).reshape(8, 8)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    # edge-replicate pad to full blocks
+    def pad(ch):
+        return np.pad(ch, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+
+    planes = [(pad(y), qy), (pad(cb), qc), (pad(cr), qc)]
+
+    dc_l = _build_codes(DC_LUMA_SPEC)
+    ac_l = _build_codes(AC_LUMA_SPEC)
+    dc_c = _build_codes(DC_CHROMA_SPEC)
+    ac_c = _build_codes(AC_CHROMA_SPEC)
+
+    # blockwise DCT + quantization, all blocks at once per plane
+    quantized = []
+    for ch, q in planes:
+        blocks = ch.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,abjk,lk->abil", _T, blocks, _T)
+        quantized.append(np.round(coef / q).astype(np.int64))
+
+    bw_writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                dc_codes = dc_l if ci == 0 else dc_c
+                ac_codes = ac_l if ci == 0 else ac_c
+                zz = quantized[ci][by, bx].ravel()[ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                t, mag = _magnitude(diff)
+                code, ln = dc_codes[t]
+                bw_writer.write(code, ln)
+                if t:
+                    bw_writer.write(mag, t)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw_writer.write(code, ln)
+                        run -= 16
+                    t, mag = _magnitude(v)
+                    code, ln = ac_codes[(run << 4) | t]
+                    bw_writer.write(code, ln)
+                    bw_writer.write(mag, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw_writer.write(code, ln)
+    entropy = bw_writer.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tclass, tid, spec):
+        bits, values = spec
+        return seg(0xC4, bytes([tclass << 4 | tid]) + bytes(bits[1:]) + bytes(values))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qy.ravel()[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling (4:4:4)
+    out += seg(0xC0, sof)
+    out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
+    out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes -> H x W x 3 uint8 RGB."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", content[pos : pos + 2])
+        payload = content[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(
+                        payload, dtype=">u2", count=64, offset=p
+                    ).astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(
+                        payload, dtype=np.uint8, count=64, offset=p
+                    ).astype(np.int64)
+                    p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = vals  # de-zigzag
+                quant[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = [0] + list(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                values = list(payload[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _build_decode_table(([0] + bits[1:], values))
+                p += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: non-baseline frame (marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = payload[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
+            data_start = pos + seg_len
+            return _decode_scan(
+                content, data_start, frame, scan, quant, huff, restart_interval
+            )
+        pos += seg_len
+    raise ValueError("JPEG: no scan data found")
+
+
+def _decode_scan(content, start, frame, scan, quant, huff, restart_interval):
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    planes = {}
+    for c in scan:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+
+    reader = _BitReader(content)
+    reader.pos = start
+
+    def read_huff(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG: invalid Huffman code")
+
+    prev_dc = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align()
+                # skip RSTn marker
+                while (
+                    reader.pos + 1 < len(content)
+                    and content[reader.pos] == 0xFF
+                    and 0xD0 <= content[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 2
+                for c in scan:
+                    prev_dc[c["id"]] = 0
+            for c in scan:
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                q = quant[c["tq"]]
+                for v_blk in range(c["v"]):
+                    for h_blk in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = read_huff(dc_tab)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        prev_dc[c["id"]] += diff
+                        zz[0] = prev_dc[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(ac_tab)
+                            r, t = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(reader.read_bits(t), t)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[ZIGZAG] = zz
+                        coef = blk.reshape(8, 8) * q
+                        pixels = _T.T @ coef @ _T + 128.0
+                        py = (my * c["v"] + v_blk) * 8
+                        px = (mx * c["h"] + h_blk) * 8
+                        planes[c["id"]][py : py + 8, px : px + 8] = pixels
+            mcu_count += 1
+
+    # upsample to full resolution (nearest), crop, color-convert
+    full = {}
+    for c in scan:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full[c["id"]] = p[:fh, :fw]
+
+    if len(scan) == 1:
+        y = np.clip(full[scan[0]["id"]], 0, 255)
+        return np.repeat(y[:, :, None].astype(np.uint8), 3, axis=2)
+    y = full[scan[0]["id"]]
+    cb = full[scan[1]["id"]] - 128.0
+    cr = full[scan[2]["id"]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -184,13 +184,72 @@ SELECT doc_id,
 FROM documents
 """
 
+# JPEG is lossy, so (unlike PNG/WAV) the oracle can't recompute pixel
+# sums — instead the Spark kernel asserts the reconstruction-error
+# bound per image (same pattern as the HLL sketch oracle): dims must
+# match exactly, max|decoded - original| <= 8 at quality 85 on smooth
+# gradients. The codec is fully deterministic, so the booleans are
+# stable and the hash gate makes this a real per-row check.
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, within_tol boolean"
+)
+
+
+def _q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, jpeg
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 8, d % 17 + 8
+                y, x = np.mgrid[0:h, 0:w]
+                # smooth ramps only (no modular wrap): wrap edges ring
+                # under DCT quantization and break the error bound
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
+                    axis=2,
+                ).astype(np.uint8)
+                dec = binary.decode_any("jpg", jpeg.encode_jpeg(arr, quality=85))
+                err = int(np.abs(dec.astype(int) - arr.astype(int)).max())
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "within_tol": bool(err <= 8),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "within_tol"]
+            )
+
+    return docs.mapInPandas(run, schema=JPEG_ROUNDTRIP_SCHEMA)
+
+
+JPEG_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 24 + 8 AS INT) AS width,
+       CAST(doc_id % 17 + 8 AS INT) AS height,
+       TRUE AS within_tol
+FROM documents
+"""
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
+    "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
+    "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
 }

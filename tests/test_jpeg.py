@@ -1,0 +1,112 @@
+"""Baseline JPEG codec: error-bounded roundtrips, structure, registry.
+
+Lossy format — tests bound reconstruction error instead of demanding
+bit equality; determinism IS exact (asserted), which is what the
+oracle query relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import binary, jpeg
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 3) % 256, (y * 4) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_roundtrip_gradient_error_bounded():
+    arr = _gradient(40, 56)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=90))
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_solid_color_near_exact():
+    for v in (0, 77, 128, 255):
+        solid = np.full((16, 24, 3), v, np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(solid, quality=85))
+        assert np.abs(dec.astype(int) - v).max() <= 2
+
+
+def test_non_multiple_of_8_dims():
+    arr = np.random.default_rng(0).integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95))
+    assert dec.shape == (13, 19, 3)
+
+
+def test_deterministic():
+    arr = _gradient(24, 24)
+    assert jpeg.encode_jpeg(arr) == jpeg.encode_jpeg(arr)
+    d1 = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    d2 = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert np.array_equal(d1, d2)
+
+
+def test_quality_monotonicity():
+    arr = _gradient(32, 32)
+    errs, sizes = [], []
+    for q in (30, 60, 90):
+        data = jpeg.encode_jpeg(arr, quality=q)
+        dec = jpeg.decode_jpeg(data)
+        errs.append(np.abs(dec.astype(int) - arr.astype(int)).mean())
+        sizes.append(len(data))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert sizes[0] <= sizes[2]
+
+
+def test_gray_input_promoted():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert dec.shape == (8, 8, 3)
+    # channels near-equal (gray stays gray through YCbCr)
+    assert np.abs(dec[:, :, 0].astype(int) - dec[:, :, 2].astype(int)).max() <= 2
+
+
+def test_progressive_and_garbage_raise():
+    arr = _gradient(8, 8)
+    data = bytearray(jpeg.encode_jpeg(arr))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_registry_and_sniffing():
+    arr = _gradient(16, 16)
+    data = binary.ENCODERS["jpg"](arr)
+    out = binary.decode_any("jpg", data)
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 8
+    # sniffing: magic wins over wrong extension
+    out2 = binary.decode_any("png", data)
+    assert np.array_equal(out, out2)
+
+
+def test_header_probe_agrees():
+    from dataset_batch_processor_spark.sources import images
+
+    data = jpeg.encode_jpeg(_gradient(21, 34))
+    assert images.parse_jpeg_header(data) == (34, 21)
+
+
+def test_convert_png_to_jpeg_end_to_end(spark):
+    """P12 path: PNG in, JPEG out through the Spark conversion kernel."""
+    from dataset_batch_processor_spark.multimodal import png
+
+    arr = _gradient(24, 24)
+    df = spark.createDataFrame(
+        [("a", png.encode_png(arr), "png")],
+        "id string, content binary, fmt string",
+    )
+    out = binary.convert_batch(df, "jpg").collect()[0]
+    assert out.error is None and (out.height, out.width) == (24, 24)
+    dec = jpeg.decode_jpeg(bytes(out.content))
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 8
