@@ -89,6 +89,16 @@ def streaming_dedup_lines(lines: DataFrame, ts_col: str = "ts",
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    (small) static dimension. The dim side is broadcast, so the
+    stream never shuffles — the standard caption/metadata-lookup
+    pattern (streaming analogue of J1's basename join). The static
+    side is re-resolved per micro-batch, so an updated dim table is
+    picked up without restarting the query."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def start_parquet_sink(df: DataFrame, out_path: str, checkpoint: str,
                        available_now: bool = True) -> DataStreamWriter:
     """Standard streaming sink: append-mode parquet with a checkpoint

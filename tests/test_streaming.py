@@ -146,3 +146,20 @@ def test_streaming_tile_geometry(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 8
+
+
+def test_stream_static_enrichment_broadcast(spark, tmp_path):
+    """Each micro-batch joins the static dim via broadcast; the stream
+    side never shuffles."""
+    land = tmp_path / "enrich_landing"
+    land.mkdir()
+    (land / "a.txt").write_text("alpha\nbeta\n")
+    dim = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), ("gamma", 3)], "value string, code int"
+    )
+    stream = watch.watch_text_folder(spark, str(land))
+    enriched = watch.enrich_with_dim(stream, dim, on="value")
+    out, ckpt = str(tmp_path / "enrich_out"), str(tmp_path / "enrich_ck")
+    _run_stream(watch.start_parquet_sink(enriched, out, ckpt))
+    got = {(r.value, r.code) for r in spark.read.parquet(out).collect()}
+    assert got == {("alpha", 1), ("beta", 2)}
