@@ -12,9 +12,10 @@ Scope:
   tables read from the stream (so externally produced baseline JPEGs
   decode too). Progressive (SOF2) and arithmetic coding raise
   NotImplementedError into the F7 quarantine.
-- encode: 4:4:4 (no subsampling), quality-scaled Annex K quant
-  tables, standard Annex K Huffman tables, JFIF header. Grayscale
-  input is promoted to RGB first (P12 coercion direction).
+- encode: 4:4:4 (default) or 4:2:0 (``subsample=True``),
+  quality-scaled Annex K quant tables, standard Annex K Huffman
+  tables, JFIF header. Grayscale input is promoted to RGB first
+  (P12 coercion direction).
 
 Lossy by nature: roundtrip tests bound reconstruction error rather
 than demanding bit equality; determinism is exact (pure integer/
@@ -244,8 +245,56 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ------------------------------------------------------------- encoder
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """H x W x 3 (or H x W gray) uint8 -> baseline JFIF bytes, 4:4:4."""
+def _encode_block(bw_writer, zz, dc_codes, ac_codes, prev_dc):
+    """Entropy-code one zigzagged quantized block; returns new DC."""
+    diff = int(zz[0]) - prev_dc
+    t, mag = _magnitude(diff)
+    code, ln = dc_codes[t]
+    bw_writer.write(code, ln)
+    if t:
+        bw_writer.write(mag, t)
+    run = 0
+    any_ac = bool(np.any(zz[1:]))
+    last_nz = int(np.max(np.nonzero(zz)[0])) if any_ac else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw_writer.write(code, ln)
+            run -= 16
+        t, mag = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bw_writer.write(code, ln)
+        bw_writer.write(mag, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw_writer.write(code, ln)
+    return int(zz[0])
+
+
+def _dct_quant(plane, q):
+    """(bh*8, bw*8) plane -> (bh, bw, 64) zigzagged quantized coefs."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,lk->abil", _T, blocks, _T)
+    quant = np.round(coef / q).astype(np.int64)
+    return quant.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """H x W x 3 (or H x W gray) uint8 -> baseline JFIF bytes.
+
+    ``subsample=False`` -> 4:4:4 (default: best fidelity for tiles);
+    ``subsample=True`` -> 4:2:0 (2x2 Y per MCU, chroma averaged over
+    2x2 pixels — the layout virtually all camera/web JPEGs use, so
+    the decoder's multi-block MCU + upsampling path gets exercised
+    by self-produced streams too)."""
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)  # P12 coercion
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
@@ -263,59 +312,64 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     qy = _scaled_quant(QUANT_LUMA, quality).reshape(8, 8)
     qc = _scaled_quant(QUANT_CHROMA, quality).reshape(8, 8)
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    # edge-replicate pad to full blocks
-    def pad(ch):
-        return np.pad(ch, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-
-    planes = [(pad(y), qy), (pad(cb), qc), (pad(cr), qc)]
-
     dc_l = _build_codes(DC_LUMA_SPEC)
     ac_l = _build_codes(AC_LUMA_SPEC)
     dc_c = _build_codes(DC_CHROMA_SPEC)
     ac_c = _build_codes(AC_CHROMA_SPEC)
 
-    # blockwise DCT + quantization, all blocks at once per plane
-    quantized = []
-    for ch, q in planes:
-        blocks = ch.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-        coef = np.einsum("ij,abjk,lk->abil", _T, blocks, _T)
-        quantized.append(np.round(coef / q).astype(np.int64))
-
     bw_writer = _BitWriter()
-    prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                dc_codes = dc_l if ci == 0 else dc_c
-                ac_codes = ac_l if ci == 0 else ac_c
-                zz = quantized[ci][by, bx].ravel()[ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                t, mag = _magnitude(diff)
-                code, ln = dc_codes[t]
-                bw_writer.write(code, ln)
-                if t:
-                    bw_writer.write(mag, t)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw_writer.write(code, ln)
-                        run -= 16
-                    t, mag = _magnitude(v)
-                    code, ln = ac_codes[(run << 4) | t]
-                    bw_writer.write(code, ln)
-                    bw_writer.write(mag, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw_writer.write(code, ln)
+    if not subsample:
+        bh, bw_ = (h + 7) // 8, (w + 7) // 8
+
+        def pad8(ch):
+            return np.pad(ch, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+
+        qz = [_dct_quant(pad8(p), q)
+              for p, q in ((y, qy), (cb, qc), (cr, qc))]
+        prev_dc = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(3):
+                    prev_dc[ci] = _encode_block(
+                        bw_writer, qz[ci][by, bx],
+                        dc_l if ci == 0 else dc_c,
+                        ac_l if ci == 0 else ac_c,
+                        prev_dc[ci],
+                    )
+        samplings = ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))
+    else:
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        ypad = np.pad(y, ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+        # chroma: 2x2 average, then pad to the MCU grid
+        def down(ch):
+            che = np.pad(ch, ((0, h % 2), (0, w % 2)), mode="edge")
+            d = (che[0::2, 0::2] + che[0::2, 1::2]
+                 + che[1::2, 0::2] + che[1::2, 1::2]) / 4.0
+            dh, dw = d.shape
+            return np.pad(
+                d, ((0, mcuy * 8 - dh), (0, mcux * 8 - dw)), mode="edge"
+            )
+
+        qz_y = _dct_quant(ypad, qy)
+        qz_cb = _dct_quant(down(cb), qc)
+        qz_cr = _dct_quant(down(cr), qc)
+        prev_dc = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v_blk in range(2):
+                    for h_blk in range(2):
+                        prev_dc[0] = _encode_block(
+                            bw_writer,
+                            qz_y[my * 2 + v_blk, mx * 2 + h_blk],
+                            dc_l, ac_l, prev_dc[0],
+                        )
+                prev_dc[1] = _encode_block(
+                    bw_writer, qz_cb[my, mx], dc_c, ac_c, prev_dc[1]
+                )
+                prev_dc[2] = _encode_block(
+                    bw_writer, qz_cr[my, mx], dc_c, ac_c, prev_dc[2]
+                )
+        samplings = ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1))
     entropy = bw_writer.flush()
 
     def seg(marker, payload):
@@ -330,8 +384,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xDB, b"\x00" + bytes(qy.ravel()[ZIGZAG].astype(np.uint8)))
     out += seg(0xDB, b"\x01" + bytes(qc.ravel()[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # 1x1 sampling (4:4:4)
+    for cid, hv, tq in samplings:
+        sof += bytes([cid, hv, tq])
     out += seg(0xC0, sof)
     out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
     out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)

@@ -110,3 +110,25 @@ def test_convert_png_to_jpeg_end_to_end(spark):
     assert out.error is None and (out.height, out.width) == (24, 24)
     dec = jpeg.decode_jpeg(bytes(out.content))
     assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 8
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 stream exercises the decoder's 2x2-Y MCU interleave and
+    chroma upsampling — the layout of virtually all external JPEGs."""
+    arr = _gradient(40, 56)
+    data = jpeg.encode_jpeg(arr, quality=90, subsample=True)
+    dec = jpeg.decode_jpeg(data)
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    # chroma is halved: luma stays tight, overall bound is looser
+    assert err.mean() < 6 and err.max() <= 64
+    # 4:2:0 must be smaller than 4:4:4 at the same quality
+    assert len(data) < len(jpeg.encode_jpeg(arr, quality=90))
+
+
+def test_420_odd_dims():
+    for h, w in ((9, 9), (17, 23), (16, 16), (15, 32)):
+        arr = _gradient(h, w)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=92, subsample=True))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - arr.astype(int)).mean() < 8
