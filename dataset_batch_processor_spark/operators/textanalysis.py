@@ -310,3 +310,74 @@ WHERE p <= n - {KR_W} + 1 - {WIN_W - 1}
 
 QUERIES["docs_winnow_fingerprint"] = _run(WINNOW_SPARK)
 ORACLES["docs_winnow_fingerprint"] = WINNOW_DUCK
+
+
+# ----------------------------------------------- repetition metrics
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models" quality heuristics, public): fraction of duplicate words /
+# bigrams / trigrams per document — the standard cheap screen for
+# degenerate, loopy text before pre-training. Computed entirely with
+# array expressions (split -> transform -> array_distinct), so the
+# whole thing is one narrow codegen'd projection: no explode, no
+# shuffle, linear scan at 100 TB.
+
+REPETITION_SPARK = """
+SELECT doc_id,
+       n_words,
+       round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6)
+           AS dup_word_frac,
+       coalesce(round(1.0 - n_dist_bi / CAST(n_bi AS DOUBLE), 6), 0.0)
+           AS dup_bigram_frac,
+       coalesce(round(1.0 - n_dist_tri / CAST(n_tri AS DOUBLE), 6), 0.0)
+           AS dup_trigram_frac
+FROM (
+  SELECT doc_id,
+         size(ws) AS n_words,
+         size(array_distinct(ws)) AS n_distinct,
+         size(bi) AS n_bi, size(array_distinct(bi)) AS n_dist_bi,
+         size(tri) AS n_tri, size(array_distinct(tri)) AS n_dist_tri
+  FROM (
+    SELECT doc_id, ws,
+           transform(sequence(1, size(ws) - 1),
+                     i -> concat(ws[i - 1], ' ', ws[i])) AS bi,
+           CASE WHEN size(ws) >= 3
+                THEN transform(sequence(2, size(ws) - 1),
+                     i -> concat(ws[i - 2], ' ', ws[i - 1], ' ', ws[i]))
+                ELSE array() END AS tri
+    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+  )
+)
+"""
+
+REPETITION_DUCK = """
+SELECT doc_id,
+       n_words,
+       round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6)
+           AS dup_word_frac,
+       coalesce(round(1.0 - n_dist_bi / CAST(n_bi AS DOUBLE), 6), 0.0)
+           AS dup_bigram_frac,
+       coalesce(round(1.0 - n_dist_tri / CAST(n_tri AS DOUBLE), 6), 0.0)
+           AS dup_trigram_frac
+FROM (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_words,
+         CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+         CAST(len(bi) AS INT) AS n_bi,
+         CAST(len(list_distinct(bi)) AS INT) AS n_dist_bi,
+         CAST(len(tri) AS INT) AS n_tri,
+         CAST(len(list_distinct(tri)) AS INT) AS n_dist_tri
+  FROM (
+    SELECT doc_id, ws,
+           list_transform(generate_series(2, len(ws)),
+                          i -> ws[i - 1] || ' ' || ws[i]) AS bi,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(3, len(ws)),
+                     i -> ws[i - 2] || ' ' || ws[i - 1] || ' ' || ws[i])
+                ELSE [] END AS tri
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+)
+"""
+
+QUERIES["docs_repetition_metrics"] = _run(REPETITION_SPARK)
+ORACLES["docs_repetition_metrics"] = REPETITION_DUCK
