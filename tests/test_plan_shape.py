@@ -63,3 +63,31 @@ def test_caption_join_is_broadcast(spark, sf_dir):
     )
     assert explain.broadcast_join_count(df) == 1
     assert explain.count_exchanges(df) == 0
+
+
+def test_q19_disjunction_pushed_to_scan(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import relational4
+
+    df = relational4.QUERIES["q19_disjunctive"](spark, sf_dir)
+    # the OR-of-ANDs quantity predicate must reach the lineitem scan
+    assert explain.has_pushed_filter(df, "l_quantity")
+    assert explain.broadcast_join_count(df) >= 1  # part side broadcast
+
+
+def test_q8_snowflake_broadcasts_all_dims(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import relational4
+
+    df = relational4.QUERIES["q8_market_share"](spark, sf_dir)
+    # six joins; at fixture scale every dim side is broadcast (no SMJ)
+    assert explain.broadcast_join_count(df) >= 6
+    assert "SortMergeJoin" not in explain.formatted_plan(df)
+
+
+def test_repetition_metrics_single_narrow_scan(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import textanalysis
+
+    df = textanalysis.QUERIES["docs_repetition_metrics"](spark, sf_dir)
+    # array-only projection: no shuffle, no Python eval, pruned scan
+    assert explain.count_exchanges(df) == 0
+    assert "EvalPython" not in explain.formatted_plan(df)
+    assert explain.read_schema_columns(df) == [["doc_id", "text"]]
