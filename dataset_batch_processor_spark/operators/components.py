@@ -52,6 +52,12 @@ def connected_components(
     )
     labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
     labels = labels.localCheckpoint()
+    # Convergence witness: labels only ever DECREASE under min-label
+    # propagation, so sum(comp) strictly drops until the fixed point —
+    # an O(1)-row aggregate replaces the join+count changed-row test,
+    # and because the checkpoint is lazy, materializing the new label
+    # table and computing the witness is ONE Spark job per iteration.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iters):
         nbr_labels = (
             sym.join(
@@ -61,20 +67,16 @@ def connected_components(
                 "nbr",
             ).select("node", "cand")
         )
-        new_labels = (
+        labels = (
             labels.select("node", F.col("comp").alias("cand"))
             .union(nbr_labels)
             .groupBy("node")
             .agg(F.min("cand").alias("comp"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        ).localCheckpoint(eager=False)
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
 
