@@ -23,6 +23,8 @@ structure:
   pushdown-friendly.
 - q22 inactive high-balance customers: scalar subquery threshold +
   anti join.
+- q15 top supplier: revenue view + scalar-max equality join
+  (ties kept).
 
 All queries run the SAME SQL text on Spark and DuckDB unless a
 dialect note says otherwise; decimal-exact accumulation + explicit
@@ -188,6 +190,25 @@ GROUP BY cntrycode
 ORDER BY cntrycode
 """
 
+# q15: top supplier(s) by quarterly revenue — the canonical
+# view + scalar-max + equality join (ties kept) shape.
+Q15_SPARK = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
 QUERIES = {
     "q8_market_share": _run(
         Q8_SPARK,
@@ -203,6 +224,7 @@ QUERIES = {
     "q18_large_volume": _run(Q18_SPARK, ("customer", "orders", "lineitem")),
     "q19_disjunctive": _run(Q19_SPARK, ("lineitem", "part")),
     "q22_inactive_high_balance": _run(Q22_SPARK, ("customer", "orders")),
+    "q15_top_supplier": _run(Q15_SPARK, ("lineitem", "supplier")),
 }
 
 ORACLES = {
@@ -214,4 +236,5 @@ ORACLES = {
     "q18_large_volume": Q18_SPARK,
     "q19_disjunctive": Q19_SPARK,
     "q22_inactive_high_balance": Q22_SPARK,
+    "q15_top_supplier": Q15_SPARK,
 }

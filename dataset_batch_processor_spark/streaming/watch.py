@@ -89,6 +89,32 @@ def streaming_dedup_lines(lines: DataFrame, ts_col: str = "ts",
     )
 
 
+def session_rollup(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization: event-time SESSION windows per user —
+    a session closes after ``gap`` of inactivity. The streaming form
+    of relational2.events_sessionize; state is bounded by the
+    watermark (late events beyond it are dropped, open sessions
+    finalize once the watermark passes their gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment: join each micro-batch against a
     (small) static dimension. The dim side is broadcast, so the
