@@ -193,10 +193,21 @@ def convert_images(
 # ---------------------------------------------------------- text tasks
 
 def merge_text_folder(spark: SparkSession, in_dir: str, out_path: str,
-                      glob: str = "*.txt") -> RunResult:
+                      glob: str = "*.txt",
+                      distributed: bool = False) -> RunResult:
     """§3.3 merge: ordered concat of every .txt file's lines (A2) —
-    the reference scans only .txt (other_tasks.py:8-10)."""
+    the reference scans only .txt (other_tasks.py:8-10).
+
+    ``distributed=True`` streams ordered part files to the ``out_path``
+    DIRECTORY instead of materializing one merged string (the 100 TB
+    path; concatenating the parts in filename order reproduces the
+    single file byte-for-byte)."""
     lines = text_src.read_lines(spark, in_dir, glob=glob)
+    if distributed:
+        n_parts = sinks.export_merged_text_distributed(lines, out_path)
+        return RunResult(
+            metrics={"n_lines": lines.count(), "n_parts": n_parts}
+        )
     sinks.export_merged_text(lines, out_path)
     return RunResult(metrics={"n_lines": lines.count()})
 
