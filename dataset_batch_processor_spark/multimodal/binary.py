@@ -90,6 +90,7 @@ from . import codecs_extra as _extra  # noqa: E402
 from . import gif as _gif  # noqa: E402
 from . import jpeg as _jpeg  # noqa: E402
 from . import png as _png  # noqa: E402
+from . import tiff as _tiff  # noqa: E402
 
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "rawrgb": decode_rawrgb,
@@ -99,9 +100,16 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "bmp": _extra.decode_bmp,
     "ppm": _extra.decode_ppm,
     "gif": _gif.decode_gif,
+    "tif": _tiff.decode_tiff,
+    "tiff": _tiff.decode_tiff,
+    # DNG is a TIFF container: uncompressed DNGs decode; compressed
+    # ones raise NotImplementedError with the precise reason (still
+    # better than a blind stub — and probe_tiff_dims reads dims from
+    # ANY of the TIFF-based RAW family without decoding).
+    "dng": _tiff.decode_tiff,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("heic", "cr2", "nef", "arw", "dng", "webp")
+        for fmt in ("heic", "cr2", "nef", "arw", "webp")
     },
 }
 
@@ -127,6 +135,8 @@ def decode_any(fmt: str, content: bytes) -> np.ndarray:
         return _extra.decode_bmp(content)
     if content[:2] == b"P6":
         return _extra.decode_ppm(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff.decode_tiff(content)
     return CODECS[fmt.lower()](content)
 
 
@@ -274,6 +284,8 @@ ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "jpeg": _jpeg.encode_jpeg,
     "bmp": _extra.encode_bmp,
     "ppm": _extra.encode_ppm,
+    "tif": _tiff.encode_tiff,
+    "tiff": _tiff.encode_tiff,
 }
 
 

@@ -101,10 +101,26 @@ def parse_rawrgb_header(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_tiff_header(content: bytes) -> tuple[int, int] | None:
+    """Dims from the first TIFF IFD — covers .tif/.tiff AND the
+    TIFF-based camera-RAW containers (DNG/CR2/NEF/ARW): the S2
+    header-only dimension read works on RAW files even where full
+    pixel development is library-bound."""
+    if len(content) < 8 or content[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    try:
+        from ..multimodal.tiff import probe_tiff_dims
+
+        return probe_tiff_dims(content)
+    except Exception:
+        return None
+
+
 _HEADER_PARSERS = (
     parse_png_header,
     parse_jpeg_header,
     parse_gif_header,
+    parse_tiff_header,
     parse_rawrgb_header,
 )
 
