@@ -118,11 +118,19 @@ def attach_global_row_number(lines: DataFrame) -> DataFrame:
     ranged = lines.repartitionByRange(
         F.col("input_file"), F.col("line_no")
     ).sortWithinPartitions("input_file", "line_no")
+    # CHECKPOINT before fanning out: the offsets branch and the output
+    # branch below both depend on the partition ids, and range
+    # partitioning samples its boundaries NON-deterministically per
+    # evaluation (RangePartitioner seeds by RDD id; AQE can also
+    # re-plan the two branches differently). Without a materialized
+    # snapshot the two branches can disagree on _pid at scale and the
+    # offsets silently misalign — caught by tools/prefix_sum_bench.py
+    # at 2M rows. localCheckpoint freezes one partitioning for both.
     with_idx = ranged.select(
         "*",
         F.spark_partition_id().alias("_pid"),
         F.pmod(F.monotonically_increasing_id(), F.lit(1 << 33)).alias("_idx"),
-    )
+    ).localCheckpoint()
     # per-partition counts are tiny (one row per partition) -> the
     # offset table is a driver-size aggregate, broadcast back
     sizes = with_idx.groupBy("_pid").agg(F.count("*").alias("_n"))
@@ -161,7 +169,11 @@ def exclusive_prefix_sum(
     ranged = df.repartitionByRange(
         *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # same checkpoint-before-fan-out as attach_global_row_number: the
+    # local-cumsum branch and the totals branch must see the SAME
+    # sampled range boundaries (see comment there; regression caught
+    # by tools/prefix_sum_bench.py).
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     intra = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
