@@ -172,3 +172,24 @@ def test_materialize_tiles_spreads_skew(spark):
     assert "hashpartitioning(id" not in (
         no_spread._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_png_roundtrip_property_hypothesis():
+    """Property: ANY uint8 RGB array roundtrips losslessly through
+    every filter type."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arr=arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12),
+                                       st.just(3))),
+        ft=st.integers(0, 4),
+    )
+    def check(arr, ft):
+        assert np.array_equal(
+            png.decode_png(png.encode_png(arr, filter_type=ft)), arr
+        )
+
+    check()

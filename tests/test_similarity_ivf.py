@@ -92,3 +92,29 @@ def test_assignment_partials_are_centroid_sized(spark, sf_dir):
     assert partials.count() == n
     plan = partials._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_trained_ivf_high_recall_on_clustered_data(spark):
+    """The fixture embeddings are uniform random (no structure ->
+    recall is bounded by chance); on CLUSTERED data — the case ANN
+    indexes exist for — the trained index must recover almost all
+    true neighbors. 20 well-separated centers x 30 points."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(20, similarity.DIM)) * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            vec = (c + rng.normal(size=similarity.DIM) * 0.3).astype(float)
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ids, Cn = similarity.ivf_train_centroids(emb, n_centroids=20, iters=3)
+    approx = similarity.ivf_topk_trained(emb, ids, Cn, n_probe=2)
+    exact = similarity.brute_force_topk(emb)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"clustered recall@{similarity.TOP_K} = {recall:.2f}"
