@@ -121,5 +121,54 @@ GROUP BY node
 """
 )
 
-QUERIES = {"docs_dup_components": _q_dup_components}
-ORACLES = {"docs_dup_components": DUP_COMPONENTS_DUCK}
+def dedup_survivors(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """The dedup end-product: every doc EXCEPT non-canonical cluster
+    members (canonical = min doc_id in the component). A broadcast-able
+    anti join at any scale: the victim list is (cluster sizes - 1)
+    rows, tiny relative to the corpus."""
+    victims = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(victims, "doc_id", "left_anti")
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    labels = connected_components(lsh_pairs_df(docs), src="doc_a", dst="doc_b")
+    return dedup_survivors(docs.select("doc_id", "lang"), labels).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_SURVIVORS_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + """,
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+victims AS (
+  SELECT node FROM reach GROUP BY node
+  HAVING least(node, min(other)) <> node
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT node FROM victims)
+ORDER BY doc_id
+"""
+)
+
+QUERIES = {
+    "docs_dup_components": _q_dup_components,
+    "docs_dedup_survivors": _q_dedup_survivors,
+}
+ORACLES = {
+    "docs_dup_components": DUP_COMPONENTS_DUCK,
+    "docs_dedup_survivors": DEDUP_SURVIVORS_DUCK,
+}
