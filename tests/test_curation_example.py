@@ -29,3 +29,23 @@ def test_curation_funnel(spark, sf_dir, tmp_path):
     # layout on disk is partitioned by split
     out = tmp_path / "corpus"
     assert (out / "split=train").exists() and (out / "split=val").exists()
+
+
+def test_dedup_pipeline_example(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from dedup_pipeline import curate
+
+    out = curate(spark, "/root/testdata/sf0.001").collect()
+    assert out  # survivors exist
+    docs = {r.doc_id for r in out}
+    assert len(docs) == len(out)  # one row per surviving doc
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val"}
+    # shard ids dense-ish from 0 within each split
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, set()).add(r.shard_id)
+    for shards in by_split.values():
+        assert min(shards) == 0
