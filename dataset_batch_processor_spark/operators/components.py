@@ -164,11 +164,59 @@ ORDER BY doc_id
 """
 )
 
+def _q_emb_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup clusters: connected components over the
+    LSH-bucketed exact-cosine pair graph (relational2.emb_near_dup_pairs)
+    — the vector-side mirror of docs_dup_components."""
+    from .relational2 import _q_emb_near_dup
+
+    pairs = _q_emb_near_dup(spark, sf_dir)
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component")
+    ).orderBy("vec_id")
+
+
+def _emb_pairs_cte() -> str:
+    from .relational2 import EMB_NEAR_DUP_DUCK, NEAR_DUP_T
+
+    final = f"SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {NEAR_DUP_T}"
+    assert final in EMB_NEAR_DUP_DUCK
+    return EMB_NEAR_DUP_DUCK.replace("WITH planes", "WITH RECURSIVE planes").replace(
+        final,
+        f", ndpairs AS (SELECT vec_a, vec_b FROM scored WHERE cos_sim >= {NEAR_DUP_T})",
+    )
+
+
+def _emb_components_duck() -> str:
+    return (
+        _emb_pairs_cte()
+        + """,
+sym AS (
+  SELECT vec_a AS node, vec_b AS nbr FROM ndpairs
+  UNION
+  SELECT vec_b AS node, vec_a AS nbr FROM ndpairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+)
+SELECT node AS vec_id, least(node, min(other)) AS component
+FROM reach
+GROUP BY node
+ORDER BY vec_id
+"""
+    )
+
+
 QUERIES = {
     "docs_dup_components": _q_dup_components,
     "docs_dedup_survivors": _q_dedup_survivors,
+    "emb_near_dup_components": _q_emb_components,
 }
 ORACLES = {
     "docs_dup_components": DUP_COMPONENTS_DUCK,
     "docs_dedup_survivors": DEDUP_SURVIVORS_DUCK,
+    "emb_near_dup_components": _emb_components_duck(),
 }

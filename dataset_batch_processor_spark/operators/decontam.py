@@ -1,0 +1,177 @@
+"""Benchmark decontamination + inverted-index n-gram Jaccard.
+
+Two training-data curation operators the reference's text tooling
+implies but never needed at its scale (reference merges/dedups whole
+lines — modules/text_processing.py; at pre-training scale the same
+corpus hygiene step is *eval-set decontamination* and *document-level
+n-gram similarity*):
+
+- ``docs_decontaminate``: flag every training document that shares at
+  least one word 8-gram with the held-out eval set (the standard
+  GPT-3/PaLM-style 8-13-gram collision rule). The eval set here is the
+  deterministic fixture subset ``doc_id % 23 = 0``.
+- ``docs_ngram_jaccard_pairs``: exact word-3-gram Jaccard similarity
+  for candidate pairs discovered through an inverted n-gram index —
+  the non-probabilistic sibling of MinHash (dedup.py): no sketch
+  error, at the cost of touching every posting.
+
+Scale ledger (100 TB story):
+- Both operators join on a 60-bit md5 hash of the gram, never the
+  gram string — the shuffled key is 8 bytes regardless of n-gram
+  width.
+- Gram explosion is linear in corpus tokens; the window ``lead()``
+  formulation keeps gram assembly inside WholeStageCodegen (the
+  higher-order ``transform()`` lambda alternative is interpreted —
+  see MEMORY determinism rules / winnowing history).
+- The Jaccard index drops *stop-grams* (document frequency > DF_CAP)
+  before the self-join: frequent grams contribute candidates
+  quadratically but evidence of near-duplication only via rare grams,
+  so the cutoff bounds every posting list, making the self-join
+  output at most DF_CAP * |distinct grams| rows. This is the same
+  lever ExactSubstr/suffix-array dedup pipelines use.
+- Decontamination's eval side is tiny by construction (an eval set is
+  thousands of docs, not billions) — Catalyst broadcast-joins the
+  distinct eval-gram table; the corpus side never shuffles.
+
+Both engines run structurally identical SQL; grams are hashed with
+the md5→60-bit rule so values (and therefore the driver's value
+hash) match exactly.
+"""
+
+from __future__ import annotations
+
+from .relational2 import _run
+
+EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 -> held-out eval set (fixture)
+DECON_N = 8  # words per collision gram (GPT-3 used 13; fixture docs are short)
+JAC_N = 3  # words per Jaccard shingle
+DF_CAP = 50  # stop-gram cutoff: drop grams present in > DF_CAP docs
+JAC_T = 0.5  # report pairs with Jaccard >= JAC_T
+
+_SPARK_GRAM_8 = "concat_ws(' ', tok, " + ", ".join(
+    f"lead(tok, {j}) OVER w" for j in range(1, DECON_N)
+) + ")"
+_SPARK_GRAM_3 = "concat_ws(' ', tok, " + ", ".join(
+    f"lead(tok, {j}) OVER w" for j in range(1, JAC_N)
+) + ")"
+
+# 60-bit gram hash, identical in both engines (MEMORY md5 rule).
+_H_SPARK = "CAST(conv(substr(md5({g}), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "CAST(concat('0x', substr(md5({g}), 1, 15)) AS BIGINT)"
+
+
+DECONTAMINATE_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+),
+win AS (
+  SELECT doc_id, pos, n, {_SPARK_GRAM_8} AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_H_SPARK.format(g='gram')} AS gh
+  FROM win WHERE pos <= n - {DECON_N}
+),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM grams g JOIN eval_grams e ON g.gh = e.gh
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+DECONTAMINATE_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         {_H_DUCK.format(g=f"array_to_string(t[i:i+{DECON_N - 1}], ' ')")} AS gh
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {DECON_N - 1}))
+                AS i)
+),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM grams g JOIN eval_grams e ON g.gh = e.gh
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+_JAC_TAIL = f"""
+df AS (
+  SELECT gh, count(*) AS n_docs FROM grams GROUP BY gh
+),
+kept AS (
+  SELECT g.doc_id, g.gh
+  FROM grams g JOIN df d ON g.gh = d.gh
+  WHERE d.n_docs <= {DF_CAP}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       CAST(round(CAST(n_shared AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+            AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE CAST(n_shared AS DOUBLE)
+      / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {JAC_T}
+ORDER BY id1, id2
+"""
+
+NGRAM_JACCARD_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+),
+win AS (
+  SELECT doc_id, pos, n, {_SPARK_GRAM_3} AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_H_SPARK.format(g='gram')} AS gh
+  FROM win WHERE pos <= n - {JAC_N}
+),
+{_JAC_TAIL}"""
+
+NGRAM_JACCARD_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         {_H_DUCK.format(g=f"array_to_string(t[i:i+{JAC_N - 1}], ' ')")} AS gh
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {JAC_N - 1}))
+                AS i)
+),
+{_JAC_TAIL}"""
+
+
+QUERIES = {
+    "docs_decontaminate": _run(DECONTAMINATE_SPARK, ("documents",)),
+    "docs_ngram_jaccard_pairs": _run(NGRAM_JACCARD_SPARK, ("documents",)),
+}
+ORACLES = {
+    "docs_decontaminate": DECONTAMINATE_DUCK,
+    "docs_ngram_jaccard_pairs": NGRAM_JACCARD_DUCK,
+}

@@ -209,6 +209,44 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
 """
 
+# q21: suppliers who kept orders waiting — adapted to the fixture
+# (no commit/receipt dates: "late" = shipped > 90 days after the
+# order date). Deliberately the SCALABLE rewrite: instead of the
+# canonical correlated EXISTS / NOT EXISTS pair (two extra rescans of
+# the fact), lateness is aggregated once per (order, supplier) and
+# once per order, then the "only late supplier in a multi-supplier
+# order" predicate is a filter over two map-side-combinable groupBys
+# — same semantics, one pass over lineitem.
+Q21_SPARK = """
+WITH ol AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+  FROM ol GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(*) AS n_supps,
+         sum(supp_late) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supp_late = 1 AND n_supps > 1 AND n_late = 1
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
 QUERIES = {
     "q8_market_share": _run(
         Q8_SPARK,
@@ -225,6 +263,9 @@ QUERIES = {
     "q19_disjunctive": _run(Q19_SPARK, ("lineitem", "part")),
     "q22_inactive_high_balance": _run(Q22_SPARK, ("customer", "orders")),
     "q15_top_supplier": _run(Q15_SPARK, ("lineitem", "supplier")),
+    "q21_waiting_suppliers": _run(
+        Q21_SPARK, ("lineitem", "orders", "supplier", "nation")
+    ),
 }
 
 ORACLES = {
@@ -237,4 +278,5 @@ ORACLES = {
     "q19_disjunctive": Q19_SPARK,
     "q22_inactive_high_balance": Q22_SPARK,
     "q15_top_supplier": Q15_SPARK,
+    "q21_waiting_suppliers": Q21_SPARK,
 }

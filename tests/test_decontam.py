@@ -1,0 +1,71 @@
+"""Decontamination + n-gram Jaccard: golden tests on hand-built docs.
+
+The sf-fixture correctness lives in tools/verify_oracle.py (DuckDB
+hash parity); these tests pin the SEMANTICS on corpora small enough
+to check by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataset_batch_processor_spark.operators import decontam
+
+
+def _run_on_docs(spark, docs, sql):
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    return spark.sql(sql)
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    eval_doc = "a b c d e f g h i j"  # doc_id 0 -> eval set (0 % 23 == 0)
+    docs = [
+        (0, eval_doc),
+        # shares the 8-gram "a b c d e f g h" (and 2 more shifted ones)
+        (1, "x a b c d e f g h i j y"),
+        # same words, different order -> no 8-gram collision
+        (2, "j i h g f e d c b a j i h g f e d c b a"),
+        # too short for any 8-gram
+        (3, "a b c"),
+    ]
+    rows = _run_on_docs(spark, docs, decontam.DECONTAMINATE_SPARK).collect()
+    got = {r.doc_id: r.n_shared_grams for r in rows}
+    # doc 1 shares exactly the 3 grams starting at a, b, c
+    assert got == {1: 3}
+
+
+def test_decontaminate_eval_docs_never_reported(spark):
+    docs = [(0, "a b c d e f g h"), (23, "a b c d e f g h")]
+    rows = _run_on_docs(spark, docs, decontam.DECONTAMINATE_SPARK).collect()
+    assert rows == []  # both are eval docs (ids divisible by 23)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc 1: grams {abc, bcd}; doc 2: grams {abc, bcx}
+    # jaccard = 1 shared / 3 union = 0.333333 -> below 0.5 threshold
+    # doc 3 duplicates doc 1 -> jaccard 1.0
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c x"),
+        (3, "a b c d"),
+    ]
+    rows = _run_on_docs(spark, docs, decontam.NGRAM_JACCARD_SPARK).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in rows] == [(1, 3, 1.0)]
+
+
+def test_ngram_jaccard_stop_gram_cutoff(spark):
+    # one gram shared by MORE than DF_CAP docs must be dropped from the
+    # index: no pair survives even though all docs are identical.
+    docs = [(i, "a b c") for i in range(decontam.DF_CAP + 1)]
+    rows = _run_on_docs(spark, docs, decontam.NGRAM_JACCARD_SPARK).collect()
+    assert rows == []
+
+
+@pytest.mark.parametrize("n_docs", [2, decontam.DF_CAP])
+def test_ngram_jaccard_at_or_below_cutoff_survives(spark, n_docs):
+    docs = [(i, "a b c") for i in range(n_docs)]
+    rows = _run_on_docs(spark, docs, decontam.NGRAM_JACCARD_SPARK).collect()
+    assert len(rows) == n_docs * (n_docs - 1) // 2
+    assert all(r.jaccard == 1.0 for r in rows)
