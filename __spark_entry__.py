@@ -28,6 +28,7 @@ from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     components,
+    corpusstats,
     decontam,
     curation,
     dedup as dedup_ops,
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup_ops.QUERIES)
     q.update(components.QUERIES)
     q.update(decontam.QUERIES)
+    q.update(corpusstats.QUERIES)
     q.update(similarity.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
@@ -267,6 +269,7 @@ FROM images_meta GROUP BY 1
     o.update(dedup_ops.ORACLES)
     o.update(components.ORACLES)
     o.update(decontam.ORACLES)
+    o.update(corpusstats.ORACLES)
     o.update(similarity.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)

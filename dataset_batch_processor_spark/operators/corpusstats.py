@@ -1,0 +1,146 @@
+"""Corpus-level statistics: token rarity, length histograms, label
+centroids.
+
+Curation signals computed FROM the corpus itself (two-pass: global
+stats, then per-doc/per-group scoring) — the family of checks a
+pre-training pipeline runs before mixing data (cf. the quality/
+repetition scorers in textanalysis.py/textclean.py, which are
+single-pass per-doc):
+
+- ``docs_token_rarity``: per-doc mean corpus-frequency of its tokens
+  and the count of below-mean-frequency tokens. The rarity join is
+  token-vocabulary-sized — at 100 TB the vocab table is still MBs and
+  Catalyst broadcasts it; the corpus side never shuffles twice (one
+  explode, one groupBy doc_id).
+- ``docs_length_histogram``: power-of-two length buckets via binary
+  digit count (``bin()``/``printf('%b')``) — exact integer bucketing,
+  no float ``log2`` boundary risk.
+- ``emb_label_centroids``: per-label mean embedding. Sums accumulate
+  in fixed-point BIGINT (value*1e6 rounded) so the aggregate is exact
+  and order-independent — float addition is not associative, and a
+  plain ``avg(v)`` would hash-diverge between engines (and between
+  Spark partitionings!). One shuffle on (label, dim); map-side
+  partial aggregation applies.
+
+Determinism notes: the float*1e6 product is exact in a double (24-bit
+float mantissa + 20 bits < 53), and both engines round half away
+from zero, so the fixed-point conversion is bit-identical.
+"""
+
+from __future__ import annotations
+
+from .relational2 import _run
+
+FX = 1_000_000  # fixed-point scale for embedding sums
+
+TOKEN_RARITY_SPARK = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT sum(c) AS n_corpus_tokens, count(*) AS n_vocab FROM counts
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS DOUBLE) AS mean_token_freq,
+       sum(CASE WHEN c * n_vocab <= n_corpus_tokens THEN 1 ELSE 0 END)
+           AS n_below_mean_freq
+FROM toks
+JOIN counts USING (tok)
+CROSS JOIN totals
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+TOKEN_RARITY_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus_tokens, count(*) AS n_vocab
+  FROM counts
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS DOUBLE) AS mean_token_freq,
+       CAST(sum(CASE WHEN c * n_vocab <= n_corpus_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_mean_freq
+FROM toks
+JOIN counts USING (tok)
+CROSS JOIN totals
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+LENGTH_HIST_SPARK = """
+SELECT CAST(length(bin(n_chars)) AS INT) - 1 AS log2_bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+LENGTH_HIST_DUCK = """
+SELECT CAST(length(printf('%b', n_chars)) AS INT) - 1 AS log2_bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+LABEL_CENTROIDS_SPARK = f"""
+WITH elems AS (
+  SELECT label, pos + 1 AS dim,
+         CAST(round(CAST(v AS DOUBLE) * {FX}) AS BIGINT) AS fx
+  FROM embeddings
+  LATERAL VIEW posexplode(embedding) t AS pos, v
+)
+SELECT label, dim,
+       count(*) AS n_vecs,
+       CAST(round(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / {FX}, 6) AS DOUBLE) AS centroid
+FROM elems
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+LABEL_CENTROIDS_DUCK = f"""
+WITH elems AS (
+  SELECT label, CAST(i AS INT) AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {FX}) AS BIGINT) AS fx
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, 64)) AS i) s
+)
+SELECT label, dim,
+       count(*) AS n_vecs,
+       CAST(round(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / {FX}, 6) AS DOUBLE) AS centroid
+FROM elems
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+QUERIES = {
+    "docs_token_rarity": _run(TOKEN_RARITY_SPARK, ("documents",)),
+    "docs_length_histogram": _run(LENGTH_HIST_SPARK, ("documents",)),
+    "emb_label_centroids": _run(LABEL_CENTROIDS_SPARK, ("embeddings",)),
+}
+ORACLES = {
+    "docs_token_rarity": TOKEN_RARITY_DUCK,
+    "docs_length_histogram": LENGTH_HIST_DUCK,
+    "emb_label_centroids": LABEL_CENTROIDS_DUCK,
+}
