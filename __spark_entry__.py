@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
 from dataset_batch_processor_spark.sources import storage as storage_ops
+from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     components,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(curation.QUERIES)
     q.update(mm_queries.QUERIES)
     q.update(storage_ops.QUERIES)
+    q.update(tabular_ops.QUERIES)
     return _prioritize(q)
 
 
@@ -281,4 +283,5 @@ FROM images_meta GROUP BY 1
     o.update(curation.ORACLES)
     o.update(mm_queries.ORACLES)
     o.update(storage_ops.ORACLES)
+    o.update(tabular_ops.ORACLES)
     return _prioritize(o)

@@ -1,0 +1,160 @@
+"""Tabular file sources/sinks: CSV and ORC, with quarantine.
+
+The reference only reads images and raw text (SURVEY §2.1); a
+general batch engine also has to ingest the tabular formats that
+arrive alongside them. Both formats here are first-class Spark
+sources, so the scale behavior is inherited, not reimplemented:
+
+- CSV: splittable scan (one file can fan out across tasks), schema
+  enforced EXPLICITLY — schema inference reads the data twice and is
+  banned here. Malformed rows follow the same quarantine pattern as
+  the image/JSONL sources (sources/images.py, sources/jsonl.py):
+  PERMISSIVE mode + ``_corrupt_record`` column, split into
+  (clean, quarantined) instead of failing the job.
+- ORC: columnar + predicate/column pushdown (``.explain`` shows
+  PushedFilters on the OrcScan), the right interchange format when
+  parquet isn't the producer's native output.
+
+The roundtrip queries prove write→read identity through an actual
+on-disk roundtrip inside the query itself (same pattern as
+mm_png_roundtrip): the oracle runs the aggregation on the ORIGINAL
+parquet — any encode/decode corruption breaks the hash match.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Distributed CSV write (one part per partition, errorifexists)."""
+    df.write.mode("errorifexists").option("header", str(header).lower()).csv(
+        path
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) CSV read with an explicit schema.
+
+    PERMISSIVE + corrupt-record capture: a malformed line becomes one
+    quarantine row (its raw text) instead of a failed 1000-executor
+    job. Implemented as ``read.text`` + ``from_csv`` rather than the
+    native csv reader: the native reader's internal corrupt-record
+    column cannot be referenced on its own
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the
+    documented workaround is ``.cache()`` — a non-starter for a 100 TB
+    scan. With ``from_csv`` the corrupt column is an ordinary
+    projected column, no cache, same splittable text scan.
+    """
+    lines = spark.read.text(path)
+    if header:
+        # write_csv emits the header as the first line of every part
+        # file; with an explicit typed schema a data line can never
+        # equal the header line, so an exact-match filter is safe.
+        header_line = ",".join(
+            f.name for f in spark.createDataFrame([], schema).schema.fields
+        )
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_csv(
+            "value",
+            schema + f", {CORRUPT_COL} STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r"),
+    )
+    clean = (
+        parsed.filter(F.col(f"r.{CORRUPT_COL}").isNull())
+        .select("r.*")
+        .drop(CORRUPT_COL)
+    )
+    quarantined = parsed.filter(
+        F.col(f"r.{CORRUPT_COL}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return clean, quarantined
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("errorifexists").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+# ------------------------------------------------- roundtrip queries
+
+CSV_ORDERS_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderpriority STRING"
+)
+
+_ORDERS_AGG = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS total_price
+FROM {src}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="dbp_csv_rt_") + "/orders"
+    write_csv(orders, path)
+    clean, _quar = read_csv(spark, path, CSV_ORDERS_SCHEMA)
+    clean.createOrReplaceTempView("csv_orders_rt")
+    return spark.sql(_ORDERS_AGG.format(src="csv_orders_rt"))
+
+
+CSV_ROUNDTRIP_DUCK = _ORDERS_AGG.format(src="orders")
+
+
+_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))) AS DOUBLE) AS sum_revenue
+FROM {src}
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="dbp_orc_rt_") + "/lineitem"
+    write_orc(li, path)
+    read_orc(spark, path).createOrReplaceTempView("orc_lineitem_rt")
+    return spark.sql(_LINEITEM_AGG.format(src="orc_lineitem_rt"))
+
+
+ORC_ROUNDTRIP_DUCK = _LINEITEM_AGG.format(src="lineitem")
+
+
+QUERIES = {
+    "csv_roundtrip_orders": _q_csv_roundtrip,
+    "orc_roundtrip_lineitem": _q_orc_roundtrip,
+}
+ORACLES = {
+    "csv_roundtrip_orders": CSV_ROUNDTRIP_DUCK,
+    "orc_roundtrip_lineitem": ORC_ROUNDTRIP_DUCK,
+}
