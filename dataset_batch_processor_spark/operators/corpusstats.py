@@ -134,13 +134,69 @@ GROUP BY label, dim
 ORDER BY label, dim
 """
 
+# TF-IDF with LINEAR idf (tf * N / df, no log damping): the ln() the
+# textbook formula uses is library-dependent in its last ulp and
+# would make cross-engine hashes flaky; linear idf preserves the
+# per-document RANKING for top-k extraction (log is monotone) while
+# keeping the arithmetic to one exact integer product and one IEEE
+# division — bit-identical everywhere. Plan shape: tf groupBy, df
+# groupBy over the tf table (already one row per (doc, term)), tiny
+# df/vocab table broadcast back, per-doc top-5 via row_number.
+
+_TFIDF_TAIL = """
+df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+),
+n AS (
+  SELECT count(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT doc_id, tok,
+         CAST(round((CAST(tf AS DOUBLE) * n_docs) / df, 6) AS DOUBLE)
+             AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok AS term, tfidf, CAST(rk AS INT) AS rank
+FROM ranked
+WHERE rk <= 5
+ORDER BY doc_id, rank
+"""
+
+TFIDF_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS tok
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+{_TFIDF_TAIL}"""
+
+TFIDF_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+{_TFIDF_TAIL}"""
+
 QUERIES = {
     "docs_token_rarity": _run(TOKEN_RARITY_SPARK, ("documents",)),
     "docs_length_histogram": _run(LENGTH_HIST_SPARK, ("documents",)),
     "emb_label_centroids": _run(LABEL_CENTROIDS_SPARK, ("embeddings",)),
+    "docs_tfidf_topterms": _run(TFIDF_SPARK, ("documents",)),
 }
 ORACLES = {
     "docs_token_rarity": TOKEN_RARITY_DUCK,
     "docs_length_histogram": LENGTH_HIST_DUCK,
     "emb_label_centroids": LABEL_CENTROIDS_DUCK,
+    "docs_tfidf_topterms": TFIDF_DUCK,
 }

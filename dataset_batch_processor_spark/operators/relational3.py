@@ -336,3 +336,52 @@ ORACLES.update(
         "customer_value_ntiles": NTILE_SPARK,
     }
 )
+
+
+# ---------------------------------------------- percentile sketch query
+# Approximate percentiles (Spark's KLL-style approx_percentile) share
+# distinct_sketches' oracle problem: the estimate is engine-specific.
+# Same solution: the sketch's guarantee is a RANK bound (rank error
+# <= n/accuracy), so the query emits exact bracketing percentiles and
+# booleans asserting exact_p(p-1%) <= approx_p(p) <= exact_p(p+1%);
+# the oracle emits the same exact values with literal TRUE. A hash
+# match proves the rank bound held. accuracy=10000 -> 0.01% rank
+# error on the sketch, 100x inside the +-1% bracket asserted.
+
+
+def _q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.expr("round(percentile(l_extendedprice, 0.50), 6)").alias("exact_p50"),
+        F.expr("round(percentile(l_extendedprice, 0.90), 6)").alias("exact_p90"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("_lo50"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("_hi50"),
+        F.expr("percentile(l_extendedprice, 0.89)").alias("_lo90"),
+        F.expr("percentile(l_extendedprice, 0.91)").alias("_hi90"),
+        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("_a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.90, 10000)").alias("_a90"),
+    )
+    bracket = lambda a, lo, hi: (  # noqa: E731
+        (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
+    )
+    return est.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        bracket("_a50", "_lo50", "_hi50").alias("p50_within_rank_tol"),
+        bracket("_a90", "_lo90", "_hi90").alias("p90_within_rank_tol"),
+    )
+
+
+PERCENTILE_SKETCH_DUCK = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS exact_p90,
+       TRUE AS p50_within_rank_tol,
+       TRUE AS p90_within_rank_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES["value_percentiles_sketch"] = _q_percentile_sketch
+ORACLES["value_percentiles_sketch"] = PERCENTILE_SKETCH_DUCK

@@ -321,14 +321,106 @@ FROM carried WHERE side = 0
 """
 
 
+def gap_fill_ffill(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    step: str = "interval 6 hours",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: one row per (key,
+    grid timestamp) carrying the latest observation at or before that
+    instant — the time-series "gap fill + locf" operator.
+
+    Composition, not a new kernel: grid = keys × sequence(t0, t1,
+    step), then :func:`asof_join` (union + window, ONE shuffle on the
+    key). Equal-timestamp duplicates are pre-collapsed to the max-id
+    row so both engines resolve ties identically. Scale: the grid is
+    |keys| × span/step rows — generated, never shuffled wider than
+    the as-of window itself; the naive alternative (inequality join +
+    argmax) is |grid|×|events-per-key| and is exactly what this
+    avoids."""
+    idc = "event_id"
+    w = Window.partitionBy(key, ts).orderBy(F.col(idc).desc())
+    dedup = (
+        events.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts)).alias("_t0"),
+        F.date_trunc("hour", F.max(ts)).alias("_t1"),
+    )
+    grid = (
+        events.select(key).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("_t0"), F.col("_t1"), F.expr(step))
+            ).alias("g_ts"),
+        )
+    )
+    return asof_join(
+        grid,
+        dedup.select(key, ts, idc, *value_cols),
+        on=key,
+        left_ts="g_ts",
+        right_ts=ts,
+        right_cols=[idc, *value_cols],
+    )
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_events(spark, sf_dir)
+    filled = gap_fill_ffill(ev, key="user_id", ts="ts", value_cols=["value"])
+    return filled.select(
+        "user_id",
+        F.date_format("g_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.col("asof_event_id").alias("last_event_id"),
+        F.col("asof_value").alias("last_value"),
+    ).orderBy("user_id", "grid_ts")
+
+
+GAP_FILL_DUCK = """
+WITH dedup AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rk
+    FROM events
+  ) WHERE rk = 1
+),
+bounds AS (
+  SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS g_ts
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN bounds
+)
+SELECT g.user_id,
+       strftime(g.g_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       e.event_id AS last_event_id,
+       e.value AS last_value
+FROM grid g ASOF LEFT JOIN dedup e
+  ON g.user_id = e.user_id AND g.g_ts >= e.ts
+ORDER BY g.user_id, grid_ts
+"""
+
+
 QUERIES = {
     "asof_latest_order": _q_asof_latest_order,
     "asof_next_order_30d": _q_asof_next_order,
     "event_followups_within_hour": _q_followup_events,
+    "events_gap_fill_ffill": _q_gap_fill,
 }
 
 ORACLES = {
     "asof_latest_order": ASOF_DUCK,
     "asof_next_order_30d": ASOF_FORWARD_DUCK,
     "event_followups_within_hour": RANGE_DUCK,
+    "events_gap_fill_ffill": GAP_FILL_DUCK,
 }
