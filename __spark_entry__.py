@@ -33,6 +33,7 @@ from dataset_batch_processor_spark.operators import (
     decontam,
     curation,
     dedup as dedup_ops,
+    merge as merge_ops,
     mlfilter,
     relational,
     relational2,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
+    q.update(merge_ops.QUERIES)
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
     q.update(relational4.QUERIES)
@@ -276,6 +278,7 @@ FROM images_meta GROUP BY 1
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)
+    o.update(merge_ops.ORACLES)
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
     o.update(relational4.ORACLES)

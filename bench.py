@@ -60,8 +60,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    # one warm-up action so JVM/codegen startup doesn't pollute q1
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm-up actions so one-time startup cost doesn't pollute q1:
+    # a shuffle (exchange + codegen paths) and a trivial mapInPandas
+    # (forks the Arrow Python worker pool — ~3-5s on local[32])
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().count()
+    spark.range(128).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     total = 0.0
     for name, fn in qs.items():
