@@ -26,6 +26,7 @@ from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
 from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
+from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     components,
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mm_queries.QUERIES)
     q.update(storage_ops.QUERIES)
     q.update(tabular_ops.QUERIES)
+    q.update(stream_check.QUERIES)
     return _prioritize(q)
 
 
@@ -287,4 +289,5 @@ FROM images_meta GROUP BY 1
     o.update(mm_queries.ORACLES)
     o.update(storage_ops.ORACLES)
     o.update(tabular_ops.ORACLES)
+    o.update(stream_check.ORACLES)
     return _prioritize(o)

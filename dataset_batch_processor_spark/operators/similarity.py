@@ -734,3 +734,22 @@ ORACLES["emb_ivf_topk"] = IVF_TOPK_DUCK
 QUERIES["emb_ivf_trained_topk"] = _q_ivf_trained
 # emb_ivf_trained_topk: rows-only by design (k-means not SQL-expressible);
 # tests/test_similarity_ivf.py bounds its recall against brute force.
+
+
+def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF invariant, hash-checked: probing EVERY inverted
+    list must reproduce exact brute-force top-k bit-for-bit (same
+    oracle SQL as emb_cosine_topk). Full probe removes the one thing
+    partial probe intentionally sacrifices (list pruning), so any
+    divergence means the index lost/duplicated a vector or mis-ranked
+    a candidate — this closes the oracle gap k-means left:
+    the TRAINING isn't SQL-expressible, but the index's completeness
+    and ranking are still provable against SQL. Partial-probe recall
+    stays pytest-bounded on clustered data (test_similarity_ivf.py)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
+    ids, Cn = ivf_train_centroids(emb)
+    return ivf_topk_trained(emb, ids, Cn, n_probe=len(ids))
+
+
+QUERIES["emb_ivf_fullprobe_equiv"] = _q_ivf_fullprobe
+ORACLES["emb_ivf_fullprobe_equiv"] = BRUTE_FORCE_DUCK

@@ -1,0 +1,78 @@
+"""Driver-gated streaming query: Structured Streaming vs SQL oracle.
+
+The streaming operators in watch.py/stateful.py are pytest-checked
+against their batch equivalents; this module puts one of them under
+the DRIVER's DuckDB hash gate too. The query runs a real Structured
+Streaming job — file source, groupBy aggregation state, complete
+output mode, memory sink — to completion with the availableNow
+trigger (process-everything-then-stop, the batch-parity execution
+Spark provides for exactly this purpose), then hands the sink table
+back as the result DataFrame.
+
+What this proves that the batch queries don't: the incremental
+execution path (MicroBatchExecution, streaming aggregation state
+store, sink commit protocol) produces byte-identical aggregates to a
+single-pass batch plan over the same files. At scale the same
+topology is the backfill-then-tail pattern: availableNow over the
+backlog, continuous trigger for the tail; decimal-exact sums make
+the answer invariant to how the input got micro-batched.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders.parquet through a real streaming aggregation."""
+    path = f"{sf_dir}/orders.parquet"
+    # the file stream source wants a DIRECTORY it can monitor; the
+    # fixture is a single read-only file, so stage it into a temp dir
+    # (at deployment the input would already be a landing directory)
+    stage = tempfile.mkdtemp(prefix="dbp_stream_src_")
+    shutil.copy(path, f"{stage}/orders.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    agg = src.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT o_orderpriority, n_orders, total_price FROM {name} "
+        "ORDER BY o_orderpriority"
+    )
+
+
+STREAM_COUNTS_DUCK = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "orders_stream_counts": streaming_priority_counts,
+}
+ORACLES = {
+    "orders_stream_counts": STREAM_COUNTS_DUCK,
+}
