@@ -167,9 +167,70 @@ grams AS (
 {_JAC_TAIL}"""
 
 
+# Spark inlines CTEs: every reference to ``grams`` re-runs the
+# posexplode + window gram build — 2x in decontaminate, 3x+ in the
+# Jaccard index (observed as 20 Exchanges in the single-statement
+# plan). At 100 TB that is re-scanning the corpus per reference, so
+# the driver entries materialize the gram table ONCE (persist) and
+# run the join tail over the cached view; the single-statement SQL
+# above remains the semantic spec (and the DuckDB oracle, which does
+# materialize CTEs referenced more than once).
+
+_GRAMS_SPARK_TMPL = """
+WITH toks AS (
+  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+),
+win AS (
+  SELECT doc_id, pos, n, {gram_expr} AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT DISTINCT doc_id, {h} AS gh
+FROM win WHERE pos <= n - {width}
+"""
+
+_DECON_TAIL = f"""
+WITH eval_grams AS (
+  SELECT DISTINCT gh FROM {{v}} WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM {{v}} g JOIN eval_grams e ON g.gh = e.gh
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def _materialized_grams(spark, sf_dir, gram_expr, width, view):
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    grams = spark.sql(
+        _GRAMS_SPARK_TMPL.format(
+            gram_expr=gram_expr, h=_H_SPARK.format(g="gram"), width=width
+        )
+    ).persist()
+    grams.createOrReplaceTempView(view)
+    return grams
+
+
+def _q_decontaminate(spark, sf_dir):
+    _materialized_grams(spark, sf_dir, _SPARK_GRAM_8, DECON_N, "decon_grams")
+    return spark.sql(_DECON_TAIL.format(v="decon_grams"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    _materialized_grams(spark, sf_dir, _SPARK_GRAM_3, JAC_N, "jac_grams")
+    return spark.sql("WITH " + _JAC_TAIL.replace("FROM grams", "FROM jac_grams"))
+
+
 QUERIES = {
-    "docs_decontaminate": _run(DECONTAMINATE_SPARK, ("documents",)),
-    "docs_ngram_jaccard_pairs": _run(NGRAM_JACCARD_SPARK, ("documents",)),
+    "docs_decontaminate": _q_decontaminate,
+    "docs_ngram_jaccard_pairs": _q_ngram_jaccard,
 }
 ORACLES = {
     "docs_decontaminate": DECONTAMINATE_DUCK,
