@@ -157,8 +157,11 @@ _DRIVER_VERIFIED = {
     "lineitem_quantiles", "orders_date_parts", "part_string_funcs",
     "docs_bpe_tokens", "emb_near_dup_pairs", "q7_volume_shipping",
     "q10_returned_items", "customer_cube",
-    # distinct_sketches ran but was rows-only (no_oracle); keep it in the
-    # front block until it earns a hash-green row.
+    # distinct_sketches got an r1 row (rows-only); it now has a real
+    # oracle, but the front block must stay <= 50 (the driver's per-round
+    # cap) so every never-checked query gets a row. It rotates forward in
+    # round 3.
+    "distinct_sketches",
 }
 
 
