@@ -28,6 +28,7 @@ from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.operators import (
+    analytics,
     captions as cap_ops,
     components,
     corpusstats,
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(storage_ops.QUERIES)
     q.update(tabular_ops.QUERIES)
     q.update(stream_check.QUERIES)
+    q.update(analytics.QUERIES)
     return _prioritize(q)
 
 
@@ -293,4 +295,5 @@ FROM images_meta GROUP BY 1
     o.update(storage_ops.ORACLES)
     o.update(tabular_ops.ORACLES)
     o.update(stream_check.ORACLES)
+    o.update(analytics.ORACLES)
     return _prioritize(o)

@@ -78,6 +78,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # queries persist() intermediates and are measured as
+        # independent jobs; drop leftover cached blocks so later
+        # queries aren't squeezed by earlier queries' storage memory
+        spark.catalog.clearCache()
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     print(
