@@ -137,32 +137,50 @@ def _q_caption_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Names with a fully-green row in CORRECTNESS_r01.json (driver, sf0.01).
+# Names with a green driver row in CORRECTNESS_r01.json or
+# CORRECTNESS_r02.json (driver oracle, sf0.01; 100 names total).
 # The driver verifies at most ~50 queries per round in dict-insertion
 # order, so anything NOT in this set is registered first (see
-# ``_prioritize``) until every query has a green driver row.
+# ``_prioritize``) until every query has a green driver row. Round 3:
+# only 5 r2-era queries (the analytics wave) plus any new round-3
+# queries are unverified — they go in front; ~45 of the back block get
+# re-verified for free.
 _DRIVER_VERIFIED = {
-    "tile_grid", "tile_grid_auto_adjust", "tile_grid_num_tiles",
-    "route_images", "route_counts", "auto_crop", "dedup_lines",
-    "dedup_stats", "dedup_lines_normalized", "merge_text", "split_chunks",
-    "caption_join", "mru_captions", "caption_upsert", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "top_customers_per_nation", "events_hourly", "events_json_extract",
-    "orders_running_total", "dedup_exact_docs", "minhash_signatures",
-    "minhash_lsh_pairs", "minhash_jaccard_verify", "simhash_signatures",
-    "emb_cosine_topk", "emb_ann_lsh_topk", "emb_ivf_topk",
-    "docs_token_stats", "docs_quality_score", "docs_lang_id",
-    "docs_fingerprint", "docs_winnow_fingerprint", "ml_face_route",
-    "customers_without_orders", "active_customers_semi", "partkey_set_ops",
-    "brand_type_rollup", "priority_pivot", "events_sessionize",
-    "lineitem_quantiles", "orders_date_parts", "part_string_funcs",
-    "docs_bpe_tokens", "emb_near_dup_pairs", "q7_volume_shipping",
-    "q10_returned_items", "customer_cube",
-    # distinct_sketches got an r1 row (rows-only); it now has a real
-    # oracle, but the front block must stay <= 50 (the driver's per-round
-    # cap) so every never-checked query gets a row. It rotates forward in
-    # round 3.
-    "distinct_sketches",
+    "active_customers_semi", "asof_latest_order", "asof_next_order_30d",
+    "auto_crop", "brand_type_rollup", "caption_join", "caption_upsert",
+    "csv_roundtrip_orders", "customer_cube", "customer_order_gaps",
+    "customer_upsert_merge", "customer_value_ntiles",
+    "customers_without_orders", "dedup_exact_docs", "dedup_lines",
+    "dedup_lines_normalized", "dedup_stats", "distinct_sketches",
+    "docs_bpe_tokens", "docs_clean_pii", "docs_decontaminate",
+    "docs_dedup_survivors", "docs_dup_components", "docs_fingerprint",
+    "docs_lang_id", "docs_length_histogram", "docs_ngram_jaccard_pairs",
+    "docs_quality_score", "docs_repetition_metrics", "docs_shard_packing",
+    "docs_split_counts", "docs_stratified_sample", "docs_tfidf_topterms",
+    "docs_token_rarity", "docs_token_stats", "docs_train_val_split",
+    "docs_winnow_fingerprint", "emb_ann_lsh_topk", "emb_cosine_topk",
+    "emb_ivf_fullprobe_equiv", "emb_ivf_topk", "emb_ivf_trained_topk",
+    "emb_label_centroids", "emb_near_dup_components", "emb_near_dup_pairs",
+    "event_followups_within_hour", "events_daily_from_hourly",
+    "events_gap_fill_ffill", "events_hourly", "events_json_extract",
+    "events_sessionize", "lineitem_grouping_sets", "lineitem_quantiles",
+    "merge_text", "minhash_jaccard_verify", "minhash_lsh_pairs",
+    "minhash_signatures", "ml_face_route", "mm_decode_meta",
+    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_wav_roundtrip",
+    "mru_captions", "names_union_all", "orc_roundtrip_lineitem",
+    "orders_date_parts", "orders_running_total", "orders_stream_counts",
+    "orders_trailing_30d", "part_string_funcs", "partkey_set_ops",
+    "parts_above_brand_avg", "priority_pivot", "q10_returned_items",
+    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_qty_revenue", "q18_large_volume", "q19_disjunctive",
+    "q1_pricing_summary", "q21_waiting_suppliers",
+    "q22_inactive_high_balance", "q3_shipping_priority",
+    "q4_order_priority", "q5_regional_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "route_counts", "route_images", "salted_event_stats",
+    "simhash_signatures", "split_chunks", "tile_grid",
+    "tile_grid_auto_adjust", "tile_grid_num_tiles",
+    "top_customers_per_nation", "value_percentiles_sketch",
 }
 
 

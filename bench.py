@@ -4,11 +4,14 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall over all queries. ``headline_total`` is
-the subtotal over the round-1 25-query headline set — the
-like-for-like number against BASELINE.md / BENCH_r01 (28.68 s), kept
-because round 2 widened the bench to the full query surface (verdict
-item 7) and the grand total is not comparable across that change.
+``value`` and ``queries`` cover the round-1 25-query headline set —
+the like-for-like basis against BASELINE.md / BENCH_r01 (28.68 s).
+The line is kept COMPACT on purpose: the driver captures only the
+tail of bench output and json-parses it, and round 2's
+all-105-query line overflowed that window (BENCH_r02 recorded
+``parsed: null``). Full per-query timings for the whole surface are
+written to BENCH_DETAIL.json in the repo root instead, with
+``all_total`` / ``n_queries`` echoed in the printed line.
 """
 
 from __future__ import annotations
@@ -84,8 +87,11 @@ def main() -> None:
         spark.catalog.clearCache()
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "all_queries_total_wall",
                 "value": round(total, 3),
@@ -94,8 +100,24 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "headline_total": round(headline_total, 3),
-                "headline_queries": len(HEADLINE),
-            }
+            },
+            fh,
+            indent=1,
+        )
+    # Compact line: headline subset only, so the whole line fits the
+    # driver's tail-capture window (~2.8 KB) and parses.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(headline_total, 3),
+                "unit": "sec",
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "sf": sf,
+                "all_total": round(total, 3),
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
         )
     )
 
