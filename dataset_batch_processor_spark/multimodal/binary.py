@@ -118,26 +118,34 @@ def register_codec(fmt: str, decoder: Callable[[bytes], np.ndarray]) -> None:
     CODECS[fmt.lower()] = decoder
 
 
-def decode_any(fmt: str, content: bytes) -> np.ndarray:
-    """Decode with content sniffing before extension dispatch (the
-    same robustness PIL gives the reference: magic bytes win over the
-    filename). Currently sniffs the rawrgb container; real codecs
-    added via register_codec get dispatched by format name."""
+def _sniff_format(content: bytes) -> str | None:
+    """Magic bytes -> registry key (the same robustness PIL gives the
+    reference: content wins over the filename)."""
     if content[:4] == RAWRGB_MAGIC:
-        return decode_rawrgb(content)
+        return "rawrgb"
     if content[: len(_png.SIGNATURE)] == _png.SIGNATURE:
-        return _png.decode_png(content)
+        return "png"
     if content[:6] in (b"GIF87a", b"GIF89a"):
-        return _gif.decode_gif(content)
+        return "gif"
     if content[:2] == b"\xff\xd8":
-        return _jpeg.decode_jpeg(content)
+        return "jpeg"
     if content[:2] == b"BM":
-        return _extra.decode_bmp(content)
+        return "bmp"
     if content[:2] == b"P6":
-        return _extra.decode_ppm(content)
+        return "ppm"
     if content[:4] in (b"II*\x00", b"MM\x00*"):
-        return _tiff.decode_tiff(content)
-    return CODECS[fmt.lower()](content)
+        return "tiff"
+    return None
+
+
+def decode_any(fmt: str, content: bytes) -> np.ndarray:
+    """Decode with content sniffing before extension dispatch. The
+    sniff only picks the registry KEY — dispatch always goes through
+    CODECS, so a codec installed via register_codec (e.g. a
+    libjpeg-turbo binding that handles progressive JPEGs) overrides
+    the built-in pure-Python decoders for sniffed content too."""
+    key = _sniff_format(content) or fmt.lower()
+    return CODECS[key](content)
 
 
 # ------------------------------------------------------------- pixel kernels

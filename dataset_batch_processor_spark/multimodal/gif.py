@@ -52,7 +52,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
             prev = None
             continue
         if code == end_code:
-            return out
+            # Mirror the data-starvation path: an end_code before w*h
+            # pixels were emitted is a truncated stream, and returning
+            # the full uninitialized buffer would defeat decode_gif's
+            # len(idx) < w*h check (garbage pixels / palette IndexError
+            # instead of the ValueError->quarantine contract).
+            return out[:n_out] if n_out < n_pixels else out
         if code < len(table) and (code <= end_code or table[code]):
             entry = table[code]
         elif code == next_code and prev is not None:

@@ -99,13 +99,27 @@ def connected_components(
         .localCheckpoint()
     )
     # Witness: both star steps map each edge (u,v) -> (v, m) with
-    # m <= u, so sum(hi+lo) is non-increasing and unchanged iff the
-    # round was the identity (= star fixed point). One scalar agg per
-    # round, computed on the same materialization as the checkpoint.
-    prev = cur.agg(F.sum(F.col("hi") + F.col("lo"))).collect()[0][0]
+    # m <= u, so (count, sum(hi+lo)) is non-increasing and unchanged
+    # iff the round was the identity (= star fixed point). The sum
+    # accumulates in DECIMAL(38,0): a bigint sum wraps silently at
+    # very large edge counts x id magnitudes, and a wrap could make
+    # two different rounds compare equal and stop contraction early
+    # with wrong labels. One scalar agg per round, computed on the
+    # same materialization as the checkpoint.
+    def _witness(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(
+                F.col("hi").cast("decimal(38,0)")
+                + F.col("lo").cast("decimal(38,0)")
+            ),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev = _witness(cur)
     for _ in range(max_iters):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        new = cur.agg(F.sum(F.col("hi") + F.col("lo"))).collect()[0][0]
+        new = _witness(cur)
         if new == prev:
             break
         prev = new

@@ -62,11 +62,13 @@ def asof_join(
     )
     # order: time asc, right rows BEFORE left rows at equal time
     # (so an exactly-simultaneous right row matches), right ties by
-    # the last right_col (assumed monotone id) via a secondary sort
-    tie = F.coalesce(F.col(f"_r_{right_cols[0]}").cast("long"), F.lit(-1))
+    # the raw first right_col (any orderable type — a cast-to-long
+    # would NULL non-numeric ids and break tie determinism); `last`
+    # then picks the largest id among equal-timestamp right rows.
+    tie = F.col(f"_r_{right_cols[0]}")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_side").desc(), tie)
+        .orderBy(F.col("_t"), F.col("_side").desc(), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)
@@ -121,10 +123,14 @@ def asof_join_forward(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias("_r_ts"),
     )
-    tie = F.coalesce(F.col(f"_r_{right_cols[0]}").cast("long"), F.lit(-1))
+    # Tie-break among right rows sharing a timestamp by the raw first
+    # right column (any orderable type). A cast-to-long here would
+    # NULL out non-numeric ids and make tie resolution nondeterministic;
+    # nulls sort first so genuinely-null ids still order stably.
+    tie = F.col(f"_r_{right_cols[0]}")
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), tie.asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), tie.asc_nulls_first())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     carried = lt.unionByName(rt).select(

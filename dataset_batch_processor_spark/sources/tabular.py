@@ -33,8 +33,48 @@ from .. import catalog
 CORRUPT_COL = "_corrupt_record"
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
-    """Distributed CSV write (one part per partition, errorifexists)."""
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    allow_embedded_newlines: bool = False,
+) -> None:
+    """Distributed CSV write (one part per partition, errorifexists).
+
+    CONSTRAINT: the companion :func:`read_csv` is line-based (one
+    record per physical line, splittable at 100 TB). The CSV writer
+    legally quotes string values containing newlines, which a
+    line-based reader would silently shred into quarantine. So by
+    default this writer REJECTS embedded newlines at write time: each
+    string column is wrapped in an inline ``raise_error`` guard —
+    evaluated during the same write scan, no extra pass over the data.
+    Pass ``allow_embedded_newlines=True`` only when the consumer will
+    use :func:`read_csv_multiline` (non-splittable scan) instead.
+    """
+    if not allow_embedded_newlines:
+        guarded = [
+            F.when(
+                F.col(f.name).contains("\n") | F.col(f.name).contains("\r"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"write_csv: embedded newline in column "
+                            f"'{f.name}' breaks the line-based read_csv "
+                            "roundtrip; pass allow_embedded_newlines=True "
+                            "and read back with read_csv_multiline. "
+                            "Offending value: "
+                        ),
+                        F.col(f.name),
+                    )
+                ).cast("string"),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.dataType.simpleString() == "string"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df = df.select(*guarded)
     df.write.mode("errorifexists").option("header", str(header).lower()).csv(
         path
     )
@@ -84,6 +124,30 @@ def read_csv(
         F.col(f"r.{CORRUPT_COL}").isNotNull()
     ).select(F.col("value").alias("raw_line"))
     return clean, quarantined
+
+
+def read_csv_multiline(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Native CSV reader with ``multiLine=true`` — the fallback for
+    data written with ``allow_embedded_newlines=True``. Records may
+    span physical lines (quoted newlines parse correctly), at the
+    cost of a NON-SPLITTABLE scan (one task per file — partition the
+    write so files stay executor-sized) and no raw-line quarantine
+    (the native corrupt-record column can't be projected alone
+    without caching; use ``mode="DROPMALFORMED"`` or ``"FAILFAST"``
+    to pick a malformed-row policy instead)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("mode", mode)
+        .csv(path)
+    )
 
 
 def write_orc(df: DataFrame, path: str) -> None:

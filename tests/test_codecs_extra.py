@@ -210,3 +210,48 @@ def test_cross_format_convert_chain(spark):
     png_out = binary.convert_batch(df3, "png").collect()[0]
     assert png_out.error is None
     assert np.array_equal(png.decode_png(bytes(png_out.content)), expected)
+
+
+def test_gif_early_end_code_is_truncation_error():
+    # An LZW stream that emits end_code after only half the pixels
+    # must raise decode_gif's truncated-stream ValueError (quarantine
+    # contract), not return uninitialized garbage pixels.
+    idx = np.ones((6, 6), dtype=np.uint8)
+    h, w = idx.shape
+    pbits, min_code_size = 3, 3
+    pal = np.zeros((8, 3), dtype=np.uint8)
+    pal[:8] = PALETTE
+    lzw = _pack_lzw_clear_per_code(idx.ravel()[: (h * w) // 2], min_code_size)
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    stream = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (pbits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size])
+        + sub
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        gif.decode_gif(stream)
+
+
+def test_registered_codec_overrides_sniffed_builtin():
+    # register_codec must win even when magic-byte sniffing identifies
+    # the format (e.g. a real libjpeg binding replacing the pure-Python
+    # decoder for content whose magic matches).
+    arr = _rand(3, 3, seed=21)
+    payload = codecs_extra.encode_bmp(arr)
+    sentinel = np.zeros((1, 1, 3), dtype=np.uint8)
+    try:
+        binary.register_codec("bmp", lambda b: sentinel)
+        assert binary.decode_any("bmp", payload) is sentinel
+        # wrong extension, sniffed content: override still reached
+        assert binary.decode_any("xyz", payload) is sentinel
+    finally:
+        binary.register_codec("bmp", codecs_extra.decode_bmp)
+    assert np.array_equal(binary.decode_any("xyz", payload), arr)

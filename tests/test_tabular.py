@@ -66,3 +66,22 @@ def test_write_csv_refuses_overwrite(spark, tmp_path):
     except Exception:
         raised = True
     assert raised and os.path.isdir(path)
+
+
+def test_write_csv_rejects_embedded_newlines(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a\nb")], "id INT, s STRING")
+    try:
+        tabular.write_csv(df, str(tmp_path / "bad"))
+        raised = None
+    except Exception as e:  # Py4J wraps the executor-side raise_error
+        raised = str(e)
+    assert raised is not None and "embedded newline" in raised
+
+
+def test_csv_multiline_roundtrip(spark, tmp_path):
+    rows = [(1, "plain"), (2, "has\nnewline"), (3, "and\r\nboth")]
+    df = spark.createDataFrame(rows, "id INT, s STRING")
+    path = str(tmp_path / "ml")
+    tabular.write_csv(df, path, allow_embedded_newlines=True)
+    back = tabular.read_csv_multiline(spark, path, "id INT, s STRING")
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)

@@ -71,3 +71,23 @@ def test_asof_one_shuffle(spark):
         left, right, on="key", left_ts="t", right_ts="rt", right_cols=["rid"]
     )
     assert explain.count_exchanges(out) <= 1
+
+
+def test_asof_tie_break_on_string_ids(spark):
+    # Non-numeric right-id columns must still resolve timestamp ties
+    # deterministically (a cast-to-long tie key would NULL them out).
+    left = spark.createDataFrame([Row(key=1, t=ts("2024-01-01T12:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(key=1, rt=ts("2024-01-01T12:00:00"), rname="alpha"),
+            Row(key=1, rt=ts("2024-01-01T12:00:00"), rname="zeta"),
+        ]
+    )
+    back = temporal.asof_join(
+        left, right, on="key", left_ts="t", right_ts="rt", right_cols=["rname"]
+    )
+    assert back.collect()[0].asof_rname == "zeta"  # largest id wins
+    fwd = temporal.asof_join_forward(
+        left, right, on="key", left_ts="t", right_ts="rt", right_cols=["rname"]
+    )
+    assert fwd.collect()[0].asof_rname == "alpha"  # smallest id wins
