@@ -75,6 +75,22 @@ SELECT doc_id,
 FROM chars
 """
 
+def _fanout(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """doc_id-only fan-out ahead of a CPU-bound Python kernel.
+
+    The documents scan is one small parquet file -> 1-2 input
+    partitions, so without this every codec kernel below runs on one
+    or two cores (mm_jpeg_roundtrip measured 13.2 s at sf0.1 that
+    way). Repartitioning JUST the 8-byte ids costs a trivial shuffle
+    and spreads the per-row encode/decode across all slots — the same
+    shape a 1000-executor decode stage needs, where the scan
+    parallelism (file count) and the kernel parallelism (CPU) are
+    unrelated quantities."""
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # -------------------------------------------------- real-codec roundtrip
 # Unlike mm_decode_meta's fake decoder, this drives the REAL PNG codec
 # (multimodal/png.py) under the driver's hash gate: each doc_id yields a
@@ -92,7 +108,7 @@ def _q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import binary, png
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,7 +162,7 @@ def _q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import av
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,7 +217,7 @@ def _q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import binary, jpeg
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
