@@ -37,11 +37,14 @@ from dataset_batch_processor_spark.operators import (
     dedup as dedup_ops,
     merge as merge_ops,
     mlfilter,
+    quantize,
     relational,
     relational2,
     relational3,
     relational4,
+    relational5,
     routing,
+    search,
     similarity,
     temporal,
     textanalysis,
@@ -230,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational2.QUERIES)
     q.update(relational3.QUERIES)
     q.update(relational4.QUERIES)
+    q.update(relational5.QUERIES)
+    q.update(search.QUERIES)
+    q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
     q.update(curation.QUERIES)
     q.update(mm_queries.QUERIES)
@@ -307,6 +313,9 @@ FROM images_meta GROUP BY 1
     o.update(relational2.ORACLES)
     o.update(relational3.ORACLES)
     o.update(relational4.ORACLES)
+    o.update(relational5.ORACLES)
+    o.update(search.ORACLES)
+    o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
     o.update(curation.ORACLES)
     o.update(mm_queries.ORACLES)

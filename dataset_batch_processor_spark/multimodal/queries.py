@@ -257,15 +257,79 @@ SELECT doc_id,
 FROM documents
 """
 
+# Resize stage under the hash gate: decode (real PNG codec) ->
+# nearest-neighbor resize to a fixed 8x8 thumbnail (binary.
+# resize_nearest: src row = y*h//8, src col = x*w//8 — pure integer
+# index math) -> re-encode -> decode -> checksum. The DuckDB oracle
+# replays the same integer index arithmetic in closed form over the
+# deterministic gradient, so a hash match proves decode, the resize
+# kernel's index selection, AND the second encode/decode roundtrip.
+
+RESIZE_ROUNDTRIP_SCHEMA = "doc_id long, width int, height int, pix_sum bigint"
+
+RESIZE_OUT = 8
+
+
+def _q_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, png
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 4, d % 13 + 4
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                small = binary.resize_nearest(
+                    binary.decode_any("png", png.encode_png(arr)),
+                    RESIZE_OUT,
+                    RESIZE_OUT,
+                )
+                dec = binary.decode_any("png", png.encode_png(small))
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "pix_sum": int(dec.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    return docs.mapInPandas(run, schema=RESIZE_ROUNDTRIP_SCHEMA)
+
+
+RESIZE_ROUNDTRIP_DUCK = f"""
+SELECT doc_id,
+       CAST({RESIZE_OUT} AS INT) AS width,
+       CAST({RESIZE_OUT} AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, {RESIZE_OUT - 1}), y ->
+         list_sum(list_transform(generate_series(0, {RESIZE_OUT - 1}), x ->
+           list_sum(list_transform([0,1,2], c ->
+             (doc_id + 3 * ((x * (doc_id % 16 + 4)) // {RESIZE_OUT})
+                     + 7 * ((y * (doc_id % 13 + 4)) // {RESIZE_OUT})
+                     + 11 * c) % 256)))))) AS BIGINT) AS pix_sum
+FROM documents
+"""
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
+    "mm_resize_roundtrip": _q_resize_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
+    "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,
 }

@@ -369,6 +369,56 @@ FROM bits GROUP BY doc_id
 """
 
 
+# --------------------------------------------- candidate-graph statistics
+# Degree histogram of the LSH candidate graph — the health check run
+# before committing to a dedup pass: a heavy tail here means a hub
+# bucket (stop-shingle or boilerplate) is about to quadratically
+# explode the verify stage, and the banding parameters need tightening
+# BEFORE the 100 TB join, not after. Linear in |pairs|: two
+# aggregations over the pair list, no re-join against the corpus.
+
+
+def graph_degree_stats(docs: DataFrame) -> DataFrame:
+    pairs = lsh_pairs_df(docs)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_degree_stats(catalog.load_table(spark, sf_dir, "documents"))
+
+
+DEGREE_STATS_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b AS node FROM pairs
+  )
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
 def _run(sql: str):
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
@@ -385,6 +435,7 @@ QUERIES = {
     "minhash_lsh_pairs": _q_lsh_pairs,
     "minhash_jaccard_verify": _q_jaccard,
     "simhash_signatures": _run(SIMHASH_SPARK),
+    "dup_graph_degree_stats": _q_degree_stats,
 }
 
 ORACLES = {
@@ -393,4 +444,5 @@ ORACLES = {
     "minhash_lsh_pairs": LSH_PAIRS_DUCK,
     "minhash_jaccard_verify": JACCARD_DUCK,
     "simhash_signatures": SIMHASH_DUCK,
+    "dup_graph_degree_stats": DEGREE_STATS_DUCK,
 }

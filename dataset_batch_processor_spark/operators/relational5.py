@@ -1,0 +1,136 @@
+"""Fifth relational wave: order statistics and robust-stats shapes.
+
+Reference parity: the reference's stats panel reports medians and
+most-common values over batch outputs (run summary counters,
+/root/reference/modules/other_tasks.py aggregate prints); these are
+the scalable formulations of those summaries, plus the anomaly-flag
+rollup a monitoring pipeline runs over event streams.
+
+- orders_median_by_priority: EXACT interpolated median + p90 per
+  group. Both engines interpolate `lo + (hi - lo) * frac` in IEEE
+  double at position (n-1)*p, so values hash-match after round(6).
+  Scale: percentile is a sort-based agg per group — one shuffle on
+  the group key; groups are few, values per group fit an executor
+  (no global sort).
+- lineitem_qty_mode: per-group mode CONSTRUCTED explicitly
+  (count -> row_number -> rn=1) instead of an engine mode() whose tie
+  rules differ; ties resolve to the smallest value. Two shuffles
+  (count, then 5-row window), map-side combine does the heavy lift.
+- events_anomaly_hours: hourly count z-score flags, INTEGER-EXACT:
+  |z| > 3 tested as (n*cnt - s)^2 > 9*(n*ss - s^2) over bigint
+  counts — no sqrt, no float accumulation, hash-stable by
+  construction. Two aggs (hourly counts, per-type moments) + one
+  broadcast-sized join back.
+
+Quantities are floored before casting: Spark CAST(double AS INT)
+truncates while DuckDB rounds, so an explicit floor() keeps both
+engines on the same integer.
+"""
+
+from __future__ import annotations
+
+from .relational2 import _run
+
+MEDIAN_SPARK = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(percentile(o_totalprice, 0.5), 6) AS DOUBLE)
+           AS median_price,
+       CAST(round(percentile(o_totalprice, 0.9), 6) AS DOUBLE)
+           AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+MEDIAN_DUCK = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(quantile_cont(o_totalprice, 0.5), 6) AS DOUBLE)
+           AS median_price,
+       CAST(round(quantile_cont(o_totalprice, 0.9), 6) AS DOUBLE)
+           AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+MODE_SPARK = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS INT) AS qty,
+         count(*) AS n
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(floor(l_quantity) AS INT)
+)
+SELECT l_returnflag, qty AS mode_qty, n AS n_occurrences
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY n DESC, qty ASC
+  ) AS rn
+  FROM c
+)
+WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+MODE_DUCK = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS INT) AS qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(floor(l_quantity) AS INT)
+)
+SELECT l_returnflag, qty AS mode_qty, n AS n_occurrences
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY n DESC, qty ASC
+  ) AS rn
+  FROM c
+)
+WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+_ANOMALY_BODY = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(sum(cnt * cnt) AS BIGINT) AS totsq
+  FROM h
+  GROUP BY event_type
+)
+SELECT h.event_type,
+       {hour_fmt} AS hour,
+       cnt AS n_events,
+       ((n * cnt - tot) * (n * cnt - tot) > 9 * (n * totsq - tot * tot))
+           AS is_anomaly
+FROM h JOIN s ON h.event_type = s.event_type
+ORDER BY h.event_type, hour
+"""
+
+ANOMALY_SPARK = _ANOMALY_BODY.format(
+    hour_fmt="date_format(hr, 'yyyy-MM-dd HH:mm:ss')"
+)
+ANOMALY_DUCK = _ANOMALY_BODY.format(
+    hour_fmt="strftime(hr, '%Y-%m-%d %H:%M:%S')"
+)
+
+QUERIES = {
+    "orders_median_by_priority": _run(MEDIAN_SPARK, ("orders",)),
+    "lineitem_qty_mode": _run(MODE_SPARK, ("lineitem",)),
+    "events_anomaly_hours": _run(ANOMALY_SPARK, ("events",)),
+}
+ORACLES = {
+    "orders_median_by_priority": MEDIAN_DUCK,
+    "lineitem_qty_mode": MODE_DUCK,
+    "events_anomaly_hours": ANOMALY_DUCK,
+}

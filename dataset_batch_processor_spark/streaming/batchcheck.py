@@ -70,9 +70,77 @@ ORDER BY o_orderpriority
 """
 
 
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet through a streaming event-time tumbling window.
+
+    Unlike streaming_priority_counts (plain keyed agg), this exercises
+    the event-TIME path: the nanosecond timestamps are floored to
+    micros in-stream (same transform as catalog.load_events), then
+    window()-bucketed — the state layout a watermarked production
+    stream uses. availableNow + complete mode makes the result
+    batch-identical, which the DuckDB hash gate then proves against
+    relational.EVENTS_HOURLY_SQL semantics."""
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="dbp_stream_ev_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT hour, event_type, n_events, sum_value FROM {name} "
+        "ORDER BY hour, event_type"
+    )
+
+
+STREAM_HOURLY_DUCK = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
 QUERIES = {
     "orders_stream_counts": streaming_priority_counts,
+    "events_stream_hourly": streaming_hourly_events,
 }
 ORACLES = {
     "orders_stream_counts": STREAM_COUNTS_DUCK,
+    "events_stream_hourly": STREAM_HOURLY_DUCK,
 }
