@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dataset_batch_processor_spark import catalog
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
+from dataset_batch_processor_spark.sources import jsonl as jsonl_ops
 from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
@@ -241,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mm_queries.QUERIES)
     q.update(storage_ops.QUERIES)
     q.update(tabular_ops.QUERIES)
+    q.update(jsonl_ops.QUERIES)
     q.update(stream_check.QUERIES)
     q.update(analytics.QUERIES)
     return _prioritize(q)
@@ -321,6 +323,7 @@ FROM images_meta GROUP BY 1
     o.update(mm_queries.ORACLES)
     o.update(storage_ops.ORACLES)
     o.update(tabular_ops.ORACLES)
+    o.update(jsonl_ops.ORACLES)
     o.update(stream_check.ORACLES)
     o.update(analytics.ORACLES)
     return _prioritize(o)

@@ -39,7 +39,7 @@ materializes O(cluster²) rows and is no scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -266,13 +266,88 @@ ORDER BY vec_id
     )
 
 
+# ------------------------------------------- quality-ranked survivors
+# Keep-BEST dedup (vs dedup_survivors' keep-min-id): the canonical
+# member of each dup cluster is the longest document (tie -> smallest
+# id) — the policy an LLM-data pipeline actually wants, since near-dup
+# clusters usually contain truncated variants of one source page.
+# Same CC labels; one extra broadcast-sized window over cluster
+# members only (|members| << |corpus|).
+
+
+def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    pairs = lsh_pairs_df(docs)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    members = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("keep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keep_chars"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("comp").alias("component"),
+            "keep_doc_id",
+            "keep_chars",
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+KEEP_LONGEST_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + """,
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp
+  FROM reach GROUP BY node
+),
+members AS (
+  SELECT l.node, l.comp, d.n_chars,
+         row_number() OVER (
+           PARTITION BY l.comp ORDER BY d.n_chars DESC, l.node ASC
+         ) AS rn
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+)
+SELECT comp AS component,
+       CAST(max(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_doc_id,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM members
+GROUP BY comp
+ORDER BY component
+"""
+)
+
+
 QUERIES = {
     "docs_dup_components": _q_dup_components,
     "docs_dedup_survivors": _q_dedup_survivors,
     "emb_near_dup_components": _q_emb_components,
+    "docs_dedup_keep_longest": _q_dedup_keep_longest,
 }
 ORACLES = {
     "docs_dup_components": DUP_COMPONENTS_DUCK,
     "docs_dedup_survivors": DEDUP_SURVIVORS_DUCK,
     "emb_near_dup_components": _emb_components_duck(),
+    "docs_dedup_keep_longest": KEEP_LONGEST_DUCK,
 }

@@ -140,11 +140,51 @@ SELECT doc_id, n_tokens,
 FROM packed
 """
 
+# Weighted sampling without replacement, deterministic: rank every doc
+# by hash-uniform / weight and take the k smallest — the fixed-seed
+# analogue of A-ES reservoir sampling (longer docs proportionally more
+# likely), except fully rerunnable: same corpus -> same sample, on any
+# cluster size. The ranking key never leaves the plan (output columns
+# are integers), so float association can't touch the driver hash.
+# Scale: map-side key computation + global top-k
+# (TakeOrderedAndProject: per-partition heaps, k-row driver merge).
+
+WEIGHTED_K = 50
+
+WEIGHTED_SPARK = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+              AS BIGINT) % 1000000000 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS r
+  FROM documents
+  WHERE n_chars > 0
+)
+ORDER BY r ASC, doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+WEIGHTED_DUCK = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000000 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS r
+  FROM documents
+  WHERE n_chars > 0
+)
+ORDER BY r ASC, doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
     "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
     "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
     "docs_shard_packing": _q_shard_packing,
+    "docs_weighted_sample": _run(WEIGHTED_SPARK, ("documents",)),
 }
 
 ORACLES = {
@@ -152,4 +192,5 @@ ORACLES = {
     "docs_split_counts": SPLIT_COUNTS_DUCK,
     "docs_stratified_sample": STRATIFIED_DUCK,
     "docs_shard_packing": SHARD_DUCK,
+    "docs_weighted_sample": WEIGHTED_DUCK,
 }

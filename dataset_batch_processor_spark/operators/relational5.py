@@ -124,13 +124,44 @@ ANOMALY_DUCK = _ANOMALY_BODY.format(
     hour_fmt="strftime(hr, '%Y-%m-%d %H:%M:%S')"
 )
 
+# Sliding-window activity: 3-hour windows advancing hourly — the
+# batch form of the watermarked sliding aggregation Structured
+# Streaming runs (each event lands in exactly 3 hour-aligned
+# windows). Spark: native window() expression (one explode + one agg,
+# both map-side expandable). Oracle: explicit 3-way window-start
+# expansion, which is precisely window()'s defined semantics for
+# windowDuration=3h, slideDuration=1h. countDistinct shuffles
+# (window_start, user) pre-agg first — the two-level exact-distinct
+# plan that survives skew at scale.
+
+SLIDING_SPARK = """
+SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY window(ts, '3 hours', '1 hour')
+ORDER BY window_start
+"""
+
+SLIDING_DUCK = """
+SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events, (SELECT unnest([0, 1, 2]) AS k) t
+GROUP BY 1
+ORDER BY window_start
+"""
+
 QUERIES = {
     "orders_median_by_priority": _run(MEDIAN_SPARK, ("orders",)),
     "lineitem_qty_mode": _run(MODE_SPARK, ("lineitem",)),
     "events_anomaly_hours": _run(ANOMALY_SPARK, ("events",)),
+    "events_sliding_active_users": _run(SLIDING_SPARK, ("events",)),
 }
 ORACLES = {
     "orders_median_by_priority": MEDIAN_DUCK,
     "lineitem_qty_mode": MODE_DUCK,
     "events_anomaly_hours": ANOMALY_DUCK,
+    "events_sliding_active_users": SLIDING_DUCK,
 }

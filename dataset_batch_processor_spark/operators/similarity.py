@@ -753,3 +753,91 @@ def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb_ivf_fullprobe_equiv"] = _q_ivf_fullprobe
 ORACLES["emb_ivf_fullprobe_equiv"] = BRUTE_FORCE_DUCK
+
+
+# ------------------------------------------------- label-blocked kNN
+# Blocked exact kNN: neighbors are only sought INSIDE each label
+# partition — the standard blocking trick when a coarse category
+# (language, domain, modality cluster) is known a priori. The cross
+# product collapses from n^2 to sum(n_label^2), and the join is a
+# plain equi-join on label: co-partitioned, no broadcast of the
+# corpus, each block's pairs generated shuffle-locally. Queries are
+# restricted to vec_id % QUERY_MOD like brute_force_topk, so cost is
+# |queries| x |their block|, linear in corpus for fixed block sizes.
+
+LABEL_TOP_K = 3
+
+
+def label_blocked_knn(
+    emb: DataFrame, k: int = LABEL_TOP_K, query_mod: int = QUERY_MOD,
+    vectorized: bool = False,
+) -> DataFrame:
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cands = emb.select(
+        F.col("label").alias("label_c"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pairs = queries.join(
+        cands,
+        (F.col("label") == F.col("label_c"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "label",
+        "query_id",
+        F.col("neighbor_id"),
+        _cos_expr(F.col("q_emb"), F.col("c_emb"), vectorized).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _q_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_blocked_knn(
+        catalog.load_table(spark, sf_dir, "embeddings"), vectorized=False
+    )
+
+
+LABEL_KNN_DUCK = f"""
+WITH queries AS (
+  SELECT label, vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT q.label, q.query_id, e.vec_id AS neighbor_id, q.q_emb,
+         e.embedding AS c_emb
+  FROM embeddings e JOIN queries q
+    ON e.label = q.label AND e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT label, query_id, neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))),
+           6) AS cos_sim
+  FROM pairs
+)
+SELECT label, query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {LABEL_TOP_K}
+"""
+
+QUERIES["emb_label_knn"] = _q_label_knn
+ORACLES["emb_label_knn"] = LABEL_KNN_DUCK

@@ -53,3 +53,48 @@ def split_jsonl_preserving_lines(
     return split_chunks(lines, records_per_file).join(
         lines, ["line_no", "input_file"]
     )
+
+
+# ------------------------------------------------- roundtrip query
+# Same proof pattern as tabular.py's CSV/ORC roundtrips: write ->
+# read -> aggregate inside the query, oracle aggregates the ORIGINAL
+# parquet, so any serialization drift breaks the hash. JSON is the
+# interchange format most corpus payloads actually arrive in; the
+# read path is the quarantine-capable read_jsonl with an EXPLICIT
+# schema (schema inference = a second full scan, banned at 100 TB).
+
+JSONL_ORDERS_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE"
+)
+
+_JSONL_AGG = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS total_price
+FROM {src}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from .. import catalog
+
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dbp_jsonl_rt_") + "/orders"
+    orders.write.mode("errorifexists").json(path)
+    back = read_jsonl(spark, path, JSONL_ORDERS_SCHEMA)
+    back.createOrReplaceTempView("jsonl_orders_rt")
+    return spark.sql(_JSONL_AGG.format(src="jsonl_orders_rt"))
+
+
+JSONL_ROUNDTRIP_DUCK = _JSONL_AGG.format(src="orders")
+
+QUERIES = {"jsonl_roundtrip_orders": _q_jsonl_roundtrip}
+ORACLES = {"jsonl_roundtrip_orders": JSONL_ROUNDTRIP_DUCK}

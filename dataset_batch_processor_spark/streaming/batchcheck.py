@@ -144,3 +144,53 @@ ORACLES = {
     "orders_stream_counts": STREAM_COUNTS_DUCK,
     "events_stream_hourly": STREAM_HOURLY_DUCK,
 }
+
+
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates + keyed agg under the hash gate.
+
+    dropDuplicates on (user_id, event_type) exercises the streaming
+    DEDUPLICATION state store (a different operator than the agg
+    state the other two queries cover); the downstream count per
+    event_type must then equal batch count(DISTINCT user_id). A
+    production deployment bounds the dedup state with
+    dropDuplicatesWithinWatermark; availableNow over a finite
+    backlog is the unbounded-state batch-parity case."""
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="dbp_stream_dd_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    agg = (
+        src.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT event_type, n_users FROM {name} ORDER BY event_type"
+    )
+
+
+STREAM_DEDUP_DUCK = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_stream_dedup"] = streaming_dedup_users
+ORACLES["events_stream_dedup"] = STREAM_DEDUP_DUCK

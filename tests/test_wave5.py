@@ -97,3 +97,70 @@ def test_resize_nearest_matches_oracle_index_math():
     assert np.array_equal(
         binary.decode_any("png", png.encode_png(small)), small
     )
+
+
+def test_keep_longest_prefers_longest_then_smallest_id(spark):
+    from dataset_batch_processor_spark.operators import components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id bigint, n_chars bigint",
+    )
+    labels = components.connected_components(edges, src="doc_a", dst="doc_b")
+    members = labels.join(
+        docs.withColumnRenamed("doc_id", "node"), "node"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("node"))
+    keep = {
+        r.comp: r.node
+        for r in members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 9 chars -> keep 2 (smaller id)
+    # cluster {10,11}: tie at 4 -> keep 10
+    assert keep == {1: 2, 10: 10}
+
+
+def test_label_knn_stays_inside_label_block(spark):
+    from dataset_batch_processor_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),     # query (vec_id % 50 == 0), label 1
+            (1, [1.0, 0.1], 1),     # near, same label
+            (2, [0.9, 0.0], 1),     # same label
+            (3, [1.0, 0.0], 2),     # IDENTICAL direction but other label
+            (50, [0.0, 1.0], 2),    # query, label 2
+            (4, [0.1, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.label_blocked_knn(emb, k=2)
+    rows = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert (0, 3) not in rows          # cross-label never returned
+    assert (0, 1) in rows and (0, 2) in rows
+    assert (50, 4) in rows and (50, 3) in rows
+
+
+def test_sliding_window_spans_three_hours(spark):
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(7, "click", datetime.datetime(2024, 1, 1, 5, 30))],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    out = _run_sql(spark, relational5.SLIDING_SPARK, events=ev).collect()
+    # one event -> exactly the 3 windows whose 3h span covers 05:30
+    assert [r.window_start for r in out] == [
+        "2024-01-01 03:00:00",
+        "2024-01-01 04:00:00",
+        "2024-01-01 05:00:00",
+    ]
+    assert all(r.n_users == 1 and r.n_events == 1 for r in out)
