@@ -200,3 +200,100 @@ ORACLES = {
     "emb_label_centroids": LABEL_CENTROIDS_DUCK,
     "docs_tfidf_topterms": TFIDF_DUCK,
 }
+
+
+# ------------------------------------------- mixture weights by source
+# Data-mixture accounting: per-source document/token tallies plus each
+# source's token share in parts-per-million (integer floor division so
+# the share column is hash-exact). At 100 TB this is the table a
+# training run's sampler reads to set per-domain weights. One
+# map-side tokenize + one 5-group agg; the grand total joins back as
+# a 1-row broadcast.
+
+MIXTURE_SPARK = """
+WITH sized AS (
+  SELECT source, size(split(text, ' ')) AS ntok FROM documents
+),
+tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM sized)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST((CAST(sum(ntok) AS BIGINT) * 1000000) DIV total AS BIGINT)
+           AS token_ppm
+FROM sized CROSS JOIN tot
+GROUP BY source, total
+ORDER BY source
+"""
+
+MIXTURE_DUCK = """
+WITH sized AS (
+  SELECT source, len(string_split(text, ' ')) AS ntok FROM documents
+),
+tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM sized)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST((CAST(sum(ntok) AS BIGINT) * 1000000) // total AS BIGINT)
+           AS token_ppm
+FROM sized CROSS JOIN tot
+GROUP BY source, total
+ORDER BY source
+"""
+
+# --------------------------------------- rank-surprisal quality score
+# Perplexity proxy without floats in the hot loop: every token's
+# "surprisal" is its ROW-NUMBER RANK in the global frequency table
+# (rank 1 = most common; ties broken by token text), and a document's
+# score is the mean rank over its token INSTANCES. Rare-word-heavy
+# docs score high, stopword soup scores low — the same signal a
+# unigram-LM log-prob filter gives, in exact integer arithmetic (the
+# one division is rounded at the end). The rank window runs over the
+# VOCABULARY (|vocab| << corpus); at trillion-token scale swap the
+# single window for textops.attach_global_row_number (two-pass range
+# partitioning) — the join side is unchanged.
+
+SURPRISAL_SPARK = """
+WITH toks AS (
+  SELECT doc_id, token
+  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS token
+  WHERE length(token) > 0
+),
+vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+ranked AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk
+  FROM vocab
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(rnk) AS BIGINT) AS rank_sum,
+       CAST(round(CAST(sum(rnk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS DOUBLE) AS avg_rank
+FROM toks JOIN ranked USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+SURPRISAL_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+vocab AS (SELECT token, count(*) AS c FROM toks2 GROUP BY token),
+ranked AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS rnk
+  FROM vocab
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(rnk) AS BIGINT) AS rank_sum,
+       CAST(round(CAST(sum(rnk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS DOUBLE) AS avg_rank
+FROM toks2 JOIN ranked USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["corpus_mixture_weights"] = _run(MIXTURE_SPARK, ("documents",))
+ORACLES["corpus_mixture_weights"] = MIXTURE_DUCK
+QUERIES["docs_surprisal_rank"] = _run(SURPRISAL_SPARK, ("documents",))
+ORACLES["docs_surprisal_rank"] = SURPRISAL_DUCK

@@ -236,3 +236,80 @@ ORACLES = {
     "docs_decontaminate": DECONTAMINATE_DUCK,
     "docs_ngram_jaccard_pairs": NGRAM_JACCARD_DUCK,
 }
+
+
+# --------------------------------------------- Bloom-filter decontam
+# Bloom membership screen over the SAME 8-gram space docs_decontaminate
+# checks exactly: filter bits = the union of k=3 24-bit positions
+# (independent md5 hex slices) of every EVAL gram; a train gram "hits"
+# iff all 3 of its positions are set. Per train doc the query reports
+# bloom-hit grams vs exactly-shared grams — the false-positive margin
+# is visible in the output. This is the constant-memory screen a
+# 100 TB decontam pass runs FIRST: the bit set broadcasts to every
+# executor (m sized to eval-gram count; 2^24 here, 2^32+ in
+# production), and only bloom-hit grams pay the exact join. Relational
+# formulation (position semi-join + count(DISTINCT slice) = k) keeps
+# it engine-checkable in exact integer arithmetic.
+
+_BLOOM_K = 3
+
+
+def _bloom_sql(engine: str) -> str:
+    h = _H_SPARK if engine == "spark" else _H_DUCK
+    gram_cte = (
+        DECONTAMINATE_SPARK if engine == "spark" else DECONTAMINATE_DUCK
+    )
+    # reuse everything up to and including the grams CTE
+    gram_cte = gram_cte[: gram_cte.index("eval_grams AS")].rstrip().rstrip(",")
+    slices = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, gh, {i} AS slice_id, "
+        + (
+            f"CAST(conv(substr(md5(CAST(gh AS STRING)), {1 + 6 * i}, 6), 16, 10) AS BIGINT)"
+            if engine == "spark"
+            else f"CAST(concat('0x', substr(md5(CAST(gh AS VARCHAR)), {1 + 6 * i}, 6)) AS BIGINT)"
+        )
+        + " AS pos FROM grams"
+        for i in range(_BLOOM_K)
+    )
+    return f"""{gram_cte},
+positions AS (
+{slices}
+),
+bits AS (
+  SELECT DISTINCT pos FROM positions WHERE doc_id % {EVAL_MOD} = 0
+),
+hit_grams AS (
+  SELECT p.doc_id, p.gh
+  FROM positions p JOIN bits b ON p.pos = b.pos
+  WHERE p.doc_id % {EVAL_MOD} <> 0
+  GROUP BY p.doc_id, p.gh
+  HAVING count(DISTINCT p.slice_id) = {_BLOOM_K}
+),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT h.doc_id,
+       count(*) AS n_bloom_grams,
+       CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_grams
+FROM hit_grams h LEFT JOIN eval_grams e ON h.gh = e.gh
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+BLOOM_SPARK = _bloom_sql("spark")
+BLOOM_DUCK = _bloom_sql("duck")
+
+
+def _q_bloom_decontam(spark, sf_dir):
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(BLOOM_SPARK)
+
+
+QUERIES["docs_bloom_decontam"] = _q_bloom_decontam
+ORACLES["docs_bloom_decontam"] = BLOOM_DUCK

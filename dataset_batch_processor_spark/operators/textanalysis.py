@@ -381,3 +381,62 @@ FROM (
 
 QUERIES["docs_repetition_metrics"] = _run(REPETITION_SPARK)
 ORACLES["docs_repetition_metrics"] = REPETITION_DUCK
+
+
+# ------------------------------------- content-defined chunking (CDC)
+# Rabin-style CDC over the SAME Karp-Rabin window hashes winnowing
+# builds: a chunk boundary falls wherever the rolling hash is
+# divisible by CDC_MOD (expected chunk ~ CDC_MOD chars). CDC is the
+# storage-level dedup primitive (variable-size chunks survive inserts
+# that shift byte offsets, where fixed-size blocks all change). Same
+# scale shape as winnowing: posexplode + lead() windows, all
+# JVM-native; docs shorter than the hash window are excluded like
+# winnowing excludes them.
+
+CDC_MOD = 64
+
+CDC_SPARK = f"""
+WITH codes AS (
+  SELECT doc_id, pos + 1 AS p, ascii(ch) AS c, length(text) AS n
+  FROM documents
+  LATERAL VIEW posexplode(split(text, '')) t AS pos, ch
+  WHERE length(text) >= {KR_W}
+),
+leads AS (
+  SELECT doc_id, p, n,
+         ({_KR_LEAD_TERMS}) % {KR_P} AS h
+  FROM codes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+)
+SELECT doc_id,
+       CAST(min(n) AS INT) AS n_chars,
+       CAST(sum(CASE WHEN h % {CDC_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundaries,
+       CAST(sum(CASE WHEN h % {CDC_MOD} = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_chunks
+FROM leads
+WHERE p <= n - {KR_W} + 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+CDC_DUCK = f"""
+WITH hashes AS (
+  SELECT doc_id, ({_KR_TERMS_DUCK}) % {KR_P} AS h, len(text) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - {KR_W} + 1)) AS p)
+  WHERE len(text) >= {KR_W}
+)
+SELECT doc_id,
+       CAST(min(n) AS INT) AS n_chars,
+       CAST(sum(CASE WHEN h % {CDC_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundaries,
+       CAST(sum(CASE WHEN h % {CDC_MOD} = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_chunks
+FROM hashes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["docs_cdc_chunks"] = _run(CDC_SPARK)
+ORACLES["docs_cdc_chunks"] = CDC_DUCK

@@ -164,3 +164,70 @@ def test_sliding_window_spans_three_hours(spark):
         "2024-01-01 05:00:00",
     ]
     assert all(r.n_users == 1 and r.n_events == 1 for r in out)
+
+
+def test_mixture_ppm_sums_to_million(spark):
+    from dataset_batch_processor_spark.operators import corpusstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f g h i j", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.source: (r.n_docs, r.n_tokens, r.token_ppm)
+        for r in _run_sql(
+            spark, corpusstats.MIXTURE_SPARK, documents=docs
+        ).collect()
+    }
+    assert out["s1"] == (2, 5, 500000)  # 5 of 10 tokens
+    assert out["s2"] == (1, 5, 500000)
+
+
+def test_surprisal_ranks_common_tokens_low(spark):
+    from dataset_batch_processor_spark.operators import corpusstats
+
+    # 'the' x4 -> rank 1; 'rare' x1 -> highest rank
+    docs = spark.createDataFrame(
+        [(1, "the the the the", None, None), (2, "rare the zz", None, None)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.rank_sum)
+        for r in _run_sql(
+            spark, corpusstats.SURPRISAL_SPARK, documents=docs
+        ).collect()
+    }
+    # vocab by (count desc, token asc): the(4)->1, rare(1)->2, zz(1)->3
+    assert out[1] == (4, 4)          # 4 x rank 1
+    assert out[2] == (3, 1 + 2 + 3)  # the + rare + zz
+
+
+def test_cdc_chunk_count_is_boundaries_plus_one(spark):
+    from dataset_batch_processor_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij klmnop qrstuv wxyz abcdefghij")],
+        "doc_id bigint, text string",
+    )
+    row = _run_sql(spark, textanalysis.CDC_SPARK, documents=docs).collect()[0]
+    assert row.n_chunks == row.n_boundaries + 1
+    assert row.n_chars == 40
+
+
+def test_bloom_decontam_catches_planted_contamination(spark):
+    from dataset_batch_processor_spark.operators import decontam
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail1"),                 # eval (0 % 23 == 0)
+            (1, "pre " + shared),                   # train, contaminated
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),      # train, clean
+        ],
+        "doc_id bigint, text string",
+    )
+    out = _run_sql(spark, decontam.BLOOM_SPARK, documents=docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 1 and r.n_bloom_grams >= 1
+    assert r.n_exact_grams >= 1
