@@ -218,12 +218,39 @@ PROFILE_SQL = (
 PROFILE_DUCK = PROFILE_SQL.replace("AS STRING", "AS VARCHAR")
 
 
+# --------------------------------------- SCD2 point-in-time snapshot
+# Time travel over the SCD2 dimension: reconstruct every customer's
+# priority regime as of a fixed date — the "what did the dim say when
+# this model trained" query. effective_from/to are ISO strings, so the
+# as-of predicate is a lexicographic range over the already-built
+# dimension: at scale this reads the dim table (clusters well on
+# custkey) and never re-touches the fact.
+
+SNAPSHOT_DATE = "1997-06-01"
+
+
+def _snapshot_sql(scd2_body: str) -> str:
+    dim = scd2_body.replace("ORDER BY o_custkey, version", "")
+    return f"""
+WITH dim AS ({dim})
+SELECT o_custkey, priority, version
+FROM dim
+WHERE effective_from <= '{SNAPSHOT_DATE}' AND effective_to > '{SNAPSHOT_DATE}'
+ORDER BY o_custkey
+"""
+
+
+SNAPSHOT_SPARK = _snapshot_sql(SCD2_SPARK)
+SNAPSHOT_DUCK = _snapshot_sql(SCD2_DUCK)
+
+
 QUERIES = {
     "events_funnel": _run(FUNNEL_SQL, ("events",)),
     "events_cohort_retention": _run(COHORT_SPARK, ("events",)),
     "customer_scd2_dim": _run(SCD2_SPARK, ("orders",)),
     "orders_quality_report": _run(QUALITY_SQL, ("orders", "customer")),
     "lineitem_profile": _run(PROFILE_SQL, ("lineitem",)),
+    "customer_asof_snapshot": _run(SNAPSHOT_SPARK, ("orders",)),
 }
 
 ORACLES = {
@@ -232,4 +259,5 @@ ORACLES = {
     "customer_scd2_dim": SCD2_DUCK,
     "orders_quality_report": QUALITY_SQL,
     "lineitem_profile": PROFILE_DUCK,
+    "customer_asof_snapshot": SNAPSHOT_DUCK,
 }

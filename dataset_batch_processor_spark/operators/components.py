@@ -351,3 +351,88 @@ ORACLES = {
     "emb_near_dup_components": _emb_components_duck(),
     "docs_dedup_keep_longest": KEEP_LONGEST_DUCK,
 }
+
+
+# ------------------------------------------- PageRank-lite (fixed N)
+# Three damped PageRank iterations over the symmetrized LSH candidate
+# graph in FIXED-POINT integer arithmetic: ranks are scaled by 10^6,
+# neighbor contributions use integer division — bit-identical on any
+# engine, any partitioning, any retry (float PageRank is none of
+# those). Rank here is a dup-cluster centrality: high-rank nodes are
+# the hubs the degree histogram (dup_graph_degree_stats) flags in
+# aggregate. Fixed iteration count keeps the oracle SQL-expressible
+# (chained CTEs, no recursion); each iteration is one equi-join on
+# edges + one agg — 2 shuffles per round, edges never duplicated
+# beyond the symmetric factor.
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def pagerank_lite(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r")
+    )
+    base = (15 * PR_SCALE) // 100
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, sym["u"] == ranks["node"])
+            .join(deg, "u")
+            .select("v", F.expr("r DIV d").alias("c"))
+        )
+        ranks = contrib.groupBy(F.col("v").alias("node")).agg(
+            F.expr(f"CAST({base} + (85 * sum(c)) DIV 100 AS BIGINT)").alias(
+                "r"
+            )
+        )
+    return ranks.select("node", F.col("r").alias("pagerank")).orderBy("node")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return pagerank_lite(lsh_pairs_df(docs))
+
+
+def _pagerank_duck() -> str:
+    base = (15 * PR_SCALE) // 100
+    its = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT s.v AS node,
+         CAST({base} + (85 * sum(p.r // d.d)) // 100 AS BIGINT) AS r
+  FROM sym s JOIN {prev} p ON s.u = p.node JOIN deg d ON d.u = s.u
+  GROUP BY s.v
+)"""
+        )
+        prev = f"it{i}"
+    return (
+        "WITH "
+        + _PAIRS_AS_CTE.removeprefix("WITH ")
+        + f""",
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+r0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+"""
+        + ",\n".join(its)
+        + f"""
+SELECT node, r AS pagerank FROM {prev} ORDER BY node
+"""
+    )
+
+
+PAGERANK_DUCK = _pagerank_duck()
+
+QUERIES["dup_graph_pagerank"] = _q_pagerank
+ORACLES["dup_graph_pagerank"] = PAGERANK_DUCK

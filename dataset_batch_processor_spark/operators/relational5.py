@@ -153,15 +153,83 @@ GROUP BY 1
 ORDER BY window_start
 """
 
+# Percentile bands per event type: same exact-interpolation contract
+# as orders_median_by_priority, three quantiles in one sort-based agg.
+
+EVENT_PCT_SPARK = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(percentile(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(percentile(value, 0.95), 6) AS DOUBLE) AS p95,
+       CAST(round(percentile(value, 0.99), 6) AS DOUBLE) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+EVENT_PCT_DUCK = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+       CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# First/last order per customer — the argmax/argmin shape. max_by/
+# arg_max tie rules are engine-specific, so the argmax is ENCODED:
+# epoch-day * 10^11 + orderkey is a single bigint whose min/max is
+# the lexicographic (date, key) extreme; decode with modulo. One
+# map-side-combinable agg, no window, no join — the cheapest argmax
+# formulation at any scale.
+
+FIRST_LAST_SPARK = """
+WITH enc AS (
+  SELECT o_custkey,
+         datediff(o_orderdate, TIMESTAMP '1970-01-01 00:00:00')
+             * 100000000000 + o_orderkey AS e
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(min(e) % 100000000000 AS BIGINT) AS first_orderkey,
+       CAST(max(e) % 100000000000 AS BIGINT) AS last_orderkey
+FROM enc
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+FIRST_LAST_DUCK = """
+WITH enc AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+             AS BIGINT) * 100000000000 + o_orderkey AS e
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(min(e) % 100000000000 AS BIGINT) AS first_orderkey,
+       CAST(max(e) % 100000000000 AS BIGINT) AS last_orderkey
+FROM enc
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
 QUERIES = {
     "orders_median_by_priority": _run(MEDIAN_SPARK, ("orders",)),
     "lineitem_qty_mode": _run(MODE_SPARK, ("lineitem",)),
     "events_anomaly_hours": _run(ANOMALY_SPARK, ("events",)),
     "events_sliding_active_users": _run(SLIDING_SPARK, ("events",)),
+    "events_value_percentiles": _run(EVENT_PCT_SPARK, ("events",)),
+    "customer_first_last_order": _run(FIRST_LAST_SPARK, ("orders",)),
 }
 ORACLES = {
     "orders_median_by_priority": MEDIAN_DUCK,
     "lineitem_qty_mode": MODE_DUCK,
     "events_anomaly_hours": ANOMALY_DUCK,
     "events_sliding_active_users": SLIDING_DUCK,
+    "events_value_percentiles": EVENT_PCT_DUCK,
+    "customer_first_last_order": FIRST_LAST_DUCK,
 }

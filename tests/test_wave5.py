@@ -231,3 +231,56 @@ def test_bloom_decontam_catches_planted_contamination(spark):
     r = out[0]
     assert r.doc_id == 1 and r.n_bloom_grams >= 1
     assert r.n_exact_grams >= 1
+
+
+def test_asof_snapshot_picks_active_regime(spark):
+    import datetime
+
+    from dataset_batch_processor_spark.operators import analytics
+
+    TS = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "2-HIGH", TS(1996, 1, 1)),
+            (1, 11, "5-LOW", TS(1997, 3, 1)),    # active at 1997-06-01
+            (1, 12, "2-HIGH", TS(1998, 1, 1)),
+            (2, 20, "1-URGENT", TS(1998, 2, 2)),  # starts after snapshot
+        ],
+        "o_custkey bigint, o_orderkey bigint, o_orderpriority string, "
+        "o_orderdate timestamp",
+    )
+    out = _run_sql(spark, analytics.SNAPSHOT_SPARK, orders=orders).collect()
+    assert [(r.o_custkey, r.priority, r.version) for r in out] == [
+        (1, "5-LOW", 2)
+    ]
+
+
+def test_first_last_order_encoding_breaks_date_ties_by_key(spark):
+    import datetime
+
+    TS = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 5, TS(1995, 1, 1)),
+            (1, 3, TS(1995, 1, 1)),   # same date, smaller key -> first
+            (1, 9, TS(1996, 1, 1)),
+        ],
+        "o_custkey bigint, o_orderkey bigint, o_orderdate timestamp",
+    )
+    row = _run_sql(spark, relational5.FIRST_LAST_SPARK, orders=orders).collect()[0]
+    assert (row.first_orderkey, row.last_orderkey, row.n_orders) == (3, 9, 3)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from dataset_batch_processor_spark.operators import components
+
+    # star: 1 is the hub of 2..5; 10-11 an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    pr = {r.node: r.pagerank for r in components.pagerank_lite(pairs).collect()}
+    assert pr[1] > pr[2] == pr[3] == pr[4] == pr[5]
+    assert pr[10] == pr[11]
+    # total mass stays bounded by n * SCALE (damping keeps it finite)
+    assert sum(pr.values()) <= 7 * components.PR_SCALE
