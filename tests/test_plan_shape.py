@@ -91,3 +91,54 @@ def test_repetition_metrics_single_narrow_scan(spark, sf_dir):
     assert explain.count_exchanges(df) == 0
     assert "EvalPython" not in explain.formatted_plan(df)
     assert explain.read_schema_columns(df) == [["doc_id", "text"]]
+
+
+def test_keyword_search_topk_has_no_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort over the corpus."""
+    from dataset_batch_processor_spark.operators import search
+
+    df = search.QUERIES["docs_keyword_search"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_topk_has_no_full_sort(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import curation
+
+    df = curation.QUERIES["docs_weighted_sample"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain.formatted_plan(df)
+
+
+def test_quantize_codebook_is_broadcast(spark, sf_dir):
+    """The 64-row per-dimension codebook must broadcast into the
+    coding join — a shuffle join here would reshuffle the corpus."""
+    from dataset_batch_processor_spark.operators import quantize
+
+    codes = quantize.quantize_codes(
+        catalog.load_table(spark, sf_dir, "embeddings")
+    )
+    assert explain.broadcast_join_count(codes) >= 1
+
+
+def test_codec_roundtrips_fan_out_before_kernel(spark, sf_dir):
+    """The doc_id repartition ahead of the Python codec kernel is the
+    whole perf fix (13.2s -> 1.6s at sf0.1): assert the exchange is
+    in the plan so a refactor can't silently drop it."""
+    from dataset_batch_processor_spark.multimodal import queries as mmq
+
+    df = mmq.QUERIES["mm_jpeg_roundtrip"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_first_last_order_is_one_agg_no_window(spark, sf_dir):
+    """The encoded argmax needs exactly one grouping shuffle and no
+    window exec (a window formulation would sort every group)."""
+    from dataset_batch_processor_spark.operators import relational5
+
+    df = relational5.QUERIES["customer_first_last_order"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    # one hash exchange for the groupBy + one range for ORDER BY
+    assert explain.count_exchanges(df) <= 2
