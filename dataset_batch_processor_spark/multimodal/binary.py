@@ -91,6 +91,7 @@ from . import gif as _gif  # noqa: E402
 from . import jpeg as _jpeg  # noqa: E402
 from . import png as _png  # noqa: E402
 from . import tiff as _tiff  # noqa: E402
+from . import webp as _webp  # noqa: E402
 
 CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "rawrgb": decode_rawrgb,
@@ -102,6 +103,9 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "gif": _gif.decode_gif,
     "tif": _tiff.decode_tiff,
     "tiff": _tiff.decode_tiff,
+    # WebP: full VP8L (lossless) decode incl. animated first-frame;
+    # lossy VP8 raises NotImplementedError with the reason.
+    "webp": _webp.decode_webp,
     # DNG is a TIFF container: uncompressed DNGs decode; compressed
     # ones raise NotImplementedError with the precise reason (still
     # better than a blind stub — and probe_tiff_dims reads dims from
@@ -109,7 +113,7 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "dng": _tiff.decode_tiff,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("heic", "cr2", "nef", "arw", "webp")
+        for fmt in ("heic", "cr2", "nef", "arw")
     },
 }
 
@@ -135,6 +139,8 @@ def _sniff_format(content: bytes) -> str | None:
         return "ppm"
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -294,6 +300,7 @@ ENCODERS: dict[str, Callable[[np.ndarray], bytes]] = {
     "ppm": _extra.encode_ppm,
     "tif": _tiff.encode_tiff,
     "tiff": _tiff.encode_tiff,
+    "webp": _webp.encode_webp,
 }
 
 

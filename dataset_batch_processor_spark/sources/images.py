@@ -116,11 +116,29 @@ def parse_tiff_header(content: bytes) -> tuple[int, int] | None:
         return None
 
 
+def parse_webp_header(content: bytes) -> tuple[int, int] | None:
+    """Dims from the WebP container without decoding: VP8X carries
+    24-bit canvas dims; a bare VP8L stream carries 14-bit dims in its
+    5-byte header."""
+    if len(content) < 21 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        return None
+    fourcc = content[12:16]
+    if fourcc == b"VP8X" and len(content) >= 30:
+        w = int.from_bytes(content[24:27], "little") + 1
+        h = int.from_bytes(content[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8L" and content[20] == 0x2F:
+        bits = int.from_bytes(content[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    return None
+
+
 _HEADER_PARSERS = (
     parse_png_header,
     parse_jpeg_header,
     parse_gif_header,
     parse_tiff_header,
+    parse_webp_header,
     parse_rawrgb_header,
 )
 
