@@ -319,12 +319,65 @@ SELECT doc_id,
 FROM documents
 """
 
+# WebP analogue of the PNG roundtrip: VP8L is lossless, so the DuckDB
+# oracle recomputes the pixel checksum in closed form; a hash match
+# proves encode_webp -> (registry-sniffed) decode preserved every
+# pixel. Alternates the subtract-green transform by doc parity so
+# both encoder paths run under the driver gate.
+
+WEBP_ROUNDTRIP_SCHEMA = "doc_id long, width int, height int, pix_sum bigint"
+
+
+def _q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, webp
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 11 + 3, d % 7 + 3
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 5 * x + 9 * y + 13 * c) % 256).astype(np.uint8)
+                data = webp.encode_webp(arr, subtract_green=bool(d % 2))
+                dec = binary.decode_any("xyz", data)  # sniffed, not ext
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "pix_sum": int(dec.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    return docs.mapInPandas(run, schema=WEBP_ROUNDTRIP_SCHEMA)
+
+
+WEBP_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 11 + 3 AS INT) AS width,
+       CAST(doc_id % 7 + 3 AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 7 + 2), y ->
+         list_sum(list_transform(generate_series(0, doc_id % 11 + 2), x ->
+           list_sum(list_transform([0,1,2], c ->
+             (doc_id + 5*x + 9*y + 13*c) % 256)))))) AS BIGINT) AS pix_sum
+FROM documents
+"""
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
     "mm_resize_roundtrip": _q_resize_roundtrip,
+    "mm_webp_roundtrip": _q_webp_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -332,4 +385,5 @@ ORACLES = {
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,
+    "mm_webp_roundtrip": WEBP_ROUNDTRIP_DUCK,
 }
