@@ -33,19 +33,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright. Read nanos as long and floor to
-    microseconds — exactly what DuckDB's TIMESTAMP_NS → TIMESTAMP cast
-    does (event times are post-epoch, so floor == trunc)."""
+    """Some fixture generations store ``ts`` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects outright; others store
+    timestamp[us], which reads natively. Handle both: read nanos as
+    long and floor to microseconds — exactly what DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast does (event times are post-epoch,
+    so floor == trunc) — and pass native timestamps through."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf may be static in some deployments; fall through
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Floor a nanos-as-long ``ts`` column to a micros timestamp;
+    lift TIMESTAMP_NTZ to TIMESTAMP (value-preserving under the UTC
+    session timezone session.get_spark pins, and required by
+    watermarks/event-time windows, which reject NTZ). Shared by the
+    batch loader and the streaming readers (which build their own
+    readStream and can't go through load_events)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

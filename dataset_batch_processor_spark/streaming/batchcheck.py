@@ -27,6 +27,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataset_batch_processor_spark import catalog
+
 
 def streaming_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders.parquet through a real streaming aggregation."""
@@ -88,11 +90,9 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stage)
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
+    src = catalog.normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stage)
+    )
     agg = (
         src.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(

@@ -49,12 +49,10 @@ def test_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
     evdir.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", evdir / "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev_stream = (
+    ev_stream = catalog.normalize_event_ts(
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(evdir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+        ).parquet(str(evdir))
     )
     out, ckpt = str(tmp_path / "roll"), str(tmp_path / "roll_ckpt")
     # availableNow + append emits only windows closed by the final
@@ -175,9 +173,7 @@ def test_streaming_session_rollup_matches_batch(spark, sf_dir, tmp_path):
     os.symlink(f"{sf_dir}/events.parquet", evdir / "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    fix_ts = lambda df: df.withColumn(  # noqa: E731
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    fix_ts = catalog.normalize_event_ts
     ev_stream = fix_ts(spark.readStream.schema(schema).parquet(str(evdir)))
     out, ckpt = str(tmp_path / "sess"), str(tmp_path / "sess_ckpt")
     _run_stream(watch.start_parquet_sink(
