@@ -141,38 +141,52 @@ def _q_caption_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Names with a green driver row in CORRECTNESS_r01.json or
-# CORRECTNESS_r02.json (driver oracle, sf0.01; 100 names total).
-# The driver verifies at most ~50 queries per round in dict-insertion
-# order, so anything NOT in this set is registered first (see
-# ``_prioritize``) until every query has a green driver row. Round 3:
-# only 5 r2-era queries (the analytics wave) plus any new round-3
-# queries are unverified — they go in front; ~45 of the back block get
-# re-verified for free.
+# Names with a green driver row in CORRECTNESS_r01/r02/r03.json
+# (driver oracle, sf0.01). The driver verifies at most ~50 queries per
+# round in dict-insertion order, so anything NOT in this set is
+# registered first (see ``_prioritize``) until every query has a green
+# driver row. Round 4: ``distinct_sketches`` was mis-listed here in r3
+# (its only row ever was r1 ``err: no_oracle``; the oracle added later
+# never ran) — dropped from the set so it finally fronts the window,
+# together with the new round-4 queries.
 _DRIVER_VERIFIED = {
     "active_customers_semi", "asof_latest_order", "asof_next_order_30d",
     "auto_crop", "brand_type_rollup", "caption_join", "caption_upsert",
-    "csv_roundtrip_orders", "customer_cube", "customer_order_gaps",
-    "customer_upsert_merge", "customer_value_ntiles",
+    "corpus_mixture_weights", "csv_roundtrip_orders", "customer_asof_snapshot",
+    "customer_cube", "customer_first_last_order", "customer_order_gaps",
+    "customer_scd2_dim", "customer_upsert_merge", "customer_value_ntiles",
     "customers_without_orders", "dedup_exact_docs", "dedup_lines",
-    "dedup_lines_normalized", "dedup_stats", "distinct_sketches",
-    "docs_bpe_tokens", "docs_clean_pii", "docs_decontaminate",
-    "docs_dedup_survivors", "docs_dup_components", "docs_fingerprint",
+    "dedup_lines_normalized", "dedup_stats",
+    "docs_bloom_decontam", "docs_bpe_tokens", "docs_cdc_chunks",
+    "docs_clean_pii", "docs_decontaminate",
+    "docs_dedup_keep_longest", "docs_dedup_survivors",
+    "docs_dup_components", "docs_fingerprint", "docs_keyword_search",
     "docs_lang_id", "docs_length_histogram", "docs_ngram_jaccard_pairs",
     "docs_quality_score", "docs_repetition_metrics", "docs_shard_packing",
-    "docs_split_counts", "docs_stratified_sample", "docs_tfidf_topterms",
-    "docs_token_rarity", "docs_token_stats", "docs_train_val_split",
-    "docs_winnow_fingerprint", "emb_ann_lsh_topk", "emb_cosine_topk",
-    "emb_ivf_fullprobe_equiv", "emb_ivf_topk", "emb_ivf_trained_topk",
-    "emb_label_centroids", "emb_near_dup_components", "emb_near_dup_pairs",
-    "event_followups_within_hour", "events_daily_from_hourly",
-    "events_gap_fill_ffill", "events_hourly", "events_json_extract",
-    "events_sessionize", "lineitem_grouping_sets", "lineitem_quantiles",
+    "docs_split_counts", "docs_stratified_sample", "docs_surprisal_rank",
+    "docs_tfidf_topterms", "docs_token_rarity", "docs_token_stats",
+    "docs_train_val_split", "docs_weighted_sample",
+    "docs_winnow_fingerprint", "dup_graph_degree_stats",
+    "dup_graph_pagerank", "emb_ann_lsh_topk", "emb_cosine_topk",
+    "emb_ivf_fullprobe_equiv", "emb_ivf_topk",
+    "emb_label_centroids", "emb_label_knn", "emb_near_dup_components",
+    "emb_near_dup_pairs", "emb_quantize_int8",
+    "event_followups_within_hour", "events_anomaly_hours",
+    "events_cohort_retention", "events_daily_from_hourly",
+    "events_funnel", "events_gap_fill_ffill", "events_hourly",
+    "events_json_extract", "events_sessionize",
+    "events_sliding_active_users", "events_stream_dedup",
+    "events_stream_hourly", "events_value_percentiles",
+    "jsonl_roundtrip_orders", "lineitem_grouping_sets",
+    "lineitem_profile", "lineitem_qty_mode", "lineitem_quantiles",
     "merge_text", "minhash_jaccard_verify", "minhash_lsh_pairs",
     "minhash_signatures", "ml_face_route", "mm_decode_meta",
-    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_wav_roundtrip",
+    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_resize_roundtrip",
+    "mm_wav_roundtrip", "mm_webp_roundtrip",
     "mru_captions", "names_union_all", "orc_roundtrip_lineitem",
-    "orders_date_parts", "orders_running_total", "orders_stream_counts",
+    "orders_date_parts", "orders_median_by_priority",
+    "orders_quality_report", "orders_running_total",
+    "orders_stream_counts",
     "orders_trailing_30d", "part_string_funcs", "partkey_set_ops",
     "parts_above_brand_avg", "priority_pivot", "q10_returned_items",
     "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",

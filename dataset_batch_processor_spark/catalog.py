@@ -48,11 +48,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Floor a nanos-as-long ``ts`` column to a micros timestamp;
-    lift TIMESTAMP_NTZ to TIMESTAMP (value-preserving under the UTC
-    session timezone session.get_spark pins, and required by
-    watermarks/event-time windows, which reject NTZ). Shared by the
-    batch loader and the streaming readers (which build their own
-    readStream and can't go through load_events)."""
+    lift TIMESTAMP_NTZ to TIMESTAMP. The cast keeps ``ts`` one
+    consistent TIMESTAMP type across fixture generations, matching
+    the batch path and the DuckDB oracle's rendering under the pinned
+    UTC session timezone (Spark itself accepts NTZ in
+    window()/withWatermark since 3.4, SPARK-38714 — parity, not a
+    Spark requirement). Shared by the batch loader and the streaming
+    readers (which build their own readStream and can't go through
+    load_events).
+
+    A plain tz-adjusted ``timestamp`` (parquet isAdjustedToUTC=true)
+    passes through unchanged: Spark renders it in the pinned UTC
+    session timezone, and the oracle harness must likewise pin
+    DuckDB's TimeZone to UTC (the driver reads the same parquet in
+    both engines) — any other ``ts`` type is rejected loudly rather
+    than silently diverging."""
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn(
@@ -60,6 +70,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         )
     elif dt == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dt not in (None, "timestamp"):
+        raise TypeError(
+            f"events.ts has unsupported type {dt!r}; expected bigint "
+            "(nanos), timestamp_ntz, or timestamp"
+        )
     return df
 
 

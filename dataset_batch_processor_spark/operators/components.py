@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .dedup import LSH_PAIRS_DUCK, lsh_pairs_df
+from .dedup import LSH_PAIRS_DUCK, pair_graph
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -141,8 +141,7 @@ def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup clusters from the MinHash-LSH candidate graph: every doc
     that appears in some candidate pair, labeled with its cluster's
     min doc_id."""
-    docs = catalog.load_table(spark, sf_dir, "documents")
-    pairs = lsh_pairs_df(docs)
+    pairs = pair_graph(spark, sf_dir)
     return (
         connected_components(pairs, src="doc_a", dst="doc_b")
         .select("node", F.col("comp").alias("component"))
@@ -190,7 +189,9 @@ def dedup_survivors(docs: DataFrame, labels: DataFrame) -> DataFrame:
 
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
-    labels = connected_components(lsh_pairs_df(docs), src="doc_a", dst="doc_b")
+    labels = connected_components(
+        pair_graph(spark, sf_dir), src="doc_a", dst="doc_b"
+    )
     return dedup_survivors(docs.select("doc_id", "lang"), labels).orderBy(
         "doc_id"
     )
@@ -277,7 +278,7 @@ ORDER BY vec_id
 
 def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
-    pairs = lsh_pairs_df(docs)
+    pairs = pair_graph(spark, sf_dir)
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     members = labels.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
@@ -395,8 +396,7 @@ def pagerank_lite(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.load_table(spark, sf_dir, "documents")
-    return pagerank_lite(lsh_pairs_df(docs))
+    return pagerank_lite(pair_graph(spark, sf_dir))
 
 
 def _pagerank_duck() -> str:

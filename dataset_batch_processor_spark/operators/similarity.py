@@ -731,9 +731,13 @@ QUALIFY rank <= {TOP_K}
 
 QUERIES["emb_ivf_topk"] = _q_ivf_topk
 ORACLES["emb_ivf_topk"] = IVF_TOPK_DUCK
-QUERIES["emb_ivf_trained_topk"] = _q_ivf_trained
-# emb_ivf_trained_topk: rows-only by design (k-means not SQL-expressible);
-# tests/test_similarity_ivf.py bounds its recall against brute force.
+# The trained-IVF PRODUCTION path (``_q_ivf_trained``) is deliberately
+# NOT registered as a driver query: k-means training is not
+# SQL-expressible (partition-order float accumulation), so a driver row
+# could only ever be a weak rows-only check. Its correctness is covered
+# instead by (a) ``emb_ivf_fullprobe_equiv`` below — the same trained
+# index probed exhaustively, hash-gated against the brute-force oracle —
+# and (b) tests/test_similarity_ivf.py recall/plan/bucketed-index tests.
 
 
 def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

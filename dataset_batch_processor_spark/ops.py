@@ -5,9 +5,10 @@ cooperative ``stop_event`` between elements
 (/root/reference/modules/utils.py:4-9; checked per element at
 filter_crop.py:37-38) — and the modular tiling DROPPED those checks
 (SURVEY.md §2.9.7). Spark makes cancellation uniform and external:
-every action runs under a job group, and ``stop()`` cancels the whole
-group from any thread — no per-element polling, no operator-specific
-wiring, and it works identically on a 1000-executor cluster.
+every action runs under a job tag, and ``stop()`` cancels every job
+carrying the tag from any thread — no per-element polling, no
+operator-specific wiring, and it works identically on a
+1000-executor cluster.
 
 Metrics parity (A1): the reference returns counters in a status
 string (filter_crop.py:33,52,61,67). Here a run returns a metrics
@@ -36,9 +37,9 @@ class JobHandle:
     result: dict[str, Any] = field(default_factory=dict)
 
     def stop(self) -> None:
-        """Cancel every Spark job in this group (interrupts running
-        tasks); the submitting thread sees the cancellation error."""
-        self.spark.sparkContext.cancelJobGroup(self.group)
+        """Cancel every Spark job carrying this run's tag; the
+        submitting thread sees the cancellation error."""
+        self.spark.sparkContext.cancelJobsWithTag(self.group)
 
     def join(self, timeout: float | None = None) -> None:
         self.thread.join(timeout)
@@ -60,16 +61,18 @@ def run_cancellable(
     handle: JobHandle | None = None
 
     def target() -> None:
-        # Job-group state is thread-local on the SparkContext; set it
-        # in the submitting thread so all jobs the action spawns are
-        # tagged cancellable.
-        spark.sparkContext.setJobGroup(group, description, interruptOnCancel=True)
+        # Job tags are thread-local on the SparkContext; attach the
+        # tag in the submitting thread so all jobs the action spawns
+        # are cancellable via cancelJobsWithTag (the Spark 4 API —
+        # SparkContext.clearJobGroup was removed in PySpark 4.x).
+        spark.sparkContext.setJobDescription(description)
+        spark.sparkContext.addJobTag(group)
         try:
             h.result["value"] = action()
         except Exception as e:  # cancelled or failed: captured, not raised
             h.result["error"] = e
         finally:
-            spark.sparkContext.clearJobGroup()
+            spark.sparkContext.removeJobTag(group)
 
     t = threading.Thread(target=target, daemon=True)
     h = JobHandle(spark=spark, group=group, thread=t)

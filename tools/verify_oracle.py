@@ -55,6 +55,9 @@ def main() -> int:
     spark = get_spark("verify_oracle")
 
     con = duckdb.connect()
+    # tz-adjusted parquet timestamps render in DuckDB's local zone by
+    # default; pin UTC so both engines agree (catalog.normalize_event_ts)
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
