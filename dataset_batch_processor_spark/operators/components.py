@@ -137,13 +137,39 @@ def connected_components(
     )
 
 
+# Materialized CC labels over the materialized pair graph, built at
+# most once per (session, dataset) — same design (and rationale) as
+# dedup.pair_graph: components, survivors, and keep-longest all
+# consume the SAME (node, comp) labeling, and the iterative star
+# contraction dominates their cost, so it is paid once and the label
+# table (|nodes in pairs| rows, tiny) is scanned thereafter.
+_LABELS_CACHE: dict[tuple[int, str], str] = {}
+
+
+def doc_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    path = _LABELS_CACHE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="dbp_dup_labels_"), "labels"
+        )
+        labels = connected_components(
+            pair_graph(spark, sf_dir), src="doc_a", dst="doc_b"
+        )
+        labels.write.parquet(path)
+        _LABELS_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup clusters from the MinHash-LSH candidate graph: every doc
     that appears in some candidate pair, labeled with its cluster's
     min doc_id."""
-    pairs = pair_graph(spark, sf_dir)
     return (
-        connected_components(pairs, src="doc_a", dst="doc_b")
+        doc_dup_labels(spark, sf_dir)
         .select("node", F.col("comp").alias("component"))
         .withColumnRenamed("node", "doc_id")
     )
@@ -189,9 +215,7 @@ def dedup_survivors(docs: DataFrame, labels: DataFrame) -> DataFrame:
 
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
-    labels = connected_components(
-        pair_graph(spark, sf_dir), src="doc_a", dst="doc_b"
-    )
+    labels = doc_dup_labels(spark, sf_dir)
     return dedup_survivors(docs.select("doc_id", "lang"), labels).orderBy(
         "doc_id"
     )
@@ -278,8 +302,7 @@ ORDER BY vec_id
 
 def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
-    pairs = pair_graph(spark, sf_dir)
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = doc_dup_labels(spark, sf_dir)
     members = labels.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )

@@ -171,6 +171,22 @@ def lsh_signature(emb_col, n_planes: int = N_PLANES) -> F.Column:
     return sig.cast("int")
 
 
+def multiprobe_masks(n_planes: int, r: int) -> list[int]:
+    """XOR masks of the Hamming ball of radius ``r``: 0 (the home
+    bucket) plus every signature flip of <= r bits. Shared by the
+    Spark plan and the DuckDB oracle so both probe identical buckets."""
+    import itertools
+
+    masks = [0]
+    for radius in range(1, r + 1):
+        for bits in itertools.combinations(range(n_planes), radius):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_lsh_topk(
     emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
     vectorized: bool = True, n_planes: int | None = None,
@@ -202,16 +218,9 @@ def ann_lsh_topk(
     )
     if multiprobe > 0:
         # expand each query to its Hamming-ball of probe buckets
-        import itertools
-
-        masks = [0]
-        for r in range(1, multiprobe + 1):
-            for bits in itertools.combinations(range(n_planes), r):
-                m = 0
-                for b in bits:
-                    m |= 1 << b
-                masks.append(m)
-        mask_arr = F.array(*[F.lit(m) for m in masks])
+        mask_arr = F.array(
+            *[F.lit(m) for m in multiprobe_masks(n_planes, multiprobe)]
+        )
         queries = queries.withColumn("_m", F.explode(mask_arr)).withColumn(
             "q_bucket", F.expr("int(q_bucket ^ _m)")
         ).drop("_m")
@@ -293,14 +302,91 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+MULTIPROBE_R = 1  # probe the home bucket + every 1-bit-flip neighbor
+
+
+def _q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle entry: pinned plane count + radius-1 Hamming ball
+    return ann_lsh_topk(
+        catalog.load_table(spark, sf_dir, "embeddings"),
+        vectorized=False, n_planes=N_PLANES, multiprobe=MULTIPROBE_R,
+    )
+
+
+_MASK_LIST = ", ".join(str(m) for m in multiprobe_masks(N_PLANES, MULTIPROBE_R))
+
+# Same CTE chain as ANN_LSH_DUCK up to ``queries``, then each query is
+# expanded to its Hamming-ball probe buckets via XOR against the same
+# literal masks the Spark plan carries; candidates reached through
+# several probes dedup in ``scored`` exactly like the Spark
+# ``.distinct()`` on (query_id, neighbor_id, cos_sim).
+ANN_MULTIPROBE_DUCK = f"""
+WITH planes AS (
+  SELECT CAST(t AS INT) AS t, CAST(i AS INT) AS i,
+         (CAST(concat('0x', substr(md5(concat(t, ':', i)), 1, 1)) AS INT) % 2) * 2 - 1
+             AS sgn
+  FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS t),
+       (SELECT unnest(generate_series(1, {DIM})) AS i)
+),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, t) AS INT) ELSE 0 END) AS INT)
+             AS bucket
+  FROM (
+    SELECT e.vec_id, p.t,
+           sum(CAST(e.embedding[p.i] AS DOUBLE) * p.sgn) AS proj
+    FROM embeddings e, planes p
+    GROUP BY e.vec_id, p.t
+  ) e
+  GROUP BY e.vec_id
+),
+bucketed AS (
+  SELECT e.vec_id, e.embedding, s.bucket
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, q_emb, CAST(xor(q_bucket, m) AS INT) AS q_bucket
+  FROM queries, (SELECT unnest([{_MASK_LIST}]) AS m)
+),
+cands AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, q.q_emb, b.embedding AS c_emb
+  FROM bucketed b JOIN probes q
+    ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                    i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))),
+           6) AS cos_sim
+  FROM cands
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "emb_cosine_topk": _q_brute_force,
     "emb_ann_lsh_topk": _q_ann_lsh,
+    "emb_ann_multiprobe_topk": _q_ann_multiprobe,
 }
 
 ORACLES = {
     "emb_cosine_topk": BRUTE_FORCE_DUCK,
     "emb_ann_lsh_topk": ANN_LSH_DUCK,
+    "emb_ann_multiprobe_topk": ANN_MULTIPROBE_DUCK,
 }
 
 

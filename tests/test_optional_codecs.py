@@ -1,0 +1,73 @@
+"""Optional-library codec wiring (multimodal/optional_codecs.py).
+
+Reference behavior: pillow_heif registered process-wide
+(/root/reference/batch_processor.py:11-22), camera RAW via imageio
+(/root/reference/modules/other_tasks.py:45-51). The libraries are not
+in this container, so the live-decode tests skip; what always runs is
+the contract that matters here: absent the library, the stub raises
+NotImplementedError with a reason (F7 quarantine), and the registry
+precedence lets an installed library win.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import binary, optional_codecs
+
+_HAVE_HEIF = importlib.util.find_spec("pillow_heif") is not None
+_HAVE_RAWPY = importlib.util.find_spec("rawpy") is not None
+
+
+def test_stub_raises_with_reason_when_library_absent():
+    for fmt in ("heic", "cr2", "nef", "arw"):
+        if fmt in optional_codecs.REGISTERED:
+            continue  # a real library is installed in this env
+        with pytest.raises(NotImplementedError, match="register_codec"):
+            binary.CODECS[fmt](b"\x00" * 64)
+
+
+def test_try_register_is_idempotent_and_quiet():
+    before = dict(optional_codecs.REGISTERED)
+    out = optional_codecs.try_register_optional_codecs()
+    assert out == optional_codecs.REGISTERED
+    assert {k: v for k, v in out.items() if k in before} == before
+
+
+def test_registered_codec_wins_over_stub():
+    """register_codec precedence (fixed in r3): an installed decoder
+    must win for both extension dispatch and sniffed content."""
+    sentinel = np.zeros((2, 2, 3), dtype=np.uint8)
+    old = binary.CODECS.get("heic")
+    try:
+        binary.register_codec("heic", lambda content: sentinel)
+        out = binary.decode_any("heic", b"not-sniffable-garbage")
+        assert out is sentinel
+    finally:
+        binary.CODECS["heic"] = old
+
+
+@pytest.mark.skipif(not _HAVE_HEIF, reason="pillow-heif not installed")
+def test_heic_roundtrip_with_pillow_heif():
+    import io
+
+    import pillow_heif
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    heif = pillow_heif.from_bytes(
+        mode="RGB", size=(8, 8), data=arr.tobytes()
+    )
+    buf = io.BytesIO()
+    heif.save(buf, quality=-1)  # -1 = lossless
+    dec = binary.decode_any("heic", buf.getvalue())
+    assert dec.shape == (8, 8, 3)
+    assert np.array_equal(dec, arr)
+
+
+@pytest.mark.skipif(not _HAVE_RAWPY, reason="rawpy not installed")
+def test_raw_decode_registered_with_rawpy():
+    assert optional_codecs.REGISTERED.get("cr2") == "rawpy"
+    assert binary.CODECS["cr2"] is binary.CODECS["nef"]
