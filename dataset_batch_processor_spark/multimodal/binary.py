@@ -12,11 +12,15 @@ registry. REAL pure-Python codecs (S3-S5/K1/P12 run end-to-end on
 actual image bytes):
 
 - ``png``  — full decode+encode (png.py, stdlib zlib);
-- ``jpg``/``jpeg`` — baseline DCT decode+encode (jpeg.py, ITU-T
-  T.81), the reference's default save format;
+- ``jpg``/``jpeg`` — baseline AND progressive (SOF2) DCT decode,
+  baseline + progressive encode (jpeg.py, ITU-T T.81), the
+  reference's default save format;
+- ``webp`` — VP8L lossless decode+encode incl. animated first frame
+  (webp.py); lossy VP8 raises into quarantine;
 - ``bmp``/``ppm`` — decode+encode (codecs_extra.py);
 - ``gif``  — first-frame LZW decode (gif.py) = the reference's
   animated-first-frame semantics;
+- ``tif``/``tiff``/``dng`` — uncompressed decode+encode (tiff.py);
 - ``rawrgb`` — trivial deterministic container (12-byte header +
   raw uint8 HxWx3) used by tests and the synthetic pipeline;
 - header-only dimension probes for PNG/JPEG/GIF (sources/images.py)
@@ -24,8 +28,9 @@ actual image bytes):
 
 Still stubbed (library-bound, NotImplementedError into quarantine,
 mirroring /root/reference/modules/other_tasks.py:45-53,
-batch_processor.py:346-357): HEIC and camera-RAW (cr2/nef/arw/dng),
-WebP.
+batch_processor.py:346-357): HEIC and vendor-compressed camera RAW
+(cr2/nef/arw) — auto-wired to pillow-heif/rawpy/imageio via
+optional_codecs.py when those libraries are installed.
 
 The pixel kernels themselves (crop G1, pad G2/G3, resize) are REAL
 numpy code operating on decoded arrays — identical math to

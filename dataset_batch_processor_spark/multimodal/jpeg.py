@@ -405,8 +405,30 @@ def encode_jpeg(
 # ------------------------------------------------------------- decoder
 
 
+def _next_marker(content: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips
+    entropy-coded bytes, FF00 stuffing, FF fill bytes, and RSTn)."""
+    n = len(content)
+    while pos < n - 1:
+        if content[pos] == 0xFF:
+            nxt = content[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker inside scan data
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> H x W x 3 uint8 RGB."""
+    """JFIF/JPEG bytes (baseline SOF0/1 or progressive SOF2) ->
+    H x W x 3 uint8 RGB."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -414,6 +436,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs: dict[int, np.ndarray] | None = None
     while pos < len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -453,7 +476,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 values = list(payload[p + 17 : p + 17 + nvals])
                 huff[(tc, th)] = _build_decode_table(([0] + bits[1:], values))
                 p += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -461,11 +484,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: non-baseline frame (marker 0xFF{marker:02X})"
+                f"JPEG: unsupported frame type (marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -479,10 +505,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
             data_start = pos + seg_len
-            return _decode_scan(
-                content, data_start, frame, scan, quant, huff, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    content, data_start, frame, scan, quant, huff,
+                    restart_interval,
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_coef_store(frame)
+            end = _decode_progressive_scan(
+                content, data_start, frame, scan,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                huff, coefs, restart_interval,
             )
+            pos = _next_marker(content, end)
+            continue
         pos += seg_len
+    if coefs is not None:
+        return _reconstruct_progressive(frame, coefs, quant)
     raise ValueError("JPEG: no scan data found")
 
 
@@ -577,3 +618,433 @@ def _decode_scan(content, start, frame, scan, quant, huff, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decoding
+# T.81 Annex G scan assembly. Coefficients accumulate across scans in
+# per-component (blocks_v, blocks_h, 64) int64 arrays in ZIGZAG index
+# space (scans address coefficient k in zigzag order); de-zigzag +
+# dequant + IDCT happen once, after EOI.
+
+
+def _grid(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_blocks(frame, c):
+    """Actual block count of one component (non-interleaved scans
+    iterate these, NOT the MCU-padded grid — T.81 A.2.2)."""
+    hmax, vmax, _, _ = _grid(frame)
+    sw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    sh = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (sh + 7) // 8, (sw + 7) // 8  # (rows, cols)
+
+
+def _init_coef_store(frame):
+    _, _, mcux, mcuy = _grid(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    }
+
+
+def _ac_first_block(reader, read_huff, ac_tab, blk, ss, se, al, eobrun):
+    """Figure G.3/G.4 semantics: first pass over band [ss..se] at
+    approximation al; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = read_huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eb = (1 << r) - 1  # this block consumes one
+                if r:
+                    eb += reader.read_bits(r)
+                return eb
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow in progressive scan")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, read_huff, ac_tab, blk, ss, se, al, eobrun):
+    """Figure G.7 semantics (correction-bit pass). Magnitudes are
+    sign-magnitude: a correction bit of 1 grows |coef| by 2^al the
+    first time bit al is clear; newly-significant coefficients arrive
+    as ±2^al positioned by a run over ZERO-HISTORY coefficients only."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        v = int(blk[k])
+        if reader.read_bit() and (abs(v) & p1) == 0:
+            blk[k] = v + (p1 if v > 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = read_huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                # per G.1.2.3 only s=1 is legal in a refinement scan
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break  # rest of the block joins the EOB correction pass
+            # advance: skip r zero-history coefficients, correcting
+            # every nonzero-history coefficient passed over
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remainder of the band
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    content, start, frame, scan, band, huff, coefs, restart_interval
+):
+    ss, se, ah, al = band
+    reader = _BitReader(content)
+    reader.pos = start
+
+    def read_huff(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG: invalid Huffman code")
+
+    interleaved = len(scan) > 1
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "JPEG: progressive scan mixing DC and AC (Ss=0, Se!=0) is "
+            "illegal (T.81 G.1.1.1)"
+        )
+    if interleaved and ss != 0:
+        raise ValueError("JPEG: interleaved progressive AC scan is illegal")
+    _, _, mcux, mcuy = _grid(frame)
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        nbh, nbw = _comp_blocks(frame, scan[0])
+        n_units = nbh * nbw
+    prev_dc = {c["id"]: 0 for c in scan}
+    eobrun = 0
+
+    def dc_block(c, blk):
+        nonlocal prev_dc
+        if ah == 0:
+            t = read_huff(huff[(0, c["td"])])
+            diff = _extend(reader.read_bits(t), t) if t else 0
+            prev_dc[c["id"]] += diff
+            blk[0] = prev_dc[c["id"]] << al
+        else:
+            # DC refinement: straight-binary successive bit (OR works
+            # for negatives in two's complement — G.1.2.1)
+            if reader.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align()
+            while (
+                reader.pos + 1 < len(content)
+                and content[reader.pos] == 0xFF
+                and 0xD0 <= content[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            prev_dc = {c["id"]: 0 for c in scan}
+            eobrun = 0
+        if interleaved:
+            my, mx = unit // mcux, unit % mcux
+            for c in scan:
+                store = coefs[c["id"]]
+                for vb in range(c["v"]):
+                    for hb in range(c["h"]):
+                        dc_block(c, store[my * c["v"] + vb, mx * c["h"] + hb])
+        else:
+            c = scan[0]
+            by, bx = unit // nbw, unit % nbw
+            blk = coefs[c["id"]][by, bx]
+            if ss == 0:
+                dc_block(c, blk)
+            elif ah == 0:
+                eobrun = _ac_first_block(
+                    reader, read_huff, huff[(1, c["ta"])], blk, ss, se, al,
+                    eobrun,
+                )
+            else:
+                eobrun = _ac_refine_block(
+                    reader, read_huff, huff[(1, c["ta"])], blk, ss, se, al,
+                    eobrun,
+                )
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, coefs, quant):
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _grid(frame)
+    full = {}
+    for c in frame["comps"]:
+        zz = coefs[c["id"]]
+        bh, bw_ = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz  # de-zigzag
+        coef = nat.reshape(bh, bw_, 8, 8) * quant[c["tq"]]
+        # batched IDCT: out = T.T @ coef @ T per block
+        pix = np.einsum("ji,abjk,kl->abil", _T, coef, _T) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full[c["id"]] = plane[:fh, :fw]
+    comps = frame["comps"]
+    if len(comps) == 1:
+        y = np.clip(full[comps[0]["id"]], 0, 255)
+        return np.repeat(y[:, :, None].astype(np.uint8), 3, axis=2)
+    y = full[comps[0]["id"]]
+    cb = full[comps[1]["id"]] - 128.0
+    cr = full[comps[2]["id"]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive encoder
+# 4:4:4, a libjpeg-style scan script that exercises every progressive
+# scan kind: interleaved DC first (Al=1) and DC refinement, split-band
+# AC first passes at Al=1 with EOB runs, single-pass chroma AC, and an
+# AC refinement pass. The AC scans use a flat fixed Huffman table (all
+# 192 possible symbols at 8 bits — canonically valid, no all-ones
+# code) so EOB-run symbols 0x10..0xE0, which Annex K tables lack, are
+# codeable without per-scan optimal table generation; this is a
+# fixture/parity encoder, not a compression play.
+
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 192, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [r << 4 for r in range(16)]
+        + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+    ),
+)
+
+#: (comp indices, Ss, Se, Ah, Al) — see module docstring
+PROG_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first, interleaved, Al=1
+    ((0,), 1, 5, 0, 1),       # Y AC 1-5 first, Al=1
+    ((0,), 6, 63, 0, 1),      # Y AC 6-63 first, Al=1
+    ((1,), 1, 63, 0, 0),      # Cb AC full first
+    ((2,), 1, 63, 0, 0),      # Cr AC full first
+    ((0,), 1, 63, 1, 0),      # Y AC refinement Ah=1 -> Al=0
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refinement (raw bits)
+)
+
+
+def _tzshift(v: int, al: int) -> int:
+    """T.81 point transform for AC: |v| >> al with the sign kept
+    (truncation toward zero, NOT arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgACState:
+    """Per-scan EOB-run + buffered-correction-bit state (G.1.2.2-3)."""
+
+    def __init__(self, writer, ac_codes):
+        self.w = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_symbol(self, sym):
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            for bit in self.pending:
+                self.w.write(bit, 1)
+            self.pending = []
+            self.eobrun = 0
+
+
+def _encode_ac_first_block(st: _ProgACState, zz, ss, se, al):
+    band = [_tzshift(int(zz[k]), al) for k in range(ss, se + 1)]
+    if not any(band):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+        return
+    st.flush_eobrun()
+    r = 0
+    last_nz = max(i for i, v in enumerate(band) if v)
+    for v in band[: last_nz + 1]:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.emit_symbol(0xF0)  # ZRL
+            r -= 16
+        t, mag = _magnitude(v)
+        st.emit_symbol((r << 4) | t)
+        st.w.write(mag, t)
+        r = 0
+    if last_nz < len(band) - 1:
+        st.eobrun += 1  # trailing zeros of this band join an EOB run
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_ac_refine_block(st: _ProgACState, zz, ss, se, al):
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    ab = [abs(v) >> al for v in vals]
+    eob_rel = -1  # last newly-significant index
+    for i, a in enumerate(ab):
+        if a == 1:
+            eob_rel = i
+    r = 0
+    br: list[int] = []
+    for i, a in enumerate(ab):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_rel:
+            st.flush_eobrun()
+            st.emit_symbol(0xF0)
+            r -= 16
+            for bit in br:
+                st.w.write(bit, 1)
+            br = []
+        if a > 1:  # history coefficient: buffered correction bit
+            br.append(a & 1)
+            continue
+        st.flush_eobrun()
+        st.emit_symbol((r << 4) | 1)
+        st.w.write(1 if vals[i] >= 0 else 0, 1)
+        for bit in br:
+            st.w.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """H x W x 3 (or H x W gray) uint8 -> progressive (SOF2) JFIF
+    bytes, 4:4:4, scan script ``PROG_SCRIPT``."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)  # P12 coercion
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects H x W x 3 uint8")
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg_progressive: empty image")
+
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+    qy = _scaled_quant(QUANT_LUMA, quality).reshape(8, 8)
+    qc = _scaled_quant(QUANT_CHROMA, quality).reshape(8, 8)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+
+    def pad8(ch):
+        return np.pad(ch, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+
+    qz = [_dct_quant(pad8(p), q) for p, q in ((y, qy), (cb, qc), (cr, qc))]
+
+    dc_codes = [_build_codes(DC_LUMA_SPEC), _build_codes(DC_CHROMA_SPEC)]
+    ac_codes = _build_codes(PROG_AC_SPEC)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tclass, tid, spec):
+        bits, values = spec
+        return seg(0xC4, bytes([tclass << 4 | tid]) + bytes(bits[1:]) + bytes(values))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qy.ravel()[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hv, tq in ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    out += dht(0, 0, DC_LUMA_SPEC) + dht(0, 1, DC_CHROMA_SPEC)
+    out += dht(1, 0, PROG_AC_SPEC)
+
+    for comp_idx, ss, se, ah, al in PROG_SCRIPT:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+
+        writer = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first (interleaved MCU raster)
+            prev = [0] * len(comp_idx)
+            for by in range(bh):
+                for bx in range(bw_):
+                    for si, ci in enumerate(comp_idx):
+                        v = int(qz[ci][by, bx, 0]) >> al  # arithmetic shift
+                        diff = v - prev[si]
+                        prev[si] = v
+                        t, mag = _magnitude(diff)
+                        code, ln = dc_codes[0 if ci == 0 else 1][t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(mag, t)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci in comp_idx:
+                        writer.write((int(qz[ci][by, bx, 0]) >> al) & 1, 1)
+        else:  # AC scans: single component, raster over its blocks
+            (ci,) = comp_idx
+            st = _ProgACState(writer, ac_codes)
+            for by in range(bh):
+                for bx in range(bw_):
+                    if ah == 0:
+                        _encode_ac_first_block(st, qz[ci][by, bx], ss, se, al)
+                    else:
+                        _encode_ac_refine_block(st, qz[ci][by, bx], ss, se, al)
+            st.flush_eobrun()
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -257,6 +257,71 @@ SELECT doc_id,
 FROM documents
 """
 
+# Progressive (SOF2) variant: same gradient fixture family, encoded
+# with the T.81 Annex G scan script (DC/AC first + successive-
+# approximation refinement, EOB runs) and decoded through the
+# progressive scan assembler. The strongest available invariant rides
+# along: the progressive and BASELINE encoders share the quant
+# pipeline, so both streams must decode bit-identically (prog_eq_base)
+# — hash-gated per row, not just an error bound.
+
+PROG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, within_tol boolean, prog_eq_base boolean"
+)
+
+
+def _q_progressive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, jpeg
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 21 + 6, d % 15 + 6
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
+                    axis=2,
+                ).astype(np.uint8)
+                prog = binary.decode_any(
+                    "jpg", jpeg.encode_jpeg_progressive(arr, quality=85)
+                )
+                base = binary.decode_any(
+                    "jpg", jpeg.encode_jpeg(arr, quality=85)
+                )
+                err = int(np.abs(prog.astype(int) - arr.astype(int)).max())
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(prog.shape[1]),
+                        "height": int(prog.shape[0]),
+                        "within_tol": bool(err <= 8),
+                        "prog_eq_base": bool(np.array_equal(prog, base)),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "within_tol",
+                         "prog_eq_base"],
+            )
+
+    return docs.mapInPandas(run, schema=PROG_ROUNDTRIP_SCHEMA)
+
+
+PROG_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 21 + 6 AS INT) AS width,
+       CAST(doc_id % 15 + 6 AS INT) AS height,
+       TRUE AS within_tol,
+       TRUE AS prog_eq_base
+FROM documents
+"""
+
 # Resize stage under the hash gate: decode (real PNG codec) ->
 # nearest-neighbor resize to a fixed 8x8 thumbnail (binary.
 # resize_nearest: src row = y*h//8, src col = x*w//8 — pure integer
@@ -497,6 +562,7 @@ QUERIES = {
     "mm_resize_roundtrip": _q_resize_roundtrip,
     "mm_webp_roundtrip": _q_webp_roundtrip,
     "mm_tile_checksum": _q_tile_checksum,
+    "mm_progressive_roundtrip": _q_progressive_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -506,4 +572,5 @@ ORACLES = {
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,
     "mm_webp_roundtrip": WEBP_ROUNDTRIP_DUCK,
     "mm_tile_checksum": _tile_checksum_duck(),
+    "mm_progressive_roundtrip": PROG_ROUNDTRIP_DUCK,
 }

@@ -69,12 +69,16 @@ def test_gray_input_promoted():
     assert np.abs(dec[:, :, 0].astype(int) - dec[:, :, 2].astype(int)).max() <= 2
 
 
-def test_progressive_and_garbage_raise():
+def test_malformed_streams_raise():
     arr = _gradient(8, 8)
+    # A baseline stream relabeled SOF2 is an ILLEGAL progressive
+    # stream (its single scan has Ss=0, Se=63; progressive DC scans
+    # must have Se=0 — T.81 G.1.1.1). Real progressive streams decode
+    # now (tests/test_jpeg_progressive.py).
     data = bytearray(jpeg.encode_jpeg(arr))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError):
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=0, Se!=0"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"not a jpeg at all")
