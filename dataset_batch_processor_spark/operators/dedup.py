@@ -268,6 +268,71 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSET_T = 0.9
+
+
+def containment_verify_df(
+    docs: DataFrame, pairs: DataFrame | None = None,
+    subset_threshold: float = SUBSET_T,
+) -> DataFrame:
+    """Shingle-set CONTAINMENT for each LSH candidate pair:
+    ``n_inter / min(|A|, |B|)`` — the Broder containment measure.
+
+    Jaccard under-scores near-SUBSET duplicates (a page and its
+    truncated variant share few shingles relative to the union but
+    nearly all of the smaller set); an LLM-data dedup pass keyed only
+    on Jaccard keeps both copies. Containment flags them:
+    ``is_subset_dup`` marks pairs where the smaller document is
+    ``subset_threshold``-contained in the larger. Same candidate-only
+    join shape as Jaccard — the measure changes, the scale story
+    doesn't."""
+    sh = shingle_sets(docs).select("doc_id", "shingle").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if pairs is None:
+        pairs = lsh_pairs_df(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    cont = F.round(
+        F.col("n_inter").cast("double")
+        / F.least(F.col("na"), F.col("nb")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "na",
+            "nb",
+            cont.alias("containment"),
+            (cont >= F.lit(subset_threshold)).alias("is_subset_dup"),
+        )
+    )
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_verify_df(
+        catalog.load_table(spark, sf_dir, "documents"),
+        pairs=pair_graph(spark, sf_dir),
+    )
+
+
 # --------------------------------------------------------- DuckDB oracle
 
 _SHINGLES_DUCK = f"""shingles AS (
@@ -472,11 +537,44 @@ def _run(sql: str):
     return f
 
 
+CONTAINMENT_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.doc_a
+  JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       za.n_shingles AS na,
+       zb.n_shingles AS nb,
+       round(CAST(i.n_inter AS DOUBLE)
+             / CAST(least(za.n_shingles, zb.n_shingles) AS DOUBLE), 6)
+           AS containment,
+       round(CAST(i.n_inter AS DOUBLE)
+             / CAST(least(za.n_shingles, zb.n_shingles) AS DOUBLE), 6)
+           >= {SUBSET_T} AS is_subset_dup
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "minhash_signatures": _q_minhash,
     "minhash_lsh_pairs": _q_lsh_pairs,
     "minhash_jaccard_verify": _q_jaccard,
+    "docs_containment_pairs": _q_containment,
     "simhash_signatures": _run(SIMHASH_SPARK),
     "dup_graph_degree_stats": _q_degree_stats,
 }
@@ -486,6 +584,7 @@ ORACLES = {
     "minhash_signatures": MINHASH_DUCK,
     "minhash_lsh_pairs": LSH_PAIRS_DUCK,
     "minhash_jaccard_verify": JACCARD_DUCK,
+    "docs_containment_pairs": CONTAINMENT_DUCK,
     "simhash_signatures": SIMHASH_DUCK,
     "dup_graph_degree_stats": DEGREE_STATS_DUCK,
 }

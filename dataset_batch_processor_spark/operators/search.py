@@ -95,5 +95,76 @@ def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SEARCH_SPARK)
 
 
-QUERIES = {"docs_keyword_search": _q_keyword_search}
-ORACLES = {"docs_keyword_search": SEARCH_DUCK}
+# ------------------------------------------------------------- BM25
+# Full BM25 (Robertson/Sparck Jones, public formulation): the tf
+# saturation and document-length normalization the linear-idf query
+# above omits. score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/
+# avgdl)) with the same linear idf surrogate (engine ln() drift), all
+# divisions double, one fixed-order expression, round(6) sealed.
+# avgdl is computed as an exact integer token-count sum over the
+# corpus divided as DOUBLE — identical in both engines.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_DL = {
+    "spark": "size(split(text, ' '))",
+    "duck": "len(string_split(text, ' '))",
+}
+
+
+def _bm25_sql(dialect: str) -> str:
+    tf_terms = [
+        _TF[dialect].format(t=t) + f" AS tf_{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    norm = (
+        f"{BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(dl AS DOUBLE) / avgdl)"
+    )
+    score = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) "
+        f"/ (CAST(df_{i} AS DOUBLE) + 0.5)) "
+        f"* (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0}) "
+        f"/ (CAST(tf_{i} AS DOUBLE) + {norm})"
+        for i in range(len(QUERY_TERMS))
+    )
+    return f"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum({_DL[dialect]}) AS DOUBLE) / count(*) AS avgdl,
+         {_DF_CTE[dialect]}
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, {_DL[dialect]} AS dl, {", ".join(tf_terms)}
+  FROM documents
+)
+SELECT doc_id,
+       CAST(dl AS INT) AS dl,
+       CAST(round({score}, 6) AS DOUBLE) AS bm25
+FROM scored CROSS JOIN stats
+WHERE tf_0 + tf_1 + tf_2 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+BM25_SPARK = _bm25_sql("spark")
+BM25_DUCK = _bm25_sql("duck")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(BM25_SPARK)
+
+
+QUERIES = {
+    "docs_keyword_search": _q_keyword_search,
+    "docs_bm25_topk": _q_bm25,
+}
+ORACLES = {
+    "docs_keyword_search": SEARCH_DUCK,
+    "docs_bm25_topk": BM25_DUCK,
+}

@@ -194,3 +194,78 @@ ORDER BY event_type
 
 QUERIES["events_stream_dedup"] = streaming_dedup_users
 ORACLES["events_stream_dedup"] = STREAM_DEDUP_DUCK
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the hash gate: clicks joined
+    to same-user purchases within the following hour.
+
+    This exercises the symmetric-hash-join state store — a third
+    stateful operator class beyond aggregation (events_stream_hourly)
+    and deduplication (events_stream_dedup). Both sides carry
+    watermarks and the join carries an event-time range condition, so
+    on a live stream the state is bounded and inner matches emit
+    immediately (append mode); availableNow over the finite backlog
+    is the batch-parity case. The per-pair rows land in the memory
+    sink; the returned per-user pair counts are batch post-processing
+    of the sink table, so the hash gate pins the JOIN's exact output
+    multiset against DuckDB's interval self-join."""
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="dbp_stream_ssj_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(path).schema
+
+    def side(event_type, ts_name, uid_name):
+        src = catalog.normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(uid_name),
+                F.col("ts").alias(ts_name),
+            )
+            .withWatermark(ts_name, "1 hour")
+        )
+
+    clicks = side("click", "click_ts", "user_id")
+    purchases = side("purchase", "p_ts", "p_user")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts > click_ts "
+            "AND p_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, count(*) AS n_pairs FROM {name} "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+
+
+STREAM_SSJ_DUCK = """
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+QUERIES["events_stream_join_pairs"] = streaming_click_purchase_join
+ORACLES["events_stream_join_pairs"] = STREAM_SSJ_DUCK
