@@ -113,5 +113,21 @@ def try_register_optional_codecs() -> dict[str, str]:
             if fmt not in REGISTERED:
                 register_codec(fmt, generic)
                 REGISTERED[fmt] = "imageio"
+        # lossy-WebP fallback: the built-in pure-Python WebP codec
+        # fully decodes VP8L (lossless) but raises for lossy VP8
+        # bitstreams (webp.py) — the reference's legacy route for
+        # exactly this case is imageio (batch_processor.py:352-357).
+        # Chain them: pure decoder first, imageio only on its
+        # NotImplementedError, so VP8L stays dependency-free.
+        from .webp import decode_webp as _pure_webp
+
+        def decode_webp_chained(content: bytes) -> np.ndarray:
+            try:
+                return _pure_webp(content)
+            except NotImplementedError:
+                return generic(content)
+
+        register_codec("webp", decode_webp_chained)
+        REGISTERED["webp"] = "pure+imageio"
 
     return dict(REGISTERED)

@@ -297,3 +297,78 @@ QUERIES["corpus_mixture_weights"] = _run(MIXTURE_SPARK, ("documents",))
 ORACLES["corpus_mixture_weights"] = MIXTURE_DUCK
 QUERIES["docs_surprisal_rank"] = _run(SURPRISAL_SPARK, ("documents",))
 ORACLES["docs_surprisal_rank"] = SURPRISAL_DUCK
+
+# ------------------------------------------------- vocabulary coverage
+# Zipf-style concentration WITHOUT logs (engine ln() drifts in the
+# last ulp; a fixed-point rounding of ln can flip at the boundary, so
+# the power-law SLOPE is not hash-safe — the coverage curve is the
+# integer-exact equivalent signal): for k in 1/10/100/1000, the share
+# of total token mass covered by the top-k types. Rank ties break by
+# token text, the shares are one rounded division each at the end.
+# Scale: the cumulative window runs over the VOCAB (<< corpus); the
+# corpus pays one explode + one groupBy.
+
+_COVERAGE_KS = (1, 10, 100, 1000)
+
+
+def _coverage_sql(dialect: str) -> str:
+    toks = (
+        "SELECT doc_id, token FROM documents "
+        "LATERAL VIEW explode(split(text, ' ')) t AS token"
+        if dialect == "spark"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents"
+    )
+    shares = ",\n       ".join(
+        f"CAST(round(CAST(max(CASE WHEN rnk <= {k} THEN cum ELSE 0 END) "
+        f"AS DOUBLE) / CAST(max(total) AS DOUBLE), 6) AS DOUBLE) "
+        f"AS top{k}_share"
+        for k in _COVERAGE_KS
+    )
+    return f"""
+WITH toks AS ({toks}),
+toks2 AS (SELECT token FROM toks WHERE length(token) > 0),
+vocab AS (SELECT token, count(*) AS c FROM toks2 GROUP BY token),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, token ASC) AS rnk,
+         sum(c) OVER (ORDER BY c DESC, token ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+         sum(c) OVER () AS total
+  FROM vocab
+)
+SELECT CAST(max(total) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {shares}
+FROM ranked
+"""
+
+
+QUERIES["docs_vocab_coverage"] = _run(_coverage_sql("spark"), ("documents",))
+ORACLES["docs_vocab_coverage"] = _coverage_sql("duck")
+
+# ------------------------------------------------- per-source summary
+# The "dataset card" row a curation pipeline prints per source before
+# mixing: doc/char/token counts, language spread, exact-dup rate
+# (1 - distinct md5(text)/docs). Everything integer or one final
+# rounded division; count(DISTINCT …) is exact on both engines.
+# Scale: one groupBy(source) with map-side partial distinct via the
+# md5 hash — at skewed source sizes this is the salted_aggregate
+# candidate, documented in SCALE.md.
+
+_SUMMARY_CORE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT md5(text)) AS n_unique,
+       CAST(round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_source_summary"] = _run(_SUMMARY_CORE, ("documents",))
+ORACLES["corpus_source_summary"] = _SUMMARY_CORE

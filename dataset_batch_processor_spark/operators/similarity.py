@@ -931,3 +931,50 @@ QUALIFY rank <= {LABEL_TOP_K}
 
 QUERIES["emb_label_knn"] = _q_label_knn
 ORACLES["emb_label_knn"] = LABEL_KNN_DUCK
+
+
+# ---------------------------------------------- embedding health report
+# The sanity pass a pipeline runs before trusting an embedding column:
+# norm distribution (collapsed/exploded embeddings show up as mass at
+# 0 or at the extremes) as an integer-bucket histogram. Determinism:
+# the norm is an element-SEQUENTIAL double fold (vector.norm) — fixed
+# association on both engines — rounded to 6 dp before bucketing, so
+# the floor() boundary sees identical doubles; sqrt is IEEE
+# correctly-rounded everywhere. One narrow scan + one groupBy on the
+# bucket (tiny key space) — map-side combinable at any corpus size.
+
+
+def _q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(vector.norm(F.col("embedding")), 6)
+    return (
+        emb.select(F.floor(nrm).cast("int").alias("norm_bucket"),
+                   nrm.alias("nrm"))
+        .groupBy("norm_bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("norm_bucket")
+    )
+
+
+NORM_HIST_DUCK = f"""
+WITH norms AS (
+  SELECT round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT CAST(floor(nrm) AS INT) AS norm_bucket,
+       count(*) AS n_vecs,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM norms
+GROUP BY 1
+ORDER BY norm_bucket
+"""
+
+QUERIES["emb_norm_histogram"] = _q_norm_histogram
+ORACLES["emb_norm_histogram"] = NORM_HIST_DUCK
