@@ -305,8 +305,12 @@ ORACLES["docs_surprisal_rank"] = SURPRISAL_DUCK
 # integer-exact equivalent signal): for k in 1/10/100/1000, the share
 # of total token mass covered by the top-k types. Rank ties break by
 # token text, the shares are one rounded division each at the end.
-# Scale: the cumulative window runs over the VOCAB (<< corpus); the
-# corpus pays one explode + one groupBy.
+# Scale: totals come from a plain (map-side-combinable) aggregate and
+# the top set from ORDER BY + LIMIT — TakeOrderedAndProject, per-
+# partition heaps + a 1000-row driver merge. The rank/cumulative
+# window then runs over ONLY those 1000 rows. No window ever sees the
+# full vocabulary: at web scale |vocab| is ~10^8 types and a plain
+# row_number()/sum() OVER () would serialize it through one task.
 
 _COVERAGE_KS = (1, 10, 100, 1000)
 
@@ -329,19 +333,25 @@ def _coverage_sql(dialect: str) -> str:
 WITH toks AS ({toks}),
 toks2 AS (SELECT token FROM toks WHERE length(token) > 0),
 vocab AS (SELECT token, count(*) AS c FROM toks2 GROUP BY token),
-ranked AS (
-  SELECT c,
-         row_number() OVER (ORDER BY c DESC, token ASC) AS rnk,
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS n_types FROM vocab
+),
+top AS (
+  SELECT token, c FROM vocab
+  ORDER BY c DESC, token ASC
+  LIMIT {max(_COVERAGE_KS)}
+),
+cum AS (
+  SELECT row_number() OVER (ORDER BY c DESC, token ASC) AS rnk,
          sum(c) OVER (ORDER BY c DESC, token ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum,
-         sum(c) OVER () AS total
-  FROM vocab
+             AS cum
+  FROM top
 )
 SELECT CAST(max(total) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(max(n_types) AS BIGINT) AS n_types,
        {shares}
-FROM ranked
+FROM cum CROSS JOIN tot
 """
 
 

@@ -142,3 +142,59 @@ def test_first_last_order_is_one_agg_no_window(spark, sf_dir):
     assert "Window" not in plan
     # one hash exchange for the groupBy + one range for ORDER BY
     assert explain.count_exchanges(df) <= 2
+
+
+def test_bm25_topk_has_no_full_sort(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import search
+
+    df = search.QUERIES["docs_bm25_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain.formatted_plan(df)
+
+
+def test_vocab_coverage_never_windows_full_vocab(spark, sf_dir):
+    """Totals via plain agg, top set via TakeOrderedAndProject; the
+    only single-partition exchange feeds the 1000-row cum window. A
+    row_number()/sum() OVER () over the raw vocab would serialize
+    ~10^8 types through one task at web scale."""
+    from dataset_batch_processor_spark.operators import corpusstats
+
+    df = corpusstats.QUERIES["docs_vocab_coverage"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_norm_histogram_single_agg_shuffle(spark, sf_dir):
+    """Narrow scan + one hash agg on the tiny bucket key (plus its
+    AQE final-agg exchange); no joins, no windows."""
+    from dataset_batch_processor_spark.operators import similarity
+
+    df = similarity.QUERIES["emb_norm_histogram"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    assert explain.broadcast_join_count(df) == 0
+
+
+def test_containment_reuses_candidate_join_shape(spark, sf_dir):
+    """Candidates-only verification: the pair graph joins shingles
+    twice (A side, B side) and sizes twice — same shape as Jaccard;
+    no cross join may appear."""
+    from dataset_batch_processor_spark.operators import dedup
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    df = dedup.containment_verify_df(docs)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_checksum_fans_out_and_spreads_skew(spark, sf_dir):
+    """Both Python stages keep their exchanges: the id fan-out before
+    the PNG-generation kernel (RoundRobin) and materialize_tiles'
+    (id, j) hash repartition before the crop kernel."""
+    from dataset_batch_processor_spark.multimodal import queries as mmq
+
+    df = mmq.QUERIES["mm_tile_checksum"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning(id" in plan
