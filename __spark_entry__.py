@@ -33,6 +33,7 @@ from dataset_batch_processor_spark.operators import (
     captions as cap_ops,
     components,
     corpusstats,
+    dataops,
     decontam,
     curation,
     dedup as dedup_ops,
@@ -259,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(jsonl_ops.QUERIES)
     q.update(stream_check.QUERIES)
     q.update(analytics.QUERIES)
+    q.update(dataops.QUERIES)
     return _prioritize(q)
 
 
@@ -340,4 +342,5 @@ FROM images_meta GROUP BY 1
     o.update(jsonl_ops.ORACLES)
     o.update(stream_check.ORACLES)
     o.update(analytics.ORACLES)
+    o.update(dataops.ORACLES)
     return _prioritize(o)

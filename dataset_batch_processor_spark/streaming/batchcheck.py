@@ -218,6 +218,13 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
+    # State-store instances scale with shuffle partitions x join sides;
+    # at fixture volume 32 partitions is pure per-instance overhead
+    # (~2x the query wall, measured). 8 keeps the state machinery
+    # honest while sizing it to the data; a production stream sizes
+    # this to throughput, not to the session default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def side(event_type, ts_name, uid_name):
         src = catalog.normalize_event_ts(
@@ -242,14 +249,17 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(
         f"SELECT user_id, count(*) AS n_pairs FROM {name} "
         "GROUP BY user_id ORDER BY user_id"
