@@ -39,6 +39,7 @@ from dataset_batch_processor_spark.operators import (
     dedup as dedup_ops,
     merge as merge_ops,
     mlfilter,
+    pq,
     quantize,
     relational,
     relational2,
@@ -261,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_check.QUERIES)
     q.update(analytics.QUERIES)
     q.update(dataops.QUERIES)
+    q.update(pq.QUERIES)
     return _prioritize(q)
 
 
@@ -343,4 +345,5 @@ FROM images_meta GROUP BY 1
     o.update(stream_check.ORACLES)
     o.update(analytics.ORACLES)
     o.update(dataops.ORACLES)
+    o.update(pq.ORACLES)
     return _prioritize(o)

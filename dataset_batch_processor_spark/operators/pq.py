@@ -1,0 +1,137 @@
+"""Product quantization (PQ) approximate nearest neighbor.
+
+The third ANN family next to LSH (similarity.py) and IVF: split the
+embedding into M subspaces, vector-quantize each subspace against a
+small per-subspace codebook, and score queries against the 1-byte-per-
+subspace codes with an additive lookup table (ADC — asymmetric
+distance computation, Jégou et al., public formulation). PQ is what
+makes billion-vector search fit in RAM: 64-dim float32 (256 B) → M=8
+code bytes per vector, 32× compression, and query cost M lookups per
+candidate instead of a 64-dim dot product.
+
+Scale topology (the parts that matter at 10^9 vectors):
+- **Encode once, store codes.** The corpus × M × K assignment explode
+  is the one-off index build (the analogue of `ivf_build_index`); the
+  codes table (vec_id, j, cid) is what persists — bucketed on vec_id
+  it joins exchange-free.
+- **Query side is a broadcast LUT.** Each query contributes M×K
+  sub-distances (128 rows here) — KBs per query; the ADC join hits
+  the codes table on (j, cid), both tiny-cardinality keys that
+  hash-distribute uniformly, then one groupBy(query, vec) sums M
+  integers with map-side combine.
+- **No cross join anywhere**; the only corpus-sized shuffles are the
+  encode groupBy and the ADC aggregation.
+
+Determinism (driver hash gate): every sub-distance is an element-
+SEQUENTIAL double fold over the 8 subspace dims, scaled to
+fixed-point BIGINT (×10^6, round) — identical in both engines — so
+codebook assignment (argmin), the ADC sum (integer, order-free), and
+the final ranking (integer distance, neighbor-id tie-break) are all
+integer-exact. The oracle-fixture codebook is the first K sampled
+vectors per subspace (vec_id % 31 == 0, vec_id order) — the same
+fixed-mod sampling trick the IVF oracle uses; production swaps in
+k-means sub-codebooks exactly like `ivf_train_centroids`
+(not SQL-expressible, recall pytest-bounded).
+"""
+
+from __future__ import annotations
+
+from .relational2 import _run
+
+DIM = 64
+M = 8           # subspaces
+SUB = DIM // M  # dims per subspace
+K = 16          # centroids per subspace
+SAMPLE_MOD = 31
+QUERY_MOD = 50
+TOP_K = 5
+FX = 1_000_000  # fixed-point scale for squared distances
+
+
+def _pq_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    # element-sequential squared L2 between two embeddings restricted
+    # to subspace j (0-based), as fixed-point BIGINT
+    if spark:
+        d2 = (
+            "CAST(round(aggregate(sequence(1, {sub}), 0D, (acc, i) -> "
+            "acc + (CAST(element_at({a}, j * {sub} + i) AS DOUBLE) "
+            "- CAST(element_at({b}, j * {sub} + i) AS DOUBLE)) "
+            "* (CAST(element_at({a}, j * {sub} + i) AS DOUBLE) "
+            "- CAST(element_at({b}, j * {sub} + i) AS DOUBLE))) "
+            "* {fx}, 0) AS BIGINT)"
+        )
+        subspaces = "LATERAL VIEW explode(sequence(0, {m})) s AS j"
+    else:
+        d2 = (
+            "CAST(round(list_sum(list_transform(generate_series(1, {sub}), "
+            "i -> (CAST({a}[j * {sub} + i] AS DOUBLE) "
+            "- CAST({b}[j * {sub} + i] AS DOUBLE)) "
+            "* (CAST({a}[j * {sub} + i] AS DOUBLE) "
+            "- CAST({b}[j * {sub} + i] AS DOUBLE)))) "
+            "* {fx}, 0) AS BIGINT)"
+        )
+        subspaces = ", (SELECT unnest(generate_series(0, {m})) AS j) s"
+
+    d2_enc = d2.format(a="e.emb", b="c.emb", sub=SUB, fx=FX)
+    d2_lut = d2.format(a="q.emb", b="c.emb", sub=SUB, fx=FX)
+    sub_src = subspaces.format(m=M - 1)
+
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS emb
+  FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
+  ORDER BY vec_id LIMIT {K}
+),
+corpus AS (SELECT vec_id, embedding AS emb FROM embeddings),
+assigns AS (
+  SELECT e.vec_id, s.j, c.cid, {d2_enc} AS d2
+  FROM corpus e
+  CROSS JOIN cents c
+  {sub_src}
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM assigns
+  ) ranked WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS emb
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+luts AS (
+  SELECT q.query_id, s.j, c.cid, {d2_lut} AS d2
+  FROM queries q
+  CROSS JOIN cents c
+  {sub_src}
+),
+adc AS (
+  SELECT l.query_id, v.vec_id AS neighbor_id,
+         CAST(sum(l.d2) AS BIGINT) AS dist_fx
+  FROM codes v
+  JOIN luts l ON l.j = v.j AND l.cid = v.cid
+  WHERE v.vec_id <> l.query_id
+  GROUP BY l.query_id, v.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(round(CAST(dist_fx AS DOUBLE) / {FX}, 6) AS DOUBLE) AS adc_dist,
+       CAST(rnk AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, dist_fx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_fx ASC, neighbor_id ASC) AS rnk
+  FROM adc
+) final
+WHERE rnk <= {TOP_K}
+"""
+
+
+PQ_TOPK_SPARK = _pq_sql("spark")
+PQ_TOPK_DUCK = _pq_sql("duck")
+
+QUERIES = {"emb_pq_topk": _run(PQ_TOPK_SPARK, ("embeddings",))}
+ORACLES = {"emb_pq_topk": PQ_TOPK_DUCK}

@@ -198,3 +198,15 @@ def test_tile_checksum_fans_out_and_spreads_skew(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning(id" in plan
+
+
+def test_pq_adc_join_is_never_cartesian(spark, sf_dir):
+    """PQ's only cross joins are against the 16-row codebook
+    (broadcast nested loop); the ADC scoring must be an equi-join on
+    (j, cid) + hash aggregation, never a corpus-sized cartesian."""
+    from dataset_batch_processor_spark.operators import pq
+
+    df = pq.QUERIES["emb_pq_topk"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert explain.broadcast_join_count(df) >= 1
