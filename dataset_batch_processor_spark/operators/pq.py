@@ -135,3 +135,75 @@ PQ_TOPK_DUCK = _pq_sql("duck")
 
 QUERIES = {"emb_pq_topk": _run(PQ_TOPK_SPARK, ("embeddings",))}
 ORACLES = {"emb_pq_topk": PQ_TOPK_DUCK}
+
+
+# ------------------------------------------------ production encode path
+# The SQL formulation above IS the oracle; a 10^9-vector index build
+# wants the same math as one Arrow kernel pass. Exactness contract:
+# per-subspace squared distances accumulate LEFT-TO-RIGHT over the 8
+# dims (a vectorized loop over dim slices — element order identical
+# to the SQL fold, so the fixed-point BIGINT values match bit-for-bit
+# and assignment ties break identically). tests/test_pq.py pins
+# kernel codes == SQL codes exactly.
+
+
+def pq_centroids(emb, sample_mod: int = SAMPLE_MOD, k: int = K):
+    """Oracle-fixture codebook: first ``k`` sampled vectors in vec_id
+    order, as a (k, DIM) float64 numpy matrix. k rows reach the
+    driver — codebook-sized, never corpus-sized."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = (
+        emb.filter(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", "embedding")
+        .sort("vec_id")
+        .limit(k)
+        .collect()
+    )
+    return np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
+def pq_encode(emb, cents):
+    """(vec_id, j, cid) PQ codes via one mapInPandas pass against the
+    broadcast codebook — the index-build kernel. Scores every
+    (vector, subspace, centroid) with numpy, sequential-over-dims
+    accumulation for SQL-fold parity."""
+    import numpy as np
+    import pandas as pd
+
+    bc = emb.sparkSession.sparkContext.broadcast(cents)
+
+    def run(batches):
+        C = bc.value  # (K, DIM)
+        k, dim = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(E)
+            out_codes = np.empty((n, M), dtype=np.int32)
+            for j in range(M):
+                # accumulate (x_i - c_i)^2 left-to-right over the 8
+                # dims: same association as the SQL aggregate() fold
+                acc = np.zeros((n, k), dtype=np.float64)
+                for i in range(SUB):
+                    d = j * SUB + i
+                    diff = E[:, d, None] - C[None, :, d]
+                    acc = acc + diff * diff
+                # fixed-point; floor(x+0.5) = SQL round-half-away-from
+                # -zero for non-negative x (np.round is half-to-even)
+                fx = np.floor(acc * FX + 0.5)
+                # argmin with lowest-cid tie-break = np.argmin on axis 1
+                out_codes[:, j] = np.argmin(fx, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
+                    "j": np.tile(np.arange(M, dtype=np.int32), n),
+                    "cid": out_codes.ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, j int, cid int"
+    )

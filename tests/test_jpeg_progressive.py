@@ -85,3 +85,29 @@ def test_lossless_frame_still_quarantined():
     data[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="unsupported frame"):
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_progressive_equals_baseline_property_hypothesis():
+    """Property: for ANY uint8 RGB array, the progressive and
+    baseline streams decode bit-identically (shared quant pipeline —
+    the strongest invariant the two encoders admit)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arr=arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)),
+        ),
+        quality=st.sampled_from([50, 85, 95]),
+    )
+    def check(arr, quality):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=quality))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(arr, quality=quality)
+        )
+        assert np.array_equal(base, prog)
+
+    check()
