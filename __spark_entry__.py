@@ -28,6 +28,7 @@ from dataset_batch_processor_spark.sources import jsonl as jsonl_ops
 from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
+from dataset_batch_processor_spark.streaming import incremental as stream_inc
 from dataset_batch_processor_spark.operators import (
     analytics,
     captions as cap_ops,
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(analytics.QUERIES)
     q.update(dataops.QUERIES)
     q.update(pq.QUERIES)
+    q.update(stream_inc.QUERIES)
     return _prioritize(q)
 
 
@@ -346,4 +348,5 @@ FROM images_meta GROUP BY 1
     o.update(analytics.ORACLES)
     o.update(dataops.ORACLES)
     o.update(pq.ORACLES)
+    o.update(stream_inc.ORACLES)
     return _prioritize(o)

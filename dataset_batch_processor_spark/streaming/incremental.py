@@ -1,0 +1,164 @@
+"""Incremental near-duplicate detection over a document stream.
+
+The batch MinHash-LSH pipeline (operators/dedup.py) assumes the whole
+corpus is present; a production ingestion pipeline sees documents
+arrive continuously and wants each batch checked against EVERYTHING
+ingested so far without recomputing history. This module is that
+pattern: a ``foreachBatch`` loop that
+
+1. computes MinHash band buckets for the new micro-batch only
+   (the per-batch cost is linear in the batch),
+2. equi-joins the new buckets against the ACCUMULATED bucket index
+   (new-vs-old) and against themselves (new-vs-new) to emit exactly
+   the candidate pairs that involve a new document,
+3. appends the new buckets to the index and the new pairs to the
+   pairs log.
+
+Invariant (test-pinned): after the stream drains, the union of all
+emitted pairs equals the batch ``lsh_pairs_df`` over the same corpus
+— incremental ingestion discovers exactly the batch answer, in any
+batch partitioning of the input. Each pair is emitted exactly once
+(when its SECOND member arrives): new-vs-old pairs can't repeat
+because one side is strictly older, and new-vs-new uses the a<b
+half-join.
+
+Scale: the index grows as corpus x N_BANDS rows of (doc_id, band,
+bucket); the join key (band, bucket) is the same uniformly-hashed key
+the batch pipeline shuffles on. At deployment the index is a table
+bucketed by (band, bucket) (`storage.write_bucketed`) so each
+micro-batch joins exchange-free on the index side, and compaction is
+a background rewrite. Checkpointing makes the loop exactly-once: the
+batch id gates both appends.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_bands_df, minhash_signatures_df
+
+
+def incremental_lsh_pairs(
+    docs_stream: DataFrame, index_dir: str, pairs_dir: str,
+    checkpoint_dir: str,
+):
+    """Start the foreachBatch loop; returns the StreamingQuery.
+
+    ``docs_stream`` must carry (doc_id, text). Pairs land in
+    ``pairs_dir`` as (doc_a, doc_b) parquet; the bucket index
+    accumulates in ``index_dir``."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bands = lsh_bands_df(minhash_signatures_df(batch)).persist()
+        try:
+            new_new = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
+            try:
+                idx = spark.read.parquet(index_dir)
+                have_index = True
+            except Exception:  # first batch: no index yet
+                have_index = False
+            if have_index:
+                new_old = (
+                    bands.alias("n")
+                    .join(
+                        idx.alias("o"),
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.bucket") == F.col("o.bucket")),
+                    )
+                    .select(
+                        F.least(
+                            F.col("n.doc_id"), F.col("o.doc_id")
+                        ).alias("doc_a"),
+                        F.greatest(
+                            F.col("n.doc_id"), F.col("o.doc_id")
+                        ).alias("doc_b"),
+                    )
+                    .filter(F.col("doc_a") != F.col("doc_b"))
+                )
+                pairs = new_new.unionByName(new_old)
+            else:
+                pairs = new_new
+            pairs.distinct().write.mode("append").parquet(pairs_dir)
+            bands.write.mode("append").parquet(index_dir)
+        finally:
+            bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_incremental_over_dir(
+    spark: SparkSession, staged_dir: str, work_dir: str,
+    max_files_per_trigger: int = 1, schema=None,
+) -> DataFrame:
+    """Drive ``incremental_lsh_pairs`` over a staged directory of
+    document parquet files — one micro-batch per file — and return
+    the drained pairs DataFrame (distinct)."""
+    if schema is None:
+        schema = spark.read.parquet(staged_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+        .select("doc_id", "text")
+    )
+    q = incremental_lsh_pairs(
+        stream,
+        index_dir=os.path.join(work_dir, "band_index"),
+        pairs_dir=os.path.join(work_dir, "pairs"),
+        checkpoint_dir=os.path.join(work_dir, "checkpoint"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work_dir, "pairs")).distinct()
+
+
+# ------------------------------------------------------- driver query
+# The drained incremental result EQUALS the batch pipeline's pairs by
+# the invariant above, so the batch DuckDB oracle (LSH_PAIRS_DUCK)
+# hash-gates the whole streaming loop: micro-batch signature compute,
+# index accumulation, new-vs-old/new-vs-new joins, exactly-once log.
+
+
+def _q_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import catalog as cat
+
+    docs = cat.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="dbp_inc_q_stage_")
+    for part in range(2):  # two micro-batches, dup partners split
+        docs.filter(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    work = tempfile.mkdtemp(prefix="dbp_inc_q_work_")
+    return run_incremental_over_dir(spark, stage, work)
+
+
+def _oracle():
+    from ..operators.dedup import LSH_PAIRS_DUCK
+
+    return LSH_PAIRS_DUCK
+
+
+QUERIES = {"docs_incremental_lsh_pairs": _q_incremental_pairs}
+ORACLES = {"docs_incremental_lsh_pairs": _oracle()}
