@@ -175,3 +175,80 @@ def salted_join(
     )
     joined = left.join(right, [key, "_salt"])
     return joined.drop("_salt")
+
+
+# ------------------------------------------------------ file layout ops
+# The two operational layout levers bucketing doesn't cover:
+#
+# - **Compaction**: streaming sinks, incremental appends, and
+#   over-parallel writes leave directories of tiny files; at 100 TB
+#   "the small-files problem" dominates NameNode/listing/open costs
+#   and caps scan throughput. Compaction rewrites a directory into
+#   size-targeted files — paid once, amortized over every later scan.
+# - **Sorted (range) layout**: parquet row-group min/max statistics
+#   only prune when values are clustered; repartitionByRange +
+#   sortWithinPartitions gives files/row-groups tight, mostly
+#   disjoint value ranges, so predicate scans skip whole files.
+#   tests/test_storage_layout.py proves the skip via the parquet
+#   footer statistics themselves.
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Rewrite ``src`` (a parquet dir with possibly many small files)
+    into ``dst`` with ~target_rows_per_file rows per output file.
+    Returns (files_before, files_after).
+
+    Row-count-based sizing keeps the helper engine-portable and
+    deterministic; a byte-based target would need sampled row widths
+    (the storage layer's autotuner does that — out of scope here).
+    Uses coalesce (no shuffle) when shrinking file count."""
+    import glob as _glob
+    import math
+
+    df = spark.read.parquet(src)
+    n = df.count()
+    before = len(_glob.glob(f"{src}/part-*"))
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    writer = df.coalesce(n_files) if n_files < max(before, 1) else df
+    writer.write.mode("errorifexists").parquet(dst)
+    after = len(_glob.glob(f"{dst}/part-*"))
+    return before, after
+
+
+def write_range_sorted(
+    df: DataFrame, dst: str, col: str, n_files: int,
+) -> None:
+    """Range-partition ``df`` on ``col`` into ``n_files`` files, each
+    sorted within — files carry tight, near-disjoint [min, max] value
+    ranges in their parquet footers, so a point/range predicate on
+    ``col`` prunes to ~one file at planning/scan time."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("errorifexists")
+        .parquet(dst)
+    )
+
+
+def parquet_file_ranges(path: str, col: str) -> list[tuple]:
+    """[(min, max)] of ``col`` per parquet file under ``path`` — read
+    from the FOOTER statistics (pyarrow), no data scan. The layout
+    audit: disjoint tight ranges == data skipping works."""
+    import glob as _glob
+
+    import pyarrow.parquet as pa_pq
+
+    out = []
+    for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+        pf = pa_pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
