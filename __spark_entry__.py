@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.operators import (
     corpusstats,
     dataops,
     decontam,
+    linkage,
     curation,
     dedup as dedup_ops,
     merge as merge_ops,
@@ -265,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dataops.QUERIES)
     q.update(pq.QUERIES)
     q.update(stream_inc.QUERIES)
+    q.update(linkage.QUERIES)
     return _prioritize(q)
 
 
@@ -349,4 +351,5 @@ FROM images_meta GROUP BY 1
     o.update(dataops.ORACLES)
     o.update(pq.ORACLES)
     o.update(stream_inc.ORACLES)
+    o.update(linkage.ORACLES)
     return _prioritize(o)
