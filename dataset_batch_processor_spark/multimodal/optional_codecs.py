@@ -75,13 +75,26 @@ def _imageio_decoder() -> Callable[[bytes], np.ndarray] | None:
         return None
 
     def decode_imageio(content: bytes) -> np.ndarray:
-        arr = iio.imread(content, index=0)  # first frame for animated
-        arr = np.asarray(arr)
-        if arr.ndim == 2:  # grayscale -> RGB
+        arr = np.asarray(iio.imread(content, index=0))  # first frame
+        # bit-depth normalization BEFORE the uint8 cast: a plain
+        # astype would wrap 16-bit RAW/PNG pixels modulo 256
+        if arr.dtype == np.uint16:
+            arr = (arr.astype(np.uint32) * 255 // 65535).astype(np.uint8)
+        elif arr.dtype != np.uint8:
+            a = arr.astype(np.float64)
+            lo, hi = float(a.min()), float(a.max())
+            scale = 255.0 / (hi - lo) if hi > lo else 0.0
+            arr = ((a - lo) * scale).astype(np.uint8)
+        # channel normalization to the HxWx3 contract
+        if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=2)
-        if arr.shape[2] == 4:  # drop alpha
+        elif arr.shape[2] == 1:  # gray-with-axis
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 2:  # gray + alpha: keep luma
+            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+        elif arr.shape[2] >= 4:  # drop alpha / extra planes
             arr = arr[:, :, :3]
-        return np.ascontiguousarray(arr.astype(np.uint8))
+        return np.ascontiguousarray(arr)
 
     return decode_imageio
 

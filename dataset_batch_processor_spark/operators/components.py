@@ -143,25 +143,17 @@ def connected_components(
 # consume the SAME (node, comp) labeling, and the iterative star
 # contraction dominates their cost, so it is paid once and the label
 # table (|nodes in pairs| rows, tiny) is scanned thereafter.
-_LABELS_CACHE: dict[tuple[int, str], str] = {}
 
 
 def doc_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from ..matcache import materialize_once
 
-    key = (id(spark), os.path.abspath(sf_dir))
-    path = _LABELS_CACHE.get(key)
-    if path is None:
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="dbp_dup_labels_"), "labels"
-        )
-        labels = connected_components(
+    return materialize_once(
+        spark, "dup_labels", sf_dir,
+        lambda: connected_components(
             pair_graph(spark, sf_dir), src="doc_a", dst="doc_b"
-        )
-        labels.write.parquet(path)
-        _LABELS_CACHE[key] = path
-    return spark.read.parquet(path)
+        ),
+    )
 
 
 def _q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

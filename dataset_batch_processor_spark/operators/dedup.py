@@ -40,8 +40,6 @@ from __future__ import annotations
 
 import hashlib
 import math
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -186,37 +184,30 @@ def lsh_pairs_df(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------ shared pair-graph index
 # The dup-graph family (components, survivors, keep-longest, degree
-# stats, PageRank) and Jaccard verification all consume the SAME
-# candidate-pair graph, and at any scale the shingle→minhash→band
-# pipeline dominates their cost. Pay it once per (session, dataset):
-# the first consumer materializes the pairs to a scratch parquet and
-# every later consumer scans that instead of re-deriving the graph.
-# A materialized table (not .persist()) on purpose — it survives
-# spark.catalog.clearCache() between bench queries, and it is the
-# local-mode twin of the production recipe (storage.write_bucketed
-# the pair graph once, then every downstream job equi-joins it).
-_PAIR_GRAPH_CACHE: dict[tuple[int, str], str] = {}
+# stats, PageRank) and the pair-verification measures all consume the
+# SAME candidate-pair graph, and at any scale the shingle→minhash→
+# band pipeline dominates their cost. Pay it once per (session,
+# dataset) via matcache.materialize_once — the local-mode twin of
+# "storage.write_bucketed the pair graph once, equi-join it forever".
 
 
 def pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized LSH candidate pairs for ``sf_dir``'s documents,
     built at most once per SparkSession."""
-    key = (id(spark), os.path.abspath(sf_dir))
-    path = _PAIR_GRAPH_CACHE.get(key)
-    if path is None:
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="dbp_pair_graph_"), "pairs"
-        )
-        docs = catalog.load_table(spark, sf_dir, "documents")
-        lsh_pairs_df(docs).write.parquet(path)
-        _PAIR_GRAPH_CACHE[key] = path
-    return spark.read.parquet(path)
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, "pair_graph", sf_dir,
+        lambda: lsh_pairs_df(catalog.load_table(spark, sf_dir, "documents")),
+    )
 
 
-def jaccard_verify_df(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact shingle-set Jaccard for each LSH candidate pair. Pass a
-    pre-built ``pairs`` (e.g. ``pair_graph``) to skip re-deriving the
-    candidate graph."""
+def _pair_overlap(docs: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Shared verification scaffolding: for each candidate pair, the
+    exact shingle intersection size plus both set sizes —
+    (doc_a, doc_b, n_inter, na, nb). Every pair measure (Jaccard,
+    containment, overlap coefficient, ...) is a projection of this
+    one candidates-only join."""
     sh = shingle_sets(docs).select("doc_id", "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if pairs is None:
@@ -237,19 +228,22 @@ def jaccard_verify_df(docs: DataFrame, pairs: DataFrame | None = None) -> DataFr
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    return inter.join(za, "doc_a").join(zb, "doc_b")
+
+
+def jaccard_verify_df(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for each LSH candidate pair. Pass a
+    pre-built ``pairs`` (e.g. ``pair_graph``) to skip re-deriving the
+    candidate graph."""
+    return _pair_overlap(docs, pairs).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
 
 
@@ -284,45 +278,21 @@ def containment_verify_df(
     on Jaccard keeps both copies. Containment flags them:
     ``is_subset_dup`` marks pairs where the smaller document is
     ``subset_threshold``-contained in the larger. Same candidate-only
-    join shape as Jaccard — the measure changes, the scale story
-    doesn't."""
-    sh = shingle_sets(docs).select("doc_id", "shingle").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    if pairs is None:
-        pairs = lsh_pairs_df(docs)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
-    )
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    join shape as Jaccard (shared via ``_pair_overlap``) — the
+    measure changes, the scale story doesn't."""
     cont = F.round(
         F.col("n_inter").cast("double")
         / F.least(F.col("na"), F.col("nb")).cast("double"),
         6,
     )
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            "na",
-            "nb",
-            cont.alias("containment"),
-            (cont >= F.lit(subset_threshold)).alias("is_subset_dup"),
-        )
+    return _pair_overlap(docs, pairs).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "na",
+        "nb",
+        cont.alias("containment"),
+        (cont >= F.lit(subset_threshold)).alias("is_subset_dup"),
     )
 
 

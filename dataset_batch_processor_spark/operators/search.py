@@ -40,6 +40,10 @@ _TF = {
     "duck": "len(list_filter(string_split(text, ' '), w -> w = '{t}'))",
 }
 
+# any-term-matched filter, derived from the term list so QUERY_TERMS
+# edits can't silently desync the WHERE clause from the tf columns
+_ANY_TF = " + ".join(f"tf_{i}" for i in range(len(QUERY_TERMS))) + " > 0"
+
 _DF_CTE = {
     "spark": ", ".join(
         f"sum(CASE WHEN array_contains(split(text, ' '), '{t}') "
@@ -78,7 +82,7 @@ SELECT doc_id,
        {", ".join(f"CAST(tf_{i} AS INT) AS tf_{i}" for i in range(len(QUERY_TERMS)))},
        CAST(round({score}, 6) AS DOUBLE) AS score
 FROM scored CROSS JOIN stats
-WHERE tf_0 + tf_1 + tf_2 > 0
+WHERE {_ANY_TF}
 ORDER BY score DESC, doc_id ASC
 LIMIT {TOP_K}
 """
@@ -143,7 +147,7 @@ SELECT doc_id,
        CAST(dl AS INT) AS dl,
        CAST(round({score}, 6) AS DOUBLE) AS bm25
 FROM scored CROSS JOIN stats
-WHERE tf_0 + tf_1 + tf_2 > 0
+WHERE {_ANY_TF}
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {TOP_K}
 """

@@ -65,7 +65,12 @@ def run_cancellable(
         # tag in the submitting thread so all jobs the action spawns
         # are cancellable via cancelJobsWithTag (the Spark 4 API —
         # SparkContext.clearJobGroup was removed in PySpark 4.x).
+        # interruptOnCancel preserves the old setJobGroup(...,
+        # interruptOnCancel=True) behavior: cancellation interrupts
+        # running task threads instead of letting a blocked element
+        # run to completion (the reference's stop-button semantics).
         spark.sparkContext.setJobDescription(description)
+        spark.sparkContext.setInterruptOnCancel(True)
         spark.sparkContext.addJobTag(group)
         try:
             h.result["value"] = action()

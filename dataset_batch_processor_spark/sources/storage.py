@@ -204,7 +204,9 @@ def compact_parquet_dir(
     Row-count-based sizing keeps the helper engine-portable and
     deterministic; a byte-based target would need sampled row widths
     (the storage layer's autotuner does that — out of scope here).
-    Uses coalesce (no shuffle) when shrinking file count."""
+    Shrinking uses coalesce (no shuffle); growing — the oversized-
+    files direction — needs a real repartition, since coalesce can
+    never increase partition count."""
     import glob as _glob
     import math
 
@@ -212,7 +214,10 @@ def compact_parquet_dir(
     n = df.count()
     before = len(_glob.glob(f"{src}/part-*"))
     n_files = max(1, math.ceil(n / target_rows_per_file))
-    writer = df.coalesce(n_files) if n_files < max(before, 1) else df
+    if n_files < max(before, 1):
+        writer = df.coalesce(n_files)
+    else:
+        writer = df.repartition(n_files)
     writer.write.mode("errorifexists").parquet(dst)
     after = len(_glob.glob(f"{dst}/part-*"))
     return before, after

@@ -224,7 +224,6 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # honest while sizing it to the data; a production stream sizes
     # this to throughput, not to the session default.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def side(event_type, ts_name, uid_name):
         src = catalog.normalize_event_ts(
@@ -239,17 +238,21 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .withWatermark(ts_name, "1 hour")
         )
 
-    clicks = side("click", "click_ts", "user_id")
-    purchases = side("purchase", "p_ts", "p_user")
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "user_id = p_user AND p_ts > click_ts "
-            "AND p_ts <= click_ts + INTERVAL 1 HOUR"
-        ),
-    )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
     try:
+        # the conf tweak and EVERYTHING that can fail (plan building
+        # included) sit inside the try so a mid-construction error
+        # can't leak partitions=8 into the long-lived session
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        clicks = side("click", "click_ts", "user_id")
+        purchases = side("purchase", "p_ts", "p_user")
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND p_ts > click_ts "
+                "AND p_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+        )
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")

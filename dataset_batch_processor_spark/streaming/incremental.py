@@ -27,8 +27,14 @@ bucket); the join key (band, bucket) is the same uniformly-hashed key
 the batch pipeline shuffles on. At deployment the index is a table
 bucketed by (band, bucket) (`storage.write_bucketed`) so each
 micro-batch joins exchange-free on the index side, and compaction is
-a background rewrite. Checkpointing makes the loop exactly-once: the
-batch id gates both appends.
+a background rewrite.
+
+Exactly-once under retries: foreachBatch is at-least-once, so both
+sinks are written as batch_id-keyed partition directories with
+per-directory OVERWRITE — a replayed batch rewrites its own
+directory instead of appending duplicates. (A bare
+``mode("append")`` here would silently break the exactly-once
+invariant on the first task retry.)
 """
 
 from __future__ import annotations
@@ -55,6 +61,8 @@ def incremental_lsh_pairs(
         spark = batch.sparkSession
         bands = lsh_bands_df(minhash_signatures_df(batch)).persist()
         try:
+            pairs_out = os.path.join(pairs_dir, f"batch_id={batch_id}")
+            index_out = os.path.join(index_dir, f"batch_id={batch_id}")
             new_new = (
                 bands.alias("a")
                 .join(
@@ -94,8 +102,10 @@ def incremental_lsh_pairs(
                 pairs = new_new.unionByName(new_old)
             else:
                 pairs = new_new
-            pairs.distinct().write.mode("append").parquet(pairs_dir)
-            bands.write.mode("append").parquet(index_dir)
+            # idempotent per-batch commit: a retried batch OVERWRITES
+            # its own partition directory rather than appending dups
+            pairs.distinct().write.mode("overwrite").parquet(pairs_out)
+            bands.write.mode("overwrite").parquet(index_out)
         finally:
             bands.unpersist()
 
@@ -129,7 +139,13 @@ def run_incremental_over_dir(
         checkpoint_dir=os.path.join(work_dir, "checkpoint"),
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(work_dir, "pairs")).distinct()
+    # partition discovery adds the batch_id dir key as a column;
+    # project it away so the result schema is exactly (doc_a, doc_b)
+    return (
+        spark.read.parquet(os.path.join(work_dir, "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 # ------------------------------------------------------- driver query

@@ -43,7 +43,11 @@ def test_incremental_equals_batch_pairs(spark, sf_dir, staged):
     }
     assert inc_pairs == batch_pairs
     # exactly-once: the raw (pre-distinct) log has no duplicate pairs
-    raw = spark.read.parquet(os.path.join(work, "pairs"))
+    # even ACROSS batch partitions (each pair lives in exactly one
+    # batch_id directory)
+    raw = spark.read.parquet(os.path.join(work, "pairs")).select(
+        "doc_a", "doc_b"
+    )
     assert raw.count() == raw.distinct().count()
 
 
