@@ -15,13 +15,51 @@ entry."""
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str, str], str] = {}
+_SCRATCH_DIRS: list[str] = []
+_LOCK = threading.Lock()
+_SCRATCH_ROOT: str | None = None
+
+
+def set_scratch_root(root: str | None) -> None:
+    """Direct future materializations under ``root`` (a long-lived
+    service points this at a managed scratch volume; ``None`` restores
+    the tempfile default)."""
+    global _SCRATCH_ROOT
+    _SCRATCH_ROOT = root
+
+
+def cleanup_scratch() -> None:
+    """Remove every scratch directory this process created and drop
+    the cache. Registered via ``atexit``; a service tearing down a
+    session may also call it directly."""
+    with _LOCK:
+        dirs, _SCRATCH_DIRS[:] = list(_SCRATCH_DIRS), []
+        _CACHE.clear()
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(cleanup_scratch)
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp under the configured scratch root, registered for
+    process-exit cleanup. All engine scratch (materialized indexes,
+    staging dirs) should come from here rather than raw mkdtemp."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    with _LOCK:
+        _SCRATCH_DIRS.append(d)
+    return d
 
 
 def materialize_once(
@@ -29,11 +67,26 @@ def materialize_once(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return ``build()``'s result as a scratch-parquet scan, building
-    at most once per (session, kind, key)."""
+    at most once per (session, kind, key).
+
+    The build itself runs outside the lock (it is a Spark job), but
+    cache publication is guarded: if two first callers race, one build
+    wins the cache slot and the loser's directory is removed, so at
+    most one copy survives per key."""
     ck = (spark.sparkContext.applicationId, kind, os.path.abspath(key))
-    path = _CACHE.get(ck)
+    with _LOCK:
+        path = _CACHE.get(ck)
     if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix=f"dbp_{kind}_"), kind)
-        build().write.parquet(path)
-        _CACHE[ck] = path
+        base = scratch_dir(f"dbp_{kind}_")
+        candidate = os.path.join(base, kind)
+        build().write.parquet(candidate)
+        with _LOCK:
+            path = _CACHE.get(ck)
+            if path is None:
+                path = _CACHE[ck] = candidate
+        if path != candidate:  # lost the publication race
+            shutil.rmtree(base, ignore_errors=True)
+            with _LOCK:
+                if base in _SCRATCH_DIRS:
+                    _SCRATCH_DIRS.remove(base)
     return spark.read.parquet(path)

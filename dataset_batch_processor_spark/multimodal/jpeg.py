@@ -222,7 +222,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
             if self.nbits == 0:
-                return 0  # past-end: spec says pad with 1s; 0 ends safely
+                # Past-end: T.81 F.2.2.5 pads the entropy stream with
+                # 1-bits. Returning 1 (not 0) keeps truncated or
+                # externally produced progressive streams on the spec
+                # decode path (a 0 here could flip a trailing EOB-run
+                # or magnitude read).
+                return 1
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 

@@ -206,20 +206,35 @@ def compact_parquet_dir(
     (the storage layer's autotuner does that — out of scope here).
     Shrinking uses coalesce (no shuffle); growing — the oversized-
     files direction — needs a real repartition, since coalesce can
-    never increase partition count."""
+    never increase partition count.
+
+    Hive-partitioned sources (key=value subdirs) are rejected
+    explicitly: a flat rewrite would silently DROP the partitioning —
+    the caller should compact per-partition (the directory key is
+    part of the layout contract, not ours to erase)."""
     import glob as _glob
     import math
 
+    def _count_parts(root: str) -> int:
+        # recursive: files may sit under key=value partition subdirs
+        return len(_glob.glob(f"{root}/**/part-*", recursive=True))
+
+    if _glob.glob(f"{src}/*=*/"):
+        raise ValueError(
+            f"compact_parquet_dir: {src!r} is hive-partitioned; "
+            "compact each partition directory separately to preserve "
+            "the partition columns"
+        )
     df = spark.read.parquet(src)
     n = df.count()
-    before = len(_glob.glob(f"{src}/part-*"))
+    before = _count_parts(src)
     n_files = max(1, math.ceil(n / target_rows_per_file))
     if n_files < max(before, 1):
         writer = df.coalesce(n_files)
     else:
         writer = df.repartition(n_files)
     writer.write.mode("errorifexists").parquet(dst)
-    after = len(_glob.glob(f"{dst}/part-*"))
+    after = _count_parts(dst)
     return before, after
 
 

@@ -213,10 +213,12 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="dbp_stream_ssj_")
     shutil.copy(path, f"{stage}/events.parquet")
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev_nanos = spark.conf.get(nanos_key, None)
+        spark.conf.set(nanos_key, "true")
     except Exception:
-        pass
+        prev_nanos = None
     schema = spark.read.parquet(path).schema
     # State-store instances scale with shuffle partitions x join sides;
     # at fixture volume 32 partitions is pure per-instance overhead
@@ -261,12 +263,28 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
+        # Materialize the per-user counts NOW (bounded: one row per
+        # distinct user) so the memory-sink table, the nanosAsLong
+        # override, and the staging dir can all be released before
+        # returning — the caller gets a clean local-relation plan.
+        rows = spark.sql(
+            f"SELECT user_id, count(*) AS n_pairs FROM {name} "
+            "GROUP BY user_id ORDER BY user_id"
+        ).collect()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.sql(
-        f"SELECT user_id, count(*) AS n_pairs FROM {name} "
-        "GROUP BY user_id ORDER BY user_id"
-    )
+        try:
+            if prev_nanos is None:
+                spark.conf.unset(nanos_key)
+            else:
+                spark.conf.set(nanos_key, prev_nanos)
+        except Exception:
+            pass
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, n_pairs BIGINT"
+    ).orderBy("user_id")
 
 
 STREAM_SSJ_DUCK = """

@@ -76,11 +76,19 @@ def incremental_lsh_pairs(
                     F.col("b.doc_id").alias("doc_b"),
                 )
             )
-            try:
+            # Probe for the index EXPLICITLY rather than catching read
+            # errors: a bare except here would treat a transient IO or
+            # corrupt-footer failure as "first batch" and silently drop
+            # every new-vs-old pair, breaking the incremental == batch
+            # invariant. A real read failure must propagate so the
+            # micro-batch retries instead of committing an incomplete
+            # pair set.
+            have_index = any(
+                e.name.startswith("batch_id=")
+                for e in os.scandir(index_dir)
+            ) if os.path.isdir(index_dir) else False
+            if have_index:
                 idx = spark.read.parquet(index_dir)
-                have_index = True
-            except Exception:  # first batch: no index yet
-                have_index = False
             if have_index:
                 new_old = (
                     bands.alias("n")
@@ -156,17 +164,16 @@ def run_incremental_over_dir(
 
 
 def _q_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .. import catalog as cat
+    from ..matcache import scratch_dir
 
     docs = cat.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = tempfile.mkdtemp(prefix="dbp_inc_q_stage_")
+    stage = scratch_dir("dbp_inc_q_stage_")
     for part in range(2):  # two micro-batches, dup partners split
         docs.filter(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
-    work = tempfile.mkdtemp(prefix="dbp_inc_q_work_")
+    work = scratch_dir("dbp_inc_q_work_")
     return run_incremental_over_dir(spark, stage, work)
 
 

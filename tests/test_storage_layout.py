@@ -30,6 +30,18 @@ def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_compaction_rejects_hive_partitioned_source(spark, sf_dir):
+    import pytest
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    src = tempfile.mkdtemp(prefix="dbp_part_") + "/orders"
+    orders.write.partitionBy("o_orderpriority").parquet(src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        storage.compact_parquet_dir(
+            spark, src, src + "_out", target_rows_per_file=100_000
+        )
+
+
 def test_range_sorted_layout_gives_disjoint_file_ranges(spark, sf_dir):
     orders = catalog.load_table(spark, sf_dir, "orders")
     dst = tempfile.mkdtemp(prefix="dbp_sorted_") + "/orders"
