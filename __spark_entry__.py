@@ -145,72 +145,169 @@ def _q_caption_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Names with a green driver row in CORRECTNESS_r01/r02/r03.json
-# (driver oracle, sf0.01). The driver verifies at most ~50 queries per
-# round in dict-insertion order, so anything NOT in this set is
-# registered first (see ``_prioritize``) until every query has a green
-# driver row. Round 4: ``distinct_sketches`` was mis-listed here in r3
-# (its only row ever was r1 ``err: no_oracle``; the oracle added later
-# never ran) — dropped from the set so it finally fronts the window,
-# together with the new round-4 queries.
-_DRIVER_VERIFIED = {
-    "active_customers_semi", "asof_latest_order", "asof_next_order_30d",
-    "auto_crop", "brand_type_rollup", "caption_join", "caption_upsert",
-    "corpus_mixture_weights", "csv_roundtrip_orders", "customer_asof_snapshot",
-    "customer_cube", "customer_first_last_order", "customer_order_gaps",
-    "customer_scd2_dim", "customer_upsert_merge", "customer_value_ntiles",
-    "customers_without_orders", "dedup_exact_docs", "dedup_lines",
-    "dedup_lines_normalized", "dedup_stats",
-    "docs_bloom_decontam", "docs_bpe_tokens", "docs_cdc_chunks",
-    "docs_clean_pii", "docs_decontaminate",
-    "docs_dedup_keep_longest", "docs_dedup_survivors",
-    "docs_dup_components", "docs_fingerprint", "docs_keyword_search",
-    "docs_lang_id", "docs_length_histogram", "docs_ngram_jaccard_pairs",
-    "docs_quality_score", "docs_repetition_metrics", "docs_shard_packing",
-    "docs_split_counts", "docs_stratified_sample", "docs_surprisal_rank",
-    "docs_tfidf_topterms", "docs_token_rarity", "docs_token_stats",
-    "docs_train_val_split", "docs_weighted_sample",
-    "docs_winnow_fingerprint", "dup_graph_degree_stats",
-    "dup_graph_pagerank", "emb_ann_lsh_topk", "emb_cosine_topk",
-    "emb_ivf_fullprobe_equiv", "emb_ivf_topk",
-    "emb_label_centroids", "emb_label_knn", "emb_near_dup_components",
-    "emb_near_dup_pairs", "emb_quantize_int8",
-    "event_followups_within_hour", "events_anomaly_hours",
-    "events_cohort_retention", "events_daily_from_hourly",
-    "events_funnel", "events_gap_fill_ffill", "events_hourly",
-    "events_json_extract", "events_sessionize",
-    "events_sliding_active_users", "events_stream_dedup",
-    "events_stream_hourly", "events_value_percentiles",
-    "jsonl_roundtrip_orders", "lineitem_grouping_sets",
-    "lineitem_profile", "lineitem_qty_mode", "lineitem_quantiles",
-    "merge_text", "minhash_jaccard_verify", "minhash_lsh_pairs",
-    "minhash_signatures", "ml_face_route", "mm_decode_meta",
-    "mm_jpeg_roundtrip", "mm_png_roundtrip", "mm_resize_roundtrip",
-    "mm_wav_roundtrip", "mm_webp_roundtrip",
-    "mru_captions", "names_union_all", "orc_roundtrip_lineitem",
-    "orders_date_parts", "orders_median_by_priority",
-    "orders_quality_report", "orders_running_total",
-    "orders_stream_counts",
-    "orders_trailing_30d", "part_string_funcs", "partkey_set_ops",
-    "parts_above_brand_avg", "priority_pivot", "q10_returned_items",
-    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q17_small_qty_revenue", "q18_large_volume", "q19_disjunctive",
-    "q1_pricing_summary", "q21_waiting_suppliers",
-    "q22_inactive_high_balance", "q3_shipping_priority",
-    "q4_order_priority", "q5_regional_revenue", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "route_counts", "route_images", "salted_event_stats",
-    "simhash_signatures", "split_chunks", "tile_grid",
-    "tile_grid_auto_adjust", "tile_grid_num_tiles",
-    "top_customers_per_nation", "value_percentiles_sketch",
+# Last round in which each query had a green driver row (driver
+# oracle, sf0.01; green = hash_match, or rows_match for the rows-only
+# checks). The driver verifies at most ~50 queries per round in
+# dict-insertion order, so ``_prioritize`` fronts (a) names with NO
+# green row ever, then (b) the STALEST green rows — each round the
+# window re-proves the oldest verifications, so every query re-verifies
+# at least every ~3 rounds instead of r1-era rows aging forever.
+# Refresh from CORRECTNESS_r{N}.json each round (round-workflow rule).
+_LAST_VERIFIED = {
+    "active_customers_semi": 1,
+    "asof_latest_order": 2,
+    "asof_next_order_30d": 2,
+    "auto_crop": 4,
+    "brand_type_rollup": 1,
+    "caption_join": 4,
+    "caption_upsert": 4,
+    "corpus_mixture_weights": 3,
+    "corpus_source_summary": 4,
+    "csv_roundtrip_orders": 2,
+    "customer_asof_snapshot": 3,
+    "customer_cube": 1,
+    "customer_first_last_order": 3,
+    "customer_order_gaps": 2,
+    "customer_scd2_dim": 3,
+    "customer_upsert_merge": 2,
+    "customer_value_ntiles": 2,
+    "customers_without_orders": 1,
+    "dedup_exact_docs": 4,
+    "dedup_lines": 4,
+    "dedup_lines_normalized": 4,
+    "dedup_stats": 4,
+    "distinct_sketches": 4,
+    "docs_bloom_decontam": 4,
+    "docs_bm25_topk": 4,
+    "docs_bpe_tokens": 1,
+    "docs_cdc_chunks": 3,
+    "docs_clean_pii": 2,
+    "docs_containment_pairs": 4,
+    "docs_decontaminate": 4,
+    "docs_dedup_keep_longest": 4,
+    "docs_dedup_survivors": 4,
+    "docs_dup_components": 4,
+    "docs_fingerprint": 1,
+    "docs_incremental_lsh_pairs": 4,
+    "docs_keyword_search": 3,
+    "docs_lang_id": 1,
+    "docs_length_histogram": 2,
+    "docs_ngram_jaccard_pairs": 4,
+    "docs_quality_score": 1,
+    "docs_repetition_metrics": 2,
+    "docs_shard_packing": 2,
+    "docs_snapshot_diff": 4,
+    "docs_split_counts": 2,
+    "docs_stratified_sample": 2,
+    "docs_surprisal_rank": 3,
+    "docs_tfidf_topterms": 2,
+    "docs_token_rarity": 2,
+    "docs_token_stats": 1,
+    "docs_train_val_split": 2,
+    "docs_vocab_coverage": 4,
+    "docs_weighted_sample": 3,
+    "docs_winnow_fingerprint": 1,
+    "dup_graph_degree_stats": 4,
+    "dup_graph_pagerank": 4,
+    "emb_ann_lsh_topk": 1,
+    "emb_ann_multiprobe_topk": 4,
+    "emb_cosine_topk": 1,
+    "emb_ivf_fullprobe_equiv": 2,
+    "emb_ivf_topk": 1,
+    "emb_label_centroids": 2,
+    "emb_label_knn": 3,
+    "emb_near_dup_components": 4,
+    "emb_near_dup_pairs": 1,
+    "emb_norm_histogram": 4,
+    "emb_pq_topk": 4,
+    "emb_quantize_int8": 3,
+    "event_followups_within_hour": 2,
+    "events_anomaly_hours": 3,
+    "events_cohort_retention": 3,
+    "events_daily_from_hourly": 2,
+    "events_funnel": 3,
+    "events_gap_fill_ffill": 2,
+    "events_hourly": 4,
+    "events_json_extract": 4,
+    "events_sessionize": 1,
+    "events_sliding_active_users": 3,
+    "events_stream_dedup": 3,
+    "events_stream_hourly": 3,
+    "events_stream_join_pairs": 4,
+    "events_value_percentiles": 3,
+    "fk_integrity_audit": 4,
+    "jsonl_roundtrip_orders": 3,
+    "lineitem_grouping_sets": 2,
+    "lineitem_profile": 3,
+    "lineitem_qty_mode": 3,
+    "lineitem_quantiles": 1,
+    "merge_text": 4,
+    "minhash_jaccard_verify": 4,
+    "minhash_lsh_pairs": 4,
+    "minhash_signatures": 4,
+    "ml_face_route": 1,
+    "mm_decode_meta": 2,
+    "mm_jpeg_roundtrip": 2,
+    "mm_png_roundtrip": 2,
+    "mm_progressive_roundtrip": 4,
+    "mm_resize_roundtrip": 3,
+    "mm_tile_checksum": 4,
+    "mm_wav_roundtrip": 2,
+    "mm_webp_roundtrip": 3,
+    "mru_captions": 4,
+    "names_union_all": 2,
+    "orc_roundtrip_lineitem": 2,
+    "orders_date_parts": 1,
+    "orders_median_by_priority": 3,
+    "orders_quality_report": 3,
+    "orders_running_total": 4,
+    "orders_stream_counts": 2,
+    "orders_trailing_30d": 2,
+    "part_string_funcs": 1,
+    "partkey_set_ops": 1,
+    "parts_above_brand_avg": 2,
+    "parts_fuzzy_match_stats": 4,
+    "priority_pivot": 1,
+    "q10_returned_items": 1,
+    "q13_order_distribution": 2,
+    "q14_promo_effect": 2,
+    "q15_top_supplier": 2,
+    "q17_small_qty_revenue": 2,
+    "q18_large_volume": 2,
+    "q19_disjunctive": 2,
+    "q1_pricing_summary": 4,
+    "q21_waiting_suppliers": 2,
+    "q22_inactive_high_balance": 2,
+    "q3_shipping_priority": 4,
+    "q4_order_priority": 2,
+    "q5_regional_revenue": 4,
+    "q6_forecast_revenue": 2,
+    "q7_volume_shipping": 1,
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "route_counts": 4,
+    "route_images": 4,
+    "salted_event_stats": 2,
+    "simhash_signatures": 4,
+    "split_chunks": 4,
+    "tile_grid": 4,
+    "tile_grid_auto_adjust": 4,
+    "tile_grid_num_tiles": 4,
+    "top_customers_per_nation": 4,
+    "value_percentiles_sketch": 2,
 }
 
 
 def _prioritize(d: dict) -> dict:
-    """Return ``d`` reordered: never-driver-verified names first."""
-    front = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
-    back = {k: v for k, v in d.items() if k in _DRIVER_VERIFIED}
-    front.update(back)
+    """Return ``d`` reordered for the driver's ~50-query window:
+    never-verified names first (insertion order), then verified names
+    stalest-round first (ties alphabetical, deterministic)."""
+    front = {k: v for k, v in d.items() if k not in _LAST_VERIFIED}
+    for k in sorted(
+        (k for k in d if k in _LAST_VERIFIED),
+        key=lambda k: (_LAST_VERIFIED[k], k),
+    ):
+        front[k] = d[k]
     return front
 
 
