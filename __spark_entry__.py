@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.operators import (
     corpusstats,
     dataops,
     decontam,
+    ivfpq,
     linkage,
     curation,
     dedup as dedup_ops,
@@ -362,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(analytics.QUERIES)
     q.update(dataops.QUERIES)
     q.update(pq.QUERIES)
+    q.update(ivfpq.QUERIES)
     q.update(stream_inc.QUERIES)
     q.update(linkage.QUERIES)
     return _prioritize(q)
@@ -447,6 +449,7 @@ FROM images_meta GROUP BY 1
     o.update(analytics.ORACLES)
     o.update(dataops.ORACLES)
     o.update(pq.ORACLES)
+    o.update(ivfpq.ORACLES)
     o.update(stream_inc.ORACLES)
     o.update(linkage.ORACLES)
     return _prioritize(o)
