@@ -44,6 +44,7 @@ from dataset_batch_processor_spark.operators import (
     mlfilter,
     pq,
     quantize,
+    recall,
     relational,
     relational2,
     relational3,
@@ -364,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dataops.QUERIES)
     q.update(pq.QUERIES)
     q.update(ivfpq.QUERIES)
+    q.update(recall.QUERIES)
     q.update(stream_inc.QUERIES)
     q.update(linkage.QUERIES)
     return _prioritize(q)
@@ -450,6 +452,7 @@ FROM images_meta GROUP BY 1
     o.update(dataops.ORACLES)
     o.update(pq.ORACLES)
     o.update(ivfpq.ORACLES)
+    o.update(recall.ORACLES)
     o.update(stream_inc.ORACLES)
     o.update(linkage.ORACLES)
     return _prioritize(o)
