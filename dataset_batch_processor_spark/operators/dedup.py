@@ -159,9 +159,30 @@ def lsh_bands_df(sigs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_pairs_df(docs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs: docs sharing any band bucket."""
+def lsh_pairs_df(docs: DataFrame,
+                 max_bucket_size: int | None = None) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any band bucket.
+
+    ``max_bucket_size`` is the hot-bucket cap (production LSH
+    standard; Spark MLlib's own LSH joins apply the same idea): a
+    bucket holding B docs emits B²/2 candidates, so one degenerate
+    bucket — boilerplate-heavy corpora produce them — can dominate the
+    whole join. Capping drops buckets above the budget BEFORE the
+    self-join, hard-bounding per-bucket candidates at cap²/2. Recall
+    cost is small by construction: members of a mega-bucket are
+    near-identical docs that almost always ALSO collide in other,
+    smaller band buckets, and downstream connected components restores
+    cliques from any surviving edge path. The oracle fixture default
+    (None) keeps the driver hashes byte-stable."""
     bands = lsh_bands_df(minhash_signatures_df(docs)).persist()
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size),
+            ["band", "bucket"],
+        ).drop("_bsz")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
