@@ -45,6 +45,7 @@ from dataset_batch_processor_spark.operators import (
     pq,
     quantize,
     recall,
+    substring,
     relational,
     relational2,
     relational3,
@@ -366,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(pq.QUERIES)
     q.update(ivfpq.QUERIES)
     q.update(recall.QUERIES)
+    q.update(substring.QUERIES)
     q.update(stream_inc.QUERIES)
     q.update(linkage.QUERIES)
     return _prioritize(q)
@@ -453,6 +455,7 @@ FROM images_meta GROUP BY 1
     o.update(pq.ORACLES)
     o.update(ivfpq.ORACLES)
     o.update(recall.ORACLES)
+    o.update(substring.ORACLES)
     o.update(stream_inc.ORACLES)
     o.update(linkage.ORACLES)
     return _prioritize(o)

@@ -72,8 +72,17 @@ def main() -> None:
         lambda: substring.substring_dup_spans_df(docs).count()
     )
     print(json.dumps({
-        "exp": "substring_dup_spans", "n_docs": n_docs,
+        "exp": "substring_dup_spans_md5", "n_docs": n_docs,
         "span_rows": spans, "wall_s": dt_s,
+    }))
+    spans_x, dt_x = timed(
+        lambda: substring.substring_dup_spans_df(
+            docs, hash_fn="xxhash64"
+        ).count()
+    )
+    print(json.dumps({
+        "exp": "substring_dup_spans_xxhash64", "span_rows": spans_x,
+        "wall_s": dt_x,
     }))
 
 
