@@ -16,7 +16,8 @@ actual image bytes):
   baseline + progressive encode (jpeg.py, ITU-T T.81), the
   reference's default save format;
 - ``webp`` — VP8L lossless decode+encode incl. animated first frame
-  (webp.py); lossy VP8 raises into quarantine;
+  (webp.py); lossy VP8 stills decode through the pure-Python RFC
+  6386 keyframe decoder (vp8.py, bit-exact vs libwebp);
 - ``bmp``/``ppm`` — decode+encode (codecs_extra.py);
 - ``gif``  — first-frame LZW decode (gif.py) = the reference's
   animated-first-frame semantics;

@@ -31,23 +31,29 @@ def fake_decode_meta(binary_df: DataFrame) -> DataFrame:
     corruption — not just length drift — would surface)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                b = bytes(content)
-                n = len(b)
-                out.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "n_bytes": n,
-                        "fake_width": n % 100 + 1,
-                        "fake_height": n // 100 + 1,
-                        "checksum": int(sum(b)),
-                    }
-                )
+            blobs = pdf["content"].map(bytes)
+            n = blobs.map(len).to_numpy(dtype=np.int64)
+            # one Arrow-side concat + a single frombuffer/reduceat pass
+            # (no per-row Python sum): additive checksum per blob
+            joined = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            ends = np.cumsum(n)
+            starts = ends - n
+            # prefix-sum difference: exact per-blob sums, robust to
+            # empty blobs anywhere in the batch
+            csum = np.zeros(joined.size + 1, dtype=np.int64)
+            np.cumsum(joined, out=csum[1:])
+            sums = csum[ends] - csum[starts]
             yield pd.DataFrame(
-                out,
-                columns=["doc_id", "n_bytes", "fake_width", "fake_height", "checksum"],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "n_bytes": n.astype(np.int32),
+                    "fake_width": (n % 100 + 1).astype(np.int32),
+                    "fake_height": (n // 100 + 1).astype(np.int32),
+                    "checksum": sums,
+                }
             )
 
     return binary_df.mapInPandas(run, schema=DECODE_SCHEMA)
@@ -451,6 +457,74 @@ TILE_CK = 4  # tile size; overlap 0.5 -> step 2
 TILE_CK_SCHEMA = "doc_id long, i int, j int, tile_w int, tile_h int, pix_sum bigint"
 
 
+# ------------------------------------------------- VP8 lossy roundtrip
+# Same pattern for the VP8 (RFC 6386) keyframe codec: a deterministic
+# smooth fixture per doc_id, encoded at a doc-dependent quantizer with
+# the 4x4 (B_PRED) path exercised on three of every four docs, decoded
+# back through the pure-Python decoder. The hash-gated invariant is the
+# strongest the codec defines: the decoder's YUV planes must equal the
+# encoder's own reconstruction BIT-FOR-BIT (recon_exact) — the same
+# equality the libwebp interop tests in tests/test_vp8.py pin against
+# the reference implementation — plus a quality bound vs the source.
+
+VP8_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, recon_exact boolean, within_tol boolean"
+)
+
+
+def _q_vp8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import vp8
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 16, d % 17 + 16
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50], axis=2
+                ).astype(np.uint8)
+                stream, recon = vp8.encode_vp8_with_recon(
+                    arr, qi=20 + d % 30, bpred_every=d % 4
+                )
+                dec = vp8.decode_vp8_yuv(stream)
+                exact = all(
+                    np.array_equal(a, b) for a, b in zip(dec, recon)
+                )
+                ysrc, _, _ = vp8.rgb_to_yuv420(arr)
+                err = int(np.abs(dec[0].astype(int) - ysrc.astype(int)).max())
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": w,
+                        "height": h,
+                        "recon_exact": bool(exact),
+                        "within_tol": bool(err <= 24),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "recon_exact", "within_tol"],
+            )
+
+    return docs.mapInPandas(run, schema=VP8_ROUNDTRIP_SCHEMA)
+
+
+VP8_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 24 + 16 AS INT) AS width,
+       CAST(doc_id % 17 + 16 AS INT) AS height,
+       TRUE AS recon_exact,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -563,6 +637,7 @@ QUERIES = {
     "mm_webp_roundtrip": _q_webp_roundtrip,
     "mm_tile_checksum": _q_tile_checksum,
     "mm_progressive_roundtrip": _q_progressive_roundtrip,
+    "mm_vp8_roundtrip": _q_vp8_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -573,4 +648,5 @@ ORACLES = {
     "mm_webp_roundtrip": WEBP_ROUNDTRIP_DUCK,
     "mm_tile_checksum": _tile_checksum_duck(),
     "mm_progressive_roundtrip": PROG_ROUNDTRIP_DUCK,
+    "mm_vp8_roundtrip": VP8_ROUNDTRIP_DUCK,
 }

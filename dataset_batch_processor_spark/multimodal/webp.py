@@ -4,11 +4,11 @@ S5 parity (animated first-frame) and S3 coverage for the reference's
 WebP inputs (/root/reference/modules/batch_processor.py:352-357 takes
 frame 0 of animated inputs; other_tasks.py decodes stills via PIL).
 Container parsing handles VP8X/ANMF, so the first frame of an
-animated lossless WebP decodes; lossy VP8 frames raise
-NotImplementedError with the precise reason (VP8 is a full video
-intra codec — a production deployment registers libwebp through
-binary.register_codec, which decode_any now honors even for sniffed
-content).
+animated WebP decodes; lossy VP8 frames route to the pure-Python
+RFC 6386 keyframe decoder in vp8.py (bit-exact against libwebp on
+its YUV output — see tests/test_vp8.py). A production deployment
+can still register libwebp through binary.register_codec, which
+decode_any honors even for sniffed content.
 
 Decoder implements the complete VP8L feature set from the public
 spec (RFC 9649 / libwebp lossless_dec): canonical prefix codes
@@ -533,16 +533,16 @@ def decode_webp(content: bytes) -> np.ndarray:
                 if f2 == b"VP8L":
                     return _decode_vp8l_stream(inner[ip + 8 : ip + 8 + s2])
                 if f2 == b"VP8 ":
-                    raise NotImplementedError(
-                        "WebP: lossy VP8 frame — register a libwebp "
-                        "codec via binary.register_codec"
-                    )
+                    from . import vp8 as _vp8
+
+                    return _vp8.decode_vp8(inner[ip + 8 : ip + 8 + s2])
                 ip += 8 + s2 + (s2 & 1)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "WebP: lossy VP8 — register a libwebp codec via "
-                "binary.register_codec"
-            )
+            # lossy still (or first frame): pure-Python RFC 6386
+            # keyframe decoder (vp8.py), bit-exact vs libwebp
+            from . import vp8 as _vp8
+
+            return _vp8.decode_vp8(payload)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no decodable image chunk found")
 

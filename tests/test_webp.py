@@ -233,11 +233,18 @@ def test_animated_takes_first_vp8l_frame():
     assert np.array_equal(webp.decode_webp(data), arr)
 
 
-def test_lossy_vp8_raises_not_implemented():
+def test_lossy_vp8_routes_to_keyframe_decoder():
+    # a garbage VP8 payload now reaches the RFC 6386 keyframe decoder
+    # (vp8.py) instead of quarantining as unsupported; it must raise a
+    # precise ValueError there, and a real keyframe must decode
     body = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     data = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         webp.decode_webp(data)
+    from dataset_batch_processor_spark.multimodal import vp8
+
+    rgb = _rand(18, 22, seed=8)
+    assert webp.decode_webp(vp8.encode_webp_vp8(rgb, qi=12)).shape == (18, 22, 3)
 
 
 def test_errors_and_truncation():
