@@ -53,6 +53,7 @@ from dataset_batch_processor_spark.operators import (
     relational5,
     routing,
     search,
+    semdedup,
     similarity,
     temporal,
     textanalysis,
@@ -370,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(substring.QUERIES)
     q.update(stream_inc.QUERIES)
     q.update(linkage.QUERIES)
+    q.update(semdedup.QUERIES)
     return _prioritize(q)
 
 
@@ -458,4 +460,5 @@ FROM images_meta GROUP BY 1
     o.update(substring.ORACLES)
     o.update(stream_inc.ORACLES)
     o.update(linkage.ORACLES)
+    o.update(semdedup.ORACLES)
     return _prioritize(o)

@@ -1,0 +1,224 @@
+"""Semantic deduplication over embeddings (SemDeDup).
+
+Public method: Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv:2303.09540) — the
+embedding-space analogue of MinHash dedup used by LLM data pipelines
+to remove paraphrases and templated near-copies that lexical dedup
+misses. The recipe: k-means-cluster the corpus embeddings, compute
+pairwise cosine INSIDE each cluster only, call a pair with cosine
+>= eps semantic duplicates, and keep one representative per
+duplicate neighbourhood (the paper keeps the member LEAST similar to
+its centroid, which preserves boundary examples and discards
+redundant cluster cores).
+
+Spark shape (the part that must survive 100 TB):
+
+- clustering bounds the candidate space: the pairwise join is
+  per-cluster (sum of cluster_size^2), never corpus x corpus — the
+  same block-then-verify discipline as linkage.py and dedup.py;
+- the cluster self-join is an equi-join on centroid_id, so it
+  shuffles both sides once on the cluster key and AQE handles skew;
+- ``max_cluster_size`` sub-splits oversized clusters by a hash of
+  vec_id before pairing, hard-bounding the worst block at the cost
+  of possibly missing cross-split duplicates inside a degenerate
+  cluster — at production scale you instead raise k so clusters stay
+  ~sqrt(n) (the paper uses k ~ 10k for 100M+ docs);
+- the keep rule is a local EXISTS (one more equi-join), not an
+  iterative component algorithm: v is dropped iff some eps-partner u
+  in its cluster has strictly lower centroid similarity (ties broken
+  by lower vec_id). This is deterministic and one-pass; the exact
+  paper procedure (one survivor per connected duplicate group) only
+  differs on chains where similarity is not transitive, and the
+  one-pass rule is the variant production pipelines deploy for its
+  single-shuffle cost.
+
+Centroids here are the oracle-fixture sampling (vec_id % mod == 0,
+like similarity.ivf_assignments) so DuckDB can replay the exact
+computation; production swaps in similarity.ivf_train_centroids
+(true k-means) — the downstream plan is identical from the
+assignment table on.
+
+The fixture embeddings are synthetic near-uniform vectors (max
+pairwise cosine ~0.5), so the registered query uses eps=0.3 to
+exercise the path; real text embeddings cluster much tighter and use
+eps ~0.93-0.97 (paper's operating range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .similarity import CENTROID_MOD, _cos_expr, _cos_sql, ivf_assignments
+
+EPS = 0.3  # fixture-calibrated; see module docstring
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    eps: float = EPS,
+    centroid_mod: int = CENTROID_MOD,
+    max_cluster_size: int = 0,
+    vectorized: bool = True,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, centroid_id, centroid_sim, dup_degree) for every
+    vector that SURVIVES semantic dedup at threshold ``eps``.
+
+    ``assignments`` lets production pass a persisted trained-k-means
+    assignment table (vec_id, centroid_id, cos_sim); default builds
+    the oracle-fixture assignment inline.
+    """
+    # spread the CPU-bound cosine folds: the embeddings scan is one
+    # parquet file (1-2 partitions) and the fold stages are tiny in
+    # BYTES, so AQE would coalesce them back to one task and serialize
+    # the whole computation (measured at sf0.1: 12.1 s serialized ->
+    # 2.5 s warm-session with the two explicit repartitions). A
+    # user-specified repartition is exempt from AQE coalescing; the
+    # second one also co-partitions the cluster self-join below.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    emb = emb.repartition(par)
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assignments(emb, centroid_mod, vectorized)
+    ).select(
+        "vec_id", "centroid_id", F.round("cos_sim", 6).alias("centroid_sim")
+    )
+    members = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    if max_cluster_size:
+        # sub-split oversized clusters: bounded worst block, documented
+        # recall trade-off inside degenerate clusters
+        members = members.withColumn(
+            "centroid_id",
+            F.concat_ws(
+                "#",
+                F.col("centroid_id"),
+                F.pmod(F.xxhash64("vec_id"), F.lit(max_cluster_size)).cast(
+                    "string"
+                ),
+            ),
+        )
+    members = members.repartition(par, "centroid_id")
+    a = members.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("centroid_sim").alias("a_csim"),
+    )
+    b = members.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("centroid_sim").alias("b_csim"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "pair_cos",
+            F.round(_cos_expr(F.col("a_emb"), F.col("b_emb"), vectorized), 6),
+        )
+        .filter(F.col("pair_cos") >= eps)
+        .select("centroid_id", "a_id", "b_id", "a_csim", "b_csim")
+    )
+    # symmetrize WITHIN one pass (explode, not a self-union: a union
+    # would evaluate the pairs subtree — and the assignment under it —
+    # once per branch and per consumer) and fold the keep rule into
+    # the same aggregation: v is dropped iff some eps-partner sits
+    # strictly closer to the cluster boundary (lower centroid_sim;
+    # ties keep the lower vec_id).
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("vec_id"),
+                    F.col("b_id").alias("partner_id"),
+                    F.col("a_csim").alias("v_csim"),
+                    F.col("b_csim").alias("p_csim"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("vec_id"),
+                    F.col("a_id").alias("partner_id"),
+                    F.col("b_csim").alias("v_csim"),
+                    F.col("a_csim").alias("p_csim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    stats = sym.groupBy("vec_id").agg(
+        F.count("*").alias("dup_degree"),
+        F.max(
+            (F.col("p_csim") < F.col("v_csim"))
+            | (
+                (F.col("p_csim") == F.col("v_csim"))
+                & (F.col("partner_id") < F.col("vec_id"))
+            )
+        ).alias("is_dropped"),
+    )
+    return (
+        assign.join(stats, "vec_id", "left")
+        .filter(~F.coalesce("is_dropped", F.lit(False)))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_sim",
+            F.coalesce("dup_degree", F.lit(0)).cast("int").alias("dup_degree"),
+        )
+    )
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle entry: join-formulated assignment + exact JVM cosine fold
+    return semdedup_survivors(
+        catalog.load_table(spark, sf_dir, "embeddings"), vectorized=False
+    )
+
+
+SEMDEDUP_DUCK = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id, e.embedding,
+         {_cos_sql('e.embedding', 'c.c_emb')} AS cos_sim
+  FROM embeddings e, centroids c
+),
+assign AS (
+  SELECT vec_id, centroid_id, embedding, cos_sim AS centroid_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, centroid_id) AS rnk
+    FROM assign_scored
+  ) WHERE rnk = 1
+),
+pairs AS (
+  SELECT a.centroid_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         a.centroid_sim AS a_csim, b.centroid_sim AS b_csim
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {EPS}
+),
+edges AS (
+  SELECT a_id AS vec_id, b_id AS partner_id, a_csim AS v_csim, b_csim AS p_csim
+  FROM pairs
+  UNION ALL
+  SELECT b_id, a_id, b_csim, a_csim FROM pairs
+),
+degree AS (
+  SELECT vec_id, count(*) AS dup_degree FROM edges GROUP BY vec_id
+),
+dropped AS (
+  SELECT DISTINCT vec_id FROM edges
+  WHERE p_csim < v_csim OR (p_csim = v_csim AND partner_id < vec_id)
+)
+SELECT s.vec_id, s.centroid_id, s.centroid_sim,
+       CAST(coalesce(d.dup_degree, 0) AS INT) AS dup_degree
+FROM assign s
+LEFT JOIN degree d ON d.vec_id = s.vec_id
+WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+QUERIES = {"emb_semdedup_survivors": _q_semdedup}
+ORACLES = {"emb_semdedup_survivors": SEMDEDUP_DUCK}
