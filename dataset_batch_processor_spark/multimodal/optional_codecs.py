@@ -99,6 +99,48 @@ def _imageio_decoder() -> Callable[[bytes], np.ndarray] | None:
     return decode_imageio
 
 
+def _libwebp_decoder() -> Callable[[bytes], np.ndarray] | None:
+    """ctypes binding to the SYSTEM libwebp shared library (no Python
+    package needed — many base images ship the .so). Native-speed
+    WebP decode for both lossless and lossy stills; returns None when
+    the library is absent."""
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    for name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None or not hasattr(lib, "WebPDecodeRGB"):
+        return None
+    lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+
+    def decode_webp_native(content: bytes) -> np.ndarray:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ptr = lib.WebPDecodeRGB(content, len(content), ctypes.byref(w), ctypes.byref(h))
+        if not ptr:
+            raise ValueError("libwebp: decode failed")
+        try:
+            arr = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 3)).copy()
+        finally:
+            lib.WebPFree(ptr)
+        return arr
+
+    return decode_webp_native
+
+
 def try_register_optional_codecs() -> dict[str, str]:
     """Wire every importable optional library into the codec registry;
     returns {fmt: library} for what was actually registered. Idempotent
@@ -117,6 +159,26 @@ def try_register_optional_codecs() -> dict[str, str]:
             register_codec(fmt, raw)
             REGISTERED[fmt] = "rawpy"
 
+    native_webp = _libwebp_decoder()
+    if native_webp is not None:
+        # fast path: system libwebp via ctypes, pure-Python RFC
+        # decoders (webp.py VP8L + vp8.py VP8) as the fallback for
+        # anything the C API rejects (e.g. animations, where the pure
+        # path extracts the first frame). Lossless pixels are
+        # identical either way; LOSSY RGB can differ between decoders
+        # by the chroma upsampler (YUV is the spec-exact layer), so
+        # oracle fixtures never route lossy webp through the registry.
+        from .webp import decode_webp as _pure_webp_first
+
+        def decode_webp_fast(content: bytes) -> np.ndarray:
+            try:
+                return native_webp(content)
+            except ValueError:
+                return _pure_webp_first(content)
+
+        register_codec("webp", decode_webp_fast)
+        REGISTERED["webp"] = "libwebp+pure"
+
     generic = _imageio_decoder()
     if generic is not None:
         # only fill formats no better-specific codec claimed: the
@@ -126,21 +188,22 @@ def try_register_optional_codecs() -> dict[str, str]:
             if fmt not in REGISTERED:
                 register_codec(fmt, generic)
                 REGISTERED[fmt] = "imageio"
-        # lossy-WebP fallback: the built-in pure-Python WebP codec
-        # fully decodes VP8L (lossless) but raises for lossy VP8
-        # bitstreams (webp.py) — the reference's legacy route for
-        # exactly this case is imageio (batch_processor.py:352-357).
-        # Chain them: pure decoder first, imageio only on its
-        # NotImplementedError, so VP8L stays dependency-free.
-        from .webp import decode_webp as _pure_webp
+        # WebP last resort when neither libwebp nor the pure path
+        # handles a stream (e.g. inter-frame-only payloads): the
+        # reference's legacy route for lossy WebP is imageio
+        # (batch_processor.py:352-357). Only claims the format when
+        # the native binding is absent, and still tries the complete
+        # pure decoder (VP8L + VP8 keyframe) first.
+        if "webp" not in REGISTERED:
+            from .webp import decode_webp as _pure_webp
 
-        def decode_webp_chained(content: bytes) -> np.ndarray:
-            try:
-                return _pure_webp(content)
-            except NotImplementedError:
-                return generic(content)
+            def decode_webp_chained(content: bytes) -> np.ndarray:
+                try:
+                    return _pure_webp(content)
+                except NotImplementedError:
+                    return generic(content)
 
-        register_codec("webp", decode_webp_chained)
-        REGISTERED["webp"] = "pure+imageio"
+            register_codec("webp", decode_webp_chained)
+            REGISTERED["webp"] = "pure+imageio"
 
     return dict(REGISTERED)

@@ -71,3 +71,23 @@ def test_heic_roundtrip_with_pillow_heif():
 def test_raw_decode_registered_with_rawpy():
     assert optional_codecs.REGISTERED.get("cr2") == "rawpy"
     assert binary.CODECS["cr2"] is binary.CODECS["nef"]
+
+
+def test_libwebp_native_fast_path():
+    """When the system libwebp .so is present (as in this container),
+    the registry's webp decoder is the ctypes fast path; it must agree
+    byte-for-byte with the pure decoder on lossless streams and decode
+    our lossy VP8 keyframes. Skips cleanly where the library is absent."""
+    if optional_codecs._libwebp_decoder() is None:
+        pytest.skip("system libwebp not present")
+    optional_codecs.try_register_optional_codecs()
+    assert optional_codecs.REGISTERED.get("webp") == "libwebp+pure"
+    from dataset_batch_processor_spark.multimodal import vp8, webp
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    lossless = webp.encode_webp(arr)
+    assert np.array_equal(binary.decode_any("webp", lossless), arr)
+    lossy = vp8.encode_webp_vp8(arr, qi=30)
+    dec = binary.decode_any("webp", lossy)
+    assert dec.shape == (13, 21, 3)
