@@ -31,6 +31,7 @@ from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.streaming import incremental as stream_inc
 from dataset_batch_processor_spark.operators import (
     analytics,
+    bpe,
     captions as cap_ops,
     components,
     corpusstats,
@@ -372,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_inc.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
+    q.update(bpe.QUERIES)
     return _prioritize(q)
 
 
@@ -461,4 +463,5 @@ FROM images_meta GROUP BY 1
     o.update(stream_inc.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
+    o.update(bpe.ORACLES)
     return _prioritize(o)

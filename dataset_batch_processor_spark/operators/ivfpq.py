@@ -194,7 +194,32 @@ WHERE rnk <= {TOP_K}
 IVFPQ_TOPK_SPARK = _ivfpq_sql("spark")
 IVFPQ_TOPK_DUCK = _ivfpq_sql("duck")
 
-QUERIES = {"emb_ivfpq_topk": _run(IVFPQ_TOPK_SPARK, ("embeddings",))}
+def _q_ivfpq_topk(spark, sf_dir):
+    """Registered query = the PRODUCTION composition (one-pass encode
+    kernel + distributed LUTs + ADC join), which
+    tests/test_ivfpq.py::test_index_query_path_matches_sql_topk_exactly
+    pins bit-identical to IVFPQ_TOPK_SPARK; the DuckDB oracle below
+    stays the SQL formulation, so the driver gate cross-checks the
+    kernel against an independent engine. The SQL text is NOT used as
+    the Spark query because its CTE chain re-evaluates the coarse
+    assignment fold per reference (no materialization in Spark SQL) —
+    measured 12.1 s vs 4.1 s for the kernel path at sf0.1."""
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    emb = emb.repartition(par)  # one-file scan -> spread the kernels
+    ids, C = coarse_centroids(emb)
+    sub = sub_codebook_from_residuals(emb, ids, C)
+    index = ivfpq_encode(emb, ids, C, sub, exact_fold=True)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    luts = ivfpq_query_luts(queries, ids, C, sub)
+    return ivfpq_topk_from_index(index, luts)
+
+
+QUERIES = {"emb_ivfpq_topk": _q_ivfpq_topk}
 ORACLES = {"emb_ivfpq_topk": IVFPQ_TOPK_DUCK}
 
 

