@@ -272,3 +272,115 @@ def parquet_file_ranges(path: str, col: str) -> list[tuple]:
             maxs.append(st.max)
         out.append((min(mins), max(maxs)))
     return out
+
+
+# ------------------------------------------------- z-order clustering
+# The multi-column layout lever: a single-column range sort gives
+# perfect pruning on ONE predicate column and none on any other
+# (every file spans the full range of the unsorted dims). Interleaving
+# the bits of several columns' bucket ranks (Morton / Z-order, the
+# public technique behind Delta/Iceberg OPTIMIZE ZORDER) gives every
+# file a tight bounding BOX over all participating columns, so
+# parquet footer stats prune multi-dimensional predicates. Bucketing
+# is min/max-normalized fixed-grid (2^bits per dim) — one 1-row
+# bounds aggregate, then pure arithmetic, so the cell assignment is
+# SQL-expressible and sits under the driver hash gate
+# (events_zorder_cells); the write path is footer-audited in
+# tests/test_storage_layout.py like the other layout ops.
+
+ZBITS = 4  # 16 buckets/dim -> 256 cells for the oracle fixture
+
+
+def _zcell_arith(
+    ucol: str, vcol: str, bits: int,
+    umin: str, umax: str, vmin: str, vmax: str,
+) -> str:
+    """Portable SQL text (Spark + DuckDB) for the interleaved cell id;
+    the bound args are SQL expressions (a bounds-CTE column or an
+    inlined literal).
+
+    Buckets: least(2^bits-1, floor((x - xmin) / ((xmax - xmin) /
+    2^bits))) with a degenerate-range guard — IEEE double ops, bit-
+    identical across engines. Interleave via floor-div/mod arithmetic
+    (no engine-specific bit operators)."""
+    n = 1 << bits
+
+    def bucket(col, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"least({n - 1}, CAST(floor((CAST({col} AS DOUBLE) - {lo}) / "
+            f"(({hi} - {lo}) / {n}.0)) AS BIGINT)) END"
+        )
+
+    ub = bucket(ucol, umin, umax)
+    vb = bucket(vcol, vmin, vmax)
+    terms = []
+    for b in range(bits):
+        p = 1 << b
+        terms.append(f"(CAST(floor(({ub}) / {p}) AS BIGINT) % 2) * {1 << (2 * b)}")
+        terms.append(f"(CAST(floor(({vb}) / {p}) AS BIGINT) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+ZORDER_CELLS_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS umin,
+         CAST(max(user_id) AS DOUBLE) AS umax,
+         CAST(min(value) AS DOUBLE) AS vmin,
+         CAST(max(value) AS DOUBLE) AS vmax
+  FROM events
+)
+SELECT {_zcell_arith('e.user_id', 'e.value', ZBITS,
+                    'bounds.umin', 'bounds.umax',
+                    'bounds.vmin', 'bounds.vmax')} AS zcell,
+       count(*) AS n_events,
+       CAST(min(e.user_id) AS BIGINT) AS umin,
+       CAST(max(e.user_id) AS BIGINT) AS umax,
+       CAST(round(min(e.value), 6) AS DOUBLE) AS vmin,
+       CAST(round(max(e.value), 6) AS DOUBLE) AS vmax
+FROM events e CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+def _q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ZORDER_CELLS_SQL)
+
+
+QUERIES["events_zorder_cells"] = _q_zorder_cells
+ORACLES["events_zorder_cells"] = ZORDER_CELLS_SQL
+
+
+def write_zordered(
+    df: DataFrame, dst: str, ucol: str, vcol: str,
+    n_files: int, bits: int = ZBITS,
+) -> None:
+    """Write ``df`` clustered by the Z-order of (ucol, vcol): range-
+    partition + sort on the interleaved cell id, then drop it. Every
+    output file's parquet footer carries a tight [min,max] box over
+    BOTH columns — predicates on either (or both) prune files, where
+    a plain ``write_range_sorted`` only serves its one sort column."""
+    row = df.agg(
+        F.min(ucol).cast("double").alias("umin"),
+        F.max(ucol).cast("double").alias("umax"),
+        F.min(vcol).cast("double").alias("vmin"),
+        F.max(vcol).cast("double").alias("vmax"),
+    ).collect()[0]
+    z = F.expr(
+        _zcell_arith(
+            ucol, vcol, bits,
+            repr(row["umin"]), repr(row["umax"]),
+            repr(row["vmin"]), repr(row["vmax"]),
+        )
+    )
+    (
+        df.withColumn("_zcell", z)
+        .repartitionByRange(n_files, F.col("_zcell"))
+        .sortWithinPartitions("_zcell")
+        .drop("_zcell")
+        .write.mode("errorifexists")
+        .parquet(dst)
+    )
