@@ -238,3 +238,36 @@ def test_interop_decode_real_libwebp_streams(h, w, quality):
     container = _ref_encode_rgb(rgb, quality)
     ours = vp8.decode_vp8_yuv(_extract_vp8(container))
     assert _planes_equal(_ref_decode_yuv(container), ours)
+
+
+def test_truncated_streams_terminate_with_errors():
+    """Every truncation of a valid stream must either decode (the
+    bool decoder reads past-the-end as zeros, like the reference
+    implementations — trailing truncations can still reconstruct) or
+    raise a precise error; never hang or crash the interpreter."""
+    rgb = _img(32, 32, seed=12)
+    stream = vp8.encode_vp8(rgb, qi=30, bpred_every=2)
+    for cut in list(range(0, 12)) + [len(stream) // 4, len(stream) // 2]:
+        try:
+            y, u, v = vp8.decode_vp8_yuv(stream[:cut])
+            assert y.shape == (32, 32)
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+
+
+def test_animated_lossy_first_frame_through_container():
+    """ANMF-wrapped VP8 frame (animated lossy WebP): decode_webp must
+    return the first frame via the keyframe decoder."""
+    rgb = _img(20, 24, seed=13)
+    stream = vp8.encode_vp8(rgb, qi=12)
+    _, recon = vp8.encode_vp8_with_recon(rgb, qi=12)
+    frame = b"VP8 " + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        frame += b"\x00"
+    anmf_payload = bytes(16) + frame  # 16-byte frame header + chunks
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_payload)) + anmf_payload
+    body = b"WEBP" + anmf
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = webp.decode_webp(data)
+    assert out.shape == (20, 24, 3)
+    assert np.array_equal(out, vp8.yuv420_to_rgb(*recon))
