@@ -300,3 +300,93 @@ ORDER BY c.user_id
 
 QUERIES["events_stream_join_pairs"] = streaming_click_purchase_join
 ORACLES["events_stream_join_pairs"] = STREAM_SSJ_DUCK
+
+
+# ----------------------------------------------- session windows
+# The remaining stateful-aggregation class: gap-based SESSION windows
+# (F.session_window), where state merges adjacent windows as events
+# arrive — the streaming form of sessionization (the batch form is
+# relational2.events_sessionize). Boundary convention: session_window
+# closes a window at last_ts + gap EXCLUSIVE, so an event exactly
+# ``gap`` after its predecessor starts a NEW session — the oracle's
+# gaps-and-islands uses ``diff >= gap`` to match (the batch query's
+# ``>`` convention differs on exact-boundary ties by design; both are
+# pinned by their own oracles).
+
+SESSION_GAP = "30 minutes"
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-sessions over the event stream: availableNow +
+    complete mode makes the stateful session_window agg
+    batch-identical, and the DuckDB islands oracle hash-gates it."""
+    path = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="dbp_stream_sess_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = spark.read.parquet(path).schema
+    src = catalog.normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stage)
+    )
+    agg = (
+        src.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        f"SELECT user_id, session_start_us, n_events, sum_value FROM {name}"
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+STREAM_SESSION_DUCK = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= {_SESSION_GAP_US}
+              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+QUERIES["events_stream_sessions"] = streaming_session_windows
+ORACLES["events_stream_sessions"] = STREAM_SESSION_DUCK
