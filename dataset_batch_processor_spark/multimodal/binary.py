@@ -119,7 +119,7 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     "dng": _tiff.decode_tiff,
     **{
         fmt: _missing_codec(fmt)
-        for fmt in ("heic", "cr2", "nef", "arw")
+        for fmt in ("heic", "avif", "cr2", "nef", "arw")
     },
 }
 
@@ -156,6 +156,12 @@ def _sniff_format(content: bytes) -> str | None:
         return "tiff"
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         return "webp"
+    if content[4:8] == b"ftyp":  # ISOBMFF: HEIF/AVIF family
+        brand = content[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"heic", b"heix", b"hevc", b"hevx", b"mif1", b"msf1"):
+            return "heic"
     return None
 
 

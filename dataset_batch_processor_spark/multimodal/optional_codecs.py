@@ -99,6 +99,181 @@ def _imageio_decoder() -> Callable[[bytes], np.ndarray] | None:
     return decode_imageio
 
 
+# ------------------------------------------------ system libheif
+# Like the libwebp binding below: many base images ship libheif.so
+# (with libde265/x265 for HEVC and dav1d/aom for AV1), so HEIC — the
+# reference's iPhone-dump format — and AVIF decode WITHOUT any Python
+# package. heif_error is returned BY VALUE (a ctypes Structure
+# restype); encoding writes through heif_context_write_to_file
+# because ctypes callbacks cannot return structs by value.
+
+_HEIF_RGB, _HEIF_ILV, _HEIF_CH = 1, 10, 10  # colorspace/chroma/channel enums
+_HEIF_FMT = {"heic": 1, "avif": 4}  # heif_compression_HEVC / _AV1
+_libheif_cache: list = []
+
+
+def _libheif():
+    """Bind the system libheif once; returns None when absent."""
+    if _libheif_cache:
+        return _libheif_cache[0]
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    for name in ("libheif.so.1", "libheif.so", ctypes.util.find_library("heif")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None or not hasattr(lib, "heif_decode_image"):
+        _libheif_cache.append(None)
+        return None
+
+    class HeifError(ctypes.Structure):
+        _fields_ = [
+            ("code", ctypes.c_int),
+            ("subcode", ctypes.c_int),
+            ("message", ctypes.c_char_p),
+        ]
+
+    P = ctypes.c_void_p
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    sig = {
+        "heif_context_alloc": (P, []),
+        "heif_context_free": (None, [P]),
+        "heif_context_read_from_memory_without_copy":
+            (HeifError, [P, ctypes.c_char_p, ctypes.c_size_t, P]),
+        "heif_context_get_primary_image_handle": (HeifError, [P, ctypes.POINTER(P)]),
+        "heif_decode_image": (HeifError, [P, ctypes.POINTER(P), ctypes.c_int, ctypes.c_int, P]),
+        "heif_image_handle_get_width": (ctypes.c_int, [P]),
+        "heif_image_handle_get_height": (ctypes.c_int, [P]),
+        "heif_image_handle_release": (None, [P]),
+        "heif_image_release": (None, [P]),
+        "heif_image_get_plane_readonly": (u8p, [P, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]),
+        "heif_context_get_encoder_for_format": (HeifError, [P, ctypes.c_int, ctypes.POINTER(P)]),
+        "heif_encoder_set_lossy_quality": (HeifError, [P, ctypes.c_int]),
+        "heif_encoder_release": (None, [P]),
+        "heif_image_create": (HeifError, [ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.POINTER(P)]),
+        "heif_image_add_plane": (HeifError, [P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]),
+        "heif_image_get_plane": (u8p, [P, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]),
+        "heif_context_encode_image": (HeifError, [P, P, P, P, ctypes.POINTER(P)]),
+        "heif_context_write_to_file": (HeifError, [P, ctypes.c_char_p]),
+    }
+    try:
+        for name, (res, args) in sig.items():
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = args
+    except AttributeError:
+        _libheif_cache.append(None)
+        return None
+    _libheif_cache.append((lib, HeifError, P, ctypes))
+    return _libheif_cache[0]
+
+
+def _heif_check(err, what: str) -> None:
+    if err.code != 0:
+        msg = err.message.decode("utf-8", "replace") if err.message else "?"
+        raise ValueError(f"libheif: {what} failed: {msg}")
+
+
+def _libheif_decoder() -> Callable[[bytes], np.ndarray] | None:
+    bound = _libheif()
+    if bound is None:
+        return None
+    lib, HeifError, P, ctypes = bound
+
+    def decode_heif_native(content: bytes) -> np.ndarray:
+        ctx = lib.heif_context_alloc()
+        try:
+            _heif_check(
+                lib.heif_context_read_from_memory_without_copy(
+                    ctx, content, len(content), None
+                ),
+                "read",
+            )
+            handle = P()
+            _heif_check(
+                lib.heif_context_get_primary_image_handle(ctx, ctypes.byref(handle)),
+                "primary handle",
+            )
+            w = lib.heif_image_handle_get_width(handle)
+            h = lib.heif_image_handle_get_height(handle)
+            img = P()
+            _heif_check(
+                lib.heif_decode_image(
+                    handle, ctypes.byref(img), _HEIF_RGB, _HEIF_ILV, None
+                ),
+                "decode",
+            )
+            stride = ctypes.c_int()
+            p = lib.heif_image_get_plane_readonly(img, _HEIF_CH, ctypes.byref(stride))
+            arr = (
+                np.ctypeslib.as_array(p, shape=(h, stride.value))[:, : w * 3]
+                .reshape(h, w, 3)
+                .copy()
+            )
+            lib.heif_image_release(img)
+            lib.heif_image_handle_release(handle)
+            return arr
+        finally:
+            lib.heif_context_free(ctx)
+
+    return decode_heif_native
+
+
+def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) -> bytes:
+    """Encode RGB to HEIC (HEVC) or AVIF (AV1) through the system
+    libheif — fixture/test helper and a real sink when the library is
+    present. Raises ValueError when libheif (or the format's encoder
+    plugin) is unavailable."""
+    import os
+    import tempfile
+
+    bound = _libheif()
+    if bound is None:
+        raise ValueError("libheif: system library not available")
+    lib, HeifError, P, ctypes = bound
+    h, w = rgb.shape[:2]
+    ctx = lib.heif_context_alloc()
+    try:
+        enc = P()
+        _heif_check(
+            lib.heif_context_get_encoder_for_format(
+                ctx, _HEIF_FMT[fmt], ctypes.byref(enc)
+            ),
+            f"{fmt} encoder",
+        )
+        lib.heif_encoder_set_lossy_quality(enc, quality)
+        img = P()
+        _heif_check(
+            lib.heif_image_create(w, h, _HEIF_RGB, _HEIF_ILV, ctypes.byref(img)),
+            "image create",
+        )
+        _heif_check(lib.heif_image_add_plane(img, _HEIF_CH, w, h, 24), "add plane")
+        stride = ctypes.c_int()
+        p = lib.heif_image_get_plane(img, _HEIF_CH, ctypes.byref(stride))
+        np.ctypeslib.as_array(p, shape=(h, stride.value))[:, : w * 3] = rgb.reshape(
+            h, w * 3
+        )
+        _heif_check(lib.heif_context_encode_image(ctx, img, enc, None, None), "encode")
+        lib.heif_image_release(img)
+        lib.heif_encoder_release(enc)
+        fd, path = tempfile.mkstemp(suffix=f".{fmt}")
+        os.close(fd)
+        try:
+            _heif_check(lib.heif_context_write_to_file(ctx, path.encode()), "write")
+            with open(path, "rb") as fh:
+                return fh.read()
+        finally:
+            os.unlink(path)
+    finally:
+        lib.heif_context_free(ctx)
+
+
 def _libwebp_decoder() -> Callable[[bytes], np.ndarray] | None:
     """ctypes binding to the SYSTEM libwebp shared library (no Python
     package needed — many base images ship the .so). Native-speed
@@ -152,6 +327,15 @@ def try_register_optional_codecs() -> dict[str, str]:
         register_codec("heic", heic)
         register_codec("heif", heic)
         REGISTERED.update({"heic": "pillow_heif", "heif": "pillow_heif"})
+
+    heif_native = _libheif_decoder()
+    if heif_native is not None:
+        # system libheif: fills whatever pillow_heif didn't claim, and
+        # is the only AVIF path (pillow_heif is HEIF-specific)
+        for fmt in ("heic", "heif", "avif"):
+            if fmt not in REGISTERED:
+                register_codec(fmt, heif_native)
+                REGISTERED[fmt] = "libheif"
 
     raw = _rawpy_decoder()
     if raw is not None:

@@ -49,7 +49,13 @@ def test_resize_nearest():
 
 
 def test_stub_codec_raises():
-    with pytest.raises(NotImplementedError):
+    # with a real heic decoder registered (system libheif / pillow
+    # heif), garbage raises its precise ValueError; without one, the
+    # stub raises NotImplementedError — both land in F7 quarantine
+    from dataset_batch_processor_spark.multimodal import optional_codecs
+
+    exc = ValueError if "heic" in optional_codecs.REGISTERED else NotImplementedError
+    with pytest.raises(exc):
         mm.CODECS["heic"](b"anything")
 
 
@@ -61,7 +67,9 @@ def test_decode_metadata_plumbing(spark):
     ]
     got = {r.id: r for r in mm.decode_metadata(spark.createDataFrame(rows)).collect()}
     assert (got["ok"].width, got["ok"].height, got["ok"].error) == (6, 8, None)
-    assert "NotImplementedError" in got["stub"].error  # stub path exercised
+    # quarantine path exercised: the stub's NotImplementedError, or a
+    # registered real decoder's error on the truncated payload
+    assert got["stub"].error is not None and got["stub"].width is None
     assert got["bad"].error is not None  # quarantine, not fatal
 
 

@@ -91,3 +91,42 @@ def test_libwebp_native_fast_path():
     lossy = vp8.encode_webp_vp8(arr, qi=30)
     dec = binary.decode_any("webp", lossy)
     assert dec.shape == (13, 21, 3)
+
+
+def test_libheif_native_heic_and_avif():
+    """With the system libheif present (as in this container), HEIC —
+    the reference's iPhone-dump format — and AVIF decode on a bare
+    install with NO Python codec package: encode through the
+    library's own HEVC/AV1 encoders, decode through the registry,
+    with content sniffing overriding a lying extension. Closes the
+    'HEIC lands in quarantine' gap whenever the .so exists; skips
+    cleanly where it doesn't."""
+    if optional_codecs._libheif() is None:
+        pytest.skip("system libheif not present")
+    optional_codecs.try_register_optional_codecs()
+    rng = np.random.default_rng(11)
+    # smooth content: lossy HEVC/AV1 at q95 stays within a few codes
+    yy, xx = np.mgrid[0:40, 0:56]
+    rgb = np.clip(
+        np.stack([xx * 3 + 20, yy * 2 + 40, xx + yy], axis=2)
+        + rng.integers(-2, 2, (40, 56, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    for fmt, brand in (("heic", b"heic"), ("avif", b"avif")):
+        assert optional_codecs.REGISTERED.get(fmt) in ("libheif", "pillow_heif")
+        data = optional_codecs.libheif_encode_rgb(rgb, fmt, quality=95)
+        assert data[8:12] == brand
+        dec = binary.decode_any(fmt, data)
+        assert dec.shape == rgb.shape
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 8
+        # sniffing: the extension lies, the ftyp brand wins
+        dec2 = binary.decode_any("jpg", data)
+        assert np.array_equal(dec, dec2)
+
+
+def test_avif_stub_raises_when_no_library():
+    if "avif" in optional_codecs.REGISTERED:
+        pytest.skip("a real avif decoder is registered in this env")
+    with pytest.raises(NotImplementedError, match="register_codec"):
+        binary.CODECS["avif"](b"\x00" * 64)
