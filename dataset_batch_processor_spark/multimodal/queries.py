@@ -525,6 +525,81 @@ FROM documents
 """
 
 
+# --------------------------------------------- HEIC/AVIF roundtrip
+# The reference's iPhone-dump format driven END TO END through the
+# system libheif binding (optional_codecs.libheif_encode_rgb +
+# registry decode): per doc, encode the deterministic smooth fixture
+# with the library's HEVC encoder AND its AV1 encoder, decode both
+# through decode_any, and gate dims + a lossy tolerance (worst
+# measured error over the fixture id lattice is 6/255 at quality 95;
+# the bound is 12). Requires the system libheif the driver container
+# ships — on an install without it the codecs raise into quarantine
+# and this row goes red, which is the honest signal (the capability
+# genuinely is absent there). Every 8th doc only: x265 costs
+# ~100-200 ms per call under full-width contention (it is a video
+# encoder), and a capability gate needs coverage of the id lattice,
+# not the whole corpus (measured 33 s unsampled -> ~4 s at sf0.1).
+
+HEIF_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, heic_ok boolean, avif_ok boolean"
+)
+
+
+def _q_heif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary
+    from . import optional_codecs as oc
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter("doc_id % 8 = 0"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 16, d % 17 + 16
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50], axis=2
+                ).astype(np.uint8)
+                oks = {}
+                for fmt in ("heic", "avif"):
+                    dec = binary.decode_any(
+                        fmt, oc.libheif_encode_rgb(arr, fmt, quality=95)
+                    )
+                    err = int(np.abs(dec.astype(int) - arr.astype(int)).max())
+                    oks[fmt] = dec.shape == arr.shape and err <= 12
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": w,
+                        "height": h,
+                        "heic_ok": bool(oks["heic"]),
+                        "avif_ok": bool(oks["avif"]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "heic_ok", "avif_ok"]
+            )
+
+    return docs.mapInPandas(run, schema=HEIF_ROUNDTRIP_SCHEMA)
+
+
+HEIF_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 24 + 16 AS INT) AS width,
+       CAST(doc_id % 17 + 16 AS INT) AS height,
+       TRUE AS heic_ok,
+       TRUE AS avif_ok
+FROM documents
+WHERE doc_id % 8 = 0
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -638,6 +713,7 @@ QUERIES = {
     "mm_tile_checksum": _q_tile_checksum,
     "mm_progressive_roundtrip": _q_progressive_roundtrip,
     "mm_vp8_roundtrip": _q_vp8_roundtrip,
+    "mm_heif_roundtrip": _q_heif_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -649,4 +725,5 @@ ORACLES = {
     "mm_tile_checksum": _tile_checksum_duck(),
     "mm_progressive_roundtrip": PROG_ROUNDTRIP_DUCK,
     "mm_vp8_roundtrip": VP8_ROUNDTRIP_DUCK,
+    "mm_heif_roundtrip": HEIF_ROUNDTRIP_DUCK,
 }
