@@ -155,6 +155,8 @@ def _libheif():
         "heif_image_get_plane_readonly": (u8p, [P, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]),
         "heif_context_get_encoder_for_format": (HeifError, [P, ctypes.c_int, ctypes.POINTER(P)]),
         "heif_encoder_set_lossy_quality": (HeifError, [P, ctypes.c_int]),
+        "heif_encoder_set_parameter_string":
+            (HeifError, [P, ctypes.c_char_p, ctypes.c_char_p]),
         "heif_encoder_release": (None, [P]),
         "heif_image_create": (HeifError, [ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.POINTER(P)]),
         "heif_image_add_plane": (HeifError, [P, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]),
@@ -248,6 +250,15 @@ def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) ->
             f"{fmt} encoder",
         )
         lib.heif_encoder_set_lossy_quality(enc, quality)
+        if fmt == "heic":
+            # x265 spawns a CPU-count thread pool PER CALL by default
+            # — measured 71 ms -> 11 ms per tiny image single-process,
+            # and far worse under mapInPandas full-width contention.
+            # Our callers parallelize across rows; the encoder must
+            # not also parallelize within one. Ignore failures (older
+            # libheif builds without the passthrough params).
+            for k, v in ((b"x265:pools", b"1"), (b"x265:frame-threads", b"1")):
+                lib.heif_encoder_set_parameter_string(enc, k, v)
         img = P()
         _heif_check(
             lib.heif_image_create(w, h, _HEIF_RGB, _HEIF_ILV, ctypes.byref(img)),
