@@ -88,16 +88,23 @@ def semdedup_survivors(
     )
     members = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     if max_cluster_size:
-        # sub-split oversized clusters: bounded worst block, documented
-        # recall trade-off inside degenerate clusters
+        # sub-split only OVERSIZED clusters, into ceil(size/budget)
+        # hash buckets, so under-budget clusters keep their exact
+        # pairwise join and a degenerate cluster's worst block is
+        # bounded at ~max_cluster_size rows (documented recall
+        # trade-off: duplicate pairs straddling two buckets of the
+        # same split cluster are not seen)
+        wc = Window.partitionBy("centroid_id")
+        nsplit = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count(F.lit(1)).over(wc) / F.lit(max_cluster_size)),
+        )
         members = members.withColumn(
             "centroid_id",
             F.concat_ws(
                 "#",
                 F.col("centroid_id"),
-                F.pmod(F.xxhash64("vec_id"), F.lit(max_cluster_size)).cast(
-                    "string"
-                ),
+                F.pmod(F.xxhash64("vec_id"), nsplit).cast("string"),
             ),
         )
     members = members.repartition(par, "centroid_id")

@@ -86,5 +86,38 @@ def main() -> None:
     }))
 
 
+    # ---- SemDeDup over an amplified corpus with PLANTED semantic
+    # dups (amplified_emb's per-rep perturbation makes every source
+    # vector a family of near-identical copies). Production posture:
+    # ~sqrt(n) clusters via centroid_mod, vectorized cosine kernel,
+    # and the hash sub-split capping degenerate clusters (every copy
+    # family lands in one cluster by construction — the worst case).
+    from dataset_batch_processor_spark.operators import semdedup
+
+    sd_emb = amplified_emb(spark, max(emb_factor // 5, 2)).persist()
+    n_sd = sd_emb.count()
+    surv_capped, dt_cap = timed(
+        lambda: semdedup.semdedup_survivors(
+            sd_emb, eps=0.95, centroid_mod=317, max_cluster_size=64,
+            vectorized=True,
+        ).count()
+    )
+    print(json.dumps({
+        "exp": "semdedup_capped64", "n_vectors": n_sd,
+        "survivors": surv_capped, "wall_s": dt_cap,
+    }))
+    sd_small = amplified_emb(spark, 5).persist()
+    n_small = sd_small.count()
+    surv_unc, dt_unc = timed(
+        lambda: semdedup.semdedup_survivors(
+            sd_small, eps=0.95, centroid_mod=97, vectorized=True
+        ).count()
+    )
+    print(json.dumps({
+        "exp": "semdedup_uncapped", "n_vectors": n_small,
+        "survivors": surv_unc, "wall_s": dt_unc,
+    }))
+
+
 if __name__ == "__main__":
     main()
