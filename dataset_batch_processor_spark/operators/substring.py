@@ -174,3 +174,59 @@ def substring_dup_spans_df(
         )
         .filter(F.col("span_len") >= min_span)
     )
+
+
+# ------------------------------------------------------- apply
+# Detection's other half: PRODUCE the deduplicated corpus. Lee et
+# al.'s procedure removes every occurrence of a repeated substring;
+# here each doc's kept text is the complement of its merged spans,
+# reconstructed as ordered gap segments. One pass over the span
+# table: a sentinel "span" at (len+1, len) per document turns the
+# tail segment and the no-spans case into ordinary rows (no extra
+# max()/anti-join references that would re-evaluate the gram
+# pipeline), and the ordered concat is engine-native (sorted struct
+# array on Spark, string_agg ORDER BY on DuckDB). The driver gate
+# hashes md5(clean_text) per doc — a single dropped or shifted byte
+# anywhere in the reconstruction flips the row.
+
+
+def _apply_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    spans_cte = _spans_sql(dialect)
+    # reuse the detection chain verbatim up to `spans`
+    head, tail = spans_cte.split("\nSELECT doc_id,\n", 1)
+    assert "spans AS (" in head and tail.startswith("       CAST(s AS BIGINT)")
+    if spark:
+        concat = (
+            "concat_ws('', transform(sort_array(collect_list("
+            "struct(seg_key, seg))), x -> x.seg))"
+        )
+    else:
+        concat = "string_agg(seg, '' ORDER BY seg_key)"
+    prev_e = "coalesce(lag(a.e) OVER (PARTITION BY a.doc_id ORDER BY a.s), 0)"
+    return f"""{head},
+kept AS (
+  SELECT doc_id, s, e FROM spans WHERE e - s + 1 >= {MIN_SPAN}
+  UNION ALL
+  SELECT doc_id, length(text) + 1 AS s, length(text) AS e FROM documents
+),
+pieces AS (
+  SELECT a.doc_id, a.s AS seg_key,
+         substr(t.text, {prev_e} + 1, a.s - {prev_e} - 1) AS seg
+  FROM kept a JOIN documents t ON t.doc_id = a.doc_id
+),
+cleaned AS (
+  SELECT doc_id, {concat} AS clean FROM pieces GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5
+FROM cleaned
+"""
+
+
+APPLY_SPARK = _apply_sql("spark")
+APPLY_DUCK = _apply_sql("duck")
+
+QUERIES["docs_substring_dedup_apply"] = _run(APPLY_SPARK, ("documents",))
+ORACLES["docs_substring_dedup_apply"] = APPLY_DUCK

@@ -78,3 +78,42 @@ def test_no_false_spans_on_unique_text(spark):
         "doc_id long, text string",
     )
     assert substring.substring_dup_spans_df(docs).count() == 0
+
+
+def test_apply_removes_planted_spans_exactly(spark):
+    """Reconstruction check against a Python reference: plant one
+    long repeated block in two docs; the cleaned text must be exactly
+    the original minus every merged duplicated span."""
+    import hashlib
+
+    block = "THE-REPEATED-BLOCK-" * 5  # 95 chars >> MIN_SPAN
+    docs = [
+        (1, "aaa-unique-head-111 " + block + " unique-tail-111"),
+        (2, "bbb-unique-head-222 " + block + " unique-tail-222"),
+        (3, "totally unrepeated document body with enough length here"),
+        (4, "x"),  # shorter than WIDTH: passes through untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    got = {
+        r["doc_id"]: (r["n_chars_clean"], r["clean_md5"])
+        for r in spark.sql(substring.APPLY_SPARK).collect()
+    }
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spark.sql(substring.SPANS_SPARK).collect()
+    }
+    for doc_id, text in docs:
+        if doc_id in spans:
+            s, e = spans[doc_id]
+            clean = text[: s - 1] + text[e:]
+        else:
+            clean = text
+        assert got[doc_id] == (
+            len(clean),
+            hashlib.md5(clean.encode()).hexdigest(),
+        ), doc_id
+    # the planted block is gone from the cleaned docs
+    assert got[1][0] < len(docs[0][1]) - 80
+    assert got[3][0] == len(docs[2][1])
+    assert got[4][0] == 1
