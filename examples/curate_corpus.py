@@ -2,8 +2,9 @@
 operators composed into one run:
 
     ingest → quality filter → exact dedup → near-dup (MinHash+LSH,
-    Jaccard-verified) → train/val split → token-budget shards →
-    partitioned parquet
+    Jaccard-verified) → repeated-span removal (substring dedup
+    apply) → train/val split → token-budget shards → partitioned
+    parquet
 
 Usage:
     python examples/curate_corpus.py [sf_dir] [out_dir]
@@ -25,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from pyspark.sql import functions as F  # noqa: E402
 
 from dataset_batch_processor_spark import catalog  # noqa: E402
-from dataset_batch_processor_spark.operators import dedup  # noqa: E402
+from dataset_batch_processor_spark.operators import dedup, substring  # noqa: E402
 from dataset_batch_processor_spark.session import get_spark  # noqa: E402
 
 MIN_TOKENS = 30
@@ -77,6 +78,35 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     kept = canonical.join(near, "doc_id", "left_anti")
     n_near = kept.count()
 
+    # 3b. repeated-span removal: cut every corpus-repeated substring
+    #     (Lee et al.) from the surviving docs' text; token counts
+    #     are re-derived from the cleaned text so the shard budgeting
+    #     below sees the real residual volume
+    kept.createOrReplaceTempView("documents")
+    spans = (
+        spark.sql(substring.SPANS_SPARK)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("spans")
+        )
+    )
+    cut = F.expr(
+        "aggregate(spans, struct(1L AS cur, '' AS acc), "
+        "(st, sp) -> struct(sp.span_end + 1, "
+        "concat(st.acc, substr(text, st.cur, sp.span_start - st.cur))), "
+        "st -> concat(st.acc, substr(text, st.cur)))"
+    )
+    kept = (
+        kept.join(spans, "doc_id", "left")
+        .withColumn(
+            "text", F.when(F.col("spans").isNull(), F.col("text")).otherwise(cut)
+        )
+        .drop("spans")
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    )
+
     # 4. hash-stable split + token-budget shard assignment
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -105,6 +135,9 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_near,
+        "chars_after_span_removal": int(
+            back.agg(F.sum(F.length("text"))).first()[0]
+        ),
         "train_docs": per_split.get("train", 0),
         "val_docs": per_split.get("val", 0),
         "n_shards": back.select("split", "shard_id").distinct().count(),
