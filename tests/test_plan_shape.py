@@ -210,3 +210,71 @@ def test_pq_adc_join_is_never_cartesian(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert explain.broadcast_join_count(df) >= 1
+
+
+def test_semdedup_pairing_is_cluster_equijoin(spark, sf_dir):
+    """SemDeDup's pair generation must be the centroid_id equi-join
+    (SortMergeJoin/ShuffledHashJoin on the cluster key), never a
+    corpus-sized cartesian; the only cross join allowed is the
+    broadcast centroid table."""
+    from dataset_batch_processor_spark.operators import semdedup
+
+    df = semdedup.QUERIES["emb_semdedup_survivors"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+
+
+def test_zorder_cells_single_bounds_pass(spark, sf_dir):
+    """The z-cell query is one 1-row bounds aggregate broadcast into
+    one grouping pass — pure arithmetic in between, no window over
+    the full table and no Python."""
+    from dataset_batch_processor_spark.sources import storage
+
+    df = storage.QUERIES["events_zorder_cells"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain.broadcast_join_count(df) >= 1  # the bounds row
+
+
+def test_bpe_apply_stays_in_codegen(spark, sf_dir):
+    """The ranked-merge fold is a chain of scalar replace() calls —
+    JVM expressions evaluated in one narrow pass: no Python
+    evaluators, no joins, no shuffles. (The per-word aggregate() is a
+    higher-order function, which is why this pins JVM-side-ness via
+    the absence of Python evaluators rather than codegen spans.)"""
+    from dataset_batch_processor_spark.operators import bpe
+
+    df = bpe.QUERIES["docs_bpe_subword_tokens"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain.count_exchanges(df) == 0
+
+
+def test_substring_spans_single_gram_subtree(spark, sf_dir):
+    """The detection pipeline hashes the corpus-sized gram table ONCE:
+    exactly one scan of documents feeds one window over h plus the
+    per-doc islands windows — a second scan would mean the
+    groupBy+join-back shape regressed."""
+    from dataset_batch_processor_spark.operators import substring
+
+    import re
+
+    df = substring.QUERIES["docs_substring_dedup_spans"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # count scan NODES via the formatted detail entries "(n) Scan
+    # parquet" (the tree section repeats each node's name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:500]
+
+
+def test_ivfpq_registered_query_is_kernel_path(spark, sf_dir):
+    """The registered IVF-PQ query must be the one-pass encode kernel
+    (mapInPandas) + ADC equi-join — not the SQL CTE chain that
+    re-evaluates the coarse assignment per reference."""
+    from dataset_batch_processor_spark.operators import ivfpq
+
+    df = ivfpq.QUERIES["emb_ivfpq_topk"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
