@@ -98,3 +98,35 @@ def test_sql_apply_matches_python_apply(spark):
     }
     for i, w in enumerate(words):
         assert rows[i] == len(bpe.bpe_apply_tokens(w, bpe.FIXED_MERGES))
+
+
+def test_apply_property_vs_reference_random():
+    """Property: for random words and random merge tables, the
+    delimiter-string application equals an independent regex-based
+    BPE apply (boundary-safe lookaround replacement)."""
+    import random
+
+    def ref_apply(word, merges):
+        seq = " ".join(list(word) + ["</w>"])
+        for a, b in merges:
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(a) + " " + re.escape(b) + r"(?!\S)"
+            )
+            seq = pat.sub(a + b, seq)
+        return seq.split(" ")
+
+    rng = random.Random(123)
+    alphabet = "abcd"
+    for _ in range(300):
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        # random merge table: grow symbols from the alphabet
+        symbols = list(alphabet) + ["</w>"]
+        merges = []
+        for _ in range(rng.randint(0, 6)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            merges.append((a, b))
+            symbols.append(a + b)
+        assert bpe.bpe_apply_tokens(word, merges) == ref_apply(word, merges), (
+            word,
+            merges,
+        )

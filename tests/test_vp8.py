@@ -271,3 +271,15 @@ def test_animated_lossy_first_frame_through_container():
     out = webp.decode_webp(data)
     assert out.shape == (20, 24, 3)
     assert np.array_equal(out, vp8.yuv420_to_rgb(*recon))
+
+
+@needs_libwebp
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (8, 8), (15, 15), (16, 1), (1, 16)])
+def test_interop_tiny_dimensions(h, w):
+    """Sub-macroblock frames: padding/cropping edges of the spec.
+    Our stream must decode bit-identically through libwebp."""
+    rgb = _img(h, w, seed=h * 31 + w)
+    container = vp8.encode_webp_vp8(rgb, qi=10)
+    _, recon = vp8.encode_vp8_with_recon(rgb, qi=10)
+    assert _planes_equal(_ref_decode_yuv(container), recon)
+    assert _planes_equal(vp8.decode_vp8_yuv(_extract_vp8(container)), recon)
