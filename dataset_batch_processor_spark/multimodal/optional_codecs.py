@@ -189,7 +189,14 @@ def _libheif_decoder() -> Callable[[bytes], np.ndarray] | None:
     lib, HeifError, P, ctypes = bound
 
     def decode_heif_native(content: bytes) -> np.ndarray:
+        # release every native object on ALL paths: a corpus scan
+        # quarantines corrupt files by catching our ValueError, so an
+        # error path that leaks the handle or the (multi-megapixel)
+        # decoded image would accumulate invisible native memory in
+        # long-lived executors
         ctx = lib.heif_context_alloc()
+        handle = P()
+        img = P()
         try:
             _heif_check(
                 lib.heif_context_read_from_memory_without_copy(
@@ -197,14 +204,12 @@ def _libheif_decoder() -> Callable[[bytes], np.ndarray] | None:
                 ),
                 "read",
             )
-            handle = P()
             _heif_check(
                 lib.heif_context_get_primary_image_handle(ctx, ctypes.byref(handle)),
                 "primary handle",
             )
             w = lib.heif_image_handle_get_width(handle)
             h = lib.heif_image_handle_get_height(handle)
-            img = P()
             _heif_check(
                 lib.heif_decode_image(
                     handle, ctypes.byref(img), _HEIF_RGB, _HEIF_ILV, None
@@ -213,15 +218,16 @@ def _libheif_decoder() -> Callable[[bytes], np.ndarray] | None:
             )
             stride = ctypes.c_int()
             p = lib.heif_image_get_plane_readonly(img, _HEIF_CH, ctypes.byref(stride))
-            arr = (
+            return (
                 np.ctypeslib.as_array(p, shape=(h, stride.value))[:, : w * 3]
                 .reshape(h, w, 3)
                 .copy()
             )
-            lib.heif_image_release(img)
-            lib.heif_image_handle_release(handle)
-            return arr
         finally:
+            if img:
+                lib.heif_image_release(img)
+            if handle:
+                lib.heif_image_handle_release(handle)
             lib.heif_context_free(ctx)
 
     return decode_heif_native
@@ -241,8 +247,9 @@ def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) ->
     lib, HeifError, P, ctypes = bound
     h, w = rgb.shape[:2]
     ctx = lib.heif_context_alloc()
+    enc = P()
+    img = P()
     try:
-        enc = P()
         _heif_check(
             lib.heif_context_get_encoder_for_format(
                 ctx, _HEIF_FMT[fmt], ctypes.byref(enc)
@@ -259,7 +266,6 @@ def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) ->
             # libheif builds without the passthrough params).
             for k, v in ((b"x265:pools", b"1"), (b"x265:frame-threads", b"1")):
                 lib.heif_encoder_set_parameter_string(enc, k, v)
-        img = P()
         _heif_check(
             lib.heif_image_create(w, h, _HEIF_RGB, _HEIF_ILV, ctypes.byref(img)),
             "image create",
@@ -271,8 +277,6 @@ def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) ->
             h, w * 3
         )
         _heif_check(lib.heif_context_encode_image(ctx, img, enc, None, None), "encode")
-        lib.heif_image_release(img)
-        lib.heif_encoder_release(enc)
         fd, path = tempfile.mkstemp(suffix=f".{fmt}")
         os.close(fd)
         try:
@@ -282,6 +286,10 @@ def libheif_encode_rgb(rgb: np.ndarray, fmt: str = "heic", quality: int = 90) ->
         finally:
             os.unlink(path)
     finally:
+        if img:
+            lib.heif_image_release(img)
+        if enc:
+            lib.heif_encoder_release(enc)
         lib.heif_context_free(ctx)
 
 

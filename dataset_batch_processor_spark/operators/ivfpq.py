@@ -43,7 +43,6 @@ SQL-expressible; recall is pytest-bounded via the recall report).
 from __future__ import annotations
 
 from .pq import DIM, FX, K, M, SUB
-from .relational2 import _run
 from .similarity import CENTROID_MOD, QUERY_MOD, TOP_K
 
 N_PROBE = 2

@@ -57,6 +57,13 @@ _DUCK_FAMILIES = {
 def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("embeddings")
+    # The truth set is referenced by all five family hit-joins plus
+    # the denominator. Deliberately NOT persisted and NOT collected:
+    # both were tried and measured SLOWER at sf0.1 (persist severs
+    # the ReusedExchange sharing between the brute-force subtree and
+    # the family sides; eager per-family evaluation loses all
+    # cross-family sharing). The lazy union lets Spark dedupe the
+    # identical exchanges itself.
     bf = brute_force_topk(emb, vectorized=False).select(
         "query_id", "neighbor_id"
     )

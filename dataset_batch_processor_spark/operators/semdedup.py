@@ -93,42 +93,49 @@ def semdedup_survivors(
         # pairwise join and a degenerate cluster's worst block is
         # bounded at ~max_cluster_size rows (documented recall
         # trade-off: duplicate pairs straddling two buckets of the
-        # same split cluster are not seen)
+        # same split cluster are not seen). The split lives in a
+        # SEPARATE pairing key so the output's centroid_id keeps its
+        # type and values — callers join survivors back to
+        # assignment/centroid tables on it.
         wc = Window.partitionBy("centroid_id")
         nsplit = F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.count(F.lit(1)).over(wc) / F.lit(max_cluster_size)),
         )
         members = members.withColumn(
-            "centroid_id",
+            "pair_key",
             F.concat_ws(
                 "#",
                 F.col("centroid_id"),
                 F.pmod(F.xxhash64("vec_id"), nsplit).cast("string"),
             ),
         )
-    members = members.repartition(par, "centroid_id")
+    else:
+        members = members.withColumn(
+            "pair_key", F.col("centroid_id").cast("string")
+        )
+    members = members.repartition(par, "pair_key")
     a = members.select(
-        F.col("centroid_id"),
+        F.col("pair_key"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("centroid_sim").alias("a_csim"),
     )
     b = members.select(
-        F.col("centroid_id"),
+        F.col("pair_key"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         F.col("centroid_sim").alias("b_csim"),
     )
     pairs = (
-        a.join(b, "centroid_id")
+        a.join(b, "pair_key")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
             "pair_cos",
             F.round(_cos_expr(F.col("a_emb"), F.col("b_emb"), vectorized), 6),
         )
         .filter(F.col("pair_cos") >= eps)
-        .select("centroid_id", "a_id", "b_id", "a_csim", "b_csim")
+        .select("a_id", "b_id", "a_csim", "b_csim")
     )
     # symmetrize WITHIN one pass (explode, not a self-union: a union
     # would evaluate the pairs subtree — and the assignment under it —

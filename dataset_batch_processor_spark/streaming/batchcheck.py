@@ -324,43 +324,64 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="dbp_stream_sess_")
     shutil.copy(path, f"{stage}/events.parquet")
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prev_nanos = spark.conf.get(nanos_key, None)
+        spark.conf.set(nanos_key, "true")
     except Exception:
-        pass
-    schema = spark.read.parquet(path).schema
-    src = catalog.normalize_event_ts(
-        spark.readStream.schema(schema).parquet(stage)
-    )
-    agg = (
-        src.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros("session_window.start").alias("session_start_us"),
-            "n_events",
-            "sum_value",
-        )
-    )
+        prev_nanos = None
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    try:
+        schema = spark.read.parquet(path).schema
+        src = catalog.normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+        agg = (
+            src.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros("session_window.start").alias("session_start_us"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize off the memory sink so the view and the staged
+        # copy can be dropped before returning (same hygiene as
+        # streaming_click_purchase_join)
+        rows = spark.sql(
+            f"SELECT user_id, session_start_us, n_events, sum_value FROM {name}"
+        ).collect()
+    finally:
+        try:
+            if prev_nanos is None:
+                spark.conf.unset(nanos_key)
+            else:
+                spark.conf.set(nanos_key, prev_nanos)
+        except Exception:
+            pass
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id BIGINT, session_start_us BIGINT, n_events BIGINT, sum_value DOUBLE",
     )
-    q.awaitTermination()
-    out = spark.sql(
-        f"SELECT user_id, session_start_us, n_events, sum_value FROM {name}"
-    )
-    spark.catalog.dropTempView(name)
-    return out
 
 
 STREAM_SESSION_DUCK = f"""
