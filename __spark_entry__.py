@@ -52,6 +52,7 @@ from dataset_batch_processor_spark.operators import (
     relational3,
     relational4,
     relational5,
+    relational6,
     routing,
     search,
     semdedup,
@@ -355,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational3.QUERIES)
     q.update(relational4.QUERIES)
     q.update(relational5.QUERIES)
+    q.update(relational6.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -445,6 +447,7 @@ FROM images_meta GROUP BY 1
     o.update(relational3.ORACLES)
     o.update(relational4.ORACLES)
     o.update(relational5.ORACLES)
+    o.update(relational6.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)

@@ -278,3 +278,39 @@ def test_ivfpq_registered_query_is_kernel_path(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    """q2's correlated scalar-MIN must decorrelate to a per-partkey
+    aggregate re-joined on (supplycost, partkey) — never a per-row
+    rescan (BroadcastNestedLoop/Cartesian) — and every dimension join
+    (part, supplier, nation, region x2 subtrees) must broadcast."""
+    from dataset_batch_processor_spark.operators import relational6
+
+    df = relational6.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert explain.broadcast_join_count(df) >= 6
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    """q16's NOT IN anti-subquery on the 100-row supplier dimension
+    must plan as a broadcast null-aware anti join, not a shuffle."""
+    from dataset_batch_processor_spark.operators import relational6
+
+    df = relational6.QUERIES["q16_supplier_cnt"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q20_nested_in_no_per_row_rescan(spark, sf_dir):
+    """q20's correlated half-of-sum threshold must decorrelate: the
+    date-filtered quantity sum aggregates once and equi-joins back on
+    (partkey, suppkey)."""
+    from dataset_batch_processor_spark.operators import relational6
+
+    df = relational6.QUERIES["q20_promotion_suppliers"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
