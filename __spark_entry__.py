@@ -53,6 +53,7 @@ from dataset_batch_processor_spark.operators import (
     relational4,
     relational5,
     relational6,
+    lmscore,
     routing,
     search,
     semdedup,
@@ -357,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational4.QUERIES)
     q.update(relational5.QUERIES)
     q.update(relational6.QUERIES)
+    q.update(lmscore.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -448,6 +450,7 @@ FROM images_meta GROUP BY 1
     o.update(relational4.ORACLES)
     o.update(relational5.ORACLES)
     o.update(relational6.ORACLES)
+    o.update(lmscore.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
