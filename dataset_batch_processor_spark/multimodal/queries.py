@@ -703,8 +703,109 @@ FROM geom
 """
 
 
+# --------------------------------------------------- video frame sampling
+# Drives the REAL av.sample_frames operator (1 video row -> K frame
+# rows, the video analogue of tile_grid) under the driver's hash gate:
+# each sampled doc_id yields a deterministic rawvid clip (flat-index
+# pixel lattice), every 3rd frame is sampled and re-encoded as a
+# rawrgb payload by the operator, and a second kernel decodes each
+# payload and checksums its pixels. The DuckDB oracle recomputes
+# frame indices, timestamps, and pixel sums in closed form — a hash
+# match proves the fan-out, the frame stride, the fps->timestamp
+# math, and the rawvid->rawrgb byte plumbing end-to-end.
+
+_FS_H, _FS_W, _FS_FPS, _FS_STRIDE = 6, 8, 10, 3
+
+FRAME_SAMPLE_CK_SCHEMA = (
+    "doc_id long, frame_idx int, ts_s double, "
+    "frame_h int, frame_w int, pix_sum bigint"
+)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av, binary
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 5 == 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 9 + 4
+                f = np.arange(n, dtype=np.int64)[:, None]
+                i = np.arange(_FS_H * _FS_W * 3, dtype=np.int64)[None, :]
+                px = ((d * 13 + f * 17 + i * 3) % 256).astype(np.uint8)
+                frames = px.reshape(n, _FS_H, _FS_W, 3)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "rawvid",
+                        "content": av.encode_rawvid(frames, fps=_FS_FPS),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    vids = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    sampled = av.sample_frames(vids, every_n=_FS_STRIDE)
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = binary.decode_rawrgb(bytes(row.content))
+                out.append(
+                    {
+                        "doc_id": int(row.id),
+                        "frame_idx": int(row.frame_idx),
+                        "ts_s": float(row.ts_s),
+                        "frame_h": int(arr.shape[0]),
+                        "frame_w": int(arr.shape[1]),
+                        "pix_sum": int(arr.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "ts_s",
+                    "frame_h", "frame_w", "pix_sum",
+                ],
+            )
+
+    return sampled.mapInPandas(checksum, schema=FRAME_SAMPLE_CK_SCHEMA)
+
+
+FRAME_SAMPLE_DUCK = f"""
+WITH vids AS (
+  SELECT doc_id, doc_id % 9 + 4 AS n_frames
+  FROM documents WHERE doc_id % 5 = 0
+),
+frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(n_frames AS BIGINT), {_FS_STRIDE}))
+           AS frame_idx
+  FROM vids
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx AS DOUBLE) / {_FS_FPS} AS ts_s,
+       CAST({_FS_H} AS INT) AS frame_h,
+       CAST({_FS_W} AS INT) AS frame_w,
+       CAST(list_sum(list_transform(
+              generate_series(0, {_FS_H * _FS_W * 3 - 1}),
+              i -> (doc_id * 13 + frame_idx * 17 + i * 3) % 256))
+            AS BIGINT) AS pix_sum
+FROM frames
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
+    "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -717,6 +818,7 @@ QUERIES = {
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
+    "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
