@@ -165,7 +165,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                         n_samples=int(len(samples)),
                         duration_s=float(len(samples) / rate),
                         rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
-                        peak=int(np.max(np.abs(samples))) if len(samples) else 0,
+                        # abs in the WIDE dtype: np.abs(int16 -32768)
+                        # wraps back to -32768, under-reporting the
+                        # peak of full-scale negative samples
+                        peak=int(np.max(np.abs(samples.astype(np.int64))))
+                        if len(samples) else 0,
                     )
                 except Exception as e:
                     rec["error"] = f"{type(e).__name__}: {e}"

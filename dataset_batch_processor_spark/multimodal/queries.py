@@ -803,8 +803,71 @@ FROM frames
 """
 
 
+# ------------------------------------------------- audio feature extract
+# Drives the REAL av.audio_features operator (decode + duration/RMS/
+# peak summary) under the hash gate, on deterministic WAV fixtures
+# (same sample lattice as mm_wav_roundtrip). RMS is hash-safe without
+# rounding: the squares of int16 samples are exact in float64 and
+# their sum stays far below 2^53, so sum, the /n division, and sqrt
+# are all correctly-rounded IEEE — bit-identical in numpy and DuckDB.
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    vids = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    return av.audio_features(vids)
+
+
+AUDIO_FEATURES_DUCK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+),
+v AS (
+  SELECT doc_id, n, (doc_id * 31 + i * 7) % 65536 - 32768 AS x FROM s
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(n AS DOUBLE) / 16000 AS duration_s,
+       sqrt(CAST(sum(x * x) AS DOUBLE) / n) AS rms,
+       CAST(max(abs(x)) AS INT) AS peak,
+       CAST(NULL AS VARCHAR) AS error
+FROM v
+GROUP BY doc_id, n
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
+    "mm_audio_features": _q_audio_features,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
@@ -818,6 +881,7 @@ QUERIES = {
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
+    "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
