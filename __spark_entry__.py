@@ -54,6 +54,7 @@ from dataset_batch_processor_spark.operators import (
     relational5,
     relational6,
     lmscore,
+    imagedup,
     routing,
     search,
     semdedup,
@@ -359,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational5.QUERIES)
     q.update(relational6.QUERIES)
     q.update(lmscore.QUERIES)
+    q.update(imagedup.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -451,6 +453,7 @@ FROM images_meta GROUP BY 1
     o.update(relational5.ORACLES)
     o.update(relational6.ORACLES)
     o.update(lmscore.ORACLES)
+    o.update(imagedup.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)

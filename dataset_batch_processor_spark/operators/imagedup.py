@@ -1,0 +1,259 @@
+"""Image near-duplicate detection: dHash (difference hash) + banded
+Hamming join.
+
+The image analogue of MinHash+LSH document dedup, and the capability
+the reference's image-dataset users most need at scale (the reference
+app dedups text lines only; see SURVEY.md §2.7 A4).  dHash is the
+standard public perceptual hash (insensitive to resize and uniform
+brightness): grayscale -> 8x9 grid of box means -> 64 bits, one per
+adjacent-mean comparison.  Near-dups are found the LSH way — split
+the 64 bits into 4 bands of 16, equi-join on (band_idx, band_value),
+then verify candidates with an exact Hamming distance.  Never
+all-pairs.
+
+Everything stays integer-exact (README "Design rules"): luma is the
+fixed-point BT.601 transform ``(77R + 150G + 29B) div 256``; a box
+mean comparison ``mean_l > mean_r`` is evaluated as the integer
+cross-product ``sum_l * area_r > sum_r * area_l``; band values are
+16-bit integers assembled with shifts.  No floats anywhere, so the
+driver's value hash is stable by construction.
+
+The oracled query computes hashes from a deterministic pixel lattice
+in PURE SQL on both engines — the whole pipeline (pixel explode, box
+aggregation, bit assembly, banded join, Hamming verify) runs
+JVM-side in Spark with zero Python.  ``dhash_bands`` below is the
+same computation as a mapInPandas kernel over real binary image
+columns (decode via the codec registry), pinned equal to the SQL
+path by tests/test_imagedup.py.
+
+At 100 TB: the pixel explode is a narrow flat map (no shuffle); box
+aggregation is one map-side-combined shuffle on (doc_id, r, c) —
+and the kernel path does even that per-row in numpy; the band join
+is the same bucketed candidate generator as dedup.py's LSH (hot
+buckets capped the same way linkage.py caps blocks: a count+filter
+pass drops degenerate band values before the join at petabyte
+scale); the Hamming verify touches candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+
+HAMMING_MAX = 6
+
+# ---------------------------------------------------------------- fixture
+# Deterministic per-doc image lattice: doc group g = doc_id % 250
+# defines the pattern and dimensions (so docs sharing g are
+# near-duplicates), v = doc_id div 250 perturbs a sparse pixel subset
+# (so pair members differ by a few bits, not zero). The quadratic
+# g-mixed pattern keeps hashes DIVERSE across groups — a plain
+# gradient would give every group the same comparison signs and
+# degenerate the band join toward all-pairs.
+
+_DIMS = "g % 12 + 16"  # width
+_DIMS_H = "g % 9 + 16"  # height
+
+
+def _pixels_cte(div: str, xy: str) -> str:
+    """Shared lattice CTE; ``div`` is the engine's integer-divide
+    operator (Spark ``DIV``, DuckDB ``//``), ``xy`` the engine's
+    (doc_id, g, v, w, h, x, y) lattice expansion."""
+    return f"""
+imgs AS (
+  SELECT doc_id,
+         CAST(doc_id % 250 AS BIGINT) AS g,
+         CAST(doc_id {div} 250 AS BIGINT) AS v
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, g, v,
+         CAST({_DIMS} AS INT) AS w,
+         CAST({_DIMS_H} AS INT) AS h
+  FROM imgs
+),
+{xy},
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (x * x * (g % 7 + 1) + y * y * (g % 11 + 1)
+            + x * y * (g % 5) + g * 13
+            + CASE WHEN (x * 7 + y * 5) % 29 = 0
+                   THEN v * 37 ELSE 0 END) % 256 AS a
+  FROM xy
+),
+luma AS (
+  SELECT doc_id,
+         ((y * 8) {div} h) AS r,
+         ((x * 9) {div} w) AS c,
+         (77 * a + 150 * ((a * 2 + 11) % 256)
+                 +  29 * ((a * 3 + 22) % 256)) {div} 256 AS l
+  FROM px
+),
+cells AS (
+  SELECT doc_id, r, c,
+         CAST(sum(l) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS a
+  FROM luma GROUP BY doc_id, r, c
+),
+bits AS (
+  SELECT lcell.doc_id, lcell.r, lcell.c,
+         CASE WHEN lcell.s * rcell.a > rcell.s * lcell.a
+              THEN 1 ELSE 0 END AS bit
+  FROM cells lcell
+  JOIN cells rcell
+    ON rcell.doc_id = lcell.doc_id
+   AND rcell.r = lcell.r AND rcell.c = lcell.c + 1
+  WHERE lcell.c < 8
+),
+bands AS (
+  SELECT doc_id,
+         CAST(r {div} 2 AS INT) AS band_idx,
+         CAST(sum({{SHL}}) AS INT) AS band_val
+  FROM bits
+  GROUP BY doc_id, r {div} 2
+)
+"""
+
+
+_XY_SPARK = """
+xy AS (
+  SELECT doc_id, g, v, w, h, x, y
+  FROM dims
+  LATERAL VIEW explode(sequence(0, w - 1)) xs AS x
+  LATERAL VIEW explode(sequence(0, h - 1)) ys AS y
+)"""
+
+_XY_DUCK = """
+xs AS (
+  SELECT doc_id, g, v, w, h,
+         unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x
+  FROM dims
+),
+xy AS (
+  SELECT doc_id, g, v, w, h, x,
+         unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y
+  FROM xs
+)"""
+
+
+def _hash_sql(engine: str) -> str:
+    if engine == "spark":
+        return _pixels_cte("DIV", _XY_SPARK).format(
+            SHL="shiftleft(bit, (r % 2) * 8 + c)"
+        )
+    return _pixels_cte("//", _XY_DUCK).format(
+        SHL="bit << ((r % 2) * 8 + c)"
+    )
+
+
+HASHES_PIVOT = """
+  SELECT doc_id,
+         CAST(sum(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS b0,
+         CAST(sum(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS b1,
+         CAST(sum(CASE WHEN band_idx = 2 THEN band_val END) AS INT) AS b2,
+         CAST(sum(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS b3
+  FROM bands GROUP BY doc_id
+"""
+
+
+def _pairs_sql(engine: str) -> str:
+    xor = (
+        "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + "
+        "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)"
+        if engine == "spark"
+        else
+        "bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) + "
+        "bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))"
+    )
+    return f"""
+WITH {_hash_sql(engine)},
+hashes AS ({HASHES_PIVOT}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({xor} AS INT) AS hamming
+FROM cand
+JOIN hashes ha ON ha.doc_id = doc_a
+JOIN hashes hb ON hb.doc_id = doc_b
+WHERE {xor} <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+DHASH_PAIRS_SPARK = _pairs_sql("spark")
+DHASH_PAIRS_DUCK = _pairs_sql("duck")
+
+
+def _q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(DHASH_PAIRS_SPARK)
+
+
+# ----------------------------------------------- kernel over binary images
+
+
+def dhash_bands(df: DataFrame) -> DataFrame:
+    """dHash band signature for real binary image columns
+    (id, fmt, content) — identical bit semantics to the SQL path:
+    fixed-point luma, pixel-to-box assignment ``r = y*8 div h``,
+    integer cross-product comparisons. Decode failures quarantine
+    (F7) with band columns NULL."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal import binary as mmbin
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"id": str(row.id), "b0": None, "b1": None,
+                       "b2": None, "b3": None, "error": None}
+                try:
+                    arr = mmbin.decode_any(
+                        row.fmt.lower(), bytes(row.content)
+                    ).astype(np.int64)
+                    h, w = arr.shape[0], arr.shape[1]
+                    l = (77 * arr[:, :, 0] + 150 * arr[:, :, 1]
+                         + 29 * arr[:, :, 2]) // 256
+                    y = np.arange(h)[:, None]
+                    x = np.arange(w)[None, :]
+                    r = (y * 8) // h
+                    c = (x * 9) // w
+                    flat = (r * 9 + c).ravel()
+                    s = np.bincount(flat, weights=l.ravel(),
+                                    minlength=72).astype(np.int64)
+                    a = np.bincount(flat, minlength=72).astype(np.int64)
+                    s, a = s.reshape(8, 9), a.reshape(8, 9)
+                    bit = (s[:, :8] * a[:, 1:] > s[:, 1:] * a[:, :8])
+                    k = ((np.arange(8)[:, None] % 2) * 8
+                         + np.arange(8)[None, :])
+                    vals = (bit.astype(np.int64) << k)
+                    band = vals.reshape(4, 2, 8).sum(axis=(1, 2))
+                    rec.update(b0=int(band[0]), b1=int(band[1]),
+                               b2=int(band[2]), b3=int(band[3]))
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=["id", "b0", "b1", "b2", "b3", "error"]
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema="id string, b0 int, b1 int, b2 int, b3 int, error string",
+    )
+
+
+QUERIES = {"img_dhash_near_dup_pairs": _q_dhash_pairs}
+ORACLES = {"img_dhash_near_dup_pairs": DHASH_PAIRS_DUCK}

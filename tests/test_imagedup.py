@@ -1,0 +1,78 @@
+"""Image near-dup dHash: the binary-image kernel must produce
+bit-identical band signatures to the pure-SQL lattice path, and
+decode failures must quarantine."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from dataset_batch_processor_spark.operators import imagedup
+
+
+def _lattice(doc_id: int) -> np.ndarray:
+    """The fixture image for ``doc_id``, exactly as the SQL defines
+    it: quadratic g-mixed pattern + sparse v perturbation, channels
+    (a, (2a+11)%256, (3a+22)%256)."""
+    g, v = doc_id % 250, doc_id // 250
+    w, h = g % 12 + 16, g % 9 + 16
+    y, x = np.mgrid[0:h, 0:w]
+    a = (
+        x * x * (g % 7 + 1)
+        + y * y * (g % 11 + 1)
+        + x * y * (g % 5)
+        + g * 13
+        + np.where((x * 7 + y * 5) % 29 == 0, v * 37, 0)
+    ) % 256
+    return np.stack([a, (a * 2 + 11) % 256, (a * 3 + 22) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_kernel_matches_sql_path(spark):
+    from dataset_batch_processor_spark.multimodal import png
+
+    ids = list(range(0, 40)) + list(range(250, 290))
+    rows = [
+        Row(
+            id=str(d),
+            fmt="png",
+            content=bytearray(png.encode_png(_lattice(d), filter_type=d % 5)),
+        )
+        for d in ids
+    ]
+    got = {
+        int(r.id): (r.b0, r.b1, r.b2, r.b3)
+        for r in imagedup.dhash_bands(spark.createDataFrame(rows)).collect()
+    }
+
+    spark.range(0, 500).selectExpr("id AS doc_id").createOrReplaceTempView(
+        "documents"
+    )
+    sql = (
+        f"WITH {imagedup._hash_sql('spark')} SELECT * FROM "
+        f"({imagedup.HASHES_PIVOT})"
+    )
+    want = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in spark.sql(sql).collect()
+        if r.doc_id in got
+    }
+    assert got == want
+    # near-dup pair members differ, so the perturbation is visible
+    assert any(got[d] != got[d + 250] for d in range(0, 40))
+    # ...but mostly in only a few bits (near-dups, not strangers);
+    # the occasional pair beyond the threshold is exactly what the
+    # pairs query is supposed to exclude
+    hams = [
+        sum(bin(a ^ b).count("1") for a, b in zip(got[d], got[d + 250]))
+        for d in range(0, 40)
+    ]
+    assert sum(h <= imagedup.HAMMING_MAX for h in hams) >= 30
+    assert max(hams) <= 16
+
+
+def test_decode_failure_quarantines(spark):
+    rows = [Row(id="bad", fmt="png", content=bytearray(b"not a png"))]
+    out = imagedup.dhash_bands(spark.createDataFrame(rows)).collect()[0]
+    assert out.error is not None and out.b0 is None
