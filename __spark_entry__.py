@@ -55,6 +55,7 @@ from dataset_batch_processor_spark.operators import (
     relational6,
     lmscore,
     imagedup,
+    pca,
     routing,
     search,
     semdedup,
@@ -361,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational6.QUERIES)
     q.update(lmscore.QUERIES)
     q.update(imagedup.QUERIES)
+    q.update(pca.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -454,6 +456,7 @@ FROM images_meta GROUP BY 1
     o.update(relational6.ORACLES)
     o.update(lmscore.ORACLES)
     o.update(imagedup.ORACLES)
+    o.update(pca.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
