@@ -179,12 +179,53 @@ ORDER BY r ASC, doc_id ASC
 LIMIT {WEIGHTED_K}
 """
 
+# Epoch-aware deterministic shuffle: the training-reader contract is
+# (shard assignment, within-shard order) re-derived per epoch from a
+# seeded hash — same corpus + same epoch -> same order on any cluster
+# size; next epoch -> a fresh permutation with zero state carried.
+# Deliberately WINDOWLESS: emitting (shard, sort_key) instead of a
+# materialized row_number keeps the plan a narrow map (the writer
+# repartitions by shard and sortWithinPartitions(sort_key), so the
+# position never needs a shard-sized window task at 100 TB).
+
+EPOCH = 2
+EPOCH_SHARDS = 8
+
+EPOCH_SHUFFLE_SPARK = f"""
+SELECT doc_id,
+       CAST(k % {EPOCH_SHARDS} AS INT) AS shard,
+       k AS sort_key
+FROM (
+  SELECT doc_id,
+         CAST(conv(substr(md5(concat('epoch{EPOCH}:',
+                CAST(doc_id AS STRING))), 1, 15), 16, 10)
+              AS BIGINT) AS k
+  FROM documents
+)
+ORDER BY shard, sort_key, doc_id
+"""
+
+EPOCH_SHUFFLE_DUCK = f"""
+SELECT doc_id,
+       CAST(k % {EPOCH_SHARDS} AS INT) AS shard,
+       k AS sort_key
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('epoch{EPOCH}:',
+                CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS k
+  FROM documents
+)
+ORDER BY shard, sort_key, doc_id
+"""
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
     "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
     "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
     "docs_shard_packing": _q_shard_packing,
     "docs_weighted_sample": _run(WEIGHTED_SPARK, ("documents",)),
+    "docs_epoch_shuffle": _run(EPOCH_SHUFFLE_SPARK, ("documents",)),
 }
 
 ORACLES = {
@@ -193,4 +234,5 @@ ORACLES = {
     "docs_stratified_sample": STRATIFIED_DUCK,
     "docs_shard_packing": SHARD_DUCK,
     "docs_weighted_sample": WEIGHTED_DUCK,
+    "docs_epoch_shuffle": EPOCH_SHUFFLE_DUCK,
 }

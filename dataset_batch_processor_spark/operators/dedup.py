@@ -560,8 +560,67 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
+# Cross-source duplication overlap: how much does each source pair
+# duplicate each other — the matrix that decides which crawls/dumps
+# to drop before training (a source whose rows mostly duplicate
+# another contributes tokens but no information). Rolls up the
+# materialized pair graph by (source_a, source_b), pair-ordered with
+# least/greatest so (srcX, srcY) and (srcY, srcX) land in one cell.
+# Scale: two doc_id equi-joins against the doc->source projection +
+# one small-keyspace groupBy; reuses the build-once pair graph.
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    pairs = pair_graph(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+SOURCE_OVERLAP_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+ORDER BY source_x, source_y
+"""
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
+    "dup_source_overlap": _q_source_overlap,
     "minhash_signatures": _q_minhash,
     "minhash_lsh_pairs": _q_lsh_pairs,
     "minhash_jaccard_verify": _q_jaccard,
@@ -572,6 +631,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_docs": EXACT_DUCK,
+    "dup_source_overlap": SOURCE_OVERLAP_DUCK,
     "minhash_signatures": MINHASH_DUCK,
     "minhash_lsh_pairs": LSH_PAIRS_DUCK,
     "minhash_jaccard_verify": JACCARD_DUCK,
