@@ -56,6 +56,7 @@ from dataset_batch_processor_spark.operators import (
     lmscore,
     imagedup,
     pca,
+    mining,
     routing,
     search,
     semdedup,
@@ -363,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(lmscore.QUERIES)
     q.update(imagedup.QUERIES)
     q.update(pca.QUERIES)
+    q.update(mining.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -457,6 +459,7 @@ FROM images_meta GROUP BY 1
     o.update(lmscore.ORACLES)
     o.update(imagedup.ORACLES)
     o.update(pca.ORACLES)
+    o.update(mining.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
