@@ -219,8 +219,76 @@ FROM (
 ORDER BY shard, sort_key, doc_id
 """
 
+# Token-level sequence packing: the GPT-style concat-and-split that
+# turns a shuffled corpus into fixed-length training sequences. Each
+# doc contributes n_tokens + 1 (its EOS separator); its global token
+# offset over the epoch-shuffle order maps it to
+# [first_seq, last_seq] windows of length SEQ_LEN with a starting
+# offset inside the first. The cumulative sum goes through
+# textops.exclusive_prefix_sum (range-partitioned two-pass, no
+# single-task window) — same scalable shape as shard packing, one
+# token granularity finer.
+
+SEQ_LEN = 512
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) + 1).cast("bigint").alias("n_units"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('epoch{EPOCH}:', "
+            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("k"),
+    )
+    packed = exclusive_prefix_sum(
+        sized, ["k", "doc_id"], "n_units", out_col="tok_before"
+    )
+    return packed.select(
+        "doc_id",
+        "n_units",
+        "tok_before",
+        F.floor(F.col("tok_before") / SEQ_LEN).cast("bigint").alias(
+            "first_seq"
+        ),
+        F.floor(
+            (F.col("tok_before") + F.col("n_units") - 1) / SEQ_LEN
+        ).cast("bigint").alias("last_seq"),
+        (F.col("tok_before") % SEQ_LEN).cast("int").alias("offset_in_seq"),
+    )
+
+
+SEQ_PACK_DUCK = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_units,
+         CAST(concat('0x', substr(md5(concat('epoch{{EPOCH}}:',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_units,
+         CAST(coalesce(sum(n_units) OVER (ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before
+  FROM sized
+)
+SELECT doc_id, n_units, tok_before,
+       CAST(floor(tok_before / {{L}}) AS BIGINT) AS first_seq,
+       CAST(floor((tok_before + n_units - 1) / {{L}}) AS BIGINT)
+         AS last_seq,
+       CAST(tok_before % {{L}} AS INT) AS offset_in_seq
+FROM packed
+""".replace("{EPOCH}", str(EPOCH)).replace("{L}", str(SEQ_LEN))
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
+    "docs_sequence_packing": _q_sequence_packing,
     "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
     "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
     "docs_shard_packing": _q_shard_packing,
@@ -230,6 +298,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_train_val_split": SPLIT_DUCK,
+    "docs_sequence_packing": SEQ_PACK_DUCK,
     "docs_split_counts": SPLIT_COUNTS_DUCK,
     "docs_stratified_sample": STRATIFIED_DUCK,
     "docs_shard_packing": SHARD_DUCK,
