@@ -314,3 +314,43 @@ def test_q20_nested_in_no_per_row_rescan(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_no_global_window(spark, sf_dir):
+    """The bigram-LM plan's only window is the per-doc lag (partitioned
+    by doc_id); the LM joins must be hash joins, never nested-loop."""
+    from dataset_batch_processor_spark.operators import lmscore
+
+    df = lmscore.QUERIES["docs_bigram_lm_score"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # the only nested-loop is the broadcast of the 1-row vocab count
+    # (bounds-row pattern); a non-broadcast cartesian would be a bug
+    assert "CartesianProduct" not in plan
+    # every window spec partitions on doc_id (no global funnel)
+    n_specs = plan.count("windowspecdefinition(")
+    assert n_specs > 0
+    assert plan.count("windowspecdefinition(doc_id") == n_specs
+
+
+def test_mining_broadcasts_query_panel(spark, sf_dir):
+    """Hard-negative mining must broadcast the bounded query panel;
+    the corpus side streams through without a shuffle before scoring."""
+    from dataset_batch_processor_spark.operators import mining
+
+    df = mining.QUERIES["emb_hard_negatives"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sequence_packing_no_single_task_window(spark, sf_dir):
+    """Sequence packing must use the range-partitioned prefix sum —
+    an unpartitioned `sum() OVER (ORDER BY ...)` would serialize the
+    corpus through one task."""
+    from dataset_batch_processor_spark.operators import curation
+
+    df = curation.QUERIES["docs_sequence_packing"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    import re
+    # no Window spec without a partition clause over the full set
+    assert not re.search(r"Window.*ORDER BY.*UnboundedPreceding", plan) or \
+        "SinglePartition" not in plan
