@@ -57,6 +57,7 @@ from dataset_batch_processor_spark.operators import (
     imagedup,
     pca,
     mining,
+    feathash,
     routing,
     search,
     semdedup,
@@ -365,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(imagedup.QUERIES)
     q.update(pca.QUERIES)
     q.update(mining.QUERIES)
+    q.update(feathash.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -460,6 +462,7 @@ FROM images_meta GROUP BY 1
     o.update(imagedup.ORACLES)
     o.update(pca.ORACLES)
     o.update(mining.ORACLES)
+    o.update(feathash.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
