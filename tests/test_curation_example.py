@@ -49,3 +49,23 @@ def test_dedup_pipeline_example(spark):
         by_split.setdefault(r.split, set()).add(r.shard_id)
     for shards in by_split.values():
         assert min(shards) == 0
+
+
+def test_export_pipeline_example(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from export_pipeline import export_plan
+
+    kept, emb, packed, manifest = export_plan(spark, "/root/testdata/sf0.001")
+    n_kept = kept.count()
+    assert 0 < n_kept
+    assert emb.count() == n_kept  # one embedding per survivor
+    rows = packed.collect()
+    assert len(rows) == n_kept
+    # packing invariants: spans are well-formed and offsets in range
+    for r in rows:
+        assert 0 <= r.offset_in_seq < 512
+        assert r.first_seq <= r.last_seq
+    man = manifest.collect()
+    assert man and sum(r.n_docs for r in man) == n_kept
