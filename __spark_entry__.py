@@ -58,6 +58,7 @@ from dataset_batch_processor_spark.operators import (
     pca,
     mining,
     feathash,
+    cms,
     routing,
     search,
     semdedup,
@@ -367,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(pca.QUERIES)
     q.update(mining.QUERIES)
     q.update(feathash.QUERIES)
+    q.update(cms.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -463,6 +465,7 @@ FROM images_meta GROUP BY 1
     o.update(pca.ORACLES)
     o.update(mining.ORACLES)
     o.update(feathash.ORACLES)
+    o.update(cms.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)
