@@ -286,9 +286,58 @@ SELECT doc_id, n_units, tok_before,
 FROM packed
 """.replace("{EPOCH}", str(EPOCH)).replace("{L}", str(SEQ_LEN))
 
+# Language rebalancing: downsample every language to the smallest
+# language's count — the standard fix for web-crawl language skew
+# before multilingual training. The per-lang keep-rate is the exact
+# integer threshold floor(min_cnt * 1e6 / lang_cnt) compared against
+# a per-doc md5 draw, so the sample is deterministic, stratification
+# is exact, and corpus growth never flips an already-kept doc (the
+# same stability argument as the train/val split). Scale: one count
+# aggregation over a handful of lang keys (broadcast back), then a
+# pure filter — no shuffle of the data itself.
+
+LANG_REBALANCE_SPARK = """
+WITH lang_counts AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+),
+thresh AS (
+  SELECT lang,
+         CAST((SELECT min(cnt) FROM lang_counts) * 1000000 DIV cnt
+              AS BIGINT) AS keep_below
+  FROM lang_counts
+)
+SELECT doc_id, lang
+FROM documents
+JOIN thresh USING (lang)
+WHERE CAST(conv(substr(md5(concat('rebal:', CAST(doc_id AS STRING))),
+               1, 15), 16, 10) AS BIGINT) % 1000000 < keep_below
+ORDER BY doc_id
+"""
+
+LANG_REBALANCE_DUCK = """
+WITH lang_counts AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+),
+thresh AS (
+  SELECT lang,
+         CAST((SELECT min(cnt) FROM lang_counts) * 1000000 // cnt
+              AS BIGINT) AS keep_below
+  FROM lang_counts
+)
+SELECT doc_id, lang
+FROM documents
+JOIN thresh USING (lang)
+WHERE CAST(concat('0x', substr(md5(concat('rebal:', CAST(doc_id AS VARCHAR))),
+               1, 15)) AS BIGINT) % 1000000 < keep_below
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
     "docs_sequence_packing": _q_sequence_packing,
+    "docs_lang_rebalance_sample": _run(
+        LANG_REBALANCE_SPARK, ("documents",)
+    ),
     "docs_split_counts": _run(SPLIT_COUNTS_SPARK, ("documents",)),
     "docs_stratified_sample": _run(STRATIFIED_SPARK, ("documents",)),
     "docs_shard_packing": _q_shard_packing,
@@ -299,6 +348,7 @@ QUERIES = {
 ORACLES = {
     "docs_train_val_split": SPLIT_DUCK,
     "docs_sequence_packing": SEQ_PACK_DUCK,
+    "docs_lang_rebalance_sample": LANG_REBALANCE_DUCK,
     "docs_split_counts": SPLIT_COUNTS_DUCK,
     "docs_stratified_sample": STRATIFIED_DUCK,
     "docs_shard_packing": SHARD_DUCK,
