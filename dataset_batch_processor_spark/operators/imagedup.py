@@ -224,6 +224,14 @@ def dhash_bands(df: DataFrame) -> DataFrame:
                         row.fmt.lower(), bytes(row.content)
                     ).astype(np.int64)
                     h, w = arr.shape[0], arr.shape[1]
+                    if w < 9 or h < 8:
+                        # smaller than the 8x9 grid -> empty boxes,
+                        # which would silently diverge from the SQL
+                        # semantics; quarantine instead
+                        raise ValueError(
+                            f"image {w}x{h} too small for dHash "
+                            "(needs >= 9x8)"
+                        )
                     l = (77 * arr[:, :, 0] + 150 * arr[:, :, 1]
                          + 29 * arr[:, :, 2]) // 256
                     y = np.arange(h)[:, None]

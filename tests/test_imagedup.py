@@ -76,3 +76,17 @@ def test_decode_failure_quarantines(spark):
     rows = [Row(id="bad", fmt="png", content=bytearray(b"not a png"))]
     out = imagedup.dhash_bands(spark.createDataFrame(rows)).collect()[0]
     assert out.error is not None and out.b0 is None
+
+
+def test_tiny_image_quarantines(spark):
+    """Images smaller than the 8x9 grid must quarantine, not emit a
+    signature that silently diverges from the SQL semantics."""
+    from dataset_batch_processor_spark.multimodal import png
+
+    tiny = np.zeros((4, 4, 3), dtype=np.uint8)
+    rows = [
+        Row(id="tiny", fmt="png", content=bytearray(png.encode_png(tiny)))
+    ]
+    out = imagedup.dhash_bands(spark.createDataFrame(rows)).collect()[0]
+    assert out.error is not None and "too small" in out.error
+    assert out.b0 is None
