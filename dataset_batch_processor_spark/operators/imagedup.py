@@ -29,10 +29,11 @@ path by tests/test_imagedup.py.
 At 100 TB: the pixel explode is a narrow flat map (no shuffle); box
 aggregation is one map-side-combined shuffle on (doc_id, r, c) —
 and the kernel path does even that per-row in numpy; the band join
-is the same bucketed candidate generator as dedup.py's LSH (hot
-buckets capped the same way linkage.py caps blocks: a count+filter
-pass drops degenerate band values before the join at petabyte
-scale); the Hamming verify touches candidates only.
+is the same bucketed candidate generator as dedup.py's LSH, with the
+same hot-bucket cap available (``_pairs_sql(max_band_size=...)``
+adds the count+filter pass that drops degenerate band values before
+the join — the petabyte-scale guard); the Hamming verify touches
+candidates only.
 """
 
 from __future__ import annotations
@@ -54,6 +55,28 @@ HAMMING_MAX = 6
 
 _DIMS = "g % 12 + 16"  # width
 _DIMS_H = "g % 9 + 16"  # height
+
+
+def lattice_image(doc_id: int):
+    """The fixture image for ``doc_id`` as a (h, w, 3) uint8 array —
+    the SINGLE numpy twin of the SQL lattice below (tests pin the
+    kernel against the SQL through it; tools/round5b_scale_study.py
+    synthesizes its PNG corpus from it)."""
+    import numpy as np
+
+    g, v = doc_id % 250, doc_id // 250
+    w, h = g % 12 + 16, g % 9 + 16
+    y, x = np.mgrid[0:h, 0:w]
+    a = (
+        x * x * (g % 7 + 1)
+        + y * y * (g % 11 + 1)
+        + x * y * (g % 5)
+        + g * 13
+        + np.where((x * 7 + y * 5) % 29 == 0, v * 37, 0)
+    ) % 256
+    return np.stack(
+        [a, (a * 2 + 11) % 256, (a * 3 + 22) % 256], axis=-1
+    ).astype(np.uint8)
 
 
 def _pixels_cte(div: str, xy: str) -> str:
@@ -157,7 +180,15 @@ HASHES_PIVOT = """
 """
 
 
-def _pairs_sql(engine: str) -> str:
+def _pairs_sql(engine: str, max_band_size: int | None = None) -> str:
+    """``max_band_size`` is the hot-band cap (same contract as
+    dedup.lsh_pairs_df's ``max_bucket_size``): a band value held by B
+    images emits B²/2 candidates, so a degenerate corpus — blank or
+    boilerplate imagery — can re-explode the join toward all-pairs.
+    When set, a count+filter pass drops band values above the budget
+    BEFORE the self-join; near-dups in a mega-band almost always also
+    collide in a smaller band, so recall cost is marginal. Default
+    None keeps the oracle fixture hashes byte-stable."""
     xor = (
         "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + "
         "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)"
@@ -166,13 +197,27 @@ def _pairs_sql(engine: str) -> str:
         "bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) + "
         "bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))"
     )
+    cand_src = "bands"
+    cap_ctes = ""
+    if max_band_size is not None:
+        cap_ctes = f"""
+bsz AS (
+  SELECT band_idx, band_val, count(*) AS bn
+  FROM bands GROUP BY band_idx, band_val
+),
+bands_capped AS (
+  SELECT bands.* FROM bands
+  JOIN bsz USING (band_idx, band_val)
+  WHERE bn <= {max_band_size}
+),"""
+        cand_src = "bands_capped"
     return f"""
-WITH {_hash_sql(engine)},
+WITH {_hash_sql(engine)},{cap_ctes}
 hashes AS ({HASHES_PIVOT}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b
+  FROM {cand_src} a
+  JOIN {cand_src} b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
 )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .similarity import DIM, QUERY_MOD, TOP_K, _cos_expr
+from .similarity import QUERY_MOD, TOP_K, _cos_expr, cosine6_duck
 
 _SCORED_DUCK = f"""
 queries AS (
@@ -40,17 +40,7 @@ queries AS (
 ),
 scored AS (
   SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
-         round(
-           list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(q.q_emb[i] AS DOUBLE)
-                         * CAST(e.embedding[i] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(q.q_emb[i] AS DOUBLE)
-                         * CAST(q.q_emb[i] AS DOUBLE))))
-            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(e.embedding[i] AS DOUBLE)
-                         * CAST(e.embedding[i] AS DOUBLE))))),
-           6) AS cos_sim
+         {cosine6_duck("q.q_emb", "e.embedding")} AS cos_sim
   FROM embeddings e, queries q
   WHERE e.vec_id <> q.query_id
 )

@@ -9,14 +9,16 @@ once on the driver, and the O(n·d·k) projection broadcasts a KB-sized
 loadings matrix.
 
 Determinism: covariance is accumulated in FIXED POINT. Each float32
-component is scaled by 1e3 and rounded to an int64 — and because a
-binary float times 1000 can never be exactly half-way between two
-integers (the half-way points k+1/2 have denominator 2000, not a
-power of two), every rounding mode agrees, so numpy's rint and SQL
-round() produce identical integers. All downstream sums/products
-stay in int64 (bounds: |q| <= 531, d = 64, n <= 1e6 rows per the
-magnitude audit in the code), so the oracled query emits EXACT
-integers — no float sum order anywhere.
+component is quantized as ``floor(x * 1e3 + 0.5)`` — ONE explicit
+rounding convention computed identically on both sides (multiply,
+add, floor are each correctly-rounded IEEE, so the doubles match bit
+for bit before the floor). Do NOT swap in numpy ``rint`` / SQL
+``round()``: they disagree on exact halves (rint is half-to-even,
+DuckDB round is half-away-from-zero), and exact halves DO occur —
+any dyadic component like 0.0625 gives x*1000 == 62.5 exactly. All
+downstream sums/products stay in int64 (bounds: |q| <= 531, d = 64,
+n <= 1e6 rows per the magnitude audit in the code), so the oracled
+query emits EXACT integers — no float sum order anywhere.
 
 At 100 TB: the Spark side is a single mapInPandas GEMM pass — each
 Arrow batch contributes Q^T Q (an int64 matmul) plus column sums,
@@ -58,7 +60,9 @@ def covariance_stats(emb: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.rint(x * SCALE).astype(np.int64)
+            # floor(x*S + 0.5), matching COV_DUCK exactly — see the
+            # module docstring for why rint/round() must not be used
+            q = np.floor(x * SCALE + 0.5).astype(np.int64)
             s = q.T @ q  # int64 GEMM — exact
             col = q.sum(axis=0)
             yield pd.DataFrame(
@@ -98,7 +102,7 @@ COV_DUCK = f"""
 WITH q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS i,
-         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {SCALE})
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {SCALE} + 0.5)
               AS BIGINT) AS qv
   FROM embeddings
 ),

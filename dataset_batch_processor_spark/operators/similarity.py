@@ -104,6 +104,28 @@ def _q_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list_dot_product/list_cosine_similarity are avoided on purpose: their
 # accumulation order/precision is unspecified; the unnest-based sum is
 # explicit, and rounding to 6 decimals absorbs last-ulp noise anyway.
+
+
+def cosine6_duck(a: str, b: str) -> str:
+    """The canonical DuckDB cosine-rounded-to-6 expression between two
+    list columns — the ONE definition every oracle that scores
+    embeddings must use (mining.py shares it), so a precision or
+    bounds change can never leave a second copy stale."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}),\n"
+            f"                    i -> CAST({x}[i] AS DOUBLE) "
+            f"* CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return (
+        f"round(\n           {dot(a, b)}\n"
+        f"           / (sqrt({dot(a, a)})\n"
+        f"            * sqrt({dot(b, b)})),\n           6)"
+    )
+
+
 BRUTE_FORCE_DUCK = f"""
 WITH queries AS (
   SELECT vec_id AS query_id, embedding AS q_emb
@@ -116,14 +138,7 @@ pairs AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(
-           list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))
-            * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
-                    i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))))),
-           6) AS cos_sim
+         {cosine6_duck("q_emb", "c_emb")} AS cos_sim
   FROM pairs
 )
 SELECT query_id, neighbor_id, cos_sim,

@@ -54,9 +54,39 @@ def export_plan(spark, sf_dir: str, drop_worst_pct: int = 10):
     # consume this table; materialized alongside the manifest)
     emb = feathash.embed_df(docs.join(kept, "doc_id"))
 
-    # 3+4. epoch shuffle order drives token-level sequence packing
-    packed = curation.QUERIES["docs_sequence_packing"](spark, sf_dir).join(
-        kept, "doc_id"
+    # 3+4. epoch shuffle order drives token-level sequence packing —
+    # over the FILTERED corpus: packing after the join would count the
+    # dropped docs' tokens, leaving offset gaps in the stream the
+    # trainer actually reads
+    from dataset_batch_processor_spark.operators.textops import (
+        exclusive_prefix_sum,
+    )
+
+    sized = docs.join(kept, "doc_id").select(
+        "doc_id",
+        (F.size(F.split("text", " ")) + 1).cast("bigint").alias("n_units"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('epoch{curation.EPOCH}:', "
+            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("k"),
+    )
+    packed = exclusive_prefix_sum(
+        sized, ["k", "doc_id"], "n_units", out_col="tok_before"
+    ).select(
+        "doc_id",
+        "n_units",
+        "tok_before",
+        F.floor(F.col("tok_before") / curation.SEQ_LEN)
+        .cast("bigint")
+        .alias("first_seq"),
+        F.floor(
+            (F.col("tok_before") + F.col("n_units") - 1) / curation.SEQ_LEN
+        )
+        .cast("bigint")
+        .alias("last_seq"),
+        (F.col("tok_before") % curation.SEQ_LEN).cast("int").alias(
+            "offset_in_seq"
+        ),
     )
 
     # 5. shard manifest: EPOCH_SHARDS-way split by first_seq

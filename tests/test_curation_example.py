@@ -67,5 +67,12 @@ def test_export_pipeline_example(spark):
     for r in rows:
         assert 0 <= r.offset_in_seq < 512
         assert r.first_seq <= r.last_seq
+    # the token stream is CONTIGUOUS over the kept docs — no offset
+    # gaps from dropped documents (packing runs on the filtered set)
+    ordered = sorted(rows, key=lambda r: r.tok_before)
+    pos = 0
+    for r in ordered:
+        assert r.tok_before == pos
+        pos += r.n_units
     man = manifest.collect()
     assert man and sum(r.n_docs for r in man) == n_kept

@@ -10,23 +10,7 @@ from pyspark.sql import Row
 from dataset_batch_processor_spark.operators import imagedup
 
 
-def _lattice(doc_id: int) -> np.ndarray:
-    """The fixture image for ``doc_id``, exactly as the SQL defines
-    it: quadratic g-mixed pattern + sparse v perturbation, channels
-    (a, (2a+11)%256, (3a+22)%256)."""
-    g, v = doc_id % 250, doc_id // 250
-    w, h = g % 12 + 16, g % 9 + 16
-    y, x = np.mgrid[0:h, 0:w]
-    a = (
-        x * x * (g % 7 + 1)
-        + y * y * (g % 11 + 1)
-        + x * y * (g % 5)
-        + g * 13
-        + np.where((x * 7 + y * 5) % 29 == 0, v * 37, 0)
-    ) % 256
-    return np.stack([a, (a * 2 + 11) % 256, (a * 3 + 22) % 256], axis=-1).astype(
-        np.uint8
-    )
+_lattice = imagedup.lattice_image
 
 
 def test_kernel_matches_sql_path(spark):
@@ -90,3 +74,19 @@ def test_tiny_image_quarantines(spark):
     out = imagedup.dhash_bands(spark.createDataFrame(rows)).collect()[0]
     assert out.error is not None and "too small" in out.error
     assert out.b0 is None
+
+
+def test_hot_band_cap_bounds_candidates(spark):
+    """A degenerate corpus (every image the same base pattern, so all
+    signatures share band values) must not explode the candidate join
+    when the cap is engaged."""
+    # 80 docs all with g = doc_id % 250 == 0: one mega-band family
+    spark.range(0, 80).selectExpr("id * 250 AS doc_id").createOrReplaceTempView(
+        "documents"
+    )
+    full = spark.sql(imagedup._pairs_sql("spark")).count()
+    capped = spark.sql(
+        imagedup._pairs_sql("spark", max_band_size=5)
+    ).count()
+    assert full > 1000  # the uncapped join really does explode
+    assert capped < full

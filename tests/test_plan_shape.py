@@ -348,9 +348,32 @@ def test_sequence_packing_no_single_task_window(spark, sf_dir):
     corpus through one task."""
     from dataset_batch_processor_spark.operators import curation
 
-    df = curation.QUERIES["docs_sequence_packing"](spark, sf_dir)
-    plan = explain.formatted_plan(df)
     import re
-    # no Window spec without a partition clause over the full set
-    assert not re.search(r"Window.*ORDER BY.*UnboundedPreceding", plan) or \
-        "SinglePartition" not in plan
+
+    def unpartitioned_windows(plan: str) -> list[str]:
+        # windowspecdefinition(part_cols..., sort ASC ..., frame);
+        # with NO partition columns the FIRST argument is already the
+        # sort spec, i.e. "<col> ASC NULLS FIRST" before any comma.
+        # The `_pid` window is the two-pass design's totals pass —
+        # one row PER PARTITION, bounded by cluster size, so a global
+        # order there is exactly the intended k-row funnel.
+        return [
+            m.group(1)
+            for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan)
+            if re.search(r"\s(ASC|DESC)\b", m.group(1))
+            and not m.group(1).startswith("_pid")
+        ]
+
+    # self-validation: the detector must FIRE on the naive global
+    # running-sum plan it exists to forbid
+    spark.range(100).selectExpr(
+        "id", "id % 7 AS v"
+    ).createOrReplaceTempView("_naive_seq")
+    naive = spark.sql(
+        "SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) AS s FROM _naive_seq"
+    )
+    assert unpartitioned_windows(explain.formatted_plan(naive))
+
+    df = curation.QUERIES["docs_sequence_packing"](spark, sf_dir)
+    assert unpartitioned_windows(explain.formatted_plan(df)) == []

@@ -71,7 +71,6 @@ def main() -> None:
     n_k = kernel_ids.count()
 
     def gen(batches):
-        import numpy as np
         import pandas as pd
 
         from dataset_batch_processor_spark.multimodal import png as p
@@ -80,17 +79,7 @@ def main() -> None:
             out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                g, v = d % 250, d // 250
-                w, h = g % 12 + 16, g % 9 + 16
-                y, x = np.mgrid[0:h, 0:w]
-                a = (
-                    x * x * (g % 7 + 1) + y * y * (g % 11 + 1)
-                    + x * y * (g % 5) + g * 13
-                    + np.where((x * 7 + y * 5) % 29 == 0, v * 37, 0)
-                ) % 256
-                arr = np.stack(
-                    [a, (a * 2 + 11) % 256, (a * 3 + 22) % 256], axis=-1
-                ).astype(np.uint8)
+                arr = imagedup.lattice_image(d)
                 out.append({
                     "id": str(d), "fmt": "png",
                     "content": p.encode_png(arr, filter_type=d % 5),
