@@ -1,0 +1,52 @@
+"""Atomic snapshot publishing: crash invisibility, time travel,
+orphan vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from dataset_batch_processor_spark.sources import snapshots
+
+
+def test_publish_read_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = snapshots.publish_snapshot(
+        spark.range(10).selectExpr("id", "id * 2 AS x"), table
+    )
+    v2 = snapshots.publish_snapshot(
+        spark.range(25).selectExpr("id", "id * 3 AS x"), table
+    )
+    assert (v1, v2) == (1, 2)
+    assert snapshots.read_snapshot(spark, table).count() == 25
+    assert snapshots.read_snapshot(spark, table, version=1).count() == 10
+
+
+def test_crashed_write_is_invisible(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snapshots.publish_snapshot(spark.range(10), table)
+
+    # simulate a crash BETWEEN data rename and manifest commit: a
+    # full v=2 data dir exists but was never committed
+    spark.range(99).write.parquet(os.path.join(table, "v=2"))
+    assert snapshots.read_snapshot(spark, table).count() == 10
+    assert snapshots.committed_versions(table) == [1]
+
+    # the next publish must not reuse the orphan's version number
+    v = snapshots.publish_snapshot(spark.range(7), table)
+    assert v == 3  # skipped the orphan v=2
+    assert snapshots.read_snapshot(spark, table).count() == 7
+    # the orphan remains invisible even though it sits on disk
+    assert snapshots.committed_versions(table) == [1, 3]
+
+
+def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snapshots.publish_snapshot(spark.range(5), table)
+    snapshots.publish_snapshot(spark.range(6), table)
+    spark.range(9).write.parquet(os.path.join(table, "v=3"))  # orphan
+    os.makedirs(os.path.join(table, "_staging_deadbeef"))
+
+    removed = snapshots.vacuum_snapshots(table, keep_latest=1)
+    assert len(removed) == 3  # v=1, orphan v=3, staging dir
+    assert snapshots.committed_versions(table) == [2]
+    assert snapshots.read_snapshot(spark, table).count() == 6
