@@ -234,3 +234,72 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     return df.select("id", "fmt", "content").mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+# ------------------------------------------------------- VAD segmentation
+
+VAD_FRAME = 64  # samples per analysis frame
+
+
+def vad_segments(df: DataFrame, frame: int = VAD_FRAME,
+                 energy_thresh: int = 22_900_000_000) -> DataFrame:
+    """Energy-threshold voice-activity segmentation: 1 audio row -> K
+    segment rows (maximal runs of consecutive active frames) — the
+    ASR-training-data prep step that splits long recordings into
+    utterance-sized pieces.
+
+    Frame energy is the EXACT int64 sum of squared samples (int16
+    squares fit 2^30; 64 of them fit 2^36), so the active flags — and
+    therefore the segmentation — are integer-deterministic and the
+    driver's hash gate applies (mm_audio_vad_segments). The trailing
+    sub-frame tail is dropped, matching the SQL oracle. Decode
+    failures quarantine (F7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    samples, rate = AUDIO_CODECS[row.fmt.lower()](
+                        bytes(row.content)
+                    )
+                    n_frames = len(samples) // frame
+                    x = samples[: n_frames * frame].astype(np.int64)
+                    energy = (x * x).reshape(n_frames, frame).sum(axis=1)
+                    active = energy > energy_thresh
+                    # islands: segment id = cumsum of run starts
+                    starts = np.diff(
+                        np.concatenate(([0], active.view(np.int8)))
+                    ) == 1
+                    seg_of = np.cumsum(starts) - 1
+                    for seg in range(seg_of[active].max() + 1 if active.any() else 0):
+                        idx = np.nonzero(active & (seg_of == seg))[0]
+                        out.append(
+                            {
+                                "id": str(row.id),
+                                "seg_idx": int(seg),
+                                "start_frame": int(idx[0]),
+                                "end_frame": int(idx[-1]),
+                                "n_frames": int(len(idx)),
+                                "start_s": float(idx[0] * frame / rate),
+                                "error": None,
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(
+                        {"id": str(row.id), "seg_idx": None,
+                         "start_frame": None, "end_frame": None,
+                         "n_frames": None, "start_s": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "seg_idx", "start_frame", "end_frame",
+                         "n_frames", "start_s", "error"],
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema=("id string, seg_idx int, start_frame int, end_frame int, "
+                "n_frames int, start_s double, error string"),
+    )

@@ -865,9 +865,94 @@ GROUP BY doc_id, n
 """
 
 
+# -------------------------------------------------- VAD segmentation
+# Drives the REAL av.vad_segments operator (energy-threshold islands,
+# the ASR-prep utterance splitter) on deterministic WAV fixtures; the
+# DuckDB oracle recomputes frame energies in closed form and rebuilds
+# the islands with a lag+cumsum window — a hash match proves framing,
+# the exact-integer energy threshold, and the run-merge logic.
+
+_VAD_THRESH = 22_900_000_000  # ~the all-x̄-uniform mean frame energy
+
+
+def _q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    wavs = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    return av.vad_segments(wavs, energy_thresh=_VAD_THRESH)
+
+
+VAD_SEGMENTS_DUCK = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT doc_id, unnest(generate_series(0, n // 64 - 1)) AS f
+  FROM base WHERE n // 64 >= 1
+),
+en AS (
+  SELECT doc_id, f,
+         list_sum(list_transform(generate_series(0, 63),
+            j -> ((doc_id * 31 + (f * 64 + j) * 7) % 65536 - 32768)
+               * ((doc_id * 31 + (f * 64 + j) * 7) % 65536 - 32768)))
+           AS energy
+  FROM fr
+),
+act AS (SELECT doc_id, f, energy > {_VAD_THRESH} AS active FROM en),
+seg0 AS (
+  SELECT doc_id, f, active,
+         CASE WHEN active AND NOT coalesce(
+                lag(active) OVER (PARTITION BY doc_id ORDER BY f), FALSE)
+              THEN 1 ELSE 0 END AS is_start
+  FROM act
+),
+seg1 AS (
+  SELECT doc_id, f, active,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY f
+             ROWS UNBOUNDED PRECEDING) - 1 AS seg
+  FROM seg0
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(seg AS INT) AS seg_idx,
+       CAST(min(f) AS INT) AS start_frame,
+       CAST(max(f) AS INT) AS end_frame,
+       CAST(count(*) AS INT) AS n_frames,
+       CAST(min(f) * 64 AS DOUBLE) / 16000 AS start_s,
+       CAST(NULL AS VARCHAR) AS error
+FROM seg1 WHERE active
+GROUP BY doc_id, seg
+ORDER BY id, seg_idx
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_audio_features": _q_audio_features,
+    "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
@@ -882,6 +967,7 @@ QUERIES = {
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
+    "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
