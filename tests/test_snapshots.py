@@ -50,3 +50,42 @@ def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
     assert len(removed) == 3  # v=1, orphan v=3, staging dir
     assert snapshots.committed_versions(table) == [2]
     assert snapshots.read_snapshot(spark, table).count() == 6
+
+
+def test_streaming_micro_batches_publish_atomically(spark, tmp_path):
+    """foreachBatch + publish_snapshot: every micro-batch lands as a
+    committed version; readers see only whole batches, never a
+    partial write."""
+    src = str(tmp_path / "src")
+    for part in range(3):
+        spark.range(part * 10, part * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    table = str(tmp_path / "table")
+
+    def publish(batch_df, batch_id):
+        snapshots.publish_snapshot(batch_df, table)
+
+    q = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions = snapshots.committed_versions(table)
+    assert len(versions) == 3
+    # each committed version is a complete 10-row batch
+    for v in versions:
+        assert snapshots.read_snapshot(spark, table, version=v).count() == 10
+    # the union of all versions is the whole stream
+    total = sum(
+        snapshots.read_snapshot(spark, table, version=v).count()
+        for v in versions
+    )
+    assert total == 30
