@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     dedup = sub.add_parser("dedup", help="order-preserving line dedup")
     dedup.add_argument("in_path")
     dedup.add_argument("out_file")
+
+    exp = sub.add_parser("export", help="score/filter/pack + atomic publish")
+    exp.add_argument("sf_dir")
+    exp.add_argument("out_dir")
+    exp.add_argument("--drop-worst-pct", type=int, default=10)
     return p
 
 
@@ -105,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "dedup":
         res = pipeline.dedup_text_file(spark, args.in_path, args.out_file)
+    elif args.cmd == "export":
+        res = pipeline.export_training_data(
+            spark, args.sf_dir, args.out_dir,
+            drop_worst_pct=args.drop_worst_pct,
+        )
     else:  # pragma: no cover
         raise SystemExit(2)
     print(json.dumps({"cmd": args.cmd, "metrics": res.metrics}))

@@ -246,3 +246,53 @@ def dedup_text_file(spark: SparkSession, in_path: str, out_path: str) -> RunResu
             "removed": stats["removed_count"],
         }
     )
+
+
+# -------------------------------------------------------------- export
+
+def export_training_data(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    drop_worst_pct: int = 10,
+) -> RunResult:
+    """The round-5 export flow as one facade call: LM-score + filter,
+    feature-hash embed, epoch-shuffle + sequence-pack, then publish
+    the packed table and the shard manifest as ATOMIC snapshot
+    versions (sources/snapshots.py) under ``out_dir``. Re-running
+    appends new committed versions; readers never see a partial
+    export."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from export_pipeline import export_plan
+
+    from .sources import snapshots
+
+    kept, emb, packed, manifest = export_plan(
+        spark, sf_dir, drop_worst_pct=drop_worst_pct
+    )
+    v_packed = snapshots.publish_snapshot(
+        packed, os.path.join(out_dir, "packed")
+    )
+    v_emb = snapshots.publish_snapshot(
+        emb, os.path.join(out_dir, "embeddings")
+    )
+    v_man = snapshots.publish_snapshot(
+        manifest, os.path.join(out_dir, "manifest")
+    )
+    man_rows = snapshots.read_snapshot(
+        spark, os.path.join(out_dir, "manifest"), version=v_man
+    ).count()
+    return RunResult(
+        metrics={
+            "kept_docs": kept.count(),
+            "packed_version": v_packed,
+            "embeddings_version": v_emb,
+            "manifest_version": v_man,
+            "manifest_shards": man_rows,
+        },
+        output=manifest,
+    )
