@@ -39,6 +39,7 @@ candidates only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import catalog
 
@@ -308,5 +309,63 @@ def dhash_bands(df: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"img_dhash_near_dup_pairs": _q_dhash_pairs}
-ORACLES = {"img_dhash_near_dup_pairs": DHASH_PAIRS_DUCK}
+# ----------------------------------------------- near-dup clusters
+# The dedup end-product for images, mirroring the document pipeline
+# (dedup pairs -> connected components -> canonical member): cluster
+# labels over the dHash near-dup graph via the O(log n)-round star
+# contraction, oracled by a recursive-CTE transitive closure exactly
+# like docs_dup_components.
+
+
+def _pairs_bare_sql(engine: str) -> str:
+    """(doc_a, doc_b) pairs under the Hamming gate, unordered — the
+    edge list for closure composition."""
+    full = _pairs_sql(engine)
+    head, _, _ = full.rpartition("ORDER BY doc_a, doc_b")
+    # keep only the edge columns: re-select from the full projection
+    return f"SELECT doc_a, doc_b FROM ({head}) edges"
+
+
+def _q_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .components import connected_components
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    pairs = spark.sql(_pairs_bare_sql("spark"))
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"),
+                F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+IMG_COMPONENTS_DUCK = f"""
+WITH RECURSIVE ipairs AS (
+  {_pairs_bare_sql("duck")}
+),
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM ipairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM ipairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+)
+SELECT node AS doc_id, least(node, min(other)) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+QUERIES = {
+    "img_dhash_near_dup_pairs": _q_dhash_pairs,
+    "img_dhash_components": _q_dhash_components,
+}
+ORACLES = {
+    "img_dhash_near_dup_pairs": DHASH_PAIRS_DUCK,
+    "img_dhash_components": IMG_COMPONENTS_DUCK,
+}
