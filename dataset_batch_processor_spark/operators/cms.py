@@ -209,3 +209,46 @@ ORACLES = {
     "events_cms_counters": CMS_COUNTERS_DUCK,
     "events_cms_heavy_hitters": CMS_HH_DUCK,
 }
+
+
+# ------------------------------------------------- driver-gated stream
+# Runs the WHOLE streaming accumulation loop inside one query (the
+# docs_incremental_lsh_pairs precedent): stage the events in three
+# chunks, drain an availableNow foreachBatch stream that commits one
+# partial grid per micro-batch, merge on read. The result equals the
+# one-pass batch grid by mergeability, so CMS_COUNTERS_DUCK hash-gates
+# the micro-batching, the idempotent per-batch commits, and the merge.
+
+
+def _q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    events = catalog.load_table(spark, sf_dir, "events").select("user_id")
+    stage = scratch_dir("dbp_cms_stage_")
+    for part in range(3):
+        events.filter(F.col("user_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    work = scratch_dir("dbp_cms_work_")
+    q = accumulate_cms(
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        counters_dir=os.path.join(work, "counters"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        read_cms(spark, os.path.join(work, "counters"))
+        .select(
+            F.col("row_idx").cast("int").alias("row_idx"),
+            F.col("col").cast("int").alias("col"),
+            F.col("counter").cast("bigint").alias("counter"),
+        )
+        .orderBy("row_idx", "col")
+    )
+
+
+QUERIES["events_cms_streaming_counters"] = _q_cms_streaming
+ORACLES["events_cms_streaming_counters"] = CMS_COUNTERS_DUCK
