@@ -181,7 +181,8 @@ HASHES_PIVOT = """
 """
 
 
-def _pairs_sql(engine: str, max_band_size: int | None = None) -> str:
+def _pairs_sql(engine: str, max_band_size: int | None = None,
+               bare: bool = False) -> str:
     """``max_band_size`` is the hot-band cap (same contract as
     dedup.lsh_pairs_df's ``max_bucket_size``): a band value held by B
     images emits B²/2 candidates, so a degenerate corpus — blank or
@@ -189,7 +190,9 @@ def _pairs_sql(engine: str, max_band_size: int | None = None) -> str:
     When set, a count+filter pass drops band values above the budget
     BEFORE the self-join; near-dups in a mega-band almost always also
     collide in a smaller band, so recall cost is marginal. Default
-    None keeps the oracle fixture hashes byte-stable."""
+    None keeps the oracle fixture hashes byte-stable. ``bare`` drops
+    the final ORDER BY (for edge-list composition — see
+    _pairs_bare_sql)."""
     xor = (
         "bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) + "
         "bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)"
@@ -228,7 +231,7 @@ FROM cand
 JOIN hashes ha ON ha.doc_id = doc_a
 JOIN hashes hb ON hb.doc_id = doc_b
 WHERE {xor} <= {HAMMING_MAX}
-ORDER BY doc_a, doc_b
+{'' if bare else 'ORDER BY doc_a, doc_b'}
 """
 
 
@@ -320,10 +323,7 @@ def dhash_bands(df: DataFrame) -> DataFrame:
 def _pairs_bare_sql(engine: str) -> str:
     """(doc_a, doc_b) pairs under the Hamming gate, unordered — the
     edge list for closure composition."""
-    full = _pairs_sql(engine)
-    head, _, _ = full.rpartition("ORDER BY doc_a, doc_b")
-    # keep only the edge columns: re-select from the full projection
-    return f"SELECT doc_a, doc_b FROM ({head}) edges"
+    return f"SELECT doc_a, doc_b FROM ({_pairs_sql(engine, bare=True)}) edges"
 
 
 def _q_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:

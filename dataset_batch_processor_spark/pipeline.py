@@ -258,37 +258,48 @@ def export_training_data(
 ) -> RunResult:
     """The round-5 export flow as one facade call: LM-score + filter,
     feature-hash embed, epoch-shuffle + sequence-pack, then publish
-    the packed table and the shard manifest as ATOMIC snapshot
-    versions (sources/snapshots.py) under ``out_dir``. Re-running
-    appends new committed versions; readers never see a partial
-    export."""
+    the packed table, embeddings, and shard manifest as ATOMIC
+    snapshot versions (sources/snapshots.py) under ``out_dir``.
+    The manifest is published LAST and carries the packed/embeddings
+    versions it describes, so readers pair tables through the
+    manifest and can never observe a mismatched partial export;
+    re-running appends new committed versions."""
     import os
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                    "examples"))
-    from export_pipeline import export_plan
+    from pyspark.sql import functions as F
 
+    from .export import export_plan
     from .sources import snapshots
 
     kept, emb, packed, manifest = export_plan(
         spark, sf_dir, drop_worst_pct=drop_worst_pct
     )
+    # kept is persisted by export_plan; materialize it ONCE up front
+    # so the three publishes below reuse the cache
+    n_kept = kept.count()
     v_packed = snapshots.publish_snapshot(
         packed, os.path.join(out_dir, "packed")
     )
     v_emb = snapshots.publish_snapshot(
         emb, os.path.join(out_dir, "embeddings")
     )
+    # manifest publishes LAST and NAMES the versions it describes —
+    # a reader pairs tables via these columns, never via "latest of
+    # each", so a crash between publishes can't produce an
+    # undetectably mismatched (packed, manifest) pair
+    manifest = manifest.withColumn(
+        "packed_version", F.lit(v_packed)
+    ).withColumn("embeddings_version", F.lit(v_emb))
     v_man = snapshots.publish_snapshot(
         manifest, os.path.join(out_dir, "manifest")
     )
     man_rows = snapshots.read_snapshot(
         spark, os.path.join(out_dir, "manifest"), version=v_man
     ).count()
+    kept.unpersist()
     return RunResult(
         metrics={
-            "kept_docs": kept.count(),
+            "kept_docs": n_kept,
             "packed_version": v_packed,
             "embeddings_version": v_emb,
             "manifest_version": v_man,

@@ -27,6 +27,7 @@ which is why it is the layer tested here.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import uuid
@@ -70,8 +71,17 @@ def publish_snapshot(df: DataFrame, table_dir: str) -> int:
         try:
             os.rename(staging, data_dir)  # atomic claim of v=N
             break
-        except OSError:
-            version += 1  # orphan from a crashed attempt — skip it
+        except OSError as e:
+            # retry ONLY the target-exists collision (an orphan from
+            # a crashed attempt); any other rename failure — staging
+            # gone (a concurrent vacuum), permissions — must surface,
+            # not spin the version counter forever
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY) or (
+                os.path.exists(data_dir) and os.path.exists(staging)
+            ):
+                version += 1
+            else:
+                raise
 
     files = sorted(
         f for f in os.listdir(data_dir) if f.startswith("part-")
@@ -115,11 +125,24 @@ def vacuum_snapshots(
     import shutil
 
     committed = committed_versions(table_dir)
-    keep = set(committed[-keep_latest:]) if committed else set()
+    # committed[-0:] would slice the WHOLE list — keep_latest=0 means
+    # "reclaim everything committed"
+    keep = (
+        set(committed[-keep_latest:]) if committed and keep_latest > 0
+        else set()
+    )
     removed = []
     for name in os.listdir(table_dir):
         path = os.path.join(table_dir, name)
-        if name == _COMMITS or not os.path.isdir(path):
+        if name == _COMMITS:
+            # crashed publishes can strand .N.json.tmp manifests here
+            for f in os.listdir(path):
+                if f.endswith(".json.tmp"):
+                    tmp = os.path.join(path, f)
+                    os.remove(tmp)
+                    removed.append(tmp)
+            continue
+        if not os.path.isdir(path):
             continue
         if name.startswith("_staging_"):
             shutil.rmtree(path)
@@ -127,9 +150,11 @@ def vacuum_snapshots(
         elif name.startswith("v="):
             v = int(name[2:])
             if v not in keep:
-                shutil.rmtree(path)
-                removed.append(path)
+                # manifest FIRST: a crash mid-vacuum must never leave
+                # a committed manifest pointing at deleted data
                 manifest = os.path.join(_commit_dir(table_dir), f"{v}.json")
                 if os.path.exists(manifest):
                     os.remove(manifest)
+                shutil.rmtree(path)
+                removed.append(path)
     return removed

@@ -256,10 +256,13 @@ def read_evolving_parquet(
     if expected_schema is None:
         return df
     want = StructType.fromDDL(expected_schema)
-    have = {f.name for f in df.schema.fields}
+    # match case-INsensitively, like Spark's own name resolution
+    # (spark.sql.caseSensitive=false): a file era that wrote "ID"
+    # must satisfy an expected "id", not be nulled out as missing
+    have = {f.name.lower(): f.name for f in df.schema.fields}
     cols = [
-        F.col(f.name).cast(f.dataType)
-        if f.name in have
+        F.col(have[f.name.lower()]).cast(f.dataType).alias(f.name)
+        if f.name.lower() in have
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in want.fields
     ]
