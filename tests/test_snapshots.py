@@ -89,3 +89,45 @@ def test_streaming_micro_batches_publish_atomically(spark, tmp_path):
         for v in versions
     )
     assert total == 30
+
+
+def test_vacuum_keep_latest_zero_reclaims_all(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snapshots.publish_snapshot(spark.range(5), table)
+    snapshots.publish_snapshot(spark.range(6), table)
+    snapshots.vacuum_snapshots(table, keep_latest=0)
+    assert snapshots.committed_versions(table) == []
+
+
+def test_vacuum_reclaims_stranded_tmp_manifest(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snapshots.publish_snapshot(spark.range(5), table)
+    # simulate a crash between tmp manifest write and its rename
+    tmp = os.path.join(table, "_commits", ".2.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("{}")
+    removed = snapshots.vacuum_snapshots(table, keep_latest=1)
+    assert tmp in removed and not os.path.exists(tmp)
+    assert snapshots.committed_versions(table) == [1]
+
+
+def test_publish_raises_when_staging_lost(spark, tmp_path, monkeypatch):
+    """A rename failure that is NOT a version collision must raise,
+    not spin the version counter forever."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    real_rename = os.rename
+
+    def sabotage(src, dst):
+        if "_staging_" in src and "/v=" in dst:
+            import shutil
+
+            if os.path.exists(src):
+                shutil.rmtree(src)  # concurrent vacuum ate the staging
+            raise OSError(2, "No such file or directory", src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", sabotage)
+    with pytest.raises(OSError):
+        snapshots.publish_snapshot(spark.range(3), table)
