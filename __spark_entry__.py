@@ -59,6 +59,7 @@ from dataset_batch_processor_spark.operators import (
     mining,
     feathash,
     cms,
+    histsketch,
     routing,
     search,
     semdedup,
@@ -369,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mining.QUERIES)
     q.update(feathash.QUERIES)
     q.update(cms.QUERIES)
+    q.update(histsketch.QUERIES)
     q.update(search.QUERIES)
     q.update(quantize.QUERIES)
     q.update(temporal.QUERIES)
@@ -466,6 +468,7 @@ FROM images_meta GROUP BY 1
     o.update(mining.ORACLES)
     o.update(feathash.ORACLES)
     o.update(cms.ORACLES)
+    o.update(histsketch.ORACLES)
     o.update(search.ORACLES)
     o.update(quantize.ORACLES)
     o.update(temporal.ORACLES)

@@ -1,0 +1,139 @@
+"""Mergeable histogram quantiles: the production distributed
+percentile recipe.
+
+``approx_percentile`` answers one query on one dataset; a serving
+pipeline instead maintains a MERGEABLE summary — here a fixed-bin
+integer histogram (bin = floor(value * BIN_SCALE), clamped) whose
+merge is element-wise addition, the same associativity that makes
+HLL and CMS (cms.py) the production counters. Any quantile is then
+answered from the merged counts alone: the smallest bin whose
+cumulative count reaches ceil(p * n). Everything is exact integer
+arithmetic — floor of a correctly-rounded multiply, integer cumsums,
+an integer threshold — so the driver's hash gate applies, unlike a
+raw t-digest whose centroids are float-accumulation-order dependent.
+
+Accuracy contract: the estimate is exact to bin width (1/BIN_SCALE),
+a FIXED error bound chosen up front — the trade a fixed-bin summary
+makes vs a t-digest's relative error, in exchange for exact
+mergeability and engine-portable determinism.
+
+Scale shape: the histogram build is a narrow map + a groupBy over at
+most (max-min)*BIN_SCALE bins with map-side combine; the quantile
+extraction is a window over the BIN TABLE (thousands of rows), never
+the data. ``accumulate_hist`` commits per-micro-batch partial
+histograms idempotently (overwrite-by-batch_id, the cms.py pattern)
+and the parity test pins streaming merge == one-pass batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+BIN_SCALE = 10  # bin width 0.1
+QS = (50, 90, 99)
+
+HIST_SPARK = f"""
+SELECT CAST(floor(value * {BIN_SCALE}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY floor(value * {BIN_SCALE})
+ORDER BY bin
+"""
+
+HIST_DUCK = HIST_SPARK
+
+_Q_CASES = ",\n".join(
+    f"""q{p} AS (
+  SELECT {p} AS pct, min(bin) AS bin FROM cum
+  CROSS JOIN total
+  WHERE cum_n * 100 >= {p} * total_n
+)"""
+    for p in QS
+)
+
+_Q_UNION = "\nUNION ALL\n".join(f"SELECT pct, bin FROM q{p}" for p in QS)
+
+QUANTILES_SQL = f"""
+WITH hist AS (
+  SELECT CAST(floor(value * {BIN_SCALE}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY floor(value * {BIN_SCALE})
+),
+cum AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM hist
+),
+total AS (SELECT sum(n) AS total_n FROM hist),
+{_Q_CASES}
+SELECT CAST(pct AS INT) AS pct,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(bin AS DOUBLE) / {BIN_SCALE} AS value_estimate
+FROM ({_Q_UNION})
+ORDER BY pct
+"""
+
+
+def _run_events(sql: str):
+    def f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "events"
+        )
+        return spark.sql(sql)
+
+    return f
+
+
+# ------------------------------------------------ streaming accumulation
+
+
+def hist_partial(events: DataFrame) -> DataFrame:
+    """(bin, n) partial histogram for one batch — the mergeable unit."""
+    return (
+        events.select(
+            F.floor(F.col("value") * BIN_SCALE).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def accumulate_hist(events_stream: DataFrame, hist_dir: str,
+                    checkpoint_dir: str):
+    """foreachBatch histogram accumulation with idempotent per-batch
+    commits; merge with :func:`read_hist`."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(hist_dir, f"batch_id={batch_id}")
+        hist_partial(batch_df).write.mode("overwrite").parquet(out)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hist(spark: SparkSession, hist_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(hist_dir)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+QUERIES = {
+    "events_value_histogram": _run_events(HIST_SPARK),
+    "events_hist_quantiles": _run_events(QUANTILES_SQL),
+}
+ORACLES = {
+    "events_value_histogram": HIST_DUCK,
+    "events_hist_quantiles": QUANTILES_SQL,
+}

@@ -49,3 +49,49 @@ def test_estimate_never_underestimates(spark, sf_dir):
     assert rows
     assert all(r.never_underestimates for r in rows)
     assert all(r.est >= r.exact_cnt for r in rows)
+
+
+def test_hist_streaming_merge_equals_batch(spark, sf_dir, tmp_path):
+    from dataset_batch_processor_spark.operators import histsketch
+
+    events = catalog.load_table(spark, sf_dir, "events").select("value")
+    stage = str(tmp_path / "stage")
+    for part in range(3):
+        events.filter(
+            (F.col("value") * 100).cast("bigint") % 3 == part
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    q = histsketch.accumulate_hist(
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        hist_dir=str(tmp_path / "hist"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.bin: r.n
+        for r in histsketch.read_hist(spark, str(tmp_path / "hist")).collect()
+    }
+    batch = {r.bin: r.n for r in histsketch.hist_partial(events).collect()}
+    assert streamed == batch
+    assert sum(batch.values()) == events.count()
+
+
+def test_hist_quantile_matches_exact_within_bin(spark, sf_dir):
+    """The histogram estimate must sit within one bin width of the
+    exact percentile."""
+    from dataset_batch_processor_spark.operators import histsketch
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    est = {
+        r.pct: r.value_estimate
+        for r in spark.sql(histsketch.QUANTILES_SQL).collect()
+    }
+    exact = events.selectExpr(
+        *[f"percentile(value, {p / 100}) AS p{p}" for p in histsketch.QS]
+    ).collect()[0]
+    for p in histsketch.QS:
+        assert abs(est[p] - exact[f"p{p}"]) <= 2.0 / histsketch.BIN_SCALE
