@@ -618,9 +618,108 @@ GROUP BY least(da.source, db.source), greatest(da.source, db.source)
 ORDER BY source_x, source_y
 """
 
+# Per-node triangle counts + local clustering coefficient over the
+# dup graph: triangles distinguish tight duplicate cliques (template
+# families, mirror sets) from chains of borderline pairs — a cluster
+# whose members all pair with each other is a true dup family; a
+# low-coefficient hub is usually boilerplate gluing unrelated docs.
+# The id-ordered edge list makes each triangle (a<b<c) appear exactly
+# once in the cyclic 3-way self-join. At 100 TB the standard
+# refinement is degree-ordered orientation (point each edge at the
+# higher-degree endpoint) to bound the join fan-out by sqrt(m); the
+# join topology below is unchanged by that swap.
+
+
+def _q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = pair_graph(spark, sf_dir)
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(node_tri, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering_coef"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRIANGLES_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+node_tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  )
+  GROUP BY node
+)
+SELECT deg.node AS doc_id,
+       degree,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN round(CAST(2 * coalesce(n_triangles, 0) AS DOUBLE)
+                       / CAST(degree * (degree - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS clustering_coef
+FROM deg LEFT JOIN node_tri ON node_tri.node = deg.node
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "dup_source_overlap": _q_source_overlap,
+    "dup_graph_triangles": _q_dup_triangles,
     "minhash_signatures": _q_minhash,
     "minhash_lsh_pairs": _q_lsh_pairs,
     "minhash_jaccard_verify": _q_jaccard,
@@ -632,6 +731,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_docs": EXACT_DUCK,
     "dup_source_overlap": SOURCE_OVERLAP_DUCK,
+    "dup_graph_triangles": TRIANGLES_DUCK,
     "minhash_signatures": MINHASH_DUCK,
     "minhash_lsh_pairs": LSH_PAIRS_DUCK,
     "minhash_jaccard_verify": JACCARD_DUCK,
