@@ -172,3 +172,88 @@ ORACLES = {
     "docs_keyword_search": SEARCH_DUCK,
     "docs_bm25_topk": BM25_DUCK,
 }
+
+
+# ------------------------------------------- hybrid retrieval (RRF)
+# Reciprocal-rank fusion (Cormack et al., public formulation) of the
+# BM25 lexical ranking with an embedding-similarity ranking — the
+# standard hybrid-search combiner, and rank-based precisely so the
+# two systems' incomparable score scales never need calibration.
+# Fixture contract: embeddings.vec_id aligns with documents.doc_id;
+# the dense query is vec_id 0's embedding. Determinism: ranks are
+# integers under total-order sorts; each 1/(60+r) is one
+# correctly-rounded division; the fused sum is a single fixed-order
+# expression rounded once. Scale shape: both arms end in bounded
+# top-k lists, so the fusion join is k-row — driver-traffic-free and
+# broadcast-trivial no matter the corpus size.
+
+RRF_K = 60
+RRF_TOP = 20
+
+_COS_SPARK_SQL = (
+    "round(aggregate(zip_with(q_emb, embedding, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(acc, v) -> acc + v) / "
+    "(sqrt(aggregate(zip_with(q_emb, q_emb, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(acc, v) -> acc + v)) * "
+    "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(acc, v) -> acc + v))), 6)"
+)
+
+
+def _rrf_sql(dialect: str) -> str:
+    if dialect == "spark":
+        cos = _COS_SPARK_SQL
+    else:
+        from .similarity import cosine6_duck
+
+        cos = cosine6_duck("q_emb", "embedding")
+    return f"""
+WITH bm_top AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+  FROM ({_bm25_sql(dialect)}) bt
+),
+qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+escored AS (
+  SELECT vec_id, {cos} AS cos
+  FROM embeddings CROSS JOIN qv
+  WHERE vec_id <> 0
+),
+etop AS (
+  SELECT vec_id, cos, r_emb FROM (
+    SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS r_emb
+    FROM escored
+  ) e WHERE r_emb <= {RRF_TOP}
+)
+SELECT coalesce(b.doc_id, e.vec_id) AS doc_id,
+       CAST(coalesce(r_bm25, 0) AS INT) AS r_bm25,
+       CAST(coalesce(r_emb, 0) AS INT) AS r_emb,
+       CAST(round(
+         coalesce(1.0 / ({RRF_K} + r_bm25), 0.0)
+         + coalesce(1.0 / ({RRF_K} + r_emb), 0.0), 6) AS DOUBLE) AS rrf
+FROM bm_top b
+FULL OUTER JOIN etop e ON b.doc_id = e.vec_id
+ORDER BY rrf DESC, doc_id
+"""
+
+
+RRF_SPARK = _rrf_sql("spark")
+RRF_DUCK = _rrf_sql("duck")
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    catalog.load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(RRF_SPARK)
+
+
+QUERIES["docs_hybrid_rrf"] = _q_hybrid_rrf
+ORACLES["docs_hybrid_rrf"] = RRF_DUCK
