@@ -137,3 +137,42 @@ ORACLES = {
     "events_value_histogram": HIST_DUCK,
     "events_hist_quantiles": QUANTILES_SQL,
 }
+
+
+# ------------------------------------------------- driver-gated stream
+# Same contract as cms._q_cms_streaming: drain the whole accumulation
+# loop inside the query; mergeability makes the result equal the
+# one-pass batch histogram, so HIST_DUCK gates the loop.
+
+
+def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    events = catalog.load_table(spark, sf_dir, "events").select("value")
+    stage = scratch_dir("dbp_hist_stage_")
+    for part in range(3):
+        events.filter(
+            (F.col("value") * 100).cast("bigint") % 3 == part
+        ).coalesce(1).write.mode("append").parquet(stage)
+
+    work = scratch_dir("dbp_hist_work_")
+    q = accumulate_hist(
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        hist_dir=os.path.join(work, "hist"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        read_hist(spark, os.path.join(work, "hist"))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["events_hist_streaming"] = _q_hist_streaming
+ORACLES["events_hist_streaming"] = HIST_DUCK
