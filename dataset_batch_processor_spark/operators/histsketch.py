@@ -47,16 +47,20 @@ ORDER BY bin
 
 HIST_DUCK = HIST_SPARK
 
-_Q_CASES = ",\n".join(
-    f"""q{p} AS (
-  SELECT {p} AS pct, min(bin) AS bin FROM cum
-  CROSS JOIN total
-  WHERE cum_n * 100 >= {p} * total_n
-)"""
+# one aggregation pass computes every percentile's bin (min over a
+# CASE per target), then a constant-size unpivot — per-percentile
+# CTEs would re-aggregate the cumulative table once per target
+_Q_MINS = ",\n       ".join(
+    f"min(CASE WHEN cum_n * 100 >= {p} * total_n THEN bin END) AS bin_{p}"
     for p in QS
 )
-
-_Q_UNION = "\nUNION ALL\n".join(f"SELECT pct, bin FROM q{p}" for p in QS)
+# unpivot by cross-joining the ONE mins row with a constant pct list
+# — referencing mins once per percentile would let Spark's CTE
+# inlining recompute the whole aggregation per branch
+_Q_PCTS = "\n  UNION ALL\n  ".join(f"SELECT {p} AS pct" for p in QS)
+_Q_BIN_CASE = "CASE pct " + " ".join(
+    f"WHEN {p} THEN bin_{p}" for p in QS
+) + " END"
 
 QUANTILES_SQL = f"""
 WITH hist AS (
@@ -71,11 +75,16 @@ cum AS (
   FROM hist
 ),
 total AS (SELECT sum(n) AS total_n FROM hist),
-{_Q_CASES}
+mins AS (
+  SELECT {_Q_MINS}
+  FROM cum CROSS JOIN total
+)
 SELECT CAST(pct AS INT) AS pct,
-       CAST(bin AS BIGINT) AS bin,
-       CAST(bin AS DOUBLE) / {BIN_SCALE} AS value_estimate
-FROM ({_Q_UNION})
+       CAST({_Q_BIN_CASE} AS BIGINT) AS bin,
+       CAST({_Q_BIN_CASE} AS DOUBLE) / {BIN_SCALE} AS value_estimate
+FROM mins CROSS JOIN (
+  {_Q_PCTS}
+) pcts
 ORDER BY pct
 """
 

@@ -327,12 +327,20 @@ def _pairs_bare_sql(engine: str) -> str:
 
 
 def _q_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import materialize_once
     from .components import connected_components
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    pairs = spark.sql(_pairs_bare_sql("spark"))
+    def build() -> DataFrame:
+        catalog.load_table(
+            spark, sf_dir, "documents"
+        ).createOrReplaceTempView("documents")
+        return spark.sql(_pairs_bare_sql("spark"))
+
+    # materialize the edge list ONCE: star contraction iterates, and
+    # without this every round re-runs the whole dHash pipeline
+    # (pixel explode -> cells -> bands -> join) — the same recompute
+    # bug class matcache.pair_graph fixed for the document graph
+    pairs = materialize_once(spark, "dhash_pairs", sf_dir, build)
     return (
         connected_components(pairs, src="doc_a", dst="doc_b")
         .select(F.col("node").alias("doc_id"),
