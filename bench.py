@@ -96,9 +96,10 @@ def main() -> None:
     # the 97.6 s snapshot predates the reprovision). Per-query
     # isolation beyond clearCache was tested and changes nothing.
     note = (
-        "host-speed note: fresh-session 8-query probe reproduces the "
-        "r3 slowdown -> environment (reprovisioned/slower VM), not "
-        "accumulated session state"
+        "host-speed note: wall times swing with the underlying VM "
+        "(same HEAD measured headline 19.6s and 26.9s two hours "
+        "apart on identical code, idle machine both times); compare "
+        "ratios within one run, not absolute seconds across runs"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
