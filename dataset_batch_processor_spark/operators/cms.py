@@ -154,9 +154,22 @@ def _run_events(sql: str):
 # ------------------------------------------------ streaming accumulation
 
 
-def cms_partial(events: DataFrame) -> DataFrame:
+def cms_partial(events: DataFrame, production_hash: bool = False) -> DataFrame:
     """The (row_idx, col, counter) partial grid for one batch of
-    events — the mergeable unit."""
+    events — the mergeable unit.
+
+    ``production_hash`` swaps the oracle's md5 bucketing for Spark's
+    xxhash64 (codegen-native, measured ~14x faster at 5M events in
+    SCALE.md). Any single hash family is a valid CMS; md5 is kept as
+    the default ONLY because DuckDB can reproduce it for the driver
+    gate. Grids from the two hash families are not mergeable with
+    each other — pick one per index."""
+    col = (
+        f"CAST(pmod(xxhash64(concat('cms', CAST(i AS STRING), ':', "
+        f"CAST(user_id AS STRING))), {CMS_W}) AS INT)"
+        if production_hash
+        else _col_spark("CAST(user_id AS STRING)")
+    )
     return (
         events.select("user_id")
         .select(
@@ -165,7 +178,7 @@ def cms_partial(events: DataFrame) -> DataFrame:
         )
         .select(
             F.col("i").alias("row_idx"),
-            F.expr(_col_spark("CAST(user_id AS STRING)")).alias("col"),
+            F.expr(col).alias("col"),
         )
         .groupBy("row_idx", "col")
         .agg(F.count(F.lit(1)).alias("counter"))
