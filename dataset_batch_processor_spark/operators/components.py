@@ -451,3 +451,44 @@ PAGERANK_DUCK = _pagerank_duck()
 
 QUERIES["dup_graph_pagerank"] = _q_pagerank
 ORACLES["dup_graph_pagerank"] = PAGERANK_DUCK
+
+
+# ------------------------------------------------------------- k-core
+# Iterative degree peeling: repeatedly drop nodes of degree < k until
+# the graph stabilizes; what survives is the k-core — the densely
+# interlinked duplicate communities worth human review (a triangle
+# says three docs agree; a 4-core says a whole template family does).
+# Not SQL-expressible as a recursive CTE (each round needs a fresh
+# aggregation over the shrunken graph), so this is test-gated like
+# the file-layout ops. O(peel rounds) Spark jobs, each one
+# groupBy + semi-join — same per-round shape as star contraction,
+# and the same checkpoint-every-few-rounds lineage control applies
+# at scale.
+
+
+def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
+          dst: str = "doc_b", max_rounds: int = 50) -> DataFrame:
+    """Edges of the k-core subgraph of the undirected graph ``pairs``."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct().persist()
+    for _ in range(max_rounds):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node").persist()
+        nxt = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .persist()
+        )
+        before, after = edges.count(), nxt.count()
+        edges.unpersist()
+        keep.unpersist()
+        edges = nxt
+        if after == before:
+            break
+    return edges.select(F.col("a").alias(src), F.col("b").alias(dst))

@@ -95,3 +95,21 @@ def test_hist_quantile_matches_exact_within_bin(spark, sf_dir):
     ).collect()[0]
     for p in histsketch.QS:
         assert abs(est[p] - exact[f"p{p}"]) <= 2.0 / histsketch.BIN_SCALE
+
+
+def test_production_hash_grid_is_valid_cms(spark, sf_dir):
+    """The xxhash64 grid is a different (non-mergeable) hash family
+    but the same sketch: identical total mass, and min-over-rows
+    estimates still never underestimate."""
+    events = catalog.load_table(spark, sf_dir, "events").select("user_id")
+    grid = {
+        (r.row_idx, r.col): r.counter
+        for r in cms.cms_partial(events, production_hash=True).collect()
+    }
+    n = events.count()
+    assert sum(grid.values()) == n * cms.CMS_D
+    md5_grid = {
+        (r.row_idx, r.col): r.counter
+        for r in cms.cms_partial(events).collect()
+    }
+    assert grid != md5_grid  # genuinely a different family

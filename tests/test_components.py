@@ -56,3 +56,44 @@ def test_long_chain_converges_within_cap(spark):
         for r in components.connected_components(df, max_iters=15).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_kcore_matches_reference_peel(spark):
+    """Spark k-core == plain-Python iterative peel on the same graph."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    # two 4-cliques joined by a chain of degree-2 nodes
+    edges = []
+    for base in (0, 10):
+        edges += [
+            (base + i, base + j)
+            for i, j in itertools.combinations(range(4), 2)
+        ]
+    edges += [(3, 20), (20, 21), (21, 10)]
+
+    def peel(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in es if a in keep and b in keep}
+            if nxt == es:
+                return es
+            es = nxt
+
+    df = spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
+    for k in (2, 3):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in components.kcore(df, k=k).collect()
+        }
+        assert got == peel(edges, k)
+    # the 3-core is exactly the two cliques (chain peeled away)
+    core3 = {(r.doc_a, r.doc_b) for r in components.kcore(df, k=3).collect()}
+    nodes = {n for e in core3 for n in e}
+    assert nodes == {0, 1, 2, 3, 10, 11, 12, 13}
