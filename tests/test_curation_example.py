@@ -76,3 +76,42 @@ def test_export_pipeline_example(spark):
         pos += r.n_units
     man = manifest.collect()
     assert man and sum(r.n_docs for r in man) == n_kept
+
+
+def test_ingest_pipeline_example(spark, tmp_path):
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/examples")
+    from ingest_pipeline import ingest_batch
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.sources import snapshots
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    table = str(tmp_path / "corpus")
+    snapshots.publish_snapshot(docs.filter(F.col("doc_id") % 2 == 0), table)
+    base_n = snapshots.read_snapshot(spark, table).count()
+
+    # wave 1: genuinely new docs -> most ingested
+    v1, s1 = ingest_batch(spark, table, docs.filter(F.col("doc_id") % 4 == 1))
+    assert v1 == 2 and s1["ingested"] > 0
+    assert s1["corpus_rows"] == base_n + s1["ingested"]
+
+    # wave 2: replay the SAME docs -> all exact dups, zero ingested
+    v2, s2 = ingest_batch(spark, table, docs.filter(F.col("doc_id") % 4 == 1))
+    assert v2 == 3
+    assert s2["ingested"] == 0
+    # everything previously ingested replays as an exact dup; the
+    # arrivals wave-1 rejected as near-dups never entered the corpus,
+    # so they are re-rejected at the near step — both paths must
+    # account for the whole wave
+    assert s2["exact_dropped"] + s2["near_dropped"] == s2["arrivals"]
+    assert s2["exact_dropped"] == s1["ingested"]
+
+    # versions remain readable: v2 and v3 corpora are identical
+    assert (
+        snapshots.read_snapshot(spark, table, version=2).count()
+        == snapshots.read_snapshot(spark, table, version=3).count()
+    )
