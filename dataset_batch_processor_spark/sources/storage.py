@@ -140,8 +140,49 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
-QUERIES = {"salted_event_stats": _q_salted_event_stats}
-ORACLES = {"salted_event_stats": SALTED_EVENT_STATS_DUCK}
+# Join-key skew audit: the "why is my join slow" report an operator
+# runs BEFORE choosing between plain shuffle, broadcast, salting
+# (salt_column above), or AQE skew-join. skew_factor = key_count *
+# n_keys / total — 1.0 for a uniform key, k for a key holding k
+# uniform keys' worth of rows. One map-side-combined aggregation +
+# a k-row TakeOrderedAndProject; the two scalar stats broadcast.
+
+SKEW_AUDIT_SQL = """
+WITH per_key AS (
+  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM per_key
+)
+SELECT key, n,
+       CAST(round(CAST(n AS DOUBLE) * n_keys / total, 6) AS DOUBLE)
+         AS skew_factor
+FROM per_key CROSS JOIN stats
+ORDER BY n DESC, key
+LIMIT 20
+"""
+
+
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(SKEW_AUDIT_SQL)
+
+
+QUERIES = {
+    "salted_event_stats": _q_salted_event_stats,
+    "lineitem_skew_audit": _q_skew_audit,
+}
+ORACLES = {
+    "salted_event_stats": SALTED_EVENT_STATS_DUCK,
+    "lineitem_skew_audit": SKEW_AUDIT_SQL,
+}
 
 
 def salted_join(
