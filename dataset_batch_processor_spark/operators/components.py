@@ -492,3 +492,19 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
         if after == before:
             break
     return edges.select(F.col("a").alias(src), F.col("b").alias(dst))
+
+
+def _q_kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the dup graph (rows-only driver gate: the iterative
+    peel re-aggregates the shrunken graph each round, which a
+    recursive CTE cannot express — same gating as the file-layout
+    ops). Deterministic: the peel's fixpoint is unique regardless of
+    round order."""
+    from .dedup import pair_graph
+
+    return kcore(pair_graph(spark, sf_dir), k=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+QUERIES["dup_graph_kcore_edges"] = _q_kcore_edges
