@@ -468,10 +468,16 @@ ORACLES["dup_graph_pagerank"] = PAGERANK_DUCK
 
 def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
           dst: str = "doc_b", max_rounds: int = 50) -> DataFrame:
-    """Edges of the k-core subgraph of the undirected graph ``pairs``."""
+    """Edges of the k-core subgraph of the undirected graph ``pairs``.
+
+    Lineage is CUT with localCheckpoint each round, exactly like the
+    star-contraction loop above — without it every round's plan
+    embeds all prior rounds and the driver/executors OOM on deep
+    peels (observed at sf0.1 before the cut)."""
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
+    before = edges.count()
     for _ in range(max_rounds):
         deg = (
             edges.select(F.col("a").alias("node"))
@@ -479,18 +485,16 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("node").persist()
-        nxt = (
+        keep = deg.filter(F.col("d") >= k).select("node")
+        edges = (
             edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .persist()
+            .localCheckpoint()
         )
-        before, after = edges.count(), nxt.count()
-        edges.unpersist()
-        keep.unpersist()
-        edges = nxt
+        after = edges.count()
         if after == before:
             break
+        before = after
     return edges.select(F.col("a").alias(src), F.col("b").alias(dst))
 
 
