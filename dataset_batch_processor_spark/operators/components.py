@@ -511,4 +511,55 @@ def _q_kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_duck(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled-CTE DuckDB replay of the k-core peel.
+
+    The peel is not expressible as ONE recursive CTE (each round
+    re-aggregates degrees over the shrunken edge set), but the sf0.01
+    fixture converges in a small bounded number of rounds, so a fixed
+    CHAIN of ``rounds`` peel CTEs replays it exactly. One extra round
+    runs as a fixpoint proof: if round ``rounds`` != round
+    ``rounds+1`` the oracle raises via DuckDB ``error()`` instead of
+    silently hashing an unconverged edge set — if the fixture ever
+    grows enough to need more rounds this fails LOUDLY, not subtly."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one three times, so plain (inlined) CTEs expand exponentially —
+    # the planner re-scans the parquet leaves thousands of times and
+    # dies on file handles before it even runs.
+    ctes = [
+        "e0 AS MATERIALIZED "
+        "(SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs)"
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 2):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b AS node FROM {prev}
+  ) t GROUP BY node HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + _PAIRS_AS_CTE.removeprefix("WITH ")
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT a AS doc_a, b AS doc_b FROM e{rounds + 1}
+WHERE CASE
+  WHEN (SELECT count(*) FROM e{rounds}) = (SELECT count(*) FROM e{rounds + 1})
+  THEN TRUE
+  ELSE error('kcore oracle: fixture needs more than {rounds} peel rounds')
+END
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
 QUERIES["dup_graph_kcore_edges"] = _q_kcore_edges
+ORACLES["dup_graph_kcore_edges"] = _kcore_duck()
