@@ -72,19 +72,37 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Same-HEAD headline runs historically swung ±35% (19.6–26.9 s on
+    # identical code — BENCH_DETAIL r5 note), making round-over-round
+    # comparison unfalsifiable. Fix: HEADLINE queries run REPS times
+    # and report the per-query MEDIAN; the [min, median, max] spread
+    # is recorded in BENCH_DETAIL.json. Non-headline queries run once
+    # — tripling all 180 would triple the driver's bench wall for a
+    # number nobody gates on.
+    reps_headline = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # forces full execution without driver collect cost
-        dt = time.time() - t0
+        reps = reps_headline if name in HEADLINE else 1
+        runs: list[float] = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # forces execution without driver collect cost
+            runs.append(time.time() - t0)
+            # queries persist() intermediates and are measured as
+            # independent jobs; drop leftover cached blocks so later
+            # queries/reps aren't squeezed by earlier storage memory
+            spark.catalog.clearCache()
+        runs.sort()
+        dt = runs[len(runs) // 2]  # median (reps odd) / upper-median
         timings[name] = round(dt, 3)
+        if reps > 1:
+            spread[name] = [round(runs[0], 3), round(dt, 3), round(runs[-1], 3)]
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
-        # queries persist() intermediates and are measured as
-        # independent jobs; drop leftover cached blocks so later
-        # queries aren't squeezed by earlier queries' storage memory
-        spark.catalog.clearCache()
+        print(f"# {name}: {n} rows in {dt:.2f}s (median of {reps})",
+              file=sys.stderr)
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     # Round-4 regression investigation (VERDICT r3 "what's wrong" #3):
@@ -96,10 +114,11 @@ def main() -> None:
     # the 97.6 s snapshot predates the reprovision). Per-query
     # isolation beyond clearCache was tested and changes nothing.
     note = (
-        "host-speed note: wall times swing with the underlying VM "
-        "(same HEAD measured headline 19.6s and 26.9s two hours "
-        "apart on identical code, idle machine both times); compare "
-        "ratios within one run, not absolute seconds across runs"
+        "headline queries are per-query median-of-"
+        f"{reps_headline} (spread in BENCH_DETAIL.json) to damp the "
+        "±35% same-HEAD host variance seen through round 5; "
+        "non-headline queries run once — compare ratios within one "
+        "run, not absolute seconds across runs"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -114,6 +133,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "headline_total": round(headline_total, 3),
+                "headline_reps": reps_headline,
+                "spread": spread,
                 "note": note,
             },
             fh,
