@@ -30,19 +30,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .ivfpq import IVFPQ_TOPK_DUCK, IVFPQ_TOPK_SPARK
-from .pq import PQ_TOPK_DUCK, PQ_TOPK_SPARK
+from .ivfpq import IVFPQ_TOPK_DUCK, _q_ivfpq_topk
+from .pq import PQ_TOPK_DUCK, _q_pq_topk
 from .similarity import (
     ANN_LSH_DUCK,
     ANN_MULTIPROBE_DUCK,
     BRUTE_FORCE_DUCK,
     IVF_TOPK_DUCK,
-    MULTIPROBE_R,
-    N_PLANES,
     TOP_K,
-    ann_lsh_topk,
+    _q_ann_lsh,
+    _q_ann_multiprobe,
+    _q_ivf_topk,
     brute_force_topk,
-    ivf_topk,
 )
 
 _DUCK_FAMILIES = {
@@ -67,15 +66,18 @@ def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = brute_force_topk(emb, vectorized=False).select(
         "query_id", "neighbor_id"
     )
+    # Each family result comes from the SAME materialize_once-backed
+    # function its registered driver query uses, so within one session
+    # (the bench run, the driver's correctness sweep) the five family
+    # top-k tables are computed exactly once — the recall report scans
+    # the scratch parquet the family query already built (or builds it
+    # first and the family query gets the free scan).
     fams = {
-        "ivf": ivf_topk(emb, vectorized=False, gemm_assign=False),
-        "ivfpq": spark.sql(IVFPQ_TOPK_SPARK),
-        "lsh": ann_lsh_topk(emb, vectorized=False, n_planes=N_PLANES),
-        "lsh_multiprobe": ann_lsh_topk(
-            emb, vectorized=False, n_planes=N_PLANES,
-            multiprobe=MULTIPROBE_R,
-        ),
-        "pq": spark.sql(PQ_TOPK_SPARK),
+        "ivf": _q_ivf_topk(spark, sf_dir),
+        "ivfpq": _q_ivfpq_topk(spark, sf_dir),
+        "lsh": _q_ann_lsh(spark, sf_dir),
+        "lsh_multiprobe": _q_ann_multiprobe(spark, sf_dir),
+        "pq": _q_pq_topk(spark, sf_dir),
     }
     denom = bf.agg(
         (F.countDistinct("query_id") * TOP_K).alias("denom")

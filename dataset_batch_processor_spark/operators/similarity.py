@@ -32,7 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import catalog
+from .. import catalog, matcache
 from ..functions import vector
 
 TOP_K = 5
@@ -257,10 +257,17 @@ def ann_lsh_topk(
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # oracle entry: pinned plane count (DuckDB recomputes the same 8)
-    return ann_lsh_topk(
-        catalog.load_table(spark, sf_dir, "embeddings"),
-        vectorized=False, n_planes=N_PLANES,
+    # oracle entry: pinned plane count (DuckDB recomputes the same 8).
+    # materialize_once: the recall report joins this exact result set
+    # against brute force in the same session — build the k-rows-per-
+    # query table once, scan it thereafter (the local twin of
+    # "persist the ANN index result, don't re-search").
+    return matcache.materialize_once(
+        spark, "anntopk_lsh", sf_dir,
+        lambda: ann_lsh_topk(
+            catalog.load_table(spark, sf_dir, "embeddings"),
+            vectorized=False, n_planes=N_PLANES,
+        ),
     )
 
 
@@ -321,10 +328,14 @@ MULTIPROBE_R = 1  # probe the home bucket + every 1-bit-flip neighbor
 
 
 def _q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # oracle entry: pinned plane count + radius-1 Hamming ball
-    return ann_lsh_topk(
-        catalog.load_table(spark, sf_dir, "embeddings"),
-        vectorized=False, n_planes=N_PLANES, multiprobe=MULTIPROBE_R,
+    # oracle entry: pinned plane count + radius-1 Hamming ball;
+    # materialized once per session for reuse by the recall report
+    return matcache.materialize_once(
+        spark, "anntopk_lsh_multiprobe", sf_dir,
+        lambda: ann_lsh_topk(
+            catalog.load_table(spark, sf_dir, "embeddings"),
+            vectorized=False, n_planes=N_PLANES, multiprobe=MULTIPROBE_R,
+        ),
     )
 
 
@@ -767,10 +778,14 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # oracle entry: join-formulated assignment + exact JVM cosine fold
-    return ivf_topk(
-        catalog.load_table(spark, sf_dir, "embeddings"),
-        vectorized=False, gemm_assign=False,
+    # oracle entry: join-formulated assignment + exact JVM cosine fold;
+    # materialized once per session for reuse by the recall report
+    return matcache.materialize_once(
+        spark, "anntopk_ivf", sf_dir,
+        lambda: ivf_topk(
+            catalog.load_table(spark, sf_dir, "embeddings"),
+            vectorized=False, gemm_assign=False,
+        ),
     )
 
 

@@ -206,7 +206,7 @@ def test_pq_adc_join_is_never_cartesian(spark, sf_dir):
     (j, cid) + hash aggregation, never a corpus-sized cartesian."""
     from dataset_batch_processor_spark.operators import pq
 
-    df = pq.QUERIES["emb_pq_topk"](spark, sf_dir)
+    df = pq.build_pq_topk(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert explain.broadcast_join_count(df) >= 1
@@ -274,7 +274,7 @@ def test_ivfpq_registered_query_is_kernel_path(spark, sf_dir):
     re-evaluates the coarse assignment per reference."""
     from dataset_batch_processor_spark.operators import ivfpq
 
-    df = ivfpq.QUERIES["emb_ivfpq_topk"](spark, sf_dir)
+    df = ivfpq.build_ivfpq_topk(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "MapInPandas" in plan
