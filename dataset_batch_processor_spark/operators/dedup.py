@@ -623,18 +623,55 @@ ORDER BY source_x, source_y
 # families, mirror sets) from chains of borderline pairs — a cluster
 # whose members all pair with each other is a true dup family; a
 # low-coefficient hub is usually boilerplate gluing unrelated docs.
-# The id-ordered edge list makes each triangle (a<b<c) appear exactly
-# once in the cyclic 3-way self-join. At 100 TB the standard
-# refinement is degree-ordered orientation (point each edge at the
-# higher-degree endpoint) to bound the join fan-out by sqrt(m); the
-# join topology below is unchanged by that swap.
+# Edges are ORIENTED by (degree, id) before the cyclic 3-way
+# self-join: every edge points from its lower-(degree, id) endpoint to
+# the higher one, so each triangle appears exactly once (the three
+# endpoints are totally ordered) and — the scale property — every
+# node's out-degree in the oriented list is O(sqrt(m)) (a node of
+# degree d > sqrt(2m) cannot have d higher-degree neighbors), which
+# bounds the wedge join's per-key fan-out on power-law dup graphs
+# where plain id-ordering leaves Θ(d²) wedges on a low-id hub
+# (Schank & Wagner 2005; the standard orientation used by GraphX /
+# Cohen's MapReduce triangle counting). Fixture hash is UNCHANGED vs
+# the earlier id-ordered join: orientation only changes which copy of
+# each triangle the join produces, never the per-node counts.
+
+
+def orient_edges_by_degree(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Orient each undirected edge from its lower-(degree, id) endpoint
+    to the higher one. Two hash joins against the node-degree table —
+    both on the node key, so the edge list shuffles twice and nothing
+    else moves."""
+    deg = (
+        pairs.select(F.col(src).alias("node"))
+        .unionAll(pairs.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .join(deg.select(F.col("node").alias("u"), F.col("_d").alias("du")),
+              "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("_d").alias("dv")),
+              "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
 
 
 def _q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pair_graph(spark, sf_dir)
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    oriented = orient_edges_by_degree(pairs)
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = oriented.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
     tri = (
         e1.join(e2, F.col("b") == F.col("b2"))
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))

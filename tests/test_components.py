@@ -97,3 +97,68 @@ def test_kcore_matches_reference_peel(spark):
     core3 = {(r.doc_a, r.doc_b) for r in components.kcore(df, k=3).collect()}
     nodes = {n for e in core3 for n in e}
     assert nodes == {0, 1, 2, 3, 10, 11, 12, 13}
+
+
+def test_degree_orientation_preserves_triangle_counts(spark):
+    """Star-with-cliques graph: degree-ordered orientation must yield
+    the same per-node triangle participation a brute-force count
+    gives, while capping the hub's oriented out-degree (the sqrt(m)
+    fan-out bound that id-ordering forfeits when the hub has a LOW
+    id — exactly this fixture: hub id 0)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark.operators.dedup import (
+        orient_edges_by_degree,
+    )
+
+    edges = set()
+    # hub 0 with spokes 1..40 (id-ordering would orient all 40 OUT of
+    # the hub -> C(40,2)=780 wedges; degree-ordering gives the hub
+    # out-degree 0)
+    for s in range(1, 41):
+        edges.add((0, s))
+    # two 4-cliques hanging off spokes (real triangles to count)
+    for clique in ((1, 2, 3, 4), (5, 6, 7, 8)):
+        for a, b in combinations(clique, 2):
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a long, doc_b long"
+    )
+    oriented = orient_edges_by_degree(pairs)
+    rows = oriented.collect()
+    assert len(rows) == len(edges)  # orientation is a bijection
+    out_deg = {}
+    for r in rows:
+        out_deg[r["lo"]] = out_deg.get(r["lo"], 0) + 1
+        assert (min(r["lo"], r["hi"]), max(r["lo"], r["hi"])) in edges
+    # hub (degree 44, the max) can never be a 'lo' endpoint
+    assert 0 not in out_deg
+    assert max(out_deg.values()) <= 7  # bounded fan-out
+
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = oriented.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+        .collect()
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = {
+        tuple(sorted(t))
+        for t in (
+            (x, y, z)
+            for x in adj
+            for y in adj[x]
+            for z in adj[y]
+            if z in adj[x] and x < y < z
+        )
+    }
+    assert {tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri} == brute
+    assert len(tri) == len(brute)  # each triangle exactly once
