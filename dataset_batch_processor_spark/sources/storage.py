@@ -218,6 +218,98 @@ def salted_join(
     return joined.drop("_salt")
 
 
+# --------------------------------------- audit → mitigation wiring
+# The skew audit (SKEW_AUDIT_SQL / lineitem_skew_audit) produces the
+# report; these two functions CONSUME it: summarize the audited key
+# distribution plus the build side's size into a report dict, pick
+# the join strategy, and apply it. This closes the loop the audit
+# opened — "why is my join slow" becomes "run the audit, act on it".
+
+
+def join_skew_report(
+    probe: DataFrame, key: str, build: DataFrame | None = None
+) -> dict:
+    """Summarize ``probe``'s key distribution (and the build side's
+    row count) for ``choose_join_strategy``. Costs one map-side-
+    combined aggregation over the probe side plus an optional count
+    of the build side — both cheap relative to a mis-planned join."""
+    row = (
+        probe.groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()[0]
+    )
+    max_skew = (
+        float(row["max_n"]) * row["n_keys"] / row["total"]
+        if row["total"]
+        else 1.0
+    )
+    return {
+        "n_keys": row["n_keys"],
+        "total": row["total"],
+        "max_key_rows": row["max_n"],
+        "max_skew_factor": max_skew,
+        "build_rows": build.count() if build is not None else None,
+    }
+
+
+def choose_join_strategy(
+    report: dict,
+    *,
+    broadcast_max_rows: int = 1_000_000,
+    salt_threshold: float = 32.0,
+    aqe_threshold: float = 4.0,
+) -> str:
+    """Pick ``broadcast`` | ``salted`` | ``aqe`` | ``plain`` from a
+    ``join_skew_report`` dict (driver-side pure logic — unit-testable
+    without a session).
+
+    Order of preference mirrors the cost model:
+    - **broadcast** whenever the build side fits the driver/executor
+      budget: no shuffle at all, so probe-side skew is irrelevant.
+    - **salted** for heavy skew (one key holding ``salt_threshold``
+      uniform keys' worth of rows): AQE can split oversized sort-merge
+      partitions but not the single hash-agg/stream task a hot key
+      pins, and past ~32x one straggler dominates the stage wall.
+    - **aqe** for moderate skew with a too-big build side: leave the
+      plan alone and let adaptive skew-join split oversized partitions
+      at runtime (needs spark.sql.adaptive.skewJoin.enabled).
+    - **plain** otherwise — any mitigation would cost more than the
+      skew it removes."""
+    build_rows = report.get("build_rows")
+    if build_rows is not None and build_rows <= broadcast_max_rows:
+        return "broadcast"
+    skew = report.get("max_skew_factor", 1.0)
+    if skew >= salt_threshold:
+        return "salted"
+    if skew >= aqe_threshold:
+        return "aqe"
+    return "plain"
+
+
+def apply_join_strategy(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    strategy: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Execute the equi-join the way ``choose_join_strategy`` picked.
+    ``aqe`` is a plain join by design: the mitigation lives in AQE's
+    runtime re-plan, not the logical plan."""
+    if strategy == "broadcast":
+        return probe.join(F.broadcast(build), key)
+    if strategy == "salted":
+        return salted_join(probe, build, key, n_salts=n_salts)
+    if strategy in ("aqe", "plain"):
+        return probe.join(build, key)
+    raise ValueError(f"unknown join strategy: {strategy!r}")
+
+
 # ------------------------------------------------------ file layout ops
 # The two operational layout levers bucketing doesn't cover:
 #
