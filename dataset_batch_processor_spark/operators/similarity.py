@@ -448,12 +448,15 @@ def _gemm_assign_fn(bc, round6: bool = True):
 
     def run(batches):
         ids, Cn = bc.value
+        # centroid rows may be 6-dp-quantized (trained path) rather
+        # than exactly unit — divide by their norms for a true cosine
+        cnrm = np.linalg.norm(Cn, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cos = En @ Cn.T
+            cos = (En @ Cn.T) / cnrm[None, :]
             if round6:
                 cos = np.round(cos, 6)
             best = np.argmax(cos, axis=1)
@@ -492,8 +495,16 @@ def ivf_assign_gemm(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFra
     )
 
 
+def _truncdiv(s: int, d: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``DIV`` and DuckDB's ``//`` implement (Python's ``//``
+    floors instead, which disagrees on negative sums)."""
+    return -((-s) // d) if s < 0 else s // d
+
+
 def ivf_train_centroids(
     emb: DataFrame, n_centroids: int | None = None, iters: int = KMEANS_ITERS,
+    init_mod: int | None = None,
 ):
     """Spherical k-means-lite trainer, shaped for 100 TB.
 
@@ -517,11 +528,19 @@ def ivf_train_centroids(
       friendly); means are re-normalized each round (spherical k-means,
       the right objective for cosine retrieval).
 
-    Determinism: init sample is xxhash64-based, iteration count fixed,
-    float accumulation is per-partition numpy sums — stable for a fixed
-    partitioning, which the tests pin. Not SQL-expressible, so trained-
-    IVF queries register rows-only (the oracle keeps the fixed-mod
-    formulation)."""
+    Determinism (upgraded round 6 to PARTITION-INDEPENDENT, which is
+    what lets the driver hash-gate the trained path against a DuckDB
+    replay — IVF_TRAINED_TOPK_DUCK below): per-vector contributions
+    are quantized to fixed-point BIGINT (``floor(x*1e6 + 0.5)`` of the
+    normalized component) BEFORE accumulation, so the per-cluster sums
+    are exact integers — identical for any partitioning, any task
+    retry, any engine. Centroid update = integer truncating division
+    by the count, re-normalize, re-quantize to 6 dp. The only floats
+    that survive a round are the 6-dp centroid components themselves.
+    ``init_mod`` pins a DuckDB-expressible lattice init
+    (``vec_id % init_mod == 0``, ids 0..k-1 in vec_id order); the
+    default init stays the xxhash64 sample (not SQL-replayable — use
+    init_mod for oracled runs)."""
     import numpy as np
     import pandas as pd
 
@@ -529,27 +548,34 @@ def ivf_train_centroids(
     n = emb.count()
     if n == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")
-    k = n_centroids or max(4, math.isqrt(n - 1) + 1)
-    k = min(k, n)
-    dim = len(emb.select("embedding").first()[0])
-
-    # deterministic ~k-row sample for init (filter passes ~k of n rows)
-    step = max(1, n // k)
-    init_rows = (
-        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0)
-        .select("vec_id", "embedding")
-        .sort("vec_id")
-        .limit(k)
-        .collect()
-    )
-    if len(init_rows) < k:  # hash-sample undershot; top up deterministically
-        seen = {r.vec_id for r in init_rows}
-        extra = (
-            emb.filter(~F.col("vec_id").isin(list(seen)))
-            .select("vec_id", "embedding").sort("vec_id")
-            .limit(k - len(init_rows)).collect()
+    if init_mod is not None:
+        init_rows = sorted(
+            emb.filter(F.col("vec_id") % init_mod == 0)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
         )
-        init_rows = init_rows + extra
+        k = len(init_rows)
+    else:
+        k = n_centroids or max(4, math.isqrt(n - 1) + 1)
+        k = min(k, n)
+        # deterministic ~k-row sample for init (filter passes ~k rows)
+        step = max(1, n // k)
+        init_rows = (
+            emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0)
+            .select("vec_id", "embedding")
+            .sort("vec_id")
+            .limit(k)
+            .collect()
+        )
+        if len(init_rows) < k:  # hash-sample undershot; top up determ.
+            seen = {r.vec_id for r in init_rows}
+            extra = (
+                emb.filter(~F.col("vec_id").isin(list(seen)))
+                .select("vec_id", "embedding").sort("vec_id")
+                .limit(k - len(init_rows)).collect()
+            )
+            init_rows = init_rows + extra
     C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     ids = np.arange(len(Cn), dtype=np.int64)
@@ -559,15 +585,21 @@ def ivf_train_centroids(
 
         def part_partials(batches):
             idsb, Cb = bc.value
-            sums = np.zeros_like(Cb)
+            cnrm = np.linalg.norm(Cb, axis=1)
+            sums = np.zeros(Cb.shape, dtype=np.int64)
             cnts = np.zeros(len(Cb), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 En = E / np.linalg.norm(E, axis=1, keepdims=True)
-                best = np.argmax(np.round(En @ Cb.T, 6), axis=1)
-                np.add.at(sums, best, En)
+                # true cosine (centroids are 6-dp-quantized, not unit):
+                # divide by the centroid norm like the SQL replay does
+                best = np.argmax(np.round((En @ Cb.T) / cnrm[None, :], 6),
+                                 axis=1)
+                # fixed-point BIGINT contributions -> exact, order-free
+                np.add.at(sums, best,
+                          np.floor(En * 1000000.0 + 0.5).astype(np.int64))
                 np.add.at(cnts, best, 1)
             nz = np.flatnonzero(cnts)
             yield pd.DataFrame(
@@ -579,7 +611,8 @@ def ivf_train_centroids(
             )
 
         def reduce_group(pdf):
-            s = np.sum(np.stack(pdf["psum"].to_numpy()), axis=0)
+            s = np.sum(np.stack(pdf["psum"].to_numpy()).astype(np.int64),
+                       axis=0)
             return pd.DataFrame(
                 {
                     "centroid_id": [pdf["centroid_id"].iloc[0]],
@@ -588,7 +621,7 @@ def ivf_train_centroids(
                 }
             )
 
-        partial_schema = "centroid_id long, psum array<double>, cnt long"
+        partial_schema = "centroid_id long, psum array<long>, cnt long"
         means = (
             emb.select("vec_id", "embedding")
             .mapInPandas(part_partials, schema=partial_schema)
@@ -598,10 +631,20 @@ def ivf_train_centroids(
         )
         newC = Cn.copy()  # empty clusters keep their previous centroid
         for r in means:
-            m = np.asarray(r.psum, dtype=np.float64) / r.cnt
-            nrm = np.linalg.norm(m)
+            # every arithmetic step here mirrors the DuckDB replay
+            # op-for-op: truncating integer division, /1e6, a
+            # SEQUENTIAL sum-of-squares fold, sqrt, divide, and
+            # floor-quantize back to 6 dp
+            m = [_truncdiv(int(s), r.cnt) / 1000000.0 for s in r.psum]
+            acc = 0.0
+            for v in m:
+                acc += v * v
+            nrm = math.sqrt(acc)
             if nrm > 0:
-                newC[r.centroid_id] = m / nrm
+                newC[r.centroid_id] = np.array(
+                    [math.floor(v / nrm * 1000000.0 + 0.5) / 1000000.0
+                     for v in m]
+                )
         Cn = newC
     return ids, Cn
 
@@ -636,6 +679,7 @@ def ivf_build_index(
 def ivf_topk_trained(
     emb: DataFrame, ids, Cn, k: int = TOP_K, query_mod: int = QUERY_MOD,
     n_probe: int = N_PROBE, assign: DataFrame | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Production IVF probe against trained centroids.
 
@@ -657,12 +701,13 @@ def ivf_topk_trained(
 
     def probe_fn(batches):
         idsb, Cb = bc.value
+        cnrm = np.linalg.norm(Cb, axis=1)  # true cosine (see trainer)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            cos = np.round(Qn @ Cb.T, 6)
+            cos = np.round((Qn @ Cb.T) / cnrm[None, :], 6)
             # n_probe nearest lists per query; stable sort of -cos keeps
             # the smallest centroid index first among ties
             top = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
@@ -683,7 +728,9 @@ def ivf_topk_trained(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos_expr(F.col("q_emb"), F.col("embedding"), True).alias("cos_sim"),
+        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias(
+            "cos_sim"
+        ),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -847,13 +894,14 @@ QUALIFY rank <= {TOP_K}
 
 QUERIES["emb_ivf_topk"] = _q_ivf_topk
 ORACLES["emb_ivf_topk"] = IVF_TOPK_DUCK
-# The trained-IVF PRODUCTION path (``_q_ivf_trained``) is deliberately
-# NOT registered as a driver query: k-means training is not
-# SQL-expressible (partition-order float accumulation), so a driver row
-# could only ever be a weak rows-only check. Its correctness is covered
-# instead by (a) ``emb_ivf_fullprobe_equiv`` below — the same trained
-# index probed exhaustively, hash-gated against the brute-force oracle —
-# and (b) tests/test_similarity_ivf.py recall/plan/bucketed-index tests.
+# The trained-IVF PRODUCTION path is hash-gated since round 6
+# (``emb_ivf_trained_topk`` below): the trainer's fixed-point integer
+# accumulation made each Lloyd iteration engine-replayable, so a
+# seeded (lattice-init) 2-iteration run unrolls into DuckDB SQL.
+# ``emb_ivf_fullprobe_equiv`` additionally proves index completeness
+# (full probe == brute force, bit-for-bit);
+# tests/test_similarity_ivf.py bounds partial-probe recall on
+# clustered data.
 
 
 def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,6 +921,152 @@ def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb_ivf_fullprobe_equiv"] = _q_ivf_fullprobe
 ORACLES["emb_ivf_fullprobe_equiv"] = BRUTE_FORCE_DUCK
+
+
+def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production trained-IVF path END-TO-END under the hash gate:
+    ``ivf_train_centroids`` (2 Lloyd iterations, lattice init so the
+    seed is SQL-expressible) -> ``ivf_topk_trained`` (GEMM probe of
+    the N_PROBE nearest lists). Gate-able because the trainer's
+    accumulation is fixed-point BIGINT (partition-independent, exact)
+    and every float that crosses an iteration boundary is quantized
+    to 6 dp — IVF_TRAINED_TOPK_DUCK replays both iterations
+    op-for-op."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
+    ids, Cn = ivf_train_centroids(emb, iters=2, init_mod=CENTROID_MOD)
+    return ivf_topk_trained(emb, ids, Cn, vectorized=False)
+
+
+def _ivf_trained_duck(iters: int = 2) -> str:
+    """Unrolled-Lloyd DuckDB replay of ``_q_ivf_trained_topk``.
+
+    Mirrors the trainer op-for-op (see its docstring): per-vector
+    normalized components quantize to BIGINT via floor(x*1e6 + 0.5)
+    before summing (exact integer sums), centroid update is
+    truncating integer division (DuckDB ``//`` == the trainer's
+    _truncdiv) then /1e6, a sum-of-squares fold, sqrt, divide,
+    re-quantize to 6 dp. Assignment/probe ranking uses the same
+    round-6 cosine with centroid-id tie-break as the GEMM kernels.
+    MATERIALIZED CTEs: each iteration references its predecessor
+    several times and would otherwise inline exponentially."""
+    norm_d = (f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+              f"i -> CAST(embedding[i] AS DOUBLE) "
+              f"* CAST(embedding[i] AS DOUBLE))))")
+    # cos of a pre-normalized vector list ``vn`` against a raw
+    # centroid list ``c`` (divide by the centroid's norm — trained
+    # centroids are 6-dp-quantized, not exactly unit)
+    def cosc(vn: str, c: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, {DIM}), "
+            f"j -> {vn}[j] * {c}[j])) "
+            f"/ sqrt(list_sum(list_transform({c}, x -> x * x))), 6)"
+        )
+
+    ctes = [
+        f"""nv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / ({norm_d})) AS vn
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         vn AS c
+  FROM nv WHERE vec_id % {CENTROID_MOD} = 0
+)""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosc('v.vn', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM nv v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(
+            f"""s{it} AS MATERIALIZED (
+  SELECT a.cid, u.j,
+         sum(CAST(floor(v.vn[u.j] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM a{it} a JOIN nv v USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS j) u
+  GROUP BY a.cid, u.j
+)""")
+        ctes.append(
+            f"""m{it} AS MATERIALIZED (
+  SELECT cid,
+         list(CAST(s // cnt AS DOUBLE) / 1000000.0 ORDER BY j) AS m
+  FROM s{it} GROUP BY cid
+)""")
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+  SELECT p.cid,
+         CASE WHEN m.m IS NULL
+                OR list_sum(list_transform(m.m, y -> y * y)) = 0
+              THEN p.c
+              ELSE list_transform(
+                m.m,
+                x -> floor(x / sqrt(list_sum(list_transform(m.m,
+                             y -> y * y))) * 1000000.0 + 0.5)
+                     / 1000000.0)
+         END AS c
+  FROM {prev} p LEFT JOIN m{it} m USING (cid)
+)""")
+        prev = f"c{it}"
+    ctes.append(
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, vn FROM nv WHERE vec_id % {QUERY_MOD} = 0
+)""")
+    ctes.append(
+        f"""pr AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cosc('q.vn', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM qv q CROSS JOIN {prev} c
+  ) WHERE rn <= {N_PROBE}
+)""")
+    ctes.append(
+        f"""af AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosc('v.vn', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM nv v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+    ctes.append(
+        f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cosine6_duck('qe.embedding', 'ne.embedding')} AS cos_sim
+  FROM pr p
+  JOIN af a USING (cid)
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT)
+         AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+    )
+
+
+IVF_TRAINED_TOPK_DUCK = _ivf_trained_duck()
+
+QUERIES["emb_ivf_trained_topk"] = _q_ivf_trained_topk
+ORACLES["emb_ivf_trained_topk"] = IVF_TRAINED_TOPK_DUCK
 
 
 # ------------------------------------------------- label-blocked kNN
