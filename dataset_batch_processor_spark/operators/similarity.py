@@ -186,6 +186,49 @@ def lsh_signature(emb_col, n_planes: int = N_PLANES) -> F.Column:
     return sig.cast("int")
 
 
+def hyperplane_matrix(n_planes: int, dim: int = DIM):
+    """The ±1 hyperplane matrix (n_planes × dim) behind
+    ``lsh_signature``, as numpy — shared by the vectorized kernel so
+    both paths hash to IDENTICAL buckets."""
+    import numpy as np
+
+    return np.array(
+        [[_hyperplane_sign(t, i) for i in range(1, dim + 1)]
+         for t in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def lsh_signature_batches(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, bucket) via one GEMM per Arrow batch — the production
+    signature path for wide corpora (the Catalyst ``lsh_signature``
+    expression is n_planes interpreted aggregate folds per row, fine
+    for the fixture, ~an order slower at 10^7+ rows). Bit-identical
+    buckets to ``lsh_signature`` for inputs where no projection lands
+    exactly on a hyperplane (measure-zero; test-pinned on the
+    fixture)."""
+    import numpy as np
+    import pandas as pd
+
+    P = hyperplane_matrix(n_planes)
+    w = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sig = ((E @ P.T) > 0).astype(np.int64) @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "bucket": sig.astype(np.int32)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, bucket int"
+    )
+
+
 def multiprobe_masks(n_planes: int, r: int) -> list[int]:
     """XOR masks of the Hamming ball of radius ``r``: 0 (the home
     bucket) plus every signature flip of <= r bits. Shared by the

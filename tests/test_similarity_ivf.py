@@ -118,3 +118,30 @@ def test_trained_ivf_high_recall_on_clustered_data(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.9, f"clustered recall@{similarity.TOP_K} = {recall:.2f}"
+
+
+def test_vectorized_signature_matches_catalyst(spark, sf_dir):
+    """The GEMM signature kernel must bucket every fixture vector
+    identically to the Catalyst lsh_signature expression for any
+    plane count (4..12 covers the adaptive range at fixture scale)."""
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_batches,
+    )
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    for p in (4, 8, 12):
+        jvm = emb.select(
+            "vec_id", lsh_signature(F.col("embedding"), p).alias("bucket")
+        )
+        gemm = lsh_signature_batches(emb, p)
+        diff = (
+            jvm.withColumnRenamed("bucket", "b1")
+            .join(gemm.withColumnRenamed("bucket", "b2"), "vec_id")
+            .filter(F.col("b1") != F.col("b2"))
+            .count()
+        )
+        assert diff == 0, f"n_planes={p}: {diff} bucket mismatches"
