@@ -112,11 +112,13 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     # WebP: full VP8L (lossless) decode incl. animated first-frame;
     # lossy VP8 raises NotImplementedError with the reason.
     "webp": _webp.decode_webp,
-    # DNG is a TIFF container: uncompressed DNGs decode; compressed
-    # ones raise NotImplementedError with the precise reason (still
-    # better than a blind stub — and probe_tiff_dims reads dims from
-    # ANY of the TIFF-based RAW family without decoding).
-    "dng": _tiff.decode_tiff,
+    # DNG is a TIFF container: uncompressed DNGs decode via the plain
+    # TIFF path and lossless-JPEG (Compression=7) DNGs through the
+    # pure-Python T.81 SOF3 codec (multimodal/ljpeg.py) — no library
+    # needed. Vendor-compressed variants still raise
+    # NotImplementedError with the precise reason, and probe_tiff_dims
+    # reads dims from ANY of the TIFF-based RAW family header-only.
+    "dng": _tiff.decode_dng_display,
     **{
         fmt: _missing_codec(fmt)
         for fmt in ("heic", "avif", "cr2", "nef", "arw")

@@ -600,6 +600,81 @@ WHERE doc_id % 8 = 0
 """
 
 
+# ----------------------------------- DNG lossless-JPEG roundtrip
+# Camera-RAW entropy layer (T.81 process 14 / SOF3, multimodal/
+# ljpeg.py) driven end-to-end through the DNG container: per doc a
+# deterministic 16-bit pattern (1..3 components, every predictor 1..7
+# exercised across the id lattice) is encoded with OUR encoder into a
+# Compression=7 DNG, decoded back, and gated on (a) BIT-EXACT
+# equality — the defining property of a lossless process — and (b) a
+# pixel checksum the DuckDB oracle recomputes in closed form from the
+# pattern, so a decoder that silently returned the wrong pixels could
+# not hash green even if it returned exact=TRUE.
+
+DNG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, n_comp int, "
+    "lossless_exact boolean, pix_sum bigint"
+)
+
+
+def _q_dng_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import tiff
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 0
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nc = d % 13 + 8, d % 11 + 8, d % 3 + 1
+                y, x, c = np.mgrid[0:h, 0:w, 0:nc]
+                arr = ((d * 7 + x * 257 + y * 1031 + c * 4099) % 65536
+                       ).astype(np.uint16)
+                dng = tiff.encode_dng_lossless(arr, predictor=d % 7 + 1)
+                dec = tiff.decode_dng_lossless(dng)
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "n_comp": nc,
+                    "lossless_exact": bool(np.array_equal(dec, arr)),
+                    "pix_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_comp",
+                         "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=DNG_ROUNDTRIP_SCHEMA)
+
+
+DNG_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 13 + 8 AS INT) AS width,
+       CAST(doc_id % 11 + 8 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS n_comp,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 7 + x.x * 257 + y.y * 1031 + c.c * 4099)
+                    % 65536)
+         FROM (SELECT unnest(generate_series(0, doc_id % 13 + 7)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 11 + 7)) AS y) y,
+              (SELECT unnest(generate_series(0, doc_id % 3)) AS c) c
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 4 = 0
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -963,6 +1038,7 @@ QUERIES = {
     "mm_progressive_roundtrip": _q_progressive_roundtrip,
     "mm_vp8_roundtrip": _q_vp8_roundtrip,
     "mm_heif_roundtrip": _q_heif_roundtrip,
+    "mm_dng_lossless_roundtrip": _q_dng_roundtrip,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -978,4 +1054,5 @@ ORACLES = {
     "mm_progressive_roundtrip": PROG_ROUNDTRIP_DUCK,
     "mm_vp8_roundtrip": VP8_ROUNDTRIP_DUCK,
     "mm_heif_roundtrip": HEIF_ROUNDTRIP_DUCK,
+    "mm_dng_lossless_roundtrip": DNG_ROUNDTRIP_DUCK,
 }

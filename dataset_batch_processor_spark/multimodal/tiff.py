@@ -136,3 +136,116 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     out += struct.pack("<HHH", 8, 8, 8)
     out += pixel_data
     return bytes(out)
+
+
+# ------------------------------------------------ DNG (lossless JPEG)
+# DNG's standard compression (tag 259 = 7, "new-style JPEG") wraps an
+# ITU T.81 SOF3 lossless-JPEG stream per strip/tile; the entropy layer
+# lives in multimodal/ljpeg.py. This closes the bare-install RAW gap
+# for lossless-JPEG DNGs: the container below is the same public TIFF
+# 6.0 IFD machinery as above, with the DNGVersion tag so readers
+# recognize the file.
+
+
+def encode_dng_lossless(arr: np.ndarray, predictor: int = 1) -> bytes:
+    """(H, W) or (H, W, C) uint16 -> minimal lossless-JPEG DNG
+    (little-endian TIFF, Compression=7, one strip)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.dtype != np.uint16 or arr.ndim != 3:
+        raise ValueError("encode_dng_lossless expects (H, W[, C]) uint16")
+    from . import ljpeg
+
+    h, w, nc = arr.shape
+    stream = ljpeg.encode_ljpeg(arr, precision=16, predictor=predictor)
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    bits_off = data_off
+    extra = 0
+    if nc > 2:  # BitsPerSample needs out-of-line storage
+        extra = 2 * nc
+    strip_off = data_off + extra
+    if nc <= 2:
+        bits_val = 16 if nc == 1 else (16 | (16 << 16))
+    else:
+        bits_val = bits_off
+    # PhotometricInterpretation: 34892 = LinearRaw (public DNG spec);
+    # 1-component mosaics would use 32803 (CFA) + pattern tags, which
+    # need camera metadata we don't model — LinearRaw keeps the file
+    # self-describing.
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, nc, bits_val),
+        (259, 3, 1, 7),            # Compression = new-style JPEG
+        (262, 3, 1, 34892),        # LinearRaw
+        (273, 4, 1, strip_off),    # StripOffsets
+        (277, 3, 1, nc),           # SamplesPerPixel
+        (279, 4, 1, len(stream)),  # StripByteCounts
+        (50706, 1, 4, 0x00000401), # DNGVersion 1.4.0.0 (LE bytes)
+    ]
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    if nc > 2:
+        out += struct.pack("<" + "H" * nc, *([16] * nc))
+    out += stream
+    return bytes(out)
+
+
+def decode_dng_lossless(content: bytes) -> np.ndarray:
+    """Lossless-JPEG (Compression=7) TIFF/DNG -> (H, W, C) uint16.
+
+    Strips are decoded independently (each strip is its own SOF3
+    stream) and stacked in row order; vendor-specific RAW (CR2/NEF
+    slices, tiled DNG) still quarantines with a precise reason."""
+    from . import ljpeg
+
+    bo = _parse_header(content)
+    tags = _read_ifd(content, bo)
+    w, h = int(tags[256][0]), int(tags[257][0])
+    compression = int(tags.get(259, [1])[0])
+    if compression != 7:
+        raise NotImplementedError(
+            f"DNG: compression {compression} is not lossless JPEG"
+        )
+    if 322 in tags or 324 in tags:
+        raise NotImplementedError("DNG: tiled layout unsupported")
+    offsets = tags[273]
+    counts = tags[279]
+    parts = []
+    rows = 0
+    for o, c in zip(offsets, counts):
+        seg = ljpeg.decode_ljpeg(content[int(o) : int(o) + int(c)])
+        if seg.shape[1] != w:
+            raise ValueError("DNG: strip width mismatch")
+        rows += seg.shape[0]
+        parts.append(seg)
+    arr = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    if rows != h or arr.shape[0] != h:
+        raise ValueError("DNG: strip rows do not cover the image")
+    return arr
+
+
+def decode_dng_display(content: bytes) -> np.ndarray:
+    """Registry adapter for the .dng key: uncompressed 8-bit DNGs
+    take the plain TIFF path; lossless-JPEG (Compression=7) DNGs
+    decode through ljpeg and tone-map 16-bit linear to 8-bit display
+    (top byte — the standard linear preview), gray replicated to RGB.
+    Everything else still quarantines with its precise reason."""
+    bo = _parse_header(content)
+    tags = _read_ifd(content, bo)
+    compression = int(tags.get(259, [1])[0])
+    if compression == 1:
+        return decode_tiff(content)
+    arr = decode_dng_lossless(content)  # raises for non-7 compression
+    disp = (arr >> 8).astype(np.uint8)
+    if disp.shape[2] == 1:
+        return np.repeat(disp, 3, axis=2)
+    if disp.shape[2] >= 3:
+        return np.ascontiguousarray(disp[:, :, :3])
+    return np.repeat(disp[:, :, :1], 3, axis=2)

@@ -1,0 +1,162 @@
+"""Lossless JPEG (T.81 SOF3) codec: spec-structure, roundtrip,
+boundary-category, fuzz, and DNG container tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import ljpeg, tiff
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+def test_stream_structure_markers():
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    data = ljpeg.encode_ljpeg(arr, precision=4)
+    assert data[:2] == b"\xff\xd8"  # SOI
+    assert data[-2:] == b"\xff\xd9"  # EOI
+    assert b"\xff\xc3" in data  # SOF3 (lossless)
+    assert b"\xff\xc4" in data  # DHT
+    assert b"\xff\xda" in data  # SOS
+
+
+def test_roundtrip_all_predictors_and_precisions():
+    rng = _rng()
+    for pred in range(1, 8):
+        for prec in (2, 8, 12, 16):
+            arr = rng.integers(0, 1 << prec, size=(9, 7)).astype(np.uint16)
+            dec = ljpeg.decode_ljpeg(
+                ljpeg.encode_ljpeg(arr, precision=prec, predictor=pred)
+            )
+            assert np.array_equal(dec[:, :, 0], arr), (pred, prec)
+
+
+def test_roundtrip_multi_component_interleaved():
+    rng = _rng()
+    for nc in (2, 3, 4):
+        arr = rng.integers(0, 65536, size=(6, 5, nc)).astype(np.uint16)
+        dec = ljpeg.decode_ljpeg(ljpeg.encode_ljpeg(arr, precision=16))
+        assert dec.shape == (6, 5, nc)
+        assert np.array_equal(dec, arr)
+
+
+def test_extreme_diffs_hit_ssss16():
+    """Alternating 0/65535 forces the +-32768 wrap and the SSSS=16
+    no-extra-bits special case (T.81 H.1.2.2)."""
+    arr = np.zeros((4, 4), dtype=np.uint16)
+    arr[::2, ::2] = 65535
+    arr[1::2, 1::2] = 65535
+    dec = ljpeg.decode_ljpeg(ljpeg.encode_ljpeg(arr, precision=16))
+    assert np.array_equal(dec[:, :, 0], arr)
+
+
+def test_single_pixel_and_single_row_and_column():
+    for shape in ((1, 1), (1, 9), (9, 1)):
+        arr = _rng().integers(0, 65536, size=shape).astype(np.uint16)
+        dec = ljpeg.decode_ljpeg(ljpeg.encode_ljpeg(arr, precision=16))
+        assert np.array_equal(dec[:, :, 0], arr)
+
+
+def test_byte_stuffing_survives():
+    """A constant image of a value whose codes emit 0xFF runs must
+    still roundtrip (stuffed 0xFF00 unstuffed on decode)."""
+    arr = np.full((16, 16), 40000, dtype=np.uint16)
+    data = ljpeg.encode_ljpeg(arr, precision=16, predictor=1)
+    dec = ljpeg.decode_ljpeg(data)
+    assert np.array_equal(dec[:, :, 0], arr)
+
+
+def test_smooth_data_compresses():
+    y, x = np.mgrid[0:64, 0:64]
+    arr = ((x * 97 + y * 131) % 60000).astype(np.uint16)
+    data = ljpeg.encode_ljpeg(arr, precision=16, predictor=4)
+    assert len(data) < arr.nbytes // 3
+
+
+def test_truncation_raises_or_degrades_not_hangs():
+    """Any truncation must terminate: either a clean parse error or a
+    degraded-but-complete decode (the 1-bit padding convention), never
+    a hang or a non-Exception crash."""
+    import struct as _struct
+
+    arr = _rng().integers(0, 65536, size=(8, 8)).astype(np.uint16)
+    data = ljpeg.encode_ljpeg(arr, precision=16)
+    for cut in (10, len(data) // 2, len(data) - 3):
+        try:
+            out = ljpeg.decode_ljpeg(data[:cut])
+            assert out.shape == (8, 8, 1)  # degraded decode completed
+        except (ValueError, NotImplementedError, KeyError, IndexError,
+                _struct.error):
+            pass
+
+
+def test_lossy_stream_rejected_with_reason():
+    from dataset_batch_processor_spark.multimodal import jpeg as lossy
+
+    y, x, c = np.mgrid[0:16, 0:16, 0:3]
+    rgb = ((x * 5 + y * 3 + c) % 256).astype(np.uint8)
+    stream = lossy.encode_jpeg(rgb)
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        ljpeg.decode_ljpeg(stream)
+
+
+def test_dng_container_roundtrip_multistrip_rejected_cleanly():
+    rng = _rng()
+    arr = rng.integers(0, 65536, size=(12, 10, 2)).astype(np.uint16)
+    dng = tiff.encode_dng_lossless(arr, predictor=5)
+    assert np.array_equal(tiff.decode_dng_lossless(dng), arr)
+    # header probe works without decode
+    assert tiff.probe_tiff_dims(dng) == (10, 12)
+    # non-lossless compression quarantines with a precise reason
+    plain = tiff.encode_tiff(
+        rng.integers(0, 256, size=(5, 5, 3)).astype(np.uint8)
+    )
+    with pytest.raises(NotImplementedError, match="not lossless"):
+        tiff.decode_dng_lossless(plain)
+
+
+def test_registry_display_path():
+    from dataset_batch_processor_spark.multimodal import binary
+
+    arr = (_rng().integers(0, 65536, size=(7, 9)).astype(np.uint16))
+    dng = tiff.encode_dng_lossless(arr)
+    disp = binary.CODECS["dng"](dng)
+    assert disp.shape == (7, 9, 3) and disp.dtype == np.uint8
+    assert np.array_equal(disp[:, :, 0], (arr >> 8).astype(np.uint8))
+
+
+def test_restart_interval_quarantines():
+    arr = np.zeros((2, 2), dtype=np.uint16)
+    data = bytearray(ljpeg.encode_ljpeg(arr, precision=16))
+    # splice a DRI segment right after SOI
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    data[2:2] = dri
+    with pytest.raises(NotImplementedError, match="restart"):
+        ljpeg.decode_ljpeg(bytes(data))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        nc=st.integers(1, 4),
+        prec=st.integers(2, 16),
+        pred=st.integers(1, 7),
+        seed=st.integers(0, 2**31),
+    )
+    def test_property_roundtrip_exact(h, w, nc, prec, pred, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 1 << prec, size=(h, w, nc)).astype(np.uint16)
+        dec = ljpeg.decode_ljpeg(
+            ljpeg.encode_ljpeg(arr, precision=prec, predictor=pred)
+        )
+        assert np.array_equal(dec, arr)
+except ImportError:  # pragma: no cover
+    pass
