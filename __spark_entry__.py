@@ -62,6 +62,7 @@ from dataset_batch_processor_spark.operators import (
     histsketch,
     routing,
     search,
+    funnel,
     semdedup,
     similarity,
     temporal,
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(decontam.QUERIES)
     q.update(corpusstats.QUERIES)
     q.update(similarity.QUERIES)
+    q.update(funnel.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
@@ -491,6 +493,7 @@ FROM images_meta GROUP BY 1
     o.update(decontam.ORACLES)
     o.update(corpusstats.ORACLES)
     o.update(similarity.ORACLES)
+    o.update(funnel.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)

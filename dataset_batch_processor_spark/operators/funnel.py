@@ -1,0 +1,262 @@
+"""Event funnel / retention / sliding-window analytics.
+
+The product-analytics surface a training-data platform's telemetry
+side needs (and a standard OLAP workload family in its own right):
+step funnels, cohort retention, sliding-window active users, and
+threshold heavy hitters. None of these exist in the reference (its
+scope is file batches); all are first-class here because the events
+table is where a 100-TB ingest pipeline's operational questions land.
+
+Scale shapes:
+- **funnel**: three user-keyed aggregations chained by joins — every
+  shuffle is on user_id, so after the first Exchange the rest reuse
+  the partitioning; nothing wider than (user, 3 timestamps) ever
+  materializes.
+- **retention**: one (user → first day) agg + one (user, day)
+  distinct + a user_id equi-join; output is cohort×offset, bounded by
+  days².
+- **sliding WAU**: the (day, user) distinct collapses the corpus to
+  active-pairs; the 7-day window is a small range join on the DAY
+  table (days × 7 rows), never on raw events.
+- **heavy hitters**: one map-side-combined count + a broadcast scalar
+  total; the threshold filter keeps output at ≤ k rows by
+  construction (n/threshold keys can exceed n/threshold count).
+
+Determinism: all time math in integer microseconds / epoch-days
+(unix_micros ↔ epoch_us, integer DIV), counts and ppm shares are
+exact integers — no engine-variant float path anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+DAY_US = 86_400_000_000
+FUNNEL_WINDOW_US = 7 * DAY_US
+FUNNEL_STEPS = ("view", "click", "purchase")
+HH_DENOM = 140  # heavy hitter = user owning > total/140 of all events
+
+
+def funnel_conversion(ev: DataFrame) -> DataFrame:
+    """Users reaching each ordered step (view → click → purchase),
+    later steps constrained to ≥ the previous step's first time and
+    within the 7-day window of step 1."""
+    us = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = (
+        us.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        us.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t1, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1b"))
+    )
+    t3 = (
+        us.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t2, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t1b") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    rows = [
+        t1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step_no"),
+            F.lit(FUNNEL_STEPS[0]).alias("step"),
+            "n_users",
+        ),
+        t2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(2).alias("step_no"),
+            F.lit(FUNNEL_STEPS[1]).alias("step"),
+            "n_users",
+        ),
+        t3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(3).alias("step_no"),
+            F.lit(FUNNEL_STEPS[2]).alias("step"),
+            "n_users",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step_no")
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_conversion(catalog.load_events(spark, sf_dir))
+
+
+FUNNEL_DUCK = f"""
+WITH us AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+t1 AS (
+  SELECT user_id, min(us) AS t1 FROM us
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT u.user_id, min(u.us) AS t2, min(t1.t1) AS t1b
+  FROM us u JOIN t1 ON u.user_id = t1.user_id
+  WHERE u.event_type = '{FUNNEL_STEPS[1]}'
+    AND u.us >= t1.t1 AND u.us <= t1.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY u.user_id
+),
+t3 AS (
+  SELECT u.user_id, min(u.us) AS t3
+  FROM us u JOIN t2 ON u.user_id = t2.user_id
+  WHERE u.event_type = '{FUNNEL_STEPS[2]}'
+    AND u.us >= t2.t2 AND u.us <= t2.t1b + {FUNNEL_WINDOW_US}
+  GROUP BY u.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step_no, '{FUNNEL_STEPS[0]}' AS step,
+         (SELECT count(*) FROM t1) AS n_users
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
+) ORDER BY step_no
+"""
+
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """(cohort_day, offset_days, n_users): users grouped by their
+    first-activity day, counted on each later active day offset."""
+    act = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("int").alias(
+                "offset_days"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(catalog.load_events(spark, sf_dir))
+
+
+RETENTION_DUCK = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS INT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, a.day - f.cohort_day
+ORDER BY cohort_day, offset_days
+"""
+
+
+def sliding_wau(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, wau): distinct users active in the trailing
+    ``window_days`` ending at each day THE DATA CONTAINS. The window
+    join runs on the per-day activity table, not raw events."""
+    act = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
+    ).distinct()
+    days = act.select("day").distinct().withColumnRenamed("day", "d")
+    joined = days.join(
+        act,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.col("d") - window_days),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("d").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+def _q_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_wau(catalog.load_events(spark, sf_dir))
+
+
+SLIDING_WAU_DUCK = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM act)
+SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM days JOIN act ON act.day <= d AND act.day > d - 7
+GROUP BY d
+ORDER BY day
+"""
+
+
+def heavy_hitters(ev: DataFrame, denom: int = HH_DENOM) -> DataFrame:
+    """Users owning more than total/denom of all events, with their
+    exact count and parts-per-million share (integer arithmetic)."""
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * denom > F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(catalog.load_events(spark, sf_dir))
+
+
+HEAVY_HITTERS_DUCK = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+SELECT user_id, n_events,
+       CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+FROM per_user, tot
+WHERE n_events * {HH_DENOM} > total
+ORDER BY n_events DESC, user_id
+"""
+
+
+QUERIES = {
+    "events_funnel_conversion": _q_funnel,
+    "events_retention_cohorts": _q_retention,
+    "events_sliding_wau": _q_sliding_wau,
+    "events_heavy_hitters": _q_heavy_hitters,
+}
+ORACLES = {
+    "events_funnel_conversion": FUNNEL_DUCK,
+    "events_retention_cohorts": RETENTION_DUCK,
+    "events_sliding_wau": SLIDING_WAU_DUCK,
+    "events_heavy_hitters": HEAVY_HITTERS_DUCK,
+}
