@@ -64,6 +64,7 @@ from dataset_batch_processor_spark.operators import (
     search,
     funnel,
     semdedup,
+    webquality,
     similarity,
     temporal,
     textanalysis,
@@ -395,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(corpusstats.QUERIES)
     q.update(similarity.QUERIES)
     q.update(funnel.QUERIES)
+    q.update(webquality.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
@@ -494,6 +496,7 @@ FROM images_meta GROUP BY 1
     o.update(corpusstats.ORACLES)
     o.update(similarity.ORACLES)
     o.update(funnel.ORACLES)
+    o.update(webquality.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)

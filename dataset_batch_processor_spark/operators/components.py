@@ -563,3 +563,92 @@ ORDER BY doc_a, doc_b
 
 QUERIES["dup_graph_kcore_edges"] = _q_kcore_edges
 ORACLES["dup_graph_kcore_edges"] = _kcore_duck()
+
+
+# --------------------------------------- label propagation (sync LPA)
+# Community detection over the dup graph: synchronous label
+# propagation (Raghavan et al. 2007) with a FIXED iteration count and
+# a deterministic vote (most frequent neighbor label, ties to the
+# smallest label). Communities are finer-grained than connected
+# components — they split a chain of borderline pairs into its dense
+# ends, which is what a curation reviewer actually wants to see.
+# Sync + fixed rounds + deterministic tie-break makes every round a
+# pure function of the last, so the whole run unrolls into SQL for
+# the driver gate. Per round: one edge⋈label equi-join + one
+# (node, label) count + one per-node argmax — all shuffles on the
+# node key, the same budget as a pagerank iteration.
+
+LPA_ITERS = 4
+
+
+def label_propagation(
+    pairs: DataFrame, iters: int = LPA_ITERS,
+    src: str = "doc_a", dst: str = "doc_b",
+) -> DataFrame:
+    sym = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community")).orderBy(
+        "node"
+    )
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(pair_graph(spark, sf_dir))
+
+
+def _lpa_duck(iters: int = LPA_ITERS) -> str:
+    ctes = [
+        """sym AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lbl FROM sym
+)""",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT s.u AS node, p.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY s.u
+                              ORDER BY count(*) DESC, p.lbl ASC) AS rn
+    FROM sym s JOIN {prev} p ON s.v = p.node
+    GROUP BY s.u, p.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + _PAIRS_AS_CTE.removeprefix("WITH ")
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, lbl AS community FROM {prev} ORDER BY node
+"""
+    )
+
+
+QUERIES["dup_graph_label_prop"] = _q_label_prop
+ORACLES["dup_graph_label_prop"] = _lpa_duck()

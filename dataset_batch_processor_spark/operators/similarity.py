@@ -1112,6 +1112,115 @@ QUERIES["emb_ivf_trained_topk"] = _q_ivf_trained_topk
 ORACLES["emb_ivf_trained_topk"] = IVF_TRAINED_TOPK_DUCK
 
 
+# ------------------------------------- matryoshka truncation recall
+# Matryoshka-representation check (Kusupati et al., public): how much
+# retrieval quality survives truncating embeddings to their first
+# MRL_DIM dimensions — the 2× memory/compute lever every
+# embedding-serving stack wants to pull. Per query: exact top-k at
+# dim MRL_DIM vs exact top-k at full dim, hits = overlap. Same
+# brute-force shapes as emb_cosine_topk (broadcast query panel), so
+# the measurement costs two scans of the panel join, nothing new
+# structurally; at 100 TB both sides are the sampled-panel QA run.
+
+MRL_DIM = 32
+
+
+def truncated_topk(
+    emb: DataFrame, dim: int, k: int = TOP_K, query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Exact cosine top-k using only the first ``dim`` dimensions."""
+    t = emb.select(
+        "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+    )
+    return brute_force_topk(t, k=k, query_mod=query_mod, vectorized=False)
+
+
+def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(emb, vectorized=False).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = truncated_topk(emb, MRL_DIM).select("query_id", "neighbor_id")
+    hits = (
+        trunc.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("int").alias("hits"),
+            F.expr(
+                "coalesce(hits, 0) * 1000000 DIV k"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _trunc_bf_duck(dim: int) -> str:
+    """Brute-force top-k over the first ``dim`` dims (same CTE shape
+    as BRUTE_FORCE_DUCK with a shortened fold)."""
+    dot = (f"list_sum(list_transform(generate_series(1, {dim}), "
+           "i -> CAST(e.embedding[i] AS DOUBLE) "
+           "* CAST(q.embedding[i] AS DOUBLE)))")
+    na = (f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+          "i -> CAST(e.embedding[i] AS DOUBLE) "
+          "* CAST(e.embedding[i] AS DOUBLE))))")
+    nb = (f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+          "i -> CAST(q.embedding[i] AS DOUBLE) "
+          "* CAST(q.embedding[i] AS DOUBLE))))")
+    return f"""
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({dot} / ({na} * {nb}), 6) AS cos_sim
+  FROM embeddings e
+  JOIN (SELECT * FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) q
+    ON e.vec_id <> q.vec_id
+"""
+
+
+MATRYOSHKA_DUCK = f"""
+WITH full_scored AS ({_trunc_bf_duck(DIM)}),
+full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM full_scored
+  ) WHERE rn <= {TOP_K}
+),
+tr_scored AS ({_trunc_bf_duck(MRL_DIM)}),
+tr_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tr_scored
+  ) WHERE rn <= {TOP_K}
+),
+hits AS (
+  SELECT t.query_id, count(*) AS hits
+  FROM tr_topk t JOIN full_topk f
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY t.query_id
+),
+ks AS (
+  SELECT query_id, count(*) AS k FROM full_topk GROUP BY query_id
+)
+SELECT ks.query_id,
+       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       CAST(coalesce(h.hits, 0) * 1000000 // ks.k AS BIGINT) AS recall_ppm
+FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+ORDER BY ks.query_id
+"""
+
+QUERIES["emb_matryoshka_recall"] = _q_matryoshka
+ORACLES["emb_matryoshka_recall"] = MATRYOSHKA_DUCK
+
+
 # ------------------------------------------------- label-blocked kNN
 # Blocked exact kNN: neighbors are only sought INSIDE each label
 # partition — the standard blocking trick when a coarse category

@@ -1,0 +1,137 @@
+"""Gopher-style document quality rules (Rae et al. 2021, public).
+
+The rule family every web-scale curation pipeline applies before
+anything model-based: cheap, interpretable per-document statistics
+with thresholds. Expressed entirely in JVM expressions (split +
+higher-order folds) plus ONE keyed aggregation for the top-word
+share — no Python, no corpus-wide state, embarrassingly parallel at
+any scale. Thresholds are adapted to the synthetic fixture's scale
+(its docs are shorter than web pages) but keep the published rule
+STRUCTURE: word-count bounds, mean-word-length band, stopword
+presence, top-word dominance.
+
+Determinism: all ratios are integer fixed-point (×1000 / ppm via
+integer DIV) — no float division anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+MIN_WORDS = 20
+MEAN_LEN_LO_X1000 = 2_000
+MEAN_LEN_HI_X1000 = 10_000
+TOP_WORD_MAX_PPM = 200_000  # most frequent word may own <= 20%
+MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("word_chars"),
+        F.array_distinct(
+            F.filter("ws", lambda w: w.isin(*STOPWORDS))
+        ).alias("stop_set"),
+        F.col("ws"),
+    )
+    # top-word share: one keyed aggregation + per-doc argmax
+    counts = (
+        words.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("c"), F.asc("w")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_word"),
+                F.col("c").alias("top_count"))
+    )
+    out = words.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.expr("word_chars * 1000 DIV n_words").alias("mean_len_x1000"),
+        F.size("stop_set").cast("int").alias("stopword_hits"),
+        "top_word",
+        F.expr("top_count * 1000000 DIV n_words").alias("top_word_ppm"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("mean_len_x1000") >= MEAN_LEN_LO_X1000)
+            & (F.col("mean_len_x1000") <= MEAN_LEN_HI_X1000)
+            & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+            & (F.col("top_word_ppm") <= TOP_WORD_MAX_PPM)
+        ).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality(catalog.load_table(spark, sf_dir, "documents"))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+GOPHER_DUCK = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_distinct(list_filter(w,
+              x -> x IN ({_STOP_LIST})))) AS INT) AS stopword_hits
+  FROM ws
+),
+counts AS (
+  SELECT doc_id, u.w AS word, count(*) AS c
+  FROM ws, unnest(ws.w) AS u(w)
+  GROUP BY doc_id, u.w
+),
+top AS (
+  SELECT doc_id, word AS top_word, c AS top_count
+  FROM (
+    SELECT doc_id, word, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, word ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       CAST(b.word_chars * 1000 // b.n_words AS BIGINT) AS mean_len_x1000,
+       b.stopword_hits,
+       t.top_word,
+       CAST(t.top_count * 1000000 // b.n_words AS BIGINT) AS top_word_ppm,
+       (b.n_words >= {MIN_WORDS}
+        AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
+        AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
+        AND b.stopword_hits >= {MIN_STOPWORD_HITS}
+        AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM})
+         AS passes_gopher
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+QUERIES = {"docs_gopher_quality": _q_gopher}
+ORACLES = {"docs_gopher_quality": GOPHER_DUCK}
