@@ -63,6 +63,7 @@ from dataset_batch_processor_spark.operators import (
     routing,
     search,
     funnel,
+    phash,
     semdedup,
     webquality,
     similarity,
@@ -397,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(funnel.QUERIES)
     q.update(webquality.QUERIES)
+    q.update(phash.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
@@ -497,6 +499,7 @@ FROM images_meta GROUP BY 1
     o.update(similarity.ORACLES)
     o.update(funnel.ORACLES)
     o.update(webquality.ORACLES)
+    o.update(phash.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)
