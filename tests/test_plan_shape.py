@@ -377,3 +377,41 @@ def test_sequence_packing_no_single_task_window(spark, sf_dir):
 
     df = curation.QUERIES["docs_sequence_packing"](spark, sf_dir)
     assert unpartitioned_windows(explain.formatted_plan(df)) == []
+
+
+def test_phash_pairs_banded_never_cartesian(spark, sf_dir):
+    """pHash candidates must come from the band equi-join; no
+    CartesianProduct, no Python eval (the DCT is JVM expressions)."""
+    from dataset_batch_processor_spark.operators import phash
+
+    df = phash.QUERIES["img_phash_near_dup_pairs"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
+    """The funnel's three step aggregations all hash-partition on
+    user_id; no window over the event stream, no cartesian."""
+    from dataset_batch_processor_spark.operators import funnel
+
+    df = funnel.QUERIES["events_funnel_conversion"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_sliding_wau_joins_day_table_not_events(spark, sf_dir):
+    """The 7-day window join must run on the per-day activity table
+    (post-distinct), so the range join's left side is |days| rows —
+    pinned by requiring the distinct (two-phase HashAggregate) below
+    the join in the plan."""
+    from dataset_batch_processor_spark.operators import funnel
+
+    df = funnel.QUERIES["events_sliding_wau"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # the range (non-equi) join must broadcast the tiny day list,
+    # never cartesian the activity table
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
