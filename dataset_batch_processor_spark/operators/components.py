@@ -652,3 +652,97 @@ SELECT node, lbl AS community FROM {prev} ORDER BY node
 
 QUERIES["dup_graph_label_prop"] = _q_label_prop
 ORACLES["dup_graph_label_prop"] = _lpa_duck()
+
+
+# --------------------------------------------- community modularity
+# Quality score for the LPA partition (Newman modularity, unweighted
+# undirected): Q = Σ_c [e_c/m − (d_c/2m)²]. Reported per community in
+# fixed-point ppm with INTEGER division at each step — the
+# quantization is part of the operator contract, which is what makes
+# the number bit-identical across engines/partitionings (a float
+# modularity is neither). One edge⋈label join per endpoint + two
+# small-key aggregations; nothing beyond the label table shuffles.
+
+MOD_SCALE = 1_000_000
+
+
+def community_modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    la = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = e.join(la, "u").join(lb, "v")
+    m = tagged.agg(F.count(F.lit(1)).alias("m"))
+    e_in = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        tagged.select(F.col("cu").alias("community"))
+        .unionAll(tagged.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    return (
+        deg.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            F.col("d_c").cast("bigint").alias("d_c"),
+            F.expr(
+                f"coalesce(e_in, 0) * {MOD_SCALE} DIV m"
+                f" - (d_c * d_c * {MOD_SCALE}) DIV (4 * m * m)"
+            ).alias("contrib_ppm"),
+        )
+        .orderBy("community")
+    )
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = pair_graph(spark, sf_dir)
+    labels = label_propagation(pairs)
+    return community_modularity(pairs, labels)
+
+
+def _modularity_duck() -> str:
+    lpa = _lpa_duck()
+    # reuse the LPA oracle's CTE chain up to its final select
+    body = lpa[: lpa.rindex("SELECT node, lbl AS community")]
+    return (
+        body
+        + f""",
+labels AS MATERIALIZED (SELECT node, lbl AS community FROM l{LPA_ITERS}),
+tagged AS MATERIALIZED (
+  SELECT p.doc_a AS u, p.doc_b AS v, la.community AS cu, lb.community AS cv
+  FROM pairs p
+  JOIN labels la ON la.node = p.doc_a
+  JOIN labels lb ON lb.node = p.doc_b
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tagged),
+e_in AS (
+  SELECT cu AS community, CAST(count(*) AS BIGINT) AS e_in
+  FROM tagged WHERE cu = cv GROUP BY cu
+),
+deg AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS d_c
+  FROM (
+    SELECT cu AS community FROM tagged
+    UNION ALL SELECT cv FROM tagged
+  ) GROUP BY community
+)
+SELECT d.community,
+       CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+       d.d_c,
+       CAST(coalesce(e.e_in, 0) * {MOD_SCALE} // m
+            - (d.d_c * d.d_c * {MOD_SCALE}) // (4 * m * m) AS BIGINT)
+         AS contrib_ppm
+FROM deg d LEFT JOIN e_in e ON e.community = d.community
+CROSS JOIN mm
+ORDER BY d.community
+"""
+    )
+
+
+QUERIES["dup_graph_modularity"] = _q_modularity
+ORACLES["dup_graph_modularity"] = _modularity_duck()

@@ -29,7 +29,7 @@ exact integers — no engine-variant float path anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -260,3 +260,71 @@ ORACLES = {
     "events_sliding_wau": SLIDING_WAU_DUCK,
     "events_heavy_hitters": HEAVY_HITTERS_DUCK,
 }
+
+
+# --------------------------------------------- exact percentiles
+# Nearest-rank percentiles per event_type, computed as explicit order
+# statistics (row_number over (value, event_id) — the event_id
+# tie-break makes the SELECTED ROW deterministic even with duplicate
+# values) rather than an engine quantile function: percentile_approx/
+# quantile_cont interpolate differently per engine, the nearest-rank
+# formulation is bit-identical. The window partitions by event_type —
+# a keyed window over ~n/|types| rows per partition, not a global
+# sort; at extreme per-key cardinality the two-pass count+filter
+# formulation replaces it (same rank arithmetic).
+
+PCTS = (50, 90, 99)
+
+
+def value_percentiles(ev: DataFrame) -> DataFrame:
+    ranked = ev.select(
+        "event_type",
+        F.round("value", 6).alias("v"),
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("v", "event_id")
+        ),
+    )
+    counts = ranked.groupBy("event_type").agg(F.max("rn").alias("n"))
+    j = ranked.join(counts, "event_type")
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)"),
+                F.col("v"),
+            )
+        ).alias(f"p{p}")
+        for p in PCTS
+    ]
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_percentiles(catalog.load_events(spark, sf_dir))
+
+
+PERCENTILES_DUCK = f"""
+WITH ranked AS (
+  SELECT event_type, round(value, 6) AS v, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value, 6), event_id) AS rn
+  FROM events
+),
+counts AS (
+  SELECT event_type, max(rn) AS n FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       {", ".join(
+           f"max(CASE WHEN r.rn = CAST(ceil(c.n * {p} / 100.0) AS BIGINT)"
+           f" THEN r.v END) AS p{p}"
+           for p in PCTS
+       )}
+FROM ranked r JOIN counts c ON c.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+"""
+
+QUERIES["events_value_percentiles"] = _q_percentiles
+ORACLES["events_value_percentiles"] = PERCENTILES_DUCK
