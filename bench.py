@@ -71,6 +71,27 @@ def main() -> None:
     spark.range(128).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # The shared pair-graph INDEX is built once per session by design
+    # (matcache); which query paid for it used to depend on the
+    # _prioritize ordering — a real inter-round noise source. Build it
+    # in the warmup, report the build cost as its own line, and every
+    # dup-family query then measures its own work over the warm index
+    # in every round identically.
+    from dataset_batch_processor_spark import matcache
+    from dataset_batch_processor_spark.operators import dedup
+
+    t0 = time.time()
+    dedup.pair_graph(spark, sf_dir).count()
+    pair_graph_build_s = round(time.time() - t0, 3)
+
+    # Queries whose registered form scans a matcache-materialized
+    # RESULT (build-once ANN top-k): a repeated timing would measure
+    # the cached parquet scan, not the operator. Busting the derived
+    # cache before each rep makes every rep the honest build+probe.
+    DERIVED_CACHED = {
+        "emb_ivf_topk", "emb_ann_lsh_topk", "emb_ann_multiprobe_topk",
+        "emb_pq_topk", "emb_ivfpq_topk", "emb_ann_recall_report",
+    }
 
     # Same-HEAD headline runs historically swung ±35% (19.6–26.9 s on
     # identical code — BENCH_DETAIL r5 note), making round-over-round
@@ -87,6 +108,8 @@ def main() -> None:
         runs: list[float] = []
         n = 0
         for _ in range(reps):
+            if reps > 1 and name in DERIVED_CACHED:
+                matcache.invalidate("anntopk_")
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # forces execution without driver collect cost
@@ -116,9 +139,11 @@ def main() -> None:
     note = (
         "headline queries are per-query median-of-"
         f"{reps_headline} (spread in BENCH_DETAIL.json) to damp the "
-        "±35% same-HEAD host variance seen through round 5; "
-        "non-headline queries run once — compare ratios within one "
-        "run, not absolute seconds across runs"
+        "±35% same-HEAD host variance seen through round 5; the "
+        "shared pair-graph index is built in warmup (cost reported "
+        "as pair_graph_build_s) and build-once ANN result caches are "
+        "invalidated before every timed rep so reps measure the "
+        "operator, not a cached scan; non-headline queries run once"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -134,6 +159,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "headline_total": round(headline_total, 3),
                 "headline_reps": reps_headline,
+                "pair_graph_build_s": pair_graph_build_s,
                 "spread": spread,
                 "note": note,
             },

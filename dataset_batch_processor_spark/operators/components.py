@@ -458,12 +458,13 @@ ORACLES["dup_graph_pagerank"] = PAGERANK_DUCK
 # the graph stabilizes; what survives is the k-core — the densely
 # interlinked duplicate communities worth human review (a triangle
 # says three docs agree; a 4-core says a whole template family does).
-# Not SQL-expressible as a recursive CTE (each round needs a fresh
-# aggregation over the shrunken graph), so this is test-gated like
-# the file-layout ops. O(peel rounds) Spark jobs, each one
-# groupBy + semi-join — same per-round shape as star contraction,
-# and the same checkpoint-every-few-rounds lineage control applies
-# at scale.
+# Not expressible as ONE recursive CTE (each round needs a fresh
+# aggregation over the shrunken graph), but the fixture's bounded
+# round count lets a fixed CHAIN of peel CTEs replay it exactly —
+# see _kcore_duck below, which hash-gates this since round 6.
+# O(peel rounds) Spark jobs, each one groupBy + semi-join — same
+# per-round shape as star contraction, and the same
+# checkpoint-every-few-rounds lineage control applies at scale.
 
 
 def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
@@ -499,11 +500,9 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
 
 
 def _q_kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the dup graph (rows-only driver gate: the iterative
-    peel re-aggregates the shrunken graph each round, which a
-    recursive CTE cannot express — same gating as the file-layout
-    ops). Deterministic: the peel's fixpoint is unique regardless of
-    round order."""
+    """3-core of the dup graph, hash-gated against the unrolled-CTE
+    DuckDB replay (_kcore_duck). Deterministic: the peel's fixpoint
+    is unique regardless of round order."""
     from .dedup import pair_graph
 
     return kcore(pair_graph(spark, sf_dir), k=3).orderBy(
@@ -610,8 +609,21 @@ def label_propagation(
     )
 
 
+def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA community labels, materialized once per (session, dataset)
+    — same design as doc_dup_labels: the 4-round join/argmax chain is
+    the cost, and both dup_graph_label_prop and dup_graph_modularity
+    consume the identical table."""
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, "lpa_labels", sf_dir,
+        lambda: label_propagation(pair_graph(spark, sf_dir)),
+    )
+
+
 def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return label_propagation(pair_graph(spark, sf_dir))
+    return lpa_labels(spark, sf_dir).orderBy("node")
 
 
 def _lpa_duck(iters: int = LPA_ITERS) -> str:
@@ -701,8 +713,7 @@ def community_modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
 
 def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pair_graph(spark, sf_dir)
-    labels = label_propagation(pairs)
-    return community_modularity(pairs, labels)
+    return community_modularity(pairs, lpa_labels(spark, sf_dir))
 
 
 def _modularity_duck() -> str:

@@ -2,8 +2,9 @@
 
 The product-analytics surface a training-data platform's telemetry
 side needs (and a standard OLAP workload family in its own right):
-step funnels, cohort retention, sliding-window active users, and
-threshold heavy hitters. None of these exist in the reference (its
+step funnels, long-window sliding active users, threshold heavy
+hitters, and nearest-rank percentiles. (Cohort retention already
+exists as analytics.events_cohort_retention — not duplicated here.) None of these exist in the reference (its
 scope is file batches); all are first-class here because the events
 table is where a 100-TB ingest pipeline's operational questions land.
 
@@ -12,9 +13,6 @@ Scale shapes:
   shuffle is on user_id, so after the first Exchange the rest reuse
   the partitioning; nothing wider than (user, 3 timestamps) ever
   materializes.
-- **retention**: one (user → first day) agg + one (user, day)
-  distinct + a user_id equi-join; output is cohort×offset, bounded by
-  days².
 - **sliding WAU**: the (day, user) distinct collapses the corpus to
   active-pairs; the 7-day window is a small range join on the DAY
   table (days × 7 rows), never on raw events.
@@ -132,51 +130,15 @@ SELECT * FROM (
 """
 
 
-def retention_cohorts(ev: DataFrame) -> DataFrame:
-    """(cohort_day, offset_days, n_users): users grouped by their
-    first-activity day, counted on each later active day offset."""
-    act = ev.select(
-        "user_id",
-        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
-    ).distinct()
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        act.join(first, "user_id")
-        .groupBy(
-            "cohort_day",
-            (F.col("day") - F.col("cohort_day")).cast("int").alias(
-                "offset_days"
-            ),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_day", "offset_days")
-    )
-
-
-def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return retention_cohorts(catalog.load_events(spark, sf_dir))
-
-
-RETENTION_DUCK = f"""
-WITH act AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
-),
-first AS (
-  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
-)
-SELECT f.cohort_day,
-       CAST(a.day - f.cohort_day AS INT) AS offset_days,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM act a JOIN first f ON a.user_id = f.user_id
-GROUP BY f.cohort_day, a.day - f.cohort_day
-ORDER BY cohort_day, offset_days
-"""
-
-
 def sliding_wau(ev: DataFrame, window_days: int = 7) -> DataFrame:
     """(day, wau): distinct users active in the trailing
-    ``window_days`` ending at each day THE DATA CONTAINS. The window
-    join runs on the per-day activity table, not raw events."""
+    ``window_days`` ending at each day THE DATA CONTAINS.
+
+    The LONG-window sibling of relational5.events_sliding_active_users
+    (3 h window / 1 h slide via window()-explode): explode-into-windows
+    copies every event window/slide times — fine at 3×, wasteful at 7×
+    and ruinous at 90× — so this formulation touches each event once
+    (one (day, user) distinct) and range-joins the tiny day table."""
     act = ev.select(
         "user_id",
         F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
@@ -250,13 +212,11 @@ ORDER BY n_events DESC, user_id
 
 QUERIES = {
     "events_funnel_conversion": _q_funnel,
-    "events_retention_cohorts": _q_retention,
     "events_sliding_wau": _q_sliding_wau,
     "events_heavy_hitters": _q_heavy_hitters,
 }
 ORACLES = {
     "events_funnel_conversion": FUNNEL_DUCK,
-    "events_retention_cohorts": RETENTION_DUCK,
     "events_sliding_wau": SLIDING_WAU_DUCK,
     "events_heavy_hitters": HEAVY_HITTERS_DUCK,
 }
@@ -266,9 +226,11 @@ ORACLES = {
 # Nearest-rank percentiles per event_type, computed as explicit order
 # statistics (row_number over (value, event_id) — the event_id
 # tie-break makes the SELECTED ROW deterministic even with duplicate
-# values) rather than an engine quantile function: percentile_approx/
-# quantile_cont interpolate differently per engine, the nearest-rank
-# formulation is bit-identical. The window partitions by event_type —
+# values). The INTERPOLATED estimator already exists as
+# relational5.events_value_percentiles (percentile/quantile_cont,
+# rounded); this is the other standard estimator, and because it
+# SELECTS a stored value rather than computing one, the output double
+# is bit-identical with no rounding at all. The window partitions by event_type —
 # a keyed window over ~n/|types| rows per partition, not a global
 # sort; at extreme per-key cardinality the two-pass count+filter
 # formulation replaces it (same rank arithmetic).
@@ -279,7 +241,7 @@ PCTS = (50, 90, 99)
 def value_percentiles(ev: DataFrame) -> DataFrame:
     ranked = ev.select(
         "event_type",
-        F.round("value", 6).alias("v"),
+        F.col("value").alias("v"),
         "event_id",
     ).withColumn(
         "rn",
@@ -307,9 +269,9 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILES_DUCK = f"""
 WITH ranked AS (
-  SELECT event_type, round(value, 6) AS v, event_id,
+  SELECT event_type, value AS v, event_id,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY round(value, 6), event_id) AS rn
+                            ORDER BY value, event_id) AS rn
   FROM events
 ),
 counts AS (
@@ -326,5 +288,5 @@ GROUP BY r.event_type
 ORDER BY r.event_type
 """
 
-QUERIES["events_value_percentiles"] = _q_percentiles
-ORACLES["events_value_percentiles"] = PERCENTILES_DUCK
+QUERIES["events_value_percentiles_exact"] = _q_percentiles
+ORACLES["events_value_percentiles_exact"] = PERCENTILES_DUCK

@@ -479,35 +479,39 @@ N_PROBE = 2
 KMEANS_ITERS = 2
 
 
-def _gemm_assign_fn(bc, round6: bool = True):
+def _gemm_assign_fn(bc):
     """mapInPandas kernel: assign each Arrow batch against a broadcast
     (ids, normalized-centroid-matrix) pair with ONE matrix multiply
-    (E @ C.T, argmax row-wise) — n_batches GEMMs instead of
-    n_vectors x n_centroids scalar cosines. Tie-break matches the join
-    formulation: cosines rounded to 6 dp, lowest centroid id wins ties
-    (centroid columns sorted by id, np.argmax takes the first max)."""
+    (int64 E_fx @ C_fx.T, argmax row-wise) — n_batches GEMMs instead
+    of n_vectors x n_centroids scalar cosines. Ranking key is the
+    engine-exact quantized cosine (_cos_fx); lowest centroid id wins
+    ties (centroid columns sorted by id, np.argmax takes the first
+    max)."""
     import numpy as np
     import pandas as pd
 
     def run(batches):
         ids, Cn = bc.value
-        # centroid rows may be 6-dp-quantized (trained path) rather
-        # than exactly unit — divide by their norms for a true cosine
-        cnrm = np.linalg.norm(Cn, axis=1)
+        # engine-exact integer formulation (see _cos_fx): recover the
+        # fixed-point centroid ints from the float matrix exactly,
+        # quantize each batch, rank by the integer cosine. cos_sim is
+        # the quantized value /1e6 (an exact dyadic-free decimal).
+        C_fx = np.rint(Cn * 1000000.0).astype(np.int64)
+        Sc = np.sum(C_fx * C_fx, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cos = (En @ Cn.T) / cnrm[None, :]
-            if round6:
-                cos = np.round(cos, 6)
-            best = np.argmax(cos, axis=1)
+            E_fx = _fx6(E)
+            Se = np.sum(E_fx * E_fx, axis=1)
+            cos_q = _cos_fx(E_fx, Se, C_fx, Sc)
+            best = np.argmax(cos_q, axis=1)
+            cos = cos_q[np.arange(len(best)), best].astype(np.float64)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid_id": ids[best],
-                    "cos_sim": cos[np.arange(len(best)), best],
+                    "cos_sim": cos / 1000000.0,
                 }
             )
 
@@ -543,6 +547,48 @@ def _truncdiv(s: int, d: int) -> int:
     Spark's ``DIV`` and DuckDB's ``//`` implement (Python's ``//``
     floors instead, which disagrees on negative sums)."""
     return -((-s) // d) if s < 0 else s // d
+
+
+# ---- engine-exact fixed-point primitives for the trained-IVF gate.
+# Every float op below is a correctly-rounded IEEE op (multiply,
+# divide, sqrt, floor) applied to EXACT-integer-valued doubles, so
+# numpy and DuckDB produce bit-identical results — no float SUM whose
+# accumulation order could differ ever occurs (the determinism rule
+# that half-even np.round and pairwise np.linalg.norm both violate).
+# Exactness bound: per-component |x|*1e6 and every integer sum stay
+# far below 2^53 for unit-scale embeddings (|x| <= ~11 suffices).
+
+
+def _fx6(a):
+    """floor(x*1e6 + 0.5) as int64 — exact per-component quantization
+    (no sums involved, so engine-independent by construction)."""
+    import numpy as np
+
+    return np.floor(a * 1000000.0 + 0.5).astype(np.int64)
+
+
+def _vn_fx(E_fx, S):
+    """Normalized fixed-point components: floor(f*1e6/sqrt(S) + 0.5).
+    ``E_fx`` int64 (n × d), ``S`` int64 (n,) = per-row Σf² (exact)."""
+    import numpy as np
+
+    return np.floor(
+        E_fx * 1000000.0 / np.sqrt(S.astype(np.float64))[:, None] + 0.5
+    ).astype(np.int64)
+
+
+def _cos_fx(E_fx, Se, C_fx, Sc):
+    """Quantized cosine matrix floor(dot/(sqrt(Se)·sqrt(Sc))·1e6+0.5)
+    from exact integer dot products (int64 GEMM) and exact integer
+    squared norms — the ranking key of the gated trained-IVF path."""
+    import numpy as np
+
+    dot = (E_fx @ C_fx.T).astype(np.float64)
+    den = (
+        np.sqrt(Se.astype(np.float64))[:, None]
+        * np.sqrt(Sc.astype(np.float64))[None, :]
+    )
+    return np.floor(dot / den * 1000000.0 + 0.5).astype(np.int64)
 
 
 def ivf_train_centroids(
@@ -619,30 +665,34 @@ def ivf_train_centroids(
                 .limit(k - len(init_rows)).collect()
             )
             init_rows = init_rows + extra
-    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    ids = np.arange(len(Cn), dtype=np.int64)
+    # integer fixed-point centroids throughout: init = the normalized
+    # quantized lattice vectors themselves (_fx6 → Σf² → _vn_fx, all
+    # exact), so the seed is bit-identical to the SQL replay's c0
+    C_raw = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in init_rows]
+    )
+    C0_fx = _fx6(C_raw)
+    C_fx = _vn_fx(C0_fx, np.sum(C0_fx * C0_fx, axis=1))
+    ids = np.arange(len(C_fx), dtype=np.int64)
 
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast((ids, Cn))
+        Sc = np.sum(C_fx * C_fx, axis=1)
+        bc = spark.sparkContext.broadcast((ids, C_fx, Sc))
 
         def part_partials(batches):
-            idsb, Cb = bc.value
-            cnrm = np.linalg.norm(Cb, axis=1)
-            sums = np.zeros(Cb.shape, dtype=np.int64)
-            cnts = np.zeros(len(Cb), dtype=np.int64)
+            idsb, Cb_fx, Scb = bc.value
+            sums = np.zeros(Cb_fx.shape, dtype=np.int64)
+            cnts = np.zeros(len(Cb_fx), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                En = E / np.linalg.norm(E, axis=1, keepdims=True)
-                # true cosine (centroids are 6-dp-quantized, not unit):
-                # divide by the centroid norm like the SQL replay does
-                best = np.argmax(np.round((En @ Cb.T) / cnrm[None, :], 6),
-                                 axis=1)
-                # fixed-point BIGINT contributions -> exact, order-free
-                np.add.at(sums, best,
-                          np.floor(En * 1000000.0 + 0.5).astype(np.int64))
+                E_fx = _fx6(E)
+                Se = np.sum(E_fx * E_fx, axis=1)
+                best = np.argmax(_cos_fx(E_fx, Se, Cb_fx, Scb), axis=1)
+                # normalized fixed-point BIGINT contributions — exact
+                # integers, order-free sums, engine-independent
+                np.add.at(sums, best, _vn_fx(E_fx, Se))
                 np.add.at(cnts, best, 1)
             nz = np.flatnonzero(cnts)
             yield pd.DataFrame(
@@ -672,24 +722,22 @@ def ivf_train_centroids(
             .applyInPandas(reduce_group, schema=partial_schema)
             .collect()  # exactly k rows
         )
-        newC = Cn.copy()  # empty clusters keep their previous centroid
+        newC = C_fx.copy()  # empty clusters keep their previous centroid
         for r in means:
-            # every arithmetic step here mirrors the DuckDB replay
-            # op-for-op: truncating integer division, /1e6, a
-            # SEQUENTIAL sum-of-squares fold, sqrt, divide, and
-            # floor-quantize back to 6 dp
-            m = [_truncdiv(int(s), r.cnt) / 1000000.0 for s in r.psum]
-            acc = 0.0
-            for v in m:
-                acc += v * v
-            nrm = math.sqrt(acc)
-            if nrm > 0:
-                newC[r.centroid_id] = np.array(
-                    [math.floor(v / nrm * 1000000.0 + 0.5) / 1000000.0
-                     for v in m]
-                )
-        Cn = newC
-    return ids, Cn
+            # mirror of the SQL replay's m{i}/c{i} CTEs op-for-op:
+            # truncating integer division, exact integer Σm², then
+            # floor(m*1e6/sqrt(Σm²) + 0.5)
+            m = np.array([_truncdiv(int(s), r.cnt) for s in r.psum],
+                         dtype=np.int64)
+            sm = int(np.sum(m * m))
+            if sm > 0:
+                newC[r.centroid_id] = np.floor(
+                    m * 1000000.0 / math.sqrt(sm) + 0.5
+                ).astype(np.int64)
+        C_fx = newC
+    # API: callers get the float matrix (exact c_fx/1e6); integer
+    # consumers recover c_fx exactly via rint(Cn*1e6)
+    return ids, C_fx.astype(np.float64) / 1000000.0
 
 
 def ivf_assign_trained(emb: DataFrame, ids, Cn) -> DataFrame:
@@ -744,13 +792,16 @@ def ivf_topk_trained(
 
     def probe_fn(batches):
         idsb, Cb = bc.value
-        cnrm = np.linalg.norm(Cb, axis=1)  # true cosine (see trainer)
+        # engine-exact integer cosine ranking (see _cos_fx)
+        C_fx = np.rint(Cb * 1000000.0).astype(np.int64)
+        Sc = np.sum(C_fx * C_fx, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            cos = np.round((Qn @ Cb.T) / cnrm[None, :], 6)
+            Q_fx = _fx6(Q)
+            Sq = np.sum(Q_fx * Q_fx, axis=1)
+            cos = _cos_fx(Q_fx, Sq, C_fx, Sc)
             # n_probe nearest lists per query; stable sort of -cos keeps
             # the smallest centroid index first among ties
             top = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
@@ -983,42 +1034,60 @@ def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_trained_duck(iters: int = 2) -> str:
     """Unrolled-Lloyd DuckDB replay of ``_q_ivf_trained_topk``.
 
-    Mirrors the trainer op-for-op (see its docstring): per-vector
-    normalized components quantize to BIGINT via floor(x*1e6 + 0.5)
-    before summing (exact integer sums), centroid update is
-    truncating integer division (DuckDB ``//`` == the trainer's
-    _truncdiv) then /1e6, a sum-of-squares fold, sqrt, divide,
-    re-quantize to 6 dp. Assignment/probe ranking uses the same
-    round-6 cosine with centroid-id tie-break as the GEMM kernels.
+    Mirrors the trainer op-for-op through the ENGINE-EXACT fixed-point
+    primitives (_fx6/_vn_fx/_cos_fx): per-component floor(x*1e6+0.5)
+    quantization, exact integer squared norms and dot products, and
+    correctly-rounded sqrt/divide/multiply/floor on integer-valued
+    doubles — no float sum whose accumulation order could differ
+    between numpy and DuckDB exists anywhere in the replay (np.round's
+    half-even ties and np.linalg.norm's pairwise summation are both
+    avoided BY CONSTRUCTION, per determinism-rules). Centroid update
+    is truncating integer division (``//`` == _truncdiv).
     MATERIALIZED CTEs: each iteration references its predecessor
     several times and would otherwise inline exponentially."""
-    norm_d = (f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
-              f"i -> CAST(embedding[i] AS DOUBLE) "
-              f"* CAST(embedding[i] AS DOUBLE))))")
-    # cos of a pre-normalized vector list ``vn`` against a raw
-    # centroid list ``c`` (divide by the centroid's norm — trained
-    # centroids are 6-dp-quantized, not exactly unit)
-    def cosc(vn: str, c: str) -> str:
+    # engine-exact quantized cosine between (f, s) and (c, sc):
+    # floor( dot / (sqrt(s)·sqrt(sc)) · 1e6 + 0.5 ) — same op order
+    # as _cos_fx
+    def cosq(v: str, c: str) -> str:
         return (
-            f"round(list_sum(list_transform(generate_series(1, {DIM}), "
-            f"j -> {vn}[j] * {c}[j])) "
-            f"/ sqrt(list_sum(list_transform({c}, x -> x * x))), 6)"
+            f"CAST(floor(CAST(list_sum(list_transform("
+            f"generate_series(1, {DIM}), j -> {v}.f[j] * {c}.c[j])) "
+            f"AS DOUBLE) / (sqrt(CAST({v}.s AS DOUBLE)) "
+            f"* sqrt(CAST({c}.sc AS DOUBLE))) * 1000000.0 + 0.5) "
+            f"AS BIGINT)"
         )
 
     ctes = [
-        f"""nv AS MATERIALIZED (
+        """fxq AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) / ({norm_d})) AS vn
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT)) AS f
   FROM embeddings
+)""",
+        """nv AS MATERIALIZED (
+  SELECT vec_id, f,
+         CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS s
+  FROM fxq
 )""",
         f"""c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-         vn AS c
+         list_transform(f,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                / sqrt(CAST(s AS DOUBLE)) + 0.5) AS BIGINT)) AS c
   FROM nv WHERE vec_id % {CENTROID_MOD} = 0
 )""",
     ]
-    prev = "c0"
+
+    def with_sc(name: str) -> str:
+        return f"""{name}s AS MATERIALIZED (
+  SELECT cid, c,
+         CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS sc
+  FROM {name}
+)"""
+
+    ctes.append(with_sc("c0"))
+    prev = "c0s"
     for it in range(1, iters + 1):
         ctes.append(
             f"""a{it} AS MATERIALIZED (
@@ -1026,14 +1095,15 @@ def _ivf_trained_duck(iters: int = 2) -> str:
     SELECT v.vec_id, c.cid,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {cosc('v.vn', 'c.c')} DESC, c.cid ASC) AS rn
+             ORDER BY {cosq('v', 'c')} DESC, c.cid ASC) AS rn
     FROM nv v CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
         ctes.append(
             f"""s{it} AS MATERIALIZED (
   SELECT a.cid, u.j,
-         sum(CAST(floor(v.vn[u.j] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         sum(CAST(floor(CAST(v.f[u.j] AS DOUBLE) * 1000000.0
+             / sqrt(CAST(v.s AS DOUBLE)) + 0.5) AS BIGINT)) AS s,
          CAST(count(*) AS BIGINT) AS cnt
   FROM a{it} a JOIN nv v USING (vec_id)
   CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS j) u
@@ -1042,27 +1112,30 @@ def _ivf_trained_duck(iters: int = 2) -> str:
         ctes.append(
             f"""m{it} AS MATERIALIZED (
   SELECT cid,
-         list(CAST(s // cnt AS DOUBLE) / 1000000.0 ORDER BY j) AS m
+         list(CAST(s // cnt AS BIGINT) ORDER BY j) AS m,
+         CAST(list_sum(list_transform(
+           list(CAST(s // cnt AS BIGINT) ORDER BY j), x -> x * x))
+           AS BIGINT) AS sm
   FROM s{it} GROUP BY cid
 )""")
         ctes.append(
             f"""c{it} AS MATERIALIZED (
   SELECT p.cid,
-         CASE WHEN m.m IS NULL
-                OR list_sum(list_transform(m.m, y -> y * y)) = 0
+         CASE WHEN m.m IS NULL OR m.sm = 0
               THEN p.c
               ELSE list_transform(
                 m.m,
-                x -> floor(x / sqrt(list_sum(list_transform(m.m,
-                             y -> y * y))) * 1000000.0 + 0.5)
-                     / 1000000.0)
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                     / sqrt(CAST(m.sm AS DOUBLE)) + 0.5) AS BIGINT))
          END AS c
   FROM {prev} p LEFT JOIN m{it} m USING (cid)
 )""")
-        prev = f"c{it}"
+        ctes.append(with_sc(f"c{it}"))
+        prev = f"c{it}s"
     ctes.append(
         f"""qv AS MATERIALIZED (
-  SELECT vec_id AS query_id, vn FROM nv WHERE vec_id % {QUERY_MOD} = 0
+  SELECT vec_id AS query_id, f, s FROM nv
+  WHERE vec_id % {QUERY_MOD} = 0
 )""")
     ctes.append(
         f"""pr AS MATERIALIZED (
@@ -1070,8 +1143,8 @@ def _ivf_trained_duck(iters: int = 2) -> str:
     SELECT q.query_id, c.cid,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY {cosc('q.vn', 'c.c')} DESC, c.cid ASC) AS rn
-    FROM qv q CROSS JOIN {prev} c
+             ORDER BY {cosq('q', 'c')} DESC, c.cid ASC) AS rn
+    FROM (SELECT query_id, f, s FROM qv) q CROSS JOIN {prev} c
   ) WHERE rn <= {N_PROBE}
 )""")
     ctes.append(
@@ -1080,7 +1153,7 @@ def _ivf_trained_duck(iters: int = 2) -> str:
     SELECT v.vec_id, c.cid,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {cosc('v.vn', 'c.c')} DESC, c.cid ASC) AS rn
+             ORDER BY {cosq('v', 'c')} DESC, c.cid ASC) AS rn
     FROM nv v CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")

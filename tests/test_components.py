@@ -102,9 +102,12 @@ def test_kcore_matches_reference_peel(spark):
 def test_degree_orientation_preserves_triangle_counts(spark):
     """Star-with-cliques graph: degree-ordered orientation must yield
     the same per-node triangle participation a brute-force count
-    gives, while capping the hub's oriented out-degree (the sqrt(m)
-    fan-out bound that id-ordering forfeits when the hub has a LOW
-    id — exactly this fixture: hub id 0)."""
+    gives, while capping the hub's oriented out-degree — under
+    (degree, id) ordering the max-degree hub can never be a source,
+    REGARDLESS of its id (id-ordering's wedge count depends on where
+    the hub's id lands — zero at the extremes, (d/2)^2 mid-range —
+    which is exactly the fragility; see tools/round6_scale_study.py
+    for the measured mid-id blowup)."""
     from itertools import combinations
 
     from pyspark.sql import functions as F
@@ -114,9 +117,8 @@ def test_degree_orientation_preserves_triangle_counts(spark):
     )
 
     edges = set()
-    # hub 0 with spokes 1..40 (id-ordering would orient all 40 OUT of
-    # the hub -> C(40,2)=780 wedges; degree-ordering gives the hub
-    # out-degree 0)
+    # hub 0 with spokes 1..40; degree-ordering must give the hub
+    # out-degree 0 no matter its id
     for s in range(1, 41):
         edges.add((0, s))
     # two 4-cliques hanging off spokes (real triangles to count)

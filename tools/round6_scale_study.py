@@ -208,7 +208,7 @@ def study_triangle_fanout(spark) -> None:
         l2 = e.select(F.col(lo).alias("b2"), F.col(hi).alias("c"))
         return l1.join(l2, F.col("b") == F.col("b2")).count()
 
-    id_ordered = pairs  # doc_a < doc_b already; hub id 0 = worst case
+    id_ordered = pairs  # doc_a < doc_b; mid-id hub = the worst case
     w_id, dt_id = timed(lambda: wedges(id_ordered, "doc_a", "doc_b"))
     oriented = orient_edges_by_degree(pairs).persist()
     w_deg, dt_deg = timed(lambda: wedges(oriented, "lo", "hi"))
