@@ -600,7 +600,110 @@ WHERE doc_id % 8 = 0
 """
 
 
-# ----------------------------------- DNG lossless-JPEG roundtrip
+# ----------------------------------- EXIF orientation probe + apply
+# The rotate/mirror metadata every photo ingest must honor BEFORE any
+# geometry math (tile grids, crops): tag 274 written into a real
+# lossless-JPEG DNG, probed back header-only (S2 family), the decoded
+# pixels re-laid by the standard 8-case transform, and the result
+# pinned by a POSITION-WEIGHTED checksum — a plain pixel sum is
+# permutation-invariant and would pass with the transform completely
+# wrong; the weighted sum replays the exact output arrangement in SQL.
+
+EXIF_ORIENT_SCHEMA = (
+    "doc_id long, orientation int, out_w int, out_h int, "
+    "probe_ok boolean, wsum bigint"
+)
+
+
+def _q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import tiff
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                o = d % 8 + 1
+                w, h = d % 9 + 6, d % 7 + 5
+                sy, sx = np.mgrid[0:h, 0:w]
+                arr = ((d * 3 + sx * 7 + sy * 13) % 251).astype(np.uint16)
+                dng = tiff.encode_dng_lossless(
+                    arr, predictor=d % 7 + 1, orientation=o
+                )
+                probed = tiff.probe_tiff_orientation(dng)
+                dec = tiff.decode_dng_lossless(dng)[:, :, 0]
+                up = tiff.apply_exif_orientation(dec, probed)
+                oh, ow = up.shape
+                weights = (
+                    np.arange(oh)[:, None] * ow + np.arange(ow)[None, :] + 1
+                )
+                out.append({
+                    "doc_id": d,
+                    "orientation": o,
+                    "out_w": int(ow),
+                    "out_h": int(oh),
+                    "probe_ok": bool(probed == o),
+                    "wsum": int((weights * up.astype(np.int64)).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "orientation", "out_w", "out_h",
+                         "probe_ok", "wsum"],
+            )
+
+    return docs.mapInPandas(run, schema=EXIF_ORIENT_SCHEMA)
+
+
+# source coords per EXIF case (out(y,x) <- src(sy,sx)); 5-8 swap dims
+_EXIF_SY = """CASE o
+  WHEN 1 THEN y.y WHEN 2 THEN y.y
+  WHEN 3 THEN h - 1 - y.y WHEN 4 THEN h - 1 - y.y
+  WHEN 5 THEN x.x WHEN 6 THEN h - 1 - x.x
+  WHEN 7 THEN h - 1 - x.x WHEN 8 THEN x.x END"""
+_EXIF_SX = """CASE o
+  WHEN 1 THEN x.x WHEN 2 THEN w - 1 - x.x
+  WHEN 3 THEN w - 1 - x.x WHEN 4 THEN x.x
+  WHEN 5 THEN y.y WHEN 6 THEN y.y
+  WHEN 7 THEN w - 1 - y.y WHEN 8 THEN w - 1 - y.y END"""
+
+EXIF_ORIENT_DUCK = f"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 8 + 1 AS o,
+         doc_id % 9 + 6 AS w,
+         doc_id % 7 + 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT *,
+         CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+         CASE WHEN o >= 5 THEN w ELSE h END AS oh
+  FROM base
+)
+SELECT doc_id,
+       CAST(o AS INT) AS orientation,
+       CAST(ow AS INT) AS out_w,
+       CAST(oh AS INT) AS out_h,
+       TRUE AS probe_ok,
+       CAST((
+         SELECT sum(
+           (y.y * ow + x.x + 1)
+           * ((doc_id * 3 + ({_EXIF_SX}) * 7 + ({_EXIF_SY}) * 13) % 251)
+         )
+         FROM (SELECT unnest(generate_series(0, oh - 1)) AS y) y,
+              (SELECT unnest(generate_series(0, ow - 1)) AS x) x
+       ) AS BIGINT) AS wsum
+FROM dims
+"""
 # Camera-RAW entropy layer (T.81 process 14 / SOF3, multimodal/
 # ljpeg.py) driven end-to-end through the DNG container: per doc a
 # deterministic 16-bit pattern (1..3 components, every predictor 1..7
@@ -1039,6 +1142,7 @@ QUERIES = {
     "mm_vp8_roundtrip": _q_vp8_roundtrip,
     "mm_heif_roundtrip": _q_heif_roundtrip,
     "mm_dng_lossless_roundtrip": _q_dng_roundtrip,
+    "mm_exif_orientation": _q_exif_orientation,
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
@@ -1055,4 +1159,5 @@ ORACLES = {
     "mm_vp8_roundtrip": VP8_ROUNDTRIP_DUCK,
     "mm_heif_roundtrip": HEIF_ROUNDTRIP_DUCK,
     "mm_dng_lossless_roundtrip": DNG_ROUNDTRIP_DUCK,
+    "mm_exif_orientation": EXIF_ORIENT_DUCK,
 }

@@ -147,29 +147,22 @@ def encode_tiff(arr: np.ndarray) -> bytes:
 # recognize the file.
 
 
-def encode_dng_lossless(arr: np.ndarray, predictor: int = 1) -> bytes:
+def encode_dng_lossless(
+    arr: np.ndarray, predictor: int = 1, orientation: int = 1,
+) -> bytes:
     """(H, W) or (H, W, C) uint16 -> minimal lossless-JPEG DNG
-    (little-endian TIFF, Compression=7, one strip)."""
+    (little-endian TIFF, Compression=7, one strip). ``orientation``
+    writes EXIF tag 274 (1..8) when not the default."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint16 or arr.ndim != 3:
         raise ValueError("encode_dng_lossless expects (H, W[, C]) uint16")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
     from . import ljpeg
 
     h, w, nc = arr.shape
     stream = ljpeg.encode_ljpeg(arr, precision=16, predictor=predictor)
-    n_entries = 9
-    ifd_off = 8
-    data_off = ifd_off + 2 + 12 * n_entries + 4
-    bits_off = data_off
-    extra = 0
-    if nc > 2:  # BitsPerSample needs out-of-line storage
-        extra = 2 * nc
-    strip_off = data_off + extra
-    if nc <= 2:
-        bits_val = 16 if nc == 1 else (16 | (16 << 16))
-    else:
-        bits_val = bits_off
     # PhotometricInterpretation: 34892 = LinearRaw (public DNG spec);
     # 1-component mosaics would use 32803 (CFA) + pattern tags, which
     # need camera metadata we don't model — LinearRaw keeps the file
@@ -177,24 +170,75 @@ def encode_dng_lossless(arr: np.ndarray, predictor: int = 1) -> bytes:
     entries = [
         (256, 4, 1, w),
         (257, 4, 1, h),
-        (258, 3, nc, bits_val),
+        (258, 3, nc, None),        # value patched below
         (259, 3, 1, 7),            # Compression = new-style JPEG
         (262, 3, 1, 34892),        # LinearRaw
-        (273, 4, 1, strip_off),    # StripOffsets
+        (273, 4, 1, None),         # StripOffsets patched below
         (277, 3, 1, nc),           # SamplesPerPixel
         (279, 4, 1, len(stream)),  # StripByteCounts
         (50706, 1, 4, 0x00000401), # DNGVersion 1.4.0.0 (LE bytes)
     ]
+    if orientation != 1:
+        entries.insert(4, (274, 3, 1, orientation))
+        entries.sort(key=lambda e: e[0])
+    n_entries = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    bits_off = data_off
+    extra = 2 * nc if nc > 2 else 0  # out-of-line BitsPerSample
+    strip_off = data_off + extra
+    if nc <= 2:
+        bits_val = 16 if nc == 1 else (16 | (16 << 16))
+    else:
+        bits_val = bits_off
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", ifd_off)
     out += struct.pack("<H", n_entries)
     for tag, typ, cnt, val in entries:
+        if tag == 258:
+            val = bits_val
+        elif tag == 273:
+            val = strip_off
         out += struct.pack("<HHII", tag, typ, cnt, val)
     out += struct.pack("<I", 0)
     if nc > 2:
         out += struct.pack("<" + "H" * nc, *([16] * nc))
     out += stream
     return bytes(out)
+
+
+def probe_tiff_orientation(content: bytes) -> int:
+    """EXIF Orientation (tag 274) from the first IFD, header-only —
+    the S2 probe family extended to the rotate/mirror metadata every
+    photo pipeline must honor before geometry math. 1 (top-left) when
+    absent, per the TIFF 6.0 default."""
+    bo = _parse_header(content)
+    tags = _read_ifd(content, bo)
+    return int(tags.get(274, [1])[0])
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Re-lay pixels so the result is upright (EXIF 274 semantics,
+    public TIFF/EXIF spec): 1 identity, 2 mirror-H, 3 rotate 180,
+    4 mirror-V, 5 transpose, 6 rotate 90 CW, 7 transverse,
+    8 rotate 270 CW. Orientations 5-8 swap the output dimensions."""
+    if orientation == 1:
+        return arr
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(arr, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(arr, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(arr, 0, 1)[::-1, :]
+    raise ValueError("orientation must be 1..8")
 
 
 def decode_dng_lossless(content: bytes) -> np.ndarray:

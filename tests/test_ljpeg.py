@@ -160,3 +160,33 @@ try:
         assert np.array_equal(dec, arr)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_exif_orientation_transforms():
+    """Spec properties of the 8-case transform: 1 is identity; 2,3,4
+    are involutions; 6 and 8 are mutual inverses; 5 and 7 are
+    involutions; 5-8 swap dims; every case is a bijection (same
+    multiset of pixels)."""
+    rng = _rng()
+    a = rng.integers(0, 65536, size=(5, 8)).astype(np.uint16)
+    t = tiff.apply_exif_orientation
+    assert np.array_equal(t(a, 1), a)
+    for o in (2, 3, 4, 5, 7):
+        assert np.array_equal(t(t(a, o), o), a), o
+    assert np.array_equal(t(t(a, 6), 8), a)
+    assert np.array_equal(t(t(a, 8), 6), a)
+    for o in (5, 6, 7, 8):
+        assert t(a, o).shape == (8, 5), o
+    for o in range(1, 9):
+        assert sorted(t(a, o).ravel()) == sorted(a.ravel())
+    # rot90 CW moves the top-left corner to the top-right
+    assert t(a, 6)[0, -1] == a[0, 0]
+
+
+def test_orientation_tag_probe_roundtrip():
+    arr = _rng().integers(0, 65536, size=(4, 6)).astype(np.uint16)
+    for o in range(1, 9):
+        dng = tiff.encode_dng_lossless(arr, orientation=o)
+        assert tiff.probe_tiff_orientation(dng) == o
+        # pixel payload is orientation-independent (tag only)
+        assert np.array_equal(tiff.decode_dng_lossless(dng)[:, :, 0], arr)
