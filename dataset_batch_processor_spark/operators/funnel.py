@@ -290,3 +290,78 @@ ORDER BY r.event_type
 
 QUERIES["events_value_percentiles_exact"] = _q_percentiles
 ORACLES["events_value_percentiles_exact"] = PERCENTILES_DUCK
+
+
+# ------------------------------------- streaming heavy hitters
+# The incremental form of ``heavy_hitters``: per-user counts are
+# mergeable by addition, so each micro-batch commits its partial
+# count table idempotently (overwrite of its own batch_id partition —
+# a retried batch replaces itself, never double-counts) and the read
+# side sums partials before thresholding. The result EQUALS the
+# one-pass batch query by mergeability, so HEAVY_HITTERS_DUCK
+# hash-gates the micro-batching, the idempotent commits, and the
+# merge — the same invariant family as events_cms_streaming_counters.
+
+
+def accumulate_user_counts(events_stream: DataFrame, counts_dir: str,
+                           checkpoint_dir: str):
+    import os
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(counts_dir, f"batch_id={batch_id}")
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..matcache import scratch_dir
+
+    events = catalog.load_events(spark, sf_dir).select("user_id")
+    stage = scratch_dir("dbp_hh_stage_")
+    for part in range(3):
+        events.filter(F.col("user_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    work = scratch_dir("dbp_hh_work_")
+    q = accumulate_user_counts(
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage),
+        counts_dir=os.path.join(work, "counts"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination()
+    per_user = (
+        spark.read.parquet(os.path.join(work, "counts"))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"))
+    )
+    total = per_user.agg(F.sum("n_events").alias("total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * HH_DENOM > F.col("total"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
+QUERIES["events_stream_heavy_hitters"] = _q_stream_heavy_hitters
+ORACLES["events_stream_heavy_hitters"] = HEAVY_HITTERS_DUCK
