@@ -351,3 +351,132 @@ def _q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"img_phash_near_dup_pairs": _q_phash_pairs}
 ORACLES = {"img_phash_near_dup_pairs": PHASH_PAIRS_DUCK}
+
+
+# ------------------------------------------------ production kernel twin
+# Same bit semantics as the SQL lattice path, for REAL binary image
+# columns — the pHash sibling of imagedup.dhash_bands. The DCT runs
+# as two int64 matrix products against the same fixed-point cosine
+# table, the threshold is the same rank-32 order statistic with the
+# same (coef, idx) tie-break, so a lattice image hashed through the
+# kernel equals the SQL hash bit-for-bit (test-pinned).
+
+
+def phash_hash_array(arr) -> tuple[int, int, int, int]:
+    """(b0..b3) 16/16/16/15-bit bands of the 63-bit pHash of an
+    (h, w, 3) uint8 image. Integer-exact: NN downsample, fixed-point
+    luma, int64 DCT, exact order-statistic threshold."""
+    import numpy as np
+
+    a = arr.astype(np.int64)
+    h, w = a.shape[0], a.shape[1]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    luma = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) // 256
+    sy = (np.arange(32) * h) // 32
+    sx = (np.arange(32) * w) // 32
+    L = luma[np.ix_(sy, sx)]
+    C = np.array(
+        [[q for kk, n, q in _cos_values() if kk == k] for k in range(8)],
+        dtype=np.int64,
+    )
+    t2 = C @ L @ C.T  # (8, 8) int64 — exact
+    coefs = []
+    for k in range(8):
+        for kc in range(8):
+            if k == 0 and kc == 0:
+                continue
+            coefs.append((int(t2[k, kc]), k * 8 + kc - 1))
+    med = sorted(coefs)[31][0]  # rank-32 by (coef, idx)
+    bands = [0, 0, 0, 0]
+    for coef, idx in coefs:
+        if coef > med:
+            bands[idx // 16] |= 1 << (idx % 16)
+    return tuple(bands)
+
+
+def phash_bands(df: DataFrame) -> DataFrame:
+    """pHash band signature for real binary image columns
+    (id, fmt, content); decode failures quarantine (F7) with band
+    columns NULL — same contract as imagedup.dhash_bands."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import binary as mmbin
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"id": str(row.id), "b0": None, "b1": None,
+                       "b2": None, "b3": None, "error": None}
+                try:
+                    arr = mmbin.decode_any(
+                        row.fmt.lower(), bytes(row.content)
+                    )
+                    b0, b1, b2, b3 = phash_hash_array(arr)
+                    rec.update(b0=b0, b1=b1, b2=b2, b3=b3)
+                except Exception as exc:  # noqa: BLE001 — F7 quarantine
+                    rec["error"] = f"{type(exc).__name__}: {exc}"
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=["id", "b0", "b1", "b2", "b3", "error"]
+            )
+
+    return df.mapInPandas(
+        run, schema="id string, b0 int, b1 int, b2 int, b3 int, error string"
+    )
+
+
+# ------------------------------------------------ pHash dup clusters
+# Transitive closure over the pHash pair graph — same composition as
+# img_dhash_components (star contraction over a matcache-materialized
+# edge list; recursive-CTE closure as the fixture oracle). pHash and
+# dHash cluster DIFFERENT error families (frequency-domain vs
+# gradient), so a production pipeline runs both and unions the edge
+# lists; this query gates the pHash side end-to-end.
+
+
+def _q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..matcache import materialize_once
+    from .components import connected_components
+
+    def build() -> DataFrame:
+        return phash_pairs(
+            catalog.load_table(spark, sf_dir, "documents")
+        ).select("doc_a", "doc_b")
+
+    pairs = materialize_once(spark, "phash_pairs", sf_dir, build)
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"),
+                F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+PHASH_COMPONENTS_DUCK = f"""
+WITH RECURSIVE ppairs AS (
+  SELECT doc_a, doc_b FROM ({PHASH_PAIRS_DUCK.replace("ORDER BY doc_a, doc_b", "")}) e
+),
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM ppairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM ppairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+)
+SELECT node AS doc_id, least(node, min(other)) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+QUERIES["img_phash_components"] = _q_phash_components
+ORACLES["img_phash_components"] = PHASH_COMPONENTS_DUCK
