@@ -64,6 +64,7 @@ from dataset_batch_processor_spark.operators import (
     search,
     funnel,
     phash,
+    relational7,
     semdedup,
     webquality,
     similarity,
@@ -399,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(funnel.QUERIES)
     q.update(webquality.QUERIES)
     q.update(phash.QUERIES)
+    q.update(relational7.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(mlfilter.QUERIES)
@@ -500,6 +502,7 @@ FROM images_meta GROUP BY 1
     o.update(funnel.ORACLES)
     o.update(webquality.ORACLES)
     o.update(phash.ORACLES)
+    o.update(relational7.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(mlfilter.ORACLES)

@@ -1,0 +1,100 @@
+"""Round-6 relational surface extensions: wide pivot and within-group
+percentile ranks.
+
+- **events_type_pivot**: the classic long→wide pivot (day × event
+  type counts as columns). Written as explicit conditional aggregates
+  rather than the PIVOT keyword so both engines share one semantic;
+  Catalyst compiles it to a single map-side-combined hash aggregation
+  either way — one shuffle on the day key.
+- **customer_nation_spend_percentile**: percent-rank of customer
+  spend WITHIN nation, in integer ppm ((rn−1)·10⁶ DIV (n−1)) — no
+  float division, and the window partitions on nation (a keyed
+  window; a global percent_rank would serialize the customer table
+  through one task at scale, the single-partition-window
+  anti-pattern the engine bans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in _TYPES
+)
+
+
+def _pivot_sql(day_expr: str) -> str:
+    return f"""
+SELECT {day_expr} AS day,
+       {_PIVOT_COLS},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+EVENTS_PIVOT_SPARK = _pivot_sql("unix_micros(ts) DIV 86400000000")
+EVENTS_PIVOT_DUCK = _pivot_sql("epoch_us(ts) // 86400000000")
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(EVENTS_PIVOT_SPARK)
+
+
+def _pctile_sql(div: str) -> str:
+    return f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2))
+           AS sp
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         coalesce(s.sp, CAST(0 AS DECIMAL(25,2))) AS sp
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT c_custkey, c_nationkey, sp,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY sp DESC, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM j
+)
+SELECT c_custkey,
+       CAST(c_nationkey AS INT) AS nation,
+       CAST(sp AS DOUBLE) AS spend,
+       CAST(CASE WHEN n > 1
+                 THEN (rn - 1) * 1000000 {div} (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_ppm
+FROM r
+ORDER BY c_custkey
+"""
+
+
+SPEND_PCTILE_SPARK = _pctile_sql("DIV")
+SPEND_PCTILE_DUCK = _pctile_sql("//")
+
+
+def _q_spend_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SPEND_PCTILE_SPARK)
+
+
+QUERIES = {
+    "events_type_pivot": _q_events_pivot,
+    "customer_nation_spend_percentile": _q_spend_pctile,
+}
+ORACLES = {
+    "events_type_pivot": EVENTS_PIVOT_DUCK,
+    "customer_nation_spend_percentile": SPEND_PCTILE_DUCK,
+}
