@@ -757,3 +757,81 @@ ORDER BY d.community
 
 QUERIES["dup_graph_modularity"] = _q_modularity
 ORACLES["dup_graph_modularity"] = _modularity_duck()
+
+
+# ----------------------------------------------- dedup dashboard
+# One table a pipeline operator actually looks at: how many documents
+# each dedup family would remove. Composes the SAME session artifacts
+# the family queries use (exact-hash groups; the matcache'd CC label
+# table), so within a bench/driver session it adds two tiny
+# aggregations, not a recompute. The embedding-side families
+# (SemDeDup) report separately — different table, different unit.
+
+
+def _q_dedup_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    exact_groups = docs.groupBy(F.md5("text")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = exact_groups.agg(
+        F.lit("exact_hash").alias("family"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_removed"),
+    )
+    labels = doc_dup_labels(spark, sf_dir)
+    near = labels.agg(
+        F.lit("minhash_near_dup").alias("family"),
+        (F.count(F.lit(1)) - F.countDistinct("comp"))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    return (
+        exact.unionByName(near)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "family",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "n_removed",
+            F.expr("n_removed * 1000000 DIV n").alias("removed_ppm"),
+        )
+        .orderBy("family")
+    )
+
+
+DEDUP_DASHBOARD_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + """,
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp FROM reach GROUP BY node
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+fams AS (
+  SELECT 'exact_hash' AS family,
+         CAST((SELECT sum(c - 1) FROM (
+            SELECT count(*) AS c FROM documents GROUP BY md5(text)
+         )) AS BIGINT) AS n_removed
+  UNION ALL
+  SELECT 'minhash_near_dup',
+         CAST((SELECT count(*) - count(DISTINCT comp) FROM labels)
+              AS BIGINT)
+)
+SELECT family, nd.n AS n_docs, n_removed,
+       CAST(n_removed * 1000000 // nd.n AS BIGINT) AS removed_ppm
+FROM fams, nd
+ORDER BY family
+"""
+)
+
+QUERIES["docs_dedup_dashboard"] = _q_dedup_dashboard
+ORACLES["docs_dedup_dashboard"] = DEDUP_DASHBOARD_DUCK

@@ -135,3 +135,54 @@ ORDER BY b.doc_id
 
 QUERIES = {"docs_gopher_quality": _q_gopher}
 ORACLES = {"docs_gopher_quality": GOPHER_DUCK}
+
+
+# ------------------------------------------- per-language fertility
+# Tokenizer-fertility style corpus profile: tokens and characters per
+# language, with integer-ppm tokens-per-100-chars — the number that
+# drives per-language sampling budgets (a language whose tokenizer
+# fragments text 2x costs 2x the context window per character). One
+# map-side-combined aggregation over a narrow projection.
+
+
+def lang_fertility(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(
+            "lang",
+            (F.size(F.split(F.col("text"), " "))).alias("toks"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_tokens", "n_chars",
+            F.expr("n_tokens * 100000000 DIV n_chars").alias(
+                "tokens_per_100_chars_x1e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_fertility(catalog.load_table(spark, sf_dir, "documents"))
+
+
+LANG_FERTILITY_DUCK = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(text, ' '))) * 100000000
+            // sum(len(text)) AS BIGINT) AS tokens_per_100_chars_x1e6
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["docs_lang_fertility"] = _q_lang_fertility
+ORACLES["docs_lang_fertility"] = LANG_FERTILITY_DUCK
