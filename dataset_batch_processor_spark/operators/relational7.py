@@ -98,3 +98,77 @@ ORACLES = {
     "events_type_pivot": EVENTS_PIVOT_DUCK,
     "customer_nation_spend_percentile": SPEND_PCTILE_DUCK,
 }
+
+
+# --------------------------------------------- RFM segmentation
+# Classic recency/frequency/monetary customer segmentation with
+# tertile codes computed PER NATION via keyed windows (rank and
+# count partitioned on nation) — the scale-safe form: a global
+# ntile(3) serializes the whole customer dimension through one task.
+# Tertile assignment is pure integer arithmetic:
+# code = least(3, (rn-1)*3 DIV n + 1); recency in whole epoch-days,
+# monetary in DECIMAL. Output is the segment rollup (nation, rfm,
+# counts, spend) — what a campaign/curation consumer actually reads.
+
+
+def _rfm_sql(div: str) -> str:
+    code = f"least(3, (({{rn}} - 1) * 3) {div} {{n}} + 1)"
+    r_code = code.format(rn="r_rn", n="n_cust")
+    f_code = code.format(rn="f_rn", n="n_cust")
+    m_code = code.format(rn="m_rn", n="n_cust")
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(epoch_day) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))
+              AS DECIMAL(25,2)) AS spend
+  FROM (
+    SELECT o_custkey, o_totalprice,
+           {{epoch_day}} AS epoch_day
+    FROM orders
+  ) GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         p.last_day, p.n_orders, p.spend
+  FROM customer c JOIN per_cust p ON p.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY last_day DESC, c_custkey) AS r_rn,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY n_orders DESC, c_custkey) AS f_rn,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend DESC, c_custkey) AS m_rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n_cust,
+         spend
+  FROM j
+)
+SELECT CAST(c_nationkey AS INT) AS nation,
+       CAST({r_code} * 100 + {f_code} * 10 + {m_code} AS INT) AS rfm,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(spend) AS DOUBLE) AS total_spend
+FROM ranked
+GROUP BY 1, 2
+ORDER BY nation, rfm
+"""
+
+
+RFM_SPARK = _rfm_sql("DIV").format(
+    epoch_day="datediff(o_orderdate, DATE '1970-01-01')"
+)
+RFM_DUCK = _rfm_sql("//").format(
+    epoch_day="datediff('day', DATE '1970-01-01', o_orderdate)"
+)
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(RFM_SPARK)
+
+
+QUERIES["customer_rfm_segments"] = _q_rfm
+ORACLES["customer_rfm_segments"] = RFM_DUCK
