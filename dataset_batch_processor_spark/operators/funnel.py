@@ -365,3 +365,74 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_stream_heavy_hitters"] = _q_stream_heavy_hitters
 ORACLES["events_stream_heavy_hitters"] = HEAVY_HITTERS_DUCK
+
+
+# ------------------------------------------- DAU / WAU / MAU
+# The engagement trio + stickiness (DAU/MAU) per day, all from the
+# same per-day activity table sliding_wau uses: one (day, user)
+# distinct over the corpus, then range joins against the tiny day
+# list for the 7- and 30-day windows. Stickiness in integer ppm.
+
+
+def engagement_metrics(ev: DataFrame) -> DataFrame:
+    act = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
+    ).distinct()
+    days = act.select("day").distinct().withColumnRenamed("day", "d")
+
+    def trailing(window_days: int, name: str) -> DataFrame:
+        return (
+            days.join(
+                act,
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") > F.col("d") - window_days),
+            )
+            .groupBy("d")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = trailing(1, "dau")
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau", "wau", "mau",
+            F.expr("dau * 1000000 DIV mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def _q_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engagement_metrics(catalog.load_events(spark, sf_dir))
+
+
+ENGAGEMENT_DUCK = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM act),
+dau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM days JOIN act ON act.day = d GROUP BY d
+),
+wau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM days JOIN act ON act.day <= d AND act.day > d - 7 GROUP BY d
+),
+mau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM days JOIN act ON act.day <= d AND act.day > d - 30 GROUP BY d
+)
+SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+       CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+ORDER BY day
+"""
+
+QUERIES["events_engagement_metrics"] = _q_engagement
+ORACLES["events_engagement_metrics"] = ENGAGEMENT_DUCK
