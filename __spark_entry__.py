@@ -162,15 +162,53 @@ def _q_caption_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Last round in which each query had a green driver row (driver
-# oracle, sf0.01; green = hash_match, or rows_match for the rows-only
-# checks). The driver verifies at most ~50 queries per round in
-# dict-insertion order, so ``_prioritize`` fronts (a) names with NO
-# green row ever, then (b) the STALEST green rows — each round the
-# window re-proves the oldest verifications, so every query re-verifies
-# at least every ~3 rounds instead of r1-era rows aging forever.
-# Refresh from CORRECTNESS_r{N}.json each round (round-workflow rule).
-_LAST_VERIFIED = {
+def _load_last_verified() -> dict[str, int]:
+    """Last round in which each query had a green driver row, FOLDED
+    FROM the committed ``CORRECTNESS_r{N}.json`` artifacts at import
+    (green = ``hash_match``, or ``rows_match`` for the rows-only
+    checks, with no recorded error). The driver verifies at most ~50
+    queries per round in dict-insertion order, so ``_prioritize``
+    fronts (a) names with NO green row ever, then (b) the STALEST
+    green rows — each round the window re-proves the oldest
+    verifications, so every query re-verifies at least every ~4 rounds
+    instead of r1-era rows aging forever. Generated rather than
+    hand-maintained (VERDICT r6 wrong#2): a hand-refreshed table one
+    round stale would silently skew which rows get re-proved."""
+    import glob
+    import json
+    import re
+
+    out: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or r.get("err"):
+                continue
+            ok = r.get("hash_match")
+            if ok is None:
+                ok = r.get("rows_match")
+            if ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+_LAST_VERIFIED = _load_last_verified()
+
+# The hand-maintained r6 table this loader replaced is preserved below
+# (underscore-prefixed, unused) ONLY as the fixture for
+# tests/test_rotation.py's equivalence check over the r1-r6 artifacts.
+_R6_HAND_TABLE = {
     "active_customers_semi": 5,
     "asof_latest_order": 2,
     "asof_next_order_30d": 2,

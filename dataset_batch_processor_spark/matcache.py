@@ -73,6 +73,17 @@ def invalidate(kind_prefix: str) -> None:
             del _CACHE[ck]
 
 
+def invalidate_exact(kind: str) -> None:
+    """Drop cache entries for exactly ``kind``. bench.py uses this so
+    busting one ANN family's result cache (``anntopk_ivf``) cannot
+    evict a sibling whose kind shares the prefix
+    (``anntopk_ivfpq``) — prefix eviction mid-run reintroduced
+    order-dependent timings for the other families."""
+    with _LOCK:
+        for ck in [k for k in _CACHE if k[1] == kind]:
+            del _CACHE[ck]
+
+
 def materialize_once(
     spark: SparkSession, kind: str, key: str,
     build: Callable[[], DataFrame],

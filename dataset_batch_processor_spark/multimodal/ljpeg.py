@@ -14,8 +14,10 @@ house pure-Python style (vp8.py, jpeg.py):
   1 - 2^-16, so the forbidden all-ones codeword is naturally unused).
 - **decode**: DHT/SOF3/SOS parsing, byte-unstuffing bit reader,
   per-sample Huffman SSSS + EXTEND, modulo-2^16 prediction
-  reconstruction (T.81 H.2), restart markers honored (prediction
-  resets per T.81 H.1.1).
+  reconstruction (T.81 H.2). Streams with a DRI/restart interval are
+  quarantined with a precise reason (the house encoder never emits
+  DRI, and decoding them without per-restart prediction resets would
+  silently corrupt — see _decode_scan).
 
 Sample ordering and prediction (T.81 Annex H): prediction for the
 first sample of the first line (and after a restart) is 2^(P-Pt-1);
@@ -98,7 +100,6 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.marker: int | None = None
 
     def _fill(self) -> None:
         d = self.data
@@ -111,12 +112,9 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn: consumed by caller
-                self.marker = nxt
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-            else:  # EOI or other marker: treat as end, pad 1s
+            else:
+                # any marker (EOI, RSTn — DRI streams never reach the
+                # scan decoder): treat as end of entropy data, pad 1s
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return

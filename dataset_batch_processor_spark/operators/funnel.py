@@ -130,7 +130,10 @@ SELECT * FROM (
 """
 
 
-def sliding_wau(ev: DataFrame, window_days: int = 7) -> DataFrame:
+WAU_WINDOW_DAYS = 7
+
+
+def sliding_wau(ev: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
     """(day, wau): distinct users active in the trailing
     ``window_days`` ending at each day THE DATA CONTAINS.
 
@@ -161,16 +164,23 @@ def _q_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_wau(catalog.load_events(spark, sf_dir))
 
 
-SLIDING_WAU_DUCK = f"""
+def sliding_wau_duck(window_days: int = WAU_WINDOW_DAYS) -> str:
+    """DuckDB oracle generated from the SAME window parameter as
+    ``sliding_wau`` — a caller using a non-default window gets a
+    matching oracle instead of silently losing coverage."""
+    return f"""
 WITH act AS (
   SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
 ),
 days AS (SELECT DISTINCT day AS d FROM act)
 SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-FROM days JOIN act ON act.day <= d AND act.day > d - 7
+FROM days JOIN act ON act.day <= d AND act.day > d - {window_days}
 GROUP BY d
 ORDER BY day
 """
+
+
+SLIDING_WAU_DUCK = sliding_wau_duck()
 
 
 def heavy_hitters(ev: DataFrame, denom: int = HH_DENOM) -> DataFrame:
@@ -196,7 +206,10 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(catalog.load_events(spark, sf_dir))
 
 
-HEAVY_HITTERS_DUCK = f"""
+def heavy_hitters_duck(denom: int = HH_DENOM) -> str:
+    """DuckDB oracle generated from the SAME threshold denominator as
+    ``heavy_hitters`` — non-default denoms keep oracle coverage."""
+    return f"""
 WITH per_user AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY user_id
@@ -205,9 +218,12 @@ tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
 SELECT user_id, n_events,
        CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
 FROM per_user, tot
-WHERE n_events * {HH_DENOM} > total
+WHERE n_events * {denom} > total
 ORDER BY n_events DESC, user_id
 """
+
+
+HEAVY_HITTERS_DUCK = heavy_hitters_duck()
 
 
 QUERIES = {

@@ -55,6 +55,14 @@ _COS_ROWS = ",\n    ".join(
 
 def _phash_sql(engine: str) -> str:
     div = "DIV" if engine == "spark" else "//"
+    # DuckDB may inline a plain CTE at every reference; bands is
+    # referenced three times (cand twice, hashes once), so inlining
+    # would recompute the whole 32x32-grid DCT pipeline per reference
+    # — the same exponential-inlining hazard the k-core/LPA unrolled
+    # oracles guard against (components.py _kcore_duck). MATERIALIZED
+    # pins one evaluation; Spark has no such keyword (Catalyst reuses
+    # the subplan via exchange reuse on its own).
+    mat = "" if engine == "spark" else " MATERIALIZED"
     if engine == "spark":
         grid = """
 grid AS (
@@ -149,14 +157,14 @@ bits AS (
          CASE WHEN ac.coef > med.m THEN 1 ELSE 0 END AS bit
   FROM ac JOIN med ON med.doc_id = ac.doc_id
 ),
-bands AS (
+bands AS{mat} (
   SELECT doc_id,
          CAST(idx {div} 16 AS INT) AS band_idx,
          CAST(sum({shl}) AS INT) AS band_val
   FROM bits
   GROUP BY doc_id, idx {div} 16
 ),
-hashes AS (
+hashes AS{mat} (
   SELECT doc_id,
          CAST(sum(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS b0,
          CAST(sum(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS b1,

@@ -1,0 +1,106 @@
+"""Bench regression tripwire (VERDICT r6 next#6).
+
+With median-of-3 headline timings in place, round-over-round deltas
+under ~1.5x are host noise (recorded spreads reach 1.75x on the
+noisiest queries); anything past that deserves a mechanical flag
+instead of eyeballing 200 numbers. This tool diffs two bench
+artifacts per-query and reports ONLY moves beyond the threshold,
+annotated with each side's recorded [min, median, max] spread when
+present, so a flagged move can be judged against its own noise floor.
+
+Accepted artifact shapes (auto-detected):
+  - BENCH_DETAIL.json       — {"queries": {...}, "spread": {...}, ...}
+  - driver BENCH_r{N}.json  — {"parsed": {"queries": {...}, ...}, ...}
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [threshold]
+    # prior round's detail straight from git:
+    git show <ref>:BENCH_DETAIL.json > /tmp/old.json
+    python tools/bench_compare.py /tmp/old.json BENCH_DETAIL.json \
+        > BENCH_COMPARE_r7.md
+
+Exit code 0 always — the report is for the round ledger; gating on
+host-noisy timings would make every round flaky.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> tuple[dict[str, float], dict[str, list[float]], dict]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    queries = doc.get("queries") or {}
+    spread = doc.get("spread") or {}
+    return queries, spread, doc
+
+
+def fmt_spread(spread: dict, name: str) -> str:
+    s = spread.get(name)
+    if not s:
+        return "—"
+    return "[" + ", ".join(f"{v:.2f}" for v in s) + "]"
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old_q, old_s, old_doc = load(old_path)
+    new_q, new_s, new_doc = load(new_path)
+
+    flagged: list[tuple[float, str, float, float]] = []
+    floor = 0.2  # below this many seconds, ratios are pure jitter
+    for name in sorted(set(old_q) & set(new_q)):
+        a, b = old_q[name], new_q[name]
+        if max(a, b) < floor:
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        if ratio > threshold or ratio < 1.0 / threshold:
+            flagged.append((max(ratio, 1.0 / ratio), name, a, b))
+    flagged.sort(reverse=True)
+
+    added = sorted(set(new_q) - set(old_q))
+    removed = sorted(set(old_q) - set(new_q))
+
+    print(f"# Bench compare: {old_path} -> {new_path}")
+    print()
+    print(
+        f"Threshold {threshold}x either direction; queries with both "
+        f"sides under {floor}s skipped (pure jitter). "
+        f"{len(set(old_q) & set(new_q))} common, "
+        f"{len(added)} added, {len(removed)} removed."
+    )
+    for key, label in (("headline_total", "headline_total"),
+                       ("value", "metric value"),
+                       ("all_total", "all_total")):
+        if key in old_doc and key in new_doc:
+            print(f"- {label}: {old_doc[key]} -> {new_doc[key]}")
+    print()
+    if not flagged:
+        print(f"**No per-query move beyond {threshold}x.**")
+    else:
+        print(f"## Moves beyond {threshold}x ({len(flagged)})")
+        print()
+        print("| query | old s | new s | ratio | old spread | new spread |")
+        print("|---|---|---|---|---|---|")
+        for _, name, a, b in flagged:
+            print(
+                f"| {name} | {a:.3f} | {b:.3f} | {b / a:.2f}x "
+                f"| {fmt_spread(old_s, name)} | {fmt_spread(new_s, name)} |"
+            )
+    if added:
+        print()
+        print(f"New queries (no prior medians): {', '.join(added)}")
+    if removed:
+        print()
+        print(f"Removed queries: {', '.join(removed)}")
+
+
+if __name__ == "__main__":
+    main()
