@@ -9,7 +9,10 @@ Scope (raises NotImplementedError outside it, which the F7 quarantine
 path catches per-row):
 
 - 8-bit samples; color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); interlace 0 (non-interlaced).
+  4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and 1 (Adam7 —
+  each of the 7 passes is an independently-filtered sub-image, PNG
+  spec §8.2; decode reuses the scanline unfilter per pass and
+  scatters by stride, encode gathers by stride and filters per pass).
 - decode always yields H x W x 3 uint8 RGB (gray replicated, palette
   resolved, alpha dropped — PIL ``convert("RGB")`` drops alpha the
   same way).
@@ -35,6 +38,12 @@ import numpy as np
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -95,6 +104,27 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return recon
 
 
+def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Adam7 stream -> (h, w, bpp) uint8. Each non-empty pass is an
+    independently-filtered sub-image of ceil((w-x0)/dx) x
+    ceil((h-y0)/dy) pixels; unfiltered samples scatter back into the
+    full frame at (y0 + i*dy, x0 + j*dx)."""
+    px = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        if w <= x0 or h <= y0:
+            continue  # pass empty for this geometry: zero bytes
+        pw = -(-(w - x0) // dx)
+        ph = -(-(h - y0) // dy)
+        n = ph * (pw * bpp + 1)
+        sub = _unfilter(raw[pos:pos + n], ph, pw, bpp)
+        pos += n
+        px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError("PNG: decompressed length mismatch")
+    return px
+
+
 def decode_png(content: bytes) -> np.ndarray:
     """PNG bytes -> H x W x 3 uint8 RGB."""
     if content[: len(SIGNATURE)] != SIGNATURE:
@@ -120,13 +150,16 @@ def decode_png(content: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG: bit depth {depth} not supported")
     if ctype not in _CHANNELS:
         raise NotImplementedError(f"PNG: color type {ctype} not supported")
-    if interlace != 0:
-        raise NotImplementedError("PNG: Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("PNG: nonstandard compression/filter method")
     bpp = _CHANNELS[ctype]
-    recon = _unfilter(zlib.decompress(b"".join(idat)), h, w, bpp)
-    px = recon.reshape(h, w, bpp)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, h, w, bpp)
+    else:
+        px = _unfilter(raw, h, w, bpp).reshape(h, w, bpp)
     if ctype == 2:
         return px
     if ctype == 6:  # RGBA -> drop alpha
@@ -140,21 +173,12 @@ def decode_png(content: bytes) -> np.ndarray:
     return plte[px[:, :, 0]]
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """H x W x 3 (or H x W gray) uint8 -> 8-bit RGB PNG bytes.
-
-    ``filter_type`` applies to every row; encoding (unlike decoding)
-    vectorizes fully for all five filters because predictors read the
-    ORIGINAL neighbor bytes."""
-    if arr.ndim == 2:
-        arr = np.repeat(arr[:, :, None], 3, axis=2)
-    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_png expects H x W x 3 uint8")
-    h, w, _ = arr.shape
-    if h == 0 or w == 0:
-        raise ValueError("encode_png: empty image")
-    bpp = 3
-    cur = arr.reshape(h, w * bpp)
+def _filter_scanlines(arr: np.ndarray, filter_type: int) -> np.ndarray:
+    """(h, w, 3) uint8 -> (h, w*3 + 1) filtered scanlines (filter byte
+    prepended). Vectorizes fully for all five filters because encode
+    predictors read the ORIGINAL neighbor bytes."""
+    h, w, bpp = arr.shape
+    cur = np.ascontiguousarray(arr).reshape(h, w * bpp)
     left = np.zeros_like(cur)
     left[:, bpp:] = cur[:, :-bpp]
     up = np.zeros_like(cur)
@@ -178,10 +202,40 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     scan = np.zeros((h, w * bpp + 1), dtype=np.uint8)
     scan[:, 0] = filter_type
     scan[:, 1:] = filtered
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return scan
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """H x W x 3 (or H x W gray) uint8 -> 8-bit RGB PNG bytes.
+
+    ``filter_type`` applies to every row. ``interlace=True`` writes
+    Adam7: each of the 7 passes gathered by stride and filtered as its
+    own sub-image (exists mainly so tests and the roundtrip queries
+    can exercise the interlaced decode with self-produced bytes —
+    sequential compresses better and is what the engine emits)."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects H x W x 3 uint8")
+    h, w, _ = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_png: empty image")
+    if interlace:
+        parts = [
+            _filter_scanlines(arr[y0::dy, x0::dx], filter_type).tobytes()
+            for x0, y0, dx, dy in _ADAM7
+            if w > x0 and h > y0
+        ]
+        body = b"".join(parts)
+    else:
+        body = _filter_scanlines(arr, filter_type).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+        + _chunk(b"IDAT", zlib.compress(body, level))
         + _chunk(b"IEND", b"")
     )

@@ -152,6 +152,58 @@ SELECT doc_id,
 FROM documents
 """
 
+# Adam7 variant of the PNG roundtrip (VERDICT r6 next#2): same
+# closed-form gradient, but encoded INTERLACED with filter doc_id % 5,
+# and dims run down to 1x1 (w in 1..16, h in 1..13) so geometries with
+# EMPTY interlace passes (w<5 kills pass 2, h<5 kills pass 3, ...) are
+# all under the hash gate, not just the happy path. The oracle is the
+# same pixel-sum recomputation — interlacing must be a pure byte-layout
+# change, invisible in decoded pixels.
+
+
+def _q_png_interlaced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, png
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 1, d % 13 + 1
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                data = png.encode_png(arr, filter_type=d % 5, interlace=True)
+                dec = binary.decode_any("png", data)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "width": int(dec.shape[1]),
+                        "height": int(dec.shape[0]),
+                        "pix_sum": int(dec.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "pix_sum"]
+            )
+
+    return docs.mapInPandas(run, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+PNG_INTERLACED_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 13 + 1 AS INT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, doc_id % 13), y ->
+         list_sum(list_transform(generate_series(0, doc_id % 16), x ->
+           list_sum(list_transform([0,1,2], c ->
+             (doc_id + 3*x + 7*y + 11*c) % 256)))))) AS BIGINT) AS pix_sum
+FROM documents
+"""
+
 # WAV analogue of the PNG roundtrip: deterministic int16 ramp per doc,
 # encoded to real RIFF/PCM bytes (stdlib wave), decoded back through
 # the audio codec registry, sample-sum checksummed; DuckDB recomputes
@@ -1133,6 +1185,7 @@ QUERIES = {
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
+    "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
     "mm_resize_roundtrip": _q_resize_roundtrip,
@@ -1150,6 +1203,7 @@ ORACLES = {
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
+    "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,

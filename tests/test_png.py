@@ -90,11 +90,19 @@ def test_unsupported_depth_and_interlace_raise():
                  + good[len(png.SIGNATURE) + 25:])
     with pytest.raises(NotImplementedError):
         png.decode_png(bad_depth)
-    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    # interlace method 2 does not exist (0=sequential, 1=Adam7 — both
+    # now supported); and a SEQUENTIAL stream relabeled Adam7 has the
+    # wrong byte layout for the 7-pass walk
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     bad_inter = (png.SIGNATURE + png._chunk(b"IHDR", ihdr_i)
                  + good[len(png.SIGNATURE) + 25:])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="interlace"):
         png.decode_png(bad_inter)
+    ihdr_a7 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    relabeled = (png.SIGNATURE + png._chunk(b"IHDR", ihdr_a7)
+                 + good[len(png.SIGNATURE) + 25:])
+    with pytest.raises(ValueError):
+        png.decode_png(relabeled)
     with pytest.raises(ValueError):
         png.decode_png(b"definitely not a png")
 
@@ -191,5 +199,73 @@ def test_png_roundtrip_property_hypothesis():
         assert np.array_equal(
             png.decode_png(png.encode_png(arr, filter_type=ft)), arr
         )
+
+    check()
+
+
+# ----------------------------------------------------- Adam7 interlace
+
+
+def test_adam7_roundtrip_all_filters_and_geometries():
+    """Interlaced encode -> decode is lossless for every filter type,
+    including geometries where some of the 7 passes are EMPTY
+    (w<5 kills pass 2, h<5 kills pass 3, 1x1 leaves only pass 1)."""
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (1, 10), (3, 1), (2, 3), (4, 4), (7, 9),
+                 (8, 8), (13, 5), (33, 31)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            data = png.encode_png(arr, filter_type=ft, interlace=True)
+            assert np.array_equal(png.decode_png(data), arr), (h, w, ft)
+
+
+def test_adam7_ihdr_flag_and_pass_layout():
+    """The interlace byte is set, and the IDAT stream is the exact
+    concatenation of the 7 per-pass filtered sub-images (spec 8.2):
+    decoding a hand-assembled pass stream matches the stride gather."""
+    arr = (np.arange(9 * 11 * 3, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(9, 11, 3)
+    data = png.encode_png(arr, interlace=True)
+    ihdr = data[len(png.SIGNATURE) + 8 : len(png.SIGNATURE) + 8 + 13]
+    assert ihdr[-1] == 1  # interlace method
+    # hand-build the same stream: per pass, filter-0 rows of the gather
+    parts = []
+    for x0, y0, dx, dy in png._ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw, _ = sub.shape
+        rows = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
+        rows[:, 1:] = sub.reshape(ph, pw * 3)
+        parts.append(rows.tobytes())
+    idat = data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8]
+    assert zlib.decompress(idat) == b"".join(parts)
+
+
+def test_adam7_truncated_stream_rejected():
+    arr = np.zeros((10, 10, 3), dtype=np.uint8)
+    data = png.encode_png(arr, interlace=True)
+    raw = zlib.decompress(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8])
+    with pytest.raises(ValueError, match="length mismatch"):
+        png._deinterlace_adam7(raw[:-1], 10, 10, 3)
+    with pytest.raises(ValueError, match="length mismatch"):
+        png._deinterlace_adam7(raw + b"\x00", 10, 10, 3)
+
+
+def test_adam7_hypothesis_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arr=arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12),
+                                       st.just(3))),
+        ft=st.integers(0, 4),
+    )
+    def check(arr, ft):
+        data = png.encode_png(arr, filter_type=ft, interlace=True)
+        assert np.array_equal(png.decode_png(data), arr)
 
     check()
