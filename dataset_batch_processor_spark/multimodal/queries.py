@@ -830,6 +830,87 @@ WHERE doc_id % 4 = 0
 """
 
 
+# Tiled-DNG variant (VERDICT r6 next#3): the layout real cameras ship.
+# Same bit-exact + closed-form-checksum gate as mm_dng_lossless_roundtrip,
+# but the container writes TileWidth/TileLength/TileOffsets/TileByteCounts
+# (TIFF 6.0 §15) with per-doc geometry spanning image-smaller-than-tile,
+# exact-multiple, and clipped-edge cases, and tile size alternating
+# 16x16 / 32x16. n_tiles is recomputed by the oracle so a decoder that
+# ignored the grid could not hash green.
+
+DNG_TILED_SCHEMA = (
+    "doc_id long, width int, height int, n_comp int, n_tiles int, "
+    "lossless_exact boolean, pix_sum bigint"
+)
+
+
+def _q_dng_tiled_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import tiff
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nc = d % 37 + 10, d % 29 + 10, d % 3 + 1
+                tw = 16 if d % 2 == 0 else 32
+                y, x, c = np.mgrid[0:h, 0:w, 0:nc]
+                arr = ((d * 7 + x * 257 + y * 1031 + c * 4099) % 65536
+                       ).astype(np.uint16)
+                dng = tiff.encode_dng_lossless(
+                    arr, predictor=d % 7 + 1, tile=(tw, 16)
+                )
+                dec = tiff.decode_dng_lossless(dng)
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "n_comp": nc,
+                    "n_tiles": ((w + tw - 1) // tw) * ((h + 15) // 16),
+                    "lossless_exact": bool(np.array_equal(dec, arr)),
+                    "pix_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_comp", "n_tiles",
+                         "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=DNG_TILED_SCHEMA)
+
+
+DNG_TILED_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 37 + 10 AS INT) AS width,
+       CAST(doc_id % 29 + 10 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS n_comp,
+       CAST(
+         ((doc_id % 37 + 10 + CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 31 END)
+            // CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 32 END)
+         * ((doc_id % 29 + 25) // 16)
+       AS INT) AS n_tiles,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 7 + x.x * 257 + y.y * 1031 + c.c * 4099)
+                    % 65536)
+         FROM (SELECT unnest(generate_series(0, doc_id % 37 + 9)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 29 + 9)) AS y) y,
+              (SELECT unnest(generate_series(0, doc_id % 3)) AS c) c
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -1195,6 +1276,7 @@ QUERIES = {
     "mm_vp8_roundtrip": _q_vp8_roundtrip,
     "mm_heif_roundtrip": _q_heif_roundtrip,
     "mm_dng_lossless_roundtrip": _q_dng_roundtrip,
+    "mm_dng_tiled_roundtrip": _q_dng_tiled_roundtrip,
     "mm_exif_orientation": _q_exif_orientation,
 }
 ORACLES = {
@@ -1213,5 +1295,6 @@ ORACLES = {
     "mm_vp8_roundtrip": VP8_ROUNDTRIP_DUCK,
     "mm_heif_roundtrip": HEIF_ROUNDTRIP_DUCK,
     "mm_dng_lossless_roundtrip": DNG_ROUNDTRIP_DUCK,
+    "mm_dng_tiled_roundtrip": DNG_TILED_DUCK,
     "mm_exif_orientation": EXIF_ORIENT_DUCK,
 }

@@ -149,10 +149,17 @@ def encode_tiff(arr: np.ndarray) -> bytes:
 
 def encode_dng_lossless(
     arr: np.ndarray, predictor: int = 1, orientation: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """(H, W) or (H, W, C) uint16 -> minimal lossless-JPEG DNG
-    (little-endian TIFF, Compression=7, one strip). ``orientation``
-    writes EXIF tag 274 (1..8) when not the default."""
+    (little-endian TIFF, Compression=7). ``orientation`` writes EXIF
+    tag 274 (1..8) when not the default.
+
+    Layout: one strip by default; ``tile=(tile_width, tile_length)``
+    writes the TILED layout real cameras ship (tags 322/323/324/325,
+    TIFF 6.0 §15) — every tile is its own full-size SOF3 stream, edge
+    tiles padded by edge replication (the decoder clips), tile dims
+    multiples of 16 per the spec."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint16 or arr.ndim != 3:
@@ -162,48 +169,90 @@ def encode_dng_lossless(
     from . import ljpeg
 
     h, w, nc = arr.shape
-    stream = ljpeg.encode_ljpeg(arr, precision=16, predictor=predictor)
+    if tile is None:
+        streams = [ljpeg.encode_ljpeg(arr, precision=16, predictor=predictor)]
+    else:
+        tw, tl = tile
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        padded = np.pad(
+            arr, ((0, down * tl - h), (0, across * tw - w), (0, 0)),
+            mode="edge",
+        )
+        streams = [
+            ljpeg.encode_ljpeg(
+                padded[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw],
+                precision=16, predictor=predictor,
+            )
+            for ty in range(down)
+            for tx in range(across)
+        ]
     # PhotometricInterpretation: 34892 = LinearRaw (public DNG spec);
     # 1-component mosaics would use 32803 (CFA) + pattern tags, which
     # need camera metadata we don't model — LinearRaw keeps the file
     # self-describing.
+    nt = len(streams)
     entries = [
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, nc, None),        # value patched below
         (259, 3, 1, 7),            # Compression = new-style JPEG
         (262, 3, 1, 34892),        # LinearRaw
-        (273, 4, 1, None),         # StripOffsets patched below
         (277, 3, 1, nc),           # SamplesPerPixel
-        (279, 4, 1, len(stream)),  # StripByteCounts
         (50706, 1, 4, 0x00000401), # DNGVersion 1.4.0.0 (LE bytes)
     ]
+    if tile is None:
+        entries.append((273, 4, 1, None))             # StripOffsets
+        entries.append((279, 4, 1, len(streams[0])))  # StripByteCounts
+    else:
+        entries.append((322, 4, 1, tw))   # TileWidth
+        entries.append((323, 4, 1, tl))   # TileLength
+        entries.append((324, 4, nt, None))  # TileOffsets
+        entries.append((325, 4, nt, None))  # TileByteCounts
     if orientation != 1:
-        entries.insert(4, (274, 3, 1, orientation))
-        entries.sort(key=lambda e: e[0])
+        entries.append((274, 3, 1, orientation))
+    entries.sort(key=lambda e: e[0])
     n_entries = len(entries)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_entries + 4
     bits_off = data_off
-    extra = 2 * nc if nc > 2 else 0  # out-of-line BitsPerSample
-    strip_off = data_off + extra
+    pos = data_off + (2 * nc if nc > 2 else 0)  # out-of-line BitsPerSample
     if nc <= 2:
         bits_val = 16 if nc == 1 else (16 | (16 << 16))
     else:
         bits_val = bits_off
+    # out-of-line LONG arrays for tile offsets/counts when nt > 1
+    off_arr_off = cnt_arr_off = 0
+    if tile is not None and nt > 1:
+        off_arr_off = pos
+        pos += 4 * nt
+        cnt_arr_off = pos
+        pos += 4 * nt
+    stream_offs = []
+    for s in streams:
+        stream_offs.append(pos)
+        pos += len(s)
     out = bytearray(b"II*\x00")
     out += struct.pack("<I", ifd_off)
     out += struct.pack("<H", n_entries)
     for tag, typ, cnt, val in entries:
         if tag == 258:
             val = bits_val
-        elif tag == 273:
-            val = strip_off
+        elif tag in (273, 324):
+            val = stream_offs[0] if nt == 1 else off_arr_off
+        elif tag == 325:
+            val = len(streams[0]) if nt == 1 else cnt_arr_off
         out += struct.pack("<HHII", tag, typ, cnt, val)
     out += struct.pack("<I", 0)
     if nc > 2:
         out += struct.pack("<" + "H" * nc, *([16] * nc))
-    out += stream
+    if tile is not None and nt > 1:
+        out += struct.pack("<" + "I" * nt, *stream_offs)
+        out += struct.pack("<" + "I" * nt, *[len(s) for s in streams])
+    for s in streams:
+        out += s
     return bytes(out)
 
 
@@ -244,9 +293,11 @@ def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
 def decode_dng_lossless(content: bytes) -> np.ndarray:
     """Lossless-JPEG (Compression=7) TIFF/DNG -> (H, W, C) uint16.
 
-    Strips are decoded independently (each strip is its own SOF3
-    stream) and stacked in row order; vendor-specific RAW (CR2/NEF
-    slices, tiled DNG) still quarantines with a precise reason."""
+    Both layouts real DNGs ship: STRIPS (each strip its own SOF3
+    stream, stacked in row order) and TILES (tags 322/323/324/325,
+    TIFF 6.0 §15 — row-major full-size tiles, edge tiles clipped).
+    Vendor-sliced RAW (CR2 sensor slices, NEF linearization) still
+    quarantines with a precise reason."""
     from . import ljpeg
 
     bo = _parse_header(content)
@@ -258,7 +309,29 @@ def decode_dng_lossless(content: bytes) -> np.ndarray:
             f"DNG: compression {compression} is not lossless JPEG"
         )
     if 322 in tags or 324 in tags:
-        raise NotImplementedError("DNG: tiled layout unsupported")
+        if 322 not in tags or 323 not in tags or 324 not in tags \
+                or 325 not in tags:
+            raise ValueError("DNG: incomplete tile tag set")
+        tw, tl = int(tags[322][0]), int(tags[323][0])
+        if tw <= 0 or tl <= 0:
+            raise ValueError("DNG: invalid tile dimensions")
+        offsets, counts = tags[324], tags[325]
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) != across * down or len(counts) != len(offsets):
+            raise ValueError("DNG: tile count mismatch")
+        canvas = None
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            seg = ljpeg.decode_ljpeg(content[int(o) : int(o) + int(c)])
+            if seg.shape[0] != tl or seg.shape[1] != tw:
+                raise ValueError("DNG: tile geometry mismatch")
+            if canvas is None:
+                canvas = np.zeros(
+                    (down * tl, across * tw, seg.shape[2]), dtype=np.uint16
+                )
+            ty, tx = divmod(idx, across)
+            canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = seg
+        return np.ascontiguousarray(canvas[:h, :w])
     offsets = tags[273]
     counts = tags[279]
     parts = []

@@ -190,3 +190,50 @@ def test_orientation_tag_probe_roundtrip():
         assert tiff.probe_tiff_orientation(dng) == o
         # pixel payload is orientation-independent (tag only)
         assert np.array_equal(tiff.decode_dng_lossless(dng)[:, :, 0], arr)
+
+
+# ------------------------------------------------------- tiled DNG
+
+
+def test_dng_tiled_roundtrip_geometries():
+    """Tiled layout (TIFF 6.0 §15): bit-exact across image-smaller-
+    than-tile, exact-multiple, and clipped-edge geometries, 1-3
+    components, multiple predictors."""
+    rng = _rng()
+    for h, w, nc in [(10, 10, 1), (16, 16, 3), (20, 35, 2), (33, 17, 1),
+                     (48, 48, 3)]:
+        arr = rng.integers(0, 65536, size=(h, w, nc)).astype(np.uint16)
+        for tile in [(16, 16), (32, 16)]:
+            dng = tiff.encode_dng_lossless(arr, predictor=4, tile=tile)
+            assert np.array_equal(tiff.decode_dng_lossless(dng), arr), (
+                h, w, nc, tile,
+            )
+            # header probe ignores layout
+            assert tiff.probe_tiff_dims(dng) == (w, h)
+
+
+def test_dng_tiled_container_tags():
+    """The container carries the full tile tag set with row-major
+    full-size tiles; a tile-geometry lie is detected."""
+    arr = _rng().integers(0, 65536, size=(20, 40, 1)).astype(np.uint16)
+    dng = tiff.encode_dng_lossless(arr, tile=(16, 16))
+    bo = tiff._parse_header(dng)
+    tags = tiff._read_ifd(dng, bo)
+    assert int(tags[322][0]) == 16 and int(tags[323][0]) == 16
+    assert len(tags[324]) == 3 * 2 and len(tags[325]) == 3 * 2
+    # corrupt TileWidth -> tile count mismatch, not silent garbage
+    import struct as _struct
+
+    idx = dng.index(_struct.pack("<HHI", 322, 4, 1))
+    bad = bytearray(dng)
+    bad[idx + 8 : idx + 12] = _struct.pack("<I", 48)
+    with pytest.raises(ValueError, match="tile count mismatch"):
+        tiff.decode_dng_lossless(bytes(bad))
+
+
+def test_dng_tile_dims_must_be_multiple_of_16():
+    arr = np.zeros((8, 8), dtype=np.uint16)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff.encode_dng_lossless(arr, tile=(10, 16))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff.encode_dng_lossless(arr, tile=(16, 0))
