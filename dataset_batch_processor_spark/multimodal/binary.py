@@ -96,6 +96,7 @@ from . import codecs_extra as _extra  # noqa: E402
 from . import gif as _gif  # noqa: E402
 from . import jpeg as _jpeg  # noqa: E402
 from . import png as _png  # noqa: E402
+from . import rawvendor as _rawvendor  # noqa: E402
 from . import tiff as _tiff  # noqa: E402
 from . import webp as _webp  # noqa: E402
 
@@ -119,10 +120,14 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     # NotImplementedError with the precise reason, and probe_tiff_dims
     # reads dims from ANY of the TIFF-based RAW family header-only.
     "dng": _tiff.decode_dng_display,
-    **{
-        fmt: _missing_codec(fmt)
-        for fmt in ("heic", "avif", "cr2", "nef", "arw")
-    },
+    # CR2/NEF: pure-Python container walk over the same SOF3 entropy
+    # layer (multimodal/rawvendor.py) — sliced lossless-JPEG CR2 and
+    # packed 12/14/16-bit NEF decode on a bare install; Nikon's
+    # MakerNote-coded variant (34713) quarantines with its reason and
+    # rawpy/imageio still auto-wire OVER these when installed.
+    "cr2": _rawvendor.decode_cr2_display,
+    "nef": _rawvendor.decode_nef_display,
+    **{fmt: _missing_codec(fmt) for fmt in ("heic", "avif", "arw")},
 }
 
 
@@ -154,6 +159,8 @@ def _sniff_format(content: bytes) -> str | None:
         return "bmp"
     if content[:2] == b"P6":
         return "ppm"
+    if content[:4] == b"II*\x00" and content[8:10] == b"CR":
+        return "cr2"  # Canon RAW 2: TIFF magic + CR marker at offset 8
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
@@ -167,6 +174,13 @@ def _sniff_format(content: bytes) -> str | None:
     return None
 
 
+# Extensions that are all TIFF containers under the same magic: the
+# generic "tiff" sniff must NOT override one of these — the extension
+# is the more specific claim (a .nef IS valid TIFF bytes, but the raw
+# sensor lives behind SubIFDs the plain TIFF path never walks).
+_TIFF_FAMILY = {"tif", "tiff", "dng", "nef", "cr2", "arw"}
+
+
 def decode_any(fmt: str, content: bytes) -> np.ndarray:
     """Decode with content sniffing before extension dispatch. The
     sniff only picks the registry KEY — dispatch always goes through
@@ -174,6 +188,8 @@ def decode_any(fmt: str, content: bytes) -> np.ndarray:
     libjpeg-turbo binding that handles progressive JPEGs) overrides
     the built-in pure-Python decoders for sniffed content too."""
     key = _sniff_format(content) or fmt.lower()
+    if key == "tiff" and fmt.lower() in _TIFF_FAMILY:
+        key = fmt.lower()
     return CODECS[key](content)
 
 

@@ -911,6 +911,153 @@ WHERE doc_id % 5 = 0
 """
 
 
+# Vendor-RAW container walks (VERDICT r6 next#1, closing S4): the
+# sliced-CR2 and packed-NEF decoders (multimodal/rawvendor.py) driven
+# end-to-end on self-produced bytes, bit-exact + closed-form checksum —
+# the exact pattern that proved the DNG path. CR2 varies slice count
+# 1..3, interleave 1..2 components, and every predictor; NEF varies
+# 12/14/16-bit packing. A decoder that mis-unsliced or mis-unpacked a
+# single sample could not hash green.
+
+CR2_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, n_slices int, "
+    "lossless_exact boolean, pix_sum bigint"
+)
+
+
+def _q_cr2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, rawvendor
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 1
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 21 + 6, 2 * (d % 17 + 4)
+                ns, nc = d % 3 + 1, d % 2 + 1
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((d * 7 + x * 263 + y * 1021) % 65536).astype(
+                    np.uint16
+                )
+                cr2 = rawvendor.encode_cr2_lossless(
+                    arr, n_slices=ns, ncomp=nc, predictor=d % 7 + 1
+                )
+                dec = rawvendor.decode_cr2_lossless(cr2)
+                # registry path: magic-sniffed, tone-mapped top byte
+                disp = binary.decode_any("bin", cr2)
+                ok = bool(np.array_equal(dec, arr)) and bool(
+                    np.array_equal(disp[:, :, 0], (arr >> 8).astype(np.uint8))
+                )
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "n_slices": ns,
+                    "lossless_exact": ok,
+                    "pix_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_slices",
+                         "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=CR2_ROUNDTRIP_SCHEMA)
+
+
+CR2_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(2 * (doc_id % 17 + 4) AS INT) AS width,
+       CAST(doc_id % 21 + 6 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS n_slices,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 7 + x.x * 263 + y.y * 1021) % 65536)
+         FROM (SELECT unnest(generate_series(0, 2 * (doc_id % 17 + 4) - 1))
+               AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 21 + 5)) AS y) y
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 4 = 1
+"""
+
+
+NEF_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, bits int, "
+    "lossless_exact boolean, sample_sum bigint"
+)
+
+
+def _q_nef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import rawvendor
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 2
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 19 + 5, d % 23 + 5
+                bits = (12, 14, 16)[d % 3]
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((d * 11 + x * 157 + y * 331) % (1 << bits)).astype(
+                    np.uint16
+                )
+                nef = rawvendor.encode_nef_packed(arr, bits=bits)
+                dec = rawvendor.decode_nef_packed(nef)
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "bits": bits,
+                    "lossless_exact": bool(np.array_equal(dec, arr)),
+                    "sample_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "bits",
+                         "lossless_exact", "sample_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=NEF_ROUNDTRIP_SCHEMA)
+
+
+NEF_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 23 + 5 AS INT) AS width,
+       CAST(doc_id % 19 + 5 AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 14 ELSE 16 END
+            AS INT) AS bits,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 11 + x.x * 157 + y.y * 331)
+                    % (1 << CASE doc_id % 3 WHEN 0 THEN 12
+                            WHEN 1 THEN 14 ELSE 16 END))
+         FROM (SELECT unnest(generate_series(0, doc_id % 23 + 4)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 19 + 4)) AS y) y
+       ) AS BIGINT) AS sample_sum
+FROM documents
+WHERE doc_id % 4 = 2
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -1277,6 +1424,8 @@ QUERIES = {
     "mm_heif_roundtrip": _q_heif_roundtrip,
     "mm_dng_lossless_roundtrip": _q_dng_roundtrip,
     "mm_dng_tiled_roundtrip": _q_dng_tiled_roundtrip,
+    "mm_cr2_lossless_roundtrip": _q_cr2_roundtrip,
+    "mm_nef_packed_roundtrip": _q_nef_roundtrip,
     "mm_exif_orientation": _q_exif_orientation,
 }
 ORACLES = {
@@ -1296,5 +1445,7 @@ ORACLES = {
     "mm_heif_roundtrip": HEIF_ROUNDTRIP_DUCK,
     "mm_dng_lossless_roundtrip": DNG_ROUNDTRIP_DUCK,
     "mm_dng_tiled_roundtrip": DNG_TILED_DUCK,
+    "mm_cr2_lossless_roundtrip": CR2_ROUNDTRIP_DUCK,
+    "mm_nef_packed_roundtrip": NEF_ROUNDTRIP_DUCK,
     "mm_exif_orientation": EXIF_ORIENT_DUCK,
 }

@@ -1,0 +1,312 @@
+"""Pure-Python CR2/NEF container layer over the SOF3 entropy codec.
+
+Closes the last S4 gap on a bare install (VERDICT r6 next#1): the
+reference decodes vendor RAW via ``imageio.v3.imread``
+(/root/reference/modules/other_tasks.py:45-51; extension list
+filter_crop.py:39). The ENTROPY layer already exists —
+multimodal/ljpeg.py is a complete T.81 SOF3 codec, and Canon/Nikon
+lossless modes are SOF3 streams — so what remained was the vendor
+CONTAINER walk, implemented here from public format knowledge (TIFF
+6.0 / TIFF-EP structure; the CR2 slice arithmetic is documented in
+the public dcraw/LibRaw lineage and Lossless-JPEG notes):
+
+- **CR2** (Canon RAW 2): a TIFF file whose header carries a ``CR``
+  magic at offset 8 and, at offset 12, a direct pointer to the RAW
+  IFD (the last IFD in real files). The RAW IFD stores one SOF3
+  stream (Compression = 6 "old JPEG" in real cameras; 7 accepted
+  too) plus tag 0xC640 (50752) ``cr2_slice = [n_full, w_full,
+  w_last]``: the sensor is stored as vertical SLICES, the SOF3
+  stream's samples filling slice 0 completely (all rows), then
+  slice 1, ... Unslicing is therefore pure reshaping: consecutive
+  ``h x w_s`` sample blocks land at consecutive column offsets.
+- **NEF** (Nikon): plain TIFF-EP — IFD0 describes a preview and
+  points at the RAW IFD through tag 330 (SubIFDs). Uncompressed
+  NEFs pack samples big-endian at 12/14/16 bits per sample
+  (Compression = 1); Nikon's entropy-coded variant
+  (Compression = 34713) needs MakerNote Huffman trees + a
+  linearization curve and stays quarantined with a precise reason
+  (rawpy auto-wires over this module when installed —
+  optional_codecs.try_register_optional_codecs).
+
+Both decoders return the (H, W) uint16 SENSOR GRID (CFA mosaic
+semantics — demosaic is a downstream choice, not a container
+property). Display adapters tone-map the top byte like the DNG path.
+
+Encoders exist so the roundtrip queries and tests can gate the decode
+bit-exactly on self-produced bytes — the same pattern that proved the
+DNG path (mm_dng_lossless_roundtrip).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import ljpeg
+from .tiff import _parse_header, _read_ifd_at
+
+CR2_SLICE_TAG = 0xC640  # 50752
+
+
+# --------------------------------------------------------------- CR2
+
+
+def _slice_widths(n_full: int, w_full: int, w_last: int) -> list[int]:
+    return [w_full] * n_full + [w_last]
+
+
+def encode_cr2_lossless(
+    arr: np.ndarray, n_slices: int = 3, ncomp: int = 2, predictor: int = 1,
+) -> bytes:
+    """(H, W) uint16 sensor grid -> minimal sliced CR2.
+
+    The sensor is split into ``n_slices`` vertical slices (equal
+    widths except the last, Canon-style); samples are serialized
+    slice-major and entropy-coded as ONE SOF3 stream of
+    ``ncomp`` interleaved components (real CR2s use 2 or 4)."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_cr2_lossless expects (H, W) uint16")
+    h, w = arr.shape
+    if n_slices < 1:
+        raise ValueError("n_slices must be >= 1")
+    if w % ncomp:
+        raise ValueError("sensor width must be divisible by ncomp")
+    # Canon-style widths: n_full full slices + remainder last slice.
+    # Each slice width must leave the total stream reshapeable to
+    # (h, w/ncomp, ncomp); serialization is sample-order so only the
+    # TOTAL must divide — any positive split works.
+    n_full = n_slices - 1
+    w_full = (w // n_slices) if n_slices > 1 else w
+    if n_full and w_full == 0:
+        raise ValueError("too many slices for this width")
+    w_last = w - n_full * w_full
+    widths = _slice_widths(n_full, w_full, w_last)
+    flat = np.concatenate(
+        [
+            arr[:, off : off + ws].reshape(-1)
+            for off, ws in zip(np.cumsum([0] + widths[:-1]), widths)
+        ]
+    )
+    sof_in = flat.reshape(h, w // ncomp, ncomp)
+    stream = ljpeg.encode_ljpeg(sof_in, precision=16, predictor=predictor)
+
+    raw_entries = [
+        (256, 4, 1, w),            # sensor width (informational)
+        (257, 4, 1, h),
+        (259, 3, 1, 6),            # Compression: old JPEG (Canon)
+        (273, 4, 1, None),         # StripOffsets patched below
+        (279, 4, 1, len(stream)),
+        (CR2_SLICE_TAG, 3, 3, None),  # [n_full, w_full, w_last]
+    ]
+    # layout: header(16) | IFD0 | raw IFD | slice-tag shorts | stream
+    ifd0_off = 16
+    ifd0_entries = [(256, 4, 1, w), (257, 4, 1, h)]
+    raw_ifd_off = ifd0_off + 2 + 12 * len(ifd0_entries) + 4
+    slice_vals_off = raw_ifd_off + 2 + 12 * len(raw_entries) + 4
+    stream_off = slice_vals_off + 6
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd0_off)
+    out += b"CR" + bytes([2, 0])
+    out += struct.pack("<I", raw_ifd_off)
+    out += struct.pack("<H", len(ifd0_entries))
+    for tag, typ, cnt, val in ifd0_entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<H", len(raw_entries))
+    for tag, typ, cnt, val in raw_entries:
+        if tag == 273:
+            val = stream_off
+        elif tag == CR2_SLICE_TAG:
+            val = slice_vals_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<HHH", n_full, w_full, w_last)
+    out += stream
+    return bytes(out)
+
+
+def decode_cr2_lossless(content: bytes) -> np.ndarray:
+    """CR2 -> (H, W) uint16 sensor grid (lossless-JPEG raws)."""
+    if content[:4] != b"II*\x00" or content[8:10] != b"CR":
+        raise ValueError("not a CR2 payload")
+    (raw_ifd_off,) = struct.unpack("<I", content[12:16])
+    tags, _ = _read_ifd_at(content, "<", raw_ifd_off)
+    compression = int(tags.get(259, [6])[0])
+    if compression not in (6, 7):
+        raise NotImplementedError(
+            f"CR2: compression {compression} is not lossless JPEG"
+        )
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != 1:
+        raise NotImplementedError("CR2: multi-strip raw IFD unsupported")
+    o, c = int(offsets[0]), int(counts[0])
+    seg = ljpeg.decode_ljpeg(content[o : o + c])  # (h, w_sof, ncomp)
+    h = seg.shape[0]
+    total_w = seg.shape[1] * seg.shape[2]
+    flat = seg.reshape(-1)
+    if CR2_SLICE_TAG in tags:
+        sl = tags[CR2_SLICE_TAG]
+        if len(sl) != 3:
+            raise ValueError("CR2: malformed slice tag")
+        n_full, w_full, w_last = int(sl[0]), int(sl[1]), int(sl[2])
+        widths = _slice_widths(n_full, w_full, w_last)
+        if any(ws <= 0 for ws in widths) or sum(widths) != total_w:
+            raise ValueError("CR2: slice widths do not cover the sensor")
+    else:
+        widths = [total_w]
+    out = np.empty((h, total_w), dtype=np.uint16)
+    pos = 0
+    col = 0
+    for ws in widths:
+        n = h * ws
+        out[:, col : col + ws] = flat[pos : pos + n].reshape(h, ws)
+        pos += n
+        col += ws
+    return out
+
+
+# --------------------------------------------------------------- NEF
+
+
+def _pack_bits_be(vals: np.ndarray, bits: int) -> bytes:
+    """Big-endian bit-pack uint16 samples at ``bits`` per sample
+    (12/14/16), MSB-first — the TIFF-EP packing uncompressed NEFs
+    use. Vectorized through a per-sample bit expansion."""
+    if bits == 16:
+        return vals.astype(">u2").tobytes()
+    n = vals.size
+    # bit matrix (n, bits) MSB-first -> flat bitstream -> bytes
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint16)
+    bitmat = ((vals.reshape(-1, 1).astype(np.uint32) >> shifts) & 1).astype(
+        np.uint8
+    )
+    stream = bitmat.reshape(-1)
+    pad = (-stream.size) % 8
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(stream).tobytes()
+
+
+def _unpack_bits_be(data: bytes, n: int, bits: int) -> np.ndarray:
+    if bits == 16:
+        return np.frombuffer(data, dtype=">u2", count=n).astype(np.uint16)
+    stream = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    need = n * bits
+    if stream.size < need:
+        raise ValueError("NEF: packed stream shorter than sample count")
+    bitmat = stream[:need].reshape(n, bits).astype(np.uint16)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.uint16)).astype(
+        np.uint16
+    )
+    return (bitmat * weights).sum(axis=1, dtype=np.uint32).astype(np.uint16)
+
+
+def encode_nef_packed(arr: np.ndarray, bits: int = 12) -> bytes:
+    """(H, W) uint16 sensor grid -> minimal TIFF-EP NEF: IFD0 is a
+    tiny preview descriptor whose tag 330 (SubIFDs) points at the RAW
+    IFD, samples bit-packed big-endian at 12/14/16 bits."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_nef_packed expects (H, W) uint16")
+    if bits not in (12, 14, 16):
+        raise ValueError("bits must be 12, 14, or 16")
+    if int(arr.max(initial=0)) >= 1 << bits:
+        raise ValueError(f"samples out of range for {bits}-bit packing")
+    h, w = arr.shape
+    payload = _pack_bits_be(arr.reshape(-1), bits)
+    ifd0_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (330, 4, 1, None),  # SubIFDs -> raw IFD, patched below
+    ]
+    raw_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, bits),
+        (259, 3, 1, 1),    # uncompressed (packed)
+        (262, 3, 1, 32803),  # CFA
+        (273, 4, 1, None),
+        (277, 3, 1, 1),
+        (279, 4, 1, len(payload)),
+    ]
+    ifd0_off = 8
+    raw_ifd_off = ifd0_off + 2 + 12 * len(ifd0_entries) + 4
+    data_off = raw_ifd_off + 2 + 12 * len(raw_entries) + 4
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd0_off)
+    out += struct.pack("<H", len(ifd0_entries))
+    for tag, typ, cnt, val in ifd0_entries:
+        if tag == 330:
+            val = raw_ifd_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<H", len(raw_entries))
+    for tag, typ, cnt, val in raw_entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += payload
+    return bytes(out)
+
+
+def decode_nef_packed(content: bytes) -> np.ndarray:
+    """NEF (TIFF-EP) -> (H, W) uint16 sensor grid.
+
+    Walks IFD0 -> SubIFDs (tag 330) and picks the largest-area
+    sub-IFD (real NEFs keep a preview in IFD0 and the sensor in a
+    SubIFD). Compression 1 decodes (12/14/16-bit packed);
+    Nikon-compressed 34713 quarantines with the reason."""
+    bo = _parse_header(content)
+    (ifd0_off,) = struct.unpack(bo + "I", content[4:8])
+    tags0, _ = _read_ifd_at(content, bo, ifd0_off)
+    candidates = []
+    for sub_off in tags0.get(330, []):
+        sub, _ = _read_ifd_at(content, bo, int(sub_off))
+        if 256 in sub and 257 in sub:
+            candidates.append(sub)
+    if not candidates:
+        # raw-in-IFD0 fallback (some TIFF-EP writers)
+        if 273 in tags0:
+            candidates.append(tags0)
+        else:
+            raise ValueError("NEF: no raw IFD found")
+    raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
+    compression = int(raw.get(259, [1])[0])
+    if compression == 34713:
+        raise NotImplementedError(
+            "NEF: Nikon-compressed (34713) needs MakerNote Huffman "
+            "trees + linearization curve — install rawpy"
+        )
+    if compression != 1:
+        raise NotImplementedError(
+            f"NEF: compression {compression} unsupported"
+        )
+    w, h = int(raw[256][0]), int(raw[257][0])
+    bits = int(raw.get(258, [16])[0])
+    if bits not in (12, 14, 16):
+        raise NotImplementedError(f"NEF: {bits}-bit packing unsupported")
+    offsets, counts = raw[273], raw[279]
+    data = b"".join(
+        content[int(o) : int(o) + int(c)] for o, c in zip(offsets, counts)
+    )
+    return _unpack_bits_be(data, h * w, bits).reshape(h, w)
+
+
+# ------------------------------------------------- display adapters
+
+
+def _display(sensor: np.ndarray) -> np.ndarray:
+    disp = (sensor >> 8).astype(np.uint8)
+    return np.repeat(disp[:, :, None], 3, axis=2)
+
+
+def decode_cr2_display(content: bytes) -> np.ndarray:
+    """Registry adapter for .cr2: sensor grid tone-mapped to 8-bit
+    gray RGB (top byte — same policy as decode_dng_display)."""
+    return _display(decode_cr2_lossless(content))
+
+
+def decode_nef_display(content: bytes) -> np.ndarray:
+    """Registry adapter for .nef."""
+    return _display(decode_nef_packed(content))

@@ -26,9 +26,11 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8}
 
 
-def _read_ifd(content: bytes, bo: str):
-    """-> dict tag -> list of values (first IFD only)."""
-    (off,) = struct.unpack(bo + "I", content[4:8])
+def _read_ifd_at(content: bytes, bo: str, off: int):
+    """IFD at ``off`` -> (dict tag -> list of values, next-IFD offset).
+    The offset form is what the RAW container family needs: CR2 points
+    at its raw IFD from the header, NEF reaches it through SubIFDs
+    (tag 330)."""
     (n,) = struct.unpack(bo + "H", content[off : off + 2])
     tags = {}
     for i in range(n):
@@ -49,7 +51,16 @@ def _read_ifd(content: bytes, bo: str):
         else:
             vals = [raw]
         tags[tag] = vals
-    return tags
+    (nxt,) = struct.unpack(
+        bo + "I", content[off + 2 + 12 * n : off + 6 + 12 * n]
+    )
+    return tags, nxt
+
+
+def _read_ifd(content: bytes, bo: str):
+    """-> dict tag -> list of values (first IFD only)."""
+    (off,) = struct.unpack(bo + "I", content[4:8])
+    return _read_ifd_at(content, bo, off)[0]
 
 
 def _parse_header(content: bytes):

@@ -1,0 +1,125 @@
+"""CR2/NEF container layer (multimodal/rawvendor.py): slice
+arithmetic, bit packing, registry dispatch, and quarantine reasons.
+Reference surface: the PIL/imageio RAW route at
+/root/reference/modules/other_tasks.py:45-51 (extensions
+filter_crop.py:39) — here re-built on the pure-Python SOF3 codec."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import binary, rawvendor, tiff
+
+
+def _rng():
+    return np.random.default_rng(11)
+
+
+def test_cr2_roundtrip_slices_components_predictors():
+    rng = _rng()
+    for h, w in [(8, 12), (16, 30), (11, 24), (5, 6)]:
+        arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+        for ns in (1, 2, 3):
+            for nc in (1, 2, 3):
+                if w % nc:
+                    continue
+                data = rawvendor.encode_cr2_lossless(
+                    arr, n_slices=ns, ncomp=nc, predictor=(ns + nc) % 7 + 1
+                )
+                dec = rawvendor.decode_cr2_lossless(data)
+                assert np.array_equal(dec, arr), (h, w, ns, nc)
+
+
+def test_cr2_slice_serialization_order():
+    """The stream serializes slice 0 fully (all rows), then slice 1 —
+    hand-unslice the SOF3 payload and compare (pins the dcraw-
+    documented layout, not just self-consistency)."""
+    arr = np.arange(6 * 9, dtype=np.uint16).reshape(6, 9) * 101 % 65536
+    data = rawvendor.encode_cr2_lossless(
+        arr.astype(np.uint16), n_slices=3, ncomp=1
+    )
+    (raw_ifd_off,) = struct.unpack("<I", data[12:16])
+    tags, _ = tiff._read_ifd_at(data, "<", raw_ifd_off)
+    from dataset_batch_processor_spark.multimodal import ljpeg
+
+    o, c = int(tags[273][0]), int(tags[279][0])
+    seg = ljpeg.decode_ljpeg(data[o : o + c]).reshape(-1)
+    # widths 3,3,3: first 18 samples == columns 0-2 row-major
+    assert np.array_equal(seg[:18], arr[:, 0:3].reshape(-1))
+    assert np.array_equal(seg[18:36], arr[:, 3:6].reshape(-1))
+    assert int(tags[rawvendor.CR2_SLICE_TAG][0]) == 2  # n_full
+
+
+def test_cr2_bad_slices_and_magic_rejected():
+    arr = np.zeros((4, 8), dtype=np.uint16)
+    data = bytearray(rawvendor.encode_cr2_lossless(arr, n_slices=2))
+    # corrupt the slice widths so they no longer cover the sensor
+    idx = data.index(struct.pack("<HHH", 1, 4, 4))
+    data[idx : idx + 6] = struct.pack("<HHH", 1, 4, 7)
+    with pytest.raises(ValueError, match="slice widths"):
+        rawvendor.decode_cr2_lossless(bytes(data))
+    with pytest.raises(ValueError, match="not a CR2"):
+        rawvendor.decode_cr2_lossless(tiff.encode_tiff(
+            np.zeros((2, 2, 3), dtype=np.uint8)
+        ))
+
+
+def test_nef_roundtrip_all_bit_depths():
+    rng = _rng()
+    for h, w in [(8, 12), (16, 31), (3, 5)]:
+        for bits in (12, 14, 16):
+            arr = rng.integers(0, 1 << bits, size=(h, w)).astype(np.uint16)
+            data = rawvendor.encode_nef_packed(arr, bits=bits)
+            assert np.array_equal(rawvendor.decode_nef_packed(data), arr)
+
+
+def test_nef_packing_is_big_endian_msb_first():
+    """12-bit packing: two samples -> 3 bytes, MSB-first (TIFF-EP).
+    0xABC, 0xDEF -> AB CD EF."""
+    packed = rawvendor._pack_bits_be(
+        np.array([0xABC, 0xDEF], dtype=np.uint16), 12
+    )
+    assert packed == bytes([0xAB, 0xCD, 0xEF])
+    out = rawvendor._unpack_bits_be(packed, 2, 12)
+    assert list(out) == [0xABC, 0xDEF]
+
+
+def test_nef_subifd_walk_picks_largest_area():
+    """IFD0 is a preview descriptor; the raw IFD behind tag 330 wins
+    because its area is larger."""
+    arr = _rng().integers(0, 4096, size=(10, 14)).astype(np.uint16)
+    data = rawvendor.encode_nef_packed(arr, bits=12)
+    bo = tiff._parse_header(data)
+    (ifd0_off,) = struct.unpack("<I", data[4:8])
+    tags0, _ = tiff._read_ifd_at(data, bo, ifd0_off)
+    assert 330 in tags0 and 273 not in tags0
+    assert np.array_equal(rawvendor.decode_nef_packed(data), arr)
+
+
+def test_nef_nikon_compressed_quarantines_with_reason():
+    arr = np.zeros((4, 4), dtype=np.uint16)
+    data = bytearray(rawvendor.encode_nef_packed(arr, bits=16))
+    idx = data.index(struct.pack("<HHI", 259, 3, 1))
+    data[idx + 8 : idx + 10] = struct.pack("<H", 34713)
+    with pytest.raises(NotImplementedError, match="rawpy"):
+        rawvendor.decode_nef_packed(bytes(data))
+
+
+def test_registry_dispatch_cr2_magic_nef_extension():
+    arr = (np.arange(16 * 30, dtype=np.uint16) * 97 % 65536).reshape(16, 30)
+    cr2 = rawvendor.encode_cr2_lossless(arr.astype(np.uint16), n_slices=3)
+    disp = binary.decode_any("bin", cr2)  # CR magic wins over extension
+    assert disp.shape == (16, 30, 3)
+    assert np.array_equal(disp[:, :, 0], (arr >> 8).astype(np.uint8))
+    nef = rawvendor.encode_nef_packed(
+        (arr % 4096).astype(np.uint16), bits=12
+    )
+    # generic TIFF sniff must NOT shadow the .nef extension
+    disp2 = binary.decode_any("nef", nef)
+    assert np.array_equal(disp2[:, :, 0], ((arr % 4096) >> 8).astype(np.uint8))
+    # plain .tif still routes to the baseline TIFF decoder
+    rgb = (np.arange(5 * 5 * 3) % 256).astype(np.uint8).reshape(5, 5, 3)
+    assert np.array_equal(binary.decode_any("tif", tiff.encode_tiff(rgb)), rgb)
