@@ -415,3 +415,49 @@ def test_sliding_wau_joins_day_table_not_events(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_hot_tenant_join_is_salted_with_pinned_salt_columns(spark, sf_dir):
+    """The chooser must pick 'salted' from the measured report, and
+    the executed join must run on (tenant, _salt) with the salt
+    derived via xxhash64 — the hot tenant's rows spread over 16
+    reducers instead of pinning one."""
+    from dataset_batch_processor_spark.sources import storage
+
+    df = storage.QUERIES["lineitem_hot_tenant_salted_join"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "_salt" in plan          # join keys include the salt
+    assert "xxhash64" in plan       # deterministic salt derivation
+    assert "pmod" in plan           # ... bucketed into n_salts
+    assert "CartesianProduct" not in plan
+    # the dim replication is broadcast, never a shuffled explosion
+    assert "BroadcastExchange" in plan
+
+
+def test_choose_join_strategy_picks_salted_on_hot_tenant(spark, sf_dir):
+    """The report measured on the actual fixture crosses the salt
+    threshold (one tenant holding ~50 uniform tenants' worth of rows)
+    and the dim exceeds the scaled broadcast budget."""
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.sources import storage
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    part = catalog.load_table(spark, sf_dir, "part")
+    tenant = storage._TENANT
+    probe = li.select(
+        F.expr(tenant.format(k="l_partkey")).cast("bigint").alias("tenant")
+    )
+    dim = part.select(
+        F.expr(tenant.format(k="p_partkey")).cast("bigint").alias("tenant")
+    ).distinct()
+    report = storage.join_skew_report(probe, "tenant", dim)
+    assert report["max_skew_factor"] >= 32.0
+    assert report["build_rows"] > 64
+    assert storage.choose_join_strategy(
+        report, broadcast_max_rows=64
+    ) == "salted"
+    # and with a production-sized broadcast budget the same report
+    # correctly falls back to broadcast — the cheapest plan wins
+    assert storage.choose_join_strategy(report) == "broadcast"
