@@ -37,6 +37,7 @@ from dataset_batch_processor_spark.operators import (
     corpusstats,
     dataops,
     decontam,
+    dedupdash,
     ivfpq,
     linkage,
     curation,
@@ -438,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(funnel.QUERIES)
     q.update(webquality.QUERIES)
     q.update(phash.QUERIES)
+    q.update(dedupdash.QUERIES)
     q.update(relational7.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
@@ -540,6 +542,7 @@ FROM images_meta GROUP BY 1
     o.update(funnel.ORACLES)
     o.update(webquality.ORACLES)
     o.update(phash.ORACLES)
+    o.update(dedupdash.ORACLES)
     o.update(relational7.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
