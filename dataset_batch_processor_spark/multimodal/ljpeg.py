@@ -14,10 +14,13 @@ house pure-Python style (vp8.py, jpeg.py):
   1 - 2^-16, so the forbidden all-ones codeword is naturally unused).
 - **decode**: DHT/SOF3/SOS parsing, byte-unstuffing bit reader,
   per-sample Huffman SSSS + EXTEND, modulo-2^16 prediction
-  reconstruction (T.81 H.2). Streams with a DRI/restart interval are
-  quarantined with a precise reason (the house encoder never emits
-  DRI, and decoding them without per-restart prediction resets would
-  silently corrupt — see _decode_scan).
+  reconstruction (T.81 H.2). ROW-ALIGNED restart intervals (DRI with
+  Ri a multiple of the scan width — how camera writers emit them) are
+  honored: at each boundary the reader byte-aligns, consumes and
+  sequence-checks RSTn, and prediction resets per T.81 H.1.1 (the
+  interval's first line predicts from the left, its first sample from
+  2^(P-Pt-1)). Non-row-aligned intervals quarantine with a precise
+  reason rather than decoding with wrong resets.
 
 Sample ordering and prediction (T.81 Annex H): prediction for the
 first sample of the first line (and after a restart) is 2^(P-Pt-1);
@@ -89,6 +92,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTn — the interval
+        boundary framing of T.81 E.1.2."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """MSB-first reader over entropy data with 0xFF00 unstuffing.
@@ -130,6 +141,24 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         return v
 
+    def sync_restart(self) -> int:
+        """Discard buffered bits (byte padding — the encoder aligned
+        before the marker, and _fill never consumes marker bytes, so
+        everything buffered past the last decoded sample is pad) and
+        consume the RSTn marker at the stream position. Returns n."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("lossless JPEG: expected restart marker")
+        n = d[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _extend(v: int, ssss: int) -> int:
     if ssss == 0:
@@ -139,11 +168,17 @@ def _extend(v: int, ssss: int) -> int:
     return v
 
 
-def _predict(plane: np.ndarray, y: int, x: int, sel: int, default: int) -> int:
-    if y == 0 and x == 0:
+def _predict(
+    plane: np.ndarray, y: int, x: int, sel: int, default: int, y0: int = 0,
+) -> int:
+    """Prediction per T.81 H.1/H.2. ``y0`` is the first row of the
+    current restart interval: the interval's first line predicts from
+    the left (its first sample from ``default``), exactly the
+    start-of-scan rule re-applied at each restart (H.1.1)."""
+    if y == y0 and x == 0:
         return default
-    if y == 0:
-        return int(plane[0, x - 1])
+    if y == y0:
+        return int(plane[y, x - 1])
     if x == 0:
         return int(plane[y - 1, 0])
     a = int(plane[y, x - 1])
@@ -168,14 +203,21 @@ def _predict(plane: np.ndarray, y: int, x: int, sel: int, default: int) -> int:
 
 def encode_ljpeg(
     arr: np.ndarray, precision: int | None = None, predictor: int = 1,
+    restart_rows: int = 0,
 ) -> bytes:
-    """(H, W) or (H, W, C<=4) unsigned integer array -> SOF3 stream."""
+    """(H, W) or (H, W, C<=4) unsigned integer array -> SOF3 stream.
+
+    ``restart_rows`` > 0 writes a DRI segment (Ri = restart_rows *
+    width MCUs — row-aligned, the camera convention) and emits RSTn
+    every that many rows with per-interval prediction resets."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] > 4:
         raise ValueError("encode_ljpeg expects (H, W) or (H, W, C<=4)")
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
+    if restart_rows < 0:
+        raise ValueError("restart_rows must be >= 0")
     h, w, nc = arr.shape
     planes = arr.astype(np.int64)
     if precision is None:
@@ -187,10 +229,18 @@ def encode_ljpeg(
 
     default = 1 << (precision - 1)
     bw = _BitWriter()
+    y0 = 0
+    n_rst = 0
     for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            bw.restart(n_rst % 8)
+            n_rst += 1
+            y0 = y
         for x in range(w):
             for ci in range(nc):
-                px = _predict(planes[:, :, ci], y, x, predictor, default)
+                px = _predict(
+                    planes[:, :, ci], y, x, predictor, default, y0
+                )
                 diff = (int(planes[y, x, ci]) - px) & 0xFFFF
                 if diff >= 0x8000:
                     sdiff = diff - 0x10000
@@ -210,6 +260,11 @@ def encode_ljpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     dht = _dht_payload()
     out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    if restart_rows:
+        ri = restart_rows * w  # MCUs per interval (1 MCU = 1 sample/comp)
+        if ri > 0xFFFF:
+            raise ValueError("restart interval exceeds DRI range")
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
     sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
@@ -318,19 +373,33 @@ def _decode_scan(
     scan: list[tuple[int, int]], predictor: int, pt: int,
     restart_interval: int,
 ) -> np.ndarray:
-    if restart_interval:
-        # our encoder never emits DRI; camera files that do land in the
-        # F7 quarantine with a precise reason rather than decoding with
+    if restart_interval and restart_interval % w:
+        # a boundary inside a row would make "first line of the
+        # interval" ambiguous; camera writers align to rows, anything
+        # else lands in the F7 quarantine rather than decoding with
         # wrong prediction resets
         raise NotImplementedError(
-            "lossless JPEG: restart intervals unsupported"
+            "lossless JPEG: restart interval not row-aligned "
+            f"(Ri={restart_interval}, width={w})"
         )
+    restart_rows = restart_interval // w if restart_interval else 0
     nc = len(scan)
     planes = np.zeros((h, w, nc), dtype=np.int64)
     default = 1 << (precision - pt - 1)
     br = _BitReader(data, pos)
     luts = [tables[td] for _, td in scan]
+    y0 = 0
+    n_rst = 0
     for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            n = br.sync_restart()
+            if n != n_rst % 8:
+                raise ValueError(
+                    f"lossless JPEG: restart marker out of sequence "
+                    f"(got RST{n}, expected RST{n_rst % 8})"
+                )
+            n_rst += 1
+            y0 = y
         for x in range(w):
             for ci in range(nc):
                 ssss = _read_symbol(br, luts[ci])
@@ -338,7 +407,7 @@ def _decode_scan(
                     diff = 32768
                 else:
                     diff = _extend(br.bits(ssss), ssss) if ssss else 0
-                px = _predict(planes[:, :, ci], y, x, predictor, default)
+                px = _predict(planes[:, :, ci], y, x, predictor, default, y0)
                 planes[y, x, ci] = (px + diff) & 0xFFFF
     mask = (1 << precision) - 1
     return (planes & mask).astype(np.uint16)

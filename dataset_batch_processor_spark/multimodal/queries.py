@@ -948,8 +948,11 @@ def _q_cr2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = ((d * 7 + x * 263 + y * 1021) % 65536).astype(
                     np.uint16
                 )
+                # every third doc adds row-aligned restart markers, so
+                # the DRI/RSTn machinery sits under the hash gate too
                 cr2 = rawvendor.encode_cr2_lossless(
-                    arr, n_slices=ns, ncomp=nc, predictor=d % 7 + 1
+                    arr, n_slices=ns, ncomp=nc, predictor=d % 7 + 1,
+                    restart_rows=(d % 3 + 2) if d % 3 == 0 else 0,
                 )
                 dec = rawvendor.decode_cr2_lossless(cr2)
                 # registry path: magic-sniffed, tone-mapped top byte

@@ -58,13 +58,16 @@ def _slice_widths(n_full: int, w_full: int, w_last: int) -> list[int]:
 
 def encode_cr2_lossless(
     arr: np.ndarray, n_slices: int = 3, ncomp: int = 2, predictor: int = 1,
+    restart_rows: int = 0,
 ) -> bytes:
     """(H, W) uint16 sensor grid -> minimal sliced CR2.
 
     The sensor is split into ``n_slices`` vertical slices (equal
     widths except the last, Canon-style); samples are serialized
     slice-major and entropy-coded as ONE SOF3 stream of
-    ``ncomp`` interleaved components (real CR2s use 2 or 4)."""
+    ``ncomp`` interleaved components (real CR2s use 2 or 4).
+    ``restart_rows`` forwards to the SOF3 encoder (row-aligned DRI —
+    some Canon bodies emit restart markers)."""
     if arr.ndim != 2 or arr.dtype != np.uint16:
         raise ValueError("encode_cr2_lossless expects (H, W) uint16")
     h, w = arr.shape
@@ -89,7 +92,10 @@ def encode_cr2_lossless(
         ]
     )
     sof_in = flat.reshape(h, w // ncomp, ncomp)
-    stream = ljpeg.encode_ljpeg(sof_in, precision=16, predictor=predictor)
+    stream = ljpeg.encode_ljpeg(
+        sof_in, precision=16, predictor=predictor,
+        restart_rows=restart_rows,
+    )
 
     raw_entries = [
         (256, 4, 1, w),            # sensor width (informational)

@@ -128,13 +128,49 @@ def test_registry_display_path():
     assert np.array_equal(disp[:, :, 0], (arr >> 8).astype(np.uint8))
 
 
-def test_restart_interval_quarantines():
-    arr = np.zeros((2, 2), dtype=np.uint16)
-    data = bytearray(ljpeg.encode_ljpeg(arr, precision=16))
-    # splice a DRI segment right after SOI
-    dri = b"\xff\xdd\x00\x04\x00\x01"
-    data[2:2] = dri
-    with pytest.raises(NotImplementedError, match="restart"):
+def test_restart_interval_roundtrip_row_aligned():
+    """Row-aligned DRI streams decode bit-exactly, with prediction
+    resetting per interval (T.81 H.1.1)."""
+    rng = _rng()
+    for h, w, nc in [(8, 5, 1), (16, 7, 2), (9, 4, 3)]:
+        arr = rng.integers(0, 65536, size=(h, w, nc)).astype(np.uint16)
+        for rr in (1, 2, 3, 8):
+            data = ljpeg.encode_ljpeg(
+                arr, precision=16, predictor=4, restart_rows=rr
+            )
+            assert np.array_equal(ljpeg.decode_ljpeg(data), arr), (h, w, rr)
+    # DRI segment present with the row-aligned interval
+    data = ljpeg.encode_ljpeg(
+        np.zeros((6, 4), np.uint16), restart_rows=2
+    )
+    i = data.index(b"\xff\xdd")
+    import struct as _s
+
+    assert _s.unpack(">H", data[i + 4 : i + 6])[0] == 2 * 4
+
+
+def test_restart_interval_non_row_aligned_quarantines():
+    arr = np.zeros((4, 4), dtype=np.uint16)
+    data = bytearray(ljpeg.encode_ljpeg(arr, precision=16, restart_rows=2))
+    import struct as _s
+
+    i = data.index(b"\xff\xdd")
+    data[i + 4 : i + 6] = _s.pack(">H", 7)  # Ri=7, width=4
+    with pytest.raises(NotImplementedError, match="not row-aligned"):
+        ljpeg.decode_ljpeg(bytes(data))
+
+
+def test_restart_marker_sequence_checked():
+    arr = _rng().integers(0, 65536, size=(6, 3, 1)).astype(np.uint16)
+    data = bytearray(
+        ljpeg.encode_ljpeg(arr, precision=16, restart_rows=2)
+    )
+    # corrupt the first RSTn (0xD0 -> 0xD5): sequence check must fire
+    for j in range(len(data) - 1):
+        if data[j] == 0xFF and data[j + 1] == 0xD0:
+            data[j + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="out of sequence"):
         ljpeg.decode_ljpeg(bytes(data))
 
 
