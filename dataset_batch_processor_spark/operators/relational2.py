@@ -304,6 +304,75 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {NEAR_DUP_T}
 """
 
 
+# --------------------------------- near-dup threshold histogram
+# The tuning table behind every "what EPS should I dedup at" decision:
+# candidate-pair counts per cosine bin (0.05-wide), over the SAME
+# LSH-bucketed candidate set the pair query uses — so the histogram
+# reads directly as "how many pairs each threshold would remove".
+# Bin arithmetic is floor(cos*20) on the ALREADY-ROUNDED cos_sim both
+# engines share bit-identically, so bin edges cannot flake. 100-TB
+# posture: identical to emb_near_dup_pairs (banded candidates, never
+# all-pairs) plus one small-key aggregation.
+
+
+def _q_emb_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _q_emb_near_dup_all(spark, sf_dir)
+    return (
+        pairs.withColumn(
+            "cos_bin",
+            (F.floor(F.col("cos_sim") * 20) / 20).cast("double"),
+        )
+        .groupBy("cos_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("cos_bin")
+    )
+
+
+def _q_emb_near_dup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup candidate pairs WITHOUT the final threshold —
+    shared base for the pair query (>= NEAR_DUP_T) and the histogram
+    (all bins)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import vector
+    from .similarity import lsh_signature
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    b = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
+    left = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cos = F.round(vector.cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+
+
+EMB_THRESHOLD_HIST_DUCK = (
+    EMB_NEAR_DUP_DUCK.replace(
+        f"SELECT vec_a, vec_b, cos_sim FROM scored "
+        f"WHERE cos_sim >= {NEAR_DUP_T}",
+        """SELECT CAST(floor(cos_sim * 20) / 20 AS DOUBLE) AS cos_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored
+GROUP BY 1
+ORDER BY cos_bin""",
+    )
+)
+
+
 QUERIES = {
     "customers_without_orders": _run(ANTI_JOIN_SPARK, ("customer", "orders")),
     "active_customers_semi": _run(SEMI_JOIN_SPARK, ("customer", "orders")),
@@ -316,6 +385,7 @@ QUERIES = {
     "part_string_funcs": _run(STRINGS_SPARK, ("part",)),
     "docs_bpe_tokens": _run(BPE_SPARK, ("documents",)),
     "emb_near_dup_pairs": _q_emb_near_dup,
+    "emb_near_dup_threshold_hist": _q_emb_threshold_hist,
 }
 
 ORACLES = {
@@ -330,4 +400,5 @@ ORACLES = {
     "part_string_funcs": STRINGS_DUCK,
     "docs_bpe_tokens": BPE_DUCK,
     "emb_near_dup_pairs": EMB_NEAR_DUP_DUCK,
+    "emb_near_dup_threshold_hist": EMB_THRESHOLD_HIST_DUCK,
 }
