@@ -29,9 +29,11 @@ actual image bytes):
 
 Still stubbed (library-bound, NotImplementedError into quarantine,
 mirroring /root/reference/modules/other_tasks.py:45-53,
-batch_processor.py:346-357): HEIC and vendor-compressed camera RAW
-(cr2/nef/arw) — auto-wired to pillow-heif/rawpy/imageio via
-optional_codecs.py when those libraries are installed.
+batch_processor.py:346-357): HEIC/AVIF pixel decode and the
+vendor-COMPRESSED camera-RAW variants (Nikon 34713, Sony 32767) —
+auto-wired to pillow-heif/rawpy/imageio via optional_codecs.py when
+those libraries are installed. Lossless/uncompressed CR2, NEF, and
+ARW decode pure-Python (multimodal/rawvendor.py).
 
 The pixel kernels themselves (crop G1, pad G2/G3, resize) are REAL
 numpy code operating on decoded arrays — identical math to
@@ -127,7 +129,12 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     # rawpy/imageio still auto-wire OVER these when installed.
     "cr2": _rawvendor.decode_cr2_display,
     "nef": _rawvendor.decode_nef_display,
-    **{fmt: _missing_codec(fmt) for fmt in ("heic", "avif", "arw")},
+    # ARW: Sony TIFF-EP over the same SubIFD walk — uncompressed
+    # (Compression 1, 12/14/16-bit, multi-strip byte-aligned) decodes
+    # on a bare install; Sony delta-compressed (32767) quarantines
+    # with its reason, rawpy/imageio auto-wire OVER this when present.
+    "arw": _rawvendor.decode_arw_display,
+    **{fmt: _missing_codec(fmt) for fmt in ("heic", "avif")},
 }
 
 

@@ -123,9 +123,20 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # RSTn reached through bit refill = the decoder is
+                # mid-interval (conforming streams only cross restart
+                # boundaries via sync_restart, which consumes the
+                # marker directly): the stream is corrupt or
+                # non-conforming — raise instead of silently decoding
+                # garbage from 1-padding until the next sequence check.
+                raise ValueError(
+                    "lossless JPEG: unexpected RSTn inside a restart "
+                    "interval (corrupt or non-conforming stream)"
+                )
             else:
-                # any marker (EOI, RSTn — DRI streams never reach the
-                # scan decoder): treat as end of entropy data, pad 1s
+                # EOI / any non-restart marker: end of entropy data,
+                # pad 1s (T.81 F.2.2.5)
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return

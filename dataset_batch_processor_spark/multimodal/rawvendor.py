@@ -293,10 +293,191 @@ def decode_nef_packed(content: bytes) -> np.ndarray:
     if bits not in (12, 14, 16):
         raise NotImplementedError(f"NEF: {bits}-bit packing unsupported")
     offsets, counts = raw[273], raw[279]
-    data = b"".join(
-        content[int(o) : int(o) + int(c)] for o, c in zip(offsets, counts)
-    )
-    return _unpack_bits_be(data, h * w, bits).reshape(h, w)
+    # TIFF strips are INDEPENDENTLY byte-aligned (TIFF 6.0 §3: each
+    # strip's bit-packing restarts at a byte boundary), so each strip
+    # must be unpacked on its own — concatenating payloads and
+    # unpacking one continuous bitstream would silently desync every
+    # sample after strip 0 whenever rows_per_strip * w * bits is not
+    # a multiple of 8.
+    rows_per_strip = int(raw.get(278, [h])[0])
+    if rows_per_strip <= 0:
+        raise ValueError("NEF: non-positive RowsPerStrip")
+    strips = []
+    row = 0
+    for o, c in zip(offsets, counts):
+        rows = min(rows_per_strip, h - row)
+        if rows <= 0:
+            raise ValueError("NEF: more strips than image rows")
+        strips.append(
+            _unpack_bits_be(
+                content[int(o) : int(o) + int(c)], rows * w, bits
+            )
+        )
+        row += rows
+    if row != h:
+        raise ValueError("NEF: strips do not cover the image height")
+    return np.concatenate(strips).reshape(h, w)
+
+
+# --------------------------------------------------------------- ARW
+# Sony ARW is the same TIFF-EP shape as NEF (IFD0 -> SubIFDs tag 330
+# -> raw IFD; reference extension list filter_crop.py:39, decoded
+# there via imageio other_tasks.py:45-51). Two deltas from the NEF
+# path, both public TIFF 6.0 semantics: 16-bit samples follow the
+# FILE byte order (ARWs are written little-endian; our NEF encoder
+# emits big-endian payloads), and Sony's delta-compressed variant is
+# Compression 32767 (128-sample curve blocks — library-bound).
+
+
+def _unpack_strip(data: bytes, n: int, bits: int, bo: str) -> np.ndarray:
+    """One byte-aligned strip -> n uint16 samples. Sub-byte packings
+    are MSB-first (TIFF FillOrder 1) regardless of byte order; 16-bit
+    samples follow ``bo`` ('<' or '>')."""
+    if bits == 16:
+        return np.frombuffer(
+            data, dtype=bo + "u2", count=n
+        ).astype(np.uint16)
+    return _unpack_bits_be(data, n, bits)
+
+
+def encode_arw_uncompressed(
+    arr: np.ndarray, bits: int = 16, rows_per_strip: int = 0,
+) -> bytes:
+    """(H, W) uint16 sensor grid -> minimal TIFF-EP ARW: little-endian
+    header, IFD0 with Make=SONY + SubIFDs -> raw IFD, Compression 1,
+    samples little-endian at 16 bits or MSB-first packed at 12/14.
+    ``rows_per_strip`` > 0 splits the payload into independently
+    byte-aligned strips (TIFF 6.0 §3) — the multi-strip path the NEF
+    encoder never exercises."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_arw_uncompressed expects (H, W) uint16")
+    if bits not in (12, 14, 16):
+        raise ValueError("bits must be 12, 14, or 16")
+    if int(arr.max(initial=0)) >= 1 << bits:
+        raise ValueError(f"samples out of range for {bits}-bit packing")
+    h, w = arr.shape
+    rps = rows_per_strip if rows_per_strip > 0 else h
+    payloads = []
+    for r0 in range(0, h, rps):
+        rows = arr[r0 : r0 + rps]
+        if bits == 16:
+            payloads.append(rows.astype("<u2").tobytes())
+        else:
+            payloads.append(_pack_bits_be(rows.reshape(-1), bits))
+    n_strips = len(payloads)
+    make = b"SONY\x00\x00"  # tag 271, count 6 > 4 -> stored out-of-line
+    ifd0_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (271, 2, len(make), None),  # Make, patched below
+        (330, 4, 1, None),          # SubIFDs -> raw IFD, patched below
+    ]
+    raw_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, bits),
+        (259, 3, 1, 1),      # uncompressed
+        (262, 3, 1, 32803),  # CFA
+        (273, 4, n_strips, None),  # StripOffsets, patched below
+        (277, 3, 1, 1),
+        (278, 4, 1, rps),
+        (279, 4, n_strips, None),  # StripByteCounts, patched below
+    ]
+    ifd0_off = 8
+    make_off = ifd0_off + 2 + 12 * len(ifd0_entries) + 4
+    raw_ifd_off = make_off + len(make)
+    arrays_off = raw_ifd_off + 2 + 12 * len(raw_entries) + 4
+    # out-of-line offset/count arrays only needed when n_strips > 1
+    off_arr_off = arrays_off
+    cnt_arr_off = off_arr_off + (4 * n_strips if n_strips > 1 else 0)
+    data_off = cnt_arr_off + (4 * n_strips if n_strips > 1 else 0)
+    strip_offsets = []
+    pos = data_off
+    for p in payloads:
+        strip_offsets.append(pos)
+        pos += len(p)
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd0_off)
+    out += struct.pack("<H", len(ifd0_entries))
+    for tag, typ, cnt, val in ifd0_entries:
+        if tag == 271:
+            val = make_off
+        elif tag == 330:
+            val = raw_ifd_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += make
+    out += struct.pack("<H", len(raw_entries))
+    for tag, typ, cnt, val in raw_entries:
+        if tag == 273:
+            val = strip_offsets[0] if n_strips == 1 else off_arr_off
+        elif tag == 279:
+            val = len(payloads[0]) if n_strips == 1 else cnt_arr_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    if n_strips > 1:
+        for o in strip_offsets:
+            out += struct.pack("<I", o)
+        for p in payloads:
+            out += struct.pack("<I", len(p))
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def decode_arw(content: bytes) -> np.ndarray:
+    """ARW (Sony TIFF-EP) -> (H, W) uint16 sensor grid.
+
+    Same SubIFD walk as NEF; Compression 1 decodes per-strip
+    (byte-order-honoring 16-bit, MSB-first packed 12/14-bit), Sony's
+    delta-compressed 32767 quarantines with the reason."""
+    bo = _parse_header(content)
+    (ifd0_off,) = struct.unpack(bo + "I", content[4:8])
+    tags0, _ = _read_ifd_at(content, bo, ifd0_off)
+    candidates = []
+    for sub_off in tags0.get(330, []):
+        sub, _ = _read_ifd_at(content, bo, int(sub_off))
+        if 256 in sub and 257 in sub:
+            candidates.append(sub)
+    if not candidates:
+        if 273 in tags0:
+            candidates.append(tags0)
+        else:
+            raise ValueError("ARW: no raw IFD found")
+    raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
+    compression = int(raw.get(259, [1])[0])
+    if compression == 32767:
+        raise NotImplementedError(
+            "ARW: Sony delta-compressed (32767) needs the 128-sample "
+            "curve blocks — install rawpy"
+        )
+    if compression != 1:
+        raise NotImplementedError(
+            f"ARW: compression {compression} unsupported"
+        )
+    w, h = int(raw[256][0]), int(raw[257][0])
+    bits = int(raw.get(258, [16])[0])
+    if bits not in (12, 14, 16):
+        raise NotImplementedError(f"ARW: {bits}-bit packing unsupported")
+    offsets, counts = raw[273], raw[279]
+    rows_per_strip = int(raw.get(278, [h])[0])
+    if rows_per_strip <= 0:
+        raise ValueError("ARW: non-positive RowsPerStrip")
+    strips = []
+    row = 0
+    for o, c in zip(offsets, counts):
+        rows = min(rows_per_strip, h - row)
+        if rows <= 0:
+            raise ValueError("ARW: more strips than image rows")
+        strips.append(
+            _unpack_strip(
+                content[int(o) : int(o) + int(c)], rows * w, bits, bo
+            )
+        )
+        row += rows
+    if row != h:
+        raise ValueError("ARW: strips do not cover the image height")
+    return np.concatenate(strips).reshape(h, w)
 
 
 # ------------------------------------------------- display adapters
@@ -316,3 +497,8 @@ def decode_cr2_display(content: bytes) -> np.ndarray:
 def decode_nef_display(content: bytes) -> np.ndarray:
     """Registry adapter for .nef."""
     return _display(decode_nef_packed(content))
+
+
+def decode_arw_display(content: bytes) -> np.ndarray:
+    """Registry adapter for .arw."""
+    return _display(decode_arw(content))

@@ -230,31 +230,15 @@ NEAR_DUP_T = 0.35
 
 
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs = the shared candidate base filtered at the
+    calibrated threshold. One construction of the LSH candidate set
+    serves this query, the threshold histogram, and (through it) the
+    near-dup component graph — the session-sharing convention every
+    other pair-graph family follows."""
     from pyspark.sql import functions as F
 
-    from ..functions import vector
-    from .similarity import lsh_signature
-
-    emb = catalog.load_table(spark, sf_dir, "embeddings")
-    b = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
-    left = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        "bucket",
-    )
-    right = b.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    pairs = left.join(
-        right,
-        (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
-    )
-    cos = F.round(vector.cosine(F.col("emb_a"), F.col("emb_b")), 6)
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEAR_DUP_T)
+    return _q_emb_near_dup_all(spark, sf_dir).filter(
+        F.col("cos_sim") >= NEAR_DUP_T
     )
 
 
@@ -331,33 +315,43 @@ def _q_emb_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_near_dup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dup candidate pairs WITHOUT the final threshold —
-    shared base for the pair query (>= NEAR_DUP_T) and the histogram
-    (all bins)."""
+    """The scored LSH candidate pairs WITHOUT the final threshold —
+    the ONE physical construction behind the pair query
+    (>= NEAR_DUP_T), the threshold histogram (all bins), and the
+    component graph. Materialized once per session (matcache), so
+    every consumer probes a scratch-parquet scan instead of re-running
+    the bucket self-join — the same convention the dHash/pHash pair
+    graphs follow. 100-TB posture: one banded self-join per session;
+    the materialized result is candidate-pair-sized (banded, never
+    all-pairs), and downstream filters/aggs prune on the scan."""
     from pyspark.sql import functions as F
 
     from ..functions import vector
+    from ..matcache import materialize_once
     from .similarity import lsh_signature
 
-    emb = catalog.load_table(spark, sf_dir, "embeddings")
-    b = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
-    left = b.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        "bucket",
-    )
-    right = b.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    pairs = left.join(
-        right,
-        (F.col("bucket") == F.col("bucket_b"))
-        & (F.col("vec_a") < F.col("vec_b")),
-    )
-    cos = F.round(vector.cosine(F.col("emb_a"), F.col("emb_b")), 6)
-    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+    def build() -> DataFrame:
+        emb = catalog.load_table(spark, sf_dir, "embeddings")
+        b = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
+        left = b.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            "bucket",
+        )
+        right = b.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        pairs = left.join(
+            right,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        cos = F.round(vector.cosine(F.col("emb_a"), F.col("emb_b")), 6)
+        return pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+
+    return materialize_once(spark, "embnd_cands", sf_dir, build)
 
 
 EMB_THRESHOLD_HIST_DUCK = (

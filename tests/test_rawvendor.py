@@ -109,6 +109,13 @@ def test_nef_nikon_compressed_quarantines_with_reason():
 
 
 def test_registry_dispatch_cr2_magic_nef_extension():
+    from dataset_batch_processor_spark.multimodal import optional_codecs
+
+    if {"cr2", "nef"} & set(optional_codecs.REGISTERED):
+        pytest.skip(
+            "optional RAW codec registered — registry no longer routes "
+            "to the pure decoder this test pins (ADVICE r7)"
+        )
     arr = (np.arange(16 * 30, dtype=np.uint16) * 97 % 65536).reshape(16, 30)
     cr2 = rawvendor.encode_cr2_lossless(arr.astype(np.uint16), n_slices=3)
     disp = binary.decode_any("bin", cr2)  # CR magic wins over extension
@@ -123,3 +130,83 @@ def test_registry_dispatch_cr2_magic_nef_extension():
     # plain .tif still routes to the baseline TIFF decoder
     rgb = (np.arange(5 * 5 * 3) % 256).astype(np.uint8).reshape(5, 5, 3)
     assert np.array_equal(binary.decode_any("tif", tiff.encode_tiff(rgb)), rgb)
+
+
+# ----------------------------------------------------------- ARW (r8)
+
+
+@pytest.mark.parametrize("bits", [12, 14, 16])
+@pytest.mark.parametrize("rps", [0, 1, 3, 5])
+def test_arw_roundtrip_bits_and_strips(bits, rps):
+    arr = _rng().integers(0, 1 << bits, size=(11, 7)).astype(np.uint16)
+    b = rawvendor.encode_arw_uncompressed(arr, bits=bits, rows_per_strip=rps)
+    assert np.array_equal(rawvendor.decode_arw(b), arr)
+
+
+def test_arw_multistrip_strips_are_byte_aligned():
+    # 5 cols x 12 bits x 3 rows = 180 bits = 22.5 bytes per strip: a
+    # continuous-bitstream unpack would desync every strip after the
+    # first (the ADVICE r7 failure mode, here pinned on the ARW path)
+    arr = _rng().integers(0, 1 << 12, size=(10, 5)).astype(np.uint16)
+    b = rawvendor.encode_arw_uncompressed(arr, bits=12, rows_per_strip=3)
+    assert np.array_equal(rawvendor.decode_arw(b), arr)
+
+
+def test_arw_16bit_is_little_endian_in_file():
+    arr = np.array([[0x1234, 0xABCD]], dtype=np.uint16)
+    b = rawvendor.encode_arw_uncompressed(arr, bits=16)
+    assert b.endswith(b"\x34\x12\xcd\xab")  # II header -> LE samples
+    assert np.array_equal(rawvendor.decode_arw(b), arr)
+
+
+def test_arw_sony_compressed_quarantines_with_reason():
+    arr = np.zeros((4, 4), dtype=np.uint16)
+    data = bytearray(rawvendor.encode_arw_uncompressed(arr, bits=16))
+    idx = data.index(struct.pack("<HHI", 259, 3, 1))
+    data[idx + 8 : idx + 10] = struct.pack("<H", 32767)
+    with pytest.raises(NotImplementedError, match="rawpy"):
+        rawvendor.decode_arw(bytes(data))
+
+
+def test_arw_registry_dispatch_not_shadowed_by_tiff_sniff():
+    from dataset_batch_processor_spark.multimodal import optional_codecs
+
+    if "arw" in optional_codecs.REGISTERED:
+        pytest.skip("optional RAW codec claimed 'arw'")
+    arr = (
+        (np.arange(8 * 6) * 997 % 65536).astype(np.uint16).reshape(8, 6)
+    )
+    b = rawvendor.encode_arw_uncompressed(arr)
+    disp = binary.decode_any("arw", b)
+    assert np.array_equal(disp[:, :, 0], (arr >> 8).astype(np.uint8))
+
+
+def test_nef_multistrip_unpacks_each_strip_independently():
+    # Hand-build a 2-strip NEF whose strips are NOT sample-aligned:
+    # 3 rows x 5 cols x 12 bits = 180 bits -> 23 bytes (4 pad bits).
+    # Each strip must restart at its own byte boundary (TIFF 6.0 §3).
+    arr = _rng().integers(0, 1 << 12, size=(6, 5)).astype(np.uint16)
+    h, w, bits, rps = 6, 5, 12, 3
+    p0 = rawvendor._pack_bits_be(arr[:3].reshape(-1), bits)
+    p1 = rawvendor._pack_bits_be(arr[3:].reshape(-1), bits)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, 1), (273, 4, 2, None), (277, 3, 1, 1),
+        (278, 4, 1, rps), (279, 4, 2, None),
+    ]
+    ifd_off = 8
+    arr_off = ifd_off + 2 + 12 * len(entries) + 4
+    data_off = arr_off + 16
+    out = bytearray(b"II*\x00") + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = arr_off
+        elif tag == 279:
+            val = arr_off + 8
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<II", data_off, data_off + len(p0))
+    out += struct.pack("<II", len(p0), len(p1))
+    out += p0 + p1
+    assert np.array_equal(rawvendor.decode_nef_packed(bytes(out)), arr)
