@@ -280,10 +280,9 @@ def decode_nef_packed(content: bytes) -> np.ndarray:
     raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
     compression = int(raw.get(259, [1])[0])
     if compression == 34713:
-        raise NotImplementedError(
-            "NEF: Nikon-compressed (34713) needs MakerNote Huffman "
-            "trees + linearization curve — install rawpy"
-        )
+        # pure-Python Huffman-diff decode (round 8); quarantines with
+        # a precise reason only when the MakerNote table is unreadable
+        return decode_nef_compressed(content, raw, bo, tags0)
     if compression != 1:
         raise NotImplementedError(
             f"NEF: compression {compression} unsupported"
@@ -317,6 +316,374 @@ def decode_nef_packed(content: bytes) -> np.ndarray:
     if row != h:
         raise ValueError("NEF: strips do not cover the image height")
     return np.concatenate(strips).reshape(h, w)
+
+
+# ---------------------------------------------- Nikon-compressed NEF
+# Compression 34713: Huffman-coded sample differences with two
+# vertical seed predictors per row parity, a fixed vendor Huffman
+# table selected by the linearization-table version bytes, and an
+# optional tone curve — the layout is public via the dcraw/LibRaw
+# lineage (nikon_load_raw) and the Nikon MakerNote notes
+# (Exiv2/ExifTool tag 0x0096). The table lives in the Nikon
+# MakerNote (IFD0 -> ExifIFD 0x8769 -> MakerNote 0x927C, a "Nikon"
+# header wrapping an embedded TIFF whose IFD carries tag 0x0096).
+#
+# Decoder supports the documented variants (12/14-bit, lossy curve
+# ver 0x44 with mid-image tree split, lossless ver 0x46); the
+# encoder emits the lossless configuration so the roundtrip queries
+# gate the bitstream, the predictor scheme, and the MakerNote walk
+# bit-exactly on self-produced bytes.
+
+# (counts for code lengths 1..16, leaf values) — DHT-style canonical
+# specs. Leaf low nibble = diff bit-length, high nibble = reduced-
+# precision shift (lossy after-split trees). Row 0 carries one pad
+# leaf (0) to complete the code, matching the vendor table layout.
+NIKON_TREES: list[tuple[list[int], list[int]]] = [
+    # 12-bit lossy
+    ([0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0],
+     [5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12, 0]),
+    # 12-bit lossy after split
+    ([0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0],
+     [0x39, 0x5A, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12]),
+    # 12-bit lossless
+    ([0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+     [5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12]),
+    # 14-bit lossy
+    ([0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0],
+     [5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14]),
+    # 14-bit lossy after split
+    ([0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0],
+     [8, 0x5C, 0x4B, 0x3A, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14]),
+    # 14-bit lossless
+    ([0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0],
+     [7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14]),
+]
+
+MAKERNOTE_TAG = 0x927C
+EXIF_IFD_TAG = 0x8769
+NIKON_LINEARIZATION_TAG = 0x0096
+
+
+def _nikon_decode_table(tree: int) -> dict[tuple[int, int], int]:
+    """(length, code) -> leaf value, canonical assignment."""
+    counts, values = NIKON_TREES[tree]
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _nikon_encode_table(tree: int) -> dict[int, tuple[int, int]]:
+    """leaf value -> (code, length); first assignment wins for the
+    pad-duplicated leaves."""
+    out: dict[int, tuple[int, int]] = {}
+    for (length, code), v in _nikon_decode_table(tree).items():
+        out.setdefault(v, (code, length))
+    return out
+
+
+class _RawBits:
+    """MSB-first bit I/O over an unstuffed stream (no 0xFF00 escapes —
+    the NEF strip is not a JPEG entropy segment)."""
+
+    def __init__(self, data: bytes = b"") -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _nikon_lin_parse(
+    table: bytes, bits: int, bo: str
+) -> tuple[int, np.ndarray, int, int, list[list[int]]]:
+    """Linearization table -> (tree index, curve, split row, max).
+    Mirrors the documented walk: version bytes select the tree;
+    ver 0x44 0x20 carries a step-interpolated curve + split row at
+    offset 562; other lossy versions carry the curve directly;
+    lossless (0x46) keeps the identity curve."""
+
+    def u16(off: int) -> int:
+        return struct.unpack(bo + "H", table[off : off + 2])[0]
+
+    ver0, ver1 = table[0], table[1]
+    pos = 2
+    if ver0 == 0x49 or ver1 == 0x58:
+        pos += 2110  # big lens-data block precedes the predictors
+    tree = 2 if ver0 == 0x46 else 0
+    if bits == 14:
+        tree += 3
+    vpred = [[u16(pos), u16(pos + 2)], [u16(pos + 4), u16(pos + 6)]]
+    pos += 8
+    maxv = 1 << bits
+    curve = np.arange(0x8000, dtype=np.uint16)
+    csize = u16(pos)
+    pos += 2
+    step = maxv // (csize - 1) if csize > 1 else 0
+    split = 0
+    if ver0 == 0x44 and ver1 == 0x20 and step > 0:
+        pts = np.array(
+            [u16(pos + 2 * i) for i in range(csize)], dtype=np.int64
+        )
+        idx = np.arange(maxv, dtype=np.int64)
+        lo = idx // step
+        frac = idx % step
+        hi = np.minimum(lo + 1, csize - 1)
+        curve = curve.copy()
+        curve[:maxv] = (
+            (pts[lo] * (step - frac) + pts[hi] * frac) // step
+        ).astype(np.uint16)
+        split = u16(562)
+    elif ver0 != 0x46 and csize <= 0x4001:
+        curve = curve.copy()
+        vals = [u16(pos + 2 * i) for i in range(csize)]
+        curve[:csize] = np.array(vals, dtype=np.uint16)
+        maxv = csize
+    while maxv > 2 and curve[maxv - 2] == curve[maxv - 1]:
+        maxv -= 1
+    return tree, curve, split, maxv, vpred
+
+
+def _nikon_diff_decode(reader: _RawBits, leaf: int) -> int:
+    len_ = leaf & 15
+    shl = leaf >> 4
+    if len_ == 0:
+        return 0
+    raw = reader.read(len_ - shl)
+    diff = ((raw << 1) + 1) << shl >> 1
+    if (diff & (1 << (len_ - 1))) == 0:
+        diff -= (1 << len_) - (0 if shl else 1)
+    return diff
+
+
+def decode_nef_compressed(
+    content: bytes, raw_tags: dict, bo: str, tags0: dict
+) -> np.ndarray:
+    """Nikon 34713 strip -> (H, W) uint16 sensor grid. Raises
+    NotImplementedError with a precise reason when the MakerNote
+    linearization table cannot be located (the quarantine path)."""
+    table = _find_nikon_linearization(content, bo, tags0)
+    if table is None:
+        raise NotImplementedError(
+            "NEF: Nikon-compressed (34713) without a readable MakerNote "
+            "linearization table (tag 0x0096) — install rawpy"
+        )
+    lin_bytes, lin_bo = table
+    w, h = int(raw_tags[256][0]), int(raw_tags[257][0])
+    bits = int(raw_tags.get(258, [12])[0])
+    if bits not in (12, 14):
+        raise NotImplementedError(
+            f"NEF: {bits}-bit Nikon-compressed unsupported"
+        )
+    tree, curve, split, maxv, vpred = _nikon_lin_parse(
+        lin_bytes, bits, lin_bo
+    )
+    o, c = int(raw_tags[273][0]), int(raw_tags[279][0])
+    reader = _RawBits(content[o : o + c])
+    dec = _nikon_decode_table(tree)
+    out = np.empty((h, w), dtype=np.uint16)
+    vpred = [list(vpred[0]), list(vpred[1])]
+    minv = 0
+    for row in range(h):
+        if split and row == split:
+            dec = _nikon_decode_table(tree + 1)
+            minv = 16
+            maxv += minv << 1
+        hpred = [0, 0]
+        for col in range(w):
+            length = 0
+            code = 0
+            while True:
+                length += 1
+                if length > 16:
+                    raise ValueError("NEF: invalid Huffman stream")
+                code = (code << 1) | reader.read(1)
+                leaf = dec.get((length, code))
+                if leaf is not None:
+                    break
+            diff = _nikon_diff_decode(reader, leaf)
+            if col < 2:
+                vpred[row & 1][col] = (vpred[row & 1][col] + diff) & 0xFFFF
+                hpred[col] = vpred[row & 1][col]
+            else:
+                hpred[col & 1] = (hpred[col & 1] + diff) & 0xFFFF
+            v = hpred[col & 1]
+            if (v + minv) & 0xFFFF >= maxv:
+                raise ValueError("NEF: sample out of range (corrupt)")
+            signed = v - 0x10000 if v >= 0x8000 else v
+            out[row, col] = curve[min(max(signed, 0), 0x3FFF)]
+    return out
+
+
+def _find_nikon_linearization(
+    content: bytes, bo: str, tags0: dict
+) -> tuple[bytes, str] | None:
+    """IFD0 -> ExifIFD (0x8769) -> MakerNote (0x927C): a 'Nikon'
+    header wrapping an embedded TIFF whose byte order governs the
+    table; returns (table bytes, byte order) or None."""
+    exif_ptr = tags0.get(EXIF_IFD_TAG)
+    if not exif_ptr:
+        return None
+    try:
+        exif_tags, _ = _read_ifd_at(content, bo, int(exif_ptr[0]))
+    except (struct.error, IndexError):
+        return None
+    mn = exif_tags.get(MAKERNOTE_TAG)
+    if not mn or not isinstance(mn[0], (bytes, bytearray)):
+        return None
+    blob = bytes(mn[0])
+    if not blob.startswith(b"Nikon\x00"):
+        return None
+    emb = blob[10:]  # embedded TIFF after the 10-byte Nikon header
+    try:
+        ebo = _parse_header(emb)
+        (ifd_off,) = struct.unpack(ebo + "I", emb[4:8])
+        etags, _ = _read_ifd_at(emb, ebo, ifd_off)
+    except (ValueError, struct.error, IndexError):
+        return None
+    lin = etags.get(NIKON_LINEARIZATION_TAG)
+    if not lin or not isinstance(lin[0], (bytes, bytearray)):
+        return None
+    return bytes(lin[0]), ebo
+
+
+def encode_nef_compressed(arr: np.ndarray, bits: int = 12) -> bytes:
+    """(H, W) uint16 sensor grid -> minimal Nikon-compressed NEF
+    (lossless configuration: ver 0x46, identity curve, no split):
+    IFD0 carries ExifIFD -> MakerNote -> linearization table AND
+    SubIFDs -> raw IFD with Compression 34713."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_nef_compressed expects (H, W) uint16")
+    if bits not in (12, 14):
+        raise ValueError("bits must be 12 or 14")
+    if int(arr.max(initial=0)) >= 1 << bits:
+        raise ValueError(f"samples out of range for {bits}-bit coding")
+    h, w = arr.shape
+    tree = 2 if bits == 12 else 5
+    enc = _nikon_encode_table(tree)
+    seed = 1 << (bits - 1)
+    vpred = [[seed, seed], [seed, seed]]
+    writer = _RawBits()
+    for row in range(h):
+        hpred = [0, 0]
+        for col in range(w):
+            target = int(arr[row, col])
+            if col < 2:
+                pred = vpred[row & 1][col]
+            else:
+                pred = hpred[col & 1]
+            diff = target - pred
+            if diff == 0:
+                ssss = 0
+            else:
+                ssss = abs(diff).bit_length()
+                if ssss > bits:
+                    raise ValueError("NEF: diff exceeds sample precision")
+            code, length = enc[ssss]
+            writer.write(code, length)
+            if ssss:
+                v = diff if diff > 0 else diff + (1 << ssss) - 1
+                writer.write(v, ssss)
+            if col < 2:
+                vpred[row & 1][col] = target
+                hpred[col] = target
+            else:
+                hpred[col & 1] = target
+    payload = writer.flush()
+    # linearization table: ver 0x46 0x30, vpred seeds, csize 1 (no
+    # curve payload — identity), padded past offset 562 for shape
+    # parity with real tables
+    lin = bytearray([0x46, 0x30])
+    for r in range(2):
+        for c in range(2):
+            lin += struct.pack("<H", seed)
+    lin += struct.pack("<H", 1)  # csize
+    lin += bytes(600 - len(lin))
+    # embedded MakerNote TIFF: one IFD entry, tag 0x0096 type 7
+    emb = bytearray(b"II*\x00") + struct.pack("<I", 8)
+    emb += struct.pack("<H", 1)
+    lin_off = 8 + 2 + 12 + 4
+    emb += struct.pack(
+        "<HHII", NIKON_LINEARIZATION_TAG, 7, len(lin), lin_off
+    )
+    emb += struct.pack("<I", 0)
+    emb += lin
+    makernote = b"Nikon\x00\x02\x10\x00\x00" + bytes(emb)
+
+    ifd0_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (330, 4, 1, None),            # SubIFDs -> raw IFD
+        (EXIF_IFD_TAG, 4, 1, None),   # ExifIFD
+    ]
+    exif_entries = [(MAKERNOTE_TAG, 7, len(makernote), None)]
+    raw_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, bits),
+        (259, 3, 1, 34713),
+        (262, 3, 1, 32803),
+        (273, 4, 1, None),
+        (277, 3, 1, 1),
+        (279, 4, 1, len(payload)),
+    ]
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * len(ifd0_entries) + 4
+    mn_off = exif_off + 2 + 12 * len(exif_entries) + 4
+    raw_ifd_off = mn_off + len(makernote)
+    data_off = raw_ifd_off + 2 + 12 * len(raw_entries) + 4
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd0_off)
+    out += struct.pack("<H", len(ifd0_entries))
+    for tag, typ, cnt, val in ifd0_entries:
+        if tag == 330:
+            val = raw_ifd_off
+        elif tag == EXIF_IFD_TAG:
+            val = exif_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<H", len(exif_entries))
+    for tag, typ, cnt, val in exif_entries:
+        out += struct.pack("<HHII", tag, typ, cnt, mn_off)
+    out += struct.pack("<I", 0)
+    out += makernote
+    out += struct.pack("<H", len(raw_entries))
+    for tag, typ, cnt, val in raw_entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += payload
+    return bytes(out)
 
 
 # --------------------------------------------------------------- ARW

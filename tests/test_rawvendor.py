@@ -210,3 +210,86 @@ def test_nef_multistrip_unpacks_each_strip_independently():
     out += struct.pack("<II", len(p0), len(p1))
     out += p0 + p1
     assert np.array_equal(rawvendor.decode_nef_packed(bytes(out)), arr)
+
+
+# ------------------------------------------- Nikon 34713 (round 8)
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_nef_compressed_roundtrip(bits):
+    rng = _rng()
+    for h, w in [(1, 1), (3, 5), (9, 13), (16, 31)]:
+        arr = rng.integers(0, 1 << bits, size=(h, w)).astype(np.uint16)
+        data = rawvendor.encode_nef_compressed(arr, bits=bits)
+        assert np.array_equal(rawvendor.decode_nef_packed(data), arr)
+
+
+def test_nef_compressed_goes_through_makernote_walk():
+    arr = np.full((4, 6), 1234, dtype=np.uint16)
+    data = rawvendor.encode_nef_compressed(arr, bits=12)
+    bo = tiff._parse_header(data)
+    (ifd0_off,) = struct.unpack("<I", data[4:8])
+    tags0, _ = tiff._read_ifd_at(data, bo, ifd0_off)
+    found = rawvendor._find_nikon_linearization(data, bo, tags0)
+    assert found is not None
+    table, tbo = found
+    assert table[0] == 0x46 and tbo == "<"
+
+
+def test_nef_compressed_without_makernote_quarantines():
+    # packed container flipped to 34713 has no MakerNote -> precise
+    # reason, not a crash (the F7 quarantine path)
+    arr = np.zeros((4, 4), dtype=np.uint16)
+    data = bytearray(rawvendor.encode_nef_packed(arr, bits=12))
+    idx = data.index(struct.pack("<HHI", 259, 3, 1))
+    data[idx + 8 : idx + 10] = struct.pack("<H", 34713)
+    with pytest.raises(NotImplementedError, match="0x0096"):
+        rawvendor.decode_nef_packed(bytes(data))
+
+
+def test_nikon_trees_are_complete_prefix_codes():
+    for counts, values in rawvendor.NIKON_TREES:
+        assert sum(counts) == len(values)
+        kraft = sum(
+            n / (1 << length)
+            for length, n in enumerate(counts, start=1)
+        )
+        assert kraft == 1.0  # complete code, no undecodable gaps
+
+
+def test_nikon_lossy_shl_diff_arithmetic():
+    # leaf 0x39: len 9, shl 3 -> diff = ((raw<<1)+1)<<3>>1, sign via
+    # bit 8, negative branch subtracts (1<<9) with no -1 (shl != 0)
+    r = rawvendor._RawBits(bytes([0b01000000]))  # raw 6 bits = 16
+    d = rawvendor._nikon_diff_decode(r, 0x39)
+    # pre-sign value ((16<<1)+1)<<3>>1 = 132: bit 8 clear -> negative
+    # branch subtracts 1<<9 (no -1 because shl != 0)
+    assert d == 132 - 512
+    r2 = rawvendor._RawBits(bytes([0b11111100]))  # raw = 63
+    d2 = rawvendor._nikon_diff_decode(r2, 0x39)
+    assert d2 == 508  # ((63<<1)+1)<<3>>1, bit 8 set -> positive
+
+
+def test_nikon_lin_parse_curve_and_split():
+    # ver 0x44 0x20: step-interpolated curve + split row at offset 562
+    table = bytearray(600)
+    table[0], table[1] = 0x44, 0x20
+    table[2:10] = struct.pack("<4H", 600, 600, 600, 600)
+    pts = [0, 100, 200, 300, 4000]
+    table[10:12] = struct.pack("<H", len(pts))
+    table[12 : 12 + 10] = struct.pack("<5H", *pts)
+    table[562:564] = struct.pack("<H", 7)
+    tree, curve, split, maxv, vpred = rawvendor._nikon_lin_parse(
+        bytes(table), 12, "<"
+    )
+    assert tree == 0 and split == 7 and vpred == [[600, 600], [600, 600]]
+    step = 4096 // 4
+    assert curve[0] == 0 and curve[step] == 100 and curve[2 * step] == 200
+    assert curve[step // 2] == 50  # midpoint interpolation
+    # lossless selects the lossless trees and keeps identity curve
+    t12 = bytes([0x46, 0x30]) + struct.pack("<4H", 0, 0, 0, 0) + b"\x00" * 2
+    tree12, c12, s12, m12, _ = rawvendor._nikon_lin_parse(t12, 12, "<")
+    tree14, _, _, m14, _ = rawvendor._nikon_lin_parse(t12, 14, "<")
+    assert (tree12, tree14) == (2, 5)
+    assert (m12, m14) == (4096, 16384) and s12 == 0
+    assert c12[1234] == 1234
