@@ -55,6 +55,33 @@ HEADLINE = (
     "q10_returned_items",
 )
 
+# Headline v2 (round 8, VERDICT r7 next#8): the r1-era set skews
+# relational; these four add one representative per major family that
+# landed since (funnel, image near-dup, the all-families dashboard,
+# the measured-skew salted join). The r1 25 stays the baseline-
+# continuity metric ("value"); headline_v2_total tracks the surface
+# users actually run. V2 members get the same median-of-REPS protocol.
+HEADLINE_V2_EXTRA = (
+    "events_funnel",
+    "img_phash_near_dup_pairs",
+    "dedup_dashboard_all_families",
+    "lineitem_hot_tenant_salted_join",
+)
+
+# Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
+# non-headline queries run median-of-REPS with recorded spreads so
+# regressions on precisely the most expensive surface are
+# attributable. Rep 1 builds the session-shared matcache artifacts
+# (pair graphs, CC labels); later reps probe them — the median is
+# therefore the warm-path cost and the spread max is the cold build.
+HEAVY = (
+    "img_phash_components",
+    "emb_ann_recall_report",
+    "dedup_dashboard_all_families",
+    "img_dhash_components",
+    "docs_incremental_lsh_pairs",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,10 +138,11 @@ def main() -> None:
     # — tripling all 180 would triple the driver's bench wall for a
     # number nobody gates on.
     reps_headline = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    multi_rep = set(HEADLINE) | set(HEADLINE_V2_EXTRA) | set(HEAVY)
     spread: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in qs.items():
-        reps = reps_headline if name in HEADLINE else 1
+        reps = reps_headline if name in multi_rep else 1
         runs: list[float] = []
         n = 0
         for _ in range(reps):
@@ -138,6 +166,9 @@ def main() -> None:
               file=sys.stderr)
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
+    headline_v2_total = headline_total + sum(
+        timings[n] for n in HEADLINE_V2_EXTRA if n in timings
+    )
     # Round-4 regression investigation (VERDICT r3 "what's wrong" #3):
     # the r2->r3 all-queries slowdown reproduces in a FRESH session
     # running only 8 early queries (each ~1.7-3x its mid-r3 BENCH_DETAIL
@@ -156,7 +187,11 @@ def main() -> None:
         "rep (reps=1 included) so every timing is the honest "
         "build+probe and no query evicts a sibling's cache; "
         "emb_ann_recall_report times the composition over the warm "
-        "family caches by design; non-headline queries run once"
+        "family caches by design; headline-v2 extras and the heavy "
+        "tier (top-cost non-headline) also run median-of-reps — for "
+        "the heavy tier rep 1 builds the session-shared matcache "
+        "artifacts so the median is warm-path and the spread max is "
+        "the cold build; remaining queries run once"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -171,6 +206,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "headline_total": round(headline_total, 3),
+                "headline_v2_total": round(headline_v2_total, 3),
+                "headline_v2_extra": list(HEADLINE_V2_EXTRA),
+                "heavy_tier": list(HEAVY),
                 "headline_reps": reps_headline,
                 "pair_graph_build_s": pair_graph_build_s,
                 "spread": spread,
@@ -190,6 +228,7 @@ def main() -> None:
                 "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "sf": sf,
                 "all_total": round(total, 3),
+                "headline_v2_total": round(headline_v2_total, 3),
                 "n_queries": len(timings),
                 "note": note,
             },

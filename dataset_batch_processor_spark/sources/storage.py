@@ -273,6 +273,14 @@ def salted_join(
     Use when AQE's skew-join can't help (e.g. the skewed side feeds a
     chain AQE won't re-plan, or a broadcast is too large). The small
     side is replicated n_salts×, so keep it the dimension side.
+
+    Choosing n_salts: ceil(max_key_rows / target_partition_rows),
+    both available from the same ``join_skew_report`` that picks the
+    strategy — the smallest count that levels the hot reducer to the
+    mean partition. The round-8 sweep (SCALE.md) measured wall flat
+    from 1..64 salts at the fixture's skew factor 50, so over-salting
+    costs only dim-side replication; the default 16 levels the
+    fixture's hot key exactly to the mean partition on local[32].
     """
     cols = salt_from or [c for c in skewed.columns if c != key]
     left = skewed.withColumn(

@@ -5,7 +5,12 @@ Runs every ``queries()[name]`` on Spark and the matching
 then compares row count, column-name set, and an order-insensitive
 value multiset. Usage:
 
-    python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query record (status, rows, wall) — the
+round-close full-surface artifact (`VERIFY_FULL_r{N}.json`) that
+complements the driver's rotating ~50-query window (README
+"Correctness gates").
 """
 
 from __future__ import annotations
@@ -46,8 +51,15 @@ def canon(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from dataset_batch_processor_spark.session import get_spark
@@ -77,9 +89,14 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            records[name] = {"status": "FAIL", "rows": None,
+                             "wall_s": round(time.time() - t0, 2),
+                             "err": "spark error"}
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            records[name] = {"status": "rows-only", "rows": len(srows),
+                             "wall_s": round(time.time() - t0, 2)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,6 +105,9 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
+            records[name] = {"status": "FAIL", "rows": len(srows),
+                             "wall_s": round(time.time() - t0, 2),
+                             "err": "duckdb error"}
             continue
         ok = True
         msgs = []
@@ -134,6 +154,10 @@ def main() -> int:
             f"{status}  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)"
             + ("  " + "; ".join(msgs) if msgs else "")
         )
+        records[name] = {"status": status, "rows": len(srows),
+                         "wall_s": round(time.time() - t0, 2)}
+        if msgs:
+            records[name]["err"] = "; ".join(msgs)
     unknown = only - set(qs)
     if unknown:
         print(f"\nERROR: unknown query name(s): {sorted(unknown)}")
@@ -141,6 +165,27 @@ def main() -> int:
     print(
         f"\n{len(failures)} failures" + (f": {failures}" if failures else "")
     )
+    if json_out:
+        import json
+
+        n_pass = sum(1 for r in records.values() if r["status"] == "PASS")
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(records),
+                    "n_pass": n_pass,
+                    "n_fail": len(failures),
+                    "n_rows_only": sum(
+                        1 for r in records.values()
+                        if r["status"] == "rows-only"
+                    ),
+                    "failures": failures,
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
