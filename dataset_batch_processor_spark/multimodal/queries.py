@@ -1232,6 +1232,78 @@ WHERE doc_id % 4 = 3
 """
 
 
+ARW2_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, n_blocks int, "
+    "lossless_exact boolean, sample_sum bigint"
+)
+
+
+def _q_arw_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sony ARW2 block coding (Compression 32767) end-to-end: the
+    encoder emits only exactly-representable blocks, the test pattern
+    keeps every 16-pixel block's spread under 0x80 (sh=0, exact), so
+    the decoder's 32-bit header unpack, even/odd column interleave,
+    and delta arithmetic all sit under the hash gate."""
+    import numpy as np
+
+    from . import rawvendor
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 1
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 9 + 2, 32 * (d % 3 + 1)
+                y, x = np.mgrid[0:h, 0:w]
+                # per-row base + small per-column ripple: block spread
+                # <= 100 < 0x80 keeps every block in the exact subset
+                arr = (
+                    (d * 19 + y * 37) % 1800 + (x * 7) % 101
+                ).astype(np.uint16)
+                arw = rawvendor.encode_arw_compressed(arr)
+                dec = rawvendor.decode_arw(arw)
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "n_blocks": h * w // 16,
+                    "lossless_exact": bool(np.array_equal(dec, arr)),
+                    "sample_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_blocks",
+                         "lossless_exact", "sample_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=ARW2_ROUNDTRIP_SCHEMA)
+
+
+ARW2_ROUNDTRIP_DUCK = """
+SELECT doc_id,
+       CAST(32 * (doc_id % 3 + 1) AS INT) AS width,
+       CAST(doc_id % 9 + 2 AS INT) AS height,
+       CAST((doc_id % 9 + 2) * 32 * (doc_id % 3 + 1) // 16 AS INT)
+           AS n_blocks,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 19 + y.y * 37) % 1800 + (x.x * 7) % 101)
+         FROM (SELECT unnest(generate_series(0, 32 * (doc_id % 3 + 1) - 1))
+               AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 9 + 1)) AS y) y
+       ) AS BIGINT) AS sample_sum
+FROM documents
+WHERE doc_id % 5 = 1
+"""
+
+
 def _tile_ck_spec():
     from ..operators import tiling
 
@@ -1602,6 +1674,7 @@ QUERIES = {
     "mm_nef_packed_roundtrip": _q_nef_roundtrip,
     "mm_nef_compressed_roundtrip": _q_nef_compressed_roundtrip,
     "mm_arw_roundtrip": _q_arw_roundtrip,
+    "mm_arw_compressed_roundtrip": _q_arw_compressed_roundtrip,
     "mm_exif_orientation": _q_exif_orientation,
 }
 ORACLES = {
@@ -1625,5 +1698,6 @@ ORACLES = {
     "mm_nef_packed_roundtrip": NEF_ROUNDTRIP_DUCK,
     "mm_nef_compressed_roundtrip": NEFC_ROUNDTRIP_DUCK,
     "mm_arw_roundtrip": ARW_ROUNDTRIP_DUCK,
+    "mm_arw_compressed_roundtrip": ARW2_ROUNDTRIP_DUCK,
     "mm_exif_orientation": EXIF_ORIENT_DUCK,
 }

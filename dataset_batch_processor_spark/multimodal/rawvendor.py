@@ -792,12 +792,165 @@ def encode_arw_uncompressed(
     return bytes(out)
 
 
+# Sony ARW2 block coding (Compression 32767): each 16-byte block
+# codes 16 pixels of ONE column parity across a 32-column span —
+# 11-bit max + 11-bit min + 4-bit argmax + 4-bit argmin packed in the
+# first 32 bits, then fourteen 7-bit deltas from min, scaled by the
+# smallest shift with (max-min) >> sh < 0x80. The layout is public
+# via the dcraw/LibRaw/rawspeed lineage (sony_arw2_load_raw). The
+# format is lossy when (max-min) >= 0x80; the encoder below emits
+# only exactly-representable blocks (it raises otherwise) so the
+# roundtrip queries can hash-gate the decoder bit-exactly.
+
+ARW2_SPAN = 32  # two 16-pixel blocks (even cols, then odd) per span
+
+
+def _arw2_block_decode(block: bytes) -> list[int]:
+    block = block + b"\x00"  # 16-bit reads at byte 15 stay in-bounds
+    (val,) = struct.unpack("<I", block[:4])
+    mx = val & 0x7FF
+    mn = (val >> 11) & 0x7FF
+    imax = (val >> 22) & 0x0F
+    imin = (val >> 26) & 0x0F
+    sh = 0
+    while sh < 4 and (0x80 << sh) <= mx - mn:
+        sh += 1
+    pix = [0] * 16
+    bit = 30
+    for i in range(16):
+        if i == imax:
+            pix[i] = mx
+        elif i == imin:
+            pix[i] = mn
+        else:
+            byte = bit >> 3
+            word = struct.unpack("<H", block[byte : byte + 2])[0]
+            pix[i] = min((((word >> (bit & 7)) & 0x7F) << sh) + mn, 0x7FF)
+            bit += 7
+    return pix
+
+
+def _arw2_block_encode(pix: list[int]) -> bytes:
+    if len(pix) != 16 or any(not 0 <= p <= 0x7FF for p in pix):
+        raise ValueError("ARW2 block needs 16 samples in [0, 0x7ff]")
+    mx, mn = max(pix), min(pix)
+    imax, imin = pix.index(mx), pix.index(mn)
+    if imax == imin:  # constant block: distinct slots required
+        imin = (imax + 1) % 16
+    sh = 0
+    while sh < 4 and (0x80 << sh) <= mx - mn:
+        sh += 1
+    # one pad byte: the 128 payload bits end exactly at byte 16, but
+    # the 16-bit read-modify-write of the last field touches byte 16
+    out = bytearray(17)
+    struct.pack_into(
+        "<I", out, 0,
+        (mx & 0x7FF) | ((mn & 0x7FF) << 11) | (imax << 22) | (imin << 26),
+    )
+    bit = 30
+    for i in range(16):
+        if i in (imax, imin):
+            continue
+        delta = pix[i] - mn
+        if delta & ((1 << sh) - 1) or (delta >> sh) > 0x7F:
+            raise ValueError(
+                "ARW2: block not exactly representable (the format is "
+                "lossy here) — delta %d at shift %d" % (delta, sh)
+            )
+        byte = bit >> 3
+        word = struct.unpack("<H", out[byte : byte + 2])[0]
+        word |= ((delta >> sh) & 0x7F) << (bit & 7)
+        struct.pack_into("<H", out, byte, word)
+        bit += 7
+    return bytes(out[:16])
+
+
+def _arw2_decode_payload(data: bytes, h: int, w: int) -> np.ndarray:
+    """Row-major stream of 16-byte blocks -> (H, W) 11-bit grid.
+    Each row is ``w`` bytes; within a 32-column span the first block
+    fills even columns, the second odd columns."""
+    if w % ARW2_SPAN:
+        raise ValueError("ARW2: width must be a multiple of 32")
+    out = np.empty((h, w), dtype=np.uint16)
+    pos = 0
+    for row in range(h):
+        for span in range(0, w, ARW2_SPAN):
+            for parity in (0, 1):
+                pix = _arw2_block_decode(data[pos : pos + 16])
+                pos += 16
+                out[row, span + parity : span + ARW2_SPAN : 2] = pix
+    return out
+
+
+def _arw2_encode_payload(arr: np.ndarray) -> bytes:
+    h, w = arr.shape
+    if w % ARW2_SPAN:
+        raise ValueError("ARW2: width must be a multiple of 32")
+    out = bytearray()
+    for row in range(h):
+        for span in range(0, w, ARW2_SPAN):
+            for parity in (0, 1):
+                pix = [int(v) for v in
+                       arr[row, span + parity : span + ARW2_SPAN : 2]]
+                out += _arw2_block_encode(pix)
+    return bytes(out)
+
+
+def encode_arw_compressed(arr: np.ndarray) -> bytes:
+    """(H, W) uint16 grid of 11-bit samples, width % 32 == 0 ->
+    minimal Sony-compressed ARW (Compression 32767). Raises when a
+    block is not exactly representable — the hash-gated roundtrip
+    feeds data inside the exact subset (per-block max-min < 0x80)."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_arw_compressed expects (H, W) uint16")
+    if int(arr.max(initial=0)) > 0x7FF:
+        raise ValueError("ARW2 samples are 11-bit")
+    h, w = arr.shape
+    payload = _arw2_encode_payload(arr)
+    raw_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 12),
+        (259, 3, 1, 32767),
+        (262, 3, 1, 32803),
+        (273, 4, 1, None),
+        (277, 3, 1, 1),
+        (279, 4, 1, len(payload)),
+    ]
+    ifd0_entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (330, 4, 1, None),
+    ]
+    ifd0_off = 8
+    raw_ifd_off = ifd0_off + 2 + 12 * len(ifd0_entries) + 4
+    data_off = raw_ifd_off + 2 + 12 * len(raw_entries) + 4
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd0_off)
+    out += struct.pack("<H", len(ifd0_entries))
+    for tag, typ, cnt, val in ifd0_entries:
+        if tag == 330:
+            val = raw_ifd_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<H", len(raw_entries))
+    for tag, typ, cnt, val in raw_entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += payload
+    return bytes(out)
+
+
 def decode_arw(content: bytes) -> np.ndarray:
     """ARW (Sony TIFF-EP) -> (H, W) uint16 sensor grid.
 
     Same SubIFD walk as NEF; Compression 1 decodes per-strip
-    (byte-order-honoring 16-bit, MSB-first packed 12/14-bit), Sony's
-    delta-compressed 32767 quarantines with the reason."""
+    (byte-order-honoring 16-bit, MSB-first packed 12/14-bit) and
+    Sony's block-compressed 32767 decodes through the ARW2 block
+    codec (11-bit coded domain — tone curves are a display concern,
+    matching the DNG/NEF policy of returning the sensor grid)."""
     bo = _parse_header(content)
     (ifd0_off,) = struct.unpack(bo + "I", content[4:8])
     tags0, _ = _read_ifd_at(content, bo, ifd0_off)
@@ -813,16 +966,14 @@ def decode_arw(content: bytes) -> np.ndarray:
             raise ValueError("ARW: no raw IFD found")
     raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
     compression = int(raw.get(259, [1])[0])
+    w, h = int(raw[256][0]), int(raw[257][0])
     if compression == 32767:
-        raise NotImplementedError(
-            "ARW: Sony delta-compressed (32767) needs the 128-sample "
-            "curve blocks — install rawpy"
-        )
+        o, c = int(raw[273][0]), int(raw[279][0])
+        return _arw2_decode_payload(content[o : o + c], h, w)
     if compression != 1:
         raise NotImplementedError(
             f"ARW: compression {compression} unsupported"
         )
-    w, h = int(raw[256][0]), int(raw[257][0])
     bits = int(raw.get(258, [16])[0])
     if bits not in (12, 14, 16):
         raise NotImplementedError(f"ARW: {bits}-bit packing unsupported")

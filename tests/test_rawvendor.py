@@ -159,13 +159,58 @@ def test_arw_16bit_is_little_endian_in_file():
     assert np.array_equal(rawvendor.decode_arw(b), arr)
 
 
-def test_arw_sony_compressed_quarantines_with_reason():
+def test_arw_unknown_compression_quarantines_with_reason():
     arr = np.zeros((4, 4), dtype=np.uint16)
     data = bytearray(rawvendor.encode_arw_uncompressed(arr, bits=16))
     idx = data.index(struct.pack("<HHI", 259, 3, 1))
-    data[idx + 8 : idx + 10] = struct.pack("<H", 32767)
-    with pytest.raises(NotImplementedError, match="rawpy"):
+    data[idx + 8 : idx + 10] = struct.pack("<H", 7)  # not 1/32767
+    with pytest.raises(NotImplementedError, match="compression 7"):
         rawvendor.decode_arw(bytes(data))
+
+
+def test_arw2_sony_compressed_roundtrip():
+    # data inside the exact subset: per-block spread < 0x80 so sh=0
+    rng = _rng()
+    base = rng.integers(0, 0x7FF - 130, size=(6, 1)).astype(np.uint16)
+    arr = (base + rng.integers(0, 127, size=(6, 64))).astype(np.uint16)
+    data = rawvendor.encode_arw_compressed(arr)
+    assert np.array_equal(rawvendor.decode_arw(data), arr)
+
+
+def test_arw2_block_layout_even_then_odd_columns():
+    # span pixels 0..31: value = column index; even block first
+    arr = np.arange(32, dtype=np.uint16).reshape(1, 32)
+    payload = rawvendor._arw2_encode_payload(arr)
+    assert len(payload) == 32
+    evens = rawvendor._arw2_block_decode(payload[:16])
+    odds = rawvendor._arw2_block_decode(payload[16:])
+    assert evens == list(range(0, 32, 2))
+    assert odds == list(range(1, 32, 2))
+
+
+def test_arw2_shift_scaling_decodes_lossy_blocks():
+    # spread >= 0x80 forces sh=1: deltas decode as (d7 << 1) + min,
+    # clamped to 0x7ff — decode a hand-built block and check the
+    # scaling arithmetic (the lossy path the encoder refuses)
+    # spread 0xFF: 0x80 <= 0xFF -> sh=1 (and 0x100 > 0xFF stops it)
+    block = bytearray(16)
+    struct.pack_into("<I", block, 0, 0xFF | (0 << 11) | (0 << 22) | (1 << 26))
+    # first delta slot (pixel 2) at bit 30: value 0x41 -> (0x41<<1)+0
+    bit = 30
+    word = struct.unpack("<H", block[bit >> 3 : (bit >> 3) + 2])[0]
+    word |= (0x41 & 0x7F) << (bit & 7)
+    struct.pack_into("<H", block, bit >> 3, word)
+    out = rawvendor._arw2_block_decode(bytes(block))
+    assert out[0] == 0xFF and out[1] == 0
+    assert out[2] == (0x41 << 1)  # sh=1 scaling applied
+
+
+def test_arw2_encoder_refuses_inexact_blocks():
+    pix = [0] * 16
+    pix[0] = 0x200  # spread forces sh >= 1
+    pix[2] = 3      # odd delta not representable at sh=1
+    with pytest.raises(ValueError, match="not exactly representable"):
+        rawvendor._arw2_block_encode(pix)
 
 
 def test_arw_registry_dispatch_not_shadowed_by_tiff_sniff():
