@@ -71,9 +71,11 @@ HEADLINE_V2_EXTRA = (
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
 # non-headline queries run median-of-REPS with recorded spreads so
 # regressions on precisely the most expensive surface are
-# attributable. Rep 1 builds the session-shared matcache artifacts
-# (pair graphs, CC labels); later reps probe them — the median is
-# therefore the warm-path cost and the spread max is the cold build.
+# attributable. These compose session-shared matcache artifacts
+# (pair graphs, CC labels) built by whichever query touches them
+# FIRST in registration order — often a sibling that ran earlier —
+# so the median is the warm-path cost; a large spread max marks the
+# rep that happened to pay a cold build, wherever it landed.
 HEAVY = (
     "img_phash_components",
     "emb_ann_recall_report",
@@ -188,10 +190,11 @@ def main() -> None:
         "build+probe and no query evicts a sibling's cache; "
         "emb_ann_recall_report times the composition over the warm "
         "family caches by design; headline-v2 extras and the heavy "
-        "tier (top-cost non-headline) also run median-of-reps — for "
-        "the heavy tier rep 1 builds the session-shared matcache "
-        "artifacts so the median is warm-path and the spread max is "
-        "the cold build; remaining queries run once"
+        "tier (top-cost non-headline) also run median-of-reps — "
+        "heavy-tier queries compose session-shared matcache "
+        "artifacts built by whichever query touched them first, so "
+        "their medians are warm-path and a large spread max marks "
+        "the rep that paid a cold build; remaining queries run once"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

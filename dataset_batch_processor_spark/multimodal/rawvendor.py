@@ -219,7 +219,13 @@ def encode_nef_packed(arr: np.ndarray, bits: int = 12) -> bytes:
     if int(arr.max(initial=0)) >= 1 << bits:
         raise ValueError(f"samples out of range for {bits}-bit packing")
     h, w = arr.shape
-    payload = _pack_bits_be(arr.reshape(-1), bits)
+    # 16-bit samples follow the FILE byte order (TIFF 6.0) — this
+    # writer emits an II header, so little-endian; sub-byte packings
+    # are MSB-first regardless (FillOrder 1)
+    if bits == 16:
+        payload = arr.reshape(-1).astype("<u2").tobytes()
+    else:
+        payload = _pack_bits_be(arr.reshape(-1), bits)
     ifd0_entries = [
         (256, 4, 1, w),
         (257, 4, 1, h),
@@ -256,13 +262,11 @@ def encode_nef_packed(arr: np.ndarray, bits: int = 12) -> bytes:
     return bytes(out)
 
 
-def decode_nef_packed(content: bytes) -> np.ndarray:
-    """NEF (TIFF-EP) -> (H, W) uint16 sensor grid.
-
-    Walks IFD0 -> SubIFDs (tag 330) and picks the largest-area
-    sub-IFD (real NEFs keep a preview in IFD0 and the sensor in a
-    SubIFD). Compression 1 decodes (12/14/16-bit packed);
-    Nikon-compressed 34713 quarantines with the reason."""
+def _walk_tiff_ep(content: bytes, fmt: str):
+    """Shared TIFF-EP container walk (NEF and ARW use the identical
+    structure): IFD0 -> SubIFDs (tag 330), pick the largest-area
+    sub-IFD (real files keep a preview in IFD0 and the sensor in a
+    SubIFD), raw-in-IFD0 fallback. -> (bo, tags0, raw_ifd_tags)."""
     bo = _parse_header(content)
     (ifd0_off,) = struct.unpack(bo + "I", content[4:8])
     tags0, _ = _read_ifd_at(content, bo, ifd0_off)
@@ -272,12 +276,58 @@ def decode_nef_packed(content: bytes) -> np.ndarray:
         if 256 in sub and 257 in sub:
             candidates.append(sub)
     if not candidates:
-        # raw-in-IFD0 fallback (some TIFF-EP writers)
         if 273 in tags0:
             candidates.append(tags0)
         else:
-            raise ValueError("NEF: no raw IFD found")
+            raise ValueError(f"{fmt}: no raw IFD found")
     raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
+    return bo, tags0, raw
+
+
+def _decode_raw_strips(
+    content: bytes, raw: dict, bo: str, fmt: str
+) -> np.ndarray:
+    """Compression-1 strip decode shared by NEF and ARW. TIFF strips
+    are INDEPENDENTLY byte-aligned (TIFF 6.0 §3: each strip's
+    bit-packing restarts at a byte boundary), so each strip is
+    unpacked on its own — one continuous bitstream would silently
+    desync every sample after strip 0 whenever rows_per_strip * w *
+    bits is not a multiple of 8. 16-bit samples honor the FILE byte
+    order; sub-byte packings are MSB-first (FillOrder 1)."""
+    w, h = int(raw[256][0]), int(raw[257][0])
+    bits = int(raw.get(258, [16])[0])
+    if bits not in (12, 14, 16):
+        raise NotImplementedError(
+            f"{fmt}: {bits}-bit packing unsupported"
+        )
+    offsets, counts = raw[273], raw[279]
+    rows_per_strip = int(raw.get(278, [h])[0])
+    if rows_per_strip <= 0:
+        raise ValueError(f"{fmt}: non-positive RowsPerStrip")
+    strips = []
+    row = 0
+    for o, c in zip(offsets, counts):
+        rows = min(rows_per_strip, h - row)
+        if rows <= 0:
+            raise ValueError(f"{fmt}: more strips than image rows")
+        strips.append(
+            _unpack_strip(
+                content[int(o) : int(o) + int(c)], rows * w, bits, bo
+            )
+        )
+        row += rows
+    if row != h:
+        raise ValueError(f"{fmt}: strips do not cover the image height")
+    return np.concatenate(strips).reshape(h, w)
+
+
+def decode_nef_packed(content: bytes) -> np.ndarray:
+    """NEF (TIFF-EP) -> (H, W) uint16 sensor grid.
+
+    Compression 1 decodes per-strip (12/14/16-bit, byte-order
+    honoring); Nikon-compressed 34713 decodes through the vendor
+    Huffman-diff codec below."""
+    bo, tags0, raw = _walk_tiff_ep(content, "NEF")
     compression = int(raw.get(259, [1])[0])
     if compression == 34713:
         # pure-Python Huffman-diff decode (round 8); quarantines with
@@ -287,35 +337,7 @@ def decode_nef_packed(content: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"NEF: compression {compression} unsupported"
         )
-    w, h = int(raw[256][0]), int(raw[257][0])
-    bits = int(raw.get(258, [16])[0])
-    if bits not in (12, 14, 16):
-        raise NotImplementedError(f"NEF: {bits}-bit packing unsupported")
-    offsets, counts = raw[273], raw[279]
-    # TIFF strips are INDEPENDENTLY byte-aligned (TIFF 6.0 §3: each
-    # strip's bit-packing restarts at a byte boundary), so each strip
-    # must be unpacked on its own — concatenating payloads and
-    # unpacking one continuous bitstream would silently desync every
-    # sample after strip 0 whenever rows_per_strip * w * bits is not
-    # a multiple of 8.
-    rows_per_strip = int(raw.get(278, [h])[0])
-    if rows_per_strip <= 0:
-        raise ValueError("NEF: non-positive RowsPerStrip")
-    strips = []
-    row = 0
-    for o, c in zip(offsets, counts):
-        rows = min(rows_per_strip, h - row)
-        if rows <= 0:
-            raise ValueError("NEF: more strips than image rows")
-        strips.append(
-            _unpack_bits_be(
-                content[int(o) : int(o) + int(c)], rows * w, bits
-            )
-        )
-        row += rows
-    if row != h:
-        raise ValueError("NEF: strips do not cover the image height")
-    return np.concatenate(strips).reshape(h, w)
+    return _decode_raw_strips(content, raw, bo, "NEF")
 
 
 # ---------------------------------------------- Nikon-compressed NEF
@@ -445,28 +467,30 @@ def _nikon_lin_parse(
     vpred = [[u16(pos), u16(pos + 2)], [u16(pos + 4), u16(pos + 6)]]
     pos += 8
     maxv = 1 << bits
-    curve = np.arange(0x8000, dtype=np.uint16)
+    # identity-prefilled full-range curve, the documented baseline:
+    # interpolation reads the identity values past the last anchor,
+    # so the tail segment matches the reference lineage exactly
+    curve = np.arange(0x10000, dtype=np.int64)
     csize = u16(pos)
     pos += 2
     step = maxv // (csize - 1) if csize > 1 else 0
     split = 0
     if ver0 == 0x44 and ver1 == 0x20 and step > 0:
-        pts = np.array(
-            [u16(pos + 2 * i) for i in range(csize)], dtype=np.int64
-        )
+        for i in range(csize):
+            j = i * step
+            if j < 0x10000:
+                curve[j] = u16(pos + 2 * i)
         idx = np.arange(maxv, dtype=np.int64)
-        lo = idx // step
         frac = idx % step
-        hi = np.minimum(lo + 1, csize - 1)
-        curve = curve.copy()
+        base = idx - frac
+        anchors = curve.copy()
         curve[:maxv] = (
-            (pts[lo] * (step - frac) + pts[hi] * frac) // step
-        ).astype(np.uint16)
+            anchors[base] * (step - frac) + anchors[base + step] * frac
+        ) // step
         split = u16(562)
     elif ver0 != 0x46 and csize <= 0x4001:
-        curve = curve.copy()
-        vals = [u16(pos + 2 * i) for i in range(csize)]
-        curve[:csize] = np.array(vals, dtype=np.uint16)
+        for i in range(csize):
+            curve[i] = u16(pos + 2 * i)
         maxv = csize
     while maxv > 2 and curve[maxv - 2] == curve[maxv - 1]:
         maxv -= 1
@@ -504,9 +528,15 @@ def decode_nef_compressed(
         raise NotImplementedError(
             f"NEF: {bits}-bit Nikon-compressed unsupported"
         )
-    tree, curve, split, maxv, vpred = _nikon_lin_parse(
-        lin_bytes, bits, lin_bo
-    )
+    try:
+        tree, curve, split, maxv, vpred = _nikon_lin_parse(
+            lin_bytes, bits, lin_bo
+        )
+    except (struct.error, IndexError) as exc:
+        raise NotImplementedError(
+            f"NEF: malformed Nikon linearization table ({exc}) — "
+            "install rawpy"
+        ) from exc
     o, c = int(raw_tags[273][0]), int(raw_tags[279][0])
     reader = _RawBits(content[o : o + c])
     dec = _nikon_decode_table(tree)
@@ -871,6 +901,11 @@ def _arw2_decode_payload(data: bytes, h: int, w: int) -> np.ndarray:
     fills even columns, the second odd columns."""
     if w % ARW2_SPAN:
         raise ValueError("ARW2: width must be a multiple of 32")
+    if len(data) < h * w:  # one byte per pixel (16 bytes / 16 pixels)
+        raise ValueError(
+            f"ARW2: payload truncated ({len(data)} bytes for "
+            f"{h}x{w} pixels)"
+        )
     out = np.empty((h, w), dtype=np.uint16)
     pos = 0
     for row in range(h):
@@ -951,51 +986,17 @@ def decode_arw(content: bytes) -> np.ndarray:
     Sony's block-compressed 32767 decodes through the ARW2 block
     codec (11-bit coded domain — tone curves are a display concern,
     matching the DNG/NEF policy of returning the sensor grid)."""
-    bo = _parse_header(content)
-    (ifd0_off,) = struct.unpack(bo + "I", content[4:8])
-    tags0, _ = _read_ifd_at(content, bo, ifd0_off)
-    candidates = []
-    for sub_off in tags0.get(330, []):
-        sub, _ = _read_ifd_at(content, bo, int(sub_off))
-        if 256 in sub and 257 in sub:
-            candidates.append(sub)
-    if not candidates:
-        if 273 in tags0:
-            candidates.append(tags0)
-        else:
-            raise ValueError("ARW: no raw IFD found")
-    raw = max(candidates, key=lambda t: int(t[256][0]) * int(t[257][0]))
+    bo, _tags0, raw = _walk_tiff_ep(content, "ARW")
     compression = int(raw.get(259, [1])[0])
-    w, h = int(raw[256][0]), int(raw[257][0])
     if compression == 32767:
+        w, h = int(raw[256][0]), int(raw[257][0])
         o, c = int(raw[273][0]), int(raw[279][0])
         return _arw2_decode_payload(content[o : o + c], h, w)
     if compression != 1:
         raise NotImplementedError(
             f"ARW: compression {compression} unsupported"
         )
-    bits = int(raw.get(258, [16])[0])
-    if bits not in (12, 14, 16):
-        raise NotImplementedError(f"ARW: {bits}-bit packing unsupported")
-    offsets, counts = raw[273], raw[279]
-    rows_per_strip = int(raw.get(278, [h])[0])
-    if rows_per_strip <= 0:
-        raise ValueError("ARW: non-positive RowsPerStrip")
-    strips = []
-    row = 0
-    for o, c in zip(offsets, counts):
-        rows = min(rows_per_strip, h - row)
-        if rows <= 0:
-            raise ValueError("ARW: more strips than image rows")
-        strips.append(
-            _unpack_strip(
-                content[int(o) : int(o) + int(c)], rows * w, bits, bo
-            )
-        )
-        row += rows
-    if row != h:
-        raise ValueError("ARW: strips do not cover the image height")
-    return np.concatenate(strips).reshape(h, w)
+    return _decode_raw_strips(content, raw, bo, "ARW")
 
 
 # ------------------------------------------------- display adapters

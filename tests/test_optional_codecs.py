@@ -23,16 +23,16 @@ _HAVE_RAWPY = importlib.util.find_spec("rawpy") is not None
 
 
 def test_stub_raises_with_reason_when_library_absent():
-    # heic/arw stay library-bound stubs pointing at register_codec
-    for fmt in ("heic", "arw"):
+    # heic stays a library-bound stub pointing at register_codec
+    for fmt in ("heic",):
         if fmt in optional_codecs.REGISTERED:
             continue  # a real library is installed in this env
         with pytest.raises(NotImplementedError, match="register_codec"):
             binary.CODECS[fmt](b"\x00" * 64)
-    # cr2/nef are REAL pure-Python decoders since round 7
-    # (multimodal/rawvendor.py): garbage fails with a precise
-    # container reason, never a missing-library hint
-    for fmt in ("cr2", "nef"):
+    # cr2/nef (round 7) and arw (round 8) are REAL pure-Python
+    # decoders (multimodal/rawvendor.py): garbage fails with a
+    # precise container reason, never a missing-library hint
+    for fmt in ("cr2", "nef", "arw"):
         if fmt in optional_codecs.REGISTERED:
             continue
         with pytest.raises(ValueError):

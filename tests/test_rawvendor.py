@@ -338,3 +338,79 @@ def test_nikon_lin_parse_curve_and_split():
     assert (tree12, tree14) == (2, 5)
     assert (m12, m14) == (4096, 16384) and s12 == 0
     assert c12[1234] == 1234
+
+
+# -------------------------------------- round-8 review regressions
+
+
+def test_nef_16bit_samples_follow_file_byte_order():
+    # II header -> little-endian 16-bit samples (TIFF 6.0); the old
+    # encoder/decoder pair used big-endian inside an II file
+    arr = np.array([[0x1234, 0xABCD]], dtype=np.uint16)
+    data = rawvendor.encode_nef_packed(arr, bits=16)
+    assert data.endswith(b"\x34\x12\xcd\xab")
+    assert np.array_equal(rawvendor.decode_nef_packed(data), arr)
+
+
+def test_nikon_truncated_lin_table_quarantines():
+    arr = np.full((3, 4), 7, dtype=np.uint16)
+    data = rawvendor.encode_nef_compressed(arr, bits=12)
+    # shrink the linearization payload: find the MakerNote's embedded
+    # IFD entry and cut its count to 4 bytes (vpred truncated)
+    idx = data.index(struct.pack(
+        "<HH", rawvendor.NIKON_LINEARIZATION_TAG, 7))
+    trunc = bytearray(data)
+    trunc[idx + 4 : idx + 8] = struct.pack("<I", 4)
+    with pytest.raises(NotImplementedError, match="install rawpy"):
+        rawvendor.decode_nef_packed(bytes(trunc))
+
+
+def test_nikon_lossy_curve_large_csize_no_crash():
+    # review finding: csize=3000 at 12 bits gives step=1 and used to
+    # IndexError; the identity-prefilled interpolation handles it
+    csize = 3000
+    table = bytearray(12 + 2 * csize + 600)
+    table[0], table[1] = 0x44, 0x20
+    table[2:10] = struct.pack("<4H", 0, 0, 0, 0)
+    table[10:12] = struct.pack("<H", csize)
+    for i in range(csize):
+        struct.pack_into("<H", table, 12 + 2 * i, i)
+    struct.pack_into("<H", table, 562, 9)
+    tree, curve, split, maxv, _ = rawvendor._nikon_lin_parse(
+        bytes(table), 12, "<"
+    )
+    assert split == struct.unpack("<H", bytes(table[562:564]))[0]
+    assert curve[100] == 100  # anchors: curve[i*1] = i (identity pts)
+
+
+def test_nikon_lossy_curve_tail_uses_identity_neighbor():
+    # anchors cover [0, (csize-1)*step]; past the last anchor the
+    # interpolation's right neighbor is the identity-prefilled value
+    # (the documented in-place recipe), not a clamped anchor
+    # csize=34 at 12 bits: step = 4096//33 = 124, last anchor at
+    # 33*124 = 4092 < 4095 — indices 4093..4095 interpolate against
+    # the identity value at 4092+124 = 4216, not a clamped anchor
+    csize, bits = 34, 12
+    step = (1 << bits) // (csize - 1)
+    pts = [min(i * 110, 0x3FFF) for i in range(csize)]
+    table = bytearray(600)
+    table[0], table[1] = 0x44, 0x20
+    table[2:10] = struct.pack("<4H", 0, 0, 0, 0)
+    table[10:12] = struct.pack("<H", csize)
+    for i, p in enumerate(pts):
+        struct.pack_into("<H", table, 12 + 2 * i, p)
+    _, curve, _, _, _ = rawvendor._nikon_lin_parse(bytes(table), bits, "<")
+    i = (csize - 1) * step + 2  # 4094, past the last anchor
+    frac = i % step             # 2
+    base = i - frac             # 4092, the last anchor
+    expect = (pts[-1] * (step - frac) + (base + step) * frac) // step
+    assert curve[i] == expect
+
+
+def test_arw2_truncated_payload_raises():
+    arr = np.zeros((2, 32), dtype=np.uint16)
+    data = bytearray(rawvendor.encode_arw_compressed(arr))
+    idx = data.index(struct.pack("<HHI", 279, 4, 1))
+    data[idx + 8 : idx + 12] = struct.pack("<I", 40)  # < 2*32 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        rawvendor.decode_arw(bytes(data))
