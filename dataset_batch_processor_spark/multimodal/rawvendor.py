@@ -836,7 +836,11 @@ ARW2_SPAN = 32  # two 16-pixel blocks (even cols, then odd) per span
 
 
 def _arw2_block_decode(block: bytes) -> list[int]:
-    block = block + b"\x00"  # 16-bit reads at byte 15 stay in-bounds
+    # pad: 16-bit reads at byte 15 stay in-bounds, and a degenerate
+    # block (argmax == argmin) consumes a 15th delta whose field sits
+    # past byte 16 entirely — zero bits, matching the reference's
+    # read-past-block behavior deterministically
+    block = block + b"\x00\x00\x00"
     (val,) = struct.unpack("<I", block[:4])
     mx = val & 0x7FF
     mn = (val >> 11) & 0x7FF
@@ -898,7 +902,13 @@ def _arw2_block_encode(pix: list[int]) -> bytes:
 def _arw2_decode_payload(data: bytes, h: int, w: int) -> np.ndarray:
     """Row-major stream of 16-byte blocks -> (H, W) 11-bit grid.
     Each row is ``w`` bytes; within a 32-column span the first block
-    fills even columns, the second odd columns."""
+    fills even columns, the second odd columns.
+
+    Vectorized over ALL blocks at once (they are independent): a real
+    24 MP frame is ~1.5M blocks, and the per-block Python loop would
+    dominate the mapInPandas batch. Degenerate blocks (argmax slot ==
+    argmin slot, which no conforming encoder emits) fall back to the
+    scalar decoder to keep bit-parity with the reference recipe."""
     if w % ARW2_SPAN:
         raise ValueError("ARW2: width must be a multiple of 32")
     if len(data) < h * w:  # one byte per pixel (16 bytes / 16 pixels)
@@ -906,15 +916,61 @@ def _arw2_decode_payload(data: bytes, h: int, w: int) -> np.ndarray:
             f"ARW2: payload truncated ({len(data)} bytes for "
             f"{h}x{w} pixels)"
         )
-    out = np.empty((h, w), dtype=np.uint16)
-    pos = 0
-    for row in range(h):
-        for span in range(0, w, ARW2_SPAN):
-            for parity in (0, 1):
-                pix = _arw2_block_decode(data[pos : pos + 16])
-                pos += 16
-                out[row, span + parity : span + ARW2_SPAN : 2] = pix
-    return out
+    n = h * w // 16
+    blocks = np.frombuffer(data, dtype=np.uint8, count=n * 16).reshape(
+        n, 16
+    ).astype(np.uint32)
+    val = (
+        blocks[:, 0]
+        | (blocks[:, 1] << 8)
+        | (blocks[:, 2] << 16)
+        | (blocks[:, 3] << 24)
+    )
+    mx = val & 0x7FF
+    mn = (val >> 11) & 0x7FF
+    imax = (val >> 22) & 0x0F
+    imin = (val >> 26) & 0x0F
+    # signed: malformed blocks can carry mn > mx, where the reference
+    # recipe's (0x80 << sh) <= mx - mn comparison never fires (sh=0)
+    spread = mx.astype(np.int64) - mn.astype(np.int64)
+    sh = (
+        (spread >= 0x80).astype(np.uint32)
+        + (spread >= 0x100)
+        + (spread >= 0x200)
+        + (spread >= 0x400)
+    )
+    # fourteen 7-bit fields starting at bit 30 of the 16-byte block
+    deltas = np.empty((n, 14), dtype=np.uint32)
+    for j in range(14):
+        bit = 30 + 7 * j
+        byte, shift = bit >> 3, bit & 7
+        word = blocks[:, byte]
+        if byte + 1 < 16:
+            word = word | (blocks[:, byte + 1] << 8)
+        deltas[:, j] = (word >> shift) & 0x7F
+    scaled = np.minimum((deltas << sh[:, None]) + mn[:, None], 0x7FF)
+    rows_idx = np.arange(n)
+    slot_is_delta = np.ones((n, 16), dtype=bool)
+    slot_is_delta[rows_idx, imax] = False
+    slot_is_delta[rows_idx, imin] = False
+    pix = np.empty((n, 16), dtype=np.uint16)
+    normal = imax != imin
+    if normal.all():
+        pix[slot_is_delta] = scaled.reshape(-1)
+    else:
+        nr = rows_idx[normal]
+        cols = np.nonzero(slot_is_delta[normal])[1].reshape(-1, 14)
+        pix[nr[:, None], cols] = scaled[normal]
+    pix[rows_idx, imin] = mn.astype(np.uint16)
+    pix[rows_idx, imax] = mx.astype(np.uint16)
+    for b in rows_idx[~normal]:  # malformed: scalar parity path
+        pix[b] = _arw2_block_decode(data[b * 16 : b * 16 + 16])
+    # interleave: per 32-column span, block 0 -> even cols, 1 -> odd
+    pix4 = pix.reshape(h, w // ARW2_SPAN, 2, 16)
+    out = np.empty((h, w // ARW2_SPAN, ARW2_SPAN), dtype=np.uint16)
+    out[:, :, 0::2] = pix4[:, :, 0, :]
+    out[:, :, 1::2] = pix4[:, :, 1, :]
+    return out.reshape(h, w)
 
 
 def _arw2_encode_payload(arr: np.ndarray) -> bytes:

@@ -414,3 +414,26 @@ def test_arw2_truncated_payload_raises():
     data[idx + 8 : idx + 12] = struct.pack("<I", 40)  # < 2*32 bytes
     with pytest.raises(ValueError, match="truncated"):
         rawvendor.decode_arw(bytes(data))
+
+
+def test_arw2_vectorized_payload_matches_scalar_blocks():
+    # the payload decoder is vectorized over all blocks; pin it
+    # against the scalar reference decoder on random bytes, which
+    # include negative-spread and degenerate (imax==imin) blocks
+    for seed in (5, 11, 99):
+        r = np.random.default_rng(seed)
+        h, w = 8, 96
+        raw = r.integers(0, 256, size=h * w).astype(np.uint8).tobytes()
+        vec = rawvendor._arw2_decode_payload(raw, h, w)
+        pos = 0
+        for row in range(h):
+            for span in range(0, w, 32):
+                for parity in (0, 1):
+                    scalar = rawvendor._arw2_block_decode(
+                        raw[pos : pos + 16]
+                    )
+                    pos += 16
+                    assert (
+                        list(vec[row, span + parity : span + 32 : 2])
+                        == scalar
+                    ), (seed, row, span, parity)
