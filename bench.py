@@ -84,6 +84,13 @@ HEAVY = (
     "docs_incremental_lsh_pairs",
 )
 
+# Watch tier: queries whose single-rep timing flagged in a
+# BENCH_COMPARE report without a code change — multi-rep until the
+# move is attributed or absorbed (BENCH_COMPARE_r8: 1.59x).
+WATCH = (
+    "mm_progressive_roundtrip",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,7 +147,9 @@ def main() -> None:
     # — tripling all 180 would triple the driver's bench wall for a
     # number nobody gates on.
     reps_headline = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    multi_rep = set(HEADLINE) | set(HEADLINE_V2_EXTRA) | set(HEAVY)
+    multi_rep = (
+        set(HEADLINE) | set(HEADLINE_V2_EXTRA) | set(HEAVY) | set(WATCH)
+    )
     spread: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in qs.items():

@@ -48,6 +48,20 @@ from .tiff import _parse_header, _read_ifd_at
 
 CR2_SLICE_TAG = 0xC640  # 50752
 
+# Dims sanity cap for header-declared sizes: a corrupt/malicious
+# container claiming a multi-gigapixel sensor would otherwise
+# allocate executor memory BEFORE the quarantine's try/except could
+# matter. 2^28 pixels (268 MP, 512 MB as uint16) is ~2.5x the
+# largest real sensor.
+MAX_RAW_PIXELS = 1 << 28
+
+
+def _check_dims(w: int, h: int, fmt: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_RAW_PIXELS:
+        raise ValueError(
+            f"{fmt}: implausible sensor dims {w}x{h} (corrupt header)"
+        )
+
 
 # --------------------------------------------------------------- CR2
 
@@ -295,6 +309,7 @@ def _decode_raw_strips(
     bits is not a multiple of 8. 16-bit samples honor the FILE byte
     order; sub-byte packings are MSB-first (FillOrder 1)."""
     w, h = int(raw[256][0]), int(raw[257][0])
+    _check_dims(w, h, fmt)
     bits = int(raw.get(258, [16])[0])
     if bits not in (12, 14, 16):
         raise NotImplementedError(
@@ -523,6 +538,7 @@ def decode_nef_compressed(
         )
     lin_bytes, lin_bo = table
     w, h = int(raw_tags[256][0]), int(raw_tags[257][0])
+    _check_dims(w, h, "NEF")
     bits = int(raw_tags.get(258, [12])[0])
     if bits not in (12, 14):
         raise NotImplementedError(
@@ -1046,6 +1062,7 @@ def decode_arw(content: bytes) -> np.ndarray:
     compression = int(raw.get(259, [1])[0])
     if compression == 32767:
         w, h = int(raw[256][0]), int(raw[257][0])
+        _check_dims(w, h, "ARW")
         o, c = int(raw[273][0]), int(raw[279][0])
         return _arw2_decode_payload(content[o : o + c], h, w)
     if compression != 1:

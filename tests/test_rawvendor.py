@@ -437,3 +437,51 @@ def test_arw2_vectorized_payload_matches_scalar_blocks():
                         list(vec[row, span + parity : span + 32 : 2])
                         == scalar
                     ), (seed, row, span, parity)
+
+
+def test_raw_decoders_fail_controlled_on_fuzz():
+    """Garbage, truncated, and dims-bombed containers must raise
+    (any exception type is quarantine-safe — F7 catches broadly) but
+    never hang or allocate gigabytes. The dims cap is the load-
+    bearing part: a header claiming a multi-gigapixel sensor raises
+    BEFORE allocation."""
+    rng = np.random.default_rng(21)
+    decoders = [
+        rawvendor.decode_arw,
+        rawvendor.decode_nef_packed,
+        rawvendor.decode_cr2_lossless,
+    ]
+    for dec in decoders:
+        for n in (0, 3, 16, 200):
+            blob = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+            with pytest.raises(Exception):
+                dec(blob)
+    # truncation of valid containers at every-16-bytes granularity
+    arr = _rng().integers(0, 4096, size=(6, 8)).astype(np.uint16)
+    for enc, dec in [
+        (lambda a: rawvendor.encode_nef_packed(a, bits=12),
+         rawvendor.decode_nef_packed),
+        (lambda a: rawvendor.encode_arw_uncompressed(a, bits=12),
+         rawvendor.decode_arw),
+        (lambda a: rawvendor.encode_nef_compressed(a, bits=12),
+         rawvendor.decode_nef_packed),
+    ]:
+        data = enc(arr)
+        for cut in range(8, len(data) - 1, 16):
+            try:
+                dec(data[:cut])
+            except Exception:
+                pass  # any controlled failure is fine
+    # dims bomb: header claims 65535 x 65535 (4.3 gigapixels)
+    bomb = bytearray(rawvendor.encode_arw_uncompressed(arr, bits=12))
+    for tag in (256, 257):
+        idx = 8  # IFD0 then raw IFD both carry the dims; patch all
+        while True:
+            try:
+                idx = bomb.index(struct.pack("<HHI", tag, 4, 1), idx)
+            except ValueError:
+                break
+            bomb[idx + 8 : idx + 12] = struct.pack("<I", 65535)
+            idx += 12
+    with pytest.raises(ValueError, match="implausible"):
+        rawvendor.decode_arw(bytes(bomb))
