@@ -60,6 +60,7 @@ from dataset_batch_processor_spark.operators import (
     mining,
     feathash,
     cms,
+    curationfunnel,
     histsketch,
     routing,
     search,
@@ -438,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.QUERIES)
     q.update(funnel.QUERIES)
     q.update(webquality.QUERIES)
+    q.update(curationfunnel.QUERIES)
     q.update(phash.QUERIES)
     q.update(dedupdash.QUERIES)
     q.update(relational7.QUERIES)
@@ -541,6 +543,7 @@ FROM images_meta GROUP BY 1
     o.update(similarity.ORACLES)
     o.update(funnel.ORACLES)
     o.update(webquality.ORACLES)
+    o.update(curationfunnel.ORACLES)
     o.update(phash.ORACLES)
     o.update(dedupdash.ORACLES)
     o.update(relational7.ORACLES)

@@ -1,0 +1,264 @@
+"""Curation funnel: stage-by-stage attrition across the corpus gates.
+
+Extension surface (the reference has no corpus curation at all): the
+dashboard every large-scale training-data pipeline keeps — how many
+documents survive each gate, in pipeline order, and for each document
+the FIRST gate that kills it. The gates compose the engine's existing
+operators rather than re-deriving them, so the funnel cannot drift
+from the per-gate queries:
+
+1. ``length``  — n_words >= webquality.MIN_WORDS (the Gopher floor)
+2. ``lang``    — textanalysis language-ID resolves (guess != 'und')
+3. ``quality`` — the full composite Gopher rule set
+4. ``dedup``   — exact-duplicate survivor (min doc_id per md5(text),
+                 the dedup module's canonical-copy rule)
+
+Attribution is first-fail in that order, so a document failing both
+length and quality counts against ``length`` (the composite Gopher
+flag embeds the length floor; the funnel's per-stage kill counts stay
+disjoint by construction).
+
+100-TB posture: per-gate costs are the same as the underlying
+queries (narrow scans + keyed aggs; the top-word window is per-doc
+keyed); the funnel adds ONE extra join chain on doc_id — co-keyed,
+no new shuffle shape — and a 4-row final aggregation. The
+attribution output is corpus-sized but one row per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .textanalysis import LANG_ID_SPARK, _lang_case, _LANG_BODY
+from .webquality import (
+    MEAN_LEN_HI_X1000,
+    MEAN_LEN_LO_X1000,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    STOPWORDS,
+    TOP_WORD_MAX_PPM,
+    gopher_quality,
+)
+
+GATES = ("length", "lang", "quality", "dedup")
+
+
+def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document gate flags, one row per doc: gate_length,
+    gate_lang, gate_quality, gate_dedup — each computed by the
+    engine's own operator for that gate."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    lang = spark.sql(LANG_ID_SPARK).select("doc_id", "lang_guess")
+    gq = gopher_quality(docs).select(
+        "doc_id", "n_words", F.col("passes_gopher").alias("gate_quality")
+    )
+    canon = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical")
+    )
+    dd = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("canonical")).alias("gate_dedup"),
+        )
+    )
+    return (
+        gq.join(lang, "doc_id")
+        .join(dd, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_words") >= MIN_WORDS).alias("gate_length"),
+            (F.col("lang_guess") != "und").alias("gate_lang"),
+            "gate_quality",
+            "gate_dedup",
+        )
+    )
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = doc_gates(spark, sf_dir)
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(~F.col("gate_length"), 1).otherwise(0))
+        .cast("bigint").alias("k1"),
+        F.sum(
+            F.when(F.col("gate_length") & ~F.col("gate_lang"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("k2"),
+        F.sum(
+            F.when(
+                F.col("gate_length")
+                & F.col("gate_lang")
+                & ~F.col("gate_quality"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("k3"),
+        F.sum(
+            F.when(
+                F.col("gate_length")
+                & F.col("gate_lang")
+                & F.col("gate_quality")
+                & ~F.col("gate_dedup"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("k4"),
+    )
+    return (
+        t.selectExpr(
+            """stack(4,
+               1, 'length',  total,            k1,
+               2, 'lang',    total-k1,         k2,
+               3, 'quality', total-k1-k2,      k3,
+               4, 'dedup',   total-k1-k2-k3,   k4
+             ) AS (stage_idx, stage, n_in, n_killed)"""
+        )
+        .select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            F.col("n_in").cast("bigint").alias("n_in"),
+            F.col("n_killed").cast("bigint").alias("n_killed"),
+            (F.col("n_in") - F.col("n_killed")).cast("bigint").alias("n_out"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = doc_gates(spark, sf_dir)
+    first_fail = (
+        F.when(~F.col("gate_length"), F.lit("length"))
+        .when(~F.col("gate_lang"), F.lit("lang"))
+        .when(~F.col("gate_quality"), F.lit("quality"))
+        .when(~F.col("gate_dedup"), F.lit("dedup"))
+        .otherwise(F.lit("pass"))
+    )
+    return g.select("doc_id", first_fail.alias("first_fail")).orderBy(
+        "doc_id"
+    )
+
+
+# ----------------------------------------------------- DuckDB oracle
+# One flat WITH chain re-deriving each gate from the SAME constants
+# the per-gate oracles use (imported, not copied), so a threshold
+# change flows into both engines and the per-gate queries at once.
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_GATES_DUCK = f"""
+toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+),
+hits AS (
+  SELECT doc_id,
+         {_lang_case('duck')}
+  FROM toks GROUP BY doc_id
+),
+lang AS ({_LANG_BODY}),
+ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_distinct(list_filter(w,
+              x -> x IN ({_STOP_LIST})))) AS INT) AS stopword_hits
+  FROM ws
+),
+counts AS (
+  SELECT doc_id, u.w AS word, count(*) AS c
+  FROM ws, unnest(ws.w) AS u(w)
+  GROUP BY doc_id, u.w
+),
+top AS (
+  SELECT doc_id, c AS top_count
+  FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, word ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+gopher AS (
+  SELECT b.doc_id, b.n_words,
+         (b.n_words >= {MIN_WORDS}
+          AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
+          AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
+          AND b.stopword_hits >= {MIN_STOPWORD_HITS}
+          AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM})
+           AS gate_quality
+  FROM base b JOIN top t ON b.doc_id = t.doc_id
+),
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical
+  FROM documents GROUP BY 1
+),
+gates AS (
+  SELECT g.doc_id,
+         g.n_words >= {MIN_WORDS} AS gate_length,
+         l.lang_guess <> 'und' AS gate_lang,
+         g.gate_quality,
+         d.doc_id = c.canonical AS gate_dedup
+  FROM gopher g
+  JOIN lang l ON g.doc_id = l.doc_id
+  JOIN documents d ON g.doc_id = d.doc_id
+  JOIN canon c ON md5(d.text) = c.h
+)
+"""
+
+FUNNEL_DUCK = f"""
+WITH {_GATES_DUCK},
+k AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN NOT gate_length THEN 1 ELSE 0 END)
+              AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN gate_length AND NOT gate_lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN gate_length AND gate_lang
+                       AND NOT gate_quality THEN 1 ELSE 0 END)
+              AS BIGINT) AS k3,
+         CAST(sum(CASE WHEN gate_length AND gate_lang AND gate_quality
+                       AND NOT gate_dedup THEN 1 ELSE 0 END)
+              AS BIGINT) AS k4
+  FROM gates
+)
+SELECT CAST(1 AS INT) AS stage_idx, 'length' AS stage,
+       total AS n_in, k1 AS n_killed, total - k1 AS n_out FROM k
+UNION ALL
+SELECT 2, 'lang', total - k1, k2, total - k1 - k2 FROM k
+UNION ALL
+SELECT 3, 'quality', total - k1 - k2, k3, total - k1 - k2 - k3 FROM k
+UNION ALL
+SELECT 4, 'dedup', total - k1 - k2 - k3, k4,
+       total - k1 - k2 - k3 - k4 FROM k
+ORDER BY stage_idx
+"""
+
+ATTRIBUTION_DUCK = f"""
+WITH {_GATES_DUCK}
+SELECT doc_id,
+       CASE WHEN NOT gate_length THEN 'length'
+            WHEN NOT gate_lang THEN 'lang'
+            WHEN NOT gate_quality THEN 'quality'
+            WHEN NOT gate_dedup THEN 'dedup'
+            ELSE 'pass' END AS first_fail
+FROM gates
+ORDER BY doc_id
+"""
+
+QUERIES = {
+    "docs_curation_funnel": _q_funnel,
+    "docs_funnel_attribution": _q_attribution,
+}
+ORACLES = {
+    "docs_curation_funnel": FUNNEL_DUCK,
+    "docs_funnel_attribution": ATTRIBUTION_DUCK,
+}
