@@ -12,11 +12,18 @@ from the per-gate queries:
 3. ``quality`` — the full composite Gopher rule set
 4. ``dedup``   — exact-duplicate survivor (min doc_id per md5(text),
                  the dedup module's canonical-copy rule)
+5. ``neardup`` — MinHash-LSH near-dup survivor (canonical = min
+                 doc_id of the connected component, the same
+                 session-materialized CC labels docs_dedup_survivors
+                 consumes)
 
 Attribution is first-fail in that order, so a document failing both
 length and quality counts against ``length`` (the composite Gopher
 flag embeds the length floor; the funnel's per-stage kill counts stay
-disjoint by construction).
+disjoint by construction). Gates are independent predicates over the
+full corpus — the near-dup graph is built corpus-wide, not over the
+stage-4 survivors, matching how the standalone dedup queries define
+victims.
 
 100-TB posture: per-gate costs are the same as the underlying
 queries (narrow scans + keyed aggs; the top-word window is per-doc
@@ -31,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from .components import _PAIRS_AS_CTE, doc_dup_labels
 from .textanalysis import LANG_ID_SPARK, _lang_case, _LANG_BODY
 from .webquality import (
     MEAN_LEN_HI_X1000,
@@ -42,7 +50,7 @@ from .webquality import (
     gopher_quality,
 )
 
-GATES = ("length", "lang", "quality", "dedup")
+GATES = ("length", "lang", "quality", "dedup", "neardup")
 
 
 def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,15 +74,23 @@ def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("canonical")).alias("gate_dedup"),
         )
     )
+    victims = (
+        doc_dup_labels(spark, sf_dir)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"),
+                F.lit(True).alias("_nd_victim"))
+    )
     return (
         gq.join(lang, "doc_id")
         .join(dd, "doc_id")
+        .join(victims, "doc_id", "left")
         .select(
             "doc_id",
             (F.col("n_words") >= MIN_WORDS).alias("gate_length"),
             (F.col("lang_guess") != "und").alias("gate_lang"),
             "gate_quality",
             "gate_dedup",
+            F.col("_nd_victim").isNull().alias("gate_neardup"),
         )
     )
 
@@ -106,14 +122,25 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).cast("bigint").alias("k4"),
+        F.sum(
+            F.when(
+                F.col("gate_length")
+                & F.col("gate_lang")
+                & F.col("gate_quality")
+                & F.col("gate_dedup")
+                & ~F.col("gate_neardup"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("k5"),
     )
     return (
         t.selectExpr(
-            """stack(4,
-               1, 'length',  total,            k1,
-               2, 'lang',    total-k1,         k2,
-               3, 'quality', total-k1-k2,      k3,
-               4, 'dedup',   total-k1-k2-k3,   k4
+            """stack(5,
+               1, 'length',  total,               k1,
+               2, 'lang',    total-k1,            k2,
+               3, 'quality', total-k1-k2,         k3,
+               4, 'dedup',   total-k1-k2-k3,      k4,
+               5, 'neardup', total-k1-k2-k3-k4,   k5
              ) AS (stage_idx, stage, n_in, n_killed)"""
         )
         .select(
@@ -134,6 +161,7 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~F.col("gate_lang"), F.lit("lang"))
         .when(~F.col("gate_quality"), F.lit("quality"))
         .when(~F.col("gate_dedup"), F.lit("dedup"))
+        .when(~F.col("gate_neardup"), F.lit("neardup"))
         .otherwise(F.lit("pass"))
     )
     return g.select("doc_id", first_fail.alias("first_fail")).orderBy(
@@ -148,7 +176,30 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-_GATES_DUCK = f"""
+# MinHash-LSH pair chain (components._PAIRS_AS_CTE: shingles ->
+# sigs -> bands -> pairs) closed transitively, victims = non-min
+# members of each component — the same shape as DUP_COMPONENTS_DUCK.
+_ND_VICTIMS_DUCK = (
+    _PAIRS_AS_CTE.removeprefix("WITH ")
+    + """,
+nd_sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+nd_reach(node, other) AS (
+  SELECT node, nbr FROM nd_sym
+  UNION
+  SELECT r.node, s.nbr FROM nd_reach r JOIN nd_sym s ON r.other = s.node
+),
+nd_victims AS (
+  SELECT node AS doc_id
+  FROM nd_reach GROUP BY node
+  HAVING least(node, min(other)) <> node
+)"""
+)
+
+_GATES_DUCK = f"""{_ND_VICTIMS_DUCK},
 toks AS (
   SELECT doc_id, token
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -206,16 +257,18 @@ gates AS (
          g.n_words >= {MIN_WORDS} AS gate_length,
          l.lang_guess <> 'und' AS gate_lang,
          g.gate_quality,
-         d.doc_id = c.canonical AS gate_dedup
+         d.doc_id = c.canonical AS gate_dedup,
+         v.doc_id IS NULL AS gate_neardup
   FROM gopher g
   JOIN lang l ON g.doc_id = l.doc_id
   JOIN documents d ON g.doc_id = d.doc_id
   JOIN canon c ON md5(d.text) = c.h
+  LEFT JOIN nd_victims v ON g.doc_id = v.doc_id
 )
 """
 
 FUNNEL_DUCK = f"""
-WITH {_GATES_DUCK},
+WITH RECURSIVE {_GATES_DUCK},
 k AS (
   SELECT CAST(count(*) AS BIGINT) AS total,
          CAST(sum(CASE WHEN NOT gate_length THEN 1 ELSE 0 END)
@@ -227,7 +280,10 @@ k AS (
               AS BIGINT) AS k3,
          CAST(sum(CASE WHEN gate_length AND gate_lang AND gate_quality
                        AND NOT gate_dedup THEN 1 ELSE 0 END)
-              AS BIGINT) AS k4
+              AS BIGINT) AS k4,
+         CAST(sum(CASE WHEN gate_length AND gate_lang AND gate_quality
+                       AND gate_dedup AND NOT gate_neardup
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k5
   FROM gates
 )
 SELECT CAST(1 AS INT) AS stage_idx, 'length' AS stage,
@@ -239,16 +295,20 @@ SELECT 3, 'quality', total - k1 - k2, k3, total - k1 - k2 - k3 FROM k
 UNION ALL
 SELECT 4, 'dedup', total - k1 - k2 - k3, k4,
        total - k1 - k2 - k3 - k4 FROM k
+UNION ALL
+SELECT 5, 'neardup', total - k1 - k2 - k3 - k4, k5,
+       total - k1 - k2 - k3 - k4 - k5 FROM k
 ORDER BY stage_idx
 """
 
 ATTRIBUTION_DUCK = f"""
-WITH {_GATES_DUCK}
+WITH RECURSIVE {_GATES_DUCK}
 SELECT doc_id,
        CASE WHEN NOT gate_length THEN 'length'
             WHEN NOT gate_lang THEN 'lang'
             WHEN NOT gate_quality THEN 'quality'
             WHEN NOT gate_dedup THEN 'dedup'
+            WHEN NOT gate_neardup THEN 'neardup'
             ELSE 'pass' END AS first_fail
 FROM gates
 ORDER BY doc_id
