@@ -314,11 +314,89 @@ FROM gates
 ORDER BY doc_id
 """
 
+# ----------------------------------------- length-threshold sweep
+# The tuning table behind "where should the length floor sit": for a
+# grid of candidate MIN_WORDS values, how many docs the length gate
+# alone keeps, and how many survive the WHOLE funnel with the floor
+# moved there (all other gates at their production settings — the
+# composite Gopher flag keeps its own floor, so the sweep isolates
+# the standalone gate exactly like emb_near_dup_threshold_hist
+# isolates the cosine threshold). One corpus scan + the shared gate
+# table; 4 output rows.
+
+SWEEP_MIN_WORDS = (10, 20, 40, 80)
+
+
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    g = doc_gates(spark, sf_dir)
+    n_words = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    j = g.join(n_words, "doc_id")
+    aggs = []
+    for t in SWEEP_MIN_WORDS:
+        aggs.append(
+            F.sum(F.when(F.col("n_words") >= t, 1).otherwise(0))
+            .cast("bigint").alias(f"len_{t}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("n_words") >= t)
+                    & F.col("gate_lang")
+                    & F.col("gate_quality")
+                    & F.col("gate_dedup")
+                    & F.col("gate_neardup"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias(f"all_{t}")
+        )
+    t1 = j.agg(*aggs)
+    stack_args = ", ".join(
+        f"{t}, len_{t}, all_{t}" for t in SWEEP_MIN_WORDS
+    )
+    return (
+        t1.selectExpr(
+            f"stack({len(SWEEP_MIN_WORDS)}, {stack_args}) "
+            "AS (min_words, n_pass_length, n_pass_funnel)"
+        )
+        .select(
+            F.col("min_words").cast("int").alias("min_words"),
+            F.col("n_pass_length").cast("bigint").alias("n_pass_length"),
+            F.col("n_pass_funnel").cast("bigint").alias("n_pass_funnel"),
+        )
+        .orderBy("min_words")
+    )
+
+
+_SWEEP_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({t} AS INT) AS min_words,
+       (SELECT CAST(count(*) AS BIGINT) FROM nw WHERE n_words >= {t})
+           AS n_pass_length,
+       (SELECT CAST(count(*) AS BIGINT) FROM gates g
+        JOIN nw ON g.doc_id = nw.doc_id
+        WHERE nw.n_words >= {t} AND g.gate_lang AND g.gate_quality
+          AND g.gate_dedup AND g.gate_neardup) AS n_pass_funnel"""
+    for t in SWEEP_MIN_WORDS
+)
+
+THRESHOLD_SWEEP_DUCK = f"""
+WITH RECURSIVE {_GATES_DUCK},
+nw AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+)
+{_SWEEP_ROWS}
+ORDER BY min_words
+"""
+
 QUERIES = {
     "docs_curation_funnel": _q_funnel,
     "docs_funnel_attribution": _q_attribution,
+    "docs_funnel_threshold_sweep": _q_threshold_sweep,
 }
 ORACLES = {
     "docs_curation_funnel": FUNNEL_DUCK,
     "docs_funnel_attribution": ATTRIBUTION_DUCK,
+    "docs_funnel_threshold_sweep": THRESHOLD_SWEEP_DUCK,
 }

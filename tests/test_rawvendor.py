@@ -485,3 +485,37 @@ def test_raw_decoders_fail_controlled_on_fuzz():
             idx += 12
     with pytest.raises(ValueError, match="implausible"):
         rawvendor.decode_arw(bytes(bomb))
+
+
+# ---------------------------------------- property tests (round 8)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    base=st.integers(0, 0x7FF - 127),
+    offs=st.lists(st.integers(0, 127), min_size=16, max_size=16),
+)
+def test_arw2_block_roundtrip_property(base, offs):
+    # any block inside the exact subset (spread <= 127 -> sh=0) must
+    # roundtrip bit-exactly through encode -> decode
+    pix = [base + o for o in offs]
+    out = rawvendor._arw2_block_decode(rawvendor._arw2_block_encode(pix))
+    assert out == pix
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(0, (1 << 12) - 1), min_size=1, max_size=48
+    ),
+    w=st.integers(1, 8),
+)
+def test_nef_compressed_roundtrip_property(data, w):
+    h = max(1, len(data) // w)
+    vals = (data * ((h * w) // len(data) + 1))[: h * w]
+    arr = np.array(vals, dtype=np.uint16).reshape(h, w)
+    enc = rawvendor.encode_nef_compressed(arr, bits=12)
+    assert np.array_equal(rawvendor.decode_nef_packed(enc), arr)
