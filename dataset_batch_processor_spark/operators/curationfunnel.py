@@ -54,9 +54,21 @@ GATES = ("length", "lang", "quality", "dedup", "neardup")
 
 
 def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document gate flags, one row per doc: gate_length,
-    gate_lang, gate_quality, gate_dedup — each computed by the
-    engine's own operator for that gate."""
+    """Per-document gate flags, one row per doc — each computed by
+    the engine's own operator for that gate. Materialized once per
+    session (matcache): the funnel, the attribution, and the
+    threshold sweep all probe ONE gate table instead of each
+    re-running the Gopher/lang/dedup chain — the same convention the
+    pair graphs and CC labels follow."""
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, "curation_gates", sf_dir,
+        lambda: _build_doc_gates(spark, sf_dir),
+    )
+
+
+def _build_doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     lang = spark.sql(LANG_ID_SPARK).select("doc_id", "lang_guess")
