@@ -344,6 +344,16 @@ def decode_ljpeg(data: bytes) -> np.ndarray:
             _parse_dht(payload, tables)
         elif marker == 0xC3:
             precision, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            # dims sanity before the sample-plane allocation: a
+            # crafted SOF3 header claiming 65535x65535x4 would try a
+            # ~137 GB allocation before any entropy byte is read;
+            # cap matches rawvendor.MAX_RAW_PIXELS (268 MP), ~2.5x
+            # the largest real sensor, counted across components
+            if h <= 0 or w <= 0 or nc <= 0 or h * w * nc > 1 << 28:
+                raise ValueError(
+                    f"lossless JPEG: implausible frame dims "
+                    f"{w}x{h}x{nc} (corrupt header)"
+                )
             comp_ids = [payload[6 + 3 * i] for i in range(nc)]
             for i in range(nc):
                 if payload[7 + 3 * i] != 0x11:

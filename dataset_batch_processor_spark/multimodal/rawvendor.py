@@ -435,10 +435,18 @@ class _RawBits:
         self.acc = 0
         self.nbits = 0
         self.out = bytearray()
+        # set when a read refills past the end of data: a conforming
+        # stream never needs bits beyond its payload (the encoder
+        # pads only within the final byte), so overrun == truncation
+        self.overrun = False
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+            else:
+                b = 0
+                self.overrun = True
             self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
@@ -587,6 +595,11 @@ def decode_nef_compressed(
                 raise ValueError("NEF: sample out of range (corrupt)")
             signed = v - 0x10000 if v >= 0x8000 else v
             out[row, col] = curve[min(max(signed, 0), 0x3FFF)]
+    if reader.overrun:
+        raise ValueError(
+            "NEF: entropy stream truncated (decoder read past the "
+            "strip payload)"
+        )
     return out
 
 

@@ -213,24 +213,35 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SURVIVORS_DUCK = (
-    "WITH RECURSIVE "
-    + _PAIRS_AS_CTE.removeprefix("WITH ")
-    + """,
-sym AS (
+def victims_chain(sym: str = "sym", reach: str = "reach",
+                  victims: str = "victims") -> str:
+    """CTE chain closing the LSH ``pairs`` CTE transitively and
+    naming the non-canonical component members (node != min of its
+    component). Exported so composing oracles (dedup survivors here,
+    the curation funnel) share the EXACT closure SQL; the names are
+    parameterized to avoid clashes inside larger WITH chains."""
+    return f"""{sym} AS (
   SELECT doc_a AS node, doc_b AS nbr FROM pairs
   UNION
   SELECT doc_b AS node, doc_a AS nbr FROM pairs
 ),
-reach(node, other) AS (
-  SELECT node, nbr FROM sym
+{reach}(node, other) AS (
+  SELECT node, nbr FROM {sym}
   UNION
-  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+  SELECT r.node, s.nbr FROM {reach} r JOIN {sym} s ON r.other = s.node
 ),
-victims AS (
-  SELECT node FROM reach GROUP BY node
+{victims} AS (
+  SELECT node FROM {reach} GROUP BY node
   HAVING least(node, min(other)) <> node
-)
+)"""
+
+
+DEDUP_SURVIVORS_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + ",\n"
+    + victims_chain()
+    + """
 SELECT doc_id, lang FROM documents
 WHERE doc_id NOT IN (SELECT node FROM victims)
 ORDER BY doc_id

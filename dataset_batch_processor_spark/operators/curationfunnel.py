@@ -38,14 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .components import _PAIRS_AS_CTE, doc_dup_labels
-from .textanalysis import LANG_ID_SPARK, _lang_case, _LANG_BODY
+from .components import _PAIRS_AS_CTE, doc_dup_labels, victims_chain
+from .textanalysis import LANG_CHAIN_DUCK, LANG_ID_SPARK, _LANG_BODY
 from .webquality import (
+    GOPHER_CHAIN_DUCK,
     MEAN_LEN_HI_X1000,
     MEAN_LEN_LO_X1000,
     MIN_STOPWORD_HITS,
     MIN_WORDS,
-    STOPWORDS,
     TOP_WORD_MAX_PPM,
     gopher_quality,
 )
@@ -71,6 +71,11 @@ def doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
+    # LEFT join: the lang-ID query has no row for documents with zero
+    # non-empty tokens (whitespace-only text); the funnel must KEEP
+    # such docs — they fail the lang gate ('und'), not vanish from
+    # the corpus. gopher_quality covers every document (split() is
+    # total), so it is the full-corpus spine.
     lang = spark.sql(LANG_ID_SPARK).select("doc_id", "lang_guess")
     gq = gopher_quality(docs).select(
         "doc_id", "n_words", F.col("passes_gopher").alias("gate_quality")
@@ -93,13 +98,15 @@ def _build_doc_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(True).alias("_nd_victim"))
     )
     return (
-        gq.join(lang, "doc_id")
+        gq.join(lang, "doc_id", "left")
         .join(dd, "doc_id")
         .join(victims, "doc_id", "left")
         .select(
             "doc_id",
+            "n_words",  # kept so the threshold sweep needs no rescan
             (F.col("n_words") >= MIN_WORDS).alias("gate_length"),
-            (F.col("lang_guess") != "und").alias("gate_lang"),
+            (F.coalesce(F.col("lang_guess"), F.lit("und")) != "und")
+            .alias("gate_lang"),
             "gate_quality",
             "gate_dedup",
             F.col("_nd_victim").isNull().alias("gate_neardup"),
@@ -186,70 +193,24 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-gate oracles use (imported, not copied), so a threshold
 # change flows into both engines and the per-gate queries at once.
 
-_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-# MinHash-LSH pair chain (components._PAIRS_AS_CTE: shingles ->
-# sigs -> bands -> pairs) closed transitively, victims = non-min
-# members of each component — the same shape as DUP_COMPONENTS_DUCK.
-_ND_VICTIMS_DUCK = (
+# Every gate's SQL is the per-gate oracle's OWN chain, imported:
+# components._PAIRS_AS_CTE + victims_chain (the LSH closure),
+# textanalysis.LANG_CHAIN_DUCK (toks -> hits), and
+# webquality.GOPHER_CHAIN_DUCK (ws -> base -> counts -> top) — a
+# token-definition or canonical-rule change there flows into this
+# oracle automatically. LEFT JOIN lang + coalesce('und') keeps
+# zero-token documents in the corpus (they fail the lang gate, they
+# don't vanish); base/top cover every document, so gopher is the
+# full-corpus spine.
+_GATES_DUCK = (
     _PAIRS_AS_CTE.removeprefix("WITH ")
-    + """,
-nd_sym AS (
-  SELECT doc_a AS node, doc_b AS nbr FROM pairs
-  UNION
-  SELECT doc_b AS node, doc_a AS nbr FROM pairs
-),
-nd_reach(node, other) AS (
-  SELECT node, nbr FROM nd_sym
-  UNION
-  SELECT r.node, s.nbr FROM nd_reach r JOIN nd_sym s ON r.other = s.node
-),
-nd_victims AS (
-  SELECT node AS doc_id
-  FROM nd_reach GROUP BY node
-  HAVING least(node, min(other)) <> node
-)"""
-)
-
-_GATES_DUCK = f"""{_ND_VICTIMS_DUCK},
-toks AS (
-  SELECT doc_id, token
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        FROM documents)
-  WHERE length(token) > 0
-),
-hits AS (
-  SELECT doc_id,
-         {_lang_case('duck')}
-  FROM toks GROUP BY doc_id
-),
+    + ",\n"
+    + victims_chain("nd_sym", "nd_reach", "nd_victims")
+    + ",\n"
+    + LANG_CHAIN_DUCK
+    + f""",
 lang AS ({_LANG_BODY}),
-ws AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-base AS (
-  SELECT doc_id,
-         len(w) AS n_words,
-         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
-           AS word_chars,
-         CAST(len(list_distinct(list_filter(w,
-              x -> x IN ({_STOP_LIST})))) AS INT) AS stopword_hits
-  FROM ws
-),
-counts AS (
-  SELECT doc_id, u.w AS word, count(*) AS c
-  FROM ws, unnest(ws.w) AS u(w)
-  GROUP BY doc_id, u.w
-),
-top AS (
-  SELECT doc_id, c AS top_count
-  FROM (
-    SELECT doc_id, c,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY c DESC, word ASC) AS rn
-    FROM counts
-  ) WHERE rn = 1
-),
+{GOPHER_CHAIN_DUCK},
 gopher AS (
   SELECT b.doc_id, b.n_words,
          (b.n_words >= {MIN_WORDS}
@@ -266,18 +227,20 @@ canon AS (
 ),
 gates AS (
   SELECT g.doc_id,
+         g.n_words,
          g.n_words >= {MIN_WORDS} AS gate_length,
-         l.lang_guess <> 'und' AS gate_lang,
+         coalesce(l.lang_guess, 'und') <> 'und' AS gate_lang,
          g.gate_quality,
          d.doc_id = c.canonical AS gate_dedup,
-         v.doc_id IS NULL AS gate_neardup
+         v.node IS NULL AS gate_neardup
   FROM gopher g
-  JOIN lang l ON g.doc_id = l.doc_id
+  LEFT JOIN lang l ON g.doc_id = l.doc_id
   JOIN documents d ON g.doc_id = d.doc_id
   JOIN canon c ON md5(d.text) = c.h
-  LEFT JOIN nd_victims v ON g.doc_id = v.doc_id
+  LEFT JOIN nd_victims v ON g.doc_id = v.node
 )
 """
+)
 
 FUNNEL_DUCK = f"""
 WITH RECURSIVE {_GATES_DUCK},
@@ -340,12 +303,9 @@ SWEEP_MIN_WORDS = (10, 20, 40, 80)
 
 
 def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.load_table(spark, sf_dir, "documents")
-    g = doc_gates(spark, sf_dir)
-    n_words = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_words")
-    )
-    j = g.join(n_words, "doc_id")
+    # n_words is a column of the materialized gate table: the sweep
+    # is one scan of that artifact, no documents rescan and no join
+    j = doc_gates(spark, sf_dir)
     aggs = []
     for t in SWEEP_MIN_WORDS:
         aggs.append(
@@ -384,20 +344,16 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SWEEP_ROWS = "\nUNION ALL\n".join(
     f"""SELECT CAST({t} AS INT) AS min_words,
-       (SELECT CAST(count(*) AS BIGINT) FROM nw WHERE n_words >= {t})
-           AS n_pass_length,
-       (SELECT CAST(count(*) AS BIGINT) FROM gates g
-        JOIN nw ON g.doc_id = nw.doc_id
-        WHERE nw.n_words >= {t} AND g.gate_lang AND g.gate_quality
-          AND g.gate_dedup AND g.gate_neardup) AS n_pass_funnel"""
+       (SELECT CAST(count(*) AS BIGINT) FROM gates
+        WHERE n_words >= {t}) AS n_pass_length,
+       (SELECT CAST(count(*) AS BIGINT) FROM gates
+        WHERE n_words >= {t} AND gate_lang AND gate_quality
+          AND gate_dedup AND gate_neardup) AS n_pass_funnel"""
     for t in SWEEP_MIN_WORDS
 )
 
 THRESHOLD_SWEEP_DUCK = f"""
-WITH RECURSIVE {_GATES_DUCK},
-nw AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
-)
+WITH RECURSIVE {_GATES_DUCK}
 {_SWEEP_ROWS}
 ORDER BY min_words
 """

@@ -153,8 +153,9 @@ hits AS (
 {_LANG_BODY}
 """
 
-LANG_ID_DUCK = f"""
-WITH toks AS (
+# Exported CTE chain (toks -> hits) so composing oracles (the
+# curation funnel) share the exact token/hit SQL instead of a copy.
+LANG_CHAIN_DUCK = f"""toks AS (
   SELECT doc_id, token
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   WHERE length(token) > 0
@@ -163,7 +164,10 @@ hits AS (
   SELECT doc_id,
          {_lang_case('duck')}
   FROM toks GROUP BY doc_id
-)
+)"""
+
+LANG_ID_DUCK = f"""
+WITH {LANG_CHAIN_DUCK}
 {_LANG_BODY}
 """
 

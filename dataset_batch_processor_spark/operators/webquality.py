@@ -90,8 +90,10 @@ def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-GOPHER_DUCK = f"""
-WITH ws AS (
+# The tokenization + top-word CTE chain, exported so composing
+# oracles (the curation funnel) share the EXACT SQL rather than a
+# copy that could drift when the token definition changes.
+GOPHER_CHAIN_DUCK = f"""ws AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 base AS (
@@ -116,7 +118,10 @@ top AS (
                               ORDER BY c DESC, word ASC) AS rn
     FROM counts
   ) WHERE rn = 1
-)
+)"""
+
+GOPHER_DUCK = f"""
+WITH {GOPHER_CHAIN_DUCK}
 SELECT b.doc_id,
        CAST(b.n_words AS INT) AS n_words,
        CAST(b.word_chars * 1000 // b.n_words AS BIGINT) AS mean_len_x1000,

@@ -56,3 +56,55 @@ def test_gates_agree_with_component_operators(spark, sf_dir):
     }
     for row in g.select("doc_id", "gate_neardup").collect():
         assert row["gate_neardup"] == (row["doc_id"] not in nd_victims)
+
+
+def test_zero_token_docs_fail_lang_gate_not_vanish(spark, tmp_path):
+    """A whitespace-only document has n_words from split() but zero
+    non-empty tokens — it must appear in the gate table with
+    gate_lang = False (review finding r8), and the DuckDB oracle must
+    agree on the population."""
+    import duckdb
+    import pandas as pd
+
+    from dataset_batch_processor_spark.operators.curationfunnel import (
+        FUNNEL_DUCK,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " " * 25,                       # whitespace-only
+                "the quick brown fox " * 10,    # healthy english doc
+                "x",                            # short doc
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [25, 200, 1],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from dataset_batch_processor_spark.operators import curationfunnel as cf
+
+    g = {r["doc_id"]: r.asDict() for r in
+         cf.doc_gates(spark, sf).collect()}
+    assert set(g) == {1, 2, 3}          # nobody vanishes
+    assert g[1]["gate_lang"] is False   # zero tokens -> 'und'
+    assert g[2]["gate_lang"] is True
+
+    rows = cf._q_funnel(spark, sf).collect()
+    assert rows[0]["n_in"] == 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    duck = con.execute(FUNNEL_DUCK).fetchall()
+    spark_rows = [
+        (r["stage_idx"], r["stage"], r["n_in"], r["n_killed"], r["n_out"])
+        for r in rows
+    ]
+    assert [tuple(r) for r in duck] == spark_rows

@@ -461,3 +461,42 @@ def test_choose_join_strategy_picks_salted_on_hot_tenant(spark, sf_dir):
     # and with a production-sized broadcast budget the same report
     # correctly falls back to broadcast — the cheapest plan wins
     assert storage.choose_join_strategy(report) == "broadcast"
+
+
+def test_curation_funnel_probes_materialized_gates(spark, sf_dir):
+    """The attribution and threshold-sweep queries must scan the
+    session-materialized gate table (one parquet scan, no re-run of
+    the Gopher/lang/dedup chain, no join back to documents) — the
+    matcache-sharing convention (round 8)."""
+    from dataset_batch_processor_spark.operators import curationfunnel
+
+    # build once so the probes see the artifact
+    curationfunnel.doc_gates(spark, sf_dir).count()
+    import re
+
+    def n_scans(plan):
+        # each physical scan appears once as "(N) Scan parquet" in
+        # the formatted detail section
+        return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+    attr = curationfunnel.QUERIES["docs_funnel_attribution"](spark, sf_dir)
+    plan = explain.formatted_plan(attr)
+    assert n_scans(plan) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    sweep = curationfunnel.QUERIES["docs_funnel_threshold_sweep"](
+        spark, sf_dir
+    )
+    plan = explain.formatted_plan(sweep)
+    assert n_scans(plan) == 1  # gates only, no documents
+    assert "CartesianProduct" not in plan
+
+
+def test_arw_compressed_roundtrip_is_arrow_batched(spark, sf_dir):
+    """The ARW2 roundtrip kernel runs in mapInPandas (Arrow batches),
+    not row-at-a-time Python, and needs no shuffle."""
+    from dataset_batch_processor_spark.multimodal import queries as mm
+
+    df = mm.QUERIES["mm_arw_compressed_roundtrip"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan or "REPARTITION" in plan

@@ -456,7 +456,11 @@ def test_raw_decoders_fail_controlled_on_fuzz():
             blob = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
             with pytest.raises(Exception):
                 dec(blob)
-    # truncation of valid containers at every-16-bytes granularity
+    # truncation of valid containers at every-16-bytes granularity:
+    # every cut MUST raise — the payload sits at the end of each
+    # container, so any prefix is either a broken walk or a short
+    # strip, and silent garbage decode is the failure mode this pins
+    # (NEF-34713 detects it via the bit reader's overrun flag)
     arr = _rng().integers(0, 4096, size=(6, 8)).astype(np.uint16)
     for enc, dec in [
         (lambda a: rawvendor.encode_nef_packed(a, bits=12),
@@ -468,10 +472,8 @@ def test_raw_decoders_fail_controlled_on_fuzz():
     ]:
         data = enc(arr)
         for cut in range(8, len(data) - 1, 16):
-            try:
+            with pytest.raises(Exception):
                 dec(data[:cut])
-            except Exception:
-                pass  # any controlled failure is fine
     # dims bomb: header claims 65535 x 65535 (4.3 gigapixels)
     bomb = bytearray(rawvendor.encode_arw_uncompressed(arr, bits=12))
     for tag in (256, 257):
