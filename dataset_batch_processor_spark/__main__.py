@@ -9,6 +9,7 @@
     python -m dataset_batch_processor_spark merge    IN OUT_FILE
     python -m dataset_batch_processor_spark split    IN OUT [--records-per-file N]
     python -m dataset_batch_processor_spark dedup    IN OUT_FILE
+    python -m dataset_batch_processor_spark report   SF_DIR
 
 Each command prints one JSON metrics line (the structured status
 string). Exit code 0 on success.
@@ -70,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("sf_dir")
     exp.add_argument("out_dir")
     exp.add_argument("--drop-worst-pct", type=int, default=10)
+
+    rep = sub.add_parser(
+        "report", help="corpus curation funnel (per-stage attrition)"
+    )
+    rep.add_argument("sf_dir")
     return p
 
 
@@ -115,6 +121,15 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.out_dir,
             drop_worst_pct=args.drop_worst_pct,
         )
+    elif args.cmd == "report":
+        from .operators import curationfunnel
+
+        rows = [
+            r.asDict()
+            for r in curationfunnel._q_funnel(spark, args.sf_dir).collect()
+        ]
+        print(json.dumps({"cmd": "report", "funnel": rows}))
+        return 0
     else:  # pragma: no cover
         raise SystemExit(2)
     print(json.dumps({"cmd": args.cmd, "metrics": res.metrics}))
