@@ -1069,6 +1069,136 @@ WHERE doc_id % 4 = 2
 """
 
 
+PNG_DEPTHS_SCHEMA = (
+    "doc_id long, depth int, ctype int, interlaced boolean, "
+    "lossless_exact boolean, pix_sum bigint"
+)
+
+
+def _q_png_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-depth PNG coverage (round 8): every spec-valid depth
+    branch — 1/2/4-bit gray (scaled to 8-bit like PIL convert('L')),
+    4-bit palette, 16-bit gray and RGB (top-byte tone map) — each
+    encoded with encode_png_ex, decoded through the REGISTRY path,
+    compared against the closed-form expected display, at both
+    sequential and Adam7 interlace. A mis-unpacked bit plane, wrong
+    scale factor, or palette mis-index cannot hash green."""
+    import numpy as np
+
+    from . import binary
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 1
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import png as pngmod
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 11 + 3, d % 9 + 3
+                branch = d % 6
+                interlace = bool(d % 2)
+                y, x = np.mgrid[0:h, 0:w]
+                base = d * 13 + x * 29 + y * 53
+                if branch <= 2:          # sub-byte gray
+                    depth, ctype = (1, 2, 4)[branch], 0
+                    v = (base % (1 << depth)).astype(np.uint8)
+                    data = pngmod.encode_png_ex(
+                        v, depth=depth, ctype=ctype, interlace=interlace
+                    )
+                    disp = (
+                        v.astype(np.uint16) * 255 // ((1 << depth) - 1)
+                    ).astype(np.uint8)
+                    expect = np.repeat(disp[:, :, None], 3, axis=2)
+                elif branch == 3:        # 4-bit palette
+                    depth, ctype = 4, 3
+                    idx = (base % 16).astype(np.uint8)
+                    plte = np.stack(
+                        [((d * 7 + np.arange(16) * 31) % 256)] * 3, axis=1
+                    ).astype(np.uint8)
+                    data = pngmod.encode_png_ex(
+                        idx, depth=depth, ctype=ctype, plte=plte,
+                        interlace=interlace,
+                    )
+                    expect = plte[idx]
+                elif branch == 4:        # 16-bit gray
+                    depth, ctype = 16, 0
+                    v = (base % 65536).astype(np.uint16)
+                    data = pngmod.encode_png_ex(
+                        v, depth=depth, ctype=ctype, interlace=interlace
+                    )
+                    expect = np.repeat(
+                        (v >> 8).astype(np.uint8)[:, :, None], 3, axis=2
+                    )
+                else:                    # 16-bit RGB
+                    depth, ctype = 16, 2
+                    c = np.arange(3)
+                    v = (
+                        (base[:, :, None] + c * 77) % 65536
+                    ).astype(np.uint16)
+                    data = pngmod.encode_png_ex(
+                        v, depth=depth, ctype=ctype, interlace=interlace
+                    )
+                    expect = (v >> 8).astype(np.uint8)
+                dec = binary.decode_any("png", data)
+                out.append({
+                    "doc_id": d,
+                    "depth": depth,
+                    "ctype": ctype,
+                    "interlaced": interlace,
+                    "lossless_exact": bool(np.array_equal(dec, expect)),
+                    "pix_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "depth", "ctype", "interlaced",
+                         "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=PNG_DEPTHS_SCHEMA)
+
+
+PNG_DEPTHS_DUCK = """
+SELECT doc_id,
+       CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+            WHEN 3 THEN 4 ELSE 16 END AS INT) AS depth,
+       CAST(CASE WHEN doc_id % 6 = 3 THEN 3
+                 WHEN doc_id % 6 = 5 THEN 2 ELSE 0 END AS INT) AS ctype,
+       doc_id % 2 = 1 AS interlaced,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum(CASE
+           WHEN doc_id % 6 <= 2 THEN
+             3 * (((doc_id * 13 + x.x * 29 + y.y * 53)
+                   % (1 << (CASE doc_id % 6 WHEN 0 THEN 1
+                            WHEN 1 THEN 2 ELSE 4 END))) * 255
+                  // ((1 << (CASE doc_id % 6 WHEN 0 THEN 1
+                             WHEN 1 THEN 2 ELSE 4 END)) - 1))
+           WHEN doc_id % 6 = 3 THEN
+             3 * ((doc_id * 7
+                   + ((doc_id * 13 + x.x * 29 + y.y * 53) % 16) * 31)
+                  % 256)
+           WHEN doc_id % 6 = 4 THEN
+             3 * (((doc_id * 13 + x.x * 29 + y.y * 53) % 65536) // 256)
+           ELSE
+             ((doc_id * 13 + x.x * 29 + y.y * 53) % 65536) // 256
+             + ((doc_id * 13 + x.x * 29 + y.y * 53 + 77) % 65536) // 256
+             + ((doc_id * 13 + x.x * 29 + y.y * 53 + 154) % 65536) // 256
+         END)
+         FROM (SELECT unnest(generate_series(0, doc_id % 9 + 2)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 11 + 2)) AS y) y
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 3 = 1
+"""
+
+
 NEFC_ROUNDTRIP_SCHEMA = (
     "doc_id long, width int, height int, bits int, "
     "lossless_exact boolean, sample_sum bigint"
@@ -1660,6 +1790,7 @@ QUERIES = {
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
+    "mm_png_depths_roundtrip": _q_png_depths_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
     "mm_resize_roundtrip": _q_resize_roundtrip,
@@ -1684,6 +1815,7 @@ ORACLES = {
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,
+    "mm_png_depths_roundtrip": PNG_DEPTHS_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,

@@ -85,11 +85,19 @@ def test_decode_palette():
 def test_unsupported_depth_and_interlace_raise():
     arr = _rand(4, 4)
     good = png.encode_png(arr)
+    # 16-bit is now a SUPPORTED depth (round 8): a relabeled 8-bit
+    # body fails the scanline length check, not a depth gate
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     bad_depth = (png.SIGNATURE + png._chunk(b"IHDR", ihdr16)
                  + good[len(png.SIGNATURE) + 25:])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="length mismatch"):
         png.decode_png(bad_depth)
+    # depth 3 is invalid per spec
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 2, 0, 0, 0)
+    bad3 = (png.SIGNATURE + png._chunk(b"IHDR", ihdr3)
+            + good[len(png.SIGNATURE) + 25:])
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(bad3)
     # interlace method 2 does not exist (0=sequential, 1=Adam7 — both
     # now supported); and a SEQUENTIAL stream relabeled Adam7 has the
     # wrong byte layout for the 7-pass walk
@@ -248,9 +256,9 @@ def test_adam7_truncated_stream_rejected():
     data = png.encode_png(arr, interlace=True)
     raw = zlib.decompress(data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8])
     with pytest.raises(ValueError, match="length mismatch"):
-        png._deinterlace_adam7(raw[:-1], 10, 10, 3)
+        png._deinterlace_adam7(raw[:-1], 10, 10, 8, 3)
     with pytest.raises(ValueError, match="length mismatch"):
-        png._deinterlace_adam7(raw + b"\x00", 10, 10, 3)
+        png._deinterlace_adam7(raw + b"\x00", 10, 10, 8, 3)
 
 
 def test_adam7_hypothesis_property():
@@ -269,3 +277,95 @@ def test_adam7_hypothesis_property():
         assert np.array_equal(png.decode_png(data), arr)
 
     check()
+
+
+# ------------------------------- full depth range (round 8)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_subbyte_gray_roundtrip(depth, interlace):
+    rng = np.random.default_rng(depth)
+    g = rng.integers(0, 1 << depth, (11, 13)).astype(np.uint8)
+    data = png.encode_png_ex(g, depth=depth, ctype=0, interlace=interlace)
+    out = png.decode_png(data)
+    scaled = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+        np.uint8
+    )
+    assert np.array_equal(out[:, :, 0], scaled)
+    assert np.array_equal(out[:, :, 1], scaled)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_subbyte_palette_roundtrip(depth):
+    rng = np.random.default_rng(depth + 10)
+    n = 1 << depth
+    plte = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, (7, 9)).astype(np.uint8)
+    data = png.encode_png_ex(idx, depth=depth, ctype=3, plte=plte)
+    assert np.array_equal(png.decode_png(data), plte[idx])
+
+
+@pytest.mark.parametrize("ctype,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_16bit_roundtrip_top_byte(ctype, channels, interlace):
+    rng = np.random.default_rng(ctype)
+    s = rng.integers(0, 65536, (6, 5, channels)).astype(np.uint16)
+    if channels == 1:
+        data = png.encode_png_ex(
+            s[:, :, 0], depth=16, ctype=ctype, interlace=interlace
+        )
+    else:
+        data = png.encode_png_ex(
+            s, depth=16, ctype=ctype, interlace=interlace
+        )
+    out = png.decode_png(data)
+    top = (s >> 8).astype(np.uint8)
+    if ctype == 0:
+        assert np.array_equal(out[:, :, 0], top[:, :, 0])
+    elif ctype == 2:
+        assert np.array_equal(out, top)
+    elif ctype == 4:
+        assert np.array_equal(out[:, :, 0], top[:, :, 0])
+    else:
+        assert np.array_equal(out, top[:, :, :3])
+
+
+def test_subbyte_filters_roundtrip():
+    # sub-byte depths filter per byte (fbpp=1); every filter type
+    # must invert
+    rng = np.random.default_rng(42)
+    g = rng.integers(0, 16, (9, 10)).astype(np.uint8)
+    for ft in range(5):
+        data = png.encode_png_ex(g, depth=4, ctype=0, filter_type=ft)
+        out = png.decode_png(data)
+        scaled = (g.astype(np.uint16) * 255 // 15).astype(np.uint8)
+        assert np.array_equal(out[:, :, 0], scaled), ft
+
+
+def test_invalid_depth_type_combinations_rejected():
+    g = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="invalid for color type"):
+        png.encode_png_ex(np.zeros((2, 2, 3), np.uint8), depth=4, ctype=2)
+    with pytest.raises(ValueError, match="palette"):
+        png.encode_png_ex(g, depth=4, ctype=3)  # no plte
+    with pytest.raises(ValueError, match="16-bit palette"):
+        png.encode_png_ex(g, depth=16, ctype=3)
+    with pytest.raises(ValueError, match="out of range"):
+        png.encode_png_ex(np.full((2, 2), 5, np.uint8), depth=2, ctype=0)
+
+
+def test_palette_index_out_of_range_rejected_on_decode():
+    plte = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 3]], dtype=np.uint8)  # 3 >= len(plte)
+    data = png.encode_png_ex(
+        idx, depth=8, ctype=3, plte=np.zeros((4, 3), np.uint8)
+    )
+    # shrink the PLTE chunk to 2 entries
+    i = data.index(b"PLTE")
+    bad = (data[: i - 4] + struct.pack(">I", 6) + b"PLTE"
+           + plte.tobytes()
+           + struct.pack(">I", zlib.crc32(b"PLTE" + plte.tobytes()))
+           + data[i + 4 + 12 + 4:])
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(bad)
