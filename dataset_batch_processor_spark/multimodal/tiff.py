@@ -80,7 +80,9 @@ def probe_tiff_dims(content: bytes) -> tuple[int, int]:
 
 
 def decode_tiff(content: bytes) -> np.ndarray:
-    """Uncompressed 8-bit TIFF -> H x W x 3 uint8 RGB."""
+    """Uncompressed 8/16-bit TIFF -> H x W x 3 uint8 RGB (16-bit
+    samples follow the file byte order and tone-map to the top byte —
+    the DNG/NEF display policy; round 8)."""
     bo = _parse_header(content)
     tags = _read_ifd(content, bo)
     w, h = int(tags[256][0]), int(tags[257][0])
@@ -90,10 +92,14 @@ def decode_tiff(content: bytes) -> np.ndarray:
             f"TIFF: compression {compression} requires a codec library "
             "(only uncompressed supported)"
         )
-    bits = tags.get(258, [8])
-    if any(int(b) != 8 for b in bits if isinstance(b, int)):
-        raise NotImplementedError("TIFF: only 8-bit samples supported")
-    spp = int(tags.get(277, [len(bits)])[0])
+    bits = [int(b) for b in tags.get(258, [8]) if isinstance(b, int)]
+    depth = bits[0] if bits else 8
+    if depth not in (8, 16) or any(b != depth for b in bits):
+        raise NotImplementedError(
+            f"TIFF: {tags.get(258)}-bit samples unsupported "
+            "(8 or 16, uniform across channels)"
+        )
+    spp = int(tags.get(277, [max(1, len(bits))])[0])
     planar = int(tags.get(284, [1])[0])
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration 2 unsupported")
@@ -104,9 +110,15 @@ def decode_tiff(content: bytes) -> np.ndarray:
         content[int(o) : int(o) + int(c)] for o, c in zip(offsets, counts)
     )
     del rows_per_strip  # strips are contiguous once concatenated
-    px = np.frombuffer(data, dtype=np.uint8, count=h * w * spp).reshape(
-        h, w, spp
-    )
+    if depth == 16:
+        vals = np.frombuffer(
+            data, dtype=bo + "u2", count=h * w * spp
+        ).reshape(h, w, spp)
+        px = (vals >> 8).astype(np.uint8)
+    else:
+        px = np.frombuffer(
+            data, dtype=np.uint8, count=h * w * spp
+        ).reshape(h, w, spp)
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     if spp >= 4:

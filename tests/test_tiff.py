@@ -64,3 +64,43 @@ def test_images_meta_probes_tiff(spark):
 
     assert images.parse_tiff_header(tiff.encode_tiff(_rand(11, 17))) == (17, 11)
     assert images.parse_tiff_header(b"not tiff") is None
+
+
+def test_decode_16bit_tiff_top_byte_both_byte_orders():
+    # round 8: 16-bit baseline TIFF tone-maps the top byte, honoring
+    # the file byte order (hand-built II and MM containers)
+    import struct as _struct
+
+    rng = np.random.default_rng(8)
+    h, w = 4, 5
+    vals = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    for bo, tag_pack, sample_dtype in (
+        ("<", "<", "<u2"), (">", ">", ">u2"),
+    ):
+        payload = vals.astype(sample_dtype).tobytes()
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, None),
+            (277, 3, 1, 1), (279, 4, 1, len(payload)),
+        ]
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * len(entries) + 4
+        head = b"II*\x00" if bo == "<" else b"MM\x00*"
+        out = bytearray(head) + _struct.pack(tag_pack + "I", ifd_off)
+        out += _struct.pack(tag_pack + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            if typ == 3:
+                # SHORT value left-justified in the 4-byte field
+                out += (
+                    _struct.pack(tag_pack + "HHI", tag, typ, cnt)
+                    + _struct.pack(tag_pack + "H", val)
+                    + b"\x00\x00"
+                )
+            else:
+                out += _struct.pack(tag_pack + "HHII", tag, typ, cnt, val)
+        out += _struct.pack(tag_pack + "I", 0)
+        out += payload
+        dec = tiff.decode_tiff(bytes(out))
+        assert np.array_equal(dec[:, :, 0], (vals >> 8).astype(np.uint8)), bo
