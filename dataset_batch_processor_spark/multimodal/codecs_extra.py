@@ -1,4 +1,4 @@
-"""More pure-Python image codecs: BMP (24-bit) and PPM (P6).
+"""More pure-Python image codecs: BMP and PPM (P6).
 
 Together with png.py these give the codec registry three REAL
 interchange formats with zero third-party dependencies, so S3/K1
@@ -6,11 +6,16 @@ format-conversion paths (/root/reference/modules/other_tasks.py:29-67)
 can be exercised across genuinely different containers
 (decode X -> re-encode Y) rather than only roundtripping one format.
 
-Both are full codecs (decode + encode), 8-bit RGB:
+Both are full codecs (encode emits the canonical 8-bit RGB form;
+decode accepts the full uncompressed depth matrix, round 8):
 
-- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp, BI_RGB
-  (uncompressed), bottom-up, BGR byte order, rows padded to 4 bytes.
-- PPM: P6 binary, maxval 255 (Netpbm).
+- BMP decode: BITMAPCOREHEADER (v2) and BITMAPINFOHEADER+ (v3/v4/v5);
+  1/4/8-bit palette, 24-bit BGR, 32-bit BGRA (alpha dropped); BI_RGB
+  only (RLE stays quarantined); bottom-up or top-down; rows padded
+  to 4 bytes. Encode: v3 24 bpp bottom-up BI_RGB.
+- PPM decode: P6 binary, any maxval 1..65535 (two-byte big-endian
+  samples above 255, Netpbm), tone-mapped to 8-bit by exact integer
+  rescale round((v*255)/maxval). Encode: maxval 255.
 """
 
 from __future__ import annotations
@@ -23,30 +28,63 @@ import numpy as np
 
 
 def decode_bmp(content: bytes) -> np.ndarray:
-    """24-bit BI_RGB BMP -> H x W x 3 uint8 RGB."""
+    """Uncompressed BMP (1/4/8-bit palette, 24/32 bpp; core or info
+    header) -> H x W x 3 uint8 RGB."""
     if content[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_offset,) = struct.unpack("<I", content[10:14])
     (hdr_size,) = struct.unpack("<I", content[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("BMP: only BITMAPINFOHEADER (v3+) supported")
-    w, h_signed = struct.unpack("<ii", content[18:26])
-    planes, bpp = struct.unpack("<HH", content[26:30])
-    (compression,) = struct.unpack("<I", content[30:34])
-    if bpp != 24 or compression != 0:
+    if hdr_size == 12:  # BITMAPCOREHEADER (OS/2 v1 / Windows v2)
+        w, h_signed, _planes, bpp = struct.unpack("<hhHH", content[18:26])
+        compression, n_colors_field = 0, 0
+        pal_entry = 3  # BGR triples, no reserved byte
+    elif hdr_size >= 40:  # BITMAPINFOHEADER and the v4/v5 extensions
+        w, h_signed = struct.unpack("<ii", content[18:26])
+        _planes, bpp = struct.unpack("<HH", content[26:30])
+        (compression,) = struct.unpack("<I", content[30:34])
+        (n_colors_field,) = struct.unpack("<I", content[46:50])
+        pal_entry = 4  # BGRX quads
+    else:
+        raise NotImplementedError(f"BMP: header size {hdr_size} unsupported")
+    if compression != 0:
         raise NotImplementedError(
-            f"BMP: only 24-bit uncompressed supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"BMP: compression {compression} unsupported (BI_RGB only; "
+            "RLE4/RLE8/bitfields quarantine)"
         )
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"BMP: {bpp} bpp unsupported")
     top_down = h_signed < 0
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-    px = np.frombuffer(
+    stride = ((w * bpp + 31) // 32) * 4  # rows padded to 4 bytes
+    rows = np.frombuffer(
         content, dtype=np.uint8, count=h * stride, offset=data_offset
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    ).reshape(h, stride)
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB
+    else:  # palette depths
+        n_colors = n_colors_field or (1 << bpp)
+        pal = (
+            np.frombuffer(
+                content, dtype=np.uint8, count=n_colors * pal_entry,
+                offset=14 + hdr_size,
+            )
+            .reshape(n_colors, pal_entry)[:, 2::-1]  # BGR(X) -> RGB
+        )
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:
+            nib = np.empty((h, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4  # high nibble = left pixel
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        else:  # 1 bpp, MSB-first
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        px = np.take(pal, idx, axis=0, mode="clip")
     if not top_down:
         px = px[::-1]
-    return np.ascontiguousarray(px[:, :, ::-1])  # BGR -> RGB
+    return np.ascontiguousarray(px)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -66,11 +104,81 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54) + info + data
 
 
+def encode_bmp_ex(
+    arr: np.ndarray,
+    bpp: int = 24,
+    palette: np.ndarray | None = None,
+    core: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """Extended BMP encoder covering the decoder's full depth matrix
+    (round 8): 1/4/8 bpp palette (``arr`` = H x W indices, ``palette``
+    = N x 3 RGB), 24 bpp (H x W x 3 RGB), 32 bpp (H x W x 4 RGBA).
+    ``core`` emits the 12-byte BITMAPCOREHEADER (3-byte palette
+    entries); ``top_down`` stores rows in image order with negative
+    height (info header only — the core header has no sign
+    convention)."""
+    if core and top_down:
+        raise ValueError("core header BMPs are bottom-up only")
+    if bpp in (1, 4, 8):
+        if palette is None or arr.ndim != 2:
+            raise ValueError("palette depths need H x W indices + palette")
+        h, w = arr.shape
+        if bpp == 8:
+            packed = arr.astype(np.uint8)
+        elif bpp == 4:
+            padded = np.zeros((h, w + w % 2), dtype=np.uint8)
+            padded[:, :w] = arr
+            packed = (padded[:, 0::2] << 4) | padded[:, 1::2]
+        else:
+            packed = np.packbits(arr.astype(np.uint8), axis=1)
+        entry = 3 if core else 4
+        pal_arr = np.zeros((len(palette), entry), dtype=np.uint8)
+        pal_arr[:, :3] = np.asarray(palette, dtype=np.uint8)[:, ::-1]
+        pal = pal_arr.tobytes()
+    elif bpp == 24:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("24 bpp needs H x W x 3 RGB")
+        h, w = arr.shape[:2]
+        packed = arr[:, :, ::-1].reshape(h, w * 3)
+        pal = b""
+    elif bpp == 32:
+        if arr.ndim != 3 or arr.shape[2] != 4:
+            raise ValueError("32 bpp needs H x W x 4 RGBA")
+        h, w = arr.shape[:2]
+        packed = arr[:, :, [2, 1, 0, 3]].reshape(h, w * 4)
+        pal = b""
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : packed.shape[1]] = packed
+    if not top_down:
+        rows = rows[::-1]
+    h_field = -h if top_down else h
+    if core:
+        info = struct.pack("<IhhHH", 12, w, h_field, 1, bpp)
+    else:
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0, rows.size,
+            2835, 2835, 0, 0,
+        )
+    data_offset = 14 + len(info) + len(pal)
+    head = b"BM" + struct.pack(
+        "<IHHI", data_offset + rows.size, 0, 0, data_offset
+    )
+    return head + info + pal + rows.tobytes()
+
+
 # ----------------------------------------------------------------- PPM
 
 
 def decode_ppm(content: bytes) -> np.ndarray:
-    """Binary P6 PPM (maxval 255) -> H x W x 3 uint8 RGB."""
+    """Binary P6 PPM (any maxval 1..65535) -> H x W x 3 uint8 RGB.
+
+    Netpbm stores one byte per sample for maxval <= 255 and two
+    big-endian bytes above; display mapping is the exact integer
+    rescale round(v*255/maxval) (identity at 255)."""
     if content[:2] != b"P6":
         raise ValueError("not a binary PPM payload")
     # header: P6 <w> <h> <maxval> with comments (#...) and whitespace
@@ -88,13 +196,18 @@ def decode_ppm(content: bytes) -> np.ndarray:
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError(f"PPM: maxval {maxval} not supported")
-    return (
-        np.frombuffer(content, dtype=np.uint8, count=h * w * 3, offset=pos)
-        .reshape(h, w, 3)
-        .copy()
-    )
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"PPM: maxval {maxval} out of spec range")
+    if maxval == 255:
+        return (
+            np.frombuffer(content, dtype=np.uint8, count=h * w * 3, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    dtype = ">u2" if maxval > 255 else np.uint8
+    vals = np.frombuffer(content, dtype=dtype, count=h * w * 3, offset=pos)
+    scaled = (vals.astype(np.uint32) * 255 + maxval // 2) // maxval
+    return scaled.astype(np.uint8).reshape(h, w, 3)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

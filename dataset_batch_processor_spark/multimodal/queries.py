@@ -1783,6 +1783,122 @@ ORDER BY id, seg_idx
 """
 
 
+BMP_DEPTHS_SCHEMA = (
+    "doc_id long, bpp int, core boolean, top_down boolean, "
+    "lossless_exact boolean, pix_sum bigint"
+)
+
+
+def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-depth BMP coverage (round 8): every uncompressed branch
+    the decoder supports — 1/4/8-bit palette, 24-bit BGR, 32-bit BGRA
+    (alpha dropped) — across BOTH header generations (12-byte core /
+    40-byte info) and both row orders, each encoded with
+    encode_bmp_ex, decoded through the REGISTRY path, and compared
+    against the closed-form expected display. A nibble-order swap,
+    palette-entry-width mix-up (3- vs 4-byte), BGR/RGB confusion, or
+    row-flip bug cannot hash green."""
+    import numpy as np
+
+    from . import binary
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == 0
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs_extra
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 8 + 2, d % 10 + 2
+                branch = d % 5
+                y, x = np.mgrid[0:h, 0:w]
+                c = np.arange(3)
+                if branch <= 2:          # palette depths
+                    bpp = (8, 4, 1)[branch]
+                    core = branch == 1
+                    top_down = branch == 2
+                    n = 1 << bpp
+                    idx = ((d * 13 + x * 29 + y * 53) % n).astype(np.uint8)
+                    pal = (
+                        (d * 7 + np.arange(n)[:, None] * 31 + c * 59) % 256
+                    ).astype(np.uint8)
+                    data = codecs_extra.encode_bmp_ex(
+                        idx, bpp=bpp, palette=pal, core=core,
+                        top_down=top_down,
+                    )
+                    expect = pal[idx]
+                else:
+                    rgb = (
+                        (d * 13 + x[:, :, None] * 29 + y[:, :, None] * 53
+                         + c * 77) % 256
+                    ).astype(np.uint8)
+                    core = branch == 3
+                    top_down = branch == 4
+                    if branch == 3:      # 24-bit, core header
+                        bpp = 24
+                        data = codecs_extra.encode_bmp_ex(
+                            rgb, bpp=24, core=True
+                        )
+                    else:                # 32-bit BGRA, top-down
+                        bpp = 32
+                        alpha = ((d + x + y) % 256).astype(np.uint8)
+                        rgba = np.dstack([rgb, alpha])
+                        data = codecs_extra.encode_bmp_ex(
+                            rgba, bpp=32, top_down=True
+                        )
+                    expect = rgb
+                dec = binary.decode_any("bmp", data)
+                out.append({
+                    "doc_id": d,
+                    "bpp": bpp,
+                    "core": core,
+                    "top_down": top_down,
+                    "lossless_exact": bool(np.array_equal(dec, expect)),
+                    "pix_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "bpp", "core", "top_down",
+                         "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=BMP_DEPTHS_SCHEMA)
+
+
+BMP_DEPTHS_DUCK = """
+SELECT doc_id,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 1
+            WHEN 3 THEN 24 ELSE 32 END AS INT) AS bpp,
+       doc_id % 5 IN (1, 3) AS core,
+       doc_id % 5 IN (2, 4) AS top_down,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum(CASE
+           WHEN doc_id % 5 <= 2 THEN
+             (doc_id * 7
+              + ((doc_id * 13 + x.x * 29 + y.y * 53)
+                 % (1 << (CASE doc_id % 5 WHEN 0 THEN 8
+                          WHEN 1 THEN 4 ELSE 1 END))) * 31
+              + c.c * 59) % 256
+           ELSE
+             (doc_id * 13 + x.x * 29 + y.y * 53 + c.c * 77) % 256
+         END)
+         FROM (SELECT unnest(generate_series(0, doc_id % 10 + 1)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 8 + 1)) AS y) y,
+              (SELECT unnest(generate_series(0, 2)) AS c) c
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_audio_features": _q_audio_features,
@@ -1791,6 +1907,7 @@ QUERIES = {
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
     "mm_png_depths_roundtrip": _q_png_depths_roundtrip,
+    "mm_bmp_depths_roundtrip": _q_bmp_depths_roundtrip,
     "mm_wav_roundtrip": _q_wav_roundtrip,
     "mm_jpeg_roundtrip": _q_jpeg_roundtrip,
     "mm_resize_roundtrip": _q_resize_roundtrip,
@@ -1816,6 +1933,7 @@ ORACLES = {
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,
     "mm_png_depths_roundtrip": PNG_DEPTHS_DUCK,
+    "mm_bmp_depths_roundtrip": BMP_DEPTHS_DUCK,
     "mm_wav_roundtrip": WAV_ROUNDTRIP_DUCK,
     "mm_jpeg_roundtrip": JPEG_ROUNDTRIP_DUCK,
     "mm_resize_roundtrip": RESIZE_ROUNDTRIP_DUCK,

@@ -7,9 +7,10 @@ stays library-bound and stubbed, but the CONTAINER layer is plain
 public TIFF 6.0, implemented here:
 
 - decode: classic little/big-endian TIFF, first IFD, uncompressed
-  (Compression=1) strips, 8-bit RGB / RGBA (alpha dropped) / gray
-  (replicated), PlanarConfiguration=1. LZW/JPEG-compressed TIFFs and
-  16-bit raise NotImplementedError into the F7 quarantine.
+  (Compression=1) strips, 8- or 16-bit (top-byte tone map) RGB /
+  RGBA (alpha dropped) / gray (replicated), chunky OR separate-plane
+  (PlanarConfiguration 1/2) layout. LZW/JPEG-compressed TIFFs raise
+  NotImplementedError into the F7 quarantine.
 - encode: single-strip uncompressed 8-bit RGB, little-endian.
 - ``probe_tiff_dims``: header-only width/height/compression from the
   IFD — works on uncompressed AND compressed TIFF/DNG alike (the S2
@@ -101,24 +102,36 @@ def decode_tiff(content: bytes) -> np.ndarray:
         )
     spp = int(tags.get(277, [max(1, len(bits))])[0])
     planar = int(tags.get(284, [1])[0])
-    if planar != 1:
-        raise NotImplementedError("TIFF: planar configuration 2 unsupported")
+    if planar not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF: planar configuration {planar} unsupported"
+        )
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = int(tags.get(278, [h])[0])
     data = b"".join(
         content[int(o) : int(o) + int(c)] for o, c in zip(offsets, counts)
     )
-    del rows_per_strip  # strips are contiguous once concatenated
+    # Strips are contiguous once concatenated in tag order: chunky
+    # (planar=1) rows interleave samples; separate planes (planar=2)
+    # list ALL strips of sample 0 first, then sample 1, ... (TIFF 6.0
+    # p.68), so the concatenation is plane-major.
+    del rows_per_strip
     if depth == 16:
-        vals = np.frombuffer(
-            data, dtype=bo + "u2", count=h * w * spp
-        ).reshape(h, w, spp)
+        vals = np.frombuffer(data, dtype=bo + "u2", count=h * w * spp)
+        vals = (
+            vals.reshape(spp, h, w).transpose(1, 2, 0)
+            if planar == 2
+            else vals.reshape(h, w, spp)
+        )
         px = (vals >> 8).astype(np.uint8)
     else:
-        px = np.frombuffer(
-            data, dtype=np.uint8, count=h * w * spp
-        ).reshape(h, w, spp)
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * w * spp)
+        px = (
+            raw.reshape(spp, h, w).transpose(1, 2, 0)
+            if planar == 2
+            else raw.reshape(h, w, spp)
+        )
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     if spp >= 4:

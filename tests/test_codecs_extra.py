@@ -55,9 +55,131 @@ def test_bmp_unsupported_raises():
         codecs_extra.decode_bmp(b"nope")
     arr = _rand(2, 2)
     data = bytearray(codecs_extra.encode_bmp(arr))
-    data[28] = 8  # bpp=8
-    with pytest.raises(NotImplementedError):
+    data[30] = 1  # compression=BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression 1"):
         codecs_extra.decode_bmp(bytes(data))
+    data[30] = 0
+    data[28] = 2  # bpp=2 is not a legal BMP depth
+    with pytest.raises(NotImplementedError, match="2 bpp"):
+        codecs_extra.decode_bmp(bytes(data))
+
+
+# ------------------------------------------- BMP depth matrix (round 8)
+
+
+def _build_bmp(w, h, bpp, payload_rows, palette=None, core=False,
+               top_down=False):
+    """Hand-build an uncompressed BMP. ``payload_rows`` is the pixel
+    array in ROW 0 = TOP order; storage order follows ``top_down``."""
+    stride = ((w * bpp + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : payload_rows.shape[1]] = payload_rows
+    if not top_down:
+        rows = rows[::-1]
+    pal = b""
+    if palette is not None:
+        entry = 3 if core else 4
+        pal_arr = np.zeros((len(palette), entry), dtype=np.uint8)
+        pal_arr[:, :3] = palette[:, ::-1]  # RGB -> BGR(X)
+        pal = pal_arr.tobytes()
+    if core:
+        info = struct.pack("<IhhHH", 12, w, -h if top_down else h, 1, bpp)
+    else:
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+            0, 0, 0, 0, 0, 0,
+        )
+    data_offset = 14 + len(info) + len(pal)
+    head = b"BM" + struct.pack(
+        "<IHHI", data_offset + rows.size, 0, 0, data_offset
+    )
+    return head + info + pal + rows.tobytes()
+
+
+def test_bmp_32bpp_decode_drops_alpha():
+    rng = np.random.default_rng(3)
+    h, w = 5, 3
+    arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    payload = arr[:, :, [2, 1, 0, 3]].reshape(h, w * 4)  # RGBA -> BGRA
+    for top_down in (False, True):
+        data = _build_bmp(w, h, 32, payload, top_down=top_down)
+        assert np.array_equal(
+            codecs_extra.decode_bmp(data), arr[:, :, :3]
+        ), top_down
+
+
+@pytest.mark.parametrize("bpp", [1, 4, 8])
+@pytest.mark.parametrize("core", [False, True])
+def test_bmp_palette_depths(bpp, core):
+    rng = np.random.default_rng(bpp * 10 + core)
+    h, w = 6, 11  # w chosen so sub-byte rows have slack bits
+    n = 1 << bpp
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    if bpp == 8:
+        payload = idx
+    elif bpp == 4:
+        padded = np.zeros((h, w + w % 2), dtype=np.uint8)
+        padded[:, :w] = idx
+        payload = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:
+        payload = np.packbits(idx, axis=1)  # MSB-first, left pixel first
+    data = _build_bmp(w, h, bpp, payload, palette=palette, core=core)
+    assert np.array_equal(codecs_extra.decode_bmp(data), palette[idx])
+
+
+def test_bmp_core_header_24bpp():
+    arr = _rand(4, 5, seed=11)
+    payload = arr[:, :, ::-1].reshape(4, 15)
+    data = _build_bmp(5, 4, 24, payload, core=True)
+    assert np.array_equal(codecs_extra.decode_bmp(data), arr)
+
+
+def test_bmp_palette_short_color_table():
+    # biClrUsed < 2^bpp: indices past the table clip to the last entry
+    palette = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    idx = np.array([[0, 1, 3]], dtype=np.uint8)
+    data = bytearray(
+        _build_bmp(3, 1, 8, idx, palette=palette)
+    )
+    struct.pack_into("<I", data, 14 + 32, 2)  # biClrUsed = 2
+    out = codecs_extra.decode_bmp(bytes(data))
+    assert np.array_equal(out[0, 0], palette[0])
+    assert np.array_equal(out[0, 1], palette[1])
+    assert np.array_equal(out[0, 2], palette[1])  # clipped
+
+
+# ------------------------------------------------- PPM maxval (round 8)
+
+
+def test_ppm_16bit_maxval():
+    rng = np.random.default_rng(4)
+    h, w = 3, 4
+    vals = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+    data = f"P6\n{w} {h}\n65535\n".encode() + vals.astype(">u2").tobytes()
+    expect = ((vals.astype(np.uint32) * 255 + 32767) // 65535).astype(
+        np.uint8
+    )
+    assert np.array_equal(codecs_extra.decode_ppm(data), expect)
+
+
+@pytest.mark.parametrize("maxval", [1, 15, 100, 254])
+def test_ppm_small_maxval_rescales(maxval):
+    rng = np.random.default_rng(maxval)
+    h, w = 2, 5
+    vals = rng.integers(0, maxval + 1, (h, w, 3)).astype(np.uint8)
+    data = f"P6\n{w} {h}\n{maxval}\n".encode() + vals.tobytes()
+    expect = (
+        (vals.astype(np.uint32) * 255 + maxval // 2) // maxval
+    ).astype(np.uint8)
+    out = codecs_extra.decode_ppm(data)
+    assert np.array_equal(out, expect)
+    assert out.max() <= 255 and (maxval == 1 or out.dtype == np.uint8)
+
+
+def test_ppm_maxval_out_of_range_raises():
+    with pytest.raises(ValueError, match="maxval"):
+        codecs_extra.decode_ppm(b"P6\n1 1\n70000\n\x00\x00\x00\x00\x00\x00")
 
 
 # ------------------------------------------------------------------ GIF
@@ -255,3 +377,31 @@ def test_registered_codec_overrides_sniffed_builtin():
     finally:
         binary.register_codec("bmp", codecs_extra.decode_bmp)
     assert np.array_equal(binary.decode_any("xyz", payload), arr)
+
+
+def test_encode_bmp_ex_matches_hand_builder_and_roundtrips():
+    rng = np.random.default_rng(99)
+    # palette depths roundtrip through the decoder
+    for bpp in (1, 4, 8):
+        n = 1 << bpp
+        palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (5, 9), dtype=np.uint8)
+        for core in (False, True):
+            data = codecs_extra.encode_bmp_ex(
+                idx, bpp=bpp, palette=palette, core=core
+            )
+            assert np.array_equal(
+                codecs_extra.decode_bmp(data), palette[idx]
+            ), (bpp, core)
+    # 24 bpp ex-encoder bytes match the canonical encoder's pixels
+    arr = _rand(4, 5, seed=1)
+    assert np.array_equal(
+        codecs_extra.decode_bmp(codecs_extra.encode_bmp_ex(arr, bpp=24)),
+        arr,
+    )
+    # 32 bpp top-down drops alpha
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    data = codecs_extra.encode_bmp_ex(rgba, bpp=32, top_down=True)
+    assert np.array_equal(codecs_extra.decode_bmp(data), rgba[:, :, :3])
+    with pytest.raises(ValueError, match="bottom-up"):
+        codecs_extra.encode_bmp_ex(rgba, bpp=32, core=True, top_down=True)
