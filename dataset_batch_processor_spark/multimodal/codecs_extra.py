@@ -46,15 +46,33 @@ def decode_bmp(content: bytes) -> np.ndarray:
         pal_entry = 4  # BGRX quads
     else:
         raise NotImplementedError(f"BMP: header size {hdr_size} unsupported")
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"BMP: compression {compression} unsupported (BI_RGB only; "
-            "RLE4/RLE8/bitfields quarantine)"
+            f"BMP: compression {compression} unsupported "
+            "(BI_RGB / BI_RLE8 / BI_RLE4 only; bitfields quarantine)"
+        )
+    if compression and (bpp, compression) not in ((8, 1), (4, 2)):
+        raise ValueError(
+            f"BMP: compression {compression} is invalid for {bpp} bpp"
         )
     if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"BMP: {bpp} bpp unsupported")
     top_down = h_signed < 0
     h = abs(h_signed)
+    if compression:  # RLE is bottom-up by spec
+        if top_down:
+            raise ValueError("BMP: RLE bitmaps cannot be top-down")
+        n_colors = n_colors_field or (1 << bpp)
+        pal = (
+            np.frombuffer(
+                content, dtype=np.uint8, count=n_colors * pal_entry,
+                offset=14 + hdr_size,
+            )
+            .reshape(n_colors, pal_entry)[:, 2::-1]
+        )
+        idx = _decode_bmp_rle(content[data_offset:], w, h, bpp)
+        px = np.take(pal, idx, axis=0, mode="clip")
+        return np.ascontiguousarray(px[::-1])
     stride = ((w * bpp + 31) // 32) * 4  # rows padded to 4 bytes
     rows = np.frombuffer(
         content, dtype=np.uint8, count=h * stride, offset=data_offset
@@ -102,6 +120,100 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
                        2835, 2835, 0, 0)
     return b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54) + info + data
+
+
+def _decode_bmp_rle(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 stream -> H x W uint8 palette indices in
+    STORAGE order (bottom row first; the caller flips). Pixels skipped
+    by delta moves or an early end-of-line/bitmap stay 0, the
+    conventional 'transparent fill'. Escapes: 0=end-of-line,
+    1=end-of-bitmap, 2=delta(dx,dy), n>=3=absolute run (word-aligned);
+    RLE4 runs alternate the byte's high/low nibbles."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n_bytes = len(data)
+    while i + 1 < n_bytes and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if bpp == 8:
+                vals = [val] * cnt
+            else:
+                hi, lo = val >> 4, val & 0x0F
+                vals = [(hi, lo)[k & 1] for k in range(cnt)]
+            take = min(cnt, w - x)
+            if take > 0:
+                idx[y, x : x + take] = vals[:take]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n_bytes:
+                break
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode, `val` literal pixels, word-aligned
+            n = val
+            if bpp == 8:
+                vals = list(data[i : i + n])
+                i += n + (n & 1)
+            else:
+                nb = (n + 1) // 2
+                raw = data[i : i + nb]
+                i += nb + (nb & 1)
+                vals = [v for b in raw for v in (b >> 4, b & 0x0F)][:n]
+            take = min(len(vals), max(0, w - x))
+            if take > 0:
+                idx[y, x : x + take] = vals[:take]
+            x += n
+    return idx
+
+
+def encode_bmp_rle(
+    idx: np.ndarray, palette: np.ndarray, bpp: int = 8
+) -> bytes:
+    """H x W palette indices -> BI_RLE8 (bpp=8) or BI_RLE4 (bpp=4)
+    BMP. RLE8 emits maximal runs; RLE4 emits nibble-pair runs — both
+    canonical streams the decoder inverts exactly (the escape-code
+    edge cases are pinned by hand-built streams in the tests)."""
+    if bpp not in (8, 4):
+        raise ValueError("RLE BMPs are 8 or 4 bpp")
+    h, w = idx.shape
+    out = bytearray()
+    for row in idx[::-1]:  # bottom-up storage
+        if bpp == 8:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                out += bytes((run, int(row[x])))
+                x += run
+        else:
+            for x in range(0, w, 2):
+                if x + 1 < w:
+                    out += bytes(
+                        (2, (int(row[x]) << 4) | int(row[x + 1]))
+                    )
+                else:
+                    out += bytes((1, int(row[x]) << 4))
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    pal_arr = np.zeros((len(palette), 4), dtype=np.uint8)
+    pal_arr[:, :3] = np.asarray(palette, dtype=np.uint8)[:, ::-1]
+    pal = pal_arr.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 1 if bpp == 8 else 2,
+        len(out), 2835, 2835, len(palette), 0,
+    )
+    data_offset = 14 + 40 + len(pal)
+    head = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(out), 0, 0, data_offset
+    )
+    return head + info + pal + bytes(out)
 
 
 def encode_bmp_ex(

@@ -1784,20 +1784,21 @@ ORDER BY id, seg_idx
 
 
 BMP_DEPTHS_SCHEMA = (
-    "doc_id long, bpp int, core boolean, top_down boolean, "
-    "lossless_exact boolean, pix_sum bigint"
+    "doc_id long, bpp int, compression int, core boolean, "
+    "top_down boolean, lossless_exact boolean, pix_sum bigint"
 )
 
 
 def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-depth BMP coverage (round 8): every uncompressed branch
     the decoder supports — 1/4/8-bit palette, 24-bit BGR, 32-bit BGRA
-    (alpha dropped) — across BOTH header generations (12-byte core /
-    40-byte info) and both row orders, each encoded with
-    encode_bmp_ex, decoded through the REGISTRY path, and compared
-    against the closed-form expected display. A nibble-order swap,
-    palette-entry-width mix-up (3- vs 4-byte), BGR/RGB confusion, or
-    row-flip bug cannot hash green."""
+    (alpha dropped), BI_RLE8 and BI_RLE4 compressed streams — across
+    BOTH header generations (12-byte core / 40-byte info) and both
+    row orders, each encoded with encode_bmp_ex / encode_bmp_rle,
+    decoded through the REGISTRY path, and compared against the
+    closed-form expected display. A nibble-order swap, palette-entry-
+    width mix-up (3- vs 4-byte), BGR/RGB confusion, row-flip, or RLE
+    run/escape bug cannot hash green."""
     import numpy as np
 
     from . import binary
@@ -1817,11 +1818,12 @@ def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 h, w = d % 8 + 2, d % 10 + 2
-                branch = d % 5
+                branch = (d // 7) % 7
                 y, x = np.mgrid[0:h, 0:w]
                 c = np.arange(3)
-                if branch <= 2:          # palette depths
-                    bpp = (8, 4, 1)[branch]
+                compression = (0, 0, 0, 0, 0, 1, 2)[branch]
+                if branch <= 2 or branch >= 5:   # palette depths
+                    bpp = (8, 4, 1, 0, 0, 8, 4)[branch]
                     core = branch == 1
                     top_down = branch == 2
                     n = 1 << bpp
@@ -1829,10 +1831,15 @@ def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pal = (
                         (d * 7 + np.arange(n)[:, None] * 31 + c * 59) % 256
                     ).astype(np.uint8)
-                    data = codecs_extra.encode_bmp_ex(
-                        idx, bpp=bpp, palette=pal, core=core,
-                        top_down=top_down,
-                    )
+                    if compression:
+                        data = codecs_extra.encode_bmp_rle(
+                            idx, pal, bpp=bpp
+                        )
+                    else:
+                        data = codecs_extra.encode_bmp_ex(
+                            idx, bpp=bpp, palette=pal, core=core,
+                            top_down=top_down,
+                        )
                     expect = pal[idx]
                 else:
                     rgb = (
@@ -1858,6 +1865,7 @@ def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append({
                     "doc_id": d,
                     "bpp": bpp,
+                    "compression": compression,
                     "core": core,
                     "top_down": top_down,
                     "lossless_exact": bool(np.array_equal(dec, expect)),
@@ -1865,27 +1873,34 @@ def _q_bmp_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", "bpp", "core", "top_down",
-                         "lossless_exact", "pix_sum"],
+                columns=["doc_id", "bpp", "compression", "core",
+                         "top_down", "lossless_exact", "pix_sum"],
             )
 
     return docs.mapInPandas(run, schema=BMP_DEPTHS_SCHEMA)
 
 
 BMP_DEPTHS_DUCK = """
+WITH b AS (
+  SELECT doc_id, (doc_id // 7) % 7 AS br
+  FROM documents WHERE doc_id % 7 = 0
+)
 SELECT doc_id,
-       CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 1
-            WHEN 3 THEN 24 ELSE 32 END AS INT) AS bpp,
-       doc_id % 5 IN (1, 3) AS core,
-       doc_id % 5 IN (2, 4) AS top_down,
+       CAST(CASE br WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 1
+            WHEN 3 THEN 24 WHEN 4 THEN 32 WHEN 5 THEN 8 ELSE 4 END
+            AS INT) AS bpp,
+       CAST(CASE br WHEN 5 THEN 1 WHEN 6 THEN 2 ELSE 0 END
+            AS INT) AS compression,
+       br IN (1, 3) AS core,
+       br IN (2, 4) AS top_down,
        TRUE AS lossless_exact,
        CAST((
          SELECT sum(CASE
-           WHEN doc_id % 5 <= 2 THEN
+           WHEN br <= 2 OR br >= 5 THEN
              (doc_id * 7
               + ((doc_id * 13 + x.x * 29 + y.y * 53)
-                 % (1 << (CASE doc_id % 5 WHEN 0 THEN 8
-                          WHEN 1 THEN 4 ELSE 1 END))) * 31
+                 % (CASE br WHEN 1 THEN 16 WHEN 2 THEN 2
+                    WHEN 6 THEN 16 ELSE 256 END)) * 31
               + c.c * 59) % 256
            ELSE
              (doc_id * 13 + x.x * 29 + y.y * 53 + c.c * 77) % 256
@@ -1894,8 +1909,7 @@ SELECT doc_id,
               (SELECT unnest(generate_series(0, doc_id % 8 + 1)) AS y) y,
               (SELECT unnest(generate_series(0, 2)) AS c) c
        ) AS BIGINT) AS pix_sum
-FROM documents
-WHERE doc_id % 7 = 0
+FROM b
 """
 
 

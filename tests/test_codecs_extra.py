@@ -55,8 +55,11 @@ def test_bmp_unsupported_raises():
         codecs_extra.decode_bmp(b"nope")
     arr = _rand(2, 2)
     data = bytearray(codecs_extra.encode_bmp(arr))
-    data[30] = 1  # compression=BI_RLE8
-    with pytest.raises(NotImplementedError, match="compression 1"):
+    data[30] = 3  # compression=BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        codecs_extra.decode_bmp(bytes(data))
+    data[30] = 1  # BI_RLE8 on a 24-bit image is malformed
+    with pytest.raises(ValueError, match="invalid for 24 bpp"):
         codecs_extra.decode_bmp(bytes(data))
     data[30] = 0
     data[28] = 2  # bpp=2 is not a legal BMP depth
@@ -405,3 +408,87 @@ def test_encode_bmp_ex_matches_hand_builder_and_roundtrips():
     assert np.array_equal(codecs_extra.decode_bmp(data), rgba[:, :, :3])
     with pytest.raises(ValueError, match="bottom-up"):
         codecs_extra.encode_bmp_ex(rgba, bpp=32, core=True, top_down=True)
+
+
+# --------------------------------------------------- BMP RLE (round 8)
+
+
+def _rle_bmp(w, h, bpp, stream, palette):
+    """Wrap a hand-built RLE byte stream in a BMP container."""
+    pal_arr = np.zeros((len(palette), 4), dtype=np.uint8)
+    pal_arr[:, :3] = palette[:, ::-1]
+    pal = pal_arr.tobytes()
+    comp = 1 if bpp == 8 else 2
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                       len(stream), 0, 0, len(palette), 0)
+    off = 14 + 40 + len(pal)
+    return (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+            + info + pal + stream)
+
+
+def test_bmp_rle8_hand_built_escapes():
+    # 4x3 (storage bottom-up): runs, absolute (odd n -> pad byte),
+    # early EOL (rest of row stays index 0), delta skip, early EOF
+    palette = np.arange(30, dtype=np.uint8).reshape(10, 3)
+    stream = bytes((
+        2, 5,              # storage row 0 (bottom): 5 5
+        0, 3, 7, 8, 9, 0,  # absolute: 7 8 9 (+ pad byte)
+        0, 0,              # EOL
+        1, 4, 0, 0,        # row 1: 4, then EOL -> rest 0
+        0, 2, 2, 0,        # delta: skip to x=2, same row (top storage)
+        2, 6,              # 6 6 at x=2..3
+        0, 1,              # EOF
+    ))
+    data = _rle_bmp(4, 3, 8, stream, palette)
+    idx = np.array([          # image order (top row first after flip)
+        [0, 0, 6, 6],         # storage row 2
+        [4, 0, 0, 0],         # storage row 1
+        [5, 5, 7, 8],         # storage row 0 (w=4 clips the 9)
+    ])
+    assert np.array_equal(codecs_extra.decode_bmp(data), palette[idx])
+
+
+def test_bmp_rle4_alternating_nibbles():
+    palette = (np.arange(16)[:, None] * np.array([3, 5, 7])
+               % 256).astype(np.uint8)
+    stream = bytes((
+        5, 0xAB,           # A B A B A
+        0, 3, 0xCD, 0xE0,  # absolute: C D E (2 bytes, already aligned)
+        0, 0,              # EOL
+        3, 0x70,           # 7 0 7
+        0, 1,              # EOF -> row stays 0 after x=3
+    ))
+    data = _rle_bmp(8, 2, 4, stream, palette)
+    idx = np.array([
+        [0x7, 0x0, 0x7, 0, 0, 0, 0, 0],
+        [0xA, 0xB, 0xA, 0xB, 0xA, 0xC, 0xD, 0xE],
+    ])
+    assert np.array_equal(codecs_extra.decode_bmp(data), palette[idx])
+
+
+@pytest.mark.parametrize("bpp", [8, 4])
+def test_bmp_rle_encoder_roundtrip(bpp):
+    rng = np.random.default_rng(bpp)
+    n = 1 << bpp
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    # runs + noise so RLE8 exercises both short and long runs
+    idx = rng.integers(0, n, (7, 13), dtype=np.uint8)
+    idx[2, :] = 3          # full-row run
+    idx[4, 1:12] = idx[4, 1]
+    data = codecs_extra.encode_bmp_rle(idx, palette, bpp=bpp)
+    assert np.array_equal(codecs_extra.decode_bmp(data), palette[idx])
+
+
+def test_bmp_rle_invalid_combos():
+    palette = np.zeros((2, 3), dtype=np.uint8)
+    data = bytearray(_rle_bmp(2, 2, 8, b"\x00\x01", palette))
+    struct.pack_into("<i", data, 22, -2)  # negative height = top-down
+    with pytest.raises(ValueError, match="top-down"):
+        codecs_extra.decode_bmp(bytes(data))
+    data = bytearray(_rle_bmp(2, 2, 8, b"\x00\x01", palette))
+    struct.pack_into("<H", data, 28, 4)  # bpp=4 with BI_RLE8
+    with pytest.raises(ValueError, match="invalid for 4 bpp"):
+        codecs_extra.decode_bmp(bytes(data))
+    struct.pack_into("<I", data, 30, 3)  # BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        codecs_extra.decode_bmp(bytes(data))
