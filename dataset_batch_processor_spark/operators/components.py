@@ -83,7 +83,20 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id =
     min node id in the component. Alternating star contraction —
-    O(log) rounds, linear shuffles, no diameter dependence."""
+    O(log) rounds, linear shuffles, no diameter dependence.
+
+    The loop runs with shuffle partitions sized to the GRAPH (round 8):
+    each round is ~5 shuffles, and the dup graph is orders of
+    magnitude smaller than the corpus that produced it, so inheriting
+    the corpus-wide shuffle.partitions makes every round schedule
+    near-empty tasks (locally ~7% off a warmed loop at 32 -> 4; the
+    real case is a cluster whose corpus-sized default is thousands —
+    there every round would pay the full fan-out for a graph that fits
+    in a handful of partitions). ~20k edges/partition, floor 4,
+    ceiling max(defaultParallelism, 2048) so a 10^9-edge graph still
+    fans out; the session value is restored after the fixed point. The
+    per-round convergence witness rides the checkpoint job via
+    ``observe()`` — one job per round, not checkpoint + separate agg."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -117,12 +130,35 @@ def connected_components(
         return (row[0], row[1])
 
     prev = _witness(cur)
-    for _ in range(max_iters):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        new = _witness(cur)
-        if new == prev:
-            break
-        prev = new
+    spark = edges.sparkSession
+    n_parts = min(
+        max(4, int(prev[0]) // 20_000 + 4),
+        max(spark.sparkContext.defaultParallelism, 2048),
+    )
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        for _ in range(max_iters):
+            # Witness rides the checkpoint job via observe() — one
+            # job per round instead of checkpoint + separate agg.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cur = _small_star(_large_star(cur)).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("hi").cast("decimal(38,0)")
+                    + F.col("lo").cast("decimal(38,0)")
+                ).alias("s"),
+            ).localCheckpoint()
+            got = obs.get
+            new = (got["n"], got["s"])
+            if new == prev:
+                break
+            prev = new
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     # Fixed point = disjoint stars: (satellite, center) edges with the
     # center = component min. Centers label themselves.
     sats = cur.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))

@@ -112,8 +112,14 @@ EXACT_DUCK = EXACT_SPARK  # dialect-identical
 
 
 def shingle_sets(docs: DataFrame, width: int = SHINGLE_W,
-                 stride: int = SHINGLE_STRIDE) -> DataFrame:
-    """Distinct character shingles per doc with their 28-bit base hash."""
+                 stride: int = SHINGLE_STRIDE,
+                 distinct: bool = True) -> DataFrame:
+    """Character shingles per doc with their 28-bit base hash —
+    distinct sets by default (what intersection/Jaccard math needs).
+    ``distinct=False`` skips the set shuffle for consumers whose
+    downstream aggregate is multiplicity-invariant (min/max): at
+    corpus scale the distinct is a full shuffle of every exploded
+    shingle STRING, by far the widest stage of the signature build."""
     pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -121,21 +127,25 @@ def shingle_sets(docs: DataFrame, width: int = SHINGLE_W,
             F.lit(stride),
         )
     )
-    return (
+    sh = (
         docs.filter(F.length("text") >= width)
         .select("doc_id", "text", pos.alias("p"))
         .select("doc_id", F.expr(f"substr(text, p, {width})").alias("shingle"))
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-        )
+    )
+    if distinct:
+        sh = sh.distinct()
+    return sh.withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
 
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     """K minhashes per doc as one wide aggregation — single shuffle,
-    map-side partial mins."""
-    sh = shingle_sets(docs)
+    map-side partial mins. Skips the shingle-set distinct: min over a
+    multiset equals min over its support, so duplicate shingles
+    cannot change any signature value and the set shuffle would be
+    pure overhead (hash-identical results, one full shuffle saved)."""
+    sh = shingle_sets(docs, distinct=False)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{k}")
         for k, (a, b) in enumerate(PERMS)
