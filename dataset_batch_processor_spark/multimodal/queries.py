@@ -1913,8 +1913,88 @@ FROM b
 """
 
 
+CONVERT_CHAIN_SCHEMA = (
+    "doc_id long, chain string, lossless_exact boolean, pix_sum bigint"
+)
+
+_CONVERT_CHAINS = (
+    ("png", "bmp", "ppm", "tiff"),
+    ("tiff", "png", "webp", "bmp"),
+    ("webp", "ppm", "tiff", "png"),
+)
+
+
+def _q_format_convert_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline conversion task
+    (/root/reference/modules/other_tasks.py:29-67 — decode any, save
+    as another format) driven as a CHAIN across every lossless codec
+    in the registry: encode -> decode -> re-encode in the next format,
+    four hops per document, three chain orders so each adjacent
+    format pair appears. All hops are lossless codecs, so the final
+    pixels must equal the closed-form source exactly — any
+    channel-order, row-order, or depth drift at ANY registry boundary
+    breaks the hash."""
+    import numpy as np
+
+    from . import binary
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 9 == 5
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 9 + 3, d % 12 + 3
+                chain = _CONVERT_CHAINS[d % 3]
+                y, x = np.mgrid[0:h, 0:w]
+                c = np.arange(3)
+                arr0 = (
+                    (d * 11 + x[:, :, None] * 37 + y[:, :, None] * 71
+                     + c * 13) % 256
+                ).astype(np.uint8)
+                arr = arr0
+                for fmt in chain:
+                    arr = binary.decode_any(fmt, binary.ENCODERS[fmt](arr))
+                out.append({
+                    "doc_id": d,
+                    "chain": ">".join(chain),
+                    "lossless_exact": bool(np.array_equal(arr, arr0)),
+                    "pix_sum": int(arr.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "chain", "lossless_exact", "pix_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=CONVERT_CHAIN_SCHEMA)
+
+
+CONVERT_CHAIN_DUCK = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png>bmp>ppm>tiff'
+            WHEN 1 THEN 'tiff>png>webp>bmp'
+            ELSE 'webp>ppm>tiff>png' END AS chain,
+       TRUE AS lossless_exact,
+       CAST((
+         SELECT sum((doc_id * 11 + x.x * 37 + y.y * 71 + c.c * 13) % 256)
+         FROM (SELECT unnest(generate_series(0, doc_id % 12 + 2)) AS x) x,
+              (SELECT unnest(generate_series(0, doc_id % 9 + 2)) AS y) y,
+              (SELECT unnest(generate_series(0, 2)) AS c) c
+       ) AS BIGINT) AS pix_sum
+FROM documents
+WHERE doc_id % 9 = 5
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
+    "mm_format_convert_chain": _q_format_convert_chain,
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
@@ -1941,6 +2021,7 @@ QUERIES = {
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
+    "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
