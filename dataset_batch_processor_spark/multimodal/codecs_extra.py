@@ -59,6 +59,12 @@ def decode_bmp(content: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP: {bpp} bpp unsupported")
     top_down = h_signed < 0
     h = abs(h_signed)
+    # dims sanity cap BEFORE any allocation (the RLE path zero-fills
+    # h x w up front): same 268 MP bound as rawvendor.MAX_RAW_PIXELS
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(
+            f"BMP: implausible dims {w}x{h_signed} (corrupt header)"
+        )
     if compression:  # RLE is bottom-up by spec
         if top_down:
             raise ValueError("BMP: RLE bitmaps cannot be top-down")
@@ -308,6 +314,8 @@ def decode_ppm(content: bytes) -> np.ndarray:
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"PPM: implausible dims {w}x{h} (corrupt header)")
     if not 1 <= maxval <= 65535:
         raise ValueError(f"PPM: maxval {maxval} out of spec range")
     if maxval == 255:

@@ -492,3 +492,39 @@ def test_bmp_rle_invalid_combos():
     struct.pack_into("<I", data, 30, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError, match="compression 3"):
         codecs_extra.decode_bmp(bytes(data))
+
+
+def test_bmp_ppm_fail_controlled_on_fuzz():
+    """Garbage / truncated / dims-bombed containers must raise (F7
+    quarantine catches broadly) and must NOT allocate before the
+    dims check — the RLE path zero-fills h x w up front, so the cap
+    is load-bearing there (same bound as rawvendor.MAX_RAW_PIXELS)."""
+    rng = np.random.default_rng(77)
+    for n in (0, 3, 16, 200):
+        blob = b"BM" + rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+        with pytest.raises(Exception):
+            codecs_extra.decode_bmp(blob)
+        with pytest.raises(Exception):
+            codecs_extra.decode_ppm(b"P6" + blob[2:])
+    # dims bomb: 65535 x 65535 uncompressed and RLE
+    arr = _rand(4, 4, seed=1)
+    bomb = bytearray(codecs_extra.encode_bmp(arr))
+    struct.pack_into("<ii", bomb, 18, 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        codecs_extra.decode_bmp(bytes(bomb))
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    rle_bomb = bytearray(codecs_extra.encode_bmp_rle(idx, palette))
+    struct.pack_into("<ii", rle_bomb, 18, 60000, 60000)
+    with pytest.raises(ValueError, match="implausible"):
+        codecs_extra.decode_bmp(bytes(rle_bomb))
+    with pytest.raises(ValueError, match="implausible"):
+        codecs_extra.decode_ppm(b"P6\n60000 60000\n255\n")
+    # truncated RLE streams terminate cleanly (zero-fill, no hang)
+    full = codecs_extra.encode_bmp_rle(
+        rng.integers(0, 256, (6, 9), dtype=np.uint8), palette
+    )
+    (data_off,) = struct.unpack("<I", full[10:14])
+    for cut in range(data_off, len(full), 7):
+        out = codecs_extra.decode_bmp(full[:cut])
+        assert out.shape == (6, 9, 3)
