@@ -48,33 +48,37 @@ JAC_N = 3  # words per Jaccard shingle
 DF_CAP = 50  # stop-gram cutoff: drop grams present in > DF_CAP docs
 JAC_T = 0.5  # report pairs with Jaccard >= JAC_T
 
-_SPARK_GRAM_8 = "concat_ws(' ', tok, " + ", ".join(
-    f"lead(tok, {j}) OVER w" for j in range(1, DECON_N)
-) + ")"
-_SPARK_GRAM_3 = "concat_ws(' ', tok, " + ", ".join(
-    f"lead(tok, {j}) OVER w" for j in range(1, JAC_N)
-) + ")"
+def _grams_cte_spark(width: int) -> str:
+    """toks + grams CTEs, window-free (round 8): split once, slide
+    over the token ARRAY map-side (transform + slice + concat_ws) —
+    no posexplode row blow-up and no per-doc window shuffle+sort. The
+    previous lead()-OVER-w form forced a corpus-wide exchange on
+    doc_id plus a sort just to look at adjacent tokens that are
+    already adjacent in the split array; this form is the dialect
+    twin of the DuckDB oracle's t[i:i+w] construction and emits
+    byte-identical gram strings."""
+    return f"""toks AS (
+  SELECT doc_id, split(text, ' ') AS t
+  FROM documents
+  WHERE size(split(text, ' ')) >= {width}
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_H_SPARK_GRAM} AS gh
+  FROM toks
+  LATERAL VIEW explode(transform(
+    sequence(0, size(t) - {width}),
+    i -> concat_ws(' ', slice(t, i + 1, {width}))
+  )) g AS gram
+)"""
 
 # 60-bit gram hash, identical in both engines (MEMORY md5 rule).
 _H_SPARK = "CAST(conv(substr(md5({g}), 1, 15), 16, 10) AS BIGINT)"
 _H_DUCK = "CAST(concat('0x', substr(md5({g}), 1, 15)) AS BIGINT)"
+_H_SPARK_GRAM = _H_SPARK.format(g="gram")
 
 
 DECONTAMINATE_SPARK = f"""
-WITH toks AS (
-  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
-  FROM documents
-  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
-),
-win AS (
-  SELECT doc_id, pos, n, {_SPARK_GRAM_8} AS gram
-  FROM toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-grams AS (
-  SELECT DISTINCT doc_id, {_H_SPARK.format(g='gram')} AS gh
-  FROM win WHERE pos <= n - {DECON_N}
-),
+WITH {_grams_cte_spark(DECON_N)},
 eval_grams AS (
   SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0
 )
@@ -137,20 +141,7 @@ ORDER BY id1, id2
 """
 
 NGRAM_JACCARD_SPARK = f"""
-WITH toks AS (
-  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
-  FROM documents
-  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
-),
-win AS (
-  SELECT doc_id, pos, n, {_SPARK_GRAM_3} AS gram
-  FROM toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-grams AS (
-  SELECT DISTINCT doc_id, {_H_SPARK.format(g='gram')} AS gh
-  FROM win WHERE pos <= n - {JAC_N}
-),
+WITH {_grams_cte_spark(JAC_N)},
 {_JAC_TAIL}"""
 
 NGRAM_JACCARD_DUCK = f"""
@@ -176,21 +167,6 @@ grams AS (
 # above remains the semantic spec (and the DuckDB oracle, which does
 # materialize CTEs referenced more than once).
 
-_GRAMS_SPARK_TMPL = """
-WITH toks AS (
-  SELECT doc_id, pos, tok, size(split(text, ' ')) AS n
-  FROM documents
-  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
-),
-win AS (
-  SELECT doc_id, pos, n, {gram_expr} AS gram
-  FROM toks
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-)
-SELECT DISTINCT doc_id, {h} AS gh
-FROM win WHERE pos <= n - {width}
-"""
-
 _DECON_TAIL = f"""
 WITH eval_grams AS (
   SELECT DISTINCT gh FROM {{v}} WHERE doc_id % {EVAL_MOD} = 0
@@ -203,28 +179,26 @@ ORDER BY g.doc_id
 """
 
 
-def _materialized_grams(spark, sf_dir, gram_expr, width, view):
+def _materialized_grams(spark, sf_dir, width, view):
     from .. import catalog
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
     grams = spark.sql(
-        _GRAMS_SPARK_TMPL.format(
-            gram_expr=gram_expr, h=_H_SPARK.format(g="gram"), width=width
-        )
+        "WITH " + _grams_cte_spark(width) + " SELECT * FROM grams"
     ).persist()
     grams.createOrReplaceTempView(view)
     return grams
 
 
 def _q_decontaminate(spark, sf_dir):
-    _materialized_grams(spark, sf_dir, _SPARK_GRAM_8, DECON_N, "decon_grams")
+    _materialized_grams(spark, sf_dir, DECON_N, "decon_grams")
     return spark.sql(_DECON_TAIL.format(v="decon_grams"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    _materialized_grams(spark, sf_dir, _SPARK_GRAM_3, JAC_N, "jac_grams")
+    _materialized_grams(spark, sf_dir, JAC_N, "jac_grams")
     return spark.sql("WITH " + _JAC_TAIL.replace("FROM grams", "FROM jac_grams"))
 
 
