@@ -332,8 +332,161 @@ WHERE CAST(concat('0x', substr(md5(concat('rebal:', CAST(doc_id AS VARCHAR))),
 ORDER BY doc_id
 """
 
+# ------------------------------------------- leakage-safe splitting
+# The dedup-aware split rule every pre-training pipeline needs: hash
+# the CLUSTER canonical id (the session-materialized CC labels), not
+# the doc id, so a near-duplicate family lands entirely in one split
+# — hashing doc ids puts copies of the same document on both sides of
+# the train/val boundary (classic eval leakage). The query runs BOTH
+# modes and reports, per (mode, split): doc count, distinct clusters
+# touched, and the number of candidate pairs straddling the split —
+# >0 for the doc-hash baseline (the leak, made visible), 0 for the
+# cluster-hash rule. The oracle recomputes the closure itself, so a
+# drifted label table cannot hash green.
+
+
+def _split_hash_expr(keycol: str):
+    from pyspark.sql import functions as F
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(keycol).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return F.when(h < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val"))
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .components import doc_dup_labels, pair_graph
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = doc_dup_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    assign = (
+        docs.join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("ckey"))
+        .select(
+            "doc_id",
+            "ckey",
+            _split_hash_expr("doc_id").alias("split_doc"),
+            _split_hash_expr("ckey").alias("split_cluster"),
+        )
+    )
+    pairs = pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    pj = pairs.join(
+        assign.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("split_doc").alias("sd_a"),
+            F.col("split_cluster").alias("sc_a"),
+        ),
+        "doc_a",
+    ).join(
+        assign.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("split_doc").alias("sd_b"),
+            F.col("split_cluster").alias("sc_b"),
+        ),
+        "doc_b",
+    )
+    cross = pj.agg(
+        F.sum(F.when(F.col("sd_a") != F.col("sd_b"), 1).otherwise(0))
+        .cast("bigint").alias("doc"),
+        F.sum(F.when(F.col("sc_a") != F.col("sc_b"), 1).otherwise(0))
+        .cast("bigint").alias("cluster"),
+    ).selectExpr(
+        "stack(2, 'doc', doc, 'cluster', cluster) "
+        "AS (split_mode, n_cross_split_pairs)"
+    )
+
+    def counts(split_col: str, mode: str) -> DataFrame:
+        return (
+            assign.groupBy(F.col(split_col).alias("split"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.countDistinct("ckey").cast("bigint")
+                .alias("n_clusters_touched"),
+            )
+            .withColumn("split_mode", F.lit(mode))
+        )
+
+    return (
+        counts("split_doc", "doc")
+        .unionByName(counts("split_cluster", "cluster"))
+        .join(F.broadcast(cross), "split_mode")
+        .select(
+            "split_mode", "split", "n_docs", "n_clusters_touched",
+            F.col("n_cross_split_pairs").cast("bigint")
+            .alias("n_cross_split_pairs"),
+        )
+        .orderBy("split_mode", "split")
+    )
+
+
+def _leakage_split_duck() -> str:
+    from .components import _PAIRS_AS_CTE
+
+    h = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return (
+        "WITH RECURSIVE "
+        + _PAIRS_AS_CTE.removeprefix("WITH ")
+        + f""",
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp FROM reach GROUP BY node
+),
+assign AS (
+  SELECT d.doc_id,
+         coalesce(l.comp, d.doc_id) AS ckey,
+         CASE WHEN {h.format(k='d.doc_id')} % 100 < {TRAIN_PCT}
+              THEN 'train' ELSE 'val' END AS split_doc,
+         CASE WHEN {h.format(k='coalesce(l.comp, d.doc_id)')} % 100
+              < {TRAIN_PCT} THEN 'train' ELSE 'val' END AS split_cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+),
+cross_counts AS (
+  SELECT CAST(sum(CASE WHEN a.split_doc <> b.split_doc
+                  THEN 1 ELSE 0 END) AS BIGINT) AS doc_cross,
+         CAST(sum(CASE WHEN a.split_cluster <> b.split_cluster
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cluster_cross
+  FROM pairs p
+  JOIN assign a ON p.doc_a = a.doc_id
+  JOIN assign b ON p.doc_b = b.doc_id
+),
+counts AS (
+  SELECT 'doc' AS split_mode, split_doc AS split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters_touched
+  FROM assign GROUP BY 2
+  UNION ALL
+  SELECT 'cluster', split_cluster,
+         CAST(count(*) AS BIGINT), CAST(count(DISTINCT ckey) AS BIGINT)
+  FROM assign GROUP BY 2
+)
+SELECT c.split_mode, c.split, c.n_docs, c.n_clusters_touched,
+       CASE WHEN c.split_mode = 'doc' THEN x.doc_cross
+            ELSE x.cluster_cross END AS n_cross_split_pairs
+FROM counts c CROSS JOIN cross_counts x
+ORDER BY split_mode, split
+"""
+    )
+
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
+    "docs_leakage_safe_split": _q_leakage_safe_split,
     "docs_sequence_packing": _q_sequence_packing,
     "docs_lang_rebalance_sample": _run(
         LANG_REBALANCE_SPARK, ("documents",)
@@ -347,6 +500,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_train_val_split": SPLIT_DUCK,
+    "docs_leakage_safe_split": _leakage_split_duck(),
     "docs_sequence_packing": SEQ_PACK_DUCK,
     "docs_lang_rebalance_sample": LANG_REBALANCE_DUCK,
     "docs_split_counts": SPLIT_COUNTS_DUCK,

@@ -115,3 +115,28 @@ def test_ingest_pipeline_example(spark, tmp_path):
         snapshots.read_snapshot(spark, table, version=2).count()
         == snapshots.read_snapshot(spark, table, version=3).count()
     )
+
+
+def test_leakage_safe_split_invariant(spark, sf_dir):
+    """Cluster-hash split keeps every candidate pair on one side —
+    structurally on the Spark side (both endpoints share a comp), but
+    the pinned numbers also prove the doc-hash baseline genuinely
+    leaks on the fixture, so the query demonstrates the failure mode
+    it exists to prevent."""
+    from dataset_batch_processor_spark.operators.curation import (
+        _q_leakage_safe_split,
+    )
+
+    rows = {(r.split_mode, r.split): r
+            for r in _q_leakage_safe_split(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    n_docs = {m: sum(r.n_docs for (mm, _), r in rows.items() if mm == m)
+              for m in ("doc", "cluster")}
+    assert n_docs["doc"] == n_docs["cluster"]  # both modes cover corpus
+    for (mode, _), r in rows.items():
+        if mode == "cluster":
+            assert r.n_cross_split_pairs == 0
+    # clusters are not double-counted across splits in cluster mode
+    total_clusters = rows[("cluster", "train")].n_clusters_touched + \
+        rows[("cluster", "val")].n_clusters_touched
+    assert total_clusters <= n_docs["cluster"]
