@@ -29,11 +29,13 @@ actual image bytes):
 
 Still stubbed (library-bound, NotImplementedError into quarantine,
 mirroring /root/reference/modules/other_tasks.py:45-53,
-batch_processor.py:346-357): HEIC/AVIF pixel decode and the
-vendor-COMPRESSED camera-RAW variants (Nikon 34713, Sony 32767) —
-auto-wired to pillow-heif/rawpy/imageio via optional_codecs.py when
-those libraries are installed. Lossless/uncompressed CR2, NEF, and
-ARW decode pure-Python (multimodal/rawvendor.py).
+batch_processor.py:346-357): HEIC/AVIF pixel decode — auto-wired to
+pillow-heif/rawpy/imageio via optional_codecs.py when installed. The
+whole camera-RAW family decodes pure-Python (rawvendor.py): lossless
+CR2, packed AND Nikon-compressed (34713) NEF, uncompressed AND Sony
+ARW2 block-compressed (32767) ARW; only the table-less 34713 edge
+(no linearization table in the MakerNote) keeps a precise-reason
+quarantine.
 
 The pixel kernels themselves (crop G1, pad G2/G3, resize) are REAL
 numpy code operating on decoded arrays — identical math to
@@ -90,8 +92,11 @@ def _missing_codec(fmt: str) -> Callable[[bytes], np.ndarray]:
 # exercised; their decoders are the documented stubs above.
 # REAL pure-Python codecs (no third-party libs):
 #   PNG  — full decode+encode (multimodal/png.py, stdlib zlib);
-#   BMP  — 24-bit decode+encode (codecs_extra.py);
-#   PPM  — P6 decode+encode (codecs_extra.py);
+#   BMP  — full depth matrix decode (1/4/8-bit palette, 24/32 bpp,
+#          core+info headers, RLE8/RLE4) + 24-bit encode
+#          (codecs_extra.py);
+#   PPM  — P6 decode any maxval 1..65535, encode maxval 255
+#          (codecs_extra.py);
 #   GIF  — first-frame LZW decode (gif.py), the reference's S5
 #          animated-first-frame semantics.
 from . import codecs_extra as _extra  # noqa: E402
@@ -123,16 +128,18 @@ CODECS: dict[str, Callable[[bytes], np.ndarray]] = {
     # reads dims from ANY of the TIFF-based RAW family header-only.
     "dng": _tiff.decode_dng_display,
     # CR2/NEF: pure-Python container walk over the same SOF3 entropy
-    # layer (multimodal/rawvendor.py) — sliced lossless-JPEG CR2 and
-    # packed 12/14/16-bit NEF decode on a bare install; Nikon's
-    # MakerNote-coded variant (34713) quarantines with its reason and
+    # layer (multimodal/rawvendor.py) — sliced lossless-JPEG CR2,
+    # packed 12/14/16-bit NEF, AND Nikon-compressed 34713 (MakerNote
+    # Huffman trees + linearization walk) decode on a bare install;
+    # only the table-less 34713 edge quarantines with its reason.
     # rawpy/imageio still auto-wire OVER these when installed.
     "cr2": _rawvendor.decode_cr2_display,
     "nef": _rawvendor.decode_nef_display,
     # ARW: Sony TIFF-EP over the same SubIFD walk — uncompressed
-    # (Compression 1, 12/14/16-bit, multi-strip byte-aligned) decodes
-    # on a bare install; Sony delta-compressed (32767) quarantines
-    # with its reason, rawpy/imageio auto-wire OVER this when present.
+    # (Compression 1, 12/14/16-bit, multi-strip byte-aligned) AND
+    # ARW2 block-compressed (32767, 16-byte/16-pixel max/min+delta
+    # blocks) decode on a bare install; rawpy/imageio auto-wire OVER
+    # these when present.
     "arw": _rawvendor.decode_arw_display,
     **{fmt: _missing_codec(fmt) for fmt in ("heic", "avif")},
 }
