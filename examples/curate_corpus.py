@@ -3,8 +3,8 @@ operators composed into one run:
 
     ingest → quality filter → exact dedup → near-dup (MinHash+LSH,
     Jaccard-verified) → repeated-span removal (substring dedup
-    apply) → train/val split → token-budget shards → partitioned
-    parquet
+    apply) → leakage-safe train/val split (cluster-keyed hash) →
+    token-budget shards → partitioned parquet
 
 Usage:
     python examples/curate_corpus.py [sf_dir] [out_dir]
@@ -107,12 +107,45 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
     )
 
-    # 4. hash-stable split + token-budget shard assignment
+    # 4. LEAKAGE-SAFE hash-stable split + token-budget shards: the
+    #    split hash keys on the near-dup CLUSTER canonical, not the
+    #    doc id — survivors can still be similar below JACCARD_KILL,
+    #    and doc-id hashing would put such a family on both sides of
+    #    the train/val boundary (eval leakage; the rule
+    #    docs_leakage_safe_split gates, applied here for real)
+    from dataset_batch_processor_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = dedup.lsh_pairs_df(kept.select("doc_id", "text"))
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    kept = (
+        kept.join(labels, "doc_id", "left")
+        .withColumn("ckey", F.coalesce("comp", "doc_id"))
+        .drop("comp")
+    )
+    hsplit = F.conv(
+        F.substring(F.md5(F.col("ckey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # shard order still keys on the doc hash (uniform within splits)
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    split_col = F.when(h % 100 < TRAIN_PCT, "train").otherwise("val")
+    split_col = F.when(hsplit % 100 < TRAIN_PCT, "train").otherwise("val")
     assigned = kept.withColumn("split", split_col).withColumn("h", h)
+    cross_pairs = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"),
+                            F.col("split").alias("split_a")), "doc_a")
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"),
+                            F.col("split").alias("split_b")), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assigned = assigned.drop("ckey")
     from pyspark.sql import Window
 
     w = Window.partitionBy("split").orderBy("h", "doc_id")
@@ -140,6 +173,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         ),
         "train_docs": per_split.get("train", 0),
         "val_docs": per_split.get("val", 0),
+        "cross_split_candidate_pairs": cross_pairs,  # 0 by the rule
         "n_shards": back.select("split", "shard_id").distinct().count(),
     }
 

@@ -25,6 +25,8 @@ def test_curation_funnel(spark, sf_dir, tmp_path):
     assert m["input_docs"] >= m["after_quality"] >= m["after_exact_dedup"]
     assert m["after_exact_dedup"] >= m["after_near_dedup"] > 0
     assert m["train_docs"] + m["val_docs"] == m["after_near_dedup"]
+    # cluster-keyed split: no candidate pair straddles train/val
+    assert m["cross_split_candidate_pairs"] == 0
     assert m["n_shards"] >= 2  # both splits produce at least one shard
     # layout on disk is partitioned by split
     out = tmp_path / "corpus"
