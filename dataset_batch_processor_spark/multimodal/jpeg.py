@@ -287,10 +287,10 @@ def _encode_block(bw_writer, zz, dc_codes, ac_codes, prev_dc):
     return int(zz[0])
 
 
-def _dct_quant(plane, q):
+def _dct_quant(plane, q, level=128.0):
     """(bh*8, bw*8) plane -> (bh, bw, 64) zigzagged quantized coefs."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - level
     coef = np.einsum("ij,abjk,lk->abil", _T, blocks, _T)
     quant = np.round(coef / q).astype(np.int64)
     return quant.reshape(bh, bw, 64)[:, :, ZIGZAG]
@@ -407,6 +407,93 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _flat_huff_spec(symbols):
+    """Canonical Huffman spec giving every symbol the same code
+    length L, the smallest with 2^L > n (the all-ones code of the
+    max length stays unused, per T.81 convention). Optimality is
+    irrelevant here — the decoder reads whatever DHT the stream
+    carries — but the table must COVER the 12-bit alphabet, which
+    the Annex K specs (DC categories <= 11, AC sizes <= 10) do not."""
+    vals = sorted(symbols)
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 17
+    bits[length] = n
+    return bits, vals
+
+
+def encode_jpeg12_gray(arr: np.ndarray, quality: int = 90) -> bytes:
+    """H x W uint16 (0..4095) -> 12-bit extended-sequential (SOF1)
+    grayscale JPEG. Same DCT/quant/entropy pipeline as the 8-bit
+    encoder with a 2048 level shift; the Huffman tables are built
+    from the symbols the stream actually emits (12-bit DC categories
+    reach 15 and AC sizes 14 — beyond the Annex K specs), emitted as
+    flat canonical DHTs. Quant values stay <= 255 so DQT Pq=0; the
+    decoder's Pq=1 path is pinned separately by a hand-built test."""
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_jpeg12_gray expects H x W uint16")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("encode_jpeg12_gray: samples exceed 12 bits")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg12_gray: empty image")
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    plane = np.pad(
+        arr.astype(np.float64), ((0, bh * 8 - h), (0, bw_ * 8 - w)),
+        mode="edge",
+    )
+    q = _scaled_quant(QUANT_LUMA, quality).reshape(8, 8)
+    zz = _dct_quant(plane, q, level=2048.0).reshape(-1, 64)
+
+    # pass 1: collect the emitted alphabet
+    dc_syms, ac_syms = set(), set()
+    prev = 0
+    for b in zz:
+        t, _ = _magnitude(int(b[0]) - prev)
+        prev = int(b[0])
+        dc_syms.add(t)
+        run = 0
+        nz = np.nonzero(b[1:])[0]
+        last = int(nz.max()) + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(b[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _magnitude(v)[0])
+            run = 0
+        if last < 63:
+            ac_syms.add(0x00)
+    dc_spec = _flat_huff_spec(dc_syms)
+    ac_spec = _flat_huff_spec(ac_syms)
+    dc_codes = _build_codes(dc_spec)
+    ac_codes = _build_codes(ac_spec)
+
+    bw_writer = _BitWriter()
+    prev = 0
+    for b in zz:
+        prev = _encode_block(bw_writer, b, dc_codes, ac_codes, prev)
+    entropy = bw_writer.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(q.ravel()[ZIGZAG].astype(np.uint8)))
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_spec[0][1:]) + bytes(dc_spec[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_spec[0][1:]) + bytes(ac_spec[1]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 
@@ -483,14 +570,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 p += 17 + nvals
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
-            if precision != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            # 12-bit extended sequential (SOF1, T.81 table B.2) decodes
+            # through the same scan machinery with a parametrized level
+            # shift + clamp (round 8); 12-bit progressive stays out.
+            if precision not in (8, 12) or (precision == 12 and marker == 0xC2):
+                raise NotImplementedError(
+                    f"JPEG: {precision}-bit precision unsupported"
+                    + (" for progressive" if marker == 0xC2 else "")
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {
                 "h": fh, "w": fw, "comps": comps,
+                "precision": precision,
                 "progressive": marker == 0xC2,
             }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -539,6 +633,9 @@ def _decode_scan(content, start, frame, scan, quant, huff, restart_interval):
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
 
+    prec = frame.get("precision", 8)
+    level = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     planes = {}
     for c in scan:
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
@@ -598,7 +695,7 @@ def _decode_scan(content, start, frame, scan, quant, huff, restart_interval):
                         blk = np.zeros(64, dtype=np.int64)
                         blk[ZIGZAG] = zz
                         coef = blk.reshape(8, 8) * q
-                        pixels = _T.T @ coef @ _T + 128.0
+                        pixels = _T.T @ coef @ _T + level
                         py = (my * c["v"] + v_blk) * 8
                         px = (mx * c["h"] + h_blk) * 8
                         planes[c["id"]][py : py + 8, px : px + 8] = pixels
@@ -613,16 +710,18 @@ def _decode_scan(content, start, frame, scan, quant, huff, restart_interval):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full[c["id"]] = p[:fh, :fw]
 
+    shift = prec - 8  # display tone map: top byte (no-op at 8-bit)
     if len(scan) == 1:
-        y = np.clip(full[scan[0]["id"]], 0, 255)
+        y = np.clip(full[scan[0]["id"]], 0, maxv).astype(np.int64) >> shift
         return np.repeat(y[:, :, None].astype(np.uint8), 3, axis=2)
     y = full[scan[0]["id"]]
-    cb = full[scan[1]["id"]] - 128.0
-    cr = full[scan[2]["id"]] - 128.0
+    cb = full[scan[1]["id"]] - level
+    cr = full[scan[2]["id"]] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.stack([r, g, b], axis=2), 0, maxv).astype(np.int64)
+    return (rgb >> shift).astype(np.uint8)
 
 
 # ------------------------------------------------- progressive decoding

@@ -1992,9 +1992,80 @@ WHERE doc_id % 9 = 5
 """
 
 
+JPEG12_SCHEMA = (
+    "doc_id long, width int, height int, quality int, within_tol boolean"
+)
+
+
+def _q_jpeg12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit extended-sequential JPEG (SOF1, round 8 late): encode a
+    smooth 12-bit gray ramp with the stream-derived flat Huffman
+    tables, decode through the REGISTRY path (level shift 2048, clamp
+    0..4095, top-byte display), compare against the closed-form ramp
+    at display precision. Wrong level shift, clamp bound, DC category
+    width, or tone-map shift cannot stay within the +-1 bound."""
+    import numpy as np
+
+    from . import binary, jpeg as jpegmod
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 11 == 4
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 14 + 4, d % 21 + 4
+                quality = (90, 95, 100)[d % 3]
+                y, x = np.mgrid[0:h, 0:w]
+                arr = (x * 60 + y * 70 + d % 1000).astype(np.uint16)
+                data = jpegmod.encode_jpeg12_gray(arr, quality=quality)
+                dec = binary.decode_any("jpg", data)
+                exp = (arr >> 4).astype(np.uint8)
+                err = int(
+                    np.abs(dec[:, :, 0].astype(int) - exp.astype(int)).max()
+                )
+                gray_ok = bool(
+                    np.array_equal(dec[:, :, 0], dec[:, :, 1])
+                    and np.array_equal(dec[:, :, 0], dec[:, :, 2])
+                )
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "quality": quality,
+                    "within_tol": bool(err <= 1 and gray_ok),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "quality",
+                         "within_tol"],
+            )
+
+    return docs.mapInPandas(run, schema=JPEG12_SCHEMA)
+
+
+JPEG12_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 21 + 4 AS INT) AS width,
+       CAST(doc_id % 14 + 4 AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 90 WHEN 1 THEN 95 ELSE 100 END
+            AS INT) AS quality,
+       TRUE AS within_tol
+FROM documents
+WHERE doc_id % 11 = 4
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_format_convert_chain": _q_format_convert_chain,
+    "mm_jpeg12_roundtrip": _q_jpeg12_roundtrip,
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
@@ -2022,6 +2093,7 @@ QUERIES = {
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
+    "mm_jpeg12_roundtrip": JPEG12_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,

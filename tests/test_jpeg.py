@@ -136,3 +136,80 @@ def test_420_odd_dims():
         dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=92, subsample=True))
         assert dec.shape == (h, w, 3)
         assert np.abs(dec.astype(int) - arr.astype(int)).mean() < 8
+
+
+# ------------------------------------- 12-bit extended sequential (r8)
+
+
+def test_jpeg12_gray_roundtrip_display():
+    import numpy as np
+
+    for h, w, qual in ((9, 13, 100), (16, 16, 90), (5, 31, 95), (1, 1, 90)):
+        y, x = np.mgrid[0:h, 0:w]
+        arr = (x * 60 + y * 70 + 123).astype(np.uint16)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg12_gray(arr, quality=qual))
+        exp = (arr >> 4).astype(np.uint8)
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec[:, :, 0].astype(int) - exp.astype(int)).max() <= 1
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 2])  # gray replicated
+
+
+def test_jpeg12_q100_near_lossless_on_noise():
+    import numpy as np
+
+    arr = np.random.default_rng(3).integers(0, 4096, (12, 10)).astype(
+        np.uint16
+    )
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg12_gray(arr, quality=100))
+    assert np.abs(
+        dec[:, :, 0].astype(int) - (arr >> 4).astype(int)
+    ).max() <= 1
+
+
+def test_jpeg12_16bit_dqt_pq1_path():
+    # rewrite the encoder's Pq=0 DQT as a 16-bit Pq=1 table with the
+    # same values: the decode must be identical
+    import struct as _struct
+
+    import numpy as np
+
+    arr = (np.mgrid[0:8, 0:11][1] * 90 + 200).astype(np.uint16)
+    data = jpeg.encode_jpeg12_gray(arr, quality=90)
+    i = data.index(b"\xff\xdb")
+    (seg_len,) = _struct.unpack(">H", data[i + 2 : i + 4])
+    vals = data[i + 5 : i + 5 + 64]
+    wide = b"".join(_struct.pack(">H", v) for v in vals)
+    patched = (
+        data[:i]
+        + b"\xff\xdb" + _struct.pack(">H", 2 + 1 + 128) + b"\x10" + wide
+        + data[i + 2 + seg_len:]
+    )
+    assert np.array_equal(jpeg.decode_jpeg(patched), jpeg.decode_jpeg(data))
+
+
+def test_jpeg12_progressive_and_odd_precisions_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    arr = (np.mgrid[0:8, 0:8][1] * 100).astype(np.uint16)
+    data = bytearray(jpeg.encode_jpeg12_gray(arr))
+    i = data.index(b"\xff\xc1")
+    data[i + 1] = 0xC2  # claim progressive, keep precision 12
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(data))
+    data[i + 1] = 0xC1
+    data[i + 4] = 16  # precision 16 unsupported
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_jpeg12_encoder_input_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="uint16"):
+        jpeg.encode_jpeg12_gray(np.zeros((4, 4), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="12 bits"):
+        jpeg.encode_jpeg12_gray(
+            np.full((4, 4), 5000, dtype=np.uint16)
+        )
