@@ -2062,10 +2062,174 @@ WHERE doc_id % 11 = 4
 """
 
 
+WAV_DEPTHS_SCHEMA = (
+    "doc_id long, codec string, n_samples int, rate int, "
+    "decode_exact boolean, sample_sum bigint"
+)
+
+_WAV_BRANCHES = ("pcm8", "pcm16", "pcm24", "pcm32", "mulaw", "alaw")
+
+
+def _q_wav_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV format matrix (round 8 late): 8/16/24/32-bit PCM and
+    G.711 mu-law/A-law streams, each hand-built as raw RIFF from a
+    doc_id formula, decoded through av.decode_wav, and summed. The
+    DuckDB oracle recomputes every branch's int16 normalization in
+    closed form — including the full G.711 expansion arithmetic — so
+    a bias, shift, sign, or segment-table bug in any branch cannot
+    hash green."""
+    import struct as _struct
+
+    import numpy as np
+
+    from . import av as avmod
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 9 == 1
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def riff(code, bits, payload, rate):
+            fmt = _struct.pack(
+                "<HHIIHH", code, 1, rate, rate * bits // 8, bits // 8, bits
+            )
+            out = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + _struct.pack("<I", len(payload)) + payload)
+            if len(payload) % 2:
+                out += b"\x00"
+            return b"RIFF" + _struct.pack("<I", len(out)) + out
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 50 + 10
+                rate = (8000, 16000, 44100)[d % 3]
+                branch = (d // 9) % 6
+                i = np.arange(n, dtype=np.int64)
+                if branch == 0:
+                    v = (d * 7 + i * 13) % 256
+                    payload = v.astype(np.uint8).tobytes()
+                    code, bits = 1, 8
+                    expect = ((v - 128) << 8).astype(np.int16)
+                elif branch == 1:
+                    u = (d * 11 + i * 17) % 65536
+                    expect = np.where(u >= 32768, u - 65536, u).astype(
+                        np.int16
+                    )
+                    payload = expect.astype("<i2").tobytes()
+                    code, bits = 1, 16
+                elif branch == 2:
+                    u = (d * 13 + i * 101) % (1 << 24)
+                    payload = b"".join(
+                        int(x).to_bytes(3, "little") for x in u
+                    )
+                    code, bits = 1, 24
+                    expect = (
+                        ((u + (1 << 23)) % (1 << 24)) // 256 - 32768
+                    ).astype(np.int16)
+                elif branch == 3:
+                    u = (d * 19 + i * 333) % (1 << 32)
+                    payload = u.astype("<u4").tobytes()
+                    code, bits = 1, 32
+                    expect = (
+                        ((u + (1 << 31)) % (1 << 32)) // 65536 - 32768
+                    ).astype(np.int16)
+                elif branch == 4:
+                    c = ((d * 5 + i * 29) % 256).astype(np.uint8)
+                    payload = c.tobytes()
+                    code, bits = 7, 8
+                    expect = avmod.mulaw_expand(c)
+                else:
+                    c = ((d * 5 + i * 29) % 256).astype(np.uint8)
+                    payload = c.tobytes()
+                    code, bits = 6, 8
+                    expect = avmod.alaw_expand(c)
+                dec, got_rate = avmod.decode_wav(riff(code, bits, payload,
+                                                      rate))
+                out.append({
+                    "doc_id": d,
+                    "codec": _WAV_BRANCHES[branch],
+                    "n_samples": n,
+                    "rate": int(got_rate),
+                    "decode_exact": bool(np.array_equal(dec, expect)),
+                    "sample_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "codec", "n_samples", "rate",
+                         "decode_exact", "sample_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=WAV_DEPTHS_SCHEMA)
+
+
+# closed-form int16 normalization per branch; G.711 expansion spelled
+# out in integer arithmetic (u = 255-c for mu-law, a = xor(c,85) for
+# A-law; segment exponent/mantissa from div/mod; negative when the
+# pre-complement sign bit is set)
+WAV_DEPTHS_DUCK = """
+WITH b AS (
+  SELECT doc_id, (doc_id // 9) % 6 AS br, doc_id % 50 + 10 AS n
+  FROM documents WHERE doc_id % 9 = 1
+)
+SELECT doc_id,
+       CASE br WHEN 0 THEN 'pcm8' WHEN 1 THEN 'pcm16' WHEN 2 THEN 'pcm24'
+            WHEN 3 THEN 'pcm32' WHEN 4 THEN 'mulaw' ELSE 'alaw' END
+           AS codec,
+       CAST(n AS INT) AS n_samples,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS INT) AS rate,
+       TRUE AS decode_exact,
+       CAST((
+         SELECT sum(CASE br
+           WHEN 0 THEN ((doc_id * 7 + i.i * 13) % 256 - 128) * 256
+           WHEN 1 THEN CASE WHEN (doc_id * 11 + i.i * 17) % 65536 >= 32768
+                       THEN (doc_id * 11 + i.i * 17) % 65536 - 65536
+                       ELSE (doc_id * 11 + i.i * 17) % 65536 END
+           WHEN 2 THEN (((doc_id * 13 + i.i * 101) % 16777216 + 8388608)
+                        % 16777216) // 256 - 32768
+           WHEN 3 THEN (((doc_id * 19 + i.i * 333) % 4294967296
+                         + 2147483648) % 4294967296) // 65536 - 32768
+           WHEN 4 THEN CASE WHEN 255 - (doc_id * 5 + i.i * 29) % 256 >= 128
+             THEN -((((255 - (doc_id * 5 + i.i * 29) % 256) % 16) * 8 + 132)
+                    * (1 << (((255 - (doc_id * 5 + i.i * 29) % 256) // 16)
+                             % 8)) - 132)
+             ELSE ((((255 - (doc_id * 5 + i.i * 29) % 256) % 16) * 8 + 132)
+                   * (1 << (((255 - (doc_id * 5 + i.i * 29) % 256) // 16)
+                            % 8)) - 132) END
+           ELSE CASE WHEN xor((doc_id * 5 + i.i * 29) % 256, 85) >= 128
+             THEN -(CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
+                              // 16) % 8 = 0
+                    THEN (xor((doc_id * 5 + i.i * 29) % 256, 85) % 16)
+                         * 16 + 8
+                    ELSE ((xor((doc_id * 5 + i.i * 29) % 256, 85) % 16 + 16)
+                          * 16 + 8)
+                         * (1 << ((xor((doc_id * 5 + i.i * 29) % 256, 85)
+                                   // 16) % 8 - 1)) END)
+             ELSE CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
+                             // 16) % 8 = 0
+                  THEN (xor((doc_id * 5 + i.i * 29) % 256, 85) % 16)
+                       * 16 + 8
+                  ELSE ((xor((doc_id * 5 + i.i * 29) % 256, 85) % 16 + 16)
+                        * 16 + 8)
+                       * (1 << ((xor((doc_id * 5 + i.i * 29) % 256, 85)
+                                 // 16) % 8 - 1)) END END
+         END)
+         FROM (SELECT unnest(generate_series(0, n - 1)) AS i) i
+       ) AS BIGINT) AS sample_sum
+FROM b
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_format_convert_chain": _q_format_convert_chain,
     "mm_jpeg12_roundtrip": _q_jpeg12_roundtrip,
+    "mm_wav_depths_roundtrip": _q_wav_depths_roundtrip,
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
@@ -2094,6 +2258,7 @@ ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_jpeg12_roundtrip": JPEG12_DUCK,
+    "mm_wav_depths_roundtrip": WAV_DEPTHS_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,

@@ -82,7 +82,9 @@ def test_wav_stereo_downmixes_to_channel0():
     assert np.array_equal(dec, left)
 
 
-def test_wav_8bit_raises():
+def test_wav_8bit_decodes():
+    # round 8: 8-bit unsigned PCM is part of the decode matrix now
+    # (stdlib-wave-produced container, silence = bias 0x00 -> -32768)
     import io
     import wave
 
@@ -91,6 +93,120 @@ def test_wav_8bit_raises():
         w.setnchannels(1)
         w.setsampwidth(1)
         w.setframerate(8000)
-        w.writeframes(b"\x00" * 50)
-    with pytest.raises(NotImplementedError):
-        av.decode_wav(buf.getvalue())
+        w.writeframes(bytes([0, 128, 255]) * 2)
+    out, rate = av.decode_wav(buf.getvalue())
+    assert rate == 8000
+    assert np.array_equal(
+        out, np.array([-32768, 0, 32512] * 2, dtype=np.int16)
+    )
+
+
+# -------------------------------------- WAV format matrix (round 8)
+
+
+def _wav(code, bits, payload, nch=1, rate=16000):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", code, nch, rate, rate * nch * bits // 8,
+        nch * bits // 8, bits,
+    )
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        out += b"\x00"  # chunk word alignment
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def test_g711_expand_compress_inverse():
+    codes = np.arange(256, dtype=np.uint8)
+    # A-law is a true involution over all 256 codes
+    assert np.array_equal(av.alaw_compress(av.alaw_expand(codes)), codes)
+    # mu-law: 0x7F and 0xFF both decode to 0 (negative-zero alias);
+    # the VALUE-level invariant holds for every code
+    rt = av.mulaw_compress(av.mulaw_expand(codes))
+    assert np.array_equal(av.mulaw_expand(rt), av.mulaw_expand(codes))
+    assert np.array_equal(
+        rt[codes != 0x7F], codes[codes != 0x7F]
+    )
+    # full-scale endpoints per G.711 (transmitted MSB=1 is positive)
+    assert av.mulaw_expand(np.array([0x80], dtype=np.uint8))[0] == 32124
+    assert av.mulaw_expand(np.array([0x00], dtype=np.uint8))[0] == -32124
+    assert av.mulaw_expand(np.array([0xFF], dtype=np.uint8))[0] == 0
+    # quantization error relative bound (segment size / 2)
+    x = np.random.default_rng(0).integers(-32000, 32000, 4000).astype(
+        np.int16
+    )
+    for comp, expand, tol in (
+        (av.mulaw_compress, av.mulaw_expand, 0.04),
+        (av.alaw_compress, av.alaw_expand, 0.07),
+    ):
+        err = np.abs(expand(comp(x)).astype(int) - x.astype(int))
+        rel = err / np.maximum(np.abs(x.astype(int)), 256)
+        assert rel.max() <= tol, rel.max()
+
+
+def test_wav_pcm_depth_matrix():
+    import struct
+
+    s16 = np.array([-32768, -1000, 0, 1000, 32767], dtype=np.int16)
+    out, r = av.decode_wav(_wav(1, 16, s16.tobytes()))
+    assert np.array_equal(out, s16) and r == 16000
+    u8 = np.array([0, 128, 255], dtype=np.uint8)
+    out, _ = av.decode_wav(_wav(1, 8, u8.tobytes()))
+    assert np.array_equal(
+        out, np.array([-32768, 0, 32512], dtype=np.int16)
+    )
+    v24 = np.array([-(1 << 23), -256, 0, 256, (1 << 23) - 1],
+                   dtype=np.int64)
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24
+    )
+    out, _ = av.decode_wav(_wav(1, 24, payload))
+    assert np.array_equal(out, (v24 >> 8).astype(np.int16))
+    v32 = np.array([-(1 << 31), 0, (1 << 31) - 1], dtype=np.int64)
+    out, _ = av.decode_wav(
+        _wav(1, 32, np.array(v32, dtype="<i4").tobytes())
+    )
+    assert np.array_equal(out, (v32 >> 16).astype(np.int16))
+    del struct
+
+
+def test_wav_float_g711_extensible_and_stereo():
+    import struct
+
+    f = np.array([-1.5, -0.5, 0.0, 0.25, 2.0], dtype="<f4")
+    out, _ = av.decode_wav(_wav(3, 32, f.tobytes()))
+    assert np.array_equal(
+        out, np.array([-32767, -16384, 0, 8192, 32767], dtype=np.int16)
+    )
+    out, _ = av.decode_wav(_wav(3, 64, f.astype("<f8").tobytes()))
+    assert out[0] == -32767 and out[-1] == 32767
+    s16 = np.array([-32768, -1000, 0, 1000, 32767], dtype=np.int16)
+    out, _ = av.decode_wav(_wav(7, 8, av.mulaw_compress(s16).tobytes()))
+    assert np.array_equal(out, av.mulaw_expand(av.mulaw_compress(s16)))
+    out, _ = av.decode_wav(_wav(6, 8, av.alaw_compress(s16).tobytes()))
+    assert np.array_equal(out, av.alaw_expand(av.alaw_compress(s16)))
+    # WAVE_FORMAT_EXTENSIBLE wrapper resolves the sub-format
+    fmt_ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        # cbSize, validBitsPerSample, channelMask, then the GUID whose
+        # first two bytes carry the real format code
+        + struct.pack("<HHI", 22, 16, 0)
+        + struct.pack("<H", 1) + b"\x00" * 14
+    )
+    data = s16.tobytes()
+    blob = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+            + b"data" + struct.pack("<I", len(data)) + data)
+    out, r = av.decode_wav(b"RIFF" + struct.pack("<I", len(blob)) + blob)
+    assert np.array_equal(out, s16) and r == 8000
+    st = np.array([1, -1, 2, -2, 3, -3], dtype=np.int16)
+    out, _ = av.decode_wav(_wav(1, 16, st.tobytes(), nch=2))
+    assert np.array_equal(out, np.array([1, 2, 3], dtype=np.int16))
+
+
+def test_wav_unknown_code_quarantines():
+    with pytest.raises(NotImplementedError, match="85"):
+        av.decode_wav(_wav(85, 16, b"\x00\x00"))  # MP3-in-WAV
+    with pytest.raises(ValueError):
+        av.decode_wav(b"RIFX1234WAVE")
