@@ -207,6 +207,144 @@ def _missing(fmt: str, needs: str) -> Callable[[bytes], tuple]:
     return decode
 
 
+def _std_dht_segments() -> bytes:
+    """The four Annex K Huffman tables as DHT segments — what an
+    OpenDML MJPEG decoder must assume when frames carry no DHT."""
+    from .jpeg import (
+        AC_CHROMA_SPEC,
+        AC_LUMA_SPEC,
+        DC_CHROMA_SPEC,
+        DC_LUMA_SPEC,
+    )
+
+    out = b""
+    for tclass, tid, spec in (
+        (0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC),
+        (0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC),
+    ):
+        payload = bytes([tclass << 4 | tid]) + bytes(spec[0][1:]) + bytes(
+            spec[1]
+        )
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    return out
+
+
+def decode_avi_mjpeg(content: bytes) -> tuple[np.ndarray, int]:
+    """MJPEG-in-AVI -> (N x H x W x 3 uint8 frames, fps). Pure RIFF
+    walk over the existing baseline-JPEG codec: frames are the
+    '##dc'/'##dj' chunks of LIST movi; fps from the stream header
+    (strh rate/scale) with the avih microseconds-per-frame as the
+    fallback. Frames with NO DHT segments (the MJPEG/OpenDML default
+    of implied Annex K tables) get the standard tables spliced in
+    before decode. Non-JPEG payloads (other fourccs) quarantine."""
+    from .jpeg import decode_jpeg
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps_num = fps_den = None
+    us_per_frame = None
+    frames = []
+
+    def walk(buf: bytes):
+        nonlocal fps_num, fps_den, us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + sz]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the list type fourcc
+            elif cid == b"avih" and len(body) >= 4:
+                (us_per_frame,) = struct.unpack("<I", body[:4])
+            elif cid == b"strh" and len(body) >= 32:
+                fcc_type = body[:4]
+                if fcc_type == b"vids":
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    if scale and rate:
+                        fps_num, fps_den = rate, scale
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"dj"):
+                if body[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "AVI: non-JPEG video chunk (MJPEG only)"
+                    )
+                if b"\xff\xc4" not in body:
+                    body = body[:2] + _std_dht_segments() + body[2:]
+                frames.append(decode_jpeg(body))
+            pos += 8 + sz + (sz & 1)
+
+    walk(content[12:])
+    if not frames:
+        raise ValueError("AVI: no video frames found")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("AVI: inconsistent frame dimensions")
+    if fps_num and fps_den:
+        fps = max(1, round(fps_num / fps_den))
+    elif us_per_frame:
+        fps = max(1, round(1_000_000 / us_per_frame))
+    else:
+        fps = 25
+    return np.stack(frames), int(fps)
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 10, quality: int = 90,
+    strip_dht: bool = False,
+) -> bytes:
+    """N x H x W x 3 uint8 -> minimal MJPEG AVI (hdrl with avih +
+    vids strh/strf, LIST movi of 00dc JPEG chunks, idx1).
+    ``strip_dht=True`` emits the OpenDML implied-table form (frames
+    without DHT segments) to exercise the decoder's splice path."""
+    from .jpeg import encode_jpeg
+
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi_mjpeg expects N x H x W x 3 uint8")
+    n, h, w, _ = frames.shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    jpegs = []
+    for f in frames:
+        data = encode_jpeg(f, quality=quality)
+        if strip_dht:
+            out, pos = bytearray(), 0
+            while pos < len(data):
+                if data[pos : pos + 2] == b"\xff\xc4":
+                    (sl,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                    pos += 2 + sl
+                    continue
+                out.append(data[pos])
+                pos += 1
+            data = bytes(out)
+        jpegs.append(data)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(1, fps), 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                        1, fps, 0, n, 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)  # BITMAPINFO, biCompression='MJPG'
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    idx, off = b"", 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 AUDIO_CODECS: dict[str, Callable[[bytes], tuple[np.ndarray, int]]] = {
     "rawpcm": decode_rawpcm,
     "wav": decode_wav,  # REAL (stdlib wave)
@@ -215,7 +353,8 @@ AUDIO_CODECS: dict[str, Callable[[bytes], tuple[np.ndarray, int]]] = {
 
 VIDEO_CODECS: dict[str, Callable[[bytes], tuple[np.ndarray, int]]] = {
     "rawvid": decode_rawvid,
-    **{f: _missing(f, "ffmpeg/decord") for f in ("mp4", "webm", "mkv", "avi")},
+    "avi": decode_avi_mjpeg,  # REAL (MJPEG over the baseline-JPEG codec)
+    **{f: _missing(f, "ffmpeg/decord") for f in ("mp4", "webm", "mkv")},
 }
 
 

@@ -2225,11 +2225,95 @@ FROM b
 """
 
 
+AVI_SCHEMA = (
+    "doc_id long, n_frames int, fps int, implied_dht boolean, "
+    "within_tol boolean, dht_forms_equal boolean"
+)
+
+
+def _q_avi_mjpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI (round 8 late): smooth ramp frames encoded into a
+    real AVI container (hdrl/strl/movi/idx1), decoded through the
+    VIDEO registry, frame pixels within the JPEG tolerance; odd docs
+    emit the OpenDML implied-DHT form (frames without Huffman tables)
+    and additionally assert it decodes bit-identically to the
+    explicit-table form — the splice path under the gate."""
+    import numpy as np
+
+    from . import av as avmod
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 13 == 6
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 5 + 2
+                h, w = d % 10 + 8, d % 15 + 8
+                fps = (10, 24, 30)[d % 3]
+                implied = bool(d % 2)
+                y, x = np.mgrid[0:h, 0:w]
+                frames = np.stack([
+                    np.stack(
+                        [x * 3 + k * 10 + d % 50, y * 4 + k * 5,
+                         x + y + k * 7],
+                        axis=2,
+                    ).astype(np.uint8)
+                    for k in range(n)
+                ])
+                data = avmod.encode_avi_mjpeg(
+                    frames, fps=fps, strip_dht=implied
+                )
+                dec, got_fps = avmod.VIDEO_CODECS["avi"](data)
+                err = int(np.abs(dec.astype(int) - frames.astype(int)).max())
+                alt, _ = avmod.decode_avi_mjpeg(
+                    avmod.encode_avi_mjpeg(
+                        frames, fps=fps, strip_dht=not implied
+                    )
+                )
+                out.append({
+                    "doc_id": d,
+                    "n_frames": int(dec.shape[0]),
+                    "fps": int(got_fps),
+                    "implied_dht": implied,
+                    "within_tol": bool(err <= 8 and dec.shape
+                                       == (n, h, w, 3)),
+                    "dht_forms_equal": bool(np.array_equal(dec, alt)),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "fps", "implied_dht",
+                         "within_tol", "dht_forms_equal"],
+            )
+
+    return docs.mapInPandas(run, schema=AVI_SCHEMA)
+
+
+AVI_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 24 ELSE 30 END
+            AS INT) AS fps,
+       doc_id % 2 = 1 AS implied_dht,
+       TRUE AS within_tol,
+       TRUE AS dht_forms_equal
+FROM documents
+WHERE doc_id % 13 = 6
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_format_convert_chain": _q_format_convert_chain,
     "mm_jpeg12_roundtrip": _q_jpeg12_roundtrip,
     "mm_wav_depths_roundtrip": _q_wav_depths_roundtrip,
+    "mm_avi_mjpeg_roundtrip": _q_avi_mjpeg_roundtrip,
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_frame_sample": _q_frame_sample,
@@ -2259,6 +2343,7 @@ ORACLES = {
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_jpeg12_roundtrip": JPEG12_DUCK,
     "mm_wav_depths_roundtrip": WAV_DEPTHS_DUCK,
+    "mm_avi_mjpeg_roundtrip": AVI_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,

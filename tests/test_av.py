@@ -210,3 +210,57 @@ def test_wav_unknown_code_quarantines():
         av.decode_wav(_wav(85, 16, b"\x00\x00"))  # MP3-in-WAV
     with pytest.raises(ValueError):
         av.decode_wav(b"RIFX1234WAVE")
+
+
+# ------------------------------------- MJPEG-in-AVI video (round 8)
+
+
+def _ramp_frames(n, h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.stack(
+            [x * 3 + k * 10 + seed, y * 4 + k * 5, x + y + k * 7], axis=2
+        ).astype(np.uint8)
+        for k in range(n)
+    ])
+
+
+@pytest.mark.parametrize("strip_dht", [False, True])
+def test_avi_mjpeg_roundtrip(strip_dht):
+    frames = _ramp_frames(4, 16, 24)
+    data = av.encode_avi_mjpeg(frames, fps=12, strip_dht=strip_dht)
+    dec, fps = av.decode_avi_mjpeg(data)
+    assert dec.shape == frames.shape and fps == 12
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 8
+    # registry path
+    dec2, fps2 = av.VIDEO_CODECS["avi"](data)
+    assert np.array_equal(dec, dec2) and fps2 == 12
+
+
+def test_avi_implied_dht_form_decodes_identically():
+    frames = _ramp_frames(3, 8, 8, seed=5)
+    d1, _ = av.decode_avi_mjpeg(av.encode_avi_mjpeg(frames, fps=10))
+    d2, _ = av.decode_avi_mjpeg(
+        av.encode_avi_mjpeg(frames, fps=10, strip_dht=True)
+    )
+    assert np.array_equal(d1, d2)
+
+
+def test_avi_fallback_fps_and_errors():
+    import struct
+
+    frames = _ramp_frames(2, 8, 8)
+    data = bytearray(av.encode_avi_mjpeg(frames, fps=30))
+    # zero out strh rate/scale -> falls back to avih us_per_frame
+    i = bytes(data).index(b"strh")
+    struct.pack_into("<II", data, i + 8 + 4 + 4 + 20, 0, 0)
+    _, fps = av.decode_avi_mjpeg(bytes(data))
+    assert fps == 30  # 1e6 // 33333 rounds back to 30
+    with pytest.raises(ValueError, match="not an AVI"):
+        av.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    # a movi chunk that is not JPEG quarantines
+    data2 = bytearray(av.encode_avi_mjpeg(frames, fps=10))
+    j = bytes(data2).index(b"00dc")
+    data2[j + 8 : j + 10] = b"XX"
+    with pytest.raises(NotImplementedError, match="MJPEG only"):
+        av.decode_avi_mjpeg(bytes(data2))
