@@ -38,6 +38,7 @@ from dataset_batch_processor_spark.operators import (
     dataops,
     decontam,
     dedupdash,
+    dsir,
     ivfpq,
     linkage,
     curation,
@@ -445,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational7.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
+    q.update(dsir.QUERIES)
     q.update(mlfilter.QUERIES)
     q.update(merge_ops.QUERIES)
     q.update(relational2.QUERIES)
@@ -549,6 +551,7 @@ FROM images_meta GROUP BY 1
     o.update(relational7.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
+    o.update(dsir.ORACLES)
     o.update(mlfilter.ORACLES)
     o.update(merge_ops.ORACLES)
     o.update(relational2.ORACLES)

@@ -1,0 +1,183 @@
+"""DSIR-style data selection via hashed-n-gram importance weights.
+
+Public method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): estimate a target and a raw unigram
+distribution over HASHED token buckets, weight every document by how
+target-like its tokens are, and keep the highest-weighted documents.
+Extension surface — the reference (majidfida/DataSet-Batch-Processor)
+has no model-targeted data selection; this is the stage a pretraining
+pipeline runs between quality filtering and sampling.
+
+Faithful structure, engine-exact arithmetic:
+
+* hashed buckets — md5-derived 24-bit integer mod ``N_BUCKETS``
+  (the feathash.py idiom), so Spark and DuckDB bucket identically
+  with no vocabulary state; at 100 TB the bucket table stays 4096
+  rows no matter the corpus.
+* add-one smoothed bucket probabilities in integer parts-per-billion
+  (integer DIV, exact).
+* per-document importance score — the paper sums per-token LOG
+  probability ratios; engine ``ln()`` differs in the last ulp between
+  Spark and DuckDB, so (repo convention, see lmscore.py /
+  corpusstats.py) the oracled score is the documented **ratio-sum
+  surrogate**: mean over token instances of the integer-ppm
+  probability ratio p_target(bucket)/p_raw(bucket). Monotone per
+  token, exact integers end to end.
+
+Scale shape: tokenize → bucket is a narrow map; both aggregations
+are map-side combined (4096 bucket rows; one row per document after
+partial aggregation); the 4096-row weight table is broadcast. No
+corpus-sized shuffle anywhere, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+N_BUCKETS = 4096
+TARGET_LANG = "en"  # the target slice DSIR steers toward
+TOP_N = 50
+_PPB = 1_000_000_000
+_PPM = 1_000_000
+
+
+def _bucketed_tokens(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, bucket — one row per token instance."""
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 6), 16, 10)
+                .cast("long")
+                % N_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+
+
+def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
+    """4096-row table: bucket -> integer-ppm importance ratio.
+
+    ratio_ppm = p_target(bucket) / p_raw(bucket), both add-one
+    smoothed and quantized to parts-per-billion BEFORE the ratio, so
+    every intermediate is an exact integer below 2^53.
+    """
+    toks = _bucketed_tokens(docs)
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").cast("long").alias("r_tot"),
+        F.sum("t_cnt").cast("long").alias("t_tot"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"(t_cnt + 1) * {_PPB} DIV (t_tot + {N_BUCKETS})"
+            ).alias("pt_ppb"),
+            F.expr(
+                f"(r_cnt + 1) * {_PPB} DIV (r_tot + {N_BUCKETS})"
+            ).alias("pr_ppb"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"pt_ppb * {_PPM} DIV pr_ppb").alias("ratio_ppm"),
+        )
+    )
+
+
+def dsir_scores(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR score: mean token-instance importance ratio
+    (integer ppm). > 1e6 means more target-like than the raw corpus.
+    """
+    toks = _bucketed_tokens(docs)
+    weights = dsir_bucket_weights(docs)
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("ratio_ppm").cast("long").alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("score_sum DIV n_tokens").alias("dsir_score_ppm"),
+        )
+    )
+
+
+def dsir_select(docs: DataFrame, top_n: int = TOP_N) -> DataFrame:
+    """The selection: top-N documents by DSIR score (doc_id breaks
+    ties, so the cut is deterministic on both engines)."""
+    scores = dsir_scores(docs)
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("dsir_score_ppm"), F.asc("doc_id"))
+        .limit(top_n)
+        .select("doc_id", "lang", "n_tokens", "dsir_score_ppm")
+    )
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(catalog.load_table(spark, sf_dir, "documents"))
+
+
+DSIR_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(u.token), 1, 6)) AS BIGINT)
+           % {N_BUCKETS} AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+  WHERE u.token <> ''
+),
+counts AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS r_cnt,
+         CAST(count(*) FILTER (WHERE lang = '{TARGET_LANG}') AS BIGINT)
+           AS t_cnt
+  FROM toks GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(sum(r_cnt) AS BIGINT) AS r_tot,
+         CAST(sum(t_cnt) AS BIGINT) AS t_tot
+  FROM counts
+),
+weights AS (
+  SELECT bucket,
+         ((t_cnt + 1) * {_PPB} // (t_tot + {N_BUCKETS})) * {_PPM}
+           // ((r_cnt + 1) * {_PPB} // (r_tot + {N_BUCKETS}))
+           AS ratio_ppm
+  FROM counts, totals
+),
+scores AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w.ratio_ppm) AS BIGINT) AS score_sum
+  FROM toks t JOIN weights w ON t.bucket = w.bucket
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_tokens,
+       CAST(s.score_sum // s.n_tokens AS BIGINT) AS dsir_score_ppm
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY dsir_score_ppm DESC, s.doc_id ASC
+LIMIT {TOP_N}
+"""
+
+QUERIES = {"docs_dsir_selection": _q_dsir_selection}
+ORACLES = {"docs_dsir_selection": DSIR_DUCK}
