@@ -31,6 +31,7 @@ from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.streaming import incremental as stream_inc
 from dataset_batch_processor_spark.operators import (
     analytics,
+    boilerplate,
     bpe,
     captions as cap_ops,
     components,
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(dsir.QUERIES)
+    q.update(boilerplate.QUERIES)
     q.update(mlfilter.QUERIES)
     q.update(merge_ops.QUERIES)
     q.update(relational2.QUERIES)
@@ -552,6 +554,7 @@ FROM images_meta GROUP BY 1
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(dsir.ORACLES)
+    o.update(boilerplate.ORACLES)
     o.update(mlfilter.ORACLES)
     o.update(merge_ops.ORACLES)
     o.update(relational2.ORACLES)
