@@ -126,3 +126,75 @@ FROM cleaned
 
 QUERIES = {"docs_clean_pii": _q_clean_pii}
 ORACLES = {"docs_clean_pii": CLEAN_PII_DUCK}
+
+
+# ------------------------------------- within-document paragraph dedup
+
+# C4-style within-page repetition removal (Raffel et al. 2020 drop
+# repeated lines inside a page; RefinedWeb keeps the same pass):
+# split on the paragraph separator, keep only FIRST occurrences in
+# page order, rejoin. Order-preserving dedup as a pure array
+# expression — no shuffle, no Python: the indexed-lambda filter keeps
+# element i iff its first occurrence IS position i. Quadratic in the
+# paragraph count of one document (bounded small), constant per row
+# at corpus scale.
+
+
+def dedup_paragraphs(c: Column, sep: str = "\n") -> Column:
+    """First-occurrence-preserving paragraph dedup of one text column."""
+    paras = F.split(c, sep)
+    kept = F.filter(
+        paras,
+        lambda x, i: F.array_position(paras, x) == i + 1,  # i is 0-based
+    )
+    return F.array_join(kept, sep)
+
+
+# Fixture input with a GUARANTEED repeat: first-half ¶ second-half ¶
+# first-half again — the pass must drop exactly the third paragraph.
+_PARA_WRAP = (
+    "substr(text, 1, CAST(floor(length(text) / 2) AS INT))"
+    " || chr(10) || substr(text, CAST(floor(length(text) / 2) AS INT) + 1)"
+    " || chr(10) || substr(text, 1, CAST(floor(length(text) / 2) AS INT))"
+)
+
+
+def _q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(_PARA_WRAP).alias("raw"))
+    deduped = dedup_paragraphs(F.col("raw"))
+    return base.select(
+        "doc_id",
+        F.size(F.split("raw", "\n")).cast("int").alias("n_paras"),
+        F.size(F.split(deduped, "\n")).cast("int").alias("n_kept"),
+        (F.length("raw") - F.length(deduped)).cast("long").alias(
+            "removed_chars"
+        ),
+        F.md5(deduped).alias("clean_md5"),
+    )
+
+
+INTRADOC_DEDUP_DUCK = f"""
+WITH raws AS (
+  SELECT doc_id, {_PARA_WRAP} AS raw FROM documents
+),
+arrs AS (
+  SELECT doc_id, raw, string_split(raw, chr(10)) AS paras FROM raws
+),
+kept AS (
+  SELECT doc_id, raw, paras,
+         list_filter(paras,
+           (x, i) -> list_position(paras, x) = i) AS keep
+  FROM arrs
+)
+SELECT doc_id,
+       CAST(len(paras) AS INT) AS n_paras,
+       CAST(len(keep) AS INT) AS n_kept,
+       CAST(length(raw) - length(array_to_string(keep, chr(10)))
+            AS BIGINT) AS removed_chars,
+       md5(array_to_string(keep, chr(10))) AS clean_md5
+FROM kept
+"""
+
+QUERIES["docs_intradoc_dedup"] = _q_intradoc_dedup
+ORACLES["docs_intradoc_dedup"] = INTRADOC_DEDUP_DUCK

@@ -40,3 +40,37 @@ def test_clean_query_stays_in_codegen(spark, sf_dir):
     ).executedPlan().toString()
     assert "EvalPython" not in plan
     assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+# ------------------------------------- within-document paragraph dedup
+
+
+def _dedup_one(spark, raw: str) -> str:
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(raw,)], "raw string")
+    return df.select(
+        textclean.dedup_paragraphs(F.col("raw")).alias("c")
+    ).collect()[0].c
+
+
+def test_intradoc_repeat_dropped_first_kept(spark):
+    assert _dedup_one(spark, "aa\nbb\naa\ncc\nbb") == "aa\nbb\ncc"
+
+
+def test_intradoc_unique_text_unchanged(spark):
+    assert _dedup_one(spark, "one\ntwo\nthree") == "one\ntwo\nthree"
+
+
+def test_intradoc_query_drops_the_planted_repeat(spark, sf_dir):
+    out = textclean.QUERIES["docs_intradoc_dedup"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r.n_paras == 3 for r in rows)
+    assert all(r.n_kept == 2 for r in rows)
+    assert all(r.removed_chars > 0 for r in rows)
+
+
+def test_intradoc_dedup_stays_in_codegen(spark, sf_dir):
+    plan = textclean._q_intradoc_dedup(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "EvalPython" not in plan
