@@ -537,3 +537,105 @@ def vad_segments(df: DataFrame, frame: int = VAD_FRAME,
         schema=("id string, seg_idx int, start_frame int, end_frame int, "
                 "n_frames int, start_s double, error string"),
     )
+
+
+# ----------------------------------------------- spectral front-end
+
+# Fixed-point DFT filter bank — the STFT-power front-end of every
+# ASR/audio-quality pipeline, made integer-exact the way phash.py
+# made the DCT exact: twiddle factors are quantized ONCE in Python
+# (floor(cos*2^14 + 0.5)) and the very same integer table is embedded
+# literally in the DuckDB oracle, so Spark (numpy int64 GEMM) and the
+# oracle compute identical integers — no engine trig, no float sums.
+# Magnitudes: |x| <= 2^15, |twiddle| <= 2^14, 64 terms -> |re| <= 2^35;
+# re DIV 64 <= 2^29; power = q_re^2 + q_im^2 <= 2^59; band sums of 4
+# stay < 2^61. All inside int64.
+
+SPEC_FRAME = 64          # samples per analysis frame (non-overlapping)
+SPEC_BINS = 8            # DFT bins k = 1..8 (fundamental .. 8th)
+_SPEC_SCALE = 16_384     # 2^14 twiddle quantization
+
+
+def _spec_tables() -> tuple[np.ndarray, np.ndarray]:
+    import math
+
+    cos = np.empty((SPEC_BINS, SPEC_FRAME), dtype=np.int64)
+    sin = np.empty((SPEC_BINS, SPEC_FRAME), dtype=np.int64)
+    for k in range(1, SPEC_BINS + 1):
+        for i in range(SPEC_FRAME):
+            ang = 2.0 * math.pi * k * i / SPEC_FRAME
+            cos[k - 1, i] = math.floor(math.cos(ang) * _SPEC_SCALE + 0.5)
+            sin[k - 1, i] = math.floor(math.sin(ang) * _SPEC_SCALE + 0.5)
+    return cos, sin
+
+
+SPEC_COS, SPEC_SIN = _spec_tables()
+
+
+def spec_twiddle_values_sql() -> str:
+    """The twiddle table as SQL VALUES rows ``(k, i, c, s)`` — the
+    oracle joins THESE literal integers, never engine cos()/sin()."""
+    rows = []
+    for k in range(1, SPEC_BINS + 1):
+        for i in range(SPEC_FRAME):
+            rows.append(
+                f"({k},{i},{int(SPEC_COS[k - 1, i])},"
+                f"{int(SPEC_SIN[k - 1, i])})"
+            )
+    return ",".join(rows)
+
+
+def _tdiv(a: np.ndarray, d: int) -> np.ndarray:
+    """Integer division truncating toward zero (numpy // floors;
+    Spark DIV and DuckDB // truncate — match them)."""
+    return np.where(a < 0, -((-a) // d), a // d)
+
+
+def spectral_features(df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame:
+    """1 audio row -> one row per analysis frame with the dominant
+    DFT bin and low/high band powers. Exact int64 end to end (see
+    module notes above); the trailing sub-frame tail is dropped and
+    decode failures quarantine (F7) like the other audio operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    samples, _rate = AUDIO_CODECS[row.fmt.lower()](
+                        bytes(row.content)
+                    )
+                    n_frames = len(samples) // frame
+                    x = samples[: n_frames * frame].astype(np.int64)
+                    x = x.reshape(n_frames, frame)
+                    re = _tdiv(x @ SPEC_COS.T, frame)   # (n_frames, 8)
+                    im = _tdiv(x @ SPEC_SIN.T, frame)
+                    power = re * re + im * im
+                    half = SPEC_BINS // 2
+                    dom = np.argmax(power, axis=1) + 1  # first max = low k
+                    p_low = power[:, :half].sum(axis=1)
+                    p_high = power[:, half:].sum(axis=1)
+                    for f in range(n_frames):
+                        out.append(
+                            {"id": str(row.id), "frame_idx": int(f),
+                             "dom_bin": int(dom[f]),
+                             "p_low": int(p_low[f]),
+                             "p_high": int(p_high[f]), "error": None}
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(
+                        {"id": str(row.id), "frame_idx": None,
+                         "dom_bin": None, "p_low": None, "p_high": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "frame_idx", "dom_bin",
+                         "p_low", "p_high", "error"],
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema=("id string, frame_idx int, dom_bin int, "
+                "p_low long, p_high long, error string"),
+    )

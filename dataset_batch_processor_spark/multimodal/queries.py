@@ -1783,6 +1783,91 @@ ORDER BY id, seg_idx
 """
 
 
+# ------------------------------------------------ spectral front-end
+# Drives av.spectral_features (fixed-point DFT filter bank) under the
+# hash gate on the same deterministic WAV lattice as the other audio
+# queries (slice doc_id%3==2, disjoint from features/VAD). The DuckDB
+# oracle joins the LITERAL integer twiddle table exported by av.py —
+# the exact integers the numpy GEMM used — and rebuilds re/im/power
+# per frame, so a framing bug, a truncation-direction bug, or any
+# float leak in the kernel cannot hash green.
+
+
+def _q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    wavs = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    return av.spectral_features(wavs)
+
+
+def _audio_spectral_duck() -> str:
+    from . import av
+
+    half = av.SPEC_BINS // 2
+    lo = " + ".join(f"ps[{j}]" for j in range(1, half + 1))
+    hi = " + ".join(f"ps[{j}]" for j in range(half + 1, av.SPEC_BINS + 1))
+    return f"""
+WITH tw(k, i, c, s) AS (VALUES {av.spec_twiddle_values_sql()}),
+base AS (
+  SELECT doc_id, doc_id % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, unnest(generate_series(0, n // {av.SPEC_FRAME} - 1)) AS f
+  FROM base WHERE n // {av.SPEC_FRAME} >= 1
+),
+sums AS (
+  SELECT fr.doc_id, fr.f, tw.k,
+         CAST(sum(((fr.doc_id * 31 + (fr.f * {av.SPEC_FRAME} + tw.i) * 7)
+                   % 65536 - 32768) * tw.c) AS BIGINT) AS re,
+         CAST(sum(((fr.doc_id * 31 + (fr.f * {av.SPEC_FRAME} + tw.i) * 7)
+                   % 65536 - 32768) * tw.s) AS BIGINT) AS im
+  FROM fr, tw
+  GROUP BY fr.doc_id, fr.f, tw.k
+),
+powers AS (
+  SELECT doc_id, f, k,
+         (re // {av.SPEC_FRAME}) * (re // {av.SPEC_FRAME})
+         + (im // {av.SPEC_FRAME}) * (im // {av.SPEC_FRAME}) AS p
+  FROM sums
+),
+pl AS (
+  SELECT doc_id, f, list(p ORDER BY k) AS ps
+  FROM powers GROUP BY doc_id, f
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(list_position(ps, list_max(ps)) AS INT) AS dom_bin,
+       CAST({lo} AS BIGINT) AS p_low,
+       CAST({hi} AS BIGINT) AS p_high,
+       CAST(NULL AS VARCHAR) AS error
+FROM pl
+"""
+
+
 BMP_DEPTHS_SCHEMA = (
     "doc_id long, bpp int, compression int, core boolean, "
     "top_down boolean, lossless_exact boolean, pix_sum bigint"
@@ -2316,6 +2401,7 @@ QUERIES = {
     "mm_avi_mjpeg_roundtrip": _q_avi_mjpeg_roundtrip,
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
+    "mm_audio_spectral": _q_audio_spectral,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2346,6 +2432,7 @@ ORACLES = {
     "mm_avi_mjpeg_roundtrip": AVI_DUCK,
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
+    "mm_audio_spectral": _audio_spectral_duck(),
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,

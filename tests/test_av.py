@@ -264,3 +264,44 @@ def test_avi_fallback_fps_and_errors():
     data2[j + 8 : j + 10] = b"XX"
     with pytest.raises(NotImplementedError, match="MJPEG only"):
         av.decode_avi_mjpeg(bytes(data2))
+
+
+# ----------------------------------------------- spectral front-end
+
+
+def test_spectral_pure_tone_lands_in_its_bin(spark):
+    """A pure k=3 cosine must dominate bin 3 in every frame, with the
+    low band carrying essentially all the power."""
+    i = np.arange(av.SPEC_FRAME * 4)
+    tone = np.floor(
+        20000 * np.cos(2 * np.pi * 3 * i / av.SPEC_FRAME) + 0.5
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [("t", "wav", bytearray(av.encode_wav(tone)))],
+        "id string, fmt string, content binary",
+    )
+    rows = av.spectral_features(df).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.error is None
+        assert r.dom_bin == 3
+        assert r.p_low > 100 * max(r.p_high, 1)
+
+
+def test_spectral_tdiv_truncates_toward_zero():
+    a = np.array([-130, -64, -1, 0, 1, 64, 130], dtype=np.int64)
+    assert list(av._tdiv(a, 64)) == [-2, -1, 0, 0, 0, 1, 2]
+
+
+def test_spectral_tail_dropped_and_quarantine(spark):
+    tone = np.zeros(av.SPEC_FRAME + 10, dtype=np.int16)  # 1 frame + tail
+    df = spark.createDataFrame(
+        [
+            ("ok", "wav", bytearray(av.encode_wav(tone))),
+            ("bad", "wav", bytearray(b"not a wav")),
+        ],
+        "id string, fmt string, content binary",
+    )
+    rows = {r.id: r for r in av.spectral_features(df).collect()}
+    assert rows["ok"].frame_idx == 0 and rows["ok"].error is None
+    assert rows["bad"].error is not None and rows["bad"].dom_bin is None
