@@ -639,3 +639,34 @@ def spectral_features(df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame:
         schema=("id string, frame_idx int, dom_bin int, "
                 "p_low long, p_high long, error string"),
     )
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint: md5 over the per-frame dominant-
+    bin SEQUENCE from the spectral front-end (a Shazam-style landmark
+    reduction, minus the combinatorial pairing). Two recordings match
+    iff every frame's dominant frequency matches — robust to level
+    changes that alter power but not the argmax, and exact-integer
+    deterministic because the dom_bin stream is.
+
+    Shape: the kernel emits frames; the fingerprint is a per-id JVM
+    aggregation (collect_list is bounded by frames-per-recording, not
+    corpus size). Grouping recordings by fingerprint is then ordinary
+    exact dedup — one small-key shuffle."""
+    from pyspark.sql import functions as F
+
+    frames = spectral_features(df).filter(F.col("error").isNull())
+    return frames.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "dom_bin"))
+                    ),
+                    lambda s: s.getField("dom_bin").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("fingerprint"),
+    )

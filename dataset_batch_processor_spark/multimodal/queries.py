@@ -1868,6 +1868,118 @@ FROM pl
 """
 
 
+# -------------------------------------------- audio fingerprint dedup
+# Composes the spectral front-end into the dedup family: recordings
+# are fingerprinted by their dominant-bin sequence (av.audio_
+# fingerprints) and grouped — perceptual exact-dup detection for
+# audio. The fixture PLANTS duplicates: doc_ids 6m+2 and 6m+5 render
+# the same seed waveform (seed = doc_id floored to its 6-block), and
+# the sawtooth STEP varies with the seed (8 frequency classes x 8
+# length classes) so distinct seeds usually fingerprint apart. Same-
+# class seeds legitimately collide (same pitch, same length — the
+# perceptual-match semantics); the oracle pins the exact group
+# structure either way, and the planted-pair containment is pinned
+# separately in tests/test_av.py.
+
+_FP_SEED = "doc_id - CASE WHEN doc_id % 6 = 5 THEN 3 ELSE 0 END"
+
+
+def _q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.expr(_FP_SEED).alias("seed")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, seed in zip(pdf["doc_id"], pdf["seed"]):
+                s = int(seed)
+                n = s % 500 + 100
+                step = (s % 8 + 1) * 1024
+                i = np.arange(n, dtype=np.int64)
+                samples = ((s * 31 + i * step) % 65536 - 32768).astype(
+                    np.int16
+                )
+                out.append(
+                    {
+                        "id": str(int(doc_id)),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    wavs = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    fps = av.audio_fingerprints(wavs)
+    return fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("int").alias("n_copies"),
+        F.min("n_frames").alias("n_frames"),
+        F.min(F.col("id").cast("bigint")).alias("canonical_id"),
+    )
+
+
+def _audio_fingerprint_duck() -> str:
+    from . import av
+
+    return f"""
+WITH tw(k, i, c, s) AS (VALUES {av.spec_twiddle_values_sql()}),
+base AS (
+  SELECT doc_id, {_FP_SEED} AS sd,
+         ({_FP_SEED}) % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, sd,
+         unnest(generate_series(0, n // {av.SPEC_FRAME} - 1)) AS f
+  FROM base WHERE n // {av.SPEC_FRAME} >= 1
+),
+sums AS (
+  SELECT fr.doc_id, fr.f, tw.k,
+         CAST(sum(((fr.sd * 31
+                    + (fr.f * {av.SPEC_FRAME} + tw.i)
+                      * ((fr.sd % 8 + 1) * 1024))
+                   % 65536 - 32768) * tw.c) AS BIGINT) AS re,
+         CAST(sum(((fr.sd * 31
+                    + (fr.f * {av.SPEC_FRAME} + tw.i)
+                      * ((fr.sd % 8 + 1) * 1024))
+                   % 65536 - 32768) * tw.s) AS BIGINT) AS im
+  FROM fr, tw
+  GROUP BY fr.doc_id, fr.f, tw.k
+),
+powers AS (
+  SELECT doc_id, f, k,
+         (re // {av.SPEC_FRAME}) * (re // {av.SPEC_FRAME})
+         + (im // {av.SPEC_FRAME}) * (im // {av.SPEC_FRAME}) AS p
+  FROM sums
+),
+dom AS (
+  SELECT doc_id, f,
+         list_position(list(p ORDER BY k),
+                       list_max(list(p ORDER BY k))) AS dom_bin
+  FROM powers GROUP BY doc_id, f
+),
+fp AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_frames,
+         md5(string_agg(CAST(dom_bin AS VARCHAR), ',' ORDER BY f))
+           AS fingerprint
+  FROM dom GROUP BY doc_id
+)
+SELECT fingerprint,
+       CAST(count(*) AS INT) AS n_copies,
+       CAST(min(n_frames) AS INT) AS n_frames,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM fp
+GROUP BY fingerprint
+"""
+
+
 BMP_DEPTHS_SCHEMA = (
     "doc_id long, bpp int, compression int, core boolean, "
     "top_down boolean, lossless_exact boolean, pix_sum bigint"
@@ -2402,6 +2514,7 @@ QUERIES = {
     "mm_audio_features": _q_audio_features,
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_audio_spectral": _q_audio_spectral,
+    "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2433,6 +2546,7 @@ ORACLES = {
     "mm_audio_features": AUDIO_FEATURES_DUCK,
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_audio_spectral": _audio_spectral_duck(),
+    "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,

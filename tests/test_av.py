@@ -305,3 +305,29 @@ def test_spectral_tail_dropped_and_quarantine(spark):
     rows = {r.id: r for r in av.spectral_features(df).collect()}
     assert rows["ok"].frame_idx == 0 and rows["ok"].error is None
     assert rows["bad"].error is not None and rows["bad"].dom_bin is None
+
+
+def test_audio_fingerprint_planted_pairs_merge(spark):
+    """The fixture renders doc_ids 6m+2 and 6m+5 from the same seed —
+    their fingerprints MUST be equal; a different seed with a
+    different frequency class must fingerprint apart."""
+    import numpy as np
+
+    def wav_for(seed: int) -> bytearray:
+        n = seed % 500 + 100
+        step = (seed % 8 + 1) * 1024
+        i = np.arange(n, dtype=np.int64)
+        samples = ((seed * 31 + i * step) % 65536 - 32768).astype(np.int16)
+        return bytearray(av.encode_wav(samples))
+
+    df = spark.createDataFrame(
+        [
+            ("8", "wav", wav_for(8)),     # 6*1+2
+            ("11", "wav", wav_for(8)),    # 6*1+5 -> same seed 8
+            ("14", "wav", wav_for(14)),   # other seed, other class
+        ],
+        "id string, fmt string, content binary",
+    )
+    fps = {r.id: r.fingerprint for r in av.audio_fingerprints(df).collect()}
+    assert fps["8"] == fps["11"]
+    assert fps["8"] != fps["14"]
