@@ -484,8 +484,101 @@ ORDER BY split_mode, split
     )
 
 
+# ------------------------------------ length-bucketed batch packing
+
+# Bucketed batching for training/inference (the dynamic-batching /
+# bucketed-sampler idea in every serving stack and seq2seq trainer):
+# round each doc's token count up to a power-of-two bucket, fill
+# fixed-size batches within each bucket in doc_id order, and report
+# the padding waste the bucket choice costs. The batch index comes
+# from textops.exclusive_prefix_sum — the W1 scalable global-rank
+# machinery — NOT a per-bucket row_number() window, whose
+# one-task-per-bucket funnel dies at corpus scale (a handful of
+# buckets = a handful of tasks for 100 TB of rows).
+
+BATCH_DOCS = 8  # sequences per batch
+_BUCKET_CASE = (
+    "CASE WHEN {n} <= 16 THEN 16 WHEN {n} <= 32 THEN 32 "
+    "WHEN {n} <= 64 THEN 64 WHEN {n} <= 128 THEN 128 "
+    "WHEN {n} <= 256 THEN 256 ELSE 512 END"
+)
+
+
+def _q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    n_toks = "size(split(text, ' '))"
+    sized = docs.select(
+        "doc_id",
+        F.expr(n_toks).cast("long").alias("n_tokens"),
+        F.expr(_BUCKET_CASE.format(n=n_toks)).cast("long").alias("bucket"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = exclusive_prefix_sum(
+        sized, ["bucket", "doc_id"], "_one", out_col="_rank"
+    )
+    # per-bucket start offsets: a buckets-sized aggregate, broadcast
+    starts = ranked.groupBy("bucket").agg(
+        F.min("_rank").alias("_start")
+    )
+    batched = ranked.join(F.broadcast(starts), "bucket").select(
+        "bucket",
+        "n_tokens",
+        F.expr(f"(_rank - _start) DIV {BATCH_DOCS}").alias("batch_id"),
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "sum_tokens",
+            F.expr("n_docs * bucket").cast("long").alias("capacity"),
+            F.expr(
+                "(n_docs * bucket - sum_tokens) * 1000000"
+                " DIV (n_docs * bucket)"
+            ).alias("pad_waste_ppm"),
+        )
+    )
+
+
+LENGTH_BUCKET_DUCK = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({_BUCKET_CASE.format(n="len(string_split(text, ' '))")}
+              AS BIGINT) AS bucket
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number()
+           OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rk
+  FROM sized
+),
+batched AS (
+  SELECT bucket, n_tokens, rk // {BATCH_DOCS} AS batch_id FROM ranked
+)
+SELECT bucket,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS capacity,
+       CAST((count(*) * bucket - sum(n_tokens)) * 1000000
+            // (count(*) * bucket) AS BIGINT) AS pad_waste_ppm
+FROM batched
+GROUP BY bucket, batch_id
+"""
+
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
+    "docs_length_bucket_packing": _q_length_bucket_packing,
     "docs_leakage_safe_split": _q_leakage_safe_split,
     "docs_sequence_packing": _q_sequence_packing,
     "docs_lang_rebalance_sample": _run(
@@ -500,6 +593,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_train_val_split": SPLIT_DUCK,
+    "docs_length_bucket_packing": LENGTH_BUCKET_DUCK,
     "docs_leakage_safe_split": _leakage_split_duck(),
     "docs_sequence_packing": SEQ_PACK_DUCK,
     "docs_lang_rebalance_sample": LANG_REBALANCE_DUCK,

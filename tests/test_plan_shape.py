@@ -500,3 +500,41 @@ def test_arw_compressed_roundtrip_is_arrow_batched(spark, sf_dir):
     plan = explain.formatted_plan(df)
     assert "MapInPandas" in plan
     assert "Exchange" not in plan or "REPARTITION" in plan
+
+
+def test_length_bucket_packing_shape_and_plan(spark, sf_dir):
+    """Bucketed batching: full batches everywhere except at most one
+    tail batch per bucket, docs conserved, waste bounded — and the
+    batch index must come from the scalable prefix-sum path, not a
+    per-bucket row_number() window (one task per bucket at scale)."""
+    import re
+
+    from dataset_batch_processor_spark.operators import curation
+
+    df = curation.QUERIES["docs_length_bucket_packing"](spark, sf_dir)
+    rows = df.collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == 500
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+        assert 1 <= r.n_docs <= curation.BATCH_DOCS
+        assert r.sum_tokens <= r.capacity
+        assert 0 <= r.pad_waste_ppm < 1_000_000
+    for bucket, batches in by_bucket.items():
+        batches.sort(key=lambda r: r.batch_id)
+        # contiguous ids from 0; only the last may be partial
+        assert [b.batch_id for b in batches] == list(range(len(batches)))
+        for b in batches[:-1]:
+            assert b.n_docs == curation.BATCH_DOCS
+
+    # plan: no unpartitioned data window (same detector as above)
+    def unpartitioned_windows(plan: str) -> list[str]:
+        return [
+            m.group(1)
+            for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan)
+            if re.search(r"\s(ASC|DESC)\b", m.group(1))
+            and not m.group(1).startswith("_pid")
+        ]
+
+    assert unpartitioned_windows(explain.formatted_plan(df)) == []
