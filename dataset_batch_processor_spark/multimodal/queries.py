@@ -1868,6 +1868,93 @@ FROM pl
 """
 
 
+# ------------------------------------------------ EXIF/GPS PII scrub
+# Drives metascrub.scrub_jpeg under the hash gate: each fixture JPEG
+# (the repo's own encoder, the mm_jpeg_roundtrip ramp) gets a
+# deterministic Exif APP1 with a GPS IFD and doc_id-sized maker-note
+# padding injected, then scrubbed. Gated facts: GPS audited present
+# before and absent after, exactly the injected segment removed
+# (APP1_OVERHEAD + doc_id%17 bytes), the scrubbed file byte-equal to
+# the pre-injection original, and the decoded pixels bit-equal — a
+# scrub that recompresses, over-drops, or desyncs the marker walk
+# cannot hash green.
+
+EXIF_SCRUB_SCHEMA = (
+    "doc_id long, had_gps boolean, n_dropped int, bytes_removed int, "
+    "clean_after boolean, bytes_restored boolean, pix_equal boolean"
+)
+
+
+def _q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, jpeg, metascrub
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 8, d % 17 + 8
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
+                    axis=2,
+                ).astype(np.uint8)
+                orig = jpeg.encode_jpeg(arr, quality=85)
+                pad = d % 17
+                dirty = metascrub.inject_app1(
+                    orig, metascrub.build_exif_app1(pad)
+                )
+                before = metascrub.jpeg_metadata_flags(dirty)
+                clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+                after = metascrub.jpeg_metadata_flags(clean)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "had_gps": bool(before["has_gps"]),
+                        "n_dropped": int(dropped),
+                        "bytes_removed": int(removed),
+                        "clean_after": bool(
+                            not after["has_exif"]
+                            and after["n_meta_segments"] == 0
+                        ),
+                        "bytes_restored": bool(clean == orig),
+                        "pix_equal": bool(
+                            np.array_equal(
+                                binary.decode_any("jpg", dirty),
+                                binary.decode_any("jpg", clean),
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "had_gps", "n_dropped", "bytes_removed",
+                         "clean_after", "bytes_restored", "pix_equal"],
+            )
+
+    return docs.mapInPandas(run, schema=EXIF_SCRUB_SCHEMA)
+
+
+def _exif_scrub_duck() -> str:
+    from . import metascrub
+
+    return f"""
+SELECT doc_id,
+       TRUE AS had_gps,
+       CAST(1 AS INT) AS n_dropped,
+       CAST({metascrub.APP1_OVERHEAD} + doc_id % 17 AS INT)
+         AS bytes_removed,
+       TRUE AS clean_after,
+       TRUE AS bytes_restored,
+       TRUE AS pix_equal
+FROM documents
+"""
+
+
 # -------------------------------------------- audio fingerprint dedup
 # Composes the spectral front-end into the dedup family: recordings
 # are fingerprinted by their dominant-bin sequence (av.audio_
@@ -2515,6 +2602,7 @@ QUERIES = {
     "mm_audio_vad_segments": _q_vad_segments,
     "mm_audio_spectral": _q_audio_spectral,
     "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
+    "mm_exif_scrub": _q_exif_scrub,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2547,6 +2635,7 @@ ORACLES = {
     "mm_audio_vad_segments": VAD_SEGMENTS_DUCK,
     "mm_audio_spectral": _audio_spectral_duck(),
     "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
+    "mm_exif_scrub": _exif_scrub_duck(),
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,

@@ -1,0 +1,75 @@
+"""JPEG metadata scrub: segment walk correctness, GPS audit, byte
+restoration, and the malformed-input contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dataset_batch_processor_spark.multimodal import jpeg, metascrub
+
+
+def _jpg() -> bytes:
+    y, x = np.mgrid[0:12, 0:16]
+    arr = np.stack([x * 3, y * 4, x + y], axis=2).astype(np.uint8)
+    return jpeg.encode_jpeg(arr, quality=85)
+
+
+def test_scrub_restores_original_bytes():
+    orig = _jpg()
+    dirty = metascrub.inject_app1(orig, metascrub.build_exif_app1(7))
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig
+    assert dropped == 1
+    assert removed == metascrub.APP1_OVERHEAD + 7
+    assert len(dirty) - len(clean) == removed
+
+
+def test_gps_audit_before_and_after():
+    dirty = metascrub.inject_app1(_jpg(), metascrub.build_exif_app1(0))
+    before = metascrub.jpeg_metadata_flags(dirty)
+    assert before == {"has_exif": True, "has_gps": True,
+                      "n_meta_segments": 1}
+    clean, _, _ = metascrub.scrub_jpeg(dirty)
+    after = metascrub.jpeg_metadata_flags(clean)
+    assert after == {"has_exif": False, "has_gps": False,
+                     "n_meta_segments": 0}
+
+
+def test_exif_without_gps_flags_correctly():
+    # APP1 with an Exif TIFF whose IFD0 has only DateTime (no 34853)
+    dt = b"2026:01:01 00:00:00\x00"
+    t = bytearray(b"II*\x00") + struct.pack("<I", 8)
+    t += struct.pack("<H", 1)
+    t += struct.pack("<HHII", 306, 2, len(dt), 8 + 2 + 12 + 4)
+    t += struct.pack("<I", 0) + dt
+    payload = b"Exif\x00\x00" + bytes(t)
+    dirty = metascrub.inject_app1(_jpg(), payload)
+    flags = metascrub.jpeg_metadata_flags(dirty)
+    assert flags["has_exif"] and not flags["has_gps"]
+
+
+def test_com_segment_also_dropped():
+    orig = _jpg()
+    com = b"\xff\xfe" + struct.pack(">H", 10) + b"secret!!"
+    dirty = orig[:2] + com + orig[2:]
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig and dropped == 1 and removed == 12
+    assert b"secret" not in clean
+
+
+def test_multiple_segments_all_dropped():
+    orig = _jpg()
+    dirty = metascrub.inject_app1(orig, metascrub.build_exif_app1(3))
+    dirty = metascrub.inject_app1(dirty, metascrub.build_exif_app1(9))
+    clean, dropped, _ = metascrub.scrub_jpeg(dirty)
+    assert clean == orig and dropped == 2
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="no SOI"):
+        metascrub.scrub_jpeg(b"PNG...")
+    with pytest.raises(ValueError, match="no SOI"):
+        metascrub.inject_app1(b"x", b"y")
