@@ -73,3 +73,38 @@ def test_not_a_jpeg_raises():
         metascrub.scrub_jpeg(b"PNG...")
     with pytest.raises(ValueError, match="no SOI"):
         metascrub.inject_app1(b"x", b"y")
+
+
+# ------------------------------------------------------ property fuzz
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    segs=st.lists(
+        st.tuples(
+            st.integers(min_value=0xE1, max_value=0xFE).filter(
+                lambda m: 0xE1 <= m <= 0xEF or m == 0xFE
+            ),
+            st.binary(min_size=0, max_size=40),
+        ),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_scrub_restores_original_under_arbitrary_metadata(segs):
+    """Inject ANY sequence of APPn/COM segments after SOI — the scrub
+    must restore the original bytes exactly and count them all."""
+    orig = _BASE_JPG
+    dirty = orig
+    for marker, body in segs:
+        seg = bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        dirty = dirty[:2] + seg + dirty[2:]
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig
+    assert dropped == len(segs)
+    assert removed == sum(4 + len(b) for _, b in segs)
+
+
+_BASE_JPG = _jpg()
