@@ -136,3 +136,60 @@ def jpeg_metadata_flags(jpg: bytes) -> dict:
         i += seg_len
     return {"has_exif": has_exif, "has_gps": has_gps,
             "n_meta_segments": n_meta}
+
+
+def scrub_images(df):
+    """DataFrame form: (id, fmt, content) -> scrubbed content plus the
+    audit columns. JPEG takes the segment-level scrub; TIFF-family
+    takes the transcode scrub (decode + canonical re-encode, which
+    writes only geometry tags); anything else quarantines with a
+    precise reason (F7 convention). Arrow-batched, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from . import tiff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rec = {"id": str(row.id), "content": None,
+                       "bytes_removed": None, "had_gps": None,
+                       "error": None}
+                try:
+                    fmt = row.fmt.lower()
+                    raw = bytes(row.content)
+                    if fmt in ("jpg", "jpeg"):
+                        rec["had_gps"] = bool(
+                            jpeg_metadata_flags(raw)["has_gps"]
+                        )
+                        clean, _n, removed = scrub_jpeg(raw)
+                        rec["content"] = clean
+                        rec["bytes_removed"] = int(removed)
+                    elif fmt in ("tif", "tiff"):
+                        bo = tiff._parse_header(raw)
+                        tags = tiff._read_ifd(raw, bo)
+                        rec["had_gps"] = bool(34853 in tags)
+                        clean = tiff.encode_tiff(tiff.decode_tiff(raw))
+                        rec["content"] = clean
+                        rec["bytes_removed"] = int(len(raw) - len(clean))
+                    else:
+                        raise NotImplementedError(
+                            f"metadata scrub: no scrubber for {fmt!r} "
+                            "(JPEG segment walk and TIFF transcode only)"
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    rec["error"] = f"{type(e).__name__}: {e}"
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=["id", "content", "bytes_removed", "had_gps",
+                         "error"],
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema=("id string, content binary, bytes_removed int, "
+                "had_gps boolean, error string"),
+    )

@@ -108,3 +108,27 @@ def test_scrub_restores_original_under_arbitrary_metadata(segs):
 
 
 _BASE_JPG = _jpg()
+
+
+def test_scrub_images_dataframe_operator(spark):
+    from dataset_batch_processor_spark.multimodal import tiff as tiff_mod
+    import numpy as np
+
+    orig = _jpg()
+    dirty = metascrub.inject_app1(orig, metascrub.build_exif_app1(5))
+    tif = tiff_mod.encode_tiff(
+        (np.arange(96, dtype=np.uint8) % 251).reshape(8, 4, 3)
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", "jpg", bytearray(dirty)),
+            ("b", "tiff", bytearray(tif)),
+            ("c", "gif", bytearray(b"GIF89a")),
+        ],
+        "id string, fmt string, content binary",
+    )
+    rows = {r.id: r for r in metascrub.scrub_images(df).collect()}
+    assert bytes(rows["a"].content) == orig and rows["a"].had_gps
+    assert rows["a"].bytes_removed == metascrub.APP1_OVERHEAD + 5
+    assert rows["b"].error is None and rows["b"].had_gps is False
+    assert rows["c"].error is not None and "no scrubber" in rows["c"].error
