@@ -293,8 +293,82 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# ------------------------------- temperature-sampled mixture weights
+# The multilingual temperature-sampling formula (mT5/XLM-R, public):
+# sample source i with probability proportional to p_i^alpha, alpha<1
+# flattening the mixture so low-resource sources are upsampled.
+# alpha = 1/2 EXACTLY, because sqrt is the one fractional power IEEE
+# 754 requires to be correctly rounded — sqrt of an exact integer is
+# bit-identical on both engines, where a general pow(p, 0.3) is not
+# (repo no-ln/no-pow convention). The sqrt is then snapped to an
+# integer (floor(sqrt(p_ppm * 1e6) + 0.5); never lands on a .5
+# boundary since (m+0.5)^2 is not an integer), so the normalizing sum
+# and the final shares are exact integer arithmetic with no float-sum
+# order dependence. Same scale shape as the plain mixture: one 20-row
+# agg + a 1-row broadcast total.
+
+TEMP_MIXTURE_SPARK = """
+WITH sized AS (
+  SELECT source, size(split(text, ' ')) AS ntok FROM documents
+),
+tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM sized),
+shares AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST((CAST(sum(ntok) AS BIGINT) * 1000000) DIV total AS BIGINT)
+             AS token_ppm
+  FROM sized CROSS JOIN tot
+  GROUP BY source, total
+),
+rooted AS (
+  SELECT *,
+         CAST(floor(sqrt(token_ppm * 1000000) + 0.5) AS BIGINT) AS s
+  FROM shares
+),
+norm AS (SELECT CAST(sum(s) AS BIGINT) AS z FROM rooted)
+SELECT source, n_docs, token_ppm,
+       CAST(s * 1000000 DIV z AS BIGINT) AS temp_ppm,
+       CAST(CASE WHEN token_ppm > 0
+                 THEN (s * 1000000 DIV z) * 1000 DIV token_ppm
+                 ELSE NULL END AS BIGINT) AS boost_x1000
+FROM rooted CROSS JOIN norm
+ORDER BY source
+"""
+
+TEMP_MIXTURE_DUCK = """
+WITH sized AS (
+  SELECT source, len(string_split(text, ' ')) AS ntok FROM documents
+),
+tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM sized),
+shares AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST((CAST(sum(ntok) AS BIGINT) * 1000000) // total AS BIGINT)
+             AS token_ppm
+  FROM sized CROSS JOIN tot
+  GROUP BY source, total
+),
+rooted AS (
+  SELECT *,
+         CAST(floor(sqrt(token_ppm * 1000000) + 0.5) AS BIGINT) AS s
+  FROM shares
+),
+norm AS (SELECT CAST(sum(s) AS BIGINT) AS z FROM rooted)
+SELECT source, n_docs, token_ppm,
+       CAST(s * 1000000 // z AS BIGINT) AS temp_ppm,
+       CAST(CASE WHEN token_ppm > 0
+                 THEN (s * 1000000 // z) * 1000 // token_ppm
+                 ELSE NULL END AS BIGINT) AS boost_x1000
+FROM rooted CROSS JOIN norm
+ORDER BY source
+"""
+
 QUERIES["corpus_mixture_weights"] = _run(MIXTURE_SPARK, ("documents",))
 ORACLES["corpus_mixture_weights"] = MIXTURE_DUCK
+QUERIES["corpus_temperature_mixture"] = _run(
+    TEMP_MIXTURE_SPARK, ("documents",)
+)
+ORACLES["corpus_temperature_mixture"] = TEMP_MIXTURE_DUCK
 QUERIES["docs_surprisal_rank"] = _run(SURPRISAL_SPARK, ("documents",))
 ORACLES["docs_surprisal_rank"] = SURPRISAL_DUCK
 

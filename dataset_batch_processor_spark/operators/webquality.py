@@ -191,3 +191,45 @@ ORDER BY lang
 
 QUERIES["docs_lang_fertility"] = _q_lang_fertility
 ORACLES["docs_lang_fertility"] = LANG_FERTILITY_DUCK
+
+
+# ------------------------------------------------- blocklist filter
+# The C4-style blocklist rule (Raffel et al. 2020 drop pages hitting
+# a word blocklist; most production pipelines keep a variant): count
+# token-exact blocklist hits per document and flag. The LIST here is
+# a placeholder drawn from the fixture vocabulary so the rule
+# demonstrably fires — the STRUCTURE (token-exact match, count,
+# binary flag, share of corpus flagged) is the operator. Pure narrow
+# array expressions; no shuffle, no Python.
+
+BLOCKWORDS = ("slow", "big", "hash")
+
+
+def blocklist_filter(docs: DataFrame) -> DataFrame:
+    ws = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(ws, lambda w: w.isin(*BLOCKWORDS)))
+    return docs.select(
+        "doc_id",
+        hits.cast("int").alias("n_hits"),
+        (hits > 0).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocklist_filter(catalog.load_table(spark, sf_dir, "documents"))
+
+
+_BLOCK_LIST = ", ".join(f"'{w}'" for w in BLOCKWORDS)
+
+BLOCKLIST_DUCK = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ({_BLOCK_LIST}))) AS INT) AS n_hits,
+       len(list_filter(string_split(text, ' '),
+            w -> w IN ({_BLOCK_LIST}))) > 0 AS flagged
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["docs_blocklist_filter"] = _q_blocklist
+ORACLES["docs_blocklist_filter"] = BLOCKLIST_DUCK
