@@ -287,3 +287,91 @@ def _q_bloom_decontam(spark, sf_dir):
 
 QUERIES["docs_bloom_decontam"] = _q_bloom_decontam
 ORACLES["docs_bloom_decontam"] = BLOOM_DUCK
+
+
+# --------------------------------------- semantic (embedding) screen
+# Completes the decontamination matrix: the 8-gram/Bloom/Jaccard
+# screens above catch verbatim and near-verbatim leaks; paraphrased
+# eval contamination needs the embedding side (the screen reported in
+# Gemini/GPT-4-class model cards alongside n-gram overlap). Each
+# corpus vector scores max cosine against the held-out eval panel
+# (vec_id % EMB_EVAL_MOD == 0, mirroring the text screens' fixture
+# convention) and flags at SEM_DECONTAM_T.
+#
+# Exactness: the repo's JVM zip_with/aggregate fold (functions/
+# vector.py) — element-order float sums, identical to DuckDB's
+# list_sum fold — rounded to 6 dp BEFORE the max, the same contract
+# the near-dup family has held green since round 4.
+#
+# 100-TB shape: the panel is an EVAL SET — bounded small by nature —
+# broadcast against the partitioned corpus; cost is linear in
+# n x |panel| with no shuffle (the groupBy collapses map-side: every
+# (vec, panel) row for a vector sits in one partition). For panels
+# beyond ~10^4, swap the fold for mining.py's Arrow GEMM kernel —
+# same join geometry, vectorized scoring.
+
+EMB_EVAL_MOD = 23
+SEM_DECONTAM_T = 0.30
+
+
+def _q_semantic_decontam(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+    from ..functions import vector
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    panel = emb.filter(
+        F.col("vec_id") % EMB_EVAL_MOD == 0
+    ).select(F.col("embedding").alias("eval_emb"))
+    corpus = emb.filter(F.col("vec_id") % EMB_EVAL_MOD != 0)
+    scored = corpus.crossJoin(F.broadcast(panel)).select(
+        "vec_id",
+        F.round(
+            vector.cosine(F.col("embedding"), F.col("eval_emb")), 6
+        ).alias("cos"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("cos").alias("max_eval_cos"))
+        .select(
+            "vec_id",
+            "max_eval_cos",
+            (F.col("max_eval_cos") >= SEM_DECONTAM_T).alias("contaminated"),
+        )
+    )
+
+
+SEM_DECONTAM_DUCK = f"""
+WITH panel AS (
+  SELECT embedding AS eval_emb FROM embeddings
+  WHERE vec_id % {EMB_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {EMB_EVAL_MOD} <> 0
+),
+scored AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(c.embedding[i] AS DOUBLE)
+                * CAST(p.eval_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(p.eval_emb[i] AS DOUBLE)
+                   * CAST(p.eval_emb[i] AS DOUBLE))))),
+           6) AS cos
+  FROM corpus c, panel p
+)
+SELECT vec_id,
+       max(cos) AS max_eval_cos,
+       max(cos) >= {SEM_DECONTAM_T} AS contaminated
+FROM scored
+GROUP BY vec_id
+"""
+
+QUERIES["emb_semantic_decontam"] = _q_semantic_decontam
+ORACLES["emb_semantic_decontam"] = SEM_DECONTAM_DUCK
