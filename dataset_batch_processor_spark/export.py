@@ -25,30 +25,55 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import catalog
-from .operators import curation, feathash, lmscore
+from .operators import curation, dsir, feathash, lmscore
 from .operators.textops import exclusive_prefix_sum
 
 
-def export_plan(spark: SparkSession, sf_dir: str, drop_worst_pct: int = 10):
+def export_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    drop_worst_pct: int = 10,
+    selector: str = "lm",
+):
     """Returns (kept, emb, packed, manifest) DataFrames. ``kept`` is
     persisted: every returned frame (and the caller's metrics count)
     shares the scored/filtered lineage, and without the persist the
-    LM scoring + percentile cutoff — the dominant cost — would rerun
-    once per downstream action."""
+    scoring + percentile cutoff — the dominant cost — would rerun
+    once per downstream action.
+
+    ``selector`` picks the quality signal for step 1:
+    ``"lm"`` (default) drops the worst fluency tail by bigram-LM
+    branching score; ``"dsir"`` keeps the most target-like tail by
+    DSIR importance score (operators/dsir.py) — same cutoff-quantile
+    mechanics, opposite polarity (high DSIR = keep)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
 
-    # 1. LM-score every doc; keep all but the worst tail. The cutoff
+    # 1. score every doc; keep all but the worst tail. The cutoff
     # is a corpus quantile — computed ONCE, broadcast as a scalar.
-    scored = spark.sql(lmscore.BIGRAM_LM_SPARK)
-    cut = scored.agg(
-        F.expr(
-            f"percentile_approx(mean_branching, {1 - drop_worst_pct / 100})"
-        ).alias("cut")
-    )
+    if selector == "lm":
+        scored = spark.sql(lmscore.BIGRAM_LM_SPARK)
+        cut = scored.agg(
+            F.expr(
+                f"percentile_approx(mean_branching, "
+                f"{1 - drop_worst_pct / 100})"
+            ).alias("cut")
+        )
+        keep_pred = F.col("mean_branching") <= F.col("cut")
+    elif selector == "dsir":
+        scored = dsir.dsir_scores(docs)
+        cut = scored.agg(
+            F.expr(
+                f"percentile_approx(dsir_score_ppm, "
+                f"{drop_worst_pct / 100})"
+            ).alias("cut")
+        )
+        keep_pred = F.col("dsir_score_ppm") >= F.col("cut")
+    else:
+        raise ValueError(f"selector must be 'lm' or 'dsir', got {selector!r}")
     kept = (
         scored.crossJoin(F.broadcast(cut))
-        .filter(F.col("mean_branching") <= F.col("cut"))
+        .filter(keep_pred)
         .select("doc_id")
         .persist()
     )

@@ -142,3 +142,33 @@ def test_leakage_safe_split_invariant(spark, sf_dir):
     total_clusters = rows[("cluster", "train")].n_clusters_touched + \
         rows[("cluster", "val")].n_clusters_touched
     assert total_clusters <= n_docs["cluster"]
+
+
+def test_export_plan_dsir_selector(spark):
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark.export import export_plan
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import dsir as dsir_ops
+
+    kept, emb, packed, manifest = export_plan(
+        spark, "/root/testdata/sf0.001", drop_worst_pct=20, selector="dsir"
+    )
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    n_kept = kept.count()
+    assert 0 < n_kept < n  # the worst DSIR tail is actually dropped
+    assert emb.count() == n_kept
+    # polarity: the kept slice must be more target-lang-rich than the
+    # dropped slice (that's what selecting BY dsir means)
+    kept_langs = docs.join(kept, "doc_id")
+    n_kept_t = kept_langs.filter(
+        F.col("lang") == dsir_ops.TARGET_LANG
+    ).count()
+    n_t = docs.filter(F.col("lang") == dsir_ops.TARGET_LANG).count()
+    assert n_kept_t * n > n_t * n_kept  # cross-multiplied enrichment
+
+    import pytest
+
+    with pytest.raises(ValueError, match="selector"):
+        export_plan(spark, "/root/testdata/sf0.001", selector="nope")
