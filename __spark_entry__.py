@@ -29,6 +29,7 @@ from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.streaming import incremental as stream_inc
+from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
     boilerplate,
@@ -479,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(recall.QUERIES)
     q.update(substring.QUERIES)
     q.update(stream_inc.QUERIES)
+    q.update(stream_qg.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
@@ -585,6 +587,7 @@ FROM images_meta GROUP BY 1
     o.update(recall.ORACLES)
     o.update(substring.ORACLES)
     o.update(stream_inc.ORACLES)
+    o.update(stream_qg.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)
