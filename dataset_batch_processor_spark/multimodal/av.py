@@ -670,3 +670,47 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+def scene_changes(df: DataFrame, energy_thresh: int) -> DataFrame:
+    """Shot-boundary detection by adjacent-frame difference energy —
+    the primitive behind keyframe selection in video curation (sample
+    one frame per SHOT instead of per fixed stride). For each pair of
+    adjacent frames the kernel computes the EXACT int64 sum of squared
+    per-pixel differences (uint8 diffs are |d| <= 255, squares <= 2^16,
+    frame sums far below 2^53) and flags a cut where the energy
+    crosses ``energy_thresh``. 1 video row -> n_frames-1 boundary
+    rows. Decode failures quarantine (F7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    frames, _fps = decode_rawvid(bytes(row.content))
+                    x = frames.astype(np.int64).reshape(len(frames), -1)
+                    deltas = ((x[1:] - x[:-1]) ** 2).sum(axis=1)
+                    for f, e in enumerate(deltas):
+                        out.append(
+                            {"id": str(row.id), "frame_idx": int(f),
+                             "delta_energy": int(e),
+                             "is_cut": bool(e > energy_thresh),
+                             "error": None}
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(
+                        {"id": str(row.id), "frame_idx": None,
+                         "delta_energy": None, "is_cut": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "frame_idx", "delta_energy", "is_cut",
+                         "error"],
+            )
+
+    return df.select("id", "content").mapInPandas(
+        run,
+        schema=("id string, frame_idx int, delta_energy long, "
+                "is_cut boolean, error string"),
+    )

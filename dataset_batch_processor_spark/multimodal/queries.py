@@ -1868,6 +1868,85 @@ FROM pl
 """
 
 
+# --------------------------------------------- video scene-cut detect
+# Drives av.scene_changes (adjacent-frame difference energy, the
+# keyframe-selection primitive) under the hash gate. The fixture
+# plants exactly one cut per clip: pixels follow the frame-sample
+# lattice plus a +128 level jump from the midpoint frame onward, so
+# the cut boundary's difference energy (~16k/pixel across the mod-256
+# wrap) separates cleanly from the inter-frame pan (~4k/pixel at
+# shift 17). The oracle recomputes every pixel difference closed-form
+# — threshold, wrap arithmetic, and framing are all pinned.
+
+_SC_THRESH = _FS_H * _FS_W * 3 * 8000  # between pan and cut energy
+
+
+def _q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 5 == 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 9 + 4
+                cut = n // 2
+                f = np.arange(n, dtype=np.int64)[:, None]
+                i = np.arange(_FS_H * _FS_W * 3, dtype=np.int64)[None, :]
+                px = (
+                    (d * 13 + f * 17 + i * 3 + (f >= cut) * 128) % 256
+                ).astype(np.uint8)
+                out.append(
+                    {
+                        "id": str(d),
+                        "content": av.encode_rawvid(
+                            px.reshape(n, _FS_H, _FS_W, 3), fps=_FS_FPS
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "content"])
+
+    vids = docs.mapInPandas(gen, schema="id string, content binary")
+    return av.scene_changes(vids, energy_thresh=_SC_THRESH)
+
+
+_SC_PIX = (
+    "(doc_id * 13 + ({f}) * 17 + i * 3"
+    " + CASE WHEN ({f}) >= cut THEN 128 ELSE 0 END) % 256"
+)
+
+VIDEO_SCENE_CUTS_DUCK = f"""
+WITH vids AS (
+  SELECT doc_id, doc_id % 9 + 4 AS n, (doc_id % 9 + 4) // 2 AS cut
+  FROM documents WHERE doc_id % 5 = 0
+),
+bounds AS (
+  SELECT doc_id, cut, unnest(generate_series(0, n - 2)) AS f FROM vids
+),
+scored AS (
+  SELECT doc_id, f,
+         CAST(list_sum(list_transform(
+           list_transform(generate_series(0, {_FS_H * _FS_W * 3 - 1}),
+             i -> ({_SC_PIX.format(f="f + 1")})
+                - ({_SC_PIX.format(f="f")})),
+           d -> d * d)) AS BIGINT) AS delta_energy
+  FROM bounds
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(f AS INT) AS frame_idx,
+       delta_energy,
+       delta_energy > {_SC_THRESH} AS is_cut,
+       CAST(NULL AS VARCHAR) AS error
+FROM scored
+"""
+
+
 # ------------------------------------------------ EXIF/GPS PII scrub
 # Drives metascrub.scrub_jpeg under the hash gate: each fixture JPEG
 # (the repo's own encoder, the mm_jpeg_roundtrip ramp) gets a
@@ -2603,6 +2682,7 @@ QUERIES = {
     "mm_audio_spectral": _q_audio_spectral,
     "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
     "mm_exif_scrub": _q_exif_scrub,
+    "mm_video_scene_cuts": _q_video_scene_cuts,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2636,6 +2716,7 @@ ORACLES = {
     "mm_audio_spectral": _audio_spectral_duck(),
     "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
     "mm_exif_scrub": _exif_scrub_duck(),
+    "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,

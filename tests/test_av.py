@@ -331,3 +331,27 @@ def test_audio_fingerprint_planted_pairs_merge(spark):
     fps = {r.id: r.fingerprint for r in av.audio_fingerprints(df).collect()}
     assert fps["8"] == fps["11"]
     assert fps["8"] != fps["14"]
+
+
+def test_scene_changes_finds_exactly_the_planted_cut(spark):
+    import numpy as np
+
+    n, h, w = 6, 4, 4
+    f = np.arange(n, dtype=np.int64)[:, None]
+    i = np.arange(h * w * 3, dtype=np.int64)[None, :]
+    px = ((7 + f * 17 + i * 3 + (f >= 3) * 128) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("v", bytearray(av.encode_rawvid(px.reshape(n, h, w, 3)))),
+            ("bad", bytearray(b"nope")),
+        ],
+        "id string, content binary",
+    )
+    rows = av.scene_changes(df, energy_thresh=h * w * 3 * 8000).collect()
+    good = sorted(
+        (r for r in rows if r.id == "v"), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in good] == list(range(n - 1))
+    assert [r.is_cut for r in good] == [False, False, True, False, False]
+    bad = [r for r in rows if r.id == "bad"][0]
+    assert bad.error is not None and bad.is_cut is None
