@@ -82,3 +82,113 @@ ORACLES = {
     "docs_snapshot_diff": _DIFF_CORE,
     "fk_integrity_audit": _FK_CORE,
 }
+
+
+# --------------------------------------------------- PII column audit
+# Schema-level privacy triage — "which columns of this table carry
+# PII-shaped values?" — the audit every governed lakehouse runs
+# before granting a dataset to training (the column-classifier idea
+# behind Glue/Purview/DLP scanners, expressed as one Spark pass).
+# For each candidate string column: hit rates (integer ppm) for the
+# email / formatted-phone / long-digit-run shapes (textclean.py's
+# RE2-compatible patterns), classified by a fixed priority when the
+# rate crosses PII_CLASS_PPM. ONE aggregation row over the table
+# (every count map-side combined), then a stack() to one row per
+# column — the scan cost is a single pass regardless of column count.
+#
+# The gated fixture synthesizes four columns with KNOWN shapes from
+# the customer table (clean segment, digit-run name, synthetic email
+# and phone), so a misclassification cannot hash green.
+
+from .textclean import DIGITS_RE, EMAIL_RE
+
+PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_CLASS_PPM = 500_000
+
+_PII_FAMS = (("email", EMAIL_RE), ("phone", PHONE_RE), ("digits", DIGITS_RE))
+
+
+def pii_column_audit(df, columns):
+    """One row per audited column: hit ppm per PII family + class."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in columns:
+        for fam, pat in _PII_FAMS:
+            aggs.append(
+                F.sum(F.col(c).rlike(pat).cast("long")).alias(f"{c}__{fam}")
+            )
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__email, {c}__phone, {c}__digits" for c in columns
+    )
+    return one.selectExpr(
+        "_n",
+        f"stack({len(columns)}, {stacked}) AS "
+        "(column, _email, _phone, _digits)",
+    ).selectExpr(
+        "column",
+        "CAST(_n AS BIGINT) AS n_rows",
+        "_email * 1000000 DIV _n AS email_ppm",
+        "_phone * 1000000 DIV _n AS phone_ppm",
+        "_digits * 1000000 DIV _n AS digits_ppm",
+        f"""CASE WHEN _email * 1000000 DIV _n >= {PII_CLASS_PPM} THEN 'email'
+             WHEN _phone * 1000000 DIV _n >= {PII_CLASS_PPM} THEN 'phone'
+             WHEN _digits * 1000000 DIV _n >= {PII_CLASS_PPM} THEN 'digits'
+             ELSE 'clean' END AS pii_class""",
+    )
+
+
+_PII_FIXTURE = """
+SELECT c_name AS name,
+       'user' || c_custkey || '@example.com' AS contact,
+       '12-345-678-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         AS phone,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+_PII_COLS = ("name", "contact", "phone", "segment")
+
+
+def _q_pii_column_audit(spark, sf_dir):
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    fixture = spark.sql(_PII_FIXTURE.replace("AS VARCHAR", "AS STRING"))
+    return pii_column_audit(fixture, _PII_COLS)
+
+
+def _pii_duck() -> str:
+    fams = {"email": EMAIL_RE, "phone": PHONE_RE, "digits": DIGITS_RE}
+    per_col = []
+    for c in _PII_COLS:
+        counts = {
+            fam: (
+                f"count(*) FILTER (WHERE regexp_matches({c}, '{pat}'))"
+                f" * 1000000 // count(*)"
+            )
+            for fam, pat in fams.items()
+        }
+        per_col.append(
+            f"""SELECT '{c}' AS column,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({counts['email']} AS BIGINT) AS email_ppm,
+       CAST({counts['phone']} AS BIGINT) AS phone_ppm,
+       CAST({counts['digits']} AS BIGINT) AS digits_ppm,
+       CASE WHEN {counts['email']} >= {PII_CLASS_PPM} THEN 'email'
+            WHEN {counts['phone']} >= {PII_CLASS_PPM} THEN 'phone'
+            WHEN {counts['digits']} >= {PII_CLASS_PPM} THEN 'digits'
+            ELSE 'clean' END AS pii_class
+FROM fixture"""
+        )
+    return (
+        f"WITH fixture AS ({_PII_FIXTURE})\n"
+        + "\nUNION ALL\n".join(per_col)
+    )
+
+
+QUERIES["pii_column_audit"] = _q_pii_column_audit
+ORACLES["pii_column_audit"] = _pii_duck()
