@@ -127,6 +127,40 @@ GROUP BY user_id
 
 SESSIONIZE_DUCK = SESSIONIZE_SPARK.replace("unix_micros(ts)", "epoch_us(ts)")
 
+
+# ------------------------------------------------ path transitions
+# Product-analytics path mining, step one: the event-type transition
+# matrix (what users do NEXT after each action — the edge weights a
+# sankey/flow view renders). One user-keyed window (scale-safe: the
+# partition key is user_id, never global) + a small-key count;
+# deterministic total order via (ts_us, event_id) so simultaneous
+# events cannot flip transitions between engines. Top 20 with a full
+# tie-break.
+
+PATH_TRANSITIONS_SPARK = """
+WITH ev AS (
+  SELECT user_id, event_type, unix_micros(ts) AS ts_us, event_id
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type
+  FROM ev
+)
+SELECT prev_type,
+       event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY n_transitions DESC, prev_type, next_type
+LIMIT 20
+"""
+
+PATH_TRANSITIONS_DUCK = PATH_TRANSITIONS_SPARK.replace(
+    "unix_micros(ts)", "epoch_us(ts)"
+)
+
 # ------------------------------------------------------------ quantiles
 
 QUANTILES_SPARK = """
@@ -374,6 +408,7 @@ QUERIES = {
     "brand_type_rollup": _run(ROLLUP_SPARK, ("part",)),
     "priority_pivot": _run(PIVOT_SPARK, ("orders",)),
     "events_sessionize": _run(SESSIONIZE_SPARK, ("events",)),
+    "events_path_transitions": _run(PATH_TRANSITIONS_SPARK, ("events",)),
     "lineitem_quantiles": _run(QUANTILES_SPARK, ("lineitem",)),
     "orders_date_parts": _run(DATE_PARTS_SPARK, ("orders",)),
     "part_string_funcs": _run(STRINGS_SPARK, ("part",)),
@@ -389,6 +424,7 @@ ORACLES = {
     "brand_type_rollup": ROLLUP_DUCK,
     "priority_pivot": PIVOT_DUCK,
     "events_sessionize": SESSIONIZE_DUCK,
+    "events_path_transitions": PATH_TRANSITIONS_DUCK,
     "lineitem_quantiles": QUANTILES_DUCK,
     "orders_date_parts": DATE_PARTS_DUCK,
     "part_string_funcs": STRINGS_DUCK,
