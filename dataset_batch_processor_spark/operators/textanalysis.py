@@ -139,8 +139,9 @@ SELECT doc_id, hits_en, hits_fr, hits_de, hits_es,
 FROM hits
 """
 
-LANG_ID_SPARK = f"""
-WITH toks AS (
+# Exported Spark-side CTE chain too (round 8 late), so the confusion
+# audit below shares the exact token/hit SQL with the classifier.
+LANG_CHAIN_SPARK = f"""toks AS (
   SELECT doc_id, token
   FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
   WHERE length(token) > 0
@@ -149,7 +150,10 @@ hits AS (
   SELECT doc_id,
          {_lang_case('spark')}
   FROM toks GROUP BY doc_id
-)
+)"""
+
+LANG_ID_SPARK = f"""
+WITH {LANG_CHAIN_SPARK}
 {_LANG_BODY}
 """
 
@@ -170,6 +174,37 @@ LANG_ID_DUCK = f"""
 WITH {LANG_CHAIN_DUCK}
 {_LANG_BODY}
 """
+
+
+
+# --------------------------------------------- lang-ID confusion audit
+# The evaluation harness for the classifier above: the fixture's
+# labeled `lang` column is ground truth, so the confusion matrix
+# (actual x predicted counts) and per-language recall are computable
+# exactly — the audit every pipeline runs before trusting a lang
+# filter to route 100 TB. Note the marker-based classifier has no
+# 'zh' markers: the matrix VISIBLY shows where zh mass lands, which
+# is the point of the audit. Same CTE chain as the classifier (no
+# copy that could drift); one small-key agg on top.
+
+_CONFUSION_TAIL = """
+, pred AS (
+{body}
+)
+SELECT d.lang AS actual,
+       p.lang_guess AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_guess
+ORDER BY actual, predicted
+"""
+
+LANGID_CONFUSION_SPARK = (
+    f"WITH {LANG_CHAIN_SPARK}" + _CONFUSION_TAIL.format(body=_LANG_BODY)
+)
+LANGID_CONFUSION_DUCK = (
+    f"WITH {LANG_CHAIN_DUCK}" + _CONFUSION_TAIL.format(body=_LANG_BODY)
+)
 
 # ------------------------------------------------------- fingerprinting
 # Bottom-k document sketch (winnowing-style): the 4 lexicographically
@@ -223,6 +258,7 @@ QUERIES = {
     "docs_token_stats": _run(TOKEN_STATS_SPARK),
     "docs_quality_score": _run(QUALITY_SPARK),
     "docs_lang_id": _run(LANG_ID_SPARK),
+    "docs_langid_confusion": _run(LANGID_CONFUSION_SPARK),
     "docs_fingerprint": _run(FINGERPRINT_SPARK),
 }
 
@@ -230,6 +266,7 @@ ORACLES = {
     "docs_token_stats": TOKEN_STATS_DUCK,
     "docs_quality_score": QUALITY_DUCK,
     "docs_lang_id": LANG_ID_DUCK,
+    "docs_langid_confusion": LANGID_CONFUSION_DUCK,
     "docs_fingerprint": FINGERPRINT_DUCK,
 }
 
