@@ -714,3 +714,51 @@ def scene_changes(df: DataFrame, energy_thresh: int) -> DataFrame:
         schema=("id string, frame_idx int, delta_energy long, "
                 "is_cut boolean, error string"),
     )
+
+
+def normalize_peak(df: DataFrame) -> DataFrame:
+    """Peak normalization — scale each recording so its loudest
+    sample hits full scale (the level-matching step before feature
+    extraction or mixing). Exact integer arithmetic: y = x * 32767
+    truncating-div peak (sign-aware _tdiv, matching SQL's // and
+    Spark's DIV), so the normalized stream — and therefore the hash
+    gate — is engine-deterministic. Silent input (peak 0) passes
+    through unchanged. Decode failures quarantine (F7)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    samples, rate = AUDIO_CODECS[row.fmt.lower()](
+                        bytes(row.content)
+                    )
+                    x = samples.astype(np.int64)
+                    peak = int(np.abs(x).max()) if len(x) else 0
+                    y = _tdiv(x * 32767, peak) if peak else x
+                    out.append(
+                        {"id": str(row.id),
+                         "n_samples": int(len(x)),
+                         "peak_before": peak,
+                         "peak_after": int(np.abs(y).max()) if len(y) else 0,
+                         "sample_sum": int(y.sum()),
+                         "error": None}
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(
+                        {"id": str(row.id), "n_samples": None,
+                         "peak_before": None, "peak_after": None,
+                         "sample_sum": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "n_samples", "peak_before", "peak_after",
+                         "sample_sum", "error"],
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema=("id string, n_samples int, peak_before int, "
+                "peak_after int, sample_sum long, error string"),
+    )

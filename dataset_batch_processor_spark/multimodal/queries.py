@@ -1868,6 +1868,74 @@ FROM pl
 """
 
 
+# ------------------------------------------------ audio peak normalize
+# Drives av.normalize_peak under the hash gate on the shared WAV
+# lattice (slice doc_id%3==1, same fixture family as VAD; the oracle
+# recomputes peak, the sign-aware truncating rescale, and the
+# normalized sample sum closed-form, so a floor-vs-trunc division
+# slip on negative samples cannot hash green).
+
+
+def _q_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    wavs = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    return av.normalize_peak(wavs)
+
+
+AUDIO_NORMALIZE_DUCK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+),
+v AS (
+  SELECT doc_id, n, (doc_id * 31 + i * 7) % 65536 - 32768 AS x FROM s
+),
+p AS (
+  SELECT doc_id, CAST(max(abs(x)) AS BIGINT) AS peak
+  FROM v GROUP BY doc_id
+),
+y AS (
+  SELECT v.doc_id, v.n, p.peak, (v.x * 32767) // p.peak AS y
+  FROM v JOIN p ON v.doc_id = p.doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(n AS INT) AS n_samples,
+       CAST(peak AS INT) AS peak_before,
+       CAST(max(abs(y)) AS INT) AS peak_after,
+       CAST(sum(y) AS BIGINT) AS sample_sum,
+       CAST(NULL AS VARCHAR) AS error
+FROM y
+GROUP BY doc_id, n, peak
+"""
+
+
 # --------------------------------------------- video scene-cut detect
 # Drives av.scene_changes (adjacent-frame difference energy, the
 # keyframe-selection primitive) under the hash gate. The fixture
@@ -2683,6 +2751,7 @@ QUERIES = {
     "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
     "mm_exif_scrub": _q_exif_scrub,
     "mm_video_scene_cuts": _q_video_scene_cuts,
+    "mm_audio_normalize": _q_audio_normalize,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2717,6 +2786,7 @@ ORACLES = {
     "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
     "mm_exif_scrub": _exif_scrub_duck(),
     "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
+    "mm_audio_normalize": AUDIO_NORMALIZE_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,

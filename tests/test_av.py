@@ -355,3 +355,26 @@ def test_scene_changes_finds_exactly_the_planted_cut(spark):
     assert [r.is_cut for r in good] == [False, False, True, False, False]
     bad = [r for r in rows if r.id == "bad"][0]
     assert bad.error is not None and bad.is_cut is None
+
+
+def test_normalize_peak_scales_and_handles_silence(spark):
+    import numpy as np
+
+    quiet = (np.array([100, -200, 50], dtype=np.int16))
+    silent = np.zeros(4, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            ("q", "wav", bytearray(av.encode_wav(quiet))),
+            ("s", "wav", bytearray(av.encode_wav(silent))),
+            ("bad", "wav", bytearray(b"x")),
+        ],
+        "id string, fmt string, content binary",
+    )
+    rows = {r.id: r for r in av.normalize_peak(df).collect()}
+    q = rows["q"]
+    assert q.peak_before == 200 and q.peak_after == 32767
+    # y = trunc(x*32767/200): [16383, -32767, 8191]
+    assert q.sample_sum == 16383 - 32767 + 8191
+    s = rows["s"]
+    assert s.peak_before == 0 and s.peak_after == 0 and s.sample_sum == 0
+    assert rows["bad"].error is not None
