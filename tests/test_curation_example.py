@@ -172,3 +172,29 @@ def test_export_plan_dsir_selector(spark):
 
     with pytest.raises(ValueError, match="selector"):
         export_plan(spark, "/root/testdata/sf0.001", selector="nope")
+
+
+def test_web_pipeline_example(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from web_pipeline import web_pipeline
+
+    selected, funnel = web_pipeline(spark, "/root/testdata/sf0.001")
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    # monotone attrition down the funnel, nothing degenerate
+    assert (
+        stages["0_raw_pages"]
+        >= stages["1_extracted"]
+        >= stages["2_quality_gated"]
+        >= stages["3_dsir_selected"]
+        > 0
+    )
+    rows = selected.collect()
+    assert len(rows) == stages["3_dsir_selected"]
+    for r in rows[:10]:
+        # chrome and PII masks are gone from the surviving text
+        assert "Home" not in r.text and "<" not in r.text
+        # no repeated paragraphs survive
+        paras = r.text.split("\n")
+        assert len(paras) == len(set(paras))
