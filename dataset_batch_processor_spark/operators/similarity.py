@@ -1427,3 +1427,58 @@ ORDER BY norm_bucket
 
 QUERIES["emb_norm_histogram"] = _q_norm_histogram
 ORACLES["emb_norm_histogram"] = NORM_HIST_DUCK
+
+
+# ------------------------------------------------- index persistence
+# Train once, probe for months: at 100 TB the k-means pass is a
+# corpus-scale job you do NOT want to repeat per session, so the
+# index artifact (k x dim centroids — MBs, never corpus-sized) is
+# persisted as ordinary parquet and reloaded in id order. Doubles
+# roundtrip parquet bit-exactly, so a probe against the LOADED index
+# is bit-identical to one against the just-trained matrix — which is
+# exactly what the gated query proves (same oracle as the trained
+# path).
+
+
+def save_ivf_index(spark: SparkSession, ids, Cn, index_dir: str) -> None:
+    """Persist trained centroids (ids + L2-normalized rows)."""
+    rows = [
+        (int(cid), [float(x) for x in Cn[j]]) for j, cid in enumerate(ids)
+    ]
+    spark.createDataFrame(
+        rows, "centroid_id int, components array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir)
+
+
+def load_ivf_index(spark: SparkSession, index_dir: str):
+    """(ids, Cn) reconstructed in centroid-id order — the inverse of
+    :func:`save_ivf_index`, bit-exact."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(index_dir)
+        .orderBy("centroid_id")
+        .collect()  # k rows — index-sized, never corpus-sized
+    )
+    ids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    Cn = np.array([r.components for r in rows], dtype=np.float64)
+    return ids, Cn
+
+
+def _q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> SAVE -> LOAD -> probe. Hash-gated by the SAME oracle
+    as emb_ivf_trained_topk: if the parquet roundtrip perturbed one
+    centroid bit, assignments (and therefore the probed lists and the
+    top-k) would drift and the gate goes red."""
+    from ..matcache import scratch_dir
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
+    ids, Cn = ivf_train_centroids(emb, iters=2, init_mod=CENTROID_MOD)
+    index_dir = scratch_dir("dbp_ivf_index_")
+    save_ivf_index(spark, ids, Cn, index_dir)
+    ids2, Cn2 = load_ivf_index(spark, index_dir)
+    return ivf_topk_trained(emb, ids2, Cn2, vectorized=False)
+
+
+QUERIES["emb_ivf_persisted_topk"] = _q_ivf_persisted_topk
+ORACLES["emb_ivf_persisted_topk"] = IVF_TRAINED_TOPK_DUCK

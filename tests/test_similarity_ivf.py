@@ -145,3 +145,18 @@ def test_vectorized_signature_matches_catalyst(spark, sf_dir):
             .count()
         )
         assert diff == 0, f"n_planes={p}: {diff} bucket mismatches"
+
+
+def test_ivf_index_roundtrips_bit_exact(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    ids, Cn = similarity.ivf_train_centroids(emb, iters=2)
+    d = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(spark, ids, Cn, d)
+    ids2, Cn2 = similarity.load_ivf_index(spark, d)
+    assert list(ids2) == list(ids)
+    np.testing.assert_array_equal(Cn2, Cn)  # bit-exact, not allclose
