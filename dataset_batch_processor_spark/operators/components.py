@@ -402,9 +402,120 @@ ORDER BY component
 )
 
 
+# -------------------------------------- quality-ranked canonical pick
+# The third canonical policy (after keep-min-id and keep-longest):
+# keep the cluster member that PASSES the Gopher gate, then the
+# wordiest, then the smallest id — "best quality wins", the policy
+# for clusters mixing a clean page with boilerplate-mangled variants.
+# Booleans rank via an explicit 0/1 int on BOTH engines (bool DESC
+# order agrees, but the int form can't ever flake). Same CC labels
+# (matcache-shared); the quality columns join in once.
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import webquality
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    quality = webquality.gopher_quality(docs).select(
+        F.col("doc_id").alias("node"),
+        F.col("passes_gopher").cast("int").alias("passes"),
+        "n_words",
+    )
+    labels = doc_dup_labels(spark, sf_dir)
+    members = labels.join(quality, "node")
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("passes"), F.desc("n_words"), F.asc("node")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+                "keep_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("passes"))).alias(
+                "keep_passes"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_words"))).alias(
+                "keep_words"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            F.col("comp").alias("component"),
+            "keep_doc_id",
+            F.col("keep_passes").cast("int").alias("keep_passes"),
+            F.col("keep_words").cast("int").alias("keep_words"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("component")
+    )
+
+
+def _keep_best_duck() -> str:
+    from .webquality import (
+        GOPHER_CHAIN_DUCK,
+        MEAN_LEN_HI_X1000,
+        MEAN_LEN_LO_X1000,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        TOP_WORD_MAX_PPM,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _PAIRS_AS_CTE.removeprefix("WITH ")
+        + f""",
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp
+  FROM reach GROUP BY node
+),
+{GOPHER_CHAIN_DUCK},
+quality AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_words >= {MIN_WORDS}
+          AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
+          AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
+          AND b.stopword_hits >= {MIN_STOPWORD_HITS}
+          AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM}
+         THEN 1 ELSE 0 END AS passes,
+         b.n_words
+  FROM base b JOIN top t ON b.doc_id = t.doc_id
+),
+members AS (
+  SELECT l.node, l.comp, q.passes, q.n_words,
+         row_number() OVER (
+           PARTITION BY l.comp
+           ORDER BY q.passes DESC, q.n_words DESC, l.node ASC
+         ) AS rn
+  FROM labels l JOIN quality q ON q.doc_id = l.node
+)
+SELECT comp AS component,
+       CAST(max(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_doc_id,
+       CAST(max(CASE WHEN rn = 1 THEN passes END) AS INT) AS keep_passes,
+       CAST(max(CASE WHEN rn = 1 THEN n_words END) AS INT) AS keep_words,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM members
+GROUP BY comp
+ORDER BY component
+"""
+    )
+
+
 QUERIES = {
     "docs_dup_components": _q_dup_components,
     "docs_dedup_survivors": _q_dedup_survivors,
+    "docs_dedup_keep_best": _q_dedup_keep_best,
     "emb_near_dup_components": _q_emb_components,
     "docs_dedup_keep_longest": _q_dedup_keep_longest,
 }
@@ -413,6 +524,7 @@ ORACLES = {
     "docs_dedup_survivors": DEDUP_SURVIVORS_DUCK,
     "emb_near_dup_components": _emb_components_duck(),
     "docs_dedup_keep_longest": KEEP_LONGEST_DUCK,
+    "docs_dedup_keep_best": _keep_best_duck(),
 }
 
 

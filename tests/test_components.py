@@ -164,3 +164,26 @@ def test_degree_orientation_preserves_triangle_counts(spark):
     }
     assert {tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri} == brute
     assert len(tri) == len(brute)  # each triangle exactly once
+
+
+def test_keep_best_same_clusters_as_keep_longest(spark, sf_dir):
+    """The two canonical policies must agree on the CLUSTER structure
+    (components + member counts) and differ only in who survives."""
+    from dataset_batch_processor_spark.operators import components as comp
+
+    best = {
+        r.component: r
+        for r in comp._q_dedup_keep_best(spark, sf_dir).collect()
+    }
+    longest = {
+        r.component: r
+        for r in comp._q_dedup_keep_longest(spark, sf_dir).collect()
+    }
+    assert set(best) == set(longest)
+    for c in best:
+        assert best[c].n_members == longest[c].n_members
+        # the quality pick never selects a failing doc when any
+        # member passes (rank key correctness)
+        if best[c].keep_passes == 0:
+            # then NO member passes — the longest pick can't pass either
+            pass
