@@ -538,3 +538,42 @@ def test_length_bucket_packing_shape_and_plan(spark, sf_dir):
         ]
 
     assert unpartitioned_windows(explain.formatted_plan(df)) == []
+
+
+def test_dsir_plan_broadcasts_and_takeordered(spark, sf_dir):
+    """DSIR: the weight table and totals must broadcast (no
+    sort-merge join anywhere), the top-N cut must be
+    TakeOrderedAndProject (never a global sort materialization)."""
+    from dataset_batch_processor_spark.operators import dsir
+
+    plan = explain.formatted_plan(
+        dsir.QUERIES["docs_dsir_selection"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_plan_stays_jvm(spark, sf_dir):
+    """Boilerplate extraction is regexp/array expressions end to end
+    — no Python stage may appear."""
+    from dataset_batch_processor_spark.operators import boilerplate
+
+    plan = explain.formatted_plan(
+        boilerplate.QUERIES["docs_boilerplate_extract"](spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+
+
+def test_semantic_decontam_panel_broadcasts(spark, sf_dir):
+    """The eval panel must reach the corpus as a broadcast (nested
+    loop over the bounded panel), never a shuffled join."""
+    from dataset_batch_processor_spark.operators import decontam
+
+    plan = explain.formatted_plan(
+        decontam.QUERIES["emb_semantic_decontam"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
