@@ -1936,6 +1936,80 @@ GROUP BY doc_id, n, peak
 """
 
 
+# --------------------------------------------- scrub_images routing
+# Gates the DataFrame-level metascrub.scrub_images operator (the
+# byte-level functions are gated by mm_exif_scrub): three format
+# routes in one fixture — JPEG (segment scrub; injected Exif of
+# known size), TIFF (transcode scrub; trailing slack of known size
+# that the re-encode drops — real files carry trailing thumbnails/
+# editor junk exactly like this), and an unsupported format that
+# must take the F7 quarantine path. Every audit column is closed-form
+# in doc_id, so a routing mix-up cannot hash green.
+
+
+def _q_scrub_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import jpeg, metascrub, tiff as tiff_mod
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 8, d % 17 + 8
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
+                    axis=2,
+                ).astype(np.uint8)
+                route = d % 3
+                if route == 0:
+                    content = metascrub.inject_app1(
+                        jpeg.encode_jpeg(arr, quality=85),
+                        metascrub.build_exif_app1(d % 17),
+                    )
+                    fmt = "jpg"
+                elif route == 1:
+                    content = tiff_mod.encode_tiff(arr) + b"\x00" * (d % 23)
+                    fmt = "tiff"
+                else:
+                    content = b"GIF89a..."
+                    fmt = "gif"
+                out.append({"id": str(d), "fmt": fmt, "content": content})
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    files = docs.mapInPandas(
+        gen, schema="id string, fmt string, content binary"
+    )
+    scrubbed = metascrub.scrub_images(files)
+    return scrubbed.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "bytes_removed",
+        "had_gps",
+        F.col("error").isNotNull().alias("has_error"),
+    )
+
+
+from .metascrub import APP1_OVERHEAD as _APP1_OVERHEAD
+
+SCRUB_ROUTING_DUCK = f"""
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN CAST({_APP1_OVERHEAD} + doc_id % 17 AS INT)
+         WHEN 1 THEN CAST(doc_id % 23 AS INT)
+         ELSE CAST(NULL AS INT)
+       END AS bytes_removed,
+       CASE doc_id % 3
+         WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE CAST(NULL AS BOOLEAN)
+       END AS had_gps,
+       doc_id % 3 = 2 AS has_error
+FROM documents
+"""
+
+
 # --------------------------------------------- video scene-cut detect
 # Drives av.scene_changes (adjacent-frame difference energy, the
 # keyframe-selection primitive) under the hash gate. The fixture
@@ -2752,6 +2826,7 @@ QUERIES = {
     "mm_exif_scrub": _q_exif_scrub,
     "mm_video_scene_cuts": _q_video_scene_cuts,
     "mm_audio_normalize": _q_audio_normalize,
+    "mm_scrub_routing": _q_scrub_routing,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
     "mm_png_interlaced_roundtrip": _q_png_interlaced_roundtrip,
@@ -2787,6 +2862,7 @@ ORACLES = {
     "mm_exif_scrub": _exif_scrub_duck(),
     "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
     "mm_audio_normalize": AUDIO_NORMALIZE_DUCK,
+    "mm_scrub_routing": SCRUB_ROUTING_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,
     "mm_png_interlaced_roundtrip": PNG_INTERLACED_ROUNDTRIP_DUCK,
