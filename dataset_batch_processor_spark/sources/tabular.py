@@ -214,12 +214,44 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ROUNDTRIP_DUCK = _LINEITEM_AGG.format(src="lineitem")
 
 
+
+
+# ----------------------------------------------------------- XML source
+# Spark 4 ships the XML source natively (the formerly-external
+# spark-xml) — the interchange format enterprise feeds still arrive
+# in. Same write -> read -> aggregate gate as the CSV/ORC roundtrips:
+# the parse (rowTag framing, type inference OFF — explicit schema)
+# must reproduce the parquet-derived aggregate exactly.
+
+
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="dbp_xml_rt_") + "/orders"
+    orders.write.format("xml").option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(CSV_ORDERS_SCHEMA)
+        .load(path)
+    )
+    back.createOrReplaceTempView("xml_orders_rt")
+    return spark.sql(_ORDERS_AGG.format(src="xml_orders_rt"))
+
+
+XML_ROUNDTRIP_DUCK = _ORDERS_AGG.format(src="orders")
+
+
 QUERIES = {
     "csv_roundtrip_orders": _q_csv_roundtrip,
+    "xml_roundtrip_orders": _q_xml_roundtrip,
     "orc_roundtrip_lineitem": _q_orc_roundtrip,
 }
 ORACLES = {
     "csv_roundtrip_orders": CSV_ROUNDTRIP_DUCK,
+    "xml_roundtrip_orders": XML_ROUNDTRIP_DUCK,
     "orc_roundtrip_lineitem": ORC_ROUNDTRIP_DUCK,
 }
 
