@@ -44,35 +44,58 @@ _PPB = 1_000_000_000
 _PPM = 1_000_000
 
 
-def _bucketed_tokens(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, bucket — one row per token instance."""
-    return (
-        docs.select(
+def _bucketed_tokens(docs: DataFrame, n: int = 1) -> DataFrame:
+    """doc_id, lang, bucket — one row per n-gram instance. ``n=1`` is
+    the unigram form; ``n=2`` hashes word bigrams, the feature space
+    the DSIR paper actually uses. Gram construction slides over the
+    split-token ARRAY map-side (the decontam.py window-free idiom) —
+    no per-doc window, no extra shuffle."""
+    if n == 1:
+        grams = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.explode(F.split(F.col("text"), " ")).alias("token"),
+            )
+            .filter(F.col("token") != "")
+        )
+    else:
+        toks = docs.select(
             "doc_id",
             "lang",
-            F.explode(F.split(F.col("text"), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .select(
+            F.filter(
+                F.split(F.col("text"), " "), lambda w: w != ""
+            ).alias("t"),
+        ).filter(F.size("t") >= n)
+        grams = toks.select(
             "doc_id",
             "lang",
-            (
-                F.conv(F.substring(F.md5("token"), 1, 6), 16, 10)
-                .cast("long")
-                % N_BUCKETS
-            ).alias("bucket"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}),"
+                    f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+                )
+            ).alias("token"),
         )
+    return grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 6), 16, 10)
+            .cast("long")
+            % N_BUCKETS
+        ).alias("bucket"),
     )
 
 
-def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
+def dsir_bucket_weights(docs: DataFrame, n: int = 1) -> DataFrame:
     """4096-row table: bucket -> integer-ppm importance ratio.
 
     ratio_ppm = p_target(bucket) / p_raw(bucket), both add-one
     smoothed and quantized to parts-per-billion BEFORE the ratio, so
     every intermediate is an exact integer below 2^53.
     """
-    toks = _bucketed_tokens(docs)
+    toks = _bucketed_tokens(docs, n)
     counts = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("r_cnt"),
         F.sum(
@@ -101,12 +124,12 @@ def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_scores(docs: DataFrame) -> DataFrame:
+def dsir_scores(docs: DataFrame, n: int = 1) -> DataFrame:
     """Per-document DSIR score: mean token-instance importance ratio
     (integer ppm). > 1e6 means more target-like than the raw corpus.
     """
-    toks = _bucketed_tokens(docs)
-    weights = dsir_bucket_weights(docs)
+    toks = _bucketed_tokens(docs, n)
+    weights = dsir_bucket_weights(docs, n)
     return (
         toks.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
@@ -122,10 +145,10 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_select(docs: DataFrame, top_n: int = TOP_N) -> DataFrame:
+def dsir_select(docs: DataFrame, top_n: int = TOP_N, n: int = 1) -> DataFrame:
     """The selection: top-N documents by DSIR score (doc_id breaks
     ties, so the cut is deterministic on both engines)."""
-    scores = dsir_scores(docs)
+    scores = dsir_scores(docs, n)
     return (
         scores.join(docs.select("doc_id", "lang"), "doc_id")
         .orderBy(F.desc("dsir_score_ppm"), F.asc("doc_id"))
@@ -179,5 +202,44 @@ ORDER BY dsir_score_ppm DESC, s.doc_id ASC
 LIMIT {TOP_N}
 """
 
-QUERIES = {"docs_dsir_selection": _q_dsir_selection}
-ORACLES = {"docs_dsir_selection": DSIR_DUCK}
+def _q_dsir_bigram_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(
+        catalog.load_table(spark, sf_dir, "documents"), n=2
+    )
+
+
+# Bigram oracle: identical pipeline with the gram CTE swapped in —
+# grams built by the same slide-over-array construction.
+DSIR_BIGRAM_DUCK = DSIR_DUCK.replace(
+    """WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(u.token), 1, 6)) AS BIGINT)
+           % 4096 AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+  WHERE u.token <> ''
+)""",
+    """WITH tarr AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(u.token), 1, 6)) AS BIGINT)
+           % 4096 AS bucket
+  FROM tarr,
+       unnest(list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i + 1])) AS u(token)
+  WHERE len(t) >= 2
+)""",
+)
+assert "tarr" in DSIR_BIGRAM_DUCK  # the replace must have matched
+
+QUERIES = {
+    "docs_dsir_selection": _q_dsir_selection,
+    "docs_dsir_bigram_selection": _q_dsir_bigram_selection,
+}
+ORACLES = {
+    "docs_dsir_selection": DSIR_DUCK,
+    "docs_dsir_bigram_selection": DSIR_BIGRAM_DUCK,
+}

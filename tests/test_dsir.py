@@ -52,3 +52,22 @@ def test_topn_cut_deterministic(spark, sf_dir):
     # descending by score, doc_id breaks ties
     for (d0, s0), (d1, s1) in zip(a, a[1:]):
         assert s0 > s1 or (s0 == s1 and d0 < d1)
+
+
+def test_bigram_selection_also_enriches_target(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    n_t = docs.filter(F.col("lang") == dsir.TARGET_LANG).count()
+    sel = dsir.dsir_select(docs, n=2).collect()
+    sel_t = sum(1 for r in sel if r.lang == dsir.TARGET_LANG)
+    assert len(sel) == dsir.TOP_N
+    assert sel_t * n > n_t * len(sel)
+
+
+def test_bigram_gram_count_is_tokens_minus_one(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "x")], "doc_id long, lang string, text string"
+    )
+    rows = dsir._bucketed_tokens(df, n=2).groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in rows}
+    assert counts == {1: 3}  # 4 tokens -> 3 bigrams; 1-token doc drops
