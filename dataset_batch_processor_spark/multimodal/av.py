@@ -595,7 +595,18 @@ def spectral_features(df: DataFrame, frame: int = SPEC_FRAME) -> DataFrame:
     """1 audio row -> one row per analysis frame with the dominant
     DFT bin and low/high band powers. Exact int64 end to end (see
     module notes above); the trailing sub-frame tail is dropped and
-    decode failures quarantine (F7) like the other audio operators."""
+    decode failures quarantine (F7) like the other audio operators.
+
+    ``frame`` must equal SPEC_FRAME: the twiddle tables are sized to
+    it (and mirrored literally in the oracle SQL). Validated loudly
+    here — otherwise every row would quarantine on a matmul shape
+    error and look like corrupt audio (review round 8)."""
+    if frame != SPEC_FRAME:
+        raise ValueError(
+            f"spectral_features requires frame == SPEC_FRAME "
+            f"({SPEC_FRAME}); regenerate the twiddle tables (and the "
+            f"oracle's literal copy) to change the analysis window"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -85,26 +85,47 @@ def inject_app1(jpg: bytes, payload: bytes) -> bytes:
 def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
     """Drop every APP1..APP15 and COM segment; keep all else
     byte-identical. Returns (clean, n_dropped, bytes_removed).
-    APP0/JFIF survives (it is structural, not metadata)."""
+    APP0/JFIF survives (it is structural, not metadata).
+
+    Spec-correct marker walk: 0xFF fill bytes before a marker are
+    legal (T.81 B.1.1.2) and are copied through; TEM/RST0-7 are
+    standalone markers with NO length field. A stream that desyncs
+    raises — callers (scrub_images) quarantine it rather than emit
+    silently truncated bytes."""
     if jpg[:2] != SOI:
         raise ValueError("not a JPEG (no SOI)")
     out = bytearray(SOI)
     i, dropped, removed = 2, 0, 0
-    while i + 4 <= len(jpg):
+    n = len(jpg)
+    while i < n:
         if jpg[i] != 0xFF:
             raise ValueError("JPEG marker stream desynced")
-        m = jpg[i + 1]
+        # fill bytes: any run of 0xFF before the marker code
+        j = i
+        while j + 1 < n and jpg[j + 1] == 0xFF:
+            j += 1
+        if j + 1 >= n:
+            raise ValueError("JPEG truncated inside a marker")
+        m = jpg[j + 1]
         if m == 0xDA or m == 0xD9:  # SOS: entropy data follows; EOI
             out += jpg[i:]
-            break
-        seg_len = 2 + struct.unpack(">H", jpg[i + 2 : i + 4])[0]
+            return bytes(out), dropped, removed
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / RSTn: standalone
+            out += jpg[i : j + 2]
+            i = j + 2
+            continue
+        if j + 4 > n:
+            raise ValueError("JPEG truncated inside a segment header")
+        seg_end = j + 2 + struct.unpack(">H", jpg[j + 2 : j + 4])[0]
+        if seg_end > n:
+            raise ValueError("JPEG segment length exceeds the file")
         if (0xE1 <= m <= 0xEF) or m == 0xFE:  # APPn (n>=1) / COM
             dropped += 1
-            removed += seg_len
+            removed += seg_end - i  # fill bytes die with their segment
         else:
-            out += jpg[i : i + seg_len]
-        i += seg_len
-    return bytes(out), dropped, removed
+            out += jpg[i:seg_end]
+        i = seg_end
+    raise ValueError("JPEG ended without SOS or EOI")
 
 
 def jpeg_metadata_flags(jpg: bytes) -> dict:
@@ -113,12 +134,21 @@ def jpeg_metadata_flags(jpg: bytes) -> dict:
     TIFF with the shared IFD reader."""
     has_exif = has_gps = False
     n_meta = 0
-    i = 2
-    while i + 4 <= len(jpg):
+    i, n = 2, len(jpg)
+    while i < n:
         if jpg[i] != 0xFF:
+            break
+        while i + 1 < n and jpg[i + 1] == 0xFF:  # fill bytes
+            i += 1
+        if i + 1 >= n:
             break
         m = jpg[i + 1]
         if m == 0xDA or m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        if i + 4 > n:
             break
         seg_len = 2 + struct.unpack(">H", jpg[i + 2 : i + 4])[0]
         if (0xE1 <= m <= 0xEF) or m == 0xFE:

@@ -18,6 +18,14 @@ uses. Thresholds are integer ppm — the classifier is exact integer
 arithmetic end to end, so the DuckDB oracle hash-gates the full
 extraction including the recovered main text bytes (md5).
 
+The stopword-density signal is computed per block and REPORTED
+(per-doc ``avg_stop_ppm``), but the classification rule defaults to
+off (``min_stop_ppm=0``): jusText's stopword test assumes natural
+language, and corpora like the synthetic fixture (or code, tables,
+non-Latin scripts without a matching stopword list) legitimately
+contain stopword-free content blocks. Callers with natural-language
+input enable it by passing a threshold.
+
 Scale shape: split → posexplode is narrow per-document work; the
 only shuffle is the per-doc reassembly groupBy, which partial-aggs
 to one row per document before the exchange. Everything is JVM
@@ -43,7 +51,9 @@ MAX_LINK_PPM = 200_000       # >20% link chars = navigation chrome
 _PPM = 1_000_000
 
 
-def _block_frame(df: DataFrame, html_col: str) -> DataFrame:
+def _block_frame(
+    df: DataFrame, html_col: str, min_stop_ppm: int = 0
+) -> DataFrame:
     """One row per non-empty block with its classification signals."""
     blocks = df.select(
         "doc_id",
@@ -92,15 +102,19 @@ def _block_frame(df: DataFrame, html_col: str) -> DataFrame:
         (
             (F.col("n_words") >= MIN_WORDS)
             & (F.col("link_ppm") <= MAX_LINK_PPM)
+            & (F.col("stop_ppm") >= min_stop_ppm)
         ).alias("is_good"),
     )
 
 
-def extract_main_text(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """Per input row: block counts, boilerplate volume, and the
-    reassembled main text (good blocks in page order, newline-joined).
-    Expects a ``doc_id`` key column alongside ``html_col``."""
-    per_block = _block_frame(df, html_col)
+def extract_main_text(
+    df: DataFrame, html_col: str = "html", min_stop_ppm: int = 0
+) -> DataFrame:
+    """Per input row: block counts, boilerplate volume, the corpus-
+    level stopword-density signal, and the reassembled main text
+    (good blocks in page order, newline-joined). Expects a ``doc_id``
+    key column alongside ``html_col``."""
+    per_block = _block_frame(df, html_col, min_stop_ppm)
     good_struct = F.when(
         F.col("is_good"), F.struct("idx", "txt")
     )  # collect_list drops the NULLs for bad blocks
@@ -113,6 +127,9 @@ def extract_main_text(df: DataFrame, html_col: str = "html") -> DataFrame:
                 F.when(~F.col("is_good"), F.length("txt")).otherwise(0)
             ).cast("long").alias("boiler_chars"),
             F.max("link_ppm").alias("max_link_ppm"),
+            F.expr(
+                f"sum(stop_words) * {_PPM} DIV greatest(sum(n_words), 1)"
+            ).alias("avg_stop_ppm"),
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(good_struct)),
@@ -154,6 +171,7 @@ def _q_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_good",
         "boiler_chars",
         "max_link_ppm",
+        "avg_stop_ppm",
         F.length("main_text").alias("main_len"),
         F.md5("main_text").alias("main_md5"),
     )
@@ -203,6 +221,8 @@ SELECT doc_id,
        CAST(coalesce(sum(length(txt)) FILTER (WHERE NOT is_good), 0)
             AS BIGINT) AS boiler_chars,
        CAST(max(link_ppm) AS BIGINT) AS max_link_ppm,
+       CAST(sum(stop_words) * {_PPM} // greatest(sum(n_words), 1)
+            AS BIGINT) AS avg_stop_ppm,
        CAST(length(coalesce(
          string_agg(txt, chr(10) ORDER BY idx) FILTER (WHERE is_good),
          '')) AS INT) AS main_len,

@@ -497,10 +497,17 @@ ORDER BY split_mode, split
 # buckets = a handful of tasks for 100 TB of rows).
 
 BATCH_DOCS = 8  # sequences per batch
+# Power-of-two ladder through 4096; documents past the ladder get an
+# EXACT bucket of their own token count (each becomes its own
+# batch-of-few) rather than a silently-overflowing cap — capacity
+# must never be smaller than the content it claims to hold, or the
+# padding-waste report goes negative (review round 8).
 _BUCKET_CASE = (
     "CASE WHEN {n} <= 16 THEN 16 WHEN {n} <= 32 THEN 32 "
     "WHEN {n} <= 64 THEN 64 WHEN {n} <= 128 THEN 128 "
-    "WHEN {n} <= 256 THEN 256 ELSE 512 END"
+    "WHEN {n} <= 256 THEN 256 WHEN {n} <= 512 THEN 512 "
+    "WHEN {n} <= 1024 THEN 1024 WHEN {n} <= 2048 THEN 2048 "
+    "WHEN {n} <= 4096 THEN 4096 ELSE {n} END"
 )
 
 

@@ -88,6 +88,20 @@ def _bucketed_tokens(docs: DataFrame, n: int = 1) -> DataFrame:
     )
 
 
+def _per_doc_buckets(docs: DataFrame, n: int = 1) -> DataFrame:
+    """(doc_id, lang, bucket, c) — token instances pre-collapsed per
+    document and bucket. Both the weight estimate and the scoring
+    join derive from THIS frame with identical aggregations upstream,
+    so at execution the tokenize+md5 pass and its exchange are
+    computed once and reused (ReusedExchange), not twice from raw
+    docs (review round 8)."""
+    return (
+        _bucketed_tokens(docs, n)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def dsir_bucket_weights(docs: DataFrame, n: int = 1) -> DataFrame:
     """4096-row table: bucket -> integer-ppm importance ratio.
 
@@ -95,11 +109,14 @@ def dsir_bucket_weights(docs: DataFrame, n: int = 1) -> DataFrame:
     smoothed and quantized to parts-per-billion BEFORE the ratio, so
     every intermediate is an exact integer below 2^53.
     """
-    toks = _bucketed_tokens(docs, n)
-    counts = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+    return _weights_from_per_doc(_per_doc_buckets(docs, n))
+
+
+def _weights_from_per_doc(per_doc: DataFrame) -> DataFrame:
+    counts = per_doc.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("r_cnt"),
         F.sum(
-            F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == TARGET_LANG, F.col("c")).otherwise(0)
         ).cast("long").alias("t_cnt"),
     )
     totals = counts.agg(
@@ -128,14 +145,22 @@ def dsir_scores(docs: DataFrame, n: int = 1) -> DataFrame:
     """Per-document DSIR score: mean token-instance importance ratio
     (integer ppm). > 1e6 means more target-like than the raw corpus.
     """
-    toks = _bucketed_tokens(docs, n)
-    weights = dsir_bucket_weights(docs, n)
+    # Materialize the collapsed (doc, bucket) counts ONCE — the
+    # weight branch and the scoring branch otherwise each re-run the
+    # tokenize+md5 pipeline (the dominant cost; their differing
+    # aggregate schemas defeat ReusedExchange). localCheckpoint is
+    # partition-local (no shuffle) and the frame is the post-collapse
+    # size, far below the raw token stream (review round 8).
+    per_doc = _per_doc_buckets(docs, n).localCheckpoint()
+    weights = _weights_from_per_doc(per_doc)
     return (
-        toks.join(F.broadcast(weights), "bucket")
+        per_doc.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("ratio_ppm").cast("long").alias("score_sum"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ratio_ppm")).cast("long").alias(
+                "score_sum"
+            ),
         )
         .select(
             "doc_id",

@@ -1021,13 +1021,20 @@ ORACLES["emb_ivf_fullprobe_equiv"] = BRUTE_FORCE_DUCK
 # every query that needs the (iters=2, lattice-init) index shares ONE
 # training pass per (sf_dir) — which is also the real-session shape
 # the persistence API exists for (train once, probe many). Driver
-# memory cost: k x dim doubles.
+# memory cost: k x dim doubles. Keyed by the Spark APPLICATION id
+# (review round 8): a cached persisted DataFrame bound to a stopped
+# session must not leak into a recreated one — a new application
+# retrains instead of failing on a dead-session handle.
 _TRAINED_INDEX_CACHE: dict = {}
 
 
 def _trained_index(spark: SparkSession, sf_dir: str):
-    key = (sf_dir, 2, CENTROID_MOD)
+    key = (spark.sparkContext.applicationId, sf_dir, 2, CENTROID_MOD)
     if key not in _TRAINED_INDEX_CACHE:
+        # entries from previous applications are unreachable — drop
+        # them so dead-session DataFrames don't pin driver memory
+        for k in [k for k in _TRAINED_INDEX_CACHE if k[0] != key[0]]:
+            del _TRAINED_INDEX_CACHE[k]
         emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
         _TRAINED_INDEX_CACHE[key] = (
             emb,

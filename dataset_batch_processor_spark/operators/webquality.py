@@ -206,17 +206,23 @@ BLOCKWORDS = ("slow", "big", "hash")
 
 
 def blocklist_filter(docs: DataFrame) -> DataFrame:
+    # NO orderBy here: composed pipelines (the streaming gate, the
+    # web example) join this straight into keyed work — a baked-in
+    # global sort would add a corpus-wide range exchange nobody
+    # consumes (review round 8). The gated query sorts for itself.
     ws = F.split(F.col("text"), " ")
     hits = F.size(F.filter(ws, lambda w: w.isin(*BLOCKWORDS)))
     return docs.select(
         "doc_id",
         hits.cast("int").alias("n_hits"),
         (hits > 0).alias("flagged"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return blocklist_filter(catalog.load_table(spark, sf_dir, "documents"))
+    return blocklist_filter(
+        catalog.load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
 
 
 _BLOCK_LIST = ", ".join(f"'{w}'" for w in BLOCKWORDS)

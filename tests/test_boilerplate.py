@@ -84,3 +84,22 @@ def test_block_order_preserved(spark):
     )
     r = boilerplate.extract_main_text(df, "html").collect()[0]
     assert r.main_text.index("alpha") < r.main_text.index("beta")
+
+
+def test_optional_stopword_rule_fires_when_enabled(spark):
+    stopless = " ".join(f"w{i}" for i in range(12))
+    withstop = "the quick fox and the lazy dog ran off to the old barn"
+    df = spark.createDataFrame(
+        [(1, f"<p>{stopless}</p>"), (2, f"<p>{withstop}</p>")],
+        "doc_id long, html string",
+    )
+    off = {r.doc_id: r.n_good
+           for r in boilerplate.extract_main_text(df, "html").collect()}
+    assert off == {1: 1, 2: 1}  # rule disabled: both pass
+    on = {r.doc_id: r.n_good
+          for r in boilerplate.extract_main_text(
+              df, "html", min_stop_ppm=100_000).collect()}
+    assert on == {1: 0, 2: 1}  # enabled: stopword-free block drops
+    rows = {r.doc_id: r
+            for r in boilerplate.extract_main_text(df, "html").collect()}
+    assert rows[1].avg_stop_ppm == 0 and rows[2].avg_stop_ppm > 100_000

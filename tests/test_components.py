@@ -182,8 +182,27 @@ def test_keep_best_same_clusters_as_keep_longest(spark, sf_dir):
     assert set(best) == set(longest)
     for c in best:
         assert best[c].n_members == longest[c].n_members
-        # the quality pick never selects a failing doc when any
-        # member passes (rank key correctness)
-        if best[c].keep_passes == 0:
-            # then NO member passes — the longest pick can't pass either
-            pass
+
+    # rank-key correctness: a cluster's pick fails the gate ONLY when
+    # no member passes at all — verified against the per-doc verdicts
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import webquality
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    passing = {
+        r.doc_id
+        for r in webquality.gopher_quality(docs)
+        .filter(F.col("passes_gopher"))
+        .collect()
+    }
+    labels = comp.doc_dup_labels(spark, sf_dir).collect()
+    members_of = {}
+    for r in labels:
+        members_of.setdefault(r.comp, set()).add(r.node)
+    for c, row in best.items():
+        if row.keep_passes == 0 and c in members_of:
+            assert not (members_of[c] & passing), (
+                f"cluster {c} picked a failing doc but has passing members"
+            )

@@ -132,3 +132,31 @@ def test_scrub_images_dataframe_operator(spark):
     assert rows["a"].bytes_removed == metascrub.APP1_OVERHEAD + 5
     assert rows["b"].error is None and rows["b"].had_gps is False
     assert rows["c"].error is not None and "no scrubber" in rows["c"].error
+
+
+def test_fill_bytes_and_standalone_markers_handled():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal and
+    must not desync the walk; TEM/RSTn carry no length field."""
+    orig = _jpg()
+    # fill byte before an injected APP1 (after SOI): FF D8 FF FF E1 ...
+    app1 = metascrub.build_exif_app1(2)
+    seg = b"\xff" + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    dirty = orig[:2] + seg + orig[2:]
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig and dropped == 1
+    assert removed == len(seg)  # fill byte dies with its segment
+    flags = metascrub.jpeg_metadata_flags(dirty)
+    assert flags["has_exif"] and flags["has_gps"]
+    # a standalone TEM marker between segments is copied through
+    dirty2 = orig[:2] + b"\xff\x01" + orig[2:]
+    clean2, dropped2, _ = metascrub.scrub_jpeg(dirty2)
+    assert dropped2 == 0 and clean2 == dirty2
+
+
+def test_truncated_segment_raises_not_silent():
+    orig = _jpg()
+    bad = orig[:2] + b"\xff\xe1\xff\xff" + b"xx"  # len 65535 >> file
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds|truncated"):
+        metascrub.scrub_jpeg(bad)

@@ -577,3 +577,31 @@ def test_semantic_decontam_panel_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_length_bucket_oversize_doc_gets_exact_bucket(spark):
+    """A doc past the power-of-two ladder must never overflow its
+    batch capacity (negative waste) — it buckets at its own size."""
+    from dataset_batch_processor_spark import catalog  # noqa: F401
+    from dataset_batch_processor_spark.operators import curation
+
+    long_text = " ".join(f"w{i}" for i in range(5000))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    import tempfile
+
+    # drive the operator body directly over a temp docs table
+    from pyspark.sql import functions as F
+
+    sized = df.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.expr(
+            curation._BUCKET_CASE.format(n="size(split(text, ' '))")
+        ).cast("long").alias("bucket"),
+    ).collect()
+    by_id = {r.doc_id: r for r in sized}
+    assert by_id[1].bucket == by_id[1].n_tokens == 5000
+    assert by_id[2].bucket == 16
