@@ -36,10 +36,17 @@ bounded jobs; at 100 TB you train on a word-frequency table sampled
 or aggregated once (word counts are the only corpus-sized pass) —
 the iteration cost is independent of corpus size from there on,
 which is why this shape survives scale. Training is iterative
-driver-side argmax and therefore not SQL-expressible; it is pinned
-by golden tests against an independent single-process reference
-implementation instead of an oracle row (same policy as trained
-k-means IVF, similarity.py).
+driver-side argmax — but, like trained k-means IVF
+(similarity.py's unrolled-Lloyd replay), the loop IS
+SQL-expressible when unrolled: ``docs_bpe_train_merges`` runs the
+real distributed training on the Spark side and the DuckDB oracle
+replays every iteration as a fixed MATERIALIZED CTE chain
+(pair-count -> argmax -> replace), so the hash gate covers the
+training algorithm itself, not just its pinned output. All
+quantities are integer sums of integer word frequencies and the
+argmax tie-break is binary-collation (cnt DESC, lhs, rhs) on both
+engines — no float anywhere. Golden tests against the
+single-process reference implementation pin the kernel besides.
 
 FIXED_MERGES below is the output of ``bpe_train`` on the sf0.001
 documents fixture (16 merges, lowercase [a-z]+ words, ``</w>``
@@ -200,5 +207,102 @@ def bpe_apply_tokens(word: str, merges) -> list[str]:
     return enc.strip("_").split("__")
 
 
-QUERIES = {"docs_bpe_subword_tokens": _q_subword_tokens}
-ORACLES = {"docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES)}
+# ------------------------------- hash-gated training (unrolled oracle)
+
+#: iterations of the ORACLED training query (each adds 3 CTEs to the
+#: unrolled DuckDB replay; 10 keeps the chain well inside the depth
+#: the k-core/Lloyd oracles already exercise).
+N_TRAIN_MERGES = 10
+
+
+def _q_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL distributed training loop and surface the learned
+    merge table. The per-iteration argmax collect is exactly one row
+    (house k-row-witness policy); everything corpus-sized stays in the
+    cluster. Raises if training dries up before ``N_TRAIN_MERGES`` so
+    an early stop can never silently desync from the oracle's fixed
+    unroll depth."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, N_TRAIN_MERGES)
+    if len(merges) < N_TRAIN_MERGES:
+        raise RuntimeError(
+            f"bpe_train terminated after {len(merges)} merges; the "
+            f"oracle unrolls exactly {N_TRAIN_MERGES} iterations"
+        )
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT",
+    ).orderBy("merge_rank")
+
+
+def _train_merges_duck(n: int = N_TRAIN_MERGES) -> str:
+    """Unrolled replay of ``bpe_train``: per iteration, pair counts
+    over the delimiter-encoded word-frequency table, a one-row argmax
+    (cnt DESC, lhs, rhs — binary collation both engines), and the
+    literal replace that applies the merge. AS MATERIALIZED is
+    mandatory (plain CTEs inline exponentially across iterations)."""
+    parts = [
+        """
+w0 AS MATERIALIZED (
+  SELECT '_' || array_to_string(string_split(w, ''), '__') || '__</w>_'
+           AS enc,
+         CAST(cnt AS BIGINT) AS freq
+  FROM (
+    SELECT w, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents)
+    GROUP BY w
+  )
+)"""
+    ]
+    for i in range(n):
+        parts.append(
+            f"""
+p{i} AS MATERIALIZED (
+  SELECT t.syms[j] AS lhs, t.syms[j + 1] AS rhs,
+         CAST(sum(t.freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(enc, '_'), '__') AS syms, freq
+        FROM w{i}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.syms) - 1)) AS j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT replace(enc, '_' || lhs || '__' || rhs || '_',
+                 '_' || lhs || rhs || '_') AS enc,
+         freq
+  FROM w{i} CROSS JOIN b{i}
+)"""
+        )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {i + 1} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(n)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged,
+       pair_count
+FROM (
+{union}
+)
+ORDER BY merge_rank
+"""
+    )
+
+
+QUERIES = {
+    "docs_bpe_subword_tokens": _q_subword_tokens,
+    "docs_bpe_train_merges": _q_train_merges,
+}
+ORACLES = {
+    "docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES),
+    "docs_bpe_train_merges": _train_merges_duck(),
+}

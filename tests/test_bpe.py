@@ -2,8 +2,10 @@
 reference (golden merges), delimiter-string application semantics
 (leftmost-first, consecutive runs, no cross-symbol matches), and
 train->apply composition. The application QUERY is proven by the
-driver oracle (docs_bpe_subword_tokens); training is not
-SQL-expressible, so these tests are its gate."""
+driver oracle (docs_bpe_subword_tokens); the training QUERY by the
+unrolled-CTE replay (docs_bpe_train_merges) — here both the Spark
+loop and the DuckDB replay are additionally pinned against an
+independent single-process reference trainer."""
 
 from __future__ import annotations
 
@@ -82,6 +84,30 @@ def test_distributed_train_matches_reference(spark):
         freqs.update(re.findall(r"[a-z]+", t.lower()))
     ref = _reference_train(freqs, 8)
     assert got == ref
+
+
+def test_unrolled_oracle_matches_reference_training():
+    """The DuckDB unrolled-CTE training replay must reproduce the
+    reference trainer's merges AND counts on an independent corpus
+    (not the fixture — so the oracle generalizes, not memorizes)."""
+    import duckdb
+
+    texts = ["low low lower lowest", "new newer newest", "wide wider low"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+    n = 6
+    got = con.execute(bpe._train_merges_duck(n)).fetchall()
+    freqs = Counter()
+    for t in texts:
+        freqs.update(re.findall(r"[a-z]+", t.lower()))
+    ref = _reference_train(freqs, n)
+    assert [(a, b, cnt) for _, a, b, _, cnt in got] == ref
+    assert [r[0] for r in got] == list(range(1, n + 1))
+    assert [m for _, _, _, m, _ in got] == [a + b for a, b, _ in ref]
 
 
 def test_sql_apply_matches_python_apply(spark):
