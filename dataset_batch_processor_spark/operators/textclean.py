@@ -198,3 +198,131 @@ FROM kept
 
 QUERIES["docs_intradoc_dedup"] = _q_intradoc_dedup
 ORACLES["docs_intradoc_dedup"] = INTRADOC_DEDUP_DUCK
+
+
+# --------------------------------- cross-document repeated-line removal
+
+# CCNet-style corpus-global line dedup (Wenzek et al. 2020 drop lines
+# duplicated across the crawl — the boilerplate-removal pass that
+# precedes their LM filtering; distinct from the WITHIN-document C4
+# pass above): every occurrence of any line whose corpus-wide count
+# reaches CROSSDOC_T is removed from every document.
+#
+# Shape at 100 TB: one explode, one count shuffle keyed by a FIXED
+# 16-hex digest of the line (narrow shuffle rows — the full line
+# text never rides the count shuffle; md5 here for DuckDB parity,
+# xxhash64 in the production path per the CMS convention), one
+# anti-join of the lines against the over-threshold digest list
+# (AQE picks broadcast when the droplist is small, shuffle otherwise
+# — both correct), one per-doc regroup. Nothing is ever quadratic.
+#
+# Fixture wrapper (both engines build identical bytes): a corpus-wide
+# boilerplate line (count 500 — dropped), the doc's words in 4-word
+# body chunks (mostly unique — kept, with a handful of natural
+# ~31-word-vocabulary collisions staying under threshold), and a
+# per-source footer line (count 25 — dropped), so every drop
+# frequency band actually fires.
+
+CROSSDOC_T = 5
+CROSSDOC_CHUNK = 4
+_BOILER = "boilerplate accept cookies terms"
+
+_CROSS_RAW_SPARK = f"""
+'{_BOILER}' || chr(10) ||
+array_join(
+  transform(
+    sequence(0, (size(split(text, ' ')) + {CROSSDOC_CHUNK - 1})
+                 DIV {CROSSDOC_CHUNK} - 1),
+    i -> array_join(
+      slice(split(text, ' '), i * {CROSSDOC_CHUNK} + 1, {CROSSDOC_CHUNK}),
+      ' ')),
+  chr(10))
+|| chr(10) || 'footer ' || source
+"""
+
+_CROSS_RAW_DUCK = f"""
+'{_BOILER}' || chr(10) ||
+array_to_string(
+  list_transform(
+    range(0, (len(string_split(text, ' ')) + {CROSSDOC_CHUNK - 1})
+              // {CROSSDOC_CHUNK}),
+    i -> array_to_string(
+      list_slice(string_split(text, ' '),
+                 i * {CROSSDOC_CHUNK} + 1,
+                 i * {CROSSDOC_CHUNK} + {CROSSDOC_CHUNK}),
+      ' ')),
+  chr(10))
+|| chr(10) || 'footer ' || source
+"""
+
+
+def _q_crossdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    raws = docs.select("doc_id", F.expr(_CROSS_RAW_SPARK).alias("raw"))
+    paras = raws.select(
+        "doc_id",
+        F.posexplode(F.split("raw", "\n")).alias("pos", "para"),
+    ).withColumn("pkey", F.substring(F.md5("para"), 1, 16))
+    droplist = (
+        paras.groupBy("pkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= CROSSDOC_T)
+        .select("pkey")
+    )
+    kept = paras.join(droplist, "pkey", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return raws.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.size(F.split("raw", "\n")).cast("int").alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        (
+            F.length("raw") - F.length(F.coalesce("kept_text", F.lit("")))
+        ).cast("long").alias("removed_chars"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("clean_md5"),
+    )
+
+
+CROSSDOC_DEDUP_DUCK = f"""
+WITH raws AS MATERIALIZED (
+  SELECT doc_id, {_CROSS_RAW_DUCK} AS raw FROM documents
+),
+paras AS MATERIALIZED (
+  SELECT r.doc_id, u.pos, string_split(r.raw, chr(10))[u.pos] AS para,
+         substr(md5(string_split(r.raw, chr(10))[u.pos]), 1, 16) AS pkey
+  FROM raws r,
+       LATERAL (SELECT unnest(generate_series(
+                  1, len(string_split(r.raw, chr(10))))) AS pos) u
+),
+droplist AS MATERIALIZED (
+  SELECT pkey FROM paras GROUP BY pkey HAVING count(*) >= {CROSSDOC_T}
+),
+kept AS MATERIALIZED (
+  SELECT p.doc_id, p.pos, p.para
+  FROM paras p LEFT JOIN droplist d ON p.pkey = d.pkey
+  WHERE d.pkey IS NULL
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(para ORDER BY pos), chr(10)) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(len(string_split(r.raw, chr(10))) AS INT) AS n_paras,
+       CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+       CAST(length(r.raw) - length(coalesce(k.kept_text, ''))
+            AS BIGINT) AS removed_chars,
+       md5(coalesce(k.kept_text, '')) AS clean_md5
+FROM raws r LEFT JOIN per_doc k ON r.doc_id = k.doc_id
+"""
+
+QUERIES["docs_crossdoc_line_dedup"] = _q_crossdoc_line_dedup
+ORACLES["docs_crossdoc_line_dedup"] = CROSSDOC_DEDUP_DUCK

@@ -74,3 +74,38 @@ def test_intradoc_dedup_stays_in_codegen(spark, sf_dir):
     plan = textclean._q_intradoc_dedup(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------ cross-document line dedup
+
+
+def test_crossdoc_drops_boilerplate_and_footers(spark, sf_dir):
+    out = textclean.QUERIES["docs_crossdoc_line_dedup"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    # the corpus-wide boilerplate line and the per-source footer
+    # (count 25 >= T) are dropped from EVERY document
+    assert all(r.n_kept <= r.n_paras - 2 for r in rows)
+    assert all(r.removed_chars > 0 for r in rows)
+    # but body chunks survive: no document is emptied
+    assert all(r.n_kept > 0 for r in rows)
+
+
+def test_crossdoc_wrapper_shape(spark):
+    # the deterministic wrapper puts the boilerplate first, the
+    # per-source footer last, and 4-word body chunks between
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six", "en", "s%d" % (i % 2), 0)
+         for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("documents")
+    raw = spark.sql(
+        "SELECT " + textclean._CROSS_RAW_SPARK + " AS raw FROM documents"
+    ).collect()
+    for r in raw:
+        paras = r.raw.split("\n")
+        assert paras[0] == textclean._BOILER
+        assert paras[1] == "one two three four"
+        assert paras[2] == "five six"
+        assert paras[-1].startswith("footer s")
