@@ -118,5 +118,83 @@ def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(BIGRAM_LM_SPARK)
 
 
-QUERIES = {"docs_bigram_lm_score": _q_bigram_lm_score}
-ORACLES = {"docs_bigram_lm_score": BIGRAM_LM_DUCK}
+# ------------------------- CCNet head/middle/tail perplexity buckets
+
+# The step CCNet actually ships after scoring (Wenzek et al. §4.3):
+# per language, rank documents by LM score and cut the corpus into
+# head (best 30%), middle (next 40%), tail (worst 30%) — the buckets
+# downstream consumers sample from. Shares the EXACT scoring chain
+# above (same CTE text, so the bucket query can never drift from the
+# score query — the langid_confusion convention), joins lang back in,
+# and derives the bucket from integer rank arithmetic
+# (rank*10 <= n*3 / n*7) rather than ntile so the cut is pure integer
+# comparison with a doc_id tie-break — no dependence on either
+# engine's ntile remainder-distribution convention.
+#
+# At 100 TB: one per-lang window over (score, doc_id) — the sort is
+# the cost, O(n log n) per language partition and AQE-splittable; at
+# CCNet's own scale they sort per-language shards exactly like this.
+# The aggregation after it is a tiny (lang x 3)-key rollup.
+
+_CCNET_BUCKET_TAIL = """
+scored AS (
+  SELECT s.doc_id, d.lang, s.mean_branching
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT lang, mean_branching,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY mean_branching, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+),
+bucketed AS (
+  SELECT lang,
+         CASE WHEN rn * 10 <= n * 3 THEN 'head'
+              WHEN rn * 10 <= n * 7 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         mean_branching
+  FROM ranked
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(mean_branching) AS min_score,
+       max(mean_branching) AS max_score,
+       CAST(round(
+            CAST(sum(CAST(mean_branching AS DECIMAL(22,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS mean_score
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+CCNET_BUCKETS_SPARK = f"""
+WITH scores AS (
+{BIGRAM_LM_SPARK}
+),
+{_CCNET_BUCKET_TAIL}
+"""
+
+CCNET_BUCKETS_DUCK = f"""
+WITH scores AS (
+{BIGRAM_LM_DUCK}
+),
+{_CCNET_BUCKET_TAIL}
+"""
+
+
+def _q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(CCNET_BUCKETS_SPARK)
+
+
+QUERIES = {
+    "docs_bigram_lm_score": _q_bigram_lm_score,
+    "docs_ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
+}
+ORACLES = {
+    "docs_bigram_lm_score": BIGRAM_LM_DUCK,
+    "docs_ccnet_ppl_buckets": CCNET_BUCKETS_DUCK,
+}
