@@ -763,6 +763,215 @@ FROM deg LEFT JOIN node_tri ON node_tri.node = deg.node
 ORDER BY doc_id
 """
 
+# ------------------------------------------- banding parameter sweep
+
+# The tuning report behind ``banding_for_threshold``: for every
+# (n_bands, band_rows) factorization of the signature, measure the
+# candidate-pair volume and the precision/recall against exact
+# ground truth — the table an operator reads before picking a banding
+# for a new corpus (the ANN family's emb_ann_recall_report, applied
+# to MinHash-LSH). One signature build is shared across all configs;
+# each config adds only its own band self-join. Ground truth is the
+# exact all-pairs shingle Jaccard at tau = 1/2, compared in INTEGER
+# form (2*inter >= union) so the truth set involves no float compare;
+# at corpus scale you estimate truth from a sampled pair panel
+# instead — the sweep's per-config cost (bucket self-joins) is the
+# part that scales, and it is the same banded shape as production.
+# est_threshold is the S-curve 50%-capture point (1/b)^(1/r); every
+# r here is a power of two, so it evaluates as iterated sqrt —
+# correctly-rounded IEEE in both engines (determinism rules: sqrt is
+# the one safe fractional power).
+
+SWEEP_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]  # (n_bands, band_rows)
+
+
+def _est_threshold(b: int, r: int) -> float:
+    t = 1.0 / b
+    while r > 1:
+        t = math.sqrt(t)
+        r //= 2
+    return t
+
+
+def _bands_config_df(sigs: DataFrame, n_bands: int, rows: int) -> DataFrame:
+    """lsh_bands_df generalized to an arbitrary (n_bands, rows)
+    factorization of the signature width."""
+    stack_args = []
+    for band in range(n_bands):
+        cols = [F.col(f"mh_{band * rows + j}") for j in range(rows)]
+        stack_args.append(F.lit(band))
+        stack_args.append(F.md5(F.concat_ws(",", F.lit(band), *cols)))
+    return sigs.select(
+        "doc_id", F.stack(F.lit(n_bands), *stack_args).alias("band", "bucket")
+    )
+
+
+def jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle-Jaccard >= 1/2 ground truth,
+    materialized once per (session, dataset). Integer comparison
+    only: 2*n_inter >= n_union."""
+    from ..matcache import materialize_once
+
+    def build() -> DataFrame:
+        docs = catalog.load_table(spark, sf_dir, "documents")
+        sh = shingle_sets(docs).select("doc_id", "shingle")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        inter = (
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("shingle").alias("shingle_b"),
+                ),
+                F.col("shingle") == F.col("shingle_b"),
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                "doc_b",
+            )
+            .filter(
+                F.col("n_inter") * 2 >= F.col("na") + F.col("nb") - F.col("n_inter")
+            )
+            .select("doc_a", "doc_b")
+        )
+
+    return materialize_once(spark, "jaccard_truth", sf_dir, build)
+
+
+def _q_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_df(docs).persist()
+    truth = jaccard_truth(spark, sf_dir)
+    truth_flag = truth.withColumn("_true", F.lit(1))
+    total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
+    rows = []
+    for b, r in SWEEP_CONFIGS:
+        bands = _bands_config_df(sigs, b, r)
+        cand = (
+            bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("band").alias("band_b"),
+                    F.col("bucket").alias("bucket_b"),
+                ),
+                (F.col("band") == F.col("band_b"))
+                & (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        rows.append(
+            cand.join(F.broadcast(truth_flag), ["doc_a", "doc_b"], "left").agg(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("band_rows"),
+                F.lit(_est_threshold(b, r)).alias("est_threshold"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+                .cast("long")
+                .alias("n_detected"),
+            )
+        )
+    sweep = rows[0]
+    for df in rows[1:]:
+        sweep = sweep.unionAll(df)
+    return sweep.crossJoin(F.broadcast(total)).select(
+        "n_bands",
+        "band_rows",
+        "est_threshold",
+        "n_candidates",
+        "n_true_total",
+        "n_detected",
+        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_detected").cast("double") / F.col("n_candidates")
+        )
+        .alias("precision"),
+        F.when(F.col("n_true_total") == 0, F.lit(0.0))
+        .otherwise(F.col("n_detected").cast("double") / F.col("n_true_total"))
+        .alias("recall"),
+    )
+
+
+def _sweep_duck() -> str:
+    config_parts = []
+    config_rows = []
+    for b, r in SWEEP_CONFIGS:
+        band_selects = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, CAST({band} AS INT) AS band, "
+            "md5(concat({args})) AS bucket FROM sigs".format(
+                band=band,
+                args=", ',', ".join(
+                    [str(band)] + [f"mh_{band * r + j}" for j in range(r)]
+                ),
+            )
+            for band in range(b)
+        )
+        config_parts.append(
+            f"""
+bands_{b}_{r} AS MATERIALIZED (
+{band_selects}
+),
+cand_{b}_{r} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+        )
+        config_rows.append(
+            f"  SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT)"
+            f" AS band_rows, CAST({_est_threshold(b, r)!r} AS DOUBLE)"
+            f" AS est_threshold,\n"
+            f"         (SELECT count(*) FROM cand_{b}_{r}) AS n_candidates,\n"
+            f"         (SELECT count(*) FROM cand_{b}_{r} c JOIN truth t\n"
+            f"            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)"
+            f" AS n_detected"
+        )
+    union = "\n  UNION ALL\n".join(config_rows)
+    return f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+truth AS MATERIALIZED (
+  WITH sizes AS (
+    SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+  ),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_inter * 2 >= sa.n + sb.n - i.n_inter
+),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total FROM truth),
+{",".join(config_parts)}
+SELECT n_bands, band_rows, est_threshold,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       n_true_total,
+       CAST(n_detected AS BIGINT) AS n_detected,
+       CASE WHEN n_candidates = 0 THEN 0.0
+            ELSE CAST(n_detected AS DOUBLE) / n_candidates END AS precision,
+       CASE WHEN n_true_total = 0 THEN 0.0
+            ELSE CAST(n_detected AS DOUBLE) / n_true_total END AS recall
+FROM (
+{union}
+) CROSS JOIN tt
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "dup_source_overlap": _q_source_overlap,
@@ -773,6 +982,7 @@ QUERIES = {
     "docs_containment_pairs": _q_containment,
     "simhash_signatures": _run(SIMHASH_SPARK),
     "dup_graph_degree_stats": _q_degree_stats,
+    "minhash_banding_sweep": _q_banding_sweep,
 }
 
 ORACLES = {
@@ -785,4 +995,5 @@ ORACLES = {
     "docs_containment_pairs": CONTAINMENT_DUCK,
     "simhash_signatures": SIMHASH_DUCK,
     "dup_graph_degree_stats": DEGREE_STATS_DUCK,
+    "minhash_banding_sweep": _sweep_duck(),
 }
