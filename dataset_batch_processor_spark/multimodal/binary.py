@@ -403,3 +403,22 @@ def convert_batch(binary_df: DataFrame, target_fmt: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in CONVERT_SCHEMA.fields])
 
     return binary_df.mapInPandas(run, schema=CONVERT_SCHEMA)
+
+
+def patchify_rgb(arr: np.ndarray, patch: int) -> np.ndarray:
+    """(H, W, C) -> (H//patch, W//patch, patch, patch, C) ViT-style
+    non-overlapping patch grid (Dosovitskiy et al. 2021 input
+    pipeline). Dimensions must divide exactly — callers pad or resize
+    first (pad_extend_edges / resize_nearest are the house tools);
+    raising keeps a silent crop out of a training pipeline."""
+    if arr.ndim != 3:
+        raise ValueError(f"patchify_rgb expects (H, W, C), got {arr.shape}")
+    h, w, c = arr.shape
+    if h % patch or w % patch:
+        raise ValueError(
+            f"image {h}x{w} not divisible by patch {patch}; pad first"
+        )
+    return (
+        arr.reshape(h // patch, patch, w // patch, patch, c)
+        .transpose(0, 2, 1, 3, 4)
+    )

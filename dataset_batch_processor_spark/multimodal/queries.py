@@ -2813,8 +2813,100 @@ WHERE doc_id % 13 = 6
 """
 
 
+# ------------------------------------------------ ViT patch extraction
+# Drives binary.patchify_rgb (the vision-pretraining input step: image
+# -> non-overlapping P x P patch grid) through the REAL PNG
+# encode->decode path. Every patch row carries both a plain pixel sum
+# AND a position-weighted sum (weight 1 + py*P*3 + px*3 + c), so a
+# transposed, mirrored, or channel-swapped patch walk cannot hash
+# green — the weighted sum pins the exact (row, col, channel) layout
+# the patch embedding layer will flatten. The DuckDB oracle recomputes
+# both sums in closed form from the pixel formula.
+
+PATCH_P = 8
+PATCHIFY_SCHEMA = (
+    "doc_id long, pi int, pj int, patch_h int, patch_w int, "
+    "pix_sum bigint, pos_weighted_sum bigint"
+)
+
+
+def _q_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, png
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 3
+        ),
+    )
+    wgt = (
+        1 + np.arange(PATCH_P * PATCH_P * 3, dtype=np.int64)
+    ).reshape(PATCH_P, PATCH_P, 3)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 4 + 1) * PATCH_P
+                h = (d % 3 + 1) * PATCH_P
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                dec = binary.decode_any("png", png.encode_png(arr))
+                grid = binary.patchify_rgb(dec, PATCH_P)
+                for pi in range(grid.shape[0]):
+                    for pj in range(grid.shape[1]):
+                        pt = grid[pi, pj].astype(np.int64)
+                        out.append({
+                            "doc_id": d,
+                            "pi": pi,
+                            "pj": pj,
+                            "patch_h": PATCH_P,
+                            "patch_w": PATCH_P,
+                            "pix_sum": int(pt.sum()),
+                            "pos_weighted_sum": int((pt * wgt).sum()),
+                        })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "pi", "pj", "patch_h", "patch_w",
+                         "pix_sum", "pos_weighted_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=PATCHIFY_SCHEMA)
+
+
+_P = PATCH_P
+_PATCH_V = (
+    f"(doc_id + 3 * (pj.pj * {_P} + px) + 7 * (pi.pi * {_P} + py)"
+    " + 11 * c) % 256"
+)
+VIT_PATCHIFY_DUCK = f"""
+SELECT doc_id,
+       CAST(pi.pi AS INT) AS pi,
+       CAST(pj.pj AS INT) AS pj,
+       CAST({_P} AS INT) AS patch_h,
+       CAST({_P} AS INT) AS patch_w,
+       CAST(list_sum(list_transform(generate_series(0, {_P - 1}), py ->
+         list_sum(list_transform(generate_series(0, {_P - 1}), px ->
+           list_sum(list_transform([0, 1, 2], c ->
+             {_PATCH_V})))))) AS BIGINT) AS pix_sum,
+       CAST(list_sum(list_transform(generate_series(0, {_P - 1}), py ->
+         list_sum(list_transform(generate_series(0, {_P - 1}), px ->
+           list_sum(list_transform([0, 1, 2], c ->
+             ({_PATCH_V}) * (1 + py * {_P * 3} + px * 3 + c)))))))
+         AS BIGINT) AS pos_weighted_sum
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS pi) pi,
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS pj) pj
+WHERE doc_id % 5 = 3
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
+    "mm_vit_patchify": _q_vit_patchify,
     "mm_format_convert_chain": _q_format_convert_chain,
     "mm_jpeg12_roundtrip": _q_jpeg12_roundtrip,
     "mm_wav_depths_roundtrip": _q_wav_depths_roundtrip,
@@ -2851,6 +2943,7 @@ QUERIES = {
 }
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
+    "mm_vit_patchify": VIT_PATCHIFY_DUCK,
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_jpeg12_roundtrip": JPEG12_DUCK,
     "mm_wav_depths_roundtrip": WAV_DEPTHS_DUCK,

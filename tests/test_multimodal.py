@@ -110,3 +110,25 @@ def test_ml_face_routing(spark):
     for r in rows:
         has_good = any(f.confidence >= 0.95 for f in (r.faces or []))
         assert (r.route == "keep") == has_good
+
+
+# ----------------------------------------------------- ViT patchify
+
+
+def test_patchify_rgb_layout_and_errors():
+    import numpy as np
+    import pytest
+
+    from dataset_batch_processor_spark.multimodal import binary
+
+    a = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    g = binary.patchify_rgb(a, 8)
+    assert g.shape == (2, 3, 8, 8, 3)
+    # patch (i, j) is exactly the corresponding image window
+    assert (g[1, 2] == a[8:16, 16:24]).all()
+    # flattening a patch matches the embedding layer's row-major walk
+    assert (g[0, 0].reshape(-1) == a[:8, :8].reshape(-1)).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        binary.patchify_rgb(a[:15], 8)
+    with pytest.raises(ValueError, match="expects"):
+        binary.patchify_rgb(a[:, :, 0], 8)
