@@ -41,7 +41,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -972,6 +972,182 @@ FROM (
 """
 
 
+# -------------------------------- incremental dedup vs persisted index
+
+# The growing-corpus production shape (the batch twin of
+# streaming/incremental.py, with the IVF-persistence convention): the
+# existing corpus's LSH band table is persisted ONCE as ordinary
+# parquet — band tables are (doc x bands) rows, a fixed small multiple
+# of the doc count, never pair-sized — and each arriving batch
+# signatures ONLY ITSELF, probes the loaded index with one
+# (band, bucket) equi-join, and exact-verifies just its candidates.
+# Nothing corpus-sized is recomputed per batch, which is the entire
+# point at 100 TB: batch cost is O(|batch| + candidates), and the
+# index append for the next batch is the batch's own band rows.
+# Fixture split: doc_id % 10 == 7 is the arriving batch (50 docs),
+# the rest the indexed corpus. Signatures depend only on each doc's
+# own shingles, so subsetting commutes and the oracle can derive both
+# sides from one full-table band CTE. is_dup is the integer test
+# 2*inter >= union (Jaccard >= 1/2, no float compare); best_match
+# ranks by the single-division Jaccard (bit-identical both engines)
+# with a corpus_doc tie-break.
+
+
+def _q_index_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    newb = docs.filter(F.col("doc_id") % 10 == 7)
+
+    index_dir = scratch_dir("dbp_lsh_band_index_")
+    lsh_bands_df(minhash_signatures_df(corpus)).write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    idx = spark.read.parquet(index_dir).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+    )
+
+    new_bands = lsh_bands_df(minhash_signatures_df(newb)).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("band").alias("band_n"),
+        F.col("bucket").alias("bucket_n"),
+    )
+    cand = (
+        new_bands.join(
+            idx,
+            (F.col("band_n") == F.col("band"))
+            & (F.col("bucket_n") == F.col("bucket")),
+        )
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+
+    sh = shingle_sets(docs).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc"
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("cdoc"),
+                F.col("shingle").alias("shingle_c"),
+            ),
+            (F.col("corpus_doc") == F.col("cdoc"))
+            & (F.col("shingle") == F.col("shingle_c")),
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verd = (
+        cand.join(inter, ["new_doc", "corpus_doc"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("corpus_doc"), F.col("n").alias("nb")
+            ),
+            "corpus_doc",
+        )
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.coalesce("n_inter", F.lit(0)).alias("ni"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))
+            ).alias("un"),
+        )
+        .withColumn("jac", F.col("ni").cast("double") / F.col("un"))
+        .withColumn("dup", F.col("ni") * 2 >= F.col("un"))
+    )
+    w = Window.partitionBy("new_doc").orderBy(
+        F.desc("jac"), F.asc("corpus_doc")
+    )
+    per_new = (
+        verd.withColumn("rn", F.row_number().over(w))
+        .groupBy("new_doc")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_candidates"),
+            F.sum(F.col("dup").cast("int")).cast("int").alias("n_dups"),
+            F.max(F.when(F.col("rn") == 1, F.col("corpus_doc"))).alias(
+                "best_match"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("jac"))).alias("best_jaccard"),
+        )
+    )
+    return newb.select(F.col("doc_id").alias("new_doc_id")).join(
+        per_new.withColumnRenamed("new_doc", "new_doc_id"),
+        "new_doc_id",
+        "left",
+    ).select(
+        "new_doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("int").alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+        F.col("best_match").cast("long").alias("best_match"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+    )
+
+
+INDEX_DEDUP_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+cands AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 != 7
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT p.new_doc, p.corpus_doc, count(*) AS n_inter
+  FROM cands p
+  JOIN shingles sa ON sa.doc_id = p.new_doc
+  JOIN shingles sb ON sb.doc_id = p.corpus_doc
+                  AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+verd AS MATERIALIZED (
+  SELECT p.new_doc, p.corpus_doc,
+         coalesce(i.n_inter, 0) AS ni,
+         sa.n + sb.n - coalesce(i.n_inter, 0) AS un
+  FROM cands p
+  LEFT JOIN inter i ON i.new_doc = p.new_doc
+                   AND i.corpus_doc = p.corpus_doc
+  JOIN sizes sa ON sa.doc_id = p.new_doc
+  JOIN sizes sb ON sb.doc_id = p.corpus_doc
+),
+ranked AS MATERIALIZED (
+  SELECT new_doc, corpus_doc, ni, un,
+         CAST(ni AS DOUBLE) / un AS jac,
+         ni * 2 >= un AS dup,
+         row_number() OVER (PARTITION BY new_doc
+                            ORDER BY CAST(ni AS DOUBLE) / un DESC,
+                                     corpus_doc) AS rn
+  FROM verd
+),
+per_new AS MATERIALIZED (
+  SELECT new_doc,
+         CAST(count(*) AS INT) AS n_candidates,
+         CAST(sum(CAST(dup AS INT)) AS INT) AS n_dups,
+         max(CASE WHEN rn = 1 THEN corpus_doc END) AS best_match,
+         max(CASE WHEN rn = 1 THEN jac END) AS best_jaccard
+  FROM ranked GROUP BY new_doc
+)
+SELECT d.doc_id AS new_doc_id,
+       coalesce(p.n_candidates, 0) AS n_candidates,
+       coalesce(p.n_dups, 0) AS n_dups,
+       CAST(p.best_match AS BIGINT) AS best_match,
+       coalesce(p.best_jaccard, 0.0) AS best_jaccard
+FROM documents d LEFT JOIN per_new p ON p.new_doc = d.doc_id
+WHERE d.doc_id % 10 = 7
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "dup_source_overlap": _q_source_overlap,
@@ -983,6 +1159,7 @@ QUERIES = {
     "simhash_signatures": _run(SIMHASH_SPARK),
     "dup_graph_degree_stats": _q_degree_stats,
     "minhash_banding_sweep": _q_banding_sweep,
+    "docs_index_dedup_newbatch": _q_index_dedup_newbatch,
 }
 
 ORACLES = {
@@ -996,4 +1173,5 @@ ORACLES = {
     "simhash_signatures": SIMHASH_DUCK,
     "dup_graph_degree_stats": DEGREE_STATS_DUCK,
     "minhash_banding_sweep": _sweep_duck(),
+    "docs_index_dedup_newbatch": INDEX_DEDUP_DUCK,
 }
