@@ -20,6 +20,9 @@ SQL), so every transformation actually fires on every row.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — module-level so pandas_udf
+# type-hint strings ("pd.Series") resolve (vector.py convention)
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -326,3 +329,77 @@ FROM raws r LEFT JOIN per_doc k ON r.doc_id = k.doc_id
 
 QUERIES["docs_crossdoc_line_dedup"] = _q_crossdoc_line_dedup
 ORACLES["docs_crossdoc_line_dedup"] = CROSSDOC_DEDUP_DUCK
+
+
+# ------------------------------------------ Unicode NFC + accent strip
+
+# Every multilingual pipeline normalizes Unicode before tokenizing
+# (byte-level dedup and hashing see 'e'+U+0301 and U+00E9 as
+# different documents otherwise). Spark has no built-in normalizer,
+# so the kernel is the honest path: an Arrow-batched pandas UDF over
+# Python's unicodedata — a zero-shuffle CPU-parallel map (the
+# sanctioned non-JVM-expressible shape; a JVM ICU UDF would be the
+# drop-in production upgrade). Accent stripping is NFD + drop
+# combining marks. The DuckDB oracle runs utf8proc's nfc_normalize /
+# strip_accents over the same bytes — two INDEPENDENT Unicode
+# implementations agreeing on the md5 of every output string is the
+# gate. The planted suffix covers composition (e+U+0301 -> U+00E9),
+# singleton replacement (U+212B Angstrom -> U+00C5), a ligature and
+# U+00DF (NFC-invariant — this is NFC, not NFKC), and a decomposed
+# umlaut.
+
+PLANTED_UNICODE = (
+    " e\u0301 \u212b \ufb01 u\u0308 stra\u00dfe"
+)
+
+
+def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    @pandas_udf("string")
+    def strip_marks(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(c)
+            )
+        )
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.concat("text", F.lit(PLANTED_UNICODE)).alias("raw")
+    )
+    n = nfc(F.col("raw"))
+    return base.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("len_raw"),
+        F.length(n).cast("int").alias("len_nfc"),
+        F.md5(n).alias("nfc_md5"),
+        F.md5(strip_marks(F.col("raw"))).alias("stripped_md5"),
+        (n != F.col("raw")).alias("changed"),
+    )
+
+
+UNICODE_NORMALIZE_DUCK = f"""
+SELECT doc_id,
+       CAST(length(raw) AS INT) AS len_raw,
+       CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+       md5(nfc_normalize(raw)) AS nfc_md5,
+       md5(strip_accents(raw)) AS stripped_md5,
+       nfc_normalize(raw) != raw AS changed
+FROM (
+  SELECT doc_id, text || '{PLANTED_UNICODE}' AS raw FROM documents
+)
+"""
+
+QUERIES["docs_unicode_normalize"] = _q_unicode_normalize
+ORACLES["docs_unicode_normalize"] = UNICODE_NORMALIZE_DUCK
