@@ -56,6 +56,9 @@ deterministic and oracle-checkable while training evolves freely.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — module-level so pandas_udf
+# type-hint strings ("pd.Series") resolve (vector.py convention)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -298,11 +301,190 @@ ORDER BY merge_rank
     )
 
 
+# --------------------------- WordPiece greedy longest-match (apply)
+
+# The OTHER production tokenizer family (Wu et al. 2016 / BERT
+# inference): per word, repeatedly take the LONGEST vocabulary entry
+# matching at the cursor (``##``-prefixed when mid-word); any failed
+# step turns the whole word into [UNK]. Pure string operations, no
+# floats — fully hash-gateable. The Spark side is the honest
+# production kernel (Arrow-batched pandas UDF — the greedy loop is
+# data-dependent, not a fixed expression); the DuckDB oracle unrolls
+# the greedy loop to WORDPIECE_UNROLL steps (max fixture word length
+# 8 + margin) with a row_number longest-match per step and a
+# fixpoint guard that error()s if any word is still unfinished.
+# The planted suffix forces both special paths deterministically:
+# 'zq7' hits [UNK] ('7' matches nothing), 'valuetable' segments
+# value + ##ta + ##ble (multi-token via stem/continuation entries).
+
+_WP_FULL = ("table", "value", "spark", "the", "window", "stream")
+_WP_STEM = ("val", "tab", "win", "quer")
+_WP_CONT = ("##le", "##ue", "##dow", "##ble", "##ta")
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+WORDPIECE_VOCAB: tuple[str, ...] = (
+    _WP_FULL
+    + _WP_STEM
+    + _WP_CONT
+    + tuple(_ALPHA)
+    + tuple("##" + c for c in _ALPHA)
+)
+WORDPIECE_UNROLL = 10
+_WP_PLANTED = " zq7 valuetable"
+
+
+def wordpiece_word(word: str, vocab: frozenset[str] = frozenset(WORDPIECE_VOCAB)) -> list[str]:
+    """Single-word greedy longest-match; the reference kernel the
+    pandas UDF maps over every word."""
+    max_len = max(len(v.removeprefix("##")) for v in vocab)
+    toks: list[str] = []
+    pos = 0
+    while pos < len(word):
+        match = None
+        for length in range(min(max_len, len(word) - pos), 0, -1):
+            piece = word[pos:pos + length]
+            key = piece if pos == 0 else "##" + piece
+            if key in vocab:
+                match = (key, length)
+                break
+        if match is None:
+            return ["[UNK]"]
+        toks.append(match[0])
+        pos += match[1]
+    return toks
+
+
+def _q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = frozenset(WORDPIECE_VOCAB)
+
+    @pandas_udf("string")
+    def wp_stream(texts: pd.Series) -> pd.Series:
+        def run(text: str) -> str:
+            out: list[str] = []
+            for w in text.split(" "):
+                if w:
+                    out.extend(wordpiece_word(w, vocab))
+            return " ".join(out)
+
+        return texts.map(run)
+
+    @pandas_udf("int")
+    def wp_unk_words(texts: pd.Series) -> pd.Series:
+        def run(text: str) -> int:
+            return sum(
+                1
+                for w in text.split(" ")
+                if w and wordpiece_word(w, vocab) == ["[UNK]"]
+            )
+
+        return texts.map(run)
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.concat("text", F.lit(_WP_PLANTED)).alias("raw")
+    )
+    stream = wp_stream(F.col("raw"))
+    return base.select(
+        "doc_id",
+        F.size(F.expr("filter(split(raw, ' '), w -> length(w) > 0)"))
+        .cast("int")
+        .alias("n_words"),
+        F.size(F.split(stream, " ")).cast("int").alias("n_tokens"),
+        wp_unk_words(F.col("raw")).alias("n_unk_words"),
+        F.md5(stream).alias("tokens_md5"),
+    )
+
+
+def _wordpiece_duck(n: int = WORDPIECE_UNROLL) -> str:
+    vocab_rows = ",\n    ".join(
+        "('{tok}', '{body}', {cont}, {blen})".format(
+            tok=v,
+            body=v.removeprefix("##"),
+            cont="TRUE" if v.startswith("##") else "FALSE",
+            blen=len(v.removeprefix("##")),
+        )
+        for v in WORDPIECE_VOCAB
+    )
+    parts = [
+        f"""
+vocab(tok, body, is_cont, blen) AS (
+  VALUES
+    {vocab_rows}
+),
+words AS MATERIALIZED (
+  SELECT d.doc_id, u.wi, string_split(d.raw, ' ')[u.wi] AS word
+  FROM (SELECT doc_id, text || '{_WP_PLANTED}' AS raw FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(
+                  1, len(string_split(d.raw, ' ')))) AS wi) u
+  WHERE length(string_split(d.raw, ' ')[u.wi]) > 0
+),
+s0 AS MATERIALIZED (
+  SELECT doc_id, wi, word, 0 AS pos, '' AS toks, 0 AS nt,
+         FALSE AS unk, FALSE AS done
+  FROM words
+)"""
+    ]
+    for i in range(n):
+        parts.append(
+            f"""
+m{i} AS MATERIALIZED (
+  SELECT s.*, v.tok, v.blen AS mlen,
+         row_number() OVER (PARTITION BY s.doc_id, s.wi
+                            ORDER BY v.blen DESC, v.tok) AS rn
+  FROM s{i} s LEFT JOIN vocab v
+    ON NOT s.done
+   AND v.is_cont = (s.pos > 0)
+   AND substr(s.word, s.pos + 1, v.blen) = v.body
+),
+s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, wi, word,
+         CASE WHEN done OR tok IS NULL THEN pos ELSE pos + mlen END AS pos,
+         CASE WHEN done OR tok IS NULL THEN toks
+              WHEN toks = '' THEN tok
+              ELSE toks || ' ' || tok END AS toks,
+         CASE WHEN done OR tok IS NULL THEN nt ELSE nt + 1 END AS nt,
+         unk OR (NOT done AND tok IS NULL) AS unk,
+         done OR tok IS NULL
+              OR pos + mlen >= length(word) AS done
+  FROM m{i} WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+chk AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM s{n} WHERE NOT done)
+              THEN error('wordpiece unroll too shallow')
+              ELSE 0 END AS ok
+),
+word_out AS MATERIALIZED (
+  SELECT doc_id, wi,
+         CASE WHEN unk THEN '[UNK]' ELSE toks END AS wtoks,
+         CASE WHEN unk THEN 1 ELSE nt END AS wnt,
+         CAST(unk AS INT) AS wunk
+  FROM s{n}
+)
+SELECT w.doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(sum(w.wnt) AS INT) AS n_tokens,
+       CAST(sum(w.wunk) AS INT) AS n_unk_words,
+       md5(array_to_string(list(w.wtoks ORDER BY w.wi), ' '))
+           AS tokens_md5
+FROM word_out w CROSS JOIN chk
+GROUP BY w.doc_id
+"""
+    )
+
+
 QUERIES = {
     "docs_bpe_subword_tokens": _q_subword_tokens,
     "docs_bpe_train_merges": _q_train_merges,
+    "docs_wordpiece_tokens": _q_wordpiece_tokens,
 }
 ORACLES = {
     "docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES),
     "docs_bpe_train_merges": _train_merges_duck(),
+    "docs_wordpiece_tokens": _wordpiece_duck(),
 }

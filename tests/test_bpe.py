@@ -156,3 +156,56 @@ def test_apply_property_vs_reference_random():
             word,
             merges,
         )
+
+
+def test_wordpiece_greedy_semantics():
+    from dataset_batch_processor_spark.operators.bpe import (
+        WORDPIECE_VOCAB,
+        wordpiece_word,
+    )
+
+    # longest match wins over chains of shorter ones
+    assert wordpiece_word("table") == ["table"]          # not tab + ##le
+    assert wordpiece_word("valuetable") == ["value", "##ta", "##ble"]
+    # continuation entries only match mid-word
+    assert wordpiece_word("le") == ["l", "##e"]          # '##le' can't start
+    # any failed step voids the WHOLE word
+    assert wordpiece_word("zq7") == ["[UNK]"]
+    assert wordpiece_word("ab7cd") == ["[UNK]"]
+    # char fallback bounds token count at word length
+    assert len(wordpiece_word("customer")) == 8
+    # vocab is duplicate-free (the oracle's longest-match tie-break
+    # relies on body uniqueness per (is_cont, blen) match)
+    assert len(set(WORDPIECE_VOCAB)) == len(WORDPIECE_VOCAB)
+
+
+def test_wordpiece_oracle_matches_kernel_on_synthetic_corpus():
+    """The unrolled DuckDB greedy chain must reproduce the Python
+    kernel on a corpus it was not tuned for."""
+    import duckdb
+
+    from dataset_batch_processor_spark.operators import bpe
+
+    texts = ["value valuetable zq7", "the window stream quer customer"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+    rows = {
+        r[0]: r[1:]
+        for r in con.execute(bpe._wordpiece_duck()).fetchall()
+    }
+    import hashlib
+
+    for i, t in enumerate(texts):
+        words = [w for w in (t + bpe._WP_PLANTED).split(" ") if w]
+        toks = []
+        unk = 0
+        for w in words:
+            wt = bpe.wordpiece_word(w)
+            toks.extend(wt)
+            unk += wt == ["[UNK]"]
+        md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert rows[i] == (len(words), len(toks), unk, md5), (i, rows[i])
