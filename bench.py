@@ -66,6 +66,11 @@ HEADLINE_V2_EXTRA = (
     "img_phash_near_dup_pairs",
     "dedup_dashboard_all_families",
     "lineitem_hot_tenant_salted_join",
+    # late round 8: one representative each for the tokenizer-training,
+    # corpus-global line-dedup, and unicode-normalization families
+    "docs_bpe_train_merges",
+    "docs_crossdoc_line_dedup",
+    "docs_unicode_normalize",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
