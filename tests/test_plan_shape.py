@@ -605,3 +605,59 @@ def test_length_bucket_oversize_doc_gets_exact_bucket(spark):
     by_id = {r.doc_id: r for r in sized}
     assert by_id[1].bucket == by_id[1].n_tokens == 5000
     assert by_id[2].bucket == 16
+
+
+def test_crossdoc_line_dedup_no_cartesian_and_digest_shuffle(spark, sf_dir):
+    """The corpus-global line dedup must shuffle line DIGESTS, never
+    all-pairs: no CartesianProduct/BroadcastNestedLoop anywhere, and
+    the droplist join is an equi-join on pkey."""
+    from dataset_batch_processor_spark.operators import textclean
+
+    df = textclean._q_crossdoc_line_dedup(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "pkey" in plan  # digest key actually drives the anti-join
+
+
+def test_banding_sweep_single_signature_build(spark, sf_dir):
+    """All four configs must probe ONE persisted signature table: the
+    plan shows InMemoryTableScan reuse, not four shingle rebuilds."""
+    from dataset_batch_processor_spark.operators import dedup
+
+    df = dedup._q_banding_sweep(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unicode_normalize_is_arrow_batched(spark, sf_dir):
+    """The normalizer must run as vectorized Arrow eval, not
+    row-at-a-time Python."""
+    from dataset_batch_processor_spark.operators import textclean
+
+    df = textclean._q_unicode_normalize(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_wordpiece_is_arrow_batched(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import bpe
+
+    df = bpe._q_wordpiece_tokens(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_index_dedup_probe_is_equi_join_on_band_bucket(spark, sf_dir):
+    """The new-batch probe joins the persisted index on
+    (band, bucket) — hash-partitionable equi-join, no nested loop."""
+    from dataset_batch_processor_spark.operators import dedup
+
+    df = dedup._q_index_dedup_newbatch(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "bucket" in plan
