@@ -43,6 +43,7 @@ from dataset_batch_processor_spark.operators import (
     dsir,
     ivfpq,
     linkage,
+    lmobjectives,
     curation,
     dedup as dedup_ops,
     merge as merge_ops,
@@ -484,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
+    q.update(lmobjectives.QUERIES)
     return _prioritize(q)
 
 
@@ -591,4 +593,5 @@ FROM images_meta GROUP BY 1
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)
+    o.update(lmobjectives.ORACLES)
     return _prioritize(o)

@@ -1,0 +1,102 @@
+"""LM-objective transforms: the DuckDB oracle (which the driver
+hash-compares against the Spark plan) is itself pinned here against
+an independent Python reimplementation of T5 span corruption and
+FIM, so both engines' agreement can't be a shared misreading."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+
+from dataset_batch_processor_spark.operators import lmobjectives as lmo
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _ref_span(doc_id: int, text: str):
+    toks = text.split(" ")
+    mask = [
+        _h(f"{doc_id}:{p}") % lmo.MASK_DEN < lmo.MASK_NUM
+        for p in range(len(toks))
+    ]
+    inputs, targets = [], []
+    k = -1
+    for p, (t, m) in enumerate(zip(toks, mask)):
+        start = m and (p == 0 or not mask[p - 1])
+        if start:
+            k += 1
+            inputs.append(f"<extra_id_{k}>")
+            targets.append(f"<extra_id_{k}>")
+            targets.append(t)
+        elif m:
+            targets.append(t)
+        else:
+            inputs.append(t)
+    return (
+        len(toks),
+        sum(mask),
+        k + 1,
+        hashlib.md5(" ".join(inputs).encode()).hexdigest(),
+        hashlib.md5(" ".join(targets).encode()).hexdigest(),
+    )
+
+
+def _ref_fim(doc_id: int, text: str):
+    c1 = _h(f"{doc_id}:a") % (len(text) + 1)
+    c2 = c1 + _h(f"{doc_id}:b") % (len(text) - c1 + 1)
+    s = (
+        "<PRE> " + text[:c1] + " <SUF> " + text[c2:]
+        + " <MID> " + text[c1:c2]
+    )
+    return c1, c2, len(text), hashlib.md5(s.encode()).hexdigest()
+
+
+def _view(con, texts):
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "one",
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+]
+
+
+def test_span_corruption_oracle_matches_reference():
+    con = duckdb.connect()
+    _view(con, TEXTS)
+    rows = {
+        r[0]: r[1:]
+        for r in con.execute(lmo.SPAN_CORRUPTION_DUCK).fetchall()
+    }
+    for i, t in enumerate(TEXTS):
+        assert rows[i] == _ref_span(i, t), (i, rows[i], _ref_span(i, t))
+
+
+def test_fim_oracle_matches_reference():
+    con = duckdb.connect()
+    _view(con, TEXTS)
+    rows = {r[0]: r[1:] for r in con.execute(lmo.FIM_DUCK).fetchall()}
+    for i, t in enumerate(TEXTS):
+        assert rows[i] == _ref_fim(i, t)
+
+
+def test_span_mask_rate_near_fifteen_percent():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    tot, masked = con.execute(
+        f"SELECT sum(n_tokens), sum(n_masked) FROM "
+        f"({lmo.SPAN_CORRUPTION_DUCK})"
+    ).fetchone()
+    rate = masked / tot
+    assert 0.12 < rate < 0.18, rate
