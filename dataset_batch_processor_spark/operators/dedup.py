@@ -1148,6 +1148,90 @@ WHERE d.doc_id % 10 = 7
 """
 
 
+# ------------------------- sweep -> chooser -> execution (end-to-end)
+
+# The storage.py audit->chooser->salted-join pattern applied to
+# dedup tuning: the banding CHOICE is made from the measured sweep
+# report (driver-side pure logic, unit-testable), asserted against
+# the fixture's expected branch so data drift fails loudly, and the
+# pair extraction then runs under the chosen config. The oracle pins
+# the EXECUTION (pairs under the chosen banding); the choice itself
+# is guarded by the Spark-side assertion — the same division of
+# labor as lineitem_hot_tenant_salted_join.
+
+
+def choose_banding(rows: list[dict]) -> tuple[int, int]:
+    """Pick (n_bands, band_rows) from sweep-report rows: maximize
+    detected true pairs, then minimize candidate volume (the cost of
+    verification), then prefer more bands (cheaper per-bucket
+    self-join). Integer-only policy — no float thresholds to drift."""
+    best = max(
+        rows,
+        key=lambda r: (r["n_detected"], -r["n_candidates"], r["n_bands"]),
+    )
+    return best["n_bands"], best["band_rows"]
+
+
+def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sweep = [r.asDict() for r in _q_banding_sweep(spark, sf_dir).collect()]
+    b, r = choose_banding(sweep)
+    if (b, r) != (2, 4):
+        raise RuntimeError(
+            f"banding fixture drifted: chooser picked ({b}, {r}), "
+            "expected (2, 4) — max detection at minimum candidate volume"
+        )
+    bands = _bands_config_df(
+        minhash_signatures_df(catalog.load_table(spark, sf_dir, "documents")),
+        b,
+        r,
+    )
+    return (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("band").alias("band_b"),
+                F.col("bucket").alias("bucket_b"),
+            ),
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(b).cast("int").alias("n_bands"),
+            F.lit(r).cast("int").alias("band_rows"),
+        )
+    )
+
+
+def _chosen_banding_duck() -> str:
+    b, r = 2, 4  # the asserted fixture choice
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, CAST({band} AS INT) AS band, "
+        "md5(concat({args})) AS bucket FROM sigs".format(
+            band=band,
+            args=", ',', ".join(
+                [str(band)] + [f"mh_{band * r + j}" for j in range(r)]
+            ),
+        )
+        for band in range(b)
+    )
+    return f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+bands AS MATERIALIZED (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS band_rows
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "dup_source_overlap": _q_source_overlap,
@@ -1160,6 +1244,7 @@ QUERIES = {
     "dup_graph_degree_stats": _q_degree_stats,
     "minhash_banding_sweep": _q_banding_sweep,
     "docs_index_dedup_newbatch": _q_index_dedup_newbatch,
+    "minhash_chosen_banding_pairs": _q_chosen_banding_pairs,
 }
 
 ORACLES = {
@@ -1174,4 +1259,5 @@ ORACLES = {
     "dup_graph_degree_stats": DEGREE_STATS_DUCK,
     "minhash_banding_sweep": _sweep_duck(),
     "docs_index_dedup_newbatch": INDEX_DEDUP_DUCK,
+    "minhash_chosen_banding_pairs": _chosen_banding_duck(),
 }
