@@ -773,3 +773,66 @@ def normalize_peak(df: DataFrame) -> DataFrame:
         schema=("id string, n_samples int, peak_before int, "
                 "peak_after int, sample_sum long, error string"),
     )
+
+
+def resample_linear(df: DataFrame, p: int = 3, q: int = 2) -> DataFrame:
+    """Rational-ratio resampling by exact linear interpolation (the
+    sample-rate unification pass before batching audio: 16k -> 24k is
+    p/q = 3/2). Output position i sits at input time i*q/p; with
+    t = i*q, k = t // p, r = t % p the sample is
+    ``x[k] + tdiv((x[k+1] - x[k]) * r, p)`` — pure integer
+    arithmetic, truncation toward zero on both engines, so the
+    resampled stream is engine-deterministic and hash-gateable.
+    Output length is ((n-1)*p) // q + 1 (every position with
+    i*q <= (n-1)*p). Decode failures quarantine (F7)."""
+    if p <= 0 or q <= 0:
+        raise ValueError("resample ratio must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    samples, rate = AUDIO_CODECS[row.fmt.lower()](
+                        bytes(row.content)
+                    )
+                    x = samples.astype(np.int64)
+                    n = len(x)
+                    if n < 2:
+                        raise ValueError("resample needs >= 2 samples")
+                    n_out = ((n - 1) * p) // q + 1
+                    t = np.arange(n_out, dtype=np.int64) * q
+                    k = t // p
+                    r = t % p
+                    xk = x[k]
+                    # k+1 is only touched where r > 0 (there k+1 <= n-1)
+                    xk1 = x[np.minimum(k + 1, n - 1)]
+                    y = xk + _tdiv((xk1 - xk) * r, p)
+                    w = np.arange(1, n_out + 1, dtype=np.int64)
+                    out.append(
+                        {"id": str(row.id),
+                         "n_in": n,
+                         "n_out": int(n_out),
+                         "rate_out": rate * p // q,
+                         "out_sum": int(y.sum()),
+                         "out_wsum": int((y * w).sum()),
+                         "error": None}
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append(
+                        {"id": str(row.id), "n_in": None, "n_out": None,
+                         "rate_out": None, "out_sum": None,
+                         "out_wsum": None,
+                         "error": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "n_in", "n_out", "rate_out", "out_sum",
+                         "out_wsum", "error"],
+            )
+
+    return df.select("id", "fmt", "content").mapInPandas(
+        run,
+        schema=("id string, n_in int, n_out int, rate_out int, "
+                "out_sum long, out_wsum long, error string"),
+    )

@@ -1906,6 +1906,82 @@ def _q_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av.normalize_peak(wavs)
 
 
+# ------------------------------------------ rational audio resampling
+# Drives av.resample_linear (p/q = 3/2: the 16k -> 24k unification
+# pass) over the same deterministic waveform family as the normalize
+# query on a disjoint doc subset. Exact integer interpolation means
+# the oracle recomputes every output sample in closed form; the
+# position-weighted sum pins output ORDER, not just the multiset.
+
+
+def _q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import av
+
+    docs = _fanout(
+        spark, catalog.load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 3 == 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 500 + 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                out.append(
+                    {
+                        "id": str(d),
+                        "fmt": "wav",
+                        "content": av.encode_wav(samples, sample_rate=16_000),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "content"])
+
+    wavs = docs.mapInPandas(gen, schema="id string, fmt string, content binary")
+    return av.resample_linear(wavs, p=3, q=2)
+
+
+AUDIO_RESAMPLE_DUCK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 500 + 100 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+o AS (
+  SELECT doc_id, n, ((n - 1) * 3) // 2 + 1 AS n_out FROM base
+),
+s AS (
+  SELECT doc_id, n, n_out, unnest(generate_series(0, n_out - 1)) AS i
+  FROM o
+),
+c AS (
+  SELECT doc_id, n, n_out, i, (i * 2) // 3 AS k, (i * 2) % 3 AS r FROM s
+),
+v AS (
+  SELECT doc_id, n, n_out, i, r,
+         (doc_id * 31 + k * 7) % 65536 - 32768 AS xk,
+         (doc_id * 31 + least(k + 1, n - 1) * 7) % 65536 - 32768 AS xk1
+  FROM c
+),
+y AS (
+  SELECT doc_id, n, n_out, i,
+         xk + ((xk1 - xk) * r) // 3 AS y
+  FROM v
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(n AS INT) AS n_in,
+       CAST(n_out AS INT) AS n_out,
+       CAST(24000 AS INT) AS rate_out,
+       CAST(sum(y) AS BIGINT) AS out_sum,
+       CAST(sum(y * (i + 1)) AS BIGINT) AS out_wsum,
+       CAST(NULL AS VARCHAR) AS error
+FROM y
+GROUP BY doc_id, n, n_out
+"""
+
+
 AUDIO_NORMALIZE_DUCK = """
 WITH base AS (
   SELECT doc_id, doc_id % 500 + 100 AS n
@@ -2918,6 +2994,7 @@ QUERIES = {
     "mm_exif_scrub": _q_exif_scrub,
     "mm_video_scene_cuts": _q_video_scene_cuts,
     "mm_audio_normalize": _q_audio_normalize,
+    "mm_audio_resample": _q_audio_resample,
     "mm_scrub_routing": _q_scrub_routing,
     "mm_frame_sample": _q_frame_sample,
     "mm_png_roundtrip": _q_png_roundtrip,
@@ -2955,6 +3032,7 @@ ORACLES = {
     "mm_exif_scrub": _exif_scrub_duck(),
     "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
     "mm_audio_normalize": AUDIO_NORMALIZE_DUCK,
+    "mm_audio_resample": AUDIO_RESAMPLE_DUCK,
     "mm_scrub_routing": SCRUB_ROUTING_DUCK,
     "mm_frame_sample": FRAME_SAMPLE_DUCK,
     "mm_png_roundtrip": PNG_ROUNDTRIP_DUCK,

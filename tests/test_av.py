@@ -378,3 +378,29 @@ def test_normalize_peak_scales_and_handles_silence(spark):
     s = rows["s"]
     assert s.peak_before == 0 and s.peak_after == 0 and s.sample_sum == 0
     assert rows["bad"].error is not None
+
+
+# -------------------------------------------------- rational resample
+
+
+def test_resample_linear_exact_values(spark):
+    import numpy as np
+
+    from dataset_batch_processor_spark.multimodal import av
+
+    x = np.array([0, -4, 8], dtype=np.int16)
+    df = spark.createDataFrame(
+        [("a", "wav", bytearray(av.encode_wav(x, sample_rate=16_000)))],
+        "id string, fmt string, content binary",
+    )
+    row = av.resample_linear(df, p=3, q=2).collect()[0]
+    # n_out = ((3-1)*3)//2 + 1 = 4; positions t = i*2/3 of input:
+    # i=0 -> x[0]=0; i=1 -> t=2: x[0] + tdiv((x[1]-x[0])*2, 3)
+    #   = tdiv(-8,3) = -2 (toward zero, NOT floor's -3)
+    # i=2 -> t=4: k=1, r=1: -4 + tdiv((8-(-4))*1, 3) = 0
+    # i=3 -> t=6: k=2, r=0: x[2] = 8
+    expect = [0, -2, 0, 8]
+    assert row.error is None
+    assert row.n_in == 3 and row.n_out == 4 and row.rate_out == 24_000
+    assert row.out_sum == sum(expect)
+    assert row.out_wsum == sum(v * (i + 1) for i, v in enumerate(expect))
