@@ -42,6 +42,7 @@ from dataset_batch_processor_spark.operators import (
     dedupdash,
     dsir,
     ivfpq,
+    coreset,
     linkage,
     lmobjectives,
     curation,
@@ -486,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
     q.update(lmobjectives.QUERIES)
+    q.update(coreset.QUERIES)
     return _prioritize(q)
 
 
@@ -594,4 +596,5 @@ FROM images_meta GROUP BY 1
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)
     o.update(lmobjectives.ORACLES)
+    o.update(coreset.ORACLES)
     return _prioritize(o)
