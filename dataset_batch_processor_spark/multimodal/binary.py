@@ -422,3 +422,19 @@ def patchify_rgb(arr: np.ndarray, patch: int) -> np.ndarray:
         arr.reshape(h // patch, patch, w // patch, patch, c)
         .transpose(0, 2, 1, 3, 4)
     )
+
+
+def augment_views(arr: np.ndarray) -> dict[str, np.ndarray]:
+    """The standard spatial augmentation set (training-time views):
+    horizontal/vertical flip, 90-degree CCW rotation, and a centered
+    half-crop. All pure index remapping — bit-exact, zero resampling
+    — so each view is hash-gateable in closed form."""
+    if arr.ndim != 3:
+        raise ValueError(f"augment_views expects (H, W, C), got {arr.shape}")
+    h, w = arr.shape[:2]
+    return {
+        "hflip": arr[:, ::-1],
+        "vflip": arr[::-1],
+        "rot90": np.rot90(arr),
+        "crop": arr[h // 4: h // 4 + h // 2, w // 4: w // 4 + w // 2],
+    }

@@ -2980,9 +2980,107 @@ WHERE doc_id % 5 = 3
 """
 
 
+# --------------------------------------------- spatial augmentations
+# Drives binary.augment_views (flip / rot90 / center-crop — the
+# training-time view set) through the real PNG path; each view row is
+# gated on a pixel sum AND a position-weighted sum over the OUTPUT
+# layout, so a view computed with the wrong orientation (flip axis,
+# rotation direction, crop origin) cannot hash green. The oracle
+# recomputes every view in closed form by index remapping.
+
+AUGMENT_SCHEMA = (
+    "doc_id long, view string, out_h int, out_w int, "
+    "pix_sum bigint, pos_weighted_sum bigint"
+)
+
+
+def _q_augment_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, png
+
+    docs = _fanout(
+        spark,
+        catalog.load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 4
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = (d % 4 + 1) * 8
+                h = (d % 3 + 1) * 8
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                dec = binary.decode_any("png", png.encode_png(arr))
+                for name, v in binary.augment_views(dec).items():
+                    vi = v.astype(np.int64)
+                    oh, ow = vi.shape[:2]
+                    wgt = (
+                        1 + np.arange(oh * ow * 3, dtype=np.int64)
+                    ).reshape(oh, ow, 3)
+                    out.append({
+                        "doc_id": d,
+                        "view": name,
+                        "out_h": oh,
+                        "out_w": ow,
+                        "pix_sum": int(vi.sum()),
+                        "pos_weighted_sum": int((vi * wgt).sum()),
+                    })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "view", "out_h", "out_w",
+                         "pix_sum", "pos_weighted_sum"],
+            )
+
+    return docs.mapInPandas(run, schema=AUGMENT_SCHEMA)
+
+
+def _augment_duck() -> str:
+    # per view: (out_h, out_w, source-pixel expr in output coords)
+    # with W = 8*(doc_id%4+1), H = 8*(doc_id%3+1) and source pixel
+    # p(sy, sx, c) = (doc_id + 3*sx + 7*sy + 11*c) % 256
+    views = {
+        "hflip": ("H", "W", "y", "W - 1 - x"),
+        "vflip": ("H", "W", "H - 1 - y", "x"),
+        "rot90": ("W", "H", "x", "W - 1 - y"),
+        "crop": ("H // 2", "W // 2", "y + H // 4", "x + W // 4"),
+    }
+    selects = []
+    for name, (oh, ow, sy, sx) in views.items():
+        val = f"(doc_id + 3 * ({sx}) + 7 * ({sy}) + 11 * c) % 256"
+        selects.append(f"""
+  SELECT doc_id, '{name}' AS view,
+         CAST({oh} AS INT) AS out_h, CAST({ow} AS INT) AS out_w,
+         CAST(list_sum(list_transform(generate_series(0, ({oh}) - 1), y ->
+           list_sum(list_transform(generate_series(0, ({ow}) - 1), x ->
+             list_sum(list_transform([0, 1, 2], c ->
+               {val})))))) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(generate_series(0, ({oh}) - 1), y ->
+           list_sum(list_transform(generate_series(0, ({ow}) - 1), x ->
+             list_sum(list_transform([0, 1, 2], c ->
+               ({val}) * (1 + (y * ({ow}) + x) * 3 + c)))))))
+           AS BIGINT) AS pos_weighted_sum
+  FROM dims""")
+    return (
+        """
+WITH dims AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) AS H,
+         8 * (doc_id % 4 + 1) AS W
+  FROM documents WHERE doc_id % 5 = 4
+)"""
+        + "\n  UNION ALL\n".join(selects)
+    )
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_vit_patchify": _q_vit_patchify,
+    "mm_augment_views": _q_augment_views,
     "mm_format_convert_chain": _q_format_convert_chain,
     "mm_jpeg12_roundtrip": _q_jpeg12_roundtrip,
     "mm_wav_depths_roundtrip": _q_wav_depths_roundtrip,
@@ -3021,6 +3119,7 @@ QUERIES = {
 ORACLES = {
     "mm_decode_meta": DECODE_META_DUCK,
     "mm_vit_patchify": VIT_PATCHIFY_DUCK,
+    "mm_augment_views": _augment_duck(),
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_jpeg12_roundtrip": JPEG12_DUCK,
     "mm_wav_depths_roundtrip": WAV_DEPTHS_DUCK,

@@ -132,3 +132,22 @@ def test_patchify_rgb_layout_and_errors():
         binary.patchify_rgb(a[:15], 8)
     with pytest.raises(ValueError, match="expects"):
         binary.patchify_rgb(a[:, :, 0], 8)
+
+
+def test_augment_views_orientations():
+    import numpy as np
+    import pytest
+
+    from dataset_batch_processor_spark.multimodal import binary
+
+    a = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    v = binary.augment_views(a)
+    assert (v["hflip"] == a[:, ::-1]).all()
+    assert (v["vflip"] == a[::-1]).all()
+    assert v["rot90"].shape == (16, 8, 3)
+    # CCW: the top-right corner becomes the top-left
+    assert (v["rot90"][0, 0] == a[0, 15]).all()
+    assert v["crop"].shape == (4, 8, 3)
+    assert (v["crop"][0, 0] == a[2, 4]).all()
+    with pytest.raises(ValueError, match="expects"):
+        binary.augment_views(a[:, :, 0])
