@@ -610,3 +610,108 @@ ORACLES = {
     "docs_weighted_sample": WEIGHTED_DUCK,
     "docs_epoch_shuffle": EPOCH_SHUFFLE_DUCK,
 }
+
+
+# ------------------------------------------------ token-budget fill
+
+# Training-budget planning: "fill a B-token budget, best docs first".
+# Global order = (quality tier, seeded shuffle hash, doc_id) — Gopher
+# passes first, deterministic shuffle within a tier — then an
+# EXCLUSIVE global prefix sum of token counts decides admission
+# (a doc is taken while the tokens before it are under budget, so
+# exactly one doc straddles the boundary). The prefix sum is the W1
+# scalable machinery (range repartition + broadcast offsets), NOT a
+# single-task ORDER BY window; the report rolls up per source. The
+# oracle reuses the gopher CTE chain verbatim and a plain window
+# cumsum (fixture-sized), cutting at the same integer budget.
+
+TOKEN_BUDGET = 8_000
+
+
+def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import webquality
+    from .textops import exclusive_prefix_sum
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    quality = webquality.gopher_quality(docs).select(
+        "doc_id",
+        F.col("passes_gopher").cast("int").alias("passes"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+    base = (
+        docs.select("doc_id", "source")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            (1 - F.col("passes")).alias("tier"),
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 16
+            ).alias("shuf"),
+        )
+    )
+    ps = exclusive_prefix_sum(
+        base, ["tier", "shuf", "doc_id"], "n_words", "toks_before"
+    )
+    taken = ps.withColumn("taken", F.col("toks_before") < TOKEN_BUDGET)
+    return (
+        taken.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.col("taken").cast("int")).cast("int").alias("n_taken"),
+            F.sum(F.when(F.col("taken"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("tokens_taken"),
+        )
+        .orderBy("source")
+    )
+
+
+def _token_budget_duck() -> str:
+    from .webquality import GOPHER_CHAIN_DUCK, MEAN_LEN_HI_X1000, \
+        MEAN_LEN_LO_X1000, MIN_STOPWORD_HITS, MIN_WORDS, TOP_WORD_MAX_PPM
+
+    return f"""
+WITH {GOPHER_CHAIN_DUCK},
+quality AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_words >= {MIN_WORDS}
+          AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
+          AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
+          AND b.stopword_hits >= {MIN_STOPWORD_HITS}
+          AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM}
+         THEN 1 ELSE 0 END AS passes,
+         CAST(b.n_words AS BIGINT) AS n_words
+  FROM base b JOIN top t ON b.doc_id = t.doc_id
+),
+ordered AS (
+  SELECT d.doc_id, d.source, q.n_words,
+         1 - q.passes AS tier,
+         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16) AS shuf
+  FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+),
+ps AS (
+  SELECT *,
+         coalesce(sum(n_words) OVER (
+           ORDER BY tier, shuf, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS toks_before
+  FROM ordered
+)
+SELECT source,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(CASE WHEN toks_before < {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+            AS INT) AS n_taken,
+       CAST(sum(CASE WHEN toks_before < {TOKEN_BUDGET} THEN n_words
+                     ELSE 0 END) AS BIGINT) AS tokens_taken
+FROM ps
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["docs_token_budget_fill"] = _q_token_budget_fill
+ORACLES["docs_token_budget_fill"] = _token_budget_duck()
