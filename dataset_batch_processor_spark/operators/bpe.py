@@ -332,10 +332,20 @@ WORDPIECE_UNROLL = 10
 _WP_PLANTED = " zq7 valuetable"
 
 
-def wordpiece_word(word: str, vocab: frozenset[str] = frozenset(WORDPIECE_VOCAB)) -> list[str]:
+_WP_DEFAULT_VOCAB = frozenset(WORDPIECE_VOCAB)
+_WP_MAX_BODY = max(len(v.removeprefix("##")) for v in WORDPIECE_VOCAB)
+
+
+def wordpiece_word(
+    word: str, vocab: frozenset[str] = _WP_DEFAULT_VOCAB
+) -> list[str]:
     """Single-word greedy longest-match; the reference kernel the
     pandas UDF maps over every word."""
-    max_len = max(len(v.removeprefix("##")) for v in vocab)
+    max_len = (
+        _WP_MAX_BODY
+        if vocab is _WP_DEFAULT_VOCAB
+        else max(len(v.removeprefix("##")) for v in vocab)
+    )
     toks: list[str] = []
     pos = 0
     while pos < len(word):
@@ -356,27 +366,14 @@ def wordpiece_word(word: str, vocab: frozenset[str] = frozenset(WORDPIECE_VOCAB)
 def _q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
-    vocab = frozenset(WORDPIECE_VOCAB)
-
     @pandas_udf("string")
     def wp_stream(texts: pd.Series) -> pd.Series:
         def run(text: str) -> str:
             out: list[str] = []
             for w in text.split(" "):
                 if w:
-                    out.extend(wordpiece_word(w, vocab))
+                    out.extend(wordpiece_word(w))
             return " ".join(out)
-
-        return texts.map(run)
-
-    @pandas_udf("int")
-    def wp_unk_words(texts: pd.Series) -> pd.Series:
-        def run(text: str) -> int:
-            return sum(
-                1
-                for w in text.split(" ")
-                if w and wordpiece_word(w, vocab) == ["[UNK]"]
-            )
 
         return texts.map(run)
 
@@ -384,15 +381,22 @@ def _q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.concat("text", F.lit(_WP_PLANTED)).alias("raw")
     )
-    stream = wp_stream(F.col("raw"))
-    return base.select(
+    # tokenize ONCE; token and [UNK] counts are JVM expressions over
+    # the materialized stream. '[UNK]' can only originate from the
+    # tokenizer ('[' and ']' are not in any vocab entry, so a raw
+    # word containing them voids to [UNK] rather than passing
+    # through), which makes the stream count exact.
+    withs = base.withColumn("stream", wp_stream(F.col("raw")))
+    return withs.select(
         "doc_id",
         F.size(F.expr("filter(split(raw, ' '), w -> length(w) > 0)"))
         .cast("int")
         .alias("n_words"),
-        F.size(F.split(stream, " ")).cast("int").alias("n_tokens"),
-        wp_unk_words(F.col("raw")).alias("n_unk_words"),
-        F.md5(stream).alias("tokens_md5"),
+        F.size(F.split("stream", " ")).cast("int").alias("n_tokens"),
+        F.size(F.expr("filter(split(stream, ' '), t -> t = '[UNK]')"))
+        .cast("int")
+        .alias("n_unk_words"),
+        F.md5("stream").alias("tokens_md5"),
     )
 
 

@@ -671,18 +671,13 @@ def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_budget_duck() -> str:
-    from .webquality import GOPHER_CHAIN_DUCK, MEAN_LEN_HI_X1000, \
-        MEAN_LEN_LO_X1000, MIN_STOPWORD_HITS, MIN_WORDS, TOP_WORD_MAX_PPM
+    from .webquality import GOPHER_CHAIN_DUCK, GOPHER_PASS_PRED_DUCK
 
     return f"""
 WITH {GOPHER_CHAIN_DUCK},
 quality AS (
   SELECT b.doc_id,
-         CASE WHEN b.n_words >= {MIN_WORDS}
-          AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
-          AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
-          AND b.stopword_hits >= {MIN_STOPWORD_HITS}
-          AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM}
+         CASE WHEN {GOPHER_PASS_PRED_DUCK}
          THEN 1 ELSE 0 END AS passes,
          CAST(b.n_words AS BIGINT) AS n_words
   FROM base b JOIN top t ON b.doc_id = t.doc_id

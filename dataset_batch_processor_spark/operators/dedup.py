@@ -155,18 +155,10 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
 
 def lsh_bands_df(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) — bucket hashes the band's signature
-    slice. Unpivoted with stack() so the signatures are scanned ONCE
-    (a per-band union would recompute the upstream aggregation once
-    per band)."""
-    stack_args = []
-    for band in range(N_BANDS):
-        cols = [F.col(f"mh_{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        stack_args.append(F.lit(band))
-        stack_args.append(F.md5(F.concat_ws(",", F.lit(band), *cols)))
-    return sigs.select(
-        "doc_id",
-        F.stack(F.lit(N_BANDS), *stack_args).alias("band", "bucket"),
-    )
+    slice. Delegates to the parameterized builder so the production
+    banding and the sweep's per-config bandings can never diverge in
+    bucket format."""
+    return _bands_config_df(sigs, N_BANDS, BAND_ROWS)
 
 
 def lsh_pairs_df(docs: DataFrame,
@@ -851,18 +843,29 @@ def _q_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep report, materialized once per (session, dataset): the
     chooser query consumes the same 4-row artifact, so the signature
     build and four candidate joins run once per session however many
-    consumers probe the report (the matcache convention)."""
+    consumers probe the report (the matcache convention). The
+    signature cache backing the build is dropped once the artifact
+    is written — materialize_once evaluates eagerly, so by the time
+    it returns the four config joins have already shared the cache."""
     from ..matcache import materialize_once
 
-    return materialize_once(
+    cached: list[DataFrame] = []
+    out = materialize_once(
         spark, "banding_sweep", sf_dir,
-        lambda: _build_banding_sweep(spark, sf_dir),
+        lambda: _build_banding_sweep(spark, sf_dir, _sigs_out=cached),
     )
+    for sigs in cached:
+        sigs.unpersist(blocking=False)
+    return out
 
 
-def _build_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_banding_sweep(
+    spark: SparkSession, sf_dir: str, _sigs_out: list | None = None
+) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures_df(docs).persist()
+    if _sigs_out is not None:
+        _sigs_out.append(sigs)
     truth = jaccard_truth(spark, sf_dir)
     truth_flag = truth.withColumn("_true", F.lit(1))
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
@@ -890,7 +893,13 @@ def _build_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("int").alias("band_rows"),
                 F.lit(_est_threshold(b, r)).alias("est_threshold"),
                 F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+                # coalesce AFTER the sum too: an empty candidate set
+                # makes sum() NULL on Spark while the oracle's scalar
+                # count emits 0 — a latent hash mismatch on corpora
+                # where a config yields zero candidates
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("_true"), F.lit(0))), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_detected"),
             )
@@ -1189,22 +1198,20 @@ def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = [r.asDict() for r in _q_banding_sweep(spark, sf_dir).collect()]
     b, r = choose_banding(sweep)
     docs = catalog.load_table(spark, sf_dir, "documents")
-    if docs.count() == 500 and (b, r) != (2, 4):
-        # the drift guard is scoped to the 500-doc gated fixture: on
-        # other corpora the chooser's pick legitimately differs (at
-        # sf0.1 it picks (4, 2) — (2, 4) misses true pairs there,
-        # which is exactly the behavior the sweep exists to surface).
-        # At the gated scale the ORACLE also pins the (2, 4) pairs,
-        # so a silent drift cannot hash green either way.
+    if sweep[0]["n_true_total"] == 25 and (b, r) != (2, 4):
+        # the drift guard is scoped to the gated fixture (25 planted
+        # true pairs — already in the collected report, no extra
+        # count job): on other corpora the chooser's pick
+        # legitimately differs (at sf0.1 it picks (4, 2) — (2, 4)
+        # misses true pairs there, which is exactly the behavior the
+        # sweep exists to surface). At the gated scale the ORACLE
+        # also pins the (2, 4) pairs, so a silent drift cannot hash
+        # green either way.
         raise RuntimeError(
             f"banding fixture drifted: chooser picked ({b}, {r}), "
             "expected (2, 4) — max detection at minimum candidate volume"
         )
-    bands = _bands_config_df(
-        minhash_signatures_df(catalog.load_table(spark, sf_dir, "documents")),
-        b,
-        r,
-    )
+    bands = _bands_config_df(minhash_signatures_df(docs), b, r)
     return (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(

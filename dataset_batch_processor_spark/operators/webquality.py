@@ -120,6 +120,16 @@ top AS (
   ) WHERE rn = 1
 )"""
 
+#: the pass predicate over the chain's ``base b`` / ``top t`` aliases,
+#: exported like GOPHER_CHAIN_DUCK so composing oracles (keep-best,
+#: token-budget fill) share the EXACT SQL text rather than a copy
+#: that could drift from a threshold change.
+GOPHER_PASS_PRED_DUCK = f"""(b.n_words >= {MIN_WORDS}
+        AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
+        AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
+        AND b.stopword_hits >= {MIN_STOPWORD_HITS}
+        AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM})"""
+
 GOPHER_DUCK = f"""
 WITH {GOPHER_CHAIN_DUCK}
 SELECT b.doc_id,
@@ -128,11 +138,7 @@ SELECT b.doc_id,
        b.stopword_hits,
        t.top_word,
        CAST(t.top_count * 1000000 // b.n_words AS BIGINT) AS top_word_ppm,
-       (b.n_words >= {MIN_WORDS}
-        AND b.word_chars * 1000 // b.n_words >= {MEAN_LEN_LO_X1000}
-        AND b.word_chars * 1000 // b.n_words <= {MEAN_LEN_HI_X1000}
-        AND b.stopword_hits >= {MIN_STOPWORD_HITS}
-        AND t.top_count * 1000000 // b.n_words <= {TOP_WORD_MAX_PPM})
+       {GOPHER_PASS_PRED_DUCK}
          AS passes_gopher
 FROM base b JOIN top t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id

@@ -622,10 +622,13 @@ def test_crossdoc_line_dedup_no_cartesian_and_digest_shuffle(spark, sf_dir):
 
 def test_banding_sweep_single_signature_build(spark, sf_dir):
     """All four configs must probe ONE persisted signature table: the
-    plan shows InMemoryTableScan reuse, not four shingle rebuilds."""
+    BUILD plan shows InMemoryTableScan reuse, not four shingle
+    rebuilds. (The registered query wraps this build in
+    materialize_once, whose returned DataFrame is a parquet re-scan —
+    so the pin targets the builder.)"""
     from dataset_batch_processor_spark.operators import dedup
 
-    df = dedup._q_banding_sweep(spark, sf_dir)
+    df = dedup._build_banding_sweep(spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     assert "CartesianProduct" not in plan
