@@ -764,11 +764,15 @@ ORDER BY doc_id
 # for a new corpus (the ANN family's emb_ann_recall_report, applied
 # to MinHash-LSH). One signature build is shared across all configs;
 # each config adds only its own band self-join. Ground truth is the
-# exact all-pairs shingle Jaccard at tau = 1/2, compared in INTEGER
-# form (2*inter >= union) so the truth set involves no float compare;
-# at corpus scale you estimate truth from a sampled pair panel
-# instead — the sweep's per-config cost (bucket self-joins) is the
-# part that scales, and it is the same banded shape as production.
+# exact shingle Jaccard at tau = 1/2 over a deterministic TRUTH PANEL
+# (truth_panel_mod: all docs at the gated fixture, ~500 panel docs on
+# bigger corpora — the all-pairs truth is quadratic in panel size, so
+# the panel IS the production posture, not just a docstring), compared
+# in INTEGER form (2*inter >= union) so the truth set involves no
+# float compare. Precision/recall are panel metrics; n_candidates
+# stays the full-corpus volume (the chooser's cost signal), and the
+# per-config bucket self-joins — the part that scales — keep the same
+# banded shape as production.
 # est_threshold is the S-curve 50%-capture point (1/b)^(1/r); every
 # r here is a power of two, so it evaluates as iterated sqrt —
 # correctly-rounded IEEE in both engines (determinism rules: sqrt is
@@ -798,14 +802,33 @@ def _bands_config_df(sigs: DataFrame, n_bands: int, rows: int) -> DataFrame:
     )
 
 
-def jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs shingle-Jaccard >= 1/2 ground truth,
-    materialized once per (session, dataset). Integer comparison
-    only: 2*n_inter >= n_union."""
+TRUTH_PANEL_DOCS = 500  # target ground-truth panel size
+
+
+def truth_panel_mod(n_docs: int) -> int:
+    """Deterministic panel stride: docs with doc_id % mod == 0 form
+    the ground-truth panel. Degenerates to the FULL corpus at the
+    gated fixture size (mod 1), so the sf0.01 oracle needs no panel
+    term; on bigger corpora the exact all-pairs truth — quadratic in
+    panel size — runs on ~TRUTH_PANEL_DOCS docs, which is precisely
+    the 'estimate truth from a sampled pair panel' production posture
+    the sweep documents. Measured: the sf0.1 sweep dropped from ~39 s
+    (full 5000-doc all-pairs) to the panel cost."""
+    return max(1, n_docs // TRUTH_PANEL_DOCS)
+
+
+def jaccard_truth(
+    spark: SparkSession, sf_dir: str, panel_mod: int = 1
+) -> DataFrame:
+    """Exact shingle-Jaccard >= 1/2 ground truth over the panel docs
+    (``doc_id % panel_mod == 0``), materialized once per (session,
+    dataset). Integer comparison only: 2*n_inter >= n_union."""
     from ..matcache import materialize_once
 
     def build() -> DataFrame:
         docs = catalog.load_table(spark, sf_dir, "documents")
+        if panel_mod > 1:
+            docs = docs.filter(F.col("doc_id") % panel_mod == 0)
         sh = shingle_sets(docs).select("doc_id", "shingle")
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         inter = (
@@ -863,10 +886,11 @@ def _build_banding_sweep(
     spark: SparkSession, sf_dir: str, _sigs_out: list | None = None
 ) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
+    mod = truth_panel_mod(docs.count())
     sigs = minhash_signatures_df(docs).persist()
     if _sigs_out is not None:
         _sigs_out.append(sigs)
-    truth = jaccard_truth(spark, sf_dir)
+    truth = jaccard_truth(spark, sf_dir, panel_mod=mod)
     truth_flag = truth.withColumn("_true", F.lit(1))
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
     rows = []
@@ -887,19 +911,36 @@ def _build_banding_sweep(
             .select("doc_a", "doc_b")
             .distinct()
         )
+        # precision/recall are measured on the truth panel (both
+        # endpoints panel members); n_candidates stays the FULL
+        # candidate volume — it is the cost signal the chooser
+        # trades off. At the gated fixture mod == 1, so every column
+        # reduces to the full-corpus value and the oracle needs no
+        # panel term.
+        in_panel = (
+            (F.col("doc_a") % mod == 0) & (F.col("doc_b") % mod == 0)
+            if mod > 1
+            else F.lit(True)
+        )
         rows.append(
-            cand.join(F.broadcast(truth_flag), ["doc_a", "doc_b"], "left").agg(
+            cand.join(F.broadcast(truth_flag), ["doc_a", "doc_b"], "left")
+            .select(
+                in_panel.cast("int").alias("_panel"),
+                F.coalesce(F.col("_true"), F.lit(0)).alias("_true"),
+            )
+            .agg(
                 F.lit(b).cast("int").alias("n_bands"),
                 F.lit(r).cast("int").alias("band_rows"),
                 F.lit(_est_threshold(b, r)).alias("est_threshold"),
                 F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                # coalesce AFTER the sum too: an empty candidate set
+                # coalesce AFTER the sums too: an empty candidate set
                 # makes sum() NULL on Spark while the oracle's scalar
                 # count emits 0 — a latent hash mismatch on corpora
                 # where a config yields zero candidates
-                F.coalesce(
-                    F.sum(F.coalesce(F.col("_true"), F.lit(0))), F.lit(0)
-                )
+                F.coalesce(F.sum("_panel"), F.lit(0))
+                .cast("long")
+                .alias("_n_panel_cand"),
+                F.coalesce(F.sum(F.col("_panel") * F.col("_true")), F.lit(0))
                 .cast("long")
                 .alias("n_detected"),
             )
@@ -914,9 +955,9 @@ def _build_banding_sweep(
         "n_candidates",
         "n_true_total",
         "n_detected",
-        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        F.when(F.col("_n_panel_cand") == 0, F.lit(0.0))
         .otherwise(
-            F.col("n_detected").cast("double") / F.col("n_candidates")
+            F.col("n_detected").cast("double") / F.col("_n_panel_cand")
         )
         .alias("precision"),
         F.when(F.col("n_true_total") == 0, F.lit(0.0))
