@@ -625,7 +625,7 @@ ORACLES = {
 # oracle reuses the gopher CTE chain verbatim and a plain window
 # cumsum (fixture-sized), cutting at the same integer budget.
 
-TOKEN_BUDGET = 8_000
+FILL_TOKEN_BUDGET = 8_000
 
 
 def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,7 +656,7 @@ def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = exclusive_prefix_sum(
         base, ["tier", "shuf", "doc_id"], "n_words", "toks_before"
     )
-    taken = ps.withColumn("taken", F.col("toks_before") < TOKEN_BUDGET)
+    taken = ps.withColumn("taken", F.col("toks_before") < FILL_TOKEN_BUDGET)
     return (
         taken.groupBy("source")
         .agg(
@@ -698,9 +698,9 @@ ps AS (
 )
 SELECT source,
        CAST(count(*) AS INT) AS n_docs,
-       CAST(sum(CASE WHEN toks_before < {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN toks_before < {FILL_TOKEN_BUDGET} THEN 1 ELSE 0 END)
             AS INT) AS n_taken,
-       CAST(sum(CASE WHEN toks_before < {TOKEN_BUDGET} THEN n_words
+       CAST(sum(CASE WHEN toks_before < {FILL_TOKEN_BUDGET} THEN n_words
                      ELSE 0 END) AS BIGINT) AS tokens_taken
 FROM ps
 GROUP BY source
