@@ -185,6 +185,13 @@ def lsh_pairs_df(docs: DataFrame,
             sizes.filter(F.col("_bsz") <= max_bucket_size),
             ["band", "bucket"],
         ).drop("_bsz")
+    return _bucket_pairs(bands)
+
+
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket — the
+    candidate join every banded family (K-perm LSH, OPH LSH, the
+    sweep's per-config bandings) bottoms out in."""
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
@@ -203,6 +210,70 @@ def lsh_pairs_df(docs: DataFrame,
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+# ------------------------------------------- one-permutation hashing
+# OPH (Li, Owen, Zhang, NIPS 2012) with rotation densification
+# (Shrivastava & Li, ICML 2014). The K-perm build above pays K affine
+# maps + K running-min updates per shingle; OPH pays ONE modulo + ONE
+# min update — per-shingle CPU drops from O(K) to O(1). At the gated
+# K=8 both are cheap, but at production signature widths (K=64-128,
+# what a 100 TB near-dup pass actually runs) the K-perm build is
+# hash-bound while OPH stays scan-bound: the map-side cost of the one
+# shuffle falls ~K×, and the shuffle itself is identical. Bin j takes
+# the min of h DIV K over shingles with h % K == j (the DIV keeps the
+# entropy the modulo consumed); an empty bin borrows the next
+# non-empty bin to the right (cyclic, +OPH_C per hop so borrowed
+# values can never collide with native ones, h < 2^28 so
+# h DIV 8 < 2^25 = OPH_C). Densification is a coalesce ladder over
+# the K wide columns — pure whole-stage codegen, no extra shuffle,
+# and min is multiplicity-invariant so the shingle-set distinct is
+# skipped exactly as in minhash_signatures_df.
+
+OPH_K = NUM_HASHES
+OPH_C = 1 << 25
+
+
+def oph_signatures_df(docs: DataFrame) -> DataFrame:
+    """K-wide OPH signature per doc: (doc_id, oph_0 .. oph_{K-1}).
+    One groupBy(doc_id) shuffle with map-side partial mins — same
+    shuffle shape as minhash_signatures_df, O(1) per-shingle CPU."""
+    sh = shingle_sets(docs, distinct=False).select(
+        "doc_id",
+        (F.col("h") % OPH_K).alias("bin"),
+        F.expr(f"h DIV {OPH_K}").alias("val"),
+    )
+    binmins = sh.groupBy("doc_id").agg(*[
+        F.min(F.when(F.col("bin") == j, F.col("val"))).alias(f"b_{j}")
+        for j in range(OPH_K)
+    ])
+    sig_cols = [
+        F.coalesce(*[
+            F.col(f"b_{(j + t) % OPH_K}") + F.lit(t * OPH_C)
+            for t in range(OPH_K)
+        ]).alias(f"oph_{j}")
+        for j in range(OPH_K)
+    ]
+    return binmins.select("doc_id", *sig_cols)
+
+
+def oph_lsh_pairs_df(docs: DataFrame) -> DataFrame:
+    """Candidate pairs from banding the OPH signatures — identical
+    banding/bucket format and pair join as the K-perm path, so the
+    only variable is the signature construction."""
+    sigs = oph_signatures_df(docs).select(
+        "doc_id",
+        *[F.col(f"oph_{k}").alias(f"mh_{k}") for k in range(OPH_K)],
+    )
+    return _bucket_pairs(_bands_config_df(sigs, N_BANDS, BAND_ROWS))
+
+
+def _q_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oph_signatures_df(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oph_lsh_pairs_df(catalog.load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------ shared pair-graph index
@@ -371,6 +442,55 @@ LSH_PAIRS_DUCK = f"""WITH {_SHINGLES_DUCK},
 {_BANDS_DUCK}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_OPH_BIN_COLS = ",\n         ".join(
+    f"min(CASE WHEN h % {OPH_K} = {j} THEN h // {OPH_K} END) AS b_{j}"
+    for j in range(OPH_K)
+)
+
+_OPH_SIG_COLS = ",\n       ".join(
+    "coalesce({terms}) AS oph_{j}".format(
+        terms=", ".join(
+            f"b_{(j + t) % OPH_K} + {t * OPH_C}" for t in range(OPH_K)
+        ),
+        j=j,
+    )
+    for j in range(OPH_K)
+)
+
+_OPH_SIGS_DUCK = f"""ophbins AS (
+  SELECT doc_id,
+         {_OPH_BIN_COLS}
+  FROM hashed GROUP BY doc_id
+),
+ophsigs AS (
+  SELECT doc_id,
+       {_OPH_SIG_COLS}
+  FROM ophbins
+)"""
+
+OPH_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_OPH_SIGS_DUCK}
+SELECT * FROM ophsigs"""
+
+_OPH_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, CAST({band} AS INT) AS band, "
+    "md5(concat({band}, ',', oph_{r0}, ',', oph_{r1})) AS bucket"
+    " FROM ophsigs".format(
+        band=band, r0=band * BAND_ROWS, r1=band * BAND_ROWS + 1
+    )
+    for band in range(N_BANDS)
+)
+
+OPH_PAIRS_DUCK = f"""WITH {_SHINGLES_DUCK},
+{_OPH_SIGS_DUCK},
+ophbands AS (
+{_OPH_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ophbands a JOIN ophbands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
@@ -1313,6 +1433,8 @@ QUERIES = {
     "minhash_banding_sweep": _q_banding_sweep,
     "docs_index_dedup_newbatch": _q_index_dedup_newbatch,
     "minhash_chosen_banding_pairs": _q_chosen_banding_pairs,
+    "minhash_oph_signatures": _q_oph_signatures,
+    "minhash_oph_pairs": _q_oph_pairs,
 }
 
 ORACLES = {
@@ -1328,4 +1450,6 @@ ORACLES = {
     "minhash_banding_sweep": _sweep_duck(),
     "docs_index_dedup_newbatch": INDEX_DEDUP_DUCK,
     "minhash_chosen_banding_pairs": _chosen_banding_duck(),
+    "minhash_oph_signatures": OPH_DUCK,
+    "minhash_oph_pairs": OPH_PAIRS_DUCK,
 }
