@@ -45,6 +45,7 @@ from dataset_batch_processor_spark.operators import (
     coreset,
     linkage,
     lmobjectives,
+    perceptron,
     curation,
     dedup as dedup_ops,
     merge as merge_ops,
@@ -488,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(bpe.QUERIES)
     q.update(lmobjectives.QUERIES)
     q.update(coreset.QUERIES)
+    q.update(perceptron.QUERIES)
     return _prioritize(q)
 
 
@@ -597,4 +599,5 @@ FROM images_meta GROUP BY 1
     o.update(bpe.ORACLES)
     o.update(lmobjectives.ORACLES)
     o.update(coreset.ORACLES)
+    o.update(perceptron.ORACLES)
     return _prioritize(o)

@@ -1,0 +1,315 @@
+"""Distributed pocket-perceptron distillation of the Gopher gate.
+
+The *trained-selector* story for the curation surface: train a linear
+classifier to imitate a rule gate, then run the linear scorer at
+scale — the CCNet/fasttext production pattern (an expensive or
+composite gate labels a corpus slice; a cheap linear model distills
+it and generalizes the decision). The reference has no trained models
+at all (its only scoring is fixed formulas,
+/root/reference/modules/filter_crop.py); this extends the engine the
+way the trained-IVF family extends ANN: the TRAINING LOOP itself is
+the operator, and the whole weight trajectory sits under the hash
+gate.
+
+Teacher label: ``passes_gopher`` (webquality.gopher_quality — an AND
+of five thresholds, so a linear student can approach but not reach
+it; ~0.9 held-out accuracy at the fixture scale is the honest linear
+ceiling). Student features: the gate's own signal family as five
+int64 features on comparable ~1e3-3e4 scales (bias, words×10, mean
+word length ×1000, stopword ppm/10, top-word ppm/10) — integer
+fixed-point throughout, so training is exact and replayable.
+
+Optimizer: batch perceptron with a harmonically-decayed averaged
+step and POCKET selection (Gallant 1990):
+
+    err_e   = |{train docs: y·⟨w_e, x⟩ <= 0}|
+    Δ_d     = Σ_mis y·x_d                    (misclassified sum)
+    w_{e+1} = w_e + (1024·Δ) DIV (err_e · (e+1))
+    pocket  = argmin_e err_e  (tie → earliest epoch)
+
+Plain batch perceptron (LR 1) oscillates between the all-positive
+and all-negative halves on this data; dividing the summed update by
+the misclassified count makes the step one average example vector,
+and the 1/e decay anneals it — both stay in exact integer arithmetic
+because the division is trunc-toward-zero (Spark ``DIV`` == DuckDB
+``//``; the Python driver mirrors it with a trunc-div helper, NOT
+``//`` which floors). The pocket keeps the best weights ever seen,
+so the gated result is monotone in training quality rather than
+whatever the last step landed on.
+
+Scale: the feature table is five ints per doc, built once per
+session (persisted) from one pass of the gopher stats; each epoch is
+ONE whole-stage-codegen scan of it (margin is a literal expression
+over the five columns — weights are driver ints, no join, no
+shuffle) aggregating 5 sums + a count; driver traffic is 6 ints per
+epoch. E epochs = E+1 tiny map-side-combined passes. Nothing grows
+with vocabulary or corpus skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .curation import TRAIN_PCT
+from .webquality import gopher_quality
+
+P_EPOCHS = 12
+P_DIMS = 5          # bias, n_words*10, mean_len_x1000, stop ppm/10, top ppm/10
+STEP_SCALE = 1024   # fixed-point step numerator
+
+
+def trunc_div(a: int, b: int) -> int:
+    """Trunc-toward-zero integer division — matches Spark ``DIV`` and
+    DuckDB ``//``; Python's ``//`` floors and disagrees on negatives."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def features_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, is_train, f0..f4) — the teacher label and the five
+    student features, all int64."""
+    gq = gopher_quality(docs)
+    return gq.select(
+        "doc_id",
+        F.when(F.col("passes_gopher"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            )
+            % 100
+            < TRAIN_PCT
+        ).alias("is_train"),
+        F.lit(1000).cast("long").alias("f0"),
+        (F.col("n_words").cast("long") * 10).alias("f1"),
+        F.col("mean_len_x1000").cast("long").alias("f2"),
+        F.expr(
+            "stopword_hits * 100000 DIV greatest(n_words, 1)"
+        ).cast("long").alias("f3"),
+        F.expr("top_word_ppm DIV 10").cast("long").alias("f4"),
+    )
+
+
+_TRAIN_CACHE: dict = {}
+
+
+def _margin_col(w: list[int]):
+    m = F.lit(0).cast("long")
+    for d, wd in enumerate(w):
+        m = m + F.col(f"f{d}") * F.lit(wd)
+    return m
+
+
+def train_trajectory(spark: SparkSession, sf_dir: str):
+    """Run P_EPOCHS epochs. Returns (features df, trajectory) where
+    trajectory[e] = (weights list after epoch e+1, train errors OF
+    those weights). Session-cached per application (the
+    similarity._trained_index pattern) so train and eval share one
+    pass."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRAIN_CACHE:
+        for k in [k for k in _TRAIN_CACHE if k[0] != key[0]]:
+            del _TRAIN_CACHE[k]
+        feats = features_df(
+            catalog.load_table(spark, sf_dir, "documents")
+        ).persist()
+        train = feats.filter("is_train")
+
+        def epoch_stats(w: list[int]):
+            """One pass: misclassified count + per-dim y·x sums."""
+            mis = train.filter(
+                F.col("y") * _margin_col(w) <= 0
+            )
+            row = mis.agg(
+                F.count(F.lit(1)).alias("nerr"),
+                *[
+                    F.coalesce(
+                        F.sum(F.col("y") * F.col(f"f{d}")), F.lit(0)
+                    ).alias(f"d{d}")
+                    for d in range(P_DIMS)
+                ],
+            ).collect()[0]
+            return int(row["nerr"]), [int(row[f"d{d}"]) for d in range(P_DIMS)]
+
+        w = [0] * P_DIMS
+        traj: list[tuple[list[int], int]] = []
+        nerr, delta = epoch_stats(w)  # errors of w_0
+        for e in range(1, P_EPOCHS + 1):
+            if nerr > 0:
+                w = [
+                    wd + trunc_div(STEP_SCALE * dd, nerr * e)
+                    for wd, dd in zip(w, delta)
+                ]
+            nerr, delta = epoch_stats(w)  # errors of w_e (feeds e+1)
+            traj.append((list(w), nerr))
+        _TRAIN_CACHE[key] = (feats, traj)
+    return _TRAIN_CACHE[key]
+
+
+def pocket_epoch(traj) -> int:
+    """1-based epoch of the pocket weights: fewest train errors,
+    earliest epoch on ties."""
+    best = min(range(len(traj)), key=lambda i: (traj[i][1], i))
+    return best + 1
+
+
+def _q_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training run under the hash gate: one row per epoch,
+    (epoch, w0..w4, n_train_errors) — weights AFTER the epoch's step
+    and the train-error count OF those weights."""
+    _, traj = train_trajectory(spark, sf_dir)
+    rows = [
+        (e + 1, *w, nerr) for e, (w, nerr) in enumerate(traj)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "epoch int, w0 long, w1 long, w2 long, w3 long, w4 long,"
+        " n_train_errors long",
+    )
+
+
+def _q_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the POCKET weights on both splits:
+    (split, label, pred, n_docs). pred is sign(margin) with the
+    zero-margin tie predicting -1 (matching the training convention
+    that margin 0 is not a positive decision)."""
+    feats, traj = train_trajectory(spark, sf_dir)
+    w = traj[pocket_epoch(traj) - 1][0]
+    return (
+        feats.select(
+            F.when(F.col("is_train"), F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+            F.col("y").alias("label"),
+            F.when(_margin_col(w) > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("pred"),
+        )
+        .groupBy("split", "label", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------------------------------------ oracle
+# Op-for-op replay: the gopher chain verbatim (webquality exports the
+# CTE text precisely so composing oracles can't drift), then one
+# (delta, weights) CTE pair per epoch — the unrolled-Lloyd pattern.
+# Weights ride as ONE-ROW wide CTEs (w0..w4), margins are literal
+# dot-product expressions, every sum is CAST BIGINT, and the step
+# division is DuckDB `//` which truncates toward zero exactly like
+# Spark DIV / trunc_div above.
+
+from .webquality import GOPHER_CHAIN_DUCK, GOPHER_PASS_PRED_DUCK  # noqa: E402
+
+_FEATS_DUCK = f"""{GOPHER_CHAIN_DUCK},
+tf0 AS (
+  SELECT b.doc_id,
+         CAST(CASE WHEN {GOPHER_PASS_PRED_DUCK} THEN 1 ELSE -1 END
+              AS BIGINT) AS y,
+         CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 < {TRAIN_PCT} AS is_train,
+         CAST(1000 AS BIGINT) AS f0,
+         CAST(b.n_words * 10 AS BIGINT) AS f1,
+         CAST(b.word_chars * 1000 // b.n_words AS BIGINT) AS f2,
+         CAST(b.stopword_hits * 100000 // greatest(b.n_words, 1)
+              AS BIGINT) AS f3,
+         CAST((t.top_count * 1000000 // b.n_words) // 10 AS BIGINT) AS f4
+  FROM base b JOIN top t ON b.doc_id = t.doc_id
+),
+feats AS MATERIALIZED (SELECT * FROM tf0),
+tf AS MATERIALIZED (SELECT * FROM feats WHERE is_train),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+              CAST(0 AS BIGINT) AS w4)"""
+
+_DOT = " + ".join(f"f.f{d} * w.w{d}" for d in range(P_DIMS))
+
+
+def _epoch_ctes(e: int) -> str:
+    """d{e}: errors + misclassified sums OF w{e-1}; w{e}: the stepped
+    weights (epoch e's harmonic denominator is err(w{e-1}) * e)."""
+    prev = f"w{e - 1}"
+    dsums = ",\n         ".join(
+        f"CAST(coalesce(sum(f.y * f.f{d}), 0) AS BIGINT) AS d{d}"
+        for d in range(P_DIMS)
+    )
+    steps = ",\n         ".join(
+        f"CAST(w.w{d} + CASE WHEN d.nerr = 0 THEN 0 ELSE"
+        f" ({STEP_SCALE} * d.d{d}) // (d.nerr * {e}) END AS BIGINT)"
+        f" AS w{d}"
+        for d in range(P_DIMS)
+    )
+    return f"""d{e} AS (
+  SELECT CAST(count(*) AS BIGINT) AS nerr,
+         {dsums}
+  FROM tf f, {prev} w
+  WHERE f.y * ({_DOT}) <= 0
+),
+w{e} AS MATERIALIZED (
+  SELECT {steps}
+  FROM {prev} w, d{e} d
+)"""
+
+
+def _train_duck() -> str:
+    # d{E+1} exists only to measure err(w_E) for the last trajectory
+    # row; it steps no weights.
+    ctes = [_FEATS_DUCK] + [
+        _epoch_ctes(e) for e in range(1, P_EPOCHS + 2)
+    ]
+    # drop the unused w{E+1} CTE tail? harmless; keep the generator
+    # simple — DuckDB never evaluates an unreferenced CTE unless
+    # MATERIALIZED... w{E+1} IS materialized; cheap (one row).
+    traj = "\nUNION ALL\n".join(
+        f"SELECT CAST({e} AS INT) AS epoch, w.w0, w.w1, w.w2, w.w3, w.w4,"
+        f" d.nerr AS n_train_errors FROM w{e} w, d{e + 1} d"
+        for e in range(1, P_EPOCHS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + traj
+
+
+def _eval_duck() -> str:
+    ctes = [_FEATS_DUCK] + [
+        _epoch_ctes(e) for e in range(1, P_EPOCHS + 2)
+    ]
+    errs = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, (SELECT nerr FROM d{e + 1}) AS err"
+        for e in range(1, P_EPOCHS + 1)
+    )
+    allw = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, * FROM w{e}"
+        for e in range(1, P_EPOCHS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+errs AS ({errs}),
+best AS (SELECT epoch FROM errs ORDER BY err, epoch LIMIT 1),
+allw AS ({allw}),
+bw AS (SELECT w.* FROM allw w JOIN best b ON w.epoch = b.epoch)
+SELECT CASE WHEN f.is_train THEN 'train' ELSE 'val' END AS split,
+       f.y AS label,
+       CAST(CASE WHEN ({_DOT}) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       count(*) AS n_docs
+FROM feats f, bw w
+GROUP BY 1, 2, 3
+"""
+    )
+
+
+QUERIES = {
+    "docs_classifier_train": _q_train,
+    "docs_classifier_eval": _q_eval,
+}
+
+ORACLES = {
+    "docs_classifier_train": _train_duck(),
+    "docs_classifier_eval": _eval_duck(),
+}
