@@ -482,13 +482,234 @@ GROUP BY w.doc_id
     )
 
 
+# --------------------------------------------------- unigram LM (Kudo)
+# SentencePiece-style unigram tokenization (Kudo 2018): segment each
+# word into the vocabulary pieces maximizing the total piece score —
+# Viterbi DP over character positions. Completes the tokenizer triad
+# (BPE ranked merges, WordPiece greedy longest-match, unigram global
+# argmax); the three genuinely differ ("linedup" greedy-matches
+# differently than its Viterbi argmax).
+#
+# Scores are integer milli-logprobs (score_x1000 < 0) so the DP, the
+# tie-breaks, and the gated totals are exact integer arithmetic. Tie
+# rule, pinned on both engines: maximize score; equal-score paths
+# prefer the SMALLER split point j (= the longer final piece). The
+# planted suffix exercises the interesting cases: multi-piece words
+# ("valuetable" -> value table), an exact internal tie ("linedup":
+# li+ne and line both reach -4800 at position 4 — the j-ASC rule
+# keeps "line"), and a DP dead-end ("zq9": '9' has no piece -> the
+# whole word is [UNK] at UNI_UNK_SCORE).
+#
+# Scale shape (the real trick): tokenize the DISTINCT words, not the
+# corpus — word-level memoization. The corpus-sized pass is a narrow
+# (doc_id, wi, word) explode joined back to the per-word DP results;
+# the DP itself runs on the word vocabulary (thousands at 100 TB,
+# ~35 here), and piece scoring of the token stream is a literal
+# map_from-arrays lookup in whole-stage codegen. The DuckDB oracle
+# replays the DP as an unrolled position-indexed CTE chain over the
+# same distinct-word table, with an error() guard if a word ever
+# outgrows the unroll depth.
+
+_UNI_LETTERS = tuple((c, -4000) for c in _ALPHA)
+UNIGRAM_VOCAB: tuple[tuple[str, int], ...] = _UNI_LETTERS + (
+    ("table", -5500), ("value", -5600), ("stream", -6100),
+    ("window", -6200), ("order", -5300), ("batch", -5400),
+    ("filter", -6300), ("column", -6400), ("vector", -6500),
+    ("merge", -5500), ("small", -5600), ("query", -5800),
+    ("group", -5700), ("spark", -5900), ("scan", -4900),
+    ("sort", -4800), ("hash", -4700), ("join", -4600),
+    ("line", -4800), ("data", -4900), ("fast", -5000),
+    ("slow", -4700), ("part", -4900), ("key", -3900),
+    ("row", -3500), ("agg", -3600), ("big", -3400), ("the", -3200),
+    ("cust", -5200), ("omer", -5000),
+    ("li", -2500), ("ne", -2300),
+    ("val", -2900), ("ue", -2800),
+)
+UNIGRAM_UNROLL = 10          # >= longest word incl. planted
+UNI_UNK_SCORE = -100_000     # per unsegmentable word
+_UNI_PLANTED = " valuetable streamsort zq9 linedup"
+_UNI_SCORES = dict(UNIGRAM_VOCAB)
+_UNI_MAX_PLEN = max(len(p) for p, _ in UNIGRAM_VOCAB)
+
+
+def unigram_word(word: str) -> list[str] | None:
+    """Single-word Viterbi argmax; None = no segmentation ([UNK])."""
+    n = len(word)
+    # best[i] = (score, toks) for the prefix word[:i]
+    best: list[tuple[int, list[str]] | None] = [None] * (n + 1)
+    best[0] = (0, [])
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - _UNI_MAX_PLEN), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            sc = _UNI_SCORES.get(piece)
+            if sc is None:
+                continue
+            total = best[j][0] + sc
+            # maximize score; tie -> smaller j (j loop ascends, so
+            # only replace on a STRICTLY better score)
+            if cand is None or total > cand[0]:
+                cand = (total, best[j][1] + [piece])
+        best[i] = cand
+    return None if best[n] is None else best[n][1]
+
+
+def _q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def uni_word(words: pd.Series) -> pd.Series:
+        def run(w: str) -> str:
+            toks = unigram_word(w)
+            return "[UNK]" if toks is None else " ".join(toks)
+
+        return words.map(run)
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.concat("text", F.lit(_UNI_PLANTED)).alias("raw")
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode(F.split("raw", " ")).alias("wi", "word"),
+    ).filter(F.length("word") > 0)
+    # word-level memoization: DP once per distinct word, broadcast
+    # back (token vocabulary << corpus at any scale)
+    wtoks = (
+        words.select("word").distinct()
+        .withColumn("wtoks", uni_word(F.col("word")))
+    )
+    score_map = F.create_map(
+        *[F.lit(x) for pc, sc in UNIGRAM_VOCAB for x in (pc, sc)]
+    )
+    scored = wtoks.select(
+        "word", "wtoks",
+        F.size(F.split("wtoks", " ")).cast("int").alias("wnt"),
+        (F.col("wtoks") == "[UNK]").cast("int").alias("wunk"),
+        F.when(F.col("wtoks") == "[UNK]", F.lit(UNI_UNK_SCORE))
+        .otherwise(
+            F.aggregate(
+                F.transform(
+                    F.split("wtoks", " "),
+                    lambda t: F.element_at(score_map, t),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .cast("long")
+        .alias("wscore"),
+    )
+    joined = words.join(F.broadcast(scored), "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("wnt").cast("int").alias("n_tokens"),
+        F.sum("wunk").cast("int").alias("n_unk_words"),
+        F.sum("wscore").cast("long").alias("score_x1000"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("wi", "wtoks"))
+                    ),
+                    lambda s: s["wtoks"],
+                ),
+                " ",
+            )
+        ).alias("tokens_md5"),
+    )
+
+
+def _unigram_duck(n: int = UNIGRAM_UNROLL) -> str:
+    vocab_rows = ",\n    ".join(
+        f"('{p}', {len(p)}, {s})" for p, s in UNIGRAM_VOCAB
+    )
+    parts = [
+        f"""
+vocab(piece, plen, score) AS (
+  VALUES
+    {vocab_rows}
+),
+words AS MATERIALIZED (
+  SELECT d.doc_id, u.wi, string_split(d.raw, ' ')[u.wi] AS word
+  FROM (SELECT doc_id, text || '{_UNI_PLANTED}' AS raw FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(
+                  1, len(string_split(d.raw, ' ')))) AS wi) u
+  WHERE length(string_split(d.raw, ' ')[u.wi]) > 0
+),
+uw AS MATERIALIZED (SELECT DISTINCT word FROM words),
+chk AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM uw WHERE len(word) > {n})
+              THEN error('unigram unroll too shallow')
+              ELSE 0 END AS ok
+),
+bacc0 AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS toks
+  FROM uw
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT b.word, b.score + v.score AS score,
+         CASE WHEN b.toks = '' THEN v.piece
+              ELSE b.toks || ' ' || v.piece END AS toks,
+         row_number() OVER (PARTITION BY b.word
+                            ORDER BY b.score + v.score DESC,
+                                     b.pos ASC) AS rn
+  FROM bacc{i - 1} b JOIN vocab v
+    ON b.pos = {i} - v.plen
+   AND len(b.word) >= {i}
+   AND substr(b.word, b.pos + 1, v.plen) = v.piece
+),
+bacc{i} AS MATERIALIZED (
+  SELECT * FROM bacc{i - 1}
+  UNION ALL
+  SELECT word, {i} AS pos, score, toks FROM c{i} WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+word_out AS MATERIALIZED (
+  SELECT u.word,
+         coalesce(b.toks, '[UNK]') AS wtoks,
+         CASE WHEN b.toks IS NULL THEN 1
+              ELSE len(string_split(b.toks, ' ')) END AS wnt,
+         CASE WHEN b.toks IS NULL THEN 1 ELSE 0 END AS wunk,
+         CAST(CASE WHEN b.toks IS NULL THEN {UNI_UNK_SCORE}
+                   ELSE b.score END AS BIGINT) AS wscore
+  FROM uw u
+  LEFT JOIN bacc{n} b ON b.word = u.word AND b.pos = len(u.word)
+)
+SELECT w.doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(sum(o.wnt) AS INT) AS n_tokens,
+       CAST(sum(o.wunk) AS INT) AS n_unk_words,
+       CAST(sum(o.wscore) AS BIGINT) AS score_x1000,
+       md5(array_to_string(list(o.wtoks ORDER BY w.wi), ' '))
+           AS tokens_md5
+FROM words w
+JOIN word_out o ON o.word = w.word
+CROSS JOIN chk
+GROUP BY w.doc_id
+"""
+    )
+
+
 QUERIES = {
     "docs_bpe_subword_tokens": _q_subword_tokens,
     "docs_bpe_train_merges": _q_train_merges,
     "docs_wordpiece_tokens": _q_wordpiece_tokens,
+    "docs_unigram_tokens": _q_unigram_tokens,
 }
 ORACLES = {
     "docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES),
     "docs_bpe_train_merges": _train_merges_duck(),
     "docs_wordpiece_tokens": _wordpiece_duck(),
+    "docs_unigram_tokens": _unigram_duck(),
 }
