@@ -87,7 +87,11 @@ def mulaw_compress(samples: np.ndarray) -> np.ndarray:
 
 
 def alaw_expand(codes: np.ndarray) -> np.ndarray:
-    """G.711 A-law byte codes -> int16."""
+    """G.711 A-law byte codes -> int16.
+
+    ITU-T G.711 sign convention (canonical g711.c alaw2linear): after
+    XOR 0x55 the sign bit SET means POSITIVE — e.g.
+    alaw_expand(0xD5) == +8 (round 9 fix; was inverted)."""
     a = codes.astype(np.int64) ^ 0x55
     sign = a & 0x80
     exp = (a >> 4) & 0x07
@@ -95,13 +99,15 @@ def alaw_expand(codes: np.ndarray) -> np.ndarray:
     mag = np.where(
         exp == 0, (mant << 4) | 8, ((mant | 0x10) << 4 | 8) << (exp - 1)
     )
-    return np.where(sign, -mag, mag).astype(np.int16)
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 
 def alaw_compress(samples: np.ndarray) -> np.ndarray:
-    """int16 -> G.711 A-law byte codes (compress(expand(c)) == c)."""
+    """int16 -> G.711 A-law byte codes (compress(expand(c)) == c).
+    Non-negative samples get the sign bit SET pre-XOR, matching
+    g711.c linear2alaw's mask 0xD5 for pcm_val >= 0."""
     x = samples.astype(np.int64)
-    sign = (x < 0).astype(np.int64)
+    sign = (x >= 0).astype(np.int64)
     s = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
     exp = np.zeros_like(s)
     big = s >= 32
@@ -229,6 +235,34 @@ def _std_dht_segments() -> bytes:
     return out
 
 
+def _jpeg_has_dht(data: bytes) -> bool:
+    """True when the stream carries a real DHT segment. Round 9: a
+    proper T.81 marker walk (metascrub._walk_jpeg) — the old raw
+    ``b'\\xff\\xc4' in body`` substring scan could hit the byte pair
+    inside a segment payload (e.g. a DQT entry 0xFF followed by 0xC4)
+    and wrongly skip the Annex-K splice."""
+    from .metascrub import _walk_jpeg
+
+    return any(
+        kind == "seg" and m == 0xC4
+        for kind, _s, _e, m, _hdr in _walk_jpeg(data)
+    )
+
+
+def _jpeg_strip_dht(data: bytes) -> bytes:
+    """Remove real DHT segments only, via the same marker walk (the
+    old byte-wise scan could corrupt a frame by 'stripping' a false
+    FF C4 match inside another segment's payload)."""
+    from .metascrub import _walk_jpeg
+
+    out = bytearray(data[:2])
+    for kind, s, e, m, _hdr in _walk_jpeg(data):
+        if kind == "seg" and m == 0xC4:
+            continue
+        out += data[s:e]
+    return bytes(out)
+
+
 def decode_avi_mjpeg(content: bytes) -> tuple[np.ndarray, int]:
     """MJPEG-in-AVI -> (N x H x W x 3 uint8 frames, fps). Pure RIFF
     walk over the existing baseline-JPEG codec: frames are the
@@ -267,7 +301,7 @@ def decode_avi_mjpeg(content: bytes) -> tuple[np.ndarray, int]:
                     raise NotImplementedError(
                         "AVI: non-JPEG video chunk (MJPEG only)"
                     )
-                if b"\xff\xc4" not in body:
+                if not _jpeg_has_dht(body):
                     body = body[:2] + _std_dht_segments() + body[2:]
                 frames.append(decode_jpeg(body))
             pos += 8 + sz + (sz & 1)
@@ -313,15 +347,7 @@ def encode_avi_mjpeg(
     for f in frames:
         data = encode_jpeg(f, quality=quality)
         if strip_dht:
-            out, pos = bytearray(), 0
-            while pos < len(data):
-                if data[pos : pos + 2] == b"\xff\xc4":
-                    (sl,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-                    pos += 2 + sl
-                    continue
-                out.append(data[pos])
-                pos += 1
-            data = bytes(out)
+            data = _jpeg_strip_dht(data)
         jpegs.append(data)
     avih = struct.pack(
         "<IIIIIIIIIIIIII",

@@ -82,36 +82,68 @@ def inject_app1(jpg: bytes, payload: bytes) -> bytes:
     return jpg[:2] + seg + jpg[2:]
 
 
-def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
-    """Drop every APP1..APP15 and COM segment; keep all else
-    byte-identical. Returns (clean, n_dropped, bytes_removed).
-    APP0/JFIF survives (it is structural, not metadata).
+def _walk_jpeg(jpg: bytes):
+    """Full-stream T.81 marker walk shared by scrub + audit (round 9:
+    extended past SOS — progressive JPEGs carry DHT/SOS/APPn/COM
+    segments BETWEEN scans, and appended-thumbnail/editor junk after
+    EOI is a common real-world PII carrier; the old walk stopped at
+    the first SOS and both were invisible).
 
-    Spec-correct marker walk: 0xFF fill bytes before a marker are
-    legal (T.81 B.1.1.2) and are copied through; TEM/RST0-7 are
-    standalone markers with NO length field. A stream that desyncs
-    raises — callers (scrub_images) quarantine it rather than emit
-    silently truncated bytes."""
-    if jpg[:2] != SOI:
-        raise ValueError("not a JPEG (no SOI)")
-    out = bytearray(SOI)
-    i, dropped, removed = 2, 0, 0
+    Yields ``(kind, start, end, marker, hdr)`` events covering every
+    byte of ``jpg[2:]``:
+
+    * ``'seg'``        — length-bearing segment; ``start`` includes any
+      0xFF fill bytes (T.81 B.1.1.2), ``hdr`` is the marker's own 0xFF
+      so the body is ``jpg[hdr+4:end]``.
+    * ``'standalone'`` — TEM/RSTn outside entropy data (no length).
+    * ``'entropy'``    — an entropy-coded span after an SOS; stuffed
+      0xFF00 bytes and RST0–7 restart markers are interior to it.
+    * ``'eoi'``        — the EOI marker.
+    * ``'trailing'``   — bytes after EOI (thumbnails, editor junk).
+
+    Desyncs raise ``ValueError`` — scrub callers quarantine rather
+    than emit silently truncated bytes. A stream that ends inside
+    entropy data without EOI yields the span and returns (decoders
+    tolerate a missing EOI)."""
     n = len(jpg)
+    i, in_scan = 2, False
     while i < n:
+        if in_scan:
+            s = i
+            while i < n:
+                if jpg[i] != 0xFF:
+                    i += 1
+                    continue
+                if i + 1 >= n:  # lone 0xFF at EOF: entropy remainder
+                    i = n
+                    break
+                nxt = jpg[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing/RSTn
+                    i += 2
+                    continue
+                if nxt == 0xFF:  # fill-byte run before a marker
+                    i += 1
+                    continue
+                break  # a real marker terminates the scan
+            if i > s:
+                yield ("entropy", s, i, None, None)
+            in_scan = False
+            continue
         if jpg[i] != 0xFF:
             raise ValueError("JPEG marker stream desynced")
-        # fill bytes: any run of 0xFF before the marker code
-        j = i
+        j = i  # skip fill bytes: any run of 0xFF before the code
         while j + 1 < n and jpg[j + 1] == 0xFF:
             j += 1
         if j + 1 >= n:
             raise ValueError("JPEG truncated inside a marker")
         m = jpg[j + 1]
-        if m == 0xDA or m == 0xD9:  # SOS: entropy data follows; EOI
-            out += jpg[i:]
-            return bytes(out), dropped, removed
+        if m == 0xD9:  # EOI — then inspect what trails it
+            yield ("eoi", i, j + 2, m, j)
+            if j + 2 < n:
+                yield ("trailing", j + 2, n, None, None)
+            return
         if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / RSTn: standalone
-            out += jpg[i : j + 2]
+            yield ("standalone", i, j + 2, m, j)
             i = j + 2
             continue
         if j + 4 > n:
@@ -119,61 +151,81 @@ def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
         seg_end = j + 2 + struct.unpack(">H", jpg[j + 2 : j + 4])[0]
         if seg_end > n:
             raise ValueError("JPEG segment length exceeds the file")
-        if (0xE1 <= m <= 0xEF) or m == 0xFE:  # APPn (n>=1) / COM
-            dropped += 1
-            removed += seg_end - i  # fill bytes die with their segment
-        else:
-            out += jpg[i:seg_end]
+        yield ("seg", i, seg_end, m, j)
         i = seg_end
-    raise ValueError("JPEG ended without SOS or EOI")
+        if m == 0xDA:  # SOS header done; entropy data follows
+            in_scan = True
+
+
+def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
+    """Drop every APP1..APP15 and COM segment; keep all else
+    byte-identical. Returns (clean, n_dropped, bytes_removed).
+    APP0/JFIF survives (it is structural, not metadata).
+
+    Round 9: the walk continues THROUGH entropy data (stuffed 0xFF00
+    and RSTn are interior), so metadata segments between progressive
+    scans are dropped too, and bytes trailing EOI (appended
+    thumbnails/editor junk — a real-world PII carrier) are truncated
+    and counted. Entropy-coded spans are copied verbatim: zero
+    generation loss, provable by decoded-pixel equality."""
+    if jpg[:2] != SOI:
+        raise ValueError("not a JPEG (no SOI)")
+    out = bytearray(SOI)
+    dropped, removed = 0, 0
+    for kind, s, e, m, _hdr in _walk_jpeg(jpg):
+        if kind == "seg" and ((0xE1 <= m <= 0xEF) or m == 0xFE):
+            dropped += 1  # APPn (n>=1) / COM
+            removed += e - s  # fill bytes die with their segment
+        elif kind == "trailing":
+            dropped += 1
+            removed += e - s
+        else:
+            out += jpg[s:e]
+    return bytes(out), dropped, removed
 
 
 def jpeg_metadata_flags(jpg: bytes) -> dict:
     """Audit: {'has_exif': bool, 'has_gps': bool, 'n_meta_segments':
-    int} — GPS detected by reading tag 34853 out of the embedded
-    TIFF with the shared IFD reader."""
+    int, 'trailing_bytes': int} — GPS detected by reading tag 34853
+    out of the embedded TIFF with the shared IFD reader. Round 9: the
+    same full-stream walk as scrub_jpeg, so between-scan metadata and
+    post-EOI trailing bytes are visible to the audit (previously the
+    scrub-then-audit pair agreed by both stopping at SOS, masking the
+    leak). Tolerant: a desync stops the scan with flags reflecting
+    what was seen."""
     has_exif = has_gps = False
-    n_meta = 0
-    i, n = 2, len(jpg)
-    while i < n:
-        if jpg[i] != 0xFF:
-            break
-        while i + 1 < n and jpg[i + 1] == 0xFF:  # fill bytes
-            i += 1
-        if i + 1 >= n:
-            break
-        m = jpg[i + 1]
-        if m == 0xDA or m == 0xD9:
-            break
-        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
-            i += 2
-            continue
-        if i + 4 > n:
-            break
-        seg_len = 2 + struct.unpack(">H", jpg[i + 2 : i + 4])[0]
-        if (0xE1 <= m <= 0xEF) or m == 0xFE:
-            n_meta += 1
-            body = jpg[i + 4 : i + seg_len]
-            if m == 0xE1 and body[:6] == b"Exif\x00\x00":
-                has_exif = True
-                try:
-                    tbody = body[6:]
-                    bo = tiff_mod._parse_header(tbody)
-                    tags = tiff_mod._read_ifd(tbody, bo)
-                    has_gps = 34853 in tags
-                except Exception:  # noqa: BLE001 — malformed Exif
-                    pass
-        i += seg_len
+    n_meta = trailing = 0
+    try:
+        for kind, s, e, m, hdr in _walk_jpeg(jpg):
+            if kind == "trailing":
+                trailing = e - s
+            elif kind == "seg" and ((0xE1 <= m <= 0xEF) or m == 0xFE):
+                n_meta += 1
+                body = jpg[hdr + 4 : e]
+                if m == 0xE1 and body[:6] == b"Exif\x00\x00":
+                    has_exif = True
+                    try:
+                        tbody = body[6:]
+                        bo = tiff_mod._parse_header(tbody)
+                        tags = tiff_mod._read_ifd(tbody, bo)
+                        has_gps = 34853 in tags
+                    except Exception:  # noqa: BLE001 — malformed Exif
+                        pass
+    except ValueError:
+        pass
     return {"has_exif": has_exif, "has_gps": has_gps,
-            "n_meta_segments": n_meta}
+            "n_meta_segments": n_meta, "trailing_bytes": trailing}
 
 
 def scrub_images(df):
     """DataFrame form: (id, fmt, content) -> scrubbed content plus the
     audit columns. JPEG takes the segment-level scrub; TIFF-family
     takes the transcode scrub (decode + canonical re-encode, which
-    writes only geometry tags); anything else quarantines with a
-    precise reason (F7 convention). Arrow-batched, no shuffle."""
+    writes only geometry tags) — 8-bit TIFF ONLY: the canonical
+    encoder writes 8-bit samples, so a 16-bit input is quarantined
+    with a precise reason rather than silently losing precision in a
+    metadata-only operation (round 9). Anything else quarantines with
+    a precise reason (F7 convention). Arrow-batched, no shuffle."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -201,6 +253,18 @@ def scrub_images(df):
                         bo = tiff._parse_header(raw)
                         tags = tiff._read_ifd(raw, bo)
                         rec["had_gps"] = bool(34853 in tags)
+                        bits = [int(b) for b in tags.get(258, [8])
+                                if isinstance(b, int)]
+                        if any(b != 8 for b in bits):
+                            # decode tone-maps 16-bit to the top byte
+                            # and encode writes 8-bit — a transcode
+                            # scrub would silently lose pixel
+                            # precision in a metadata-only operation
+                            raise NotImplementedError(
+                                f"metadata scrub: {bits}-bit TIFF "
+                                "transcode would lose pixel precision "
+                                "(8-bit only); quarantined"
+                            )
                         clean = tiff.encode_tiff(tiff.decode_tiff(raw))
                         rec["content"] = clean
                         rec["bytes_removed"] = int(len(raw) - len(clean))

@@ -2749,9 +2749,10 @@ def _q_wav_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # closed-form int16 normalization per branch; G.711 expansion spelled
-# out in integer arithmetic (u = 255-c for mu-law, a = xor(c,85) for
-# A-law; segment exponent/mantissa from div/mod; negative when the
-# pre-complement sign bit is set)
+# out in integer arithmetic (u = 255-c for mu-law: negative when the
+# complemented sign bit is set; a = xor(c,85) for A-law: POSITIVE when
+# the post-XOR sign bit is set, per g711.c — segment exponent/mantissa
+# from div/mod)
 WAV_DEPTHS_DUCK = """
 WITH b AS (
   SELECT doc_id, (doc_id // 9) % 6 AS br, doc_id % 50 + 10 AS n
@@ -2783,22 +2784,22 @@ SELECT doc_id,
                    * (1 << (((255 - (doc_id * 5 + i.i * 29) % 256) // 16)
                             % 8)) - 132) END
            ELSE CASE WHEN xor((doc_id * 5 + i.i * 29) % 256, 85) >= 128
-             THEN -(CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
-                              // 16) % 8 = 0
-                    THEN (xor((doc_id * 5 + i.i * 29) % 256, 85) % 16)
-                         * 16 + 8
-                    ELSE ((xor((doc_id * 5 + i.i * 29) % 256, 85) % 16 + 16)
-                          * 16 + 8)
-                         * (1 << ((xor((doc_id * 5 + i.i * 29) % 256, 85)
-                                   // 16) % 8 - 1)) END)
-             ELSE CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
+             THEN CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
                              // 16) % 8 = 0
                   THEN (xor((doc_id * 5 + i.i * 29) % 256, 85) % 16)
                        * 16 + 8
                   ELSE ((xor((doc_id * 5 + i.i * 29) % 256, 85) % 16 + 16)
                         * 16 + 8)
                        * (1 << ((xor((doc_id * 5 + i.i * 29) % 256, 85)
-                                 // 16) % 8 - 1)) END END
+                                 // 16) % 8 - 1)) END
+             ELSE -(CASE WHEN (xor((doc_id * 5 + i.i * 29) % 256, 85)
+                              // 16) % 8 = 0
+                    THEN (xor((doc_id * 5 + i.i * 29) % 256, 85) % 16)
+                         * 16 + 8
+                    ELSE ((xor((doc_id * 5 + i.i * 29) % 256, 85) % 16 + 16)
+                          * 16 + 8)
+                         * (1 << ((xor((doc_id * 5 + i.i * 29) % 256, 85)
+                                   // 16) % 8 - 1)) END) END
          END)
          FROM (SELECT unnest(generate_series(0, n - 1)) AS i) i
        ) AS BIGINT) AS sample_sum

@@ -133,6 +133,13 @@ def test_g711_expand_compress_inverse():
     assert av.mulaw_expand(np.array([0x80], dtype=np.uint8))[0] == 32124
     assert av.mulaw_expand(np.array([0x00], dtype=np.uint8))[0] == -32124
     assert av.mulaw_expand(np.array([0xFF], dtype=np.uint8))[0] == 0
+    # A-law ITU endpoints (g711.c lineage: post-XOR-0x55 sign bit SET
+    # is POSITIVE) — round 9 sign-convention fix
+    assert av.alaw_expand(np.array([0xD5], dtype=np.uint8))[0] == 8
+    assert av.alaw_expand(np.array([0x55], dtype=np.uint8))[0] == -8
+    assert av.alaw_expand(np.array([0xAA], dtype=np.uint8))[0] == 32256
+    assert av.alaw_expand(np.array([0x2A], dtype=np.uint8))[0] == -32256
+    assert av.alaw_compress(np.array([0], dtype=np.int16))[0] == 0xD5
     # quantization error relative bound (segment size / 2)
     x = np.random.default_rng(0).integers(-32000, 32000, 4000).astype(
         np.int16
@@ -244,6 +251,50 @@ def test_avi_implied_dht_form_decodes_identically():
         av.encode_avi_mjpeg(frames, fps=10, strip_dht=True)
     )
     assert np.array_equal(d1, d2)
+
+
+def test_avi_dht_detection_is_segment_aware():
+    """Round 9: DHT presence/stripping uses a real T.81 marker walk.
+    A frame whose COM payload contains the raw byte pair FF C4 must
+    still be recognized as implied-DHT (and get the Annex-K splice);
+    the old substring scan skipped the splice and the frame failed to
+    decode. The encoder-side strip must likewise not corrupt a frame
+    by 'stripping' a false match inside another segment."""
+    import struct
+
+    frames = _ramp_frames(2, 8, 8, seed=3)
+    from dataset_batch_processor_spark.multimodal.jpeg import encode_jpeg
+
+    decoy = b"\xff\xfe" + struct.pack(">H", 6) + b"\xff\xc4zz"  # COM
+    plain = encode_jpeg(frames[0], quality=90)
+    stripped = av._jpeg_strip_dht(plain)
+    trap = stripped[:2] + decoy + stripped[2:]
+    assert b"\xff\xc4" in trap and not av._jpeg_has_dht(trap)
+    # hand-build an AVI around the trap frame: decode must splice
+    good = av.encode_avi_mjpeg(frames[:1], fps=10)
+    i = bytes(good).index(b"00dc")
+    (old_sz,) = struct.unpack("<I", good[i + 4 : i + 8])
+    pay = trap + (b"\x00" if len(trap) % 2 else b"")
+    patched = (good[:i] + b"00dc" + struct.pack("<I", len(trap)) + pay
+               + good[i + 8 + old_sz + (old_sz & 1):])
+    # fix the movi LIST size (chunk length delta)
+    m = patched.index(b"LIST", 12)
+    while patched[m + 8 : m + 12] != b"movi":
+        m = patched.index(b"LIST", m + 4)
+    delta = (8 + len(pay)) - (8 + old_sz + (old_sz & 1))
+    (lsz,) = struct.unpack("<I", patched[m + 4 : m + 8])
+    patched = (patched[: m + 4] + struct.pack("<I", lsz + delta)
+               + patched[m + 8 :])
+    patched = (patched[:4]
+               + struct.pack("<I", struct.unpack("<I", patched[4:8])[0]
+                             + delta)
+               + patched[8:])
+    dec, _ = av.decode_avi_mjpeg(bytes(patched))
+    assert np.abs(dec[0].astype(int) - frames[0].astype(int)).max() <= 8
+    # strip path: the decoy COM survives intact, only real DHT goes
+    trap_with_dht = plain[:2] + decoy + plain[2:]
+    restripped = av._jpeg_strip_dht(trap_with_dht)
+    assert decoy in restripped and not av._jpeg_has_dht(restripped)
 
 
 def test_avi_fallback_fps_and_errors():

@@ -31,11 +31,39 @@ def test_gps_audit_before_and_after():
     dirty = metascrub.inject_app1(_jpg(), metascrub.build_exif_app1(0))
     before = metascrub.jpeg_metadata_flags(dirty)
     assert before == {"has_exif": True, "has_gps": True,
-                      "n_meta_segments": 1}
+                      "n_meta_segments": 1, "trailing_bytes": 0}
     clean, _, _ = metascrub.scrub_jpeg(dirty)
     after = metascrub.jpeg_metadata_flags(clean)
     assert after == {"has_exif": False, "has_gps": False,
-                     "n_meta_segments": 0}
+                     "n_meta_segments": 0, "trailing_bytes": 0}
+
+
+def test_post_eoi_trailing_bytes_truncated_and_audited():
+    """Appended thumbnails / editor junk after EOI is a real-world PII
+    carrier: the scrub truncates it and the audit reports it (round 9;
+    previously both stopped at SOS and the pair agreed, masking it)."""
+    orig = _jpg()
+    junk = b"SECRET-THUMBNAIL" + metascrub.build_exif_app1(0)
+    dirty = orig + junk
+    assert metascrub.jpeg_metadata_flags(dirty)["trailing_bytes"] == len(junk)
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig and dropped == 1 and removed == len(junk)
+    assert metascrub.jpeg_metadata_flags(clean)["trailing_bytes"] == 0
+
+
+def test_between_scan_metadata_dropped():
+    """Segments located after the first SOS (as between progressive
+    scans) are walked, audited, and scrubbed — entropy data with its
+    stuffed 0xFF00 bytes is crossed, not blindly copied."""
+    orig = _jpg()
+    eoi_at = orig.rindex(b"\xff\xd9")
+    com = b"\xff\xfe" + struct.pack(">H", 10) + b"secret!!"
+    dirty = orig[:eoi_at] + com + orig[eoi_at:]
+    flags = metascrub.jpeg_metadata_flags(dirty)
+    assert flags["n_meta_segments"] == 1
+    clean, dropped, removed = metascrub.scrub_jpeg(dirty)
+    assert clean == orig and dropped == 1 and removed == len(com)
+    assert b"secret" not in clean
 
 
 def test_exif_without_gps_flags_correctly():
@@ -132,6 +160,43 @@ def test_scrub_images_dataframe_operator(spark):
     assert rows["a"].bytes_removed == metascrub.APP1_OVERHEAD + 5
     assert rows["b"].error is None and rows["b"].had_gps is False
     assert rows["c"].error is not None and "no scrubber" in rows["c"].error
+
+
+def _tiff16(h=3, w=4) -> bytes:
+    """Hand-built single-strip 16-bit grayscale little-endian TIFF."""
+    vals = (np.arange(h * w, dtype=np.uint16) * 999).reshape(h, w)
+    payload = vals.astype("<u2").tobytes()
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+        (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, None),
+        (277, 3, 1, 1), (279, 4, 1, len(payload)),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00") + struct.pack("<I", 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        if typ == 3:  # SHORT left-justified in the 4-byte field
+            out += (struct.pack("<HHI", tag, typ, cnt)
+                    + struct.pack("<H", val) + b"\x00\x00")
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0) + payload
+    return bytes(out)
+
+
+def test_16bit_tiff_scrub_quarantined(spark):
+    """The transcode scrub is 8-bit only: decode tone-maps 16-bit to
+    the top byte, so a 16-bit TIFF must quarantine with a precise
+    reason, not silently lose 8 bits of precision (round 9)."""
+    df = spark.createDataFrame(
+        [("d", "tiff", bytearray(_tiff16()))],
+        "id string, fmt string, content binary",
+    )
+    row = metascrub.scrub_images(df).collect()[0]
+    assert row.content is None and row.error is not None
+    assert "precision" in row.error
 
 
 def test_fill_bytes_and_standalone_markers_handled():
