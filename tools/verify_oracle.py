@@ -11,6 +11,13 @@ value multiset. Usage:
 round-close full-surface artifact (`VERIFY_FULL_r{N}.json`) that
 complements the driver's rotating ~50-query window (README
 "Correctness gates").
+
+Every run also folds its PASSes into ``VERIFY_LEDGER.json`` at the
+repo root (round 9): a deterministic name -> last-green-scale map that
+tests/test_tripwire.py checks against the registry, so a query can no
+longer be REGISTERED without ever having been verified anywhere (the
+round-8 staleness: docs_classifier_train/eval shipped with no artifact
+row at all). Commit the ledger together with each new query.
 """
 
 from __future__ import annotations
@@ -48,6 +55,36 @@ def canon(rows, colnames):
         out.append(tuple(norm_cell(r[i]) for i in order))
     out.sort()
     return out
+
+
+LEDGER_PATH = "/root/repo/VERIFY_LEDGER.json"
+
+
+def _update_ledger(records: dict[str, dict], sf_dir: str) -> None:
+    """Fold this run's green rows into the committed ledger. Content
+    is deterministic (sorted names, no timestamps) so diffs stay
+    one-line-per-new-query; a FAIL never erases prior green history —
+    regressions are caught by the artifacts, the ledger only answers
+    'has this query EVER been verified'."""
+    import json
+    import os
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        with open(LEDGER_PATH) as fh:
+            ledger = json.load(fh)
+    except (OSError, ValueError):
+        ledger = {}
+    for name, rec in records.items():
+        if rec["status"] in ("PASS", "rows-only"):
+            prev = ledger.get(name, {})
+            # keep the LARGEST scale seen green (sf0.01 > sf0.001)
+            best = max(prev.get("sf", ""), sf)
+            ledger[name] = {"status": rec["status"], "sf": best}
+    with open(LEDGER_PATH, "w") as fh:
+        json.dump(dict(sorted(ledger.items())), fh, indent=0,
+                  sort_keys=True)
+        fh.write("\n")
 
 
 def main() -> int:
@@ -165,6 +202,7 @@ def main() -> int:
     if unknown:
         print(f"\nERROR: unknown query name(s): {sorted(unknown)}")
         return 2
+    _update_ledger(records, sf_dir)
     print(
         f"\n{len(failures)} failures" + (f": {failures}" if failures else "")
     )
