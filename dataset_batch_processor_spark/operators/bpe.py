@@ -701,15 +701,352 @@ GROUP BY w.doc_id
     )
 
 
+# --------------------------------------- unigram LM TRAINING (round 9)
+# The SentencePiece trainer counterpart of docs_bpe_train_merges
+# (VERDICT r8 next #2): seed a substring vocabulary from the corpus,
+# alternate E (segment) / M (re-estimate) steps, prune, and emit the
+# final trained vocabulary with scores. Design choices, documented:
+#
+# * **Viterbi-EM** (hard EM): the E-step counts pieces along each
+#   word's best segmentation instead of forward-backward marginals.
+#   This is SentencePiece's own hard-EM variant; soft-EM expectations
+#   are order-dependent float sums that can never survive the
+#   cross-engine hash gate, hard-EM counts are integer sums.
+# * **Exact integer log-probs**: engine ln() is banned (last-ulp
+#   drift). Scores live in Q10 fixed point — 1024*log2(x) computed
+#   EXACTLY from integers: msb via length(bin(x))-1 (both engines
+#   return minimal binary strings), 8-bit mantissa via
+#   (x*256) >> msb, fractional part from _L2_FRAC, a 256-entry
+#   literal table computed once in Python and embedded in the oracle
+#   (the phash/spec_twiddle literal-table precedent). score(p) =
+#   L2(c_p + 1) - L2(sum(c + 1)) — add-one smoothing keeps every
+#   kept piece alive through zero-count EM rounds.
+# * **Count-based prune**: keep all single characters (coverage
+#   guarantee, as SentencePiece does) + the top-K multi-char pieces
+#   by (count DESC, piece ASC). The likelihood-loss prune of the
+#   paper needs per-piece re-segmentation; the count heuristic is the
+#   documented simplification and is exactly replayable.
+#
+# Trajectory (all replayed by the unrolled DuckDB oracle):
+#   words  = distinct [a-z]+ words + corpus freq (one corpus pass)
+#   seed   = all substrings len 1..4, freq-weighted; vocab0 = chars
+#            + top UNI_TRAIN_SEED_K multis; scores via add-one L2
+#   E1/M1  = Viterbi counts under vocab0; prune to chars +
+#            UNI_TRAIN_KEEP_K multis; re-score
+#   E2/M2  = Viterbi counts under the pruned vocab; final scores
+# Driver traffic per iteration is one vocab-sized collect (<= ~80
+# rows, corpus-independent — the perceptron/coreset/bpe_train house
+# pattern); every corpus-scale step is a distributed explode+groupBy.
+
+import math as _math
+
+_L2_FRAC: tuple[int, ...] = tuple(
+    round(1024 * _math.log2(m / 256)) for m in range(256, 512)
+)
+UNI_TRAIN_MAXLEN = 4   # max piece length in the seed vocabulary
+UNI_TRAIN_SEED_K = 48  # multi-char seed pieces before pruning
+UNI_TRAIN_KEEP_K = 24  # multi-char pieces kept after the prune
+UNI_TRAIN_UNROLL = 10  # oracle DP depth; >= longest corpus word
+
+
+def _l2_int(x: int) -> int:
+    """1024 * log2(x) in exact integer arithmetic (x >= 1)."""
+    msb = x.bit_length() - 1
+    return 1024 * msb + _L2_FRAC[((x << 8) >> msb) - 256]
+
+
+def _addone_scores(counts: dict[str, int]) -> dict[str, int]:
+    """M-step: Q10 add-one-smoothed log-prob per piece (always < 0)."""
+    lt = _l2_int(sum(c + 1 for c in counts.values()))
+    return {p: _l2_int(c + 1) - lt for p, c in counts.items()}
+
+
+def _viterbi_piece_counts(
+    words: DataFrame, scores: dict[str, int]
+) -> dict[str, int]:
+    """E-step: freq-weighted piece counts along each distinct word's
+    best segmentation under ``scores``. Distributed: the Arrow-batched
+    DP runs per distinct word, counts come back as one vocab-sized
+    groupBy result. Tie rule matches the apply-side kernel and the
+    oracle: maximize score; equal score -> smaller split point j."""
+    from pyspark.sql.functions import pandas_udf
+
+    max_plen = max(len(p) for p in scores)
+
+    @pandas_udf("string")
+    def seg(ws: pd.Series) -> pd.Series:
+        def run(w: str) -> str:
+            n = len(w)
+            best: list[tuple[int, list[str]] | None] = [None] * (n + 1)
+            best[0] = (0, [])
+            for i in range(1, n + 1):
+                cand = None
+                for j in range(max(0, i - max_plen), i):
+                    if best[j] is None:
+                        continue
+                    sc = scores.get(w[j:i])
+                    if sc is None:
+                        continue
+                    tot = best[j][0] + sc
+                    if cand is None or tot > cand[0]:
+                        cand = (tot, best[j][1] + [w[j:i]])
+                best[i] = cand
+            return " ".join(best[n][1])  # chars cover every word
+
+        return ws.map(run)
+
+    rows = (
+        words.withColumn("toks", seg("word"))
+        .select(F.explode(F.split("toks", " ")).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    found = {r["piece"]: int(r["cnt"]) for r in rows}
+    return {p: found.get(p, 0) for p in scores}
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    seed_k: int = UNI_TRAIN_SEED_K,
+    keep_k: int = UNI_TRAIN_KEEP_K,
+) -> list[tuple[str, int, int]]:
+    """Train a unigram-LM vocabulary; returns [(piece, freq,
+    score_q10), ...] sorted by piece — freq is the final E-step count,
+    score_q10 the final add-one Q10 log-prob."""
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .cache()
+    )
+    try:
+        subs = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(1, length(word)), s ->"
+                        " transform(sequence(s, least(s +"
+                        f" {UNI_TRAIN_MAXLEN - 1}, length(word))), e ->"
+                        " substring(word, s, e - s + 1))))"
+                    )
+                ).alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        chars = {
+            r["piece"]: int(r["cnt"])
+            for r in subs.filter(F.length("piece") == 1).collect()
+        }
+        multis = {
+            r["piece"]: int(r["cnt"])
+            for r in subs.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(seed_k)
+            .collect()
+        }
+        counts0 = {**chars, **multis}
+        c1 = _viterbi_piece_counts(words, _addone_scores(counts0))
+        kept_multis = sorted(
+            (p for p in counts0 if len(p) >= 2),
+            key=lambda p: (-c1[p], p),
+        )[:keep_k]
+        kept = {p: c1[p] for p in list(chars) + kept_multis}
+        c2 = _viterbi_piece_counts(words, _addone_scores(kept))
+        s2 = _addone_scores(c2)
+        return sorted((p, c2[p], s2[p]) for p in c2)
+    finally:
+        words.unpersist()
+
+
+def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    vocab = unigram_train(docs)
+    rows = [
+        (p, len(p), len(p) == 1, int(c), int(s)) for p, c, s in vocab
+    ]
+    return spark.createDataFrame(
+        rows,
+        "piece STRING, plen INT, is_char BOOLEAN, freq BIGINT, "
+        "score_q10 BIGINT",
+    ).orderBy("piece")
+
+
+def _l2_duck(x: str) -> str:
+    """The exact Q10 log2 as a DuckDB expression over integer ``x``
+    (>= 1), mantissa fraction via the l2frac literal-table join's
+    ``fv`` — callers join l2frac ON m = the 8-bit mantissa of x."""
+    return f"(1024 * (length(bin({x})) - 1))"
+
+
+def _uni_mant(x: str) -> str:
+    return f"((({x}) * 256) >> (length(bin({x})) - 1))"
+
+
+def _unigram_train_duck(
+    n: int = UNI_TRAIN_UNROLL,
+    seed_k: int = UNI_TRAIN_SEED_K,
+    keep_k: int = UNI_TRAIN_KEEP_K,
+) -> str:
+    """Unrolled replay of ``unigram_train``: seed counts, two
+    DP-per-position E-step chains (the _unigram_duck pattern, vocab
+    from a CTE instead of literals), the count prune, and the add-one
+    Q10 scoring — all exact integer arithmetic; _L2_FRAC is embedded
+    as a 256-row VALUES table."""
+    frac_rows = ",".join(
+        f"({m},{v})" for m, v in zip(range(256, 512), _L2_FRAC)
+    )
+    maxl = UNI_TRAIN_MAXLEN
+
+    def score_cte(tag: str, base: str) -> str:
+        """CTE pair computing add-one Q10 scores for (piece, plen,
+        cnt) table ``base`` -> s{tag}(piece, plen, score)."""
+        return f"""
+tot{tag} AS (SELECT CAST(sum(cnt + 1) AS BIGINT) AS total FROM {base}),
+s{tag} AS MATERIALIZED (
+  SELECT b.piece, b.plen,
+         ({_l2_duck('b.cnt + 1')} + fn.fv)
+       - (SELECT {_l2_duck('t.total')} + fd.fv
+          FROM tot{tag} t JOIN l2frac fd
+            ON fd.m = {_uni_mant('t.total')}) AS score
+  FROM {base} b JOIN l2frac fn ON fn.m = {_uni_mant('b.cnt + 1')}
+)"""
+
+    def dp_chain(tag: str, vocab: str) -> list[str]:
+        """Position-unrolled Viterbi DP over w0 with piece table
+        ``vocab``(piece, plen, score) -> c{tag}(piece, cnt)."""
+        parts = [
+            f"""
+{tag}b0 AS (
+  SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS toks
+  FROM w0
+)"""
+        ]
+        for i in range(1, n + 1):
+            parts.append(
+                f"""
+{tag}c{i} AS (
+  SELECT b.word, b.freq, b.score + v.score AS score,
+         CASE WHEN b.toks = '' THEN v.piece
+              ELSE b.toks || ' ' || v.piece END AS toks,
+         row_number() OVER (PARTITION BY b.word
+                            ORDER BY b.score + v.score DESC,
+                                     b.pos ASC) AS rn
+  FROM {tag}b{i - 1} b JOIN {vocab} v
+    ON b.pos = {i} - v.plen
+   AND len(b.word) >= {i}
+   AND substr(b.word, b.pos + 1, v.plen) = v.piece
+),
+{tag}b{i} AS MATERIALIZED (
+  SELECT * FROM {tag}b{i - 1}
+  UNION ALL
+  SELECT word, freq, {i} AS pos, score, toks
+  FROM {tag}c{i} WHERE rn = 1
+)"""
+            )
+        parts.append(
+            f"""
+c{tag} AS MATERIALIZED (
+  SELECT t.piece, CAST(sum(t.freq) AS BIGINT) AS cnt
+  FROM (SELECT b.freq, unnest(string_split(b.toks, ' ')) AS piece
+        FROM {tag}b{n} b WHERE b.pos = len(b.word)) t
+  GROUP BY 1
+)"""
+        )
+        return parts
+
+    parts = [
+        f"""
+l2frac(m, fv) AS (VALUES {frac_rows}),
+w0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+chk AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM w0 WHERE len(word) > {n})
+              THEN error('unigram-train unroll too shallow')
+              ELSE 0 END AS ok
+),
+subs AS MATERIALIZED (
+  SELECT substr(t.word, u.s, v.l) AS piece,
+         CAST(sum(t.freq) AS BIGINT) AS cnt
+  FROM w0 t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.word))) AS s) u,
+       LATERAL (SELECT unnest(generate_series(
+                  1, least({maxl}, len(t.word) - u.s + 1))) AS l) v
+  GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT piece, len(piece) AS plen, cnt FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, plen, cnt FROM (
+    SELECT piece, len(piece) AS plen, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM subs WHERE len(piece) >= 2
+  ) WHERE rn <= {seed_k}
+)""",
+        score_cte("0", "v0"),
+    ]
+    parts.extend(dp_chain("e1", "s0"))
+    parts.append(
+        f"""
+kept AS MATERIALIZED (
+  SELECT v.piece, v.plen, coalesce(c.cnt, 0) AS cnt
+  FROM v0 v LEFT JOIN ce1 c USING (piece) WHERE v.plen = 1
+  UNION ALL
+  SELECT piece, plen, cnt FROM (
+    SELECT v.piece, v.plen, coalesce(c.cnt, 0) AS cnt,
+           row_number() OVER (ORDER BY coalesce(c.cnt, 0) DESC,
+                              v.piece ASC) AS rn
+    FROM v0 v LEFT JOIN ce1 c USING (piece) WHERE v.plen >= 2
+  ) WHERE rn <= {keep_k}
+)""",
+    )
+    parts.append(score_cte("1", "kept"))
+    parts.extend(dp_chain("e2", "s1"))
+    parts.append(
+        """
+k2 AS MATERIALIZED (
+  SELECT k.piece, k.plen, coalesce(c.cnt, 0) AS cnt
+  FROM kept k LEFT JOIN ce2 c USING (piece)
+)""",
+    )
+    parts.append(score_cte("2", "k2"))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT k.piece, CAST(k.plen AS INT) AS plen, k.plen = 1 AS is_char,
+       CAST(k.cnt AS BIGINT) AS freq, CAST(s.score AS BIGINT) AS score_q10
+FROM k2 k JOIN s2 s USING (piece)
+CROSS JOIN chk
+ORDER BY k.piece
+"""
+    )
+
+
 QUERIES = {
     "docs_bpe_subword_tokens": _q_subword_tokens,
     "docs_bpe_train_merges": _q_train_merges,
     "docs_wordpiece_tokens": _q_wordpiece_tokens,
     "docs_unigram_tokens": _q_unigram_tokens,
+    "docs_unigram_train": _q_unigram_train,
 }
 ORACLES = {
     "docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES),
     "docs_bpe_train_merges": _train_merges_duck(),
     "docs_wordpiece_tokens": _wordpiece_duck(),
     "docs_unigram_tokens": _unigram_duck(),
+    "docs_unigram_train": _unigram_train_duck(),
 }
