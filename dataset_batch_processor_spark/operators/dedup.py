@@ -161,8 +161,42 @@ def lsh_bands_df(sigs: DataFrame) -> DataFrame:
     return _bands_config_df(sigs, N_BANDS, BAND_ROWS)
 
 
-def lsh_pairs_df(docs: DataFrame,
-                 max_bucket_size: int | None = None) -> DataFrame:
+#: Hot-bucket cap applied BY DEFAULT to every banded candidate join
+#: (round 9, VERDICT r8 next #5 — the cap existed but defaulted off;
+#: at 100 TB one boilerplate-heavy bucket goes quadratic silently).
+#: 256 is far above every fixture bucket (measured max: 6 at sf0.01,
+#: 70 at sf0.1 K-perm), so driver hashes and bench behavior are
+#: unchanged at test scales, while a production mega-bucket is
+#: hard-bounded at 256²/2 ≈ 33k candidates. Production tuning sizes
+#: it per corpus; pass ``max_bucket_size=None`` for the uncapped
+#: escape hatch.
+DEFAULT_MAX_BUCKET_SIZE = 256
+
+
+def _drop_hot_buckets(
+    bands: DataFrame, cap: int, keys: tuple[str, str] = ("band", "bucket")
+) -> DataFrame:
+    """Drop rows of buckets holding more than ``cap`` members. One
+    partitioned window count (same shuffle key the pair join needs
+    anyway — no extra join back). Recall cost is small by
+    construction: members of a mega-bucket are near-identical docs
+    that almost always ALSO collide in other, smaller band buckets,
+    and downstream connected components restores cliques from any
+    surviving edge path (measured on the fixture in SCALE.md)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
+def lsh_pairs_df(
+    docs: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Distinct candidate pairs: docs sharing any band bucket.
 
     ``max_bucket_size`` is the hot-bucket cap (production LSH
@@ -170,28 +204,24 @@ def lsh_pairs_df(docs: DataFrame,
     bucket holding B docs emits B²/2 candidates, so one degenerate
     bucket — boilerplate-heavy corpora produce them — can dominate the
     whole join. Capping drops buckets above the budget BEFORE the
-    self-join, hard-bounding per-bucket candidates at cap²/2. Recall
-    cost is small by construction: members of a mega-bucket are
-    near-identical docs that almost always ALSO collide in other,
-    smaller band buckets, and downstream connected components restores
-    cliques from any surviving edge path. The oracle fixture default
-    (None) keeps the driver hashes byte-stable."""
+    self-join, hard-bounding per-bucket candidates at cap²/2.
+    Default-on since round 9 (DEFAULT_MAX_BUCKET_SIZE, sized above
+    every fixture bucket so the driver hashes are byte-stable);
+    ``None`` is the explicit uncapped escape hatch."""
     bands = lsh_bands_df(minhash_signatures_df(docs)).persist()
-    if max_bucket_size is not None:
-        sizes = bands.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
-        bands = bands.join(
-            sizes.filter(F.col("_bsz") <= max_bucket_size),
-            ["band", "bucket"],
-        ).drop("_bsz")
-    return _bucket_pairs(bands)
+    return _bucket_pairs(bands, max_bucket_size)
 
 
-def _bucket_pairs(bands: DataFrame) -> DataFrame:
+def _bucket_pairs(
+    bands: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket — the
     candidate join every banded family (K-perm LSH, OPH LSH, the
-    sweep's per-config bandings) bottoms out in."""
+    sweep's per-config bandings) bottoms out in. The hot-bucket cap
+    is applied here so no banded family can regress to uncapped."""
+    if max_bucket_size is not None:
+        bands = _drop_hot_buckets(bands, max_bucket_size)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
@@ -1187,9 +1217,12 @@ def _q_index_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_bands_df(minhash_signatures_df(corpus)).write.mode(
         "overwrite"
     ).parquet(index_dir)
-    idx = spark.read.parquet(index_dir).select(
-        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
-    )
+    # hot-bucket cap on the PERSISTED index (round 9, default-on): a
+    # degenerate corpus bucket would otherwise fan every probing batch
+    # row out B ways; cap sized above all fixture buckets (hash-stable)
+    idx = _drop_hot_buckets(
+        spark.read.parquet(index_dir), DEFAULT_MAX_BUCKET_SIZE
+    ).select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
 
     new_bands = lsh_bands_df(minhash_signatures_df(newb)).select(
         F.col("doc_id").alias("new_doc"),
