@@ -119,11 +119,38 @@ def main() -> None:
     # dup-family query then measures its own work over the warm index
     # in every round identically.
     from dataset_batch_processor_spark import matcache
-    from dataset_batch_processor_spark.operators import dedup
+    from dataset_batch_processor_spark.operators import (
+        components,
+        curationfunnel,
+        dedup,
+        similarity,
+    )
 
-    t0 = time.time()
-    dedup.pair_graph(spark, sf_dir).count()
-    pair_graph_build_s = round(time.time() - t0, 3)
+    # Round 9 (VERDICT r8 next #4): pre-build EVERY session-shared
+    # artifact in warmup, not just the pair graph — recorded per-query
+    # numbers used to depend on which family member happened to build
+    # the CC labels / gate table / trained centroids first
+    # (docs_curation_funnel swung 1.7<->11 s across refreshes purely
+    # from build order). Each build cost is its own recorded line in
+    # BENCH_DETAIL.json; every consumer then times its own work over
+    # warm artifacts, identically in every run.
+    warmup_builds: dict[str, float] = {}
+
+    def _warm(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        warmup_builds[name] = round(time.time() - t0, 3)
+
+    _warm("pair_graph", lambda: dedup.pair_graph(spark, sf_dir).count())
+    _warm("dup_labels",
+          lambda: components.doc_dup_labels(spark, sf_dir).count())
+    _warm("curation_gates",
+          lambda: curationfunnel.doc_gates(spark, sf_dir).count())
+    _warm("ivf_flat_assign",
+          lambda: similarity.ivf_flat_assign(spark, sf_dir).count())
+    _warm("ivf_trained_centroids",
+          lambda: similarity._trained_index(spark, sf_dir))
+    pair_graph_build_s = warmup_builds["pair_graph"]
 
     # Queries whose registered form scans a matcache-materialized
     # RESULT (build-once ANN top-k): a timing over a warm cache would
@@ -196,23 +223,43 @@ def main() -> None:
     note = (
         "headline queries are per-query median-of-"
         f"{reps_headline} (spread in BENCH_DETAIL.json) to damp the "
-        "±35% same-HEAD host variance seen through round 5; the "
-        "shared pair-graph index is built in warmup (cost reported "
-        "as pair_graph_build_s) and each build-once ANN query "
-        "invalidates exactly its own result cache before every timed "
-        "rep (reps=1 included) so every timing is the honest "
-        "build+probe and no query evicts a sibling's cache; "
-        "emb_ann_recall_report times the composition over the warm "
-        "family caches by design; headline-v2 extras and the heavy "
-        "tier (top-cost non-headline) also run median-of-reps — "
-        "heavy-tier queries compose session-shared matcache "
-        "artifacts built by whichever query touched them first, so "
-        "their medians are warm-path and a large spread max marks "
-        "the rep that paid a cold build; remaining queries run once"
+        "±35% same-HEAD host variance seen through round 5; ALL "
+        "session-shared artifacts (pair graph, CC labels, curation "
+        "gates, IVF flat assignment, trained centroids) are built in "
+        "warmup with per-artifact costs in warmup_builds, so no "
+        "query's timing depends on build order (round 9); each "
+        "build-once ANN query invalidates exactly its own result "
+        "cache before every timed rep (reps=1 included) so every "
+        "timing is the honest probe over warm indexes and no query "
+        "evicts a sibling's cache; emb_ann_recall_report times the "
+        "composition over the warm family caches by design; "
+        "headline-v2 extras and the heavy tier (top-cost "
+        "non-headline) also run median-of-reps; remaining queries "
+        "run once; spread entries for queries a reps=1 rewrite did "
+        "not re-measure are carried forward from the prior "
+        "BENCH_DETAIL (marked in spread_carried)"
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Preserve spread arrays across rewrites (VERDICT r8 wrong #3): a
+    # reps=1 driver re-run used to overwrite the committed multi-rep
+    # spreads with nothing. Carry forward any prior spread for a query
+    # this run did not multi-rep, and record which ones are carried.
+    spread_carried: list[str] = []
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        for qname, sp in (prior.get("spread") or {}).items():
+            if qname not in spread and qname in timings:
+                spread[qname] = sp
+                spread_carried.append(qname)
+        spread_carried += sorted(
+            q for q in (prior.get("spread_carried") or [])
+            if q in spread and q not in spread_carried
+        )
+    except (OSError, ValueError):
+        pass
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -228,7 +275,9 @@ def main() -> None:
                 "heavy_tier": list(HEAVY),
                 "headline_reps": reps_headline,
                 "pair_graph_build_s": pair_graph_build_s,
+                "warmup_builds": warmup_builds,
                 "spread": spread,
+                "spread_carried": sorted(spread_carried),
                 "note": note,
             },
             fh,
