@@ -55,11 +55,10 @@ from dataset_batch_processor_spark.operators import (
     recall,
     substring,
     relational,
-    relational2,
-    relational3,
-    relational4,
-    relational5,
-    relational6,
+    setops,
+    tpch,
+    windows,
+    embdup,
     lmscore,
     imagedup,
     pca,
@@ -72,7 +71,7 @@ from dataset_batch_processor_spark.operators import (
     search,
     funnel,
     phash,
-    relational7,
+    events as events_ops,
     semdedup,
     webquality,
     similarity,
@@ -448,18 +447,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(curationfunnel.QUERIES)
     q.update(phash.QUERIES)
     q.update(dedupdash.QUERIES)
-    q.update(relational7.QUERIES)
+    q.update(events_ops.QUERIES)
     q.update(textanalysis.QUERIES)
     q.update(textclean.QUERIES)
     q.update(dsir.QUERIES)
     q.update(boilerplate.QUERIES)
     q.update(mlfilter.QUERIES)
     q.update(merge_ops.QUERIES)
-    q.update(relational2.QUERIES)
-    q.update(relational3.QUERIES)
-    q.update(relational4.QUERIES)
-    q.update(relational5.QUERIES)
-    q.update(relational6.QUERIES)
+    q.update(setops.QUERIES)
+    q.update(tpch.QUERIES)
+    q.update(windows.QUERIES)
+    q.update(embdup.QUERIES)
     q.update(lmscore.QUERIES)
     q.update(imagedup.QUERIES)
     q.update(pca.QUERIES)
@@ -558,18 +556,17 @@ FROM images_meta GROUP BY 1
     o.update(curationfunnel.ORACLES)
     o.update(phash.ORACLES)
     o.update(dedupdash.ORACLES)
-    o.update(relational7.ORACLES)
+    o.update(events_ops.ORACLES)
     o.update(textanalysis.ORACLES)
     o.update(textclean.ORACLES)
     o.update(dsir.ORACLES)
     o.update(boilerplate.ORACLES)
     o.update(mlfilter.ORACLES)
     o.update(merge_ops.ORACLES)
-    o.update(relational2.ORACLES)
-    o.update(relational3.ORACLES)
-    o.update(relational4.ORACLES)
-    o.update(relational5.ORACLES)
-    o.update(relational6.ORACLES)
+    o.update(setops.ORACLES)
+    o.update(tpch.ORACLES)
+    o.update(windows.ORACLES)
+    o.update(embdup.ORACLES)
     o.update(lmscore.ORACLES)
     o.update(imagedup.ORACLES)
     o.update(pca.ORACLES)

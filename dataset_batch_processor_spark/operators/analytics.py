@@ -43,7 +43,7 @@ asserted in tests/test_analytics.py).
 
 from __future__ import annotations
 
-from .relational2 import _run
+from .sqlrun import _run
 
 # --------------------------------------------------------- funnel
 

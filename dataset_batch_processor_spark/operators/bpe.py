@@ -1,7 +1,7 @@
 """Byte-pair encoding: distributed merge training + exact ranked
 application (Sennrich et al. 2016, "Neural Machine Translation of
 Rare Words with Subword Units" — the tokenizer-construction step of
-every LLM data pipeline; relational2.py's ``docs_bpe_tokens`` is the
+every LLM data pipeline; the BPE_ESTIMATE query below (``docs_bpe_tokens``) is the
 regex estimate, this module is the real algorithm).
 
 Representation is the whole trick: a word is encoded as its symbols
@@ -85,6 +85,28 @@ FIXED_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 WORD_RE = "[a-z]+"
+
+# --------------------------------------------------- BPE-ish tokenizing
+# Subword-style tokenization via regex classes (letters runs / digits /
+# punctuation singletons) — the cheap stand-in for BPE used to estimate
+# token budgets in corpus curation. (Round 9: moved here from the
+# former relational2 wave — this module is the tokenizer family home.)
+
+BPE_ESTIMATE_SPARK = r"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)))
+            AS BIGINT) AS n_distinct_bpe
+FROM documents
+"""
+
+BPE_ESTIMATE_DUCK = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')))
+           AS n_distinct_bpe
+FROM documents
+"""
 
 
 def _fold_merges(expr: str, merges) -> str:
@@ -1036,7 +1058,10 @@ ORDER BY k.piece
     )
 
 
+from .sqlrun import _run  # noqa: E402 — shared dual-dialect runner
+
 QUERIES = {
+    "docs_bpe_tokens": _run(BPE_ESTIMATE_SPARK, ("documents",)),
     "docs_bpe_subword_tokens": _q_subword_tokens,
     "docs_bpe_train_merges": _q_train_merges,
     "docs_wordpiece_tokens": _q_wordpiece_tokens,
@@ -1044,6 +1069,7 @@ QUERIES = {
     "docs_unigram_train": _q_unigram_train,
 }
 ORACLES = {
+    "docs_bpe_tokens": BPE_ESTIMATE_DUCK,
     "docs_bpe_subword_tokens": _duck_sql(FIXED_MERGES),
     "docs_bpe_train_merges": _train_merges_duck(),
     "docs_wordpiece_tokens": _wordpiece_duck(),

@@ -1,7 +1,7 @@
 """Count-min sketch: mergeable heavy-hitter counting.
 
 The third sketch family (HLL distinct counts and KLL-style quantiles
-live in relational3/relational5): a D x W integer counter grid where
+live in setops.py/windows.py): a D x W integer counter grid where
 every observation increments one counter per hash row, and a key's
 estimate is the MIN of its D counters (Cormode & Muthukrishnan).
 The two properties that matter at 100 TB:

@@ -286,9 +286,9 @@ ORDER BY doc_id
 
 def _q_emb_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup clusters: connected components over the
-    LSH-bucketed exact-cosine pair graph (relational2.emb_near_dup_pairs)
+    LSH-bucketed exact-cosine pair graph (embdup.emb_near_dup_pairs)
     — the vector-side mirror of docs_dup_components."""
-    from .relational2 import _q_emb_near_dup
+    from .embdup import _q_emb_near_dup
 
     pairs = _q_emb_near_dup(spark, sf_dir)
     labels = connected_components(pairs, src="vec_a", dst="vec_b")
@@ -298,7 +298,7 @@ def _q_emb_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_pairs_cte() -> str:
-    from .relational2 import EMB_NEAR_DUP_DUCK, NEAR_DUP_T
+    from .embdup import EMB_NEAR_DUP_DUCK, NEAR_DUP_T
 
     final = f"SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {NEAR_DUP_T}"
     assert final in EMB_NEAR_DUP_DUCK

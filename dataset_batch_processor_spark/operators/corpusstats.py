@@ -29,7 +29,7 @@ from zero, so the fixed-point conversion is bit-identical.
 
 from __future__ import annotations
 
-from .relational2 import _run
+from .sqlrun import _run
 
 FX = 1_000_000  # fixed-point scale for embedding sums
 

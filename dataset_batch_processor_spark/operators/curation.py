@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
-from .relational2 import _run
+from .sqlrun import _run
 
 TRAIN_PCT = 90  # md5 % 100 < 90 -> train
 

@@ -25,7 +25,7 @@ Scale:
 
 from __future__ import annotations
 
-from .relational2 import _run
+from .sqlrun import _run
 
 # Snapshot B = deterministic mutation of the fixture corpus:
 #   - doc_id % 17 == 0 -> row deleted

@@ -40,7 +40,7 @@ hash) match exactly.
 
 from __future__ import annotations
 
-from .relational2 import _run
+from .sqlrun import _run
 
 EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 -> held-out eval set (fixture)
 DECON_N = 8  # words per collision gram (GPT-3 used 13; fixture docs are short)

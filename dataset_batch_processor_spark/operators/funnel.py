@@ -137,7 +137,7 @@ def sliding_wau(ev: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
     """(day, wau): distinct users active in the trailing
     ``window_days`` ending at each day THE DATA CONTAINS.
 
-    The LONG-window sibling of relational5.events_sliding_active_users
+    The LONG-window sibling of events.events_sliding_active_users
     (3 h window / 1 h slide via window()-explode): explode-into-windows
     copies every event window/slide times — fine at 3×, wasteful at 7×
     and ruinous at 90× — so this formulation touches each event once
@@ -243,7 +243,7 @@ ORACLES = {
 # statistics (row_number over (value, event_id) — the event_id
 # tie-break makes the SELECTED ROW deterministic even with duplicate
 # values). The INTERPOLATED estimator already exists as
-# relational5.events_value_percentiles (percentile/quantile_cont,
+# events.events_value_percentiles (percentile/quantile_cont,
 # rounded); this is the other standard estimator, and because it
 # SELECTS a stored value rather than computing one, the output double
 # is bit-identical with no rounding at all. The window partitions by event_type —

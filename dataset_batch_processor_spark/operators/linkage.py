@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .relational2 import _run
+from .sqlrun import _run
 
 MAX_DIST = 2
 

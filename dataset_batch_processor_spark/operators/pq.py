@@ -36,7 +36,7 @@ k-means sub-codebooks exactly like `ivf_train_centroids`
 
 from __future__ import annotations
 
-from .relational2 import _run
+from .sqlrun import _run
 
 DIM = 64
 M = 8           # subspaces

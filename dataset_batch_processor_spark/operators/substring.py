@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .relational2 import _run
+from .sqlrun import _run
 
 WIDTH = 24       # gram width, chars
 MIN_SPAN = 48    # report merged spans at least this long

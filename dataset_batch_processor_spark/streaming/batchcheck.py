@@ -306,7 +306,7 @@ ORACLES["events_stream_join_pairs"] = STREAM_SSJ_DUCK
 # The remaining stateful-aggregation class: gap-based SESSION windows
 # (F.session_window), where state merges adjacent windows as events
 # arrive — the streaming form of sessionization (the batch form is
-# relational2.events_sessionize). Boundary convention: session_window
+# events.events_sessionize). Boundary convention: session_window
 # closes a window at last_ts + gap EXCLUSIVE, so an event exactly
 # ``gap`` after its predecessor starts a NEW session — the oracle's
 # gaps-and-islands uses ``diff >= gap`` to match (the batch query's

@@ -93,7 +93,7 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization: event-time SESSION windows per user —
     a session closes after ``gap`` of inactivity. The streaming form
-    of relational2.events_sessionize; state is bounded by the
+    of events.events_sessionize; state is bounded by the
     watermark (late events beyond it are dropped, open sessions
     finalize once the watermark passes their gap)."""
     return (

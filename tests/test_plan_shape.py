@@ -66,18 +66,18 @@ def test_caption_join_is_broadcast(spark, sf_dir):
 
 
 def test_q19_disjunction_pushed_to_scan(spark, sf_dir):
-    from dataset_batch_processor_spark.operators import relational4
+    from dataset_batch_processor_spark.operators import tpch
 
-    df = relational4.QUERIES["q19_disjunctive"](spark, sf_dir)
+    df = tpch.QUERIES["q19_disjunctive"](spark, sf_dir)
     # the OR-of-ANDs quantity predicate must reach the lineitem scan
     assert explain.has_pushed_filter(df, "l_quantity")
     assert explain.broadcast_join_count(df) >= 1  # part side broadcast
 
 
 def test_q8_snowflake_broadcasts_all_dims(spark, sf_dir):
-    from dataset_batch_processor_spark.operators import relational4
+    from dataset_batch_processor_spark.operators import tpch
 
-    df = relational4.QUERIES["q8_market_share"](spark, sf_dir)
+    df = tpch.QUERIES["q8_market_share"](spark, sf_dir)
     # six joins; at fixture scale every dim side is broadcast (no SMJ)
     assert explain.broadcast_join_count(df) >= 6
     assert "SortMergeJoin" not in explain.formatted_plan(df)
@@ -135,9 +135,9 @@ def test_codec_roundtrips_fan_out_before_kernel(spark, sf_dir):
 def test_first_last_order_is_one_agg_no_window(spark, sf_dir):
     """The encoded argmax needs exactly one grouping shuffle and no
     window exec (a window formulation would sort every group)."""
-    from dataset_batch_processor_spark.operators import relational5
+    from dataset_batch_processor_spark.operators import windows
 
-    df = relational5.QUERIES["customer_first_last_order"](spark, sf_dir)
+    df = windows.QUERIES["customer_first_last_order"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "Window" not in plan
     # one hash exchange for the groupBy + one range for ORDER BY
@@ -285,9 +285,9 @@ def test_q2_correlated_min_decorrelates(spark, sf_dir):
     aggregate re-joined on (supplycost, partkey) — never a per-row
     rescan (BroadcastNestedLoop/Cartesian) — and every dimension join
     (part, supplier, nation, region x2 subtrees) must broadcast."""
-    from dataset_batch_processor_spark.operators import relational6
+    from dataset_batch_processor_spark.operators import tpch
 
-    df = relational6.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    df = tpch.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -297,9 +297,9 @@ def test_q2_correlated_min_decorrelates(spark, sf_dir):
 def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
     """q16's NOT IN anti-subquery on the 100-row supplier dimension
     must plan as a broadcast null-aware anti join, not a shuffle."""
-    from dataset_batch_processor_spark.operators import relational6
+    from dataset_batch_processor_spark.operators import tpch
 
-    df = relational6.QUERIES["q16_supplier_cnt"](spark, sf_dir)
+    df = tpch.QUERIES["q16_supplier_cnt"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
 
@@ -308,9 +308,9 @@ def test_q20_nested_in_no_per_row_rescan(spark, sf_dir):
     """q20's correlated half-of-sum threshold must decorrelate: the
     date-filtered quantity sum aggregates once and equi-joins back on
     (partkey, suppkey)."""
-    from dataset_batch_processor_spark.operators import relational6
+    from dataset_batch_processor_spark.operators import tpch
 
-    df = relational6.QUERIES["q20_promotion_suppliers"](spark, sf_dir)
+    df = tpch.QUERIES["q20_promotion_suppliers"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dataset_batch_processor_spark.operators import quantize, relational5
+from dataset_batch_processor_spark.operators import events as events_ops, quantize, windows
 from dataset_batch_processor_spark.multimodal import binary, png
 
 
@@ -25,7 +25,7 @@ def test_median_interpolates(spark):
     )
     out = {
         r.o_orderpriority: (r.median_price, r.p90_price)
-        for r in _run_sql(spark, relational5.MEDIAN_SPARK, orders=orders).collect()
+        for r in _run_sql(spark, windows.MEDIAN_SPARK, orders=orders).collect()
     }
     # A: 4 values, median at pos 1.5 -> 20 + 0.5*(21-20) = 20.5;
     # p90 at pos 2.7 -> 21 + 0.7*(40-21) = 34.3
@@ -38,7 +38,7 @@ def test_mode_breaks_ties_to_smallest_qty(spark):
         [("R", 3.0), ("R", 3.0), ("R", 7.0), ("R", 7.0), ("R", 5.0)],
         "l_returnflag string, l_quantity double",
     )
-    row = _run_sql(spark, relational5.MODE_SPARK, lineitem=li).collect()[0]
+    row = _run_sql(spark, windows.MODE_SPARK, lineitem=li).collect()[0]
     assert (row.mode_qty, row.n_occurrences) == (3, 2)  # tie 3 vs 7 -> 3
 
 
@@ -53,7 +53,7 @@ def test_anomaly_flags_only_outlier_hours(spark):
     for i in range(50):
         rows.append(("click", datetime.datetime(2024, 1, 1, 12, i % 60)))
     ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
-    out = _run_sql(spark, relational5.ANOMALY_SPARK, events=ev).collect()
+    out = _run_sql(spark, events_ops.ANOMALY_SPARK, events=ev).collect()
     flagged = [r.hour for r in out if r.is_anomaly]
     assert flagged == ["2024-01-01 12:00:00"]
     assert len(out) == 11
@@ -156,7 +156,7 @@ def test_sliding_window_spans_three_hours(spark):
         [(7, "click", datetime.datetime(2024, 1, 1, 5, 30))],
         "user_id bigint, event_type string, ts timestamp",
     )
-    out = _run_sql(spark, relational5.SLIDING_SPARK, events=ev).collect()
+    out = _run_sql(spark, events_ops.SLIDING_SPARK, events=ev).collect()
     # one event -> exactly the 3 windows whose 3h span covers 05:30
     assert [r.window_start for r in out] == [
         "2024-01-01 03:00:00",
@@ -267,7 +267,7 @@ def test_first_last_order_encoding_breaks_date_ties_by_key(spark):
         ],
         "o_custkey bigint, o_orderkey bigint, o_orderdate timestamp",
     )
-    row = _run_sql(spark, relational5.FIRST_LAST_SPARK, orders=orders).collect()[0]
+    row = _run_sql(spark, windows.FIRST_LAST_SPARK, orders=orders).collect()[0]
     assert (row.first_orderkey, row.last_orderkey, row.n_orders) == (3, 9, 3)
 
 
