@@ -246,19 +246,23 @@ def _bucket_pairs(
 # OPH (Li, Owen, Zhang, NIPS 2012) with rotation densification
 # (Shrivastava & Li, ICML 2014). The K-perm build above pays K affine
 # maps + K running-min updates per shingle; OPH pays ONE modulo + ONE
-# min update — per-shingle CPU drops from O(K) to O(1). At the gated
-# K=8 both are cheap, but at production signature widths (K=64-128,
-# what a 100 TB near-dup pass actually runs) the K-perm build is
-# hash-bound while OPH stays scan-bound: the map-side cost of the one
-# shuffle falls ~K×, and the shuffle itself is identical. Bin j takes
+# min update — per-shingle CPU drops from O(K) to O(1) in the
+# abstract model. MEASURED caveat (round 9, tools/round9_scale_study
+# study A + SCALE.md): on Spark's whole-stage codegen K=64 affine
+# mins are effectively free (kperm 12.7 s at ~400M shingles), while
+# the OPH pivot/ladder carries a ~15 s constant codegen overhead and
+# a (doc_id, bin) combine with K× more groups — K-perm wins the wall
+# clock at every tested scale up to 4096× fanout. OPH stays gated as
+# algorithm parity; it is the right shape only when the per-shingle
+# hash itself is expensive or K >> 64. Bin j takes
 # the min of h DIV K over shingles with h % K == j (the DIV keeps the
 # entropy the modulo consumed); an empty bin borrows the next
 # non-empty bin to the right (cyclic, +OPH_C per hop so borrowed
 # values can never collide with native ones, h < 2^28 so
 # h DIV 8 < 2^25 = OPH_C). Densification is a coalesce ladder over
-# the K wide columns — pure whole-stage codegen, no extra shuffle,
-# and min is multiplicity-invariant so the shingle-set distinct is
-# skipped exactly as in minhash_signatures_df.
+# the K wide columns, and min is multiplicity-invariant so the
+# shingle-set distinct is skipped exactly as in
+# minhash_signatures_df.
 
 OPH_K = NUM_HASHES
 OPH_C = 1 << 25
@@ -266,15 +270,31 @@ OPH_C = 1 << 25
 
 def oph_signatures_df(docs: DataFrame) -> DataFrame:
     """K-wide OPH signature per doc: (doc_id, oph_0 .. oph_{K-1}).
-    One groupBy(doc_id) shuffle with map-side partial mins — same
-    shuffle shape as minhash_signatures_df, O(1) per-shingle CPU."""
+
+    Round 9 (measured, tools/round9_scale_study.py study A): the
+    original one-level build — K conditional-min aggregate buffers
+    evaluated per SHINGLE — was O(K) per shingle in practice and its
+    K² coalesce ladder blew past whole-stage-codegen limits at K=64
+    (18.5 s vs the K-perm build's 0.7 s, the OPPOSITE of the OPH
+    claim). The two-level shape restores honest O(1) per shingle:
+
+    1. ``groupBy(doc_id, bin).min(val)`` — ONE min per shingle,
+       map-side combined on the (doc_id, bin) key (at most docs x K
+       rows leave the map side).
+    2. pivot to K columns + the densification coalesce ladder over
+       the docs-x-K-row table — the O(K)/O(K²) expression cost now
+       applies to index-sized rows, never to shingles.
+
+    Results are value-identical to the one-level build (same mins,
+    same rotation), so the hash-gated oracle is unchanged."""
     sh = shingle_sets(docs, distinct=False).select(
         "doc_id",
         (F.col("h") % OPH_K).alias("bin"),
         F.expr(f"h DIV {OPH_K}").alias("val"),
     )
-    binmins = sh.groupBy("doc_id").agg(*[
-        F.min(F.when(F.col("bin") == j, F.col("val"))).alias(f"b_{j}")
+    binmin = sh.groupBy("doc_id", "bin").agg(F.min("val").alias("v"))
+    binmins = binmin.groupBy("doc_id").agg(*[
+        F.min(F.when(F.col("bin") == j, F.col("v"))).alias(f"b_{j}")
         for j in range(OPH_K)
     ])
     sig_cols = [
@@ -953,32 +973,47 @@ def _bands_config_df(sigs: DataFrame, n_bands: int, rows: int) -> DataFrame:
 
 
 TRUTH_PANEL_DOCS = 500  # target ground-truth panel size
+TRUTH_PANEL_BLOCK = 100  # contiguous doc-id block kept per stride hit
 
 
 def truth_panel_mod(n_docs: int) -> int:
-    """Deterministic panel stride: docs with doc_id % mod == 0 form
-    the ground-truth panel. Degenerates to the FULL corpus at the
-    gated fixture size (mod 1), so the sf0.01 oracle needs no panel
-    term; on bigger corpora the exact all-pairs truth — quadratic in
-    panel size — runs on ~TRUTH_PANEL_DOCS docs, which is precisely
-    the 'estimate truth from a sampled pair panel' production posture
-    the sweep documents. Measured: the sf0.1 sweep dropped from ~39 s
-    (full 5000-doc all-pairs) to the panel cost."""
+    """Deterministic panel stride: docs in id-BLOCKS with
+    ``(doc_id DIV TRUTH_PANEL_BLOCK) % mod == 0`` form the
+    ground-truth panel. Degenerates to the FULL corpus at the gated
+    fixture size (mod 1), so the sf0.01 oracle needs no panel term;
+    on bigger corpora the exact all-pairs truth — quadratic in panel
+    size — runs on ~TRUTH_PANEL_DOCS docs, which is precisely the
+    'estimate truth from a sampled pair panel' production posture the
+    sweep documents. BLOCK sampling, not a per-doc stride (round 9,
+    tools/round9_scale_study.py study D): a per-doc stride keeps only
+    ~1/mod² of the true pairs (both endpoints must survive
+    independently) — at sf0.1 a 500-doc stride panel held 6 of 256
+    true pairs and flipped the chooser's pick; keeping contiguous
+    blocks preserves ~1/mod of the pairs at the same panel size.
+    Measured: the sf0.1 sweep dropped from ~39 s (full 5000-doc
+    all-pairs) to the panel cost."""
     return max(1, n_docs // TRUTH_PANEL_DOCS)
+
+
+def _in_panel(name: str, mod: int):
+    """Panel-membership predicate for a doc-id column (integer DIV —
+    no float path, exact for any bigint id)."""
+    return F.expr(f"({name} DIV {TRUTH_PANEL_BLOCK}) % {mod} = 0")
 
 
 def jaccard_truth(
     spark: SparkSession, sf_dir: str, panel_mod: int = 1
 ) -> DataFrame:
     """Exact shingle-Jaccard >= 1/2 ground truth over the panel docs
-    (``doc_id % panel_mod == 0``), materialized once per (session,
-    dataset). Integer comparison only: 2*n_inter >= n_union."""
+    (block sampling, see truth_panel_mod), materialized once per
+    (session, dataset). Integer comparison only:
+    2*n_inter >= n_union."""
     from ..matcache import materialize_once
 
     def build() -> DataFrame:
         docs = catalog.load_table(spark, sf_dir, "documents")
         if panel_mod > 1:
-            docs = docs.filter(F.col("doc_id") % panel_mod == 0)
+            docs = docs.filter(_in_panel("doc_id", panel_mod))
         sh = shingle_sets(docs).select("doc_id", "shingle")
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         inter = (
@@ -1068,7 +1103,7 @@ def _build_banding_sweep(
         # reduces to the full-corpus value and the oracle needs no
         # panel term.
         in_panel = (
-            (F.col("doc_a") % mod == 0) & (F.col("doc_b") % mod == 0)
+            _in_panel("doc_a", mod) & _in_panel("doc_b", mod)
             if mod > 1
             else F.lit(True)
         )

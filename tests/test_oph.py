@@ -80,6 +80,11 @@ def test_oph_densification_rotation_from_single_bin(spark):
         assert row[f"oph_{j}"] == v + t * OPH_C
 
 
-def test_oph_signature_build_single_shuffle(spark, sf_dir):
+def test_oph_signature_build_two_level_shuffles(spark, sf_dir):
+    """Round 9: the two-level build (one min per shingle on the
+    (doc_id, bin) key, then the K-wide pivot over docs x K rows) is
+    exactly two exchanges — the second one operates on an index-sized
+    table, never on shingles (see SCALE.md round-9 study A for the
+    measured story)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
-    assert explain.count_exchanges(oph_signatures_df(docs)) == 1
+    assert explain.count_exchanges(oph_signatures_df(docs)) == 2
