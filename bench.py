@@ -250,14 +250,14 @@ def main() -> None:
     try:
         with open(detail_path) as fh:
             prior = json.load(fh)
+        # a query carried in run N-1 sits in run N-1's spread, so the
+        # first condition re-carries it (and re-labels it) naturally;
+        # anything this run DID multi-rep gets a fresh spread and no
+        # carried label
         for qname, sp in (prior.get("spread") or {}).items():
             if qname not in spread and qname in timings:
                 spread[qname] = sp
                 spread_carried.append(qname)
-        spread_carried += sorted(
-            q for q in (prior.get("spread_carried") or [])
-            if q in spread and q not in spread_carried
-        )
     except (OSError, ValueError):
         pass
     with open(detail_path, "w") as fh:

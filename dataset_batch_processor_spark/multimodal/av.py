@@ -236,17 +236,23 @@ def _std_dht_segments() -> bytes:
 
 
 def _jpeg_has_dht(data: bytes) -> bool:
-    """True when the stream carries a real DHT segment. Round 9: a
-    proper T.81 marker walk (metascrub._walk_jpeg) — the old raw
-    ``b'\\xff\\xc4' in body`` substring scan could hit the byte pair
-    inside a segment payload (e.g. a DQT entry 0xFF followed by 0xC4)
-    and wrongly skip the Annex-K splice."""
+    """True when the stream carries a DHT segment BEFORE its first
+    scan. Round 9: a proper T.81 marker walk (metascrub._walk_jpeg) —
+    the old raw ``b'\\xff\\xc4' in body`` substring scan could hit the
+    byte pair inside a segment payload (e.g. a DQT entry 0xFF followed
+    by 0xC4) and wrongly skip the Annex-K splice. The walk STOPS at
+    the first SOS: tables the first scan uses must precede it (T.81),
+    so the common implied-DHT frame answers without a per-byte Python
+    walk over the entropy stream (this probe runs per frame on the
+    decode hot path)."""
     from .metascrub import _walk_jpeg
 
-    return any(
-        kind == "seg" and m == 0xC4
-        for kind, _s, _e, m, _hdr in _walk_jpeg(data)
-    )
+    for kind, _s, _e, m, _hdr in _walk_jpeg(data):
+        if kind == "seg" and m == 0xC4:
+            return True
+        if kind == "seg" and m == 0xDA:  # first SOS: decision made
+            return False
+    return False
 
 
 def _jpeg_strip_dht(data: bytes) -> bytes:

@@ -172,7 +172,10 @@ def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
         raise ValueError("not a JPEG (no SOI)")
     out = bytearray(SOI)
     dropped, removed = 0, 0
+    saw_image = False  # an SOS (entropy data follows) or an EOI
     for kind, s, e, m, _hdr in _walk_jpeg(jpg):
+        if kind == "eoi" or (kind == "seg" and m == 0xDA):
+            saw_image = True
         if kind == "seg" and ((0xE1 <= m <= 0xEF) or m == 0xFE):
             dropped += 1  # APPn (n>=1) / COM
             removed += e - s  # fill bytes die with their segment
@@ -181,6 +184,12 @@ def scrub_jpeg(jpg: bytes) -> tuple[bytes, int, int]:
             removed += e - s
         else:
             out += jpg[s:e]
+    if not saw_image:
+        # headers-only stream (upload cut before the scan): emitting
+        # it as a "clean" scrub would hand undecodable bytes
+        # downstream with error=None — raise into the F7 quarantine,
+        # matching the pre-round-9 walk's contract
+        raise ValueError("JPEG ended without SOS or EOI")
     return bytes(out), dropped, removed
 
 

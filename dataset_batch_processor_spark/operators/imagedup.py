@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from .dedup import DEFAULT_MAX_BUCKET_SIZE
 
 HAMMING_MAX = 6
 
@@ -181,7 +182,8 @@ HASHES_PIVOT = """
 """
 
 
-def _pairs_sql(engine: str, max_band_size: int | None = None,
+def _pairs_sql(engine: str,
+               max_band_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                bare: bool = False) -> str:
     """``max_band_size`` is the hot-band cap (same contract as
     dedup.lsh_pairs_df's ``max_bucket_size``): a band value held by B
@@ -189,8 +191,11 @@ def _pairs_sql(engine: str, max_band_size: int | None = None,
     boilerplate imagery — can re-explode the join toward all-pairs.
     When set, a count+filter pass drops band values above the budget
     BEFORE the self-join; near-dups in a mega-band almost always also
-    collide in a smaller band, so recall cost is marginal. Default
-    None keeps the oracle fixture hashes byte-stable. ``bare`` drops
+    collide in a smaller band, so recall cost is marginal. Default-on
+    since round 9 (dedup.DEFAULT_MAX_BUCKET_SIZE — the cap lives in
+    the shared dual-dialect SQL, so the Spark plan and the DuckDB
+    oracle apply identical semantics whether or not it binds);
+    ``None`` is the uncapped escape hatch. ``bare`` drops
     the final ORDER BY (for edge-list composition — see
     _pairs_bare_sql)."""
     xor = (

@@ -54,6 +54,8 @@ _COS_ROWS = ",\n    ".join(
 
 
 def _phash_sql(engine: str) -> str:
+    from .dedup import DEFAULT_MAX_BUCKET_SIZE as cap
+
     div = "DIV" if engine == "spark" else "//"
     # DuckDB may inline a plain CTE at every reference; bands is
     # referenced three times (cand twice, hashes once), so inlining
@@ -172,12 +174,18 @@ hashes AS{mat} (
          CAST(sum(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS b3
   FROM bands GROUP BY doc_id
 ),
+bsz AS (
+  SELECT band_idx, band_val, count(*) AS bn
+  FROM bands GROUP BY band_idx, band_val
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
+  JOIN bsz s ON s.band_idx = a.band_idx AND s.band_val = a.band_val
   JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
+  WHERE s.bn <= {cap}
 )
 SELECT doc_a, doc_b,
        CAST({xor} AS INT) AS hamming
@@ -319,6 +327,14 @@ def phash_pairs(docs: DataFrame) -> DataFrame:
             ).cast("int").alias(f"b{i}")
             for i in range(4)
         ]
+    )
+    # hot-band cap (round 9, default-on — the dedup._drop_hot_buckets
+    # convention on the (band_idx, band_val) key; the oracle applies
+    # the identical bn <= cap filter)
+    from .dedup import DEFAULT_MAX_BUCKET_SIZE, _drop_hot_buckets
+
+    bands = _drop_hot_buckets(
+        bands, DEFAULT_MAX_BUCKET_SIZE, keys=("band_idx", "band_val")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"

@@ -15,12 +15,24 @@ pattern: a ``foreachBatch`` loop that
    pairs log.
 
 Invariant (test-pinned): after the stream drains, the union of all
-emitted pairs equals the batch ``lsh_pairs_df`` over the same corpus
-— incremental ingestion discovers exactly the batch answer, in any
+emitted pairs equals the UNCAPPED batch
+``lsh_pairs_df(docs, max_bucket_size=None)`` over the same corpus —
+incremental ingestion discovers exactly the batch answer, in any
 batch partitioning of the input. Each pair is emitted exactly once
 (when its SECOND member arrives): new-vs-old pairs can't repeat
 because one side is strictly older, and new-vs-new uses the a<b
 half-join.
+
+Hot-bucket cap caveat (round 9): the batch path's default
+``DEFAULT_MAX_BUCKET_SIZE`` drops a whole bucket retroactively once
+it exceeds the cap — a stream cannot retract pairs it already
+emitted, so exact parity with the CAPPED batch is unattainable above
+the cap. The streaming analogue is ``max_bucket_size`` below: an
+EMISSION cap that stops producing pairs for any bucket whose
+accumulated size (index + batch) exceeds the budget — it bounds the
+per-batch candidate blowup (the actual production hazard) while
+pairs emitted before saturation stand. Default None preserves the
+exact uncapped-batch parity the oracle pins.
 
 Scale: the index grows as corpus x N_BANDS rows of (doc_id, band,
 bucket); the join key (band, bucket) is the same uniformly-hashed key
@@ -49,33 +61,23 @@ from ..operators.dedup import lsh_bands_df, minhash_signatures_df
 
 def incremental_lsh_pairs(
     docs_stream: DataFrame, index_dir: str, pairs_dir: str,
-    checkpoint_dir: str,
+    checkpoint_dir: str, max_bucket_size: int | None = None,
 ):
     """Start the foreachBatch loop; returns the StreamingQuery.
 
     ``docs_stream`` must carry (doc_id, text). Pairs land in
     ``pairs_dir`` as (doc_a, doc_b) parquet; the bucket index
-    accumulates in ``index_dir``."""
+    accumulates in ``index_dir``. ``max_bucket_size`` is the
+    streaming EMISSION cap (module docstring): buckets whose
+    accumulated size exceeds it stop yielding candidates."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        bands = lsh_bands_df(minhash_signatures_df(batch)).persist()
+        all_bands = lsh_bands_df(minhash_signatures_df(batch)).persist()
+        bands = all_bands
         try:
             pairs_out = os.path.join(pairs_dir, f"batch_id={batch_id}")
             index_out = os.path.join(index_dir, f"batch_id={batch_id}")
-            new_new = (
-                bands.alias("a")
-                .join(
-                    bands.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                )
-                .select(
-                    F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                )
-            )
             # Probe for the index EXPLICITLY rather than catching read
             # errors: a bare except here would treat a transient IO or
             # corrupt-footer failure as "first batch" and silently drop
@@ -89,6 +91,34 @@ def incremental_lsh_pairs(
             ) if os.path.isdir(index_dir) else False
             if have_index:
                 idx = spark.read.parquet(index_dir)
+            if max_bucket_size is not None:
+                # emission cap: exclude saturated buckets from the
+                # CANDIDATE joins only — the index append below keeps
+                # every band row, so saturation is judged against the
+                # true accumulated size
+                acc = all_bands.select("band", "bucket")
+                if have_index:
+                    acc = acc.unionByName(idx.select("band", "bucket"))
+                sizes = acc.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("_bsz")
+                )
+                bands = all_bands.join(
+                    sizes.filter(F.col("_bsz") <= max_bucket_size),
+                    ["band", "bucket"],
+                ).drop("_bsz")
+            new_new = (
+                bands.alias("a")
+                .join(
+                    bands.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
             if have_index:
                 new_old = (
                     bands.alias("n")
@@ -113,9 +143,9 @@ def incremental_lsh_pairs(
             # idempotent per-batch commit: a retried batch OVERWRITES
             # its own partition directory rather than appending dups
             pairs.distinct().write.mode("overwrite").parquet(pairs_out)
-            bands.write.mode("overwrite").parquet(index_out)
+            all_bands.write.mode("overwrite").parquet(index_out)
         finally:
-            bands.unpersist()
+            all_bands.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
@@ -128,6 +158,7 @@ def incremental_lsh_pairs(
 def run_incremental_over_dir(
     spark: SparkSession, staged_dir: str, work_dir: str,
     max_files_per_trigger: int = 1, schema=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Drive ``incremental_lsh_pairs`` over a staged directory of
     document parquet files — one micro-batch per file — and return
@@ -145,6 +176,7 @@ def run_incremental_over_dir(
         index_dir=os.path.join(work_dir, "band_index"),
         pairs_dir=os.path.join(work_dir, "pairs"),
         checkpoint_dir=os.path.join(work_dir, "checkpoint"),
+        max_bucket_size=max_bucket_size,
     )
     q.awaitTermination()
     # partition discovery adds the batch_id dir key as a column;

@@ -39,7 +39,8 @@ def test_incremental_equals_batch_pairs(spark, sf_dir, staged):
     inc = incremental.run_incremental_over_dir(spark, stage, work)
     inc_pairs = {(r.doc_a, r.doc_b) for r in inc.collect()}
     batch_pairs = {
-        (r.doc_a, r.doc_b) for r in lsh_pairs_df(docs).collect()
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs_df(docs, max_bucket_size=None).collect()
     }
     assert inc_pairs == batch_pairs
     # exactly-once: the raw (pre-distinct) log has no duplicate pairs
@@ -62,5 +63,33 @@ def test_incremental_single_batch_degenerates_to_batch(spark, sf_dir):
         spark, stage, work, max_files_per_trigger=10
     )
     assert {(r.doc_a, r.doc_b) for r in inc.collect()} == {
-        (r.doc_a, r.doc_b) for r in lsh_pairs_df(docs).collect()
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs_df(docs, max_bucket_size=None).collect()
     }
+
+
+def test_streaming_emission_cap_bounds_saturated_buckets(spark):
+    """Round 9: the streaming-side hot-bucket EMISSION cap. A
+    clone-heavy corpus saturates its buckets once the accumulated
+    size passes the cap — later batches stop emitting pairs for those
+    buckets, so the candidate blowup is bounded; pairs emitted before
+    saturation stand (documented: a stream cannot retract)."""
+    clones = [(i, "the same boilerplate line repeated " * 3)
+              for i in range(12)]
+    docs = spark.createDataFrame(clones, "doc_id long, text string")
+    stage = tempfile.mkdtemp(prefix="dbp_inc_cap_")
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    work = tempfile.mkdtemp(prefix="dbp_inc_capwork_")
+    inc = incremental.run_incremental_over_dir(
+        spark, stage, work, max_bucket_size=4
+    )
+    capped = inc.count()
+    work2 = tempfile.mkdtemp(prefix="dbp_inc_uncapwork_")
+    inc2 = incremental.run_incremental_over_dir(spark, stage, work2)
+    assert inc2.count() == 66  # C(12,2) uncapped
+    # first batch (4 clones) fits the cap and emits its 6 pairs;
+    # every later batch sees the accumulated bucket above the cap
+    assert 0 < capped < 66

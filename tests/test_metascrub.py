@@ -225,3 +225,12 @@ def test_truncated_segment_raises_not_silent():
 
     with _pytest.raises(ValueError, match="exceeds|truncated"):
         metascrub.scrub_jpeg(bad)
+
+
+def test_headers_only_stream_still_quarantines():
+    """Round-9 review fix: a JPEG cut before any SOS (headers only)
+    must raise — the full-stream walk exhausting cleanly is not a
+    successful scrub."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+    with pytest.raises(ValueError, match="without SOS or EOI"):
+        metascrub.scrub_jpeg(b"\xff\xd8" + app0)

@@ -106,3 +106,28 @@ def test_no_unresolved_mirror_failures():
         f"green ledger row: {unresolved} — fix and re-run "
         f"tools/verify_oracle.py on them"
     )
+
+
+def test_ledger_fail_erases_green_row(tmp_path, monkeypatch):
+    """Round-9 review fix: a FAIL erases the query's ledger row (so
+    the unresolved-mirror-failure check actually fires until a later
+    green run), and scale factors compare numerically, not
+    lexicographically."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import verify_oracle as vo
+
+    ledger = tmp_path / "ledger.json"
+    monkeypatch.setattr(vo, "LEDGER_PATH", str(ledger))
+    vo._update_ledger({"q": {"status": "PASS"}}, "/data/sf0.1")
+    assert json.load(open(ledger))["q"] == {"status": "PASS", "sf": "sf0.1"}
+    # numerically smaller scale does not clobber the larger one
+    vo._update_ledger({"q": {"status": "PASS"}}, "/data/sf0.02")
+    assert json.load(open(ledger))["q"]["sf"] == "sf0.1"
+    # lexicographically smaller but numerically larger DOES win
+    vo._update_ledger({"q": {"status": "PASS"}}, "/data/sf10")
+    assert json.load(open(ledger))["q"]["sf"] == "sf10"
+    # a FAIL erases the row entirely
+    vo._update_ledger({"q": {"status": "FAIL"}}, "/data/sf0.01")
+    assert "q" not in json.load(open(ledger))

@@ -60,12 +60,24 @@ def canon(rows, colnames):
 LEDGER_PATH = "/root/repo/VERIFY_LEDGER.json"
 
 
+def _sf_num(sf: str) -> float:
+    """Numeric scale factor from a dir basename ('sf0.1' -> 0.1).
+    Lexicographic comparison is WRONG here ('sf0.2' > 'sf0.15')."""
+    try:
+        return float(sf.replace("sf", "", 1))
+    except ValueError:
+        return -1.0
+
+
 def _update_ledger(records: dict[str, dict], sf_dir: str) -> None:
-    """Fold this run's green rows into the committed ledger. Content
-    is deterministic (sorted names, no timestamps) so diffs stay
-    one-line-per-new-query; a FAIL never erases prior green history —
-    regressions are caught by the artifacts, the ledger only answers
-    'has this query EVER been verified'."""
+    """Fold this run into the committed ledger. Content is
+    deterministic (sorted names, no timestamps) so diffs stay
+    one-line-per-new-query. Semantics (round 9, review fix): a green
+    row means 'verified green, with no failure observed SINCE' — a
+    FAIL ERASES the query's row, so tests/test_tripwire.py's
+    unresolved-failure check actually fires until a later run
+    re-proves the fix; status and sf always come from the SAME run
+    (the one at the largest numeric scale seen green)."""
     import json
     import os
 
@@ -77,10 +89,11 @@ def _update_ledger(records: dict[str, dict], sf_dir: str) -> None:
         ledger = {}
     for name, rec in records.items():
         if rec["status"] in ("PASS", "rows-only"):
-            prev = ledger.get(name, {})
-            # keep the LARGEST scale seen green (sf0.01 > sf0.001)
-            best = max(prev.get("sf", ""), sf)
-            ledger[name] = {"status": rec["status"], "sf": best}
+            prev = ledger.get(name)
+            if prev is None or _sf_num(sf) >= _sf_num(prev.get("sf", "")):
+                ledger[name] = {"status": rec["status"], "sf": sf}
+        else:  # FAIL (spark error, oracle error, or mismatch)
+            ledger.pop(name, None)
     with open(LEDGER_PATH, "w") as fh:
         json.dump(dict(sorted(ledger.items())), fh, indent=0,
                   sort_keys=True)
