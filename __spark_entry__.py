@@ -38,6 +38,7 @@ from dataset_batch_processor_spark.operators import (
     components,
     corpusstats,
     dataops,
+    doremi,
     decontam,
     dedupdash,
     dsir,
@@ -476,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_check.QUERIES)
     q.update(analytics.QUERIES)
     q.update(dataops.QUERIES)
+    q.update(doremi.QUERIES)
     q.update(pq.QUERIES)
     q.update(ivfpq.QUERIES)
     q.update(recall.QUERIES)
@@ -585,6 +587,7 @@ FROM images_meta GROUP BY 1
     o.update(stream_check.ORACLES)
     o.update(analytics.ORACLES)
     o.update(dataops.ORACLES)
+    o.update(doremi.ORACLES)
     o.update(pq.ORACLES)
     o.update(ivfpq.ORACLES)
     o.update(recall.ORACLES)

@@ -192,3 +192,60 @@ FROM fixture"""
 
 QUERIES["pii_column_audit"] = _q_pii_column_audit
 ORACLES["pii_column_audit"] = _pii_duck()
+
+
+# ------------------------------------------- snapshot drift (round 9)
+# Distribution drift between two corpus snapshots — the audit a
+# pipeline runs before accepting a refreshed crawl: has the length
+# profile of any source shifted? Metric: TOTAL VARIATION distance in
+# ppm between the snapshots' per-source n_chars-bucket histograms.
+# TV (= half the L1 between the two ppm-normalized histograms) is the
+# repo's exact-arithmetic stand-in for PSI/KL, which the no-ln rule
+# forbids: per-bucket shares are integer trunc divisions
+# (cnt * 10^6 DIV snapshot_total), the |a - b| sum is integer, and
+# the final DIV 2 is exact — bit-identical on both engines by
+# construction. Snapshots are the deterministic doc_id parity split
+# (the docs_snapshot_diff convention). 100-TB posture: two
+# map-side-combined groupBys on (source, bucket) — key space is
+# sources x 8 buckets — plus a sources-sized join; nothing
+# corpus-sized shuffles twice.
+
+_DRIFT_CORE = """
+WITH bucketed AS (
+  SELECT source,
+         CAST(doc_id % 2 AS INT) AS snap,
+         CAST(least(n_chars DIV 64, 7) AS INT) AS bucket
+  FROM documents
+),
+hist AS (
+  SELECT source, snap, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY source, snap, bucket
+),
+tot AS (
+  SELECT source, snap, CAST(sum(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY source, snap
+),
+shares AS (
+  SELECT h.source, h.bucket,
+         CAST(sum(CASE WHEN h.snap = 0
+                       THEN h.cnt * 1000000 DIV t.n ELSE 0 END)
+              AS BIGINT) AS a_ppm,
+         CAST(sum(CASE WHEN h.snap = 1
+                       THEN h.cnt * 1000000 DIV t.n ELSE 0 END)
+              AS BIGINT) AS b_ppm
+  FROM hist h JOIN tot t ON t.source = h.source AND t.snap = h.snap
+  GROUP BY h.source, h.bucket
+)
+SELECT source,
+       CAST(count(*) AS INT) AS n_buckets,
+       CAST(sum(abs(a_ppm - b_ppm)) DIV 2 AS BIGINT) AS tv_ppm,
+       CAST(max(abs(a_ppm - b_ppm)) AS BIGINT) AS max_bucket_gap_ppm
+FROM shares
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["docs_snapshot_drift"] = _run(_DRIFT_CORE, ("documents",))
+ORACLES["docs_snapshot_drift"] = _DRIFT_CORE.replace(
+    " DIV ", " // "
+)

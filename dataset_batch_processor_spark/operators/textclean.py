@@ -403,3 +403,49 @@ FROM (
 
 QUERIES["docs_unicode_normalize"] = _q_unicode_normalize
 ORACLES["docs_unicode_normalize"] = UNICODE_NORMALIZE_DUCK
+
+
+# --------------------------------------- homoglyph skeleton (round 9)
+# Confusable-character audit (UTS #39 skeleton, curated subset): web
+# text uses Cyrillic/Greek lookalikes to evade blocklists and spoof
+# brands ("pаypаl" with U+0430); a cleaning pipeline maps confusables
+# to their ASCII skeleton and flags the documents that changed. The
+# mapping is a LITERAL from/to table embedded in one dual-dialect SQL
+# text — translate() is 1:1 in both engines, and translate(raw, FROM,
+# '') DELETES matched chars in both, so the changed-char count is an
+# exact length difference. The fixture corpus is ASCII, so
+# deterministic confusable tokens are planted by doc_id formula (the
+# _UNI_PLANTED convention) to give the gate real signal. One codegen
+# scan + a sources-sized groupBy — trivially scale-safe.
+
+_CONF_FROM = "аеорсхіѕοα"   # Cyrillic a e o r s kh i dze; Greek omicron alpha
+_CONF_TO = "aeopcxisoa"
+
+_HOMOGLYPH_CORE = f"""
+WITH d AS (
+  SELECT source,
+         text || CASE WHEN doc_id % 7 = 2 THEN ' pаypаl'
+                      WHEN doc_id % 7 = 5 THEN ' gооgle сom'
+                      ELSE '' END AS raw
+  FROM documents
+),
+sk AS (
+  SELECT source, raw,
+         translate(raw, '{_CONF_FROM}', '{_CONF_TO}') AS skel,
+         length(raw) - length(translate(raw, '{_CONF_FROM}', '')) AS n_conf
+  FROM d
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN skel <> raw THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged_docs,
+       CAST(sum(n_conf) AS BIGINT) AS n_confusable_chars
+FROM sk
+GROUP BY source
+ORDER BY source
+"""
+
+from .sqlrun import _run as _run_sql  # noqa: E402
+
+QUERIES["docs_homoglyph_skeleton"] = _run_sql(_HOMOGLYPH_CORE, ("documents",))
+ORACLES["docs_homoglyph_skeleton"] = _HOMOGLYPH_CORE
