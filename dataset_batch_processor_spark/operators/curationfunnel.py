@@ -368,3 +368,104 @@ ORACLES = {
     "docs_funnel_attribution": ATTRIBUTION_DUCK,
     "docs_funnel_threshold_sweep": THRESHOLD_SWEEP_DUCK,
 }
+
+
+# ---------------------------------------- gate agreement (round 9)
+# Inter-gate agreement audit: pairwise Cohen's kappa between the five
+# curation gates — the "are my quality signals redundant or
+# complementary" question every multi-gate pipeline asks before
+# adding a sixth. Exact arithmetic end to end: the 2x2 confusion per
+# pair derives from integer counts (n11, per-gate totals, N), kappa's
+# numerator/denominator are integer cross-products
+# (N*(n11+n00) - (nA*nB + (N-nA)*(N-nB)) over N^2 - same), and the
+# only float op is ONE correctly-rounded division quantized with the
+# house floor(x*1e6 + 0.5) convention — identical doubles on both
+# engines. A constant gate makes the denominator 0 (kappa undefined);
+# the row is emitted with degenerate=TRUE and kappa_ppm=0. One scan
+# of the session-shared gate table collecting 16 ints (scalar-witness
+# policy); the oracle reuses the funnel's gate CTE chain verbatim.
+# At 100 TB the counts exceed int64 squared — the oracle notes the
+# HUGEINT cast; the Spark side's Python ints are arbitrary-precision.
+
+_GATE_COLS = (
+    "gate_length", "gate_lang", "gate_quality", "gate_dedup",
+    "gate_neardup",
+)
+
+
+def _q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    g = doc_gates(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.col(c).cast("long")).alias(f"c_{c}") for c in _GATE_COLS
+    ]
+    for i, a in enumerate(_GATE_COLS):
+        for b in _GATE_COLS[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a) & F.col(b)).cast("long")).alias(f"c_{a}__{b}")
+            )
+    row = g.agg(*aggs).collect()[0]  # 16 ints, corpus-independent
+    n = int(row["n"])
+    out = []
+    for i, a in enumerate(_GATE_COLS):
+        for b in _GATE_COLS[i + 1:]:
+            na, nb = int(row[f"c_{a}"]), int(row[f"c_{b}"])
+            n11 = int(row[f"c_{a}__{b}"])
+            n10, n01 = na - n11, nb - n11
+            n00 = n - na - nb + n11
+            chance = na * nb + (n - na) * (n - nb)
+            num = n * (n11 + n00) - chance
+            den = n * n - chance
+            kappa = 0 if den == 0 else math.floor(num / den * 1e6 + 0.5)
+            out.append((a, b, n11, n10, n01, n00, den == 0, kappa))
+    return spark.createDataFrame(
+        sorted(out),
+        "gate_a STRING, gate_b STRING, n11 BIGINT, n10 BIGINT, "
+        "n01 BIGINT, n00 BIGINT, degenerate BOOLEAN, kappa_ppm BIGINT",
+    ).orderBy("gate_a", "gate_b")
+
+
+def _agreement_duck() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _GATE_COLS:
+        sums.append(
+            f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS c_{c}"
+        )
+    pair_rows = []
+    for i, a in enumerate(_GATE_COLS):
+        for b in _GATE_COLS[i + 1:]:
+            sums.append(
+                f"CAST(sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS c_{a}__{b}"
+            )
+            pair_rows.append(f"""
+  SELECT '{a}' AS gate_a, '{b}' AS gate_b,
+         c_{a}__{b} AS n11,
+         c_{a} - c_{a}__{b} AS n10,
+         c_{b} - c_{a}__{b} AS n01,
+         n - c_{a} - c_{b} + c_{a}__{b} AS n00,
+         c_{a} * c_{b} + (n - c_{a}) * (n - c_{b}) AS chance,
+         n
+  FROM c""")
+    union = "\n  UNION ALL".join(pair_rows)
+    return f"""
+WITH RECURSIVE {_GATES_DUCK},
+c AS (SELECT {', '.join(sums)} FROM gates),
+p AS ({union})
+SELECT gate_a, gate_b,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       (n * n - chance) = 0 AS degenerate,
+       CAST(CASE WHEN n * n - chance = 0 THEN 0
+            ELSE floor(CAST(n * (n11 + n00) - chance AS DOUBLE)
+                       / (n * n - chance) * 1000000 + 0.5)
+            END AS BIGINT) AS kappa_ppm
+FROM p
+ORDER BY gate_a, gate_b
+"""
+
+
+QUERIES["docs_gate_agreement"] = _q_gate_agreement
+ORACLES["docs_gate_agreement"] = _agreement_duck()
