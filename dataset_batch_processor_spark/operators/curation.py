@@ -710,3 +710,84 @@ ORDER BY source
 
 QUERIES["docs_token_budget_fill"] = _q_token_budget_fill
 ORACLES["docs_token_budget_fill"] = _token_budget_duck()
+
+
+# --------------------------------------- curriculum staging (round 9)
+# Difficulty-ordered curriculum (Bengio et al. 2009 shape, the
+# easy-to-hard data ordering a pretraining scheduler consumes): rank
+# every document by a difficulty signal WITHIN its source (keyed
+# window — a global rank would serialize the corpus through one
+# task), cut the ranking into 4 stages by integer ppm quartile, and
+# report per (source, stage): doc count, mean difficulty, and the
+# token mass the stage contributes. Difficulty = the DoReMi OOV-rate
+# surrogate (doremi.py) — tokens outside the top-64 corpus vocabulary
+# in ppm, exact trunc-div integers; docs with no [a-z]+ token get
+# difficulty 0 (nothing to learn from them either way). All stage
+# arithmetic is integer: stage = least(3, (rn-1)*4 DIV n). One
+# explode+groupBy for the vocabulary, one for per-doc rates, one
+# keyed window, one rollup — every shuffle key is real.
+
+_CURRICULUM_CORE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         t.w
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z]+')) AS w) t
+),
+vocab AS (
+  -- ORDER BY + LIMIT, not a global row_number window: Spark compiles
+  -- this to TakeOrderedAndProject (no single-partition window over
+  -- the distinct-word table); DuckDB is dialect-identical
+  SELECT w FROM (
+    SELECT w, count(*) AS cnt FROM toks GROUP BY w
+    ORDER BY cnt DESC, w ASC LIMIT 64
+  )
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST((sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000)
+              DIV count(*) AS BIGINT) AS difficulty_ppm
+  FROM toks t LEFT JOIN vocab v ON v.w = t.w
+  GROUP BY t.doc_id, t.source
+),
+staged AS (
+  SELECT source, n_tok, difficulty_ppm,
+         CAST(least(3, (row_number() OVER (
+                PARTITION BY source
+                ORDER BY difficulty_ppm ASC, doc_id ASC) - 1) * 4
+              DIV count(*) OVER (PARTITION BY source)) AS INT) AS stage
+  FROM per_doc
+)
+SELECT source, stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(difficulty_ppm) DIV count(*) AS BIGINT)
+           AS mean_difficulty_ppm,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM staged
+GROUP BY source, stage
+ORDER BY source, stage
+"""
+
+
+def _q_curriculum_stages(spark, sf_dir):
+    from .sqlrun import _run as _run_sql
+
+    spark_sql = _CURRICULUM_CORE.replace(
+        """,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z]+')) AS w) t""",
+        "",
+    ).replace(
+        "SELECT doc_id, source,\n         t.w",
+        "SELECT doc_id, source,\n         "
+        "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w",
+    )
+    return _run_sql(spark_sql, ("documents",))(spark, sf_dir)
+
+
+QUERIES["docs_curriculum_stages"] = _q_curriculum_stages
+ORACLES["docs_curriculum_stages"] = _CURRICULUM_CORE.replace(
+    " DIV ", " // "
+)
