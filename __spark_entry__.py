@@ -29,6 +29,7 @@ from dataset_batch_processor_spark.sources import storage as storage_ops
 from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.streaming import incremental as stream_inc
+from dataset_batch_processor_spark.streaming import driftmon as stream_drift
 from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
@@ -475,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(tabular_ops.QUERIES)
     q.update(jsonl_ops.QUERIES)
     q.update(stream_check.QUERIES)
+    q.update(stream_drift.QUERIES)
     q.update(analytics.QUERIES)
     q.update(dataops.QUERIES)
     q.update(doremi.QUERIES)
@@ -585,6 +587,7 @@ FROM images_meta GROUP BY 1
     o.update(tabular_ops.ORACLES)
     o.update(jsonl_ops.ORACLES)
     o.update(stream_check.ORACLES)
+    o.update(stream_drift.ORACLES)
     o.update(analytics.ORACLES)
     o.update(dataops.ORACLES)
     o.update(doremi.ORACLES)
