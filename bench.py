@@ -71,6 +71,10 @@ HEADLINE_V2_EXTRA = (
     "docs_bpe_train_merges",
     "docs_crossdoc_line_dedup",
     "docs_unicode_normalize",
+    # round 9: the unigram-LM trainer and the DoReMi mixture trainer
+    # (the two new training-loop families)
+    "docs_unigram_train",
+    "docs_doremi_mixture",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
