@@ -1076,3 +1076,57 @@ ORACLES = {
     "docs_unigram_tokens": _unigram_duck(),
     "docs_unigram_train": _unigram_train_duck(),
 }
+
+
+# ------------------------------------ tokenizer fertility (round 9)
+# Fertility — tokens emitted per word — is THE tokenizer-quality
+# number a multilingual pipeline tracks per language (a vocabulary
+# tuned on English tokenizes other languages into more, shorter
+# pieces; fertility quantifies the inequity and prices the compute).
+# Per-doc token counts come from the SAME unigram-Viterbi machinery
+# docs_unigram_tokens gates; this query joins the language column and
+# rolls up: fertility_ppm = total_tokens * 10^6 DIV total_words, plus
+# the [UNK]-word rate. Exact integers end to end; the oracle wraps
+# the unigram replay as a subquery and re-aggregates.
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _q_unigram_tokens(spark, sf_dir)
+    langs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("sum(n_tokens) * 1000000 DIV sum(n_words)")
+            .cast("long").alias("fertility_ppm"),
+            F.expr("sum(n_unk_words) * 1000000 DIV sum(n_words)")
+            .cast("long").alias("unk_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_duck() -> str:
+    return f"""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(u.n_words) AS BIGINT) AS n_words,
+       CAST(sum(u.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(u.n_tokens) * 1000000 // sum(u.n_words) AS BIGINT)
+           AS fertility_ppm,
+       CAST(sum(u.n_unk_words) * 1000000 // sum(u.n_words) AS BIGINT)
+           AS unk_ppm
+FROM ({_unigram_duck()}) u
+JOIN documents d ON d.doc_id = u.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+QUERIES["docs_tokenizer_fertility"] = _q_tokenizer_fertility
+ORACLES["docs_tokenizer_fertility"] = _fertility_duck()

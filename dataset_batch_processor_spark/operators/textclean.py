@@ -449,3 +449,64 @@ from .sqlrun import _run as _run_sql  # noqa: E402
 
 QUERIES["docs_homoglyph_skeleton"] = _run_sql(_HOMOGLYPH_CORE, ("documents",))
 ORACLES["docs_homoglyph_skeleton"] = _HOMOGLYPH_CORE
+
+
+# ------------------------------- evasion-resistant dedup (round 9)
+# Adversarial near-dup evasion: a scraper republishes a page with
+# Cyrillic lookalikes and doctored whitespace, and raw exact-hash
+# dedup misses it. Normalize-then-hash closes the hole: skeleton
+# (the homoglyph table above) -> lower -> collapse runs of
+# whitespace -> trim, then group on md5 of the normalized form.
+# Fixture docs are clean, so evasive twins are PLANTED (doc_id % 11
+# = 3 gets a twin at doc_id + 10^9 with 'o'->U+043E and trailing
+# spaces — raw text differs, normalized text is identical), and the
+# gate proves: raw hashing catches none of the twins, normalized
+# hashing catches every one. Counts per source, exact integers. The
+# only dialect split is the whitespace regexp_replace ('g' flag is
+# explicit in DuckDB, implicit in Spark).
+
+
+def _evasion_sql(engine: str) -> str:
+    ws = ("regexp_replace(raw, '\\\\s+', ' ')" if engine == "spark"
+          else "regexp_replace(raw, '\\s+', ' ', 'g')")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source, text AS raw FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, source,
+         translate(text, 'o', 'о') || '  ' AS raw
+  FROM documents WHERE doc_id % 11 = 3
+),
+hashed AS (
+  SELECT doc_id, source,
+         md5(raw) AS h_raw,
+         md5(trim(lower(translate({ws},
+             '{_CONF_FROM}', '{_CONF_TO}')))) AS h_norm
+  FROM corpus
+),
+raw_canon AS (
+  SELECT h_raw, min(doc_id) AS keep FROM hashed GROUP BY h_raw
+),
+norm_canon AS (
+  SELECT h_norm, min(doc_id) AS keep FROM hashed GROUP BY h_norm
+)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id <> r.keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS raw_dup_victims,
+       CAST(sum(CASE WHEN h.doc_id <> n.keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS norm_dup_victims,
+       CAST(sum(CASE WHEN h.doc_id <> n.keep AND h.doc_id = r.keep
+                THEN 1 ELSE 0 END) AS BIGINT) AS evasions_caught
+FROM hashed h
+JOIN raw_canon r ON r.h_raw = h.h_raw
+JOIN norm_canon n ON n.h_norm = h.h_norm
+GROUP BY h.source
+ORDER BY h.source
+"""
+
+
+QUERIES["docs_evasion_resistant_dedup"] = _run_sql(
+    _evasion_sql("spark"), ("documents",)
+)
+ORACLES["docs_evasion_resistant_dedup"] = _evasion_sql("duck")
