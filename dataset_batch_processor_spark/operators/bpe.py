@@ -1086,8 +1086,20 @@ ORACLES = {
 # Per-doc token counts come from the SAME unigram-Viterbi machinery
 # docs_unigram_tokens gates; this query joins the language column and
 # rolls up: fertility_ppm = total_tokens * 10^6 DIV total_words, plus
-# the [UNK]-word rate. Exact integers end to end; the oracle wraps
-# the unigram replay as a subquery and re-aggregates.
+# the [UNK]-word rate. Exact integers end to end: the naive
+# sum(tokens)*10^6 wraps int64 past ~9.2e12 tokens (routine at the
+# 100-TB posture), so the ppm is computed by the exact split
+# q*10^6 + floor(r*10^3/W)*10^3 + floor((r*10^3 mod W)*10^3 / W)
+# with q,r the quotient/remainder — identical trunc-div ops on both
+# engines, safe to ~9e15 words per language. The oracle wraps the
+# unigram replay as a subquery and re-aggregates.
+
+
+def _ppm_split(t: str, w: str, div: str) -> str:
+    """floor((t * 10^6) / w) without forming t*10^6 (int64-safe)."""
+    return (f"(({t}) {div} ({w})) * 1000000"
+            f" + ((({t}) % ({w})) * 1000 {div} ({w})) * 1000"
+            f" + (((({t}) % ({w})) * 1000 % ({w})) * 1000) {div} ({w})")
 
 
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,9 +1114,9 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_words"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.expr("sum(n_tokens) * 1000000 DIV sum(n_words)")
+            F.expr(_ppm_split("sum(n_tokens)", "sum(n_words)", "DIV"))
             .cast("long").alias("fertility_ppm"),
-            F.expr("sum(n_unk_words) * 1000000 DIV sum(n_words)")
+            F.expr(_ppm_split("sum(n_unk_words)", "sum(n_words)", "DIV"))
             .cast("long").alias("unk_ppm"),
         )
         .orderBy("lang")
@@ -1117,10 +1129,10 @@ SELECT d.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(u.n_words) AS BIGINT) AS n_words,
        CAST(sum(u.n_tokens) AS BIGINT) AS n_tokens,
-       CAST(sum(u.n_tokens) * 1000000 // sum(u.n_words) AS BIGINT)
-           AS fertility_ppm,
-       CAST(sum(u.n_unk_words) * 1000000 // sum(u.n_words) AS BIGINT)
-           AS unk_ppm
+       CAST({_ppm_split('sum(u.n_tokens)', 'sum(u.n_words)', '//')}
+            AS BIGINT) AS fertility_ppm,
+       CAST({_ppm_split('sum(u.n_unk_words)', 'sum(u.n_words)', '//')}
+            AS BIGINT) AS unk_ppm
 FROM ({_unigram_duck()}) u
 JOIN documents d ON d.doc_id = u.doc_id
 GROUP BY d.lang

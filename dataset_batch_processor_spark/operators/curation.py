@@ -720,20 +720,31 @@ ORACLES["docs_token_budget_fill"] = _token_budget_duck()
 # task), cut the ranking into 4 stages by integer ppm quartile, and
 # report per (source, stage): doc count, mean difficulty, and the
 # token mass the stage contributes. Difficulty = the DoReMi OOV-rate
-# surrogate (doremi.py) — tokens outside the top-64 corpus vocabulary
-# in ppm, exact trunc-div integers; docs with no [a-z]+ token get
-# difficulty 0 (nothing to learn from them either way). All stage
-# arithmetic is integer: stage = least(3, (rn-1)*4 DIV n). One
-# explode+groupBy for the vocabulary, one for per-doc rates, one
-# keyed window, one rollup — every shuffle key is real.
+# surrogate, with the vocabulary size and word regex INTERPOLATED
+# from doremi.py so the mixture trainer and the curriculum can never
+# silently measure different things. Documents with no word token
+# produce no rows and are ABSENT from the staging (they carry no
+# token mass to schedule). All stage arithmetic is integer:
+# stage = least(3, (rn-1)*4 DIV n). The one dialect split (explode
+# vs LATERAL unnest) is a template parameter — no string surgery.
 
-_CURRICULUM_CORE = """
+def _curriculum_sql(engine: str) -> str:
+    from .doremi import VOCAB_K, WORD_RE
+
+    div = "DIV" if engine == "spark" else "//"
+    toks = (
+        f"SELECT doc_id, source,\n"
+        f"         explode(regexp_extract_all(lower(text),"
+        f" '{WORD_RE}', 0)) AS w\n  FROM documents"
+        if engine == "spark"
+        else
+        f"SELECT doc_id, source, t.w\n  FROM documents,\n"
+        f"       LATERAL (SELECT unnest(regexp_extract_all(lower(text),\n"
+        f"                '{WORD_RE}')) AS w) t"
+    )
+    return f"""
 WITH toks AS (
-  SELECT doc_id, source,
-         t.w
-  FROM documents,
-       LATERAL (SELECT unnest(regexp_extract_all(lower(text),
-                '[a-z]+')) AS w) t
+  {toks}
 ),
 vocab AS (
   -- ORDER BY + LIMIT, not a global row_number window: Spark compiles
@@ -741,14 +752,14 @@ vocab AS (
   -- the distinct-word table); DuckDB is dialect-identical
   SELECT w FROM (
     SELECT w, count(*) AS cnt FROM toks GROUP BY w
-    ORDER BY cnt DESC, w ASC LIMIT 64
+    ORDER BY cnt DESC, w ASC LIMIT {VOCAB_K}
   )
 ),
 per_doc AS (
   SELECT t.doc_id, t.source,
          CAST(count(*) AS BIGINT) AS n_tok,
          CAST((sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000)
-              DIV count(*) AS BIGINT) AS difficulty_ppm
+              {div} count(*) AS BIGINT) AS difficulty_ppm
   FROM toks t LEFT JOIN vocab v ON v.w = t.w
   GROUP BY t.doc_id, t.source
 ),
@@ -757,12 +768,12 @@ staged AS (
          CAST(least(3, (row_number() OVER (
                 PARTITION BY source
                 ORDER BY difficulty_ppm ASC, doc_id ASC) - 1) * 4
-              DIV count(*) OVER (PARTITION BY source)) AS INT) AS stage
+              {div} count(*) OVER (PARTITION BY source)) AS INT) AS stage
   FROM per_doc
 )
 SELECT source, stage,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(difficulty_ppm) DIV count(*) AS BIGINT)
+       CAST(sum(difficulty_ppm) {div} count(*) AS BIGINT)
            AS mean_difficulty_ppm,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM staged
@@ -774,20 +785,8 @@ ORDER BY source, stage
 def _q_curriculum_stages(spark, sf_dir):
     from .sqlrun import _run as _run_sql
 
-    spark_sql = _CURRICULUM_CORE.replace(
-        """,
-       LATERAL (SELECT unnest(regexp_extract_all(lower(text),
-                '[a-z]+')) AS w) t""",
-        "",
-    ).replace(
-        "SELECT doc_id, source,\n         t.w",
-        "SELECT doc_id, source,\n         "
-        "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w",
-    )
-    return _run_sql(spark_sql, ("documents",))(spark, sf_dir)
+    return _run_sql(_curriculum_sql("spark"), ("documents",))(spark, sf_dir)
 
 
 QUERIES["docs_curriculum_stages"] = _q_curriculum_stages
-ORACLES["docs_curriculum_stages"] = _CURRICULUM_CORE.replace(
-    " DIV ", " // "
-)
+ORACLES["docs_curriculum_stages"] = _curriculum_sql("duck")

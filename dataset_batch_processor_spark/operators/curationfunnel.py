@@ -378,14 +378,15 @@ ORACLES = {
 # pair derives from integer counts (n11, per-gate totals, N), kappa's
 # numerator/denominator are integer cross-products
 # (N*(n11+n00) - (nA*nB + (N-nA)*(N-nB)) over N^2 - same), and the
-# only float op is ONE correctly-rounded division quantized with the
-# house floor(x*1e6 + 0.5) convention — identical doubles on both
-# engines. A constant gate makes the denominator 0 (kappa undefined);
-# the row is emitted with degenerate=TRUE and kappa_ppm=0. One scan
-# of the session-shared gate table collecting 16 ints (scalar-witness
-# policy); the oracle reuses the funnel's gate CTE chain verbatim.
-# At 100 TB the counts exceed int64 squared — the oracle notes the
-# HUGEINT cast; the Spark side's Python ints are arbitrary-precision.
+# quantization is ALL-INTEGER truncating division (num*10^6 trunc-div
+# den — Python's sign-adjusted //, DuckDB's HUGEINT //): no float
+# ever, exact at ANY corpus size (n^2 exceeds int64 past ~3e9 docs,
+# so the oracle casts to HUGEINT; the Spark side's Python ints are
+# arbitrary-precision). A constant gate makes the denominator 0
+# (kappa undefined); the row is emitted with degenerate=TRUE and
+# kappa_ppm=0. One scan of the session-shared gate table collecting
+# 16 ints (scalar-witness policy); the oracle reuses the funnel's
+# gate CTE chain verbatim.
 
 _GATE_COLS = (
     "gate_length", "gate_lang", "gate_quality", "gate_dedup",
@@ -393,9 +394,14 @@ _GATE_COLS = (
 )
 
 
-def _q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero division (Python // floors; Spark DIV and
+    DuckDB // truncate — the determinism-rules negative-dividend
+    formula)."""
+    return -((-a) // b) if a < 0 else a // b
 
+
+def _q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = doc_gates(spark, sf_dir)
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [
@@ -418,7 +424,7 @@ def _q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             chance = na * nb + (n - na) * (n - nb)
             num = n * (n11 + n00) - chance
             den = n * n - chance
-            kappa = 0 if den == 0 else math.floor(num / den * 1e6 + 0.5)
+            kappa = 0 if den == 0 else _trunc_div(num * 1_000_000, den)
             out.append((a, b, n11, n10, n01, n00, den == 0, kappa))
     return spark.createDataFrame(
         sorted(out),
@@ -446,7 +452,8 @@ def _agreement_duck() -> str:
          c_{a} - c_{a}__{b} AS n10,
          c_{b} - c_{a}__{b} AS n01,
          n - c_{a} - c_{b} + c_{a}__{b} AS n00,
-         c_{a} * c_{b} + (n - c_{a}) * (n - c_{b}) AS chance,
+         CAST(c_{a} AS HUGEINT) * c_{b}
+           + (CAST(n AS HUGEINT) - c_{a}) * (n - c_{b}) AS chance,
          n
   FROM c""")
     union = "\n  UNION ALL".join(pair_rows)
@@ -457,10 +464,10 @@ p AS ({union})
 SELECT gate_a, gate_b,
        CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
        CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
-       (n * n - chance) = 0 AS degenerate,
-       CAST(CASE WHEN n * n - chance = 0 THEN 0
-            ELSE floor(CAST(n * (n11 + n00) - chance AS DOUBLE)
-                       / (n * n - chance) * 1000000 + 0.5)
+       (CAST(n AS HUGEINT) * n - chance) = 0 AS degenerate,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * n - chance = 0 THEN 0
+            ELSE (CAST(n AS HUGEINT) * (n11 + n00) - chance) * 1000000
+                 // (CAST(n AS HUGEINT) * n - chance)
             END AS BIGINT) AS kappa_ppm
 FROM p
 ORDER BY gate_a, gate_b

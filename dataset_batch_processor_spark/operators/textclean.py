@@ -467,15 +467,21 @@ ORACLES["docs_homoglyph_skeleton"] = _HOMOGLYPH_CORE
 
 
 def _evasion_sql(engine: str) -> str:
-    ws = ("regexp_replace(raw, '\\\\s+', ' ')" if engine == "spark"
-          else "regexp_replace(raw, '\\s+', ' ', 'g')")
+    # WS_RE, not \s: Java \s includes U+000B (vertical tab), RE2 \s
+    # does not — the shared class keeps h_norm engine-identical on any
+    # input (the module's RE2-subset convention)
+    ws = (f"regexp_replace(raw, '{WS_RE}', ' ')" if engine == "spark"
+          else f"regexp_replace(raw, '{WS_RE}', ' ', 'g')")
     return f"""
 WITH corpus AS (
   SELECT doc_id, source, text AS raw FROM documents
   UNION ALL
-  SELECT doc_id + 1000000000 AS doc_id, source,
+  SELECT -(doc_id + 1) AS doc_id, source,
          translate(text, 'o', 'о') || '  ' AS raw
-  FROM documents WHERE doc_id % 11 = 3
+  FROM documents WHERE doc_id % 11 = 3  -- negative twin ids: disjoint
+                                        -- from real ids at ANY corpus
+                                        -- size (a fixed offset would
+                                        -- collide past 1e9 docs)
 ),
 hashed AS (
   SELECT doc_id, source,

@@ -124,10 +124,12 @@ def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars"
     )
     stage = scratch_dir("dbp_drift_stage_")
-    for part in range(N_SHARDS):
-        docs.filter(F.col("doc_id") % N_SHARDS == part).coalesce(
-            1
-        ).write.mode("append").parquet(stage)
+    # ONE corpus pass into N_SHARDS files (review fix: the per-shard
+    # filter loop scanned the table N_SHARDS times). The monitor is
+    # keyed on shard DATA identity, so arbitrary file slicing — even
+    # mixed-shard batches — drains to the identical gated output;
+    # that indifference is the point.
+    docs.repartition(N_SHARDS).write.mode("overwrite").parquet(stage)
     work = scratch_dir("dbp_drift_work_")
     q = accumulate_drift(
         spark.readStream.schema("doc_id long, n_chars long")
