@@ -664,3 +664,30 @@ def test_index_dedup_probe_is_equi_join_on_band_bucket(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "bucket" in plan
+
+
+def test_doremi_loss_pass_broadcasts_vocab(spark, sf_dir):
+    """The per-doc OOV flagging joins the 64-row vocabulary head as a
+    broadcast (no shuffle of the corpus-sized token table against it);
+    no single-partition data window anywhere in the loss pass."""
+    from dataset_batch_processor_spark import catalog as cat
+    from dataset_batch_processor_spark.operators import doremi
+
+    df = doremi.domain_losses(cat.load_table(spark, sf_dir, "documents"))
+    assert explain.broadcast_join_count(df) >= 1
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan  # top-K via sort/limit, ranks via agg
+
+
+def test_curriculum_stage_window_is_source_keyed(spark, sf_dir):
+    """The curriculum rank window partitions on source and the
+    vocabulary head compiles to TakeOrderedAndProject, not a global
+    row_number window."""
+    from dataset_batch_processor_spark.operators import curation
+
+    df = curation._q_curriculum_stages(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "source" in line  # keyed, never global
