@@ -98,6 +98,13 @@ HEAVY = (
 # move is attributed or absorbed (BENCH_COMPARE_r8: 1.59x).
 WATCH = (
     "mm_progressive_roundtrip",
+    # round 9: single-rep cold-first outliers flagged in
+    # BENCH_COMPARE_r9 (probed steady states: oph_pairs 2.2s,
+    # stream_dedup 2.1s, audio_fingerprint 1.0s) — multi-rep so the
+    # recorded median is the warm path
+    "minhash_oph_pairs",
+    "events_stream_dedup",
+    "mm_audio_fingerprint_dups",
 )
 
 
