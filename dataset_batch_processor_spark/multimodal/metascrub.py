@@ -296,3 +296,50 @@ def scrub_images(df):
         schema=("id string, content binary, bytes_removed int, "
                 "had_gps boolean, error string"),
     )
+
+
+# --------------------------------- EXIF orientation (round 9)
+# Cameras store the sensor image unrotated and record how to display
+# it in Exif tag 274; a training pipeline must NORMALIZE orientation
+# before any geometric op (crops, tiles, augmentations) or 5/8 of
+# phone photos come in sideways/mirrored. Builder + reader here (the
+# IFD machinery lives in this module); the pixel transform is
+# binary.apply_exif_orientation.
+
+
+def build_orientation_app1(orientation: int) -> bytes:
+    """Minimal well-formed Exif APP1 whose IFD0 holds ONLY tag 274
+    (Orientation, SHORT, 1..8) — fixed layout, byte-deterministic."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    t = bytearray(b"II*\x00")
+    t += struct.pack("<I", 8)          # IFD0 offset
+    t += struct.pack("<H", 1)          # one entry
+    t += struct.pack("<HHI", 274, 3, 1)  # tag, SHORT, count 1
+    t += struct.pack("<H", orientation) + b"\x00\x00"  # left-justified
+    t += struct.pack("<I", 0)          # no next IFD
+    return b"Exif\x00\x00" + bytes(t)
+
+
+def jpeg_orientation(jpg: bytes) -> int:
+    """Exif orientation (tag 274) from the first Exif APP1; 1 (upright)
+    when absent or unreadable — the display default every viewer
+    assumes."""
+    for kind, _s, e, m, hdr in _walk_jpeg(jpg):
+        if kind == "seg" and m == 0xE1:
+            body = jpg[hdr + 4 : e]
+            if body[:6] == b"Exif\x00\x00":
+                try:
+                    tbody = body[6:]
+                    bo = tiff_mod._parse_header(tbody)
+                    tags = tiff_mod._read_ifd(tbody, bo)
+                    v = tags.get(274)
+                    if v:
+                        o = int(v[0])
+                        if 1 <= o <= 8:
+                            return o
+                except Exception:  # noqa: BLE001 — malformed Exif
+                    pass
+        if kind == "seg" and m == 0xDA:
+            break  # Exif precedes the scan
+    return 1

@@ -3103,6 +3103,96 @@ WITH dims AS (
     )
 
 
+
+
+# ------------------------------------ EXIF orientation normalization
+# Tag-274 auto-rotation (round 9): cameras store the sensor image
+# unrotated; 5/8 of the orientation values mean "this photo displays
+# sideways or mirrored" and every geometric op downstream (tiles,
+# crops, augmentations) is wrong until normalized. Per doc: the
+# upright gradient fixture is INVERSE-transformed into the stored
+# form for orientation (doc_id % 8) + 1, round-tripped through the
+# LOSSLESS PNG codec (exact pixels — so the normalized output must
+# equal the formula-built upright BIT-FOR-BIT, a non-tautological
+# whole-pipeline check) AND through JPEG carrying the real Exif APP1
+# (gating the tag PARSE via metascrub.jpeg_orientation and a lossy
+# tolerance). Output dims swap for the transpose family (o >= 5).
+
+EXIF_ORIENT_SCHEMA = (
+    "doc_id long, orientation int, out_w int, out_h int, "
+    "orient_parsed int, norm_exact boolean, jpeg_within_tol boolean"
+)
+
+_ORIENT_INV = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+def _q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from . import binary, jpeg, metascrub, png
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 24 + 8, d % 17 + 8
+                o = d % 8 + 1
+                y, x = np.mgrid[0:h, 0:w]
+                upright = np.stack(
+                    [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
+                    axis=2,
+                ).astype(np.uint8)
+                stored = binary.apply_exif_orientation(
+                    upright, _ORIENT_INV[o]
+                )
+                # lossless path: exact whole-pipeline equality
+                dec_png = binary.decode_any("png", png.encode_png(stored))
+                norm = binary.apply_exif_orientation(dec_png, o)
+                # lossy path: real Exif APP1 drives the parse
+                dirty = metascrub.inject_app1(
+                    jpeg.encode_jpeg(stored, quality=85),
+                    metascrub.build_orientation_app1(o),
+                )
+                o_read = metascrub.jpeg_orientation(dirty)
+                norm_j = binary.apply_exif_orientation(
+                    binary.decode_any("jpg", dirty), o_read
+                )
+                err = int(
+                    np.abs(norm_j.astype(int) - upright.astype(int)).max()
+                ) if norm_j.shape == upright.shape else 255
+                out.append({
+                    "doc_id": d,
+                    "orientation": o,
+                    "out_w": int(norm.shape[1]),
+                    "out_h": int(norm.shape[0]),
+                    "orient_parsed": int(o_read),
+                    "norm_exact": bool(np.array_equal(norm, upright)),
+                    "jpeg_within_tol": bool(err <= 24),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "orientation", "out_w", "out_h",
+                         "orient_parsed", "norm_exact", "jpeg_within_tol"],
+            )
+
+    return docs.mapInPandas(run, schema=EXIF_ORIENT_SCHEMA)
+
+
+EXIF_ORIENT_DUCK = """
+SELECT doc_id,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       CAST(doc_id % 24 + 8 AS INT) AS out_w,
+       CAST(doc_id % 17 + 8 AS INT) AS out_h,
+       CAST(doc_id % 8 + 1 AS INT) AS orient_parsed,
+       TRUE AS norm_exact,
+       TRUE AS jpeg_within_tol
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_decode_meta": _q_decode_meta,
     "mm_vit_patchify": _q_vit_patchify,
@@ -3116,6 +3206,7 @@ QUERIES = {
     "mm_audio_spectral": _q_audio_spectral,
     "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
     "mm_exif_scrub": _q_exif_scrub,
+    "mm_exif_orientation_normalize": _q_exif_orientation,
     "mm_video_scene_cuts": _q_video_scene_cuts,
     "mm_audio_normalize": _q_audio_normalize,
     "mm_audio_resample": _q_audio_resample,
@@ -3155,6 +3246,7 @@ ORACLES = {
     "mm_audio_spectral": _audio_spectral_duck(),
     "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
     "mm_exif_scrub": _exif_scrub_duck(),
+    "mm_exif_orientation_normalize": EXIF_ORIENT_DUCK,
     "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
     "mm_audio_normalize": AUDIO_NORMALIZE_DUCK,
     "mm_audio_resample": AUDIO_RESAMPLE_DUCK,

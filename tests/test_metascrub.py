@@ -234,3 +234,26 @@ def test_headers_only_stream_still_quarantines():
     app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
     with pytest.raises(ValueError, match="without SOS or EOI"):
         metascrub.scrub_jpeg(b"\xff\xd8" + app0)
+
+
+def test_exif_orientation_parse_and_transform():
+    """Tag-274 reader + the 8-case transform: every orientation
+    round-trips (store the inverse-transformed image, normalize with
+    the parsed tag, recover the upright original); absent tag -> 1."""
+    from dataset_batch_processor_spark.multimodal import binary
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    base = _jpg()
+    for o in range(1, 9):
+        stored = binary.apply_exif_orientation(img, inv[o])
+        assert np.array_equal(
+            binary.apply_exif_orientation(stored, o), img
+        ), o
+        dirty = metascrub.inject_app1(
+            base, metascrub.build_orientation_app1(o)
+        )
+        assert metascrub.jpeg_orientation(dirty) == o
+    assert metascrub.jpeg_orientation(base) == 1  # no Exif -> upright
+    with pytest.raises(ValueError):
+        metascrub.build_orientation_app1(9)
