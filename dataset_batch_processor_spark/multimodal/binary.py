@@ -439,28 +439,3 @@ def augment_views(arr: np.ndarray) -> dict[str, np.ndarray]:
         "crop": arr[h // 4: h // 4 + h // 2, w // 4: w // 4 + w // 2],
     }
 
-
-def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
-    """Undo Exif tag-274 orientation: return the upright image. Pure
-    index remapping (flip/rot90/transpose) — bit-exact, no resample.
-    The eight cases per the Exif 2.32 table: 1 identity, 2 mirror-H,
-    3 rot180, 4 mirror-V, 5 transpose, 6 rot90 CW, 7 transverse,
-    8 rot270 CW (values are how the STORED image must be transformed
-    to display upright)."""
-    if orientation == 1:
-        return arr
-    if orientation == 2:
-        return arr[:, ::-1]
-    if orientation == 3:
-        return arr[::-1, ::-1]
-    if orientation == 4:
-        return arr[::-1, :]
-    if orientation == 5:
-        return np.transpose(arr, (1, 0, 2))
-    if orientation == 6:
-        return np.transpose(arr, (1, 0, 2))[:, ::-1]
-    if orientation == 7:
-        return np.transpose(arr, (1, 0, 2))[::-1, ::-1]
-    if orientation == 8:
-        return np.transpose(arr, (1, 0, 2))[::-1, :]
-    raise ValueError("EXIF orientation must be 1..8")

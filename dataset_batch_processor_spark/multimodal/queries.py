@@ -3109,7 +3109,10 @@ WITH dims AS (
 # Tag-274 auto-rotation (round 9): cameras store the sensor image
 # unrotated; 5/8 of the orientation values mean "this photo displays
 # sideways or mirrored" and every geometric op downstream (tiles,
-# crops, augmentations) is wrong until normalized. Per doc: the
+# crops, augmentations) is wrong until normalized. COMPLEMENTS the
+# existing mm_exif_orientation (DNG tag write/probe + weighted
+# checksum, tiff.py machinery): this query gates the JPEG/APP1 parse
+# path and the lossless whole-pipeline normalize. Per doc: the
 # upright gradient fixture is INVERSE-transformed into the stored
 # form for orientation (doc_id % 8) + 1, round-tripped through the
 # LOSSLESS PNG codec (exact pixels — so the normalized output must
@@ -3118,7 +3121,7 @@ WITH dims AS (
 # (gating the tag PARSE via metascrub.jpeg_orientation and a lossy
 # tolerance). Output dims swap for the transpose family (o >= 5).
 
-EXIF_ORIENT_SCHEMA = (
+EXIF_ORIENT_NORM_SCHEMA = (
     "doc_id long, orientation int, out_w int, out_h int, "
     "orient_parsed int, norm_exact boolean, jpeg_within_tol boolean"
 )
@@ -3126,10 +3129,10 @@ EXIF_ORIENT_SCHEMA = (
 _ORIENT_INV = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
 
 
-def _q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_exif_orientation_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from . import binary, jpeg, metascrub, png
+    from . import binary, jpeg, metascrub, png, tiff
 
     docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
 
@@ -3145,19 +3148,19 @@ def _q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [x * 3 + d % 100, y * 4 + d % 80, x + y + d % 50],
                     axis=2,
                 ).astype(np.uint8)
-                stored = binary.apply_exif_orientation(
+                stored = tiff.apply_exif_orientation(
                     upright, _ORIENT_INV[o]
                 )
                 # lossless path: exact whole-pipeline equality
                 dec_png = binary.decode_any("png", png.encode_png(stored))
-                norm = binary.apply_exif_orientation(dec_png, o)
+                norm = tiff.apply_exif_orientation(dec_png, o)
                 # lossy path: real Exif APP1 drives the parse
                 dirty = metascrub.inject_app1(
                     jpeg.encode_jpeg(stored, quality=85),
                     metascrub.build_orientation_app1(o),
                 )
                 o_read = metascrub.jpeg_orientation(dirty)
-                norm_j = binary.apply_exif_orientation(
+                norm_j = tiff.apply_exif_orientation(
                     binary.decode_any("jpg", dirty), o_read
                 )
                 err = int(
@@ -3178,10 +3181,10 @@ def _q_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "orient_parsed", "norm_exact", "jpeg_within_tol"],
             )
 
-    return docs.mapInPandas(run, schema=EXIF_ORIENT_SCHEMA)
+    return docs.mapInPandas(run, schema=EXIF_ORIENT_NORM_SCHEMA)
 
 
-EXIF_ORIENT_DUCK = """
+EXIF_ORIENT_NORM_DUCK = """
 SELECT doc_id,
        CAST(doc_id % 8 + 1 AS INT) AS orientation,
        CAST(doc_id % 24 + 8 AS INT) AS out_w,
@@ -3206,7 +3209,7 @@ QUERIES = {
     "mm_audio_spectral": _q_audio_spectral,
     "mm_audio_fingerprint_dups": _q_audio_fingerprint_dups,
     "mm_exif_scrub": _q_exif_scrub,
-    "mm_exif_orientation_normalize": _q_exif_orientation,
+    "mm_exif_orientation_normalize": _q_exif_orientation_normalize,
     "mm_video_scene_cuts": _q_video_scene_cuts,
     "mm_audio_normalize": _q_audio_normalize,
     "mm_audio_resample": _q_audio_resample,
@@ -3246,7 +3249,7 @@ ORACLES = {
     "mm_audio_spectral": _audio_spectral_duck(),
     "mm_audio_fingerprint_dups": _audio_fingerprint_duck(),
     "mm_exif_scrub": _exif_scrub_duck(),
-    "mm_exif_orientation_normalize": EXIF_ORIENT_DUCK,
+    "mm_exif_orientation_normalize": EXIF_ORIENT_NORM_DUCK,
     "mm_video_scene_cuts": VIDEO_SCENE_CUTS_DUCK,
     "mm_audio_normalize": AUDIO_NORMALIZE_DUCK,
     "mm_audio_resample": AUDIO_RESAMPLE_DUCK,

@@ -240,15 +240,15 @@ def test_exif_orientation_parse_and_transform():
     """Tag-274 reader + the 8-case transform: every orientation
     round-trips (store the inverse-transformed image, normalize with
     the parsed tag, recover the upright original); absent tag -> 1."""
-    from dataset_batch_processor_spark.multimodal import binary
+    from dataset_batch_processor_spark.multimodal import tiff as tiff_m
 
     img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
     inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
     base = _jpg()
     for o in range(1, 9):
-        stored = binary.apply_exif_orientation(img, inv[o])
+        stored = tiff_m.apply_exif_orientation(img, inv[o])
         assert np.array_equal(
-            binary.apply_exif_orientation(stored, o), img
+            tiff_m.apply_exif_orientation(stored, o), img
         ), o
         dirty = metascrub.inject_app1(
             base, metascrub.build_orientation_app1(o)
