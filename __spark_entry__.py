@@ -33,6 +33,7 @@ from dataset_batch_processor_spark.streaming import driftmon as stream_drift
 from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
+    chat,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -492,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(lmobjectives.QUERIES)
     q.update(coreset.QUERIES)
     q.update(perceptron.QUERIES)
+    q.update(chat.QUERIES)
     return _prioritize(q)
 
 
@@ -603,4 +605,5 @@ FROM images_meta GROUP BY 1
     o.update(lmobjectives.ORACLES)
     o.update(coreset.ORACLES)
     o.update(perceptron.ORACLES)
+    o.update(chat.ORACLES)
     return _prioritize(o)

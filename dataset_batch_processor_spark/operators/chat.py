@@ -1,0 +1,305 @@
+"""SFT / chat-format data operators: render, loss mask, turn dedup.
+
+Once pretraining data is curated, every LLM pipeline turns to
+fine-tuning data: role/turn-structured conversations rendered through
+a chat template into one training string, with a LOSS MASK that
+trains only on assistant spans, and deduplication at TURN granularity
+(a boilerplate assistant reply repeated across thousands of
+conversations is the classic SFT contamination). The reference has no
+structured-text counterpart — its closest analogue is the caption
+attached to every tile (/root/reference/modules/tiling.py:71-75); this
+family extends that "text rides along with the unit of training data"
+idea to multi-turn conversations.
+
+Deterministic conversation construction (the lmobjectives.py seeding
+pattern): the ``documents`` token stream is cut into turns of
+``3 + (md5(doc_id) % 6)`` tokens, alternating user/assistant, under a
+constant system turn. Every "random" choice is an md5-derived integer,
+so both engines replay it exactly.
+
+Template: the ChatML wire format (public: OpenAI ChatML spec, also
+used verbatim by Qwen) —
+
+    <|im_start|>ROLE\\ncontent<|im_end|>\\n
+
+rendered as pure string concatenation; the loss mask is pure integer
+arithmetic over per-turn rendered lengths (the FIM cut-point idiom,
+lmobjectives.py), so spans are exact char offsets into the rendered
+string: ``[mask_start, mask_end)`` 0-based, verified against an
+independent Python renderer in tests/test_chat.py.
+
+Scale posture: tokenize is one narrow explode; turn assembly and the
+render/mask are groupBy doc_id (+ per-doc windows bounded by one
+document — the lmscore.py posture); turn dedup shuffles 16-byte
+digests, never turn text (the dedup_lines posture, textops.py). No
+floats anywhere, so the gate is exact by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+
+TURN_MIN = 3          # shortest turn, tokens
+TURN_MOD = 6          # turn_len = TURN_MIN + h % TURN_MOD  in [3, 8]
+IM_START = "<|im_start|>"
+IM_END = "<|im_end|>"
+SYSTEM_PROMPT = "You are a helpful assistant."
+SYS_RENDERED = f"{IM_START}system\n{SYSTEM_PROMPT}{IM_END}\n"
+SYS_LEN = len(SYS_RENDERED)  # 58
+HDR_LEN = len(IM_START)      # 12
+FTR_LEN = len(IM_END) + 1    # 11, includes the trailing newline
+
+# md5-derived integer (28-bit hex prefix), per-engine spelling — the
+# lmobjectives.py house idiom.
+_H_SPARK = (
+    "CAST(conv(substr(md5(concat(doc_id, ':tl')), 1, 7), 16, 10) AS BIGINT)"
+)
+_H_DUCK = (
+    "CAST(concat('0x', substr(md5(concat(doc_id, ':tl')), 1, 7)) AS BIGINT)"
+)
+
+# Tokenize + renumber kept tokens 0..n-1 per doc (row_number is a
+# per-doc window — bounded by one document). The empty-token filter
+# keeps content a single-spaced token join in both engines.
+_TOKS_SPARK = """toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos,
+         token
+  FROM (SELECT doc_id, pos0, token
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos0, token)
+  WHERE length(token) > 0
+)"""
+
+_TOKS_DUCK = """toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos,
+         token
+  FROM (SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos0,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+)"""
+
+# Turn assembly: seeded per-doc turn length, integer-div turn ids,
+# alternating roles, content = ordered token join. {div} is the
+# trunc-div spelling (both operands nonnegative here); {agg} is the
+# engine's ordered-string-agg idiom.
+_TURNS_BODY = f"""tl AS (
+  SELECT doc_id, {TURN_MIN} + ({{h}} % {TURN_MOD}) AS turn_len
+  FROM documents
+),
+turns AS (
+  SELECT doc_id, turn_id,
+         CASE WHEN turn_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         {{content_agg}} AS content
+  FROM (
+    SELECT t.doc_id, t.pos, t.token, t.pos {{div}} l.turn_len AS turn_id
+    FROM toks t JOIN tl l ON t.doc_id = l.doc_id
+  )
+  GROUP BY doc_id, turn_id
+)"""
+
+_CONTENT_AGG_SPARK = (
+    "array_join(transform(array_sort(collect_list(struct(pos, token))),"
+    " x -> x.token), ' ')"
+)
+_CONTENT_AGG_DUCK = "array_to_string(list(token ORDER BY pos), ' ')"
+
+_TURNS_SPARK = _TURNS_BODY.format(
+    h=_H_SPARK, div="DIV", content_agg=_CONTENT_AGG_SPARK
+)
+_TURNS_DUCK = _TURNS_BODY.format(
+    h=_H_DUCK, div="//", content_agg=_CONTENT_AGG_DUCK
+)
+
+# Per-turn rendered piece: <|im_start|>role\ncontent<|im_end|>\n.
+# chr(10) on both sides — no literal-newline escaping differences.
+_PIECE = (
+    f"'{IM_START}' || role || chr(10) || content || '{IM_END}' || chr(10)"
+)
+_SYS_SQL = (
+    f"'{IM_START}system' || chr(10) || '{SYSTEM_PROMPT}'"
+    f" || '{IM_END}' || chr(10)"
+)
+
+# ------------------------------------------------------------- render
+
+_RENDER_TAIL = f"""
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT)
+           AS n_assistant,
+       CAST(length({{sys}} || {{piece_agg}}) AS INT) AS render_len,
+       md5({{sys}} || {{piece_agg}}) AS render_md5
+FROM (SELECT doc_id, turn_id, role, {_PIECE} AS piece FROM turns)
+GROUP BY doc_id
+"""
+
+_PIECE_AGG_SPARK = (
+    "array_join(transform(array_sort(collect_list(struct(turn_id, piece))),"
+    " x -> x.piece), '')"
+)
+_PIECE_AGG_DUCK = "array_to_string(list(piece ORDER BY turn_id), '')"
+
+CHAT_RENDER_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _RENDER_TAIL.format(sys=_SYS_SQL, piece_agg=_PIECE_AGG_SPARK)
+)
+CHAT_RENDER_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _RENDER_TAIL.format(sys=_SYS_SQL, piece_agg=_PIECE_AGG_DUCK)
+)
+
+# ---------------------------------------------------------- loss mask
+# Char-offset spans of assistant CONTENT in the rendered string,
+# 0-based [mask_start, mask_end): turn offset = SYS_LEN + prefix sum
+# of prior piece lengths (per-doc window); content starts after
+# '<|im_start|>' + role + '\n'. All integers.
+
+_MASK_TAIL = f"""
+, lens AS (
+  SELECT doc_id, turn_id, role,
+         {HDR_LEN} + length(role) + 1 + length(content) + {FTR_LEN}
+             AS piece_len,
+         length(content) AS content_len
+  FROM turns
+),
+offs AS (
+  SELECT doc_id, turn_id, role, content_len,
+         {SYS_LEN} + coalesce(sum(piece_len) OVER (
+             PARTITION BY doc_id ORDER BY turn_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS turn_off
+  FROM lens
+),
+spans AS (
+  SELECT doc_id, turn_id,
+         turn_off + {HDR_LEN} + length(role) + 1 AS mask_start,
+         turn_off + {HDR_LEN} + length(role) + 1 + content_len AS mask_end
+  FROM offs
+  WHERE role = 'assistant'
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(mask_end - mask_start) AS BIGINT) AS mask_chars,
+       md5({{span_agg}}) AS spans_md5
+FROM (SELECT doc_id, turn_id,
+             CAST(mask_start AS BIGINT) AS mask_start,
+             CAST(mask_end AS BIGINT) AS mask_end,
+             mask_start || ':' || mask_end AS span_txt
+      FROM spans)
+GROUP BY doc_id
+"""
+
+_SPAN_AGG_SPARK = (
+    "array_join(transform(array_sort(collect_list(struct(turn_id, span_txt))),"
+    " x -> x.span_txt), ';')"
+)
+_SPAN_AGG_DUCK = "array_to_string(list(span_txt ORDER BY turn_id), ';')"
+
+CHAT_LOSS_MASK_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _MASK_TAIL.format(span_agg=_SPAN_AGG_SPARK)
+)
+CHAT_LOSS_MASK_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _MASK_TAIL.format(span_agg=_SPAN_AGG_DUCK)
+)
+
+# --------------------------------------------------------- turn dedup
+# Exact turn-level dedup across the whole conversation corpus: group
+# by content digest, keep the first occurrence (doc_id, turn_id
+# order), report every digest that occurs more than once. Only the
+# 16-byte digest shuffles twice (group + window); turn text never
+# leaves its map task — the dedup_lines/K5 posture at turn grain.
+
+_DEDUP_TAIL = """
+, keyed AS (
+  SELECT doc_id, turn_id, role, md5(content) AS digest,
+         row_number() OVER (PARTITION BY md5(content)
+                            ORDER BY doc_id, turn_id) AS occ
+  FROM turns
+)
+SELECT digest,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN occ = 1 THEN doc_id END) AS BIGINT)
+           AS keeper_doc_id,
+       CAST(min(CASE WHEN occ = 1 THEN turn_id END) AS BIGINT)
+           AS keeper_turn_id
+FROM keyed
+GROUP BY digest
+HAVING count(*) > 1
+"""
+
+CHAT_TURN_DEDUP_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_DEDUP_TAIL}"
+CHAT_TURN_DEDUP_DUCK = f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}{_DEDUP_TAIL}"
+
+
+# ------------------------------------------------- independent renderer
+# Plain-Python replay for tests: NO SQL, no Spark — the cross-check
+# that the SQL render/mask really implement the template they claim.
+
+def turn_len_py(doc_id: int) -> int:
+    h = int(hashlib.md5(f"{doc_id}:tl".encode()).hexdigest()[:7], 16)
+    return TURN_MIN + h % TURN_MOD
+
+
+def conversation_py(doc_id: int, text: str) -> list[tuple[str, str]]:
+    toks = [t for t in text.split(" ") if t]
+    tl = turn_len_py(doc_id)
+    out: list[tuple[str, str]] = []
+    for i in range(0, len(toks), tl):
+        role = "user" if (i // tl) % 2 == 0 else "assistant"
+        out.append((role, " ".join(toks[i : i + tl])))
+    return out
+
+
+def render_py(doc_id: int, text: str) -> str:
+    parts = [SYS_RENDERED]
+    for role, content in conversation_py(doc_id, text):
+        parts.append(f"{IM_START}{role}\n{content}{IM_END}\n")
+    return "".join(parts)
+
+
+def loss_spans_py(doc_id: int, text: str) -> list[tuple[int, int]]:
+    """0-based [start, end) char spans of assistant content."""
+    off = SYS_LEN
+    spans = []
+    for role, content in conversation_py(doc_id, text):
+        start = off + HDR_LEN + len(role) + 1
+        if role == "assistant":
+            spans.append((start, start + len(content)))
+        off += HDR_LEN + len(role) + 1 + len(content) + FTR_LEN
+    return spans
+
+
+# ------------------------------------------------------------ queries
+
+def _run(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "documents"
+        )
+        return spark.sql(sql)
+
+    return q
+
+
+QUERIES = {
+    "docs_chat_render": _run(CHAT_RENDER_SPARK),
+    "docs_chat_loss_mask": _run(CHAT_LOSS_MASK_SPARK),
+    "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
+}
+
+ORACLES = {
+    "docs_chat_render": CHAT_RENDER_DUCK,
+    "docs_chat_loss_mask": CHAT_LOSS_MASK_DUCK,
+    "docs_turn_dedup": CHAT_TURN_DEDUP_DUCK,
+}

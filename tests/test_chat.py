@@ -1,0 +1,142 @@
+"""SFT/chat family: the DuckDB oracle (which the driver hash-compares
+against the Spark plan) is pinned here against the INDEPENDENT plain-
+Python renderer in chat.py — string building and span slicing, no SQL
+— so both engines' agreement can't be a shared misreading of the
+template. Plus plan-shape pins: every window in the family is keyed
+(doc_id / digest), never a global sort."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from dataset_batch_processor_spark.operators import chat
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_render_oracle_matches_python_renderer(docs):
+    got = {
+        r[0]: r[1:] for r in _duck(chat.CHAT_RENDER_DUCK)
+    }  # doc_id -> (n_turns, n_assistant, render_len, render_md5)
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        conv = chat.conversation_py(doc_id, text)
+        rendered = chat.render_py(doc_id, text)
+        exp = (
+            len(conv),
+            sum(1 for role, _ in conv if role == "assistant"),
+            len(rendered),
+            hashlib.md5(rendered.encode()).hexdigest(),
+        )
+        assert got[doc_id] == exp, doc_id
+
+
+def test_loss_mask_spans_slice_assistant_content(docs):
+    """The semantic check: the oracle's span md5 equals the md5 of the
+    spans the Python renderer computes, AND those spans really slice
+    assistant CONTENT (not headers) out of the rendered string."""
+    got = {r[0]: r[1:] for r in _duck(chat.CHAT_LOSS_MASK_DUCK)}
+    n_checked = 0
+    for doc_id, text in docs:
+        spans = chat.loss_spans_py(doc_id, text)
+        if not spans:
+            assert doc_id not in got
+            continue
+        rendered = chat.render_py(doc_id, text)
+        conv = chat.conversation_py(doc_id, text)
+        contents = [c for role, c in conv if role == "assistant"]
+        for (s, e), c in zip(spans, contents):
+            assert rendered[s:e] == c
+        exp_md5 = hashlib.md5(
+            ";".join(f"{s}:{e}" for s, e in spans).encode()
+        ).hexdigest()
+        assert got[doc_id] == (
+            len(spans),
+            sum(e - s for s, e in spans),
+            exp_md5,
+        ), doc_id
+        n_checked += 1
+    assert n_checked > 100  # the fixture genuinely exercises the mask
+
+
+def test_turn_dedup_oracle_matches_python(docs):
+    by_digest: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        for turn_id, (_, content) in enumerate(
+            chat.conversation_py(doc_id, text)
+        ):
+            d = hashlib.md5(content.encode()).hexdigest()
+            by_digest.setdefault(d, []).append((doc_id, turn_id))
+    exp = {
+        d: (
+            len(occ),
+            len({o[0] for o in occ}),
+            min(occ)[0],
+            min(occ)[1],
+        )
+        for d, occ in by_digest.items()
+        if len(occ) > 1
+    }
+    got = {r[0]: r[1:] for r in _duck(chat.CHAT_TURN_DEDUP_DUCK)}
+    assert got == exp
+    assert len(exp) > 10  # cross-doc turn collisions really occur
+
+
+def test_chat_windows_are_keyed(spark, sf_dir):
+    """No unpartitioned data window anywhere in the family: render and
+    mask partition by doc_id, dedup by digest — the 100 TB posture."""
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.plans import explain
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    for sql in (
+        chat.CHAT_RENDER_SPARK,
+        chat.CHAT_LOSS_MASK_SPARK,
+        chat.CHAT_TURN_DEDUP_SPARK,
+    ):
+        plan = explain.formatted_plan(spark.sql(sql))
+        assert "SinglePartition" not in plan, plan
+
+
+def test_spark_render_matches_python_sample(spark, sf_dir, docs):
+    """Direct Spark-vs-Python spot check (the oracle equivalence is the
+    driver's job; this pins the SPARK side independently too)."""
+    from dataset_batch_processor_spark import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    got = {
+        r["doc_id"]: r["render_md5"]
+        for r in spark.sql(chat.CHAT_RENDER_SPARK).collect()
+    }
+    for doc_id, text in docs[:50]:
+        exp = hashlib.md5(chat.render_py(doc_id, text).encode()).hexdigest()
+        assert got[doc_id] == exp, doc_id
