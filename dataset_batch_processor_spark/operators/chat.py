@@ -242,6 +242,71 @@ CHAT_TURN_DEDUP_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_DEDUP_TAIL}"
 CHAT_TURN_DEDUP_DUCK = f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}{_DEDUP_TAIL}"
 
 
+# ------------------------------------------------ turn-level near-dup
+# MinHash-LSH over DISTINCT turn contents (near-dup runs after exact
+# dedup, so exact-duplicate turns collapse to one unit first — the
+# production order, and what keeps band buckets from going quadratic
+# on boilerplate replies). Unit id = 60-bit md5 prefix of the content
+# (deterministic, identical in both engines). The signature/banding
+# machinery is dedup.py's, verbatim; the hot-bucket cap (256) is
+# applied in BOTH dialects so the gate covers the capped join shape.
+
+_TURN_UID = "CAST({conv} AS BIGINT)"
+_UID_SPARK = _TURN_UID.format(
+    conv="conv(substr(md5(content), 1, 15), 16, 10)"
+)
+_UID_DUCK = _TURN_UID.format(
+    conv="concat('0x', substr(md5(content), 1, 15))"
+)
+
+_TURN_DOCS_SPARK = (
+    f"SELECT DISTINCT {_UID_SPARK} AS doc_id, content AS text FROM turns"
+)
+
+
+def _q_turn_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import dedup as dedup_ops
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    units = spark.sql(
+        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n{_TURN_DOCS_SPARK}"
+    )
+    return dedup_ops.lsh_pairs_df(units).select(
+        F.col("doc_a").alias("turn_a"), F.col("doc_b").alias("turn_b")
+    )
+
+
+def _turn_near_dup_duck() -> str:
+    from . import dedup as dedup_ops
+
+    shingles = dedup_ops._SHINGLES_DUCK.replace(
+        "FROM documents,", "FROM turn_docs,"
+    )
+    return f"""WITH {_TOKS_DUCK},
+{_TURNS_DUCK},
+turn_docs AS (
+  SELECT DISTINCT {_UID_DUCK} AS doc_id, content AS text FROM turns
+),
+{shingles},
+{dedup_ops._SIGS_DUCK},
+{dedup_ops._BANDS_DUCK},
+capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM bands)
+  WHERE bsz <= {dedup_ops.DEFAULT_MAX_BUCKET_SIZE}
+)
+SELECT DISTINCT a.doc_id AS turn_a, b.doc_id AS turn_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 # ------------------------------------------------- independent renderer
 # Plain-Python replay for tests: NO SQL, no Spark — the cross-check
 # that the SQL render/mask really implement the template they claim.
@@ -296,10 +361,12 @@ QUERIES = {
     "docs_chat_render": _run(CHAT_RENDER_SPARK),
     "docs_chat_loss_mask": _run(CHAT_LOSS_MASK_SPARK),
     "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
+    "docs_turn_near_dup": _q_turn_near_dup,
 }
 
 ORACLES = {
     "docs_chat_render": CHAT_RENDER_DUCK,
     "docs_chat_loss_mask": CHAT_LOSS_MASK_DUCK,
     "docs_turn_dedup": CHAT_TURN_DEDUP_DUCK,
+    "docs_turn_near_dup": _turn_near_dup_duck(),
 }

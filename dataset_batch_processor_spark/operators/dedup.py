@@ -268,6 +268,28 @@ OPH_K = NUM_HASHES
 OPH_C = 1 << 25
 
 
+def signatures_df(docs: DataFrame, method: str = "kperm") -> DataFrame:
+    """The ONE front door for MinHash signature builds (round 10,
+    VERDICT r9 next #8). Defaults to K-perm because that is what the
+    measurements say to run on this engine: tools/round9_scale_study.py
+    study A (SCALE.md) found K independent affine mins effectively
+    free under whole-stage codegen up to 4096× fanout (~400M
+    shingles), while the OPH build carries a ~15 s constant plan
+    overhead with no better slope — K-perm wins the wall clock at
+    every tested scale for K ≤ 64. ``method="oph"`` remains available
+    as algorithm parity (Li/Owen/Zhang 2012) and is the right shape
+    only when the per-shingle hash itself is expensive or K >> 64;
+    callers who reach for it get that guidance here instead of
+    accidentally picking the measured-slower shape."""
+    if method == "kperm":
+        return minhash_signatures_df(docs)
+    if method == "oph":
+        return oph_signatures_df(docs)
+    raise ValueError(f"unknown signature method {method!r}:"
+                     " expected 'kperm' (default, measured-fastest at"
+                     " K<=64) or 'oph' (parity / large-K)")
+
+
 def oph_signatures_df(docs: DataFrame) -> DataFrame:
     """K-wide OPH signature per doc: (doc_id, oph_0 .. oph_{K-1}).
 

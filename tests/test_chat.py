@@ -140,3 +140,49 @@ def test_spark_render_matches_python_sample(spark, sf_dir, docs):
     for doc_id, text in docs[:50]:
         exp = hashlib.md5(chat.render_py(doc_id, text).encode()).hexdigest()
         assert got[doc_id] == exp, doc_id
+
+
+def test_turn_near_dup_pairs_are_really_similar(spark, sf_dir):
+    """Candidates from the banded join must be dominated by truly
+    similar turn pairs: spot-check that every sampled pair shares at
+    least one 8-char shingle (the LSH contract — a band collision
+    without any shared shingle would mean broken signature math)."""
+    from dataset_batch_processor_spark.operators import chat as chat_ops
+
+    pairs = chat_ops._q_turn_near_dup(spark, sf_dir).limit(200).collect()
+    assert pairs
+    units = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql(
+            f"WITH {chat_ops._TOKS_SPARK},\n{chat_ops._TURNS_SPARK}\n"
+            f"{chat_ops._TURN_DOCS_SPARK}"
+        ).collect()
+    }
+
+    def shingles(t):
+        return {t[i : i + 8] for i in range(0, max(len(t) - 7, 1), 4)}
+
+    for r in pairs:
+        a, b = units[r["turn_a"]], units[r["turn_b"]]
+        assert shingles(a) & shingles(b), (a, b)
+
+
+def test_signatures_front_door():
+    from dataset_batch_processor_spark.operators import dedup
+
+    assert dedup.signatures_df.__defaults__ == ("kperm",)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.signatures_df(None, method="nope")
+
+
+def test_signatures_front_door_dispatch(spark, sf_dir):
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import dedup
+
+    docs = catalog.load_table(spark, sf_dir, "documents").limit(20)
+    kp = dedup.signatures_df(docs).columns
+    oph = dedup.signatures_df(docs, method="oph").columns
+    assert kp == dedup.minhash_signatures_df(docs).columns
+    assert oph == dedup.oph_signatures_df(docs).columns
