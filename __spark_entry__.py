@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.multimodal import alignment as mm_alignment
 from dataset_batch_processor_spark.multimodal import queries as mm_queries
 from dataset_batch_processor_spark.sources import jsonl as jsonl_ops
 from dataset_batch_processor_spark.sources import storage as storage_ops
@@ -494,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(coreset.QUERIES)
     q.update(perceptron.QUERIES)
     q.update(chat.QUERIES)
+    q.update(mm_alignment.QUERIES)
     return _prioritize(q)
 
 
@@ -606,4 +608,5 @@ FROM images_meta GROUP BY 1
     o.update(coreset.ORACLES)
     o.update(perceptron.ORACLES)
     o.update(chat.ORACLES)
+    o.update(mm_alignment.ORACLES)
     return _prioritize(o)
