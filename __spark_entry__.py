@@ -35,6 +35,7 @@ from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
+    langid,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -495,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(coreset.QUERIES)
     q.update(perceptron.QUERIES)
     q.update(chat.QUERIES)
+    q.update(langid.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
 
@@ -608,5 +610,6 @@ FROM images_meta GROUP BY 1
     o.update(coreset.ORACLES)
     o.update(perceptron.ORACLES)
     o.update(chat.ORACLES)
+    o.update(langid.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

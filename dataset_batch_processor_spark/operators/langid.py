@@ -1,0 +1,271 @@
+"""Trained language-ID: Naive-Bayes distillation of the marker
+heuristic over hashed char bigrams.
+
+VERDICT r9 missing #3: ``docs_lang_id`` (textanalysis.py:104) is a
+marker-word heuristic; production pipelines run a TRAINED char-n-gram
+linear model. The public anchor is langid.py (Lui & Baldwin 2012) —
+multinomial Naive Bayes over byte n-grams — which is exactly what
+this module trains, with the heuristic as the distillation teacher
+(the CCNet/fasttext pattern perceptron.py uses for the quality gate):
+
+- **Teacher**: ``lang_guess`` from the exported marker chain
+  (textanalysis.LANG_CHAIN_*), confident rows only (≠ 'und').
+- **Features**: char BIGRAMS (spaces included — word boundaries carry
+  the signal) hashed to D=32 dims via the 28-bit md5 idiom
+  (feathash.py's hashing-trick, at character grain).
+- **Model**: add-one-smoothed multinomial NB. All log-probs are EXACT
+  Q10 integers via bpe.py's msb + 256-entry mantissa-table log2
+  (``logp = L2(c+1) - L2(C_lang + D)``), so scoring is integer
+  arithmetic end to end and the whole model table sits under the
+  hash gate — no unrolling needed, training is ONE aggregation pass
+  (NB's one-pass training is itself the scale argument vs the
+  perceptron's E epochs: at 100 TB you want the count-once model).
+- **Prediction**: argmax of ``prior + Σ cnt·logp`` with the SAME
+  deterministic tiebreak cascade the heuristic uses (_LANG_BODY).
+
+Scale: bigram explode → one (doc, dim) map-side-combined count; the
+model is a 4×32 dense grid (coalesce 0 — smoothing covers unseen
+dims) joined back as a broadcast dim; priors are 4 rows. Driver
+traffic: zero (pure SQL, no collect). The train/eval queries share
+every CTE so the gate pins the exact model the eval scores with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from .bpe import _L2_FRAC
+from .curation import TRAIN_PCT
+from .textanalysis import _LANG_BODY, LANG_CHAIN_DUCK, LANG_CHAIN_SPARK
+
+LID_DIM = 32
+LANGS = ("en", "de", "es", "fr")  # the teacher's output domain
+
+# The raw fixture text is English-ish for every ``lang`` label, so the
+# marker teacher would be a degenerate one-class problem. lid_docs
+# plants each labeled language's marker words (textanalysis._MARKERS)
+# repeated proportionally to doc length — what a real multilingual
+# corpus looks like to a marker counter — giving the distillation a
+# genuine 4-class signal. 'zh' rows get no plant (the heuristic has no
+# zh markers): they resolve to whatever the raw text hits say, an
+# honest imperfect-teacher noise source. {div} is DIV / //.
+from .textanalysis import _MARKERS  # noqa: E402
+
+_PLANT_CASE = "\n         ".join(
+    f"WHEN '{lg}' THEN '{' '.join(ws)} '" for lg, ws in _MARKERS.items()
+)
+_LID_DOCS = f"""lid_docs AS (
+  SELECT doc_id,
+         repeat(CASE lang
+         {_PLANT_CASE}
+         ELSE '' END, 1 + length(text) {{div}} 40) || text AS text
+  FROM documents
+)"""
+
+_FRAC_ROWS = ",".join(f"({m},{v})" for m, v in zip(range(256, 512), _L2_FRAC))
+
+_L2FRAC_SPARK = (
+    f"l2frac AS (SELECT * FROM VALUES {_FRAC_ROWS} AS t(m, fv))"
+)
+_L2FRAC_DUCK = f"l2frac(m, fv) AS (VALUES {_FRAC_ROWS})"
+
+
+def _mant(x: str, engine: str) -> str:
+    """8-bit mantissa of integer expr ``x`` (>= 1): (x<<8) >> msb(x),
+    always in [256, 512) — the l2frac join key (bpe._uni_mant)."""
+    if engine == "spark":
+        return f"shiftright(({x}) * 256, length(bin({x})) - 1)"
+    return f"((({x}) * 256) >> (length(bin({x})) - 1))"
+
+
+def _l2msb(x: str) -> str:
+    """Q10 msb part of log2(x); add the joined ``fv`` for the exact
+    value (dialect-identical — both engines have bin())."""
+    return f"(1024 * (length(bin({x})) - 1))"
+
+
+def _chain(engine: str) -> str:
+    """Every CTE both queries share: teacher, bigram features, dense
+    NB model with exact Q10 log-probs, and smoothed priors."""
+    if engine == "spark":
+        lang_chain = LANG_CHAIN_SPARK.replace("FROM documents", "FROM lid_docs")
+        lid_docs = _LID_DOCS.format(div="DIV")
+        l2frac = _L2FRAC_SPARK
+        split = (
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) % 100 < {TRAIN_PCT}"
+        )
+        h28 = "CAST(conv(substr(md5(substr(text, p, 2)), 1, 7), 16, 10) AS BIGINT)"
+        bigrams = f"""bg AS (
+  SELECT doc_id, CAST({h28} % {LID_DIM} AS INT) AS dim
+  FROM (SELECT doc_id, text, p
+        FROM lid_docs
+        LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS p
+        WHERE length(text) >= 2)
+)"""
+        langs_cte = (
+            "langs AS (SELECT explode(array("
+            + ", ".join(f"'{lg}'" for lg in LANGS)
+            + ")) AS lang)"
+        )
+        grid = f"""grid AS (
+  SELECT l.lang, d.dim
+  FROM langs l CROSS JOIN
+       (SELECT explode(sequence(0, {LID_DIM - 1})) AS dim) d
+)"""
+    else:
+        lang_chain = LANG_CHAIN_DUCK.replace("FROM documents", "FROM lid_docs")
+        lid_docs = _LID_DOCS.format(div="//")
+        l2frac = _L2FRAC_DUCK
+        split = (
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            f" AS BIGINT) % 100 < {TRAIN_PCT}"
+        )
+        h28 = (
+            "CAST(concat('0x', substr(md5(substr(text, CAST(p AS INT), 2)),"
+            " 1, 7)) AS BIGINT)"
+        )
+        bigrams = f"""bg AS (
+  SELECT doc_id, CAST({h28} % {LID_DIM} AS INT) AS dim
+  FROM lid_docs,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 1)) AS p)
+  WHERE len(text) >= 2
+)"""
+        langs_cte = (
+            "langs AS (SELECT unnest(["
+            + ", ".join(f"'{lg}'" for lg in LANGS)
+            + "]) AS lang)"
+        )
+        grid = f"""grid AS (
+  SELECT l.lang, d.dim
+  FROM langs l CROSS JOIN
+       (SELECT unnest(generate_series(0, {LID_DIM - 1})) AS dim) d
+)"""
+    e = engine
+    return f"""{l2frac},
+{lid_docs},
+{lang_chain},
+teach AS (
+  SELECT doc_id, lang_guess AS teacher, {split} AS is_train
+  FROM ({_LANG_BODY}) t
+  WHERE lang_guess <> 'und'
+),
+{bigrams},
+feats AS (
+  SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY doc_id, dim
+),
+{langs_cte},
+{grid},
+cnts AS (
+  SELECT t.teacher AS lang, f.dim, CAST(sum(f.cnt) AS BIGINT) AS cnt
+  FROM feats f JOIN teach t ON f.doc_id = t.doc_id AND t.is_train
+  GROUP BY t.teacher, f.dim
+),
+model0 AS (
+  SELECT g.lang, g.dim, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN cnts c ON g.lang = c.lang AND g.dim = c.dim
+),
+ltot AS (
+  SELECT lang, CAST(sum(cnt) + {LID_DIM} AS BIGINT) AS tot
+  FROM model0 GROUP BY lang
+),
+l2tot AS (
+  SELECT lang, {_l2msb('tot')} + fd.fv AS l2t
+  FROM ltot JOIN l2frac fd ON fd.m = {_mant('tot', e)}
+),
+model AS (
+  SELECT m.lang, m.dim, m.cnt,
+         CAST(({_l2msb('m.cnt + 1')} + fn.fv) - t.l2t AS BIGINT) AS logp_q10
+  FROM model0 m
+       JOIN l2frac fn ON fn.m = {_mant('m.cnt + 1', e)}
+       JOIN l2tot t ON m.lang = t.lang
+),
+pric AS (
+  SELECT l.lang, CAST(coalesce(p.n, 0) AS BIGINT) AS n
+  FROM langs l LEFT JOIN (
+    SELECT teacher AS lang, CAST(count(*) AS BIGINT) AS n
+    FROM teach WHERE is_train GROUP BY teacher
+  ) p ON l.lang = p.lang
+),
+ptot AS (SELECT CAST(sum(n) + {len(LANGS)} AS BIGINT) AS tot FROM pric),
+prior AS (
+  SELECT c.lang, c.n,
+         CAST(({_l2msb('c.n + 1')} + fn.fv)
+              - (SELECT {_l2msb('t.tot')} + fd.fv
+                 FROM ptot t JOIN l2frac fd
+                   ON fd.m = {_mant('t.tot', e)}) AS BIGINT) AS logp_q10
+  FROM pric c JOIN l2frac fn ON fn.m = {_mant('c.n + 1', e)}
+)"""
+
+
+_TRAIN_TAIL = """
+SELECT lang, CAST(dim AS INT) AS dim, cnt, logp_q10 FROM model
+UNION ALL
+SELECT lang, CAST(-1 AS INT) AS dim, n AS cnt, logp_q10 FROM prior
+"""
+
+# Prediction: argmax with the heuristic's own deterministic cascade
+# (en wins ties, then de, then es) — dialect-identical text.
+_PRED_CASE = """CASE
+         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr'
+       END"""
+
+_SCORE_COLS = ",\n         ".join(
+    f"max(CASE WHEN lang = '{lg}' THEN score END) AS s_{lg}" for lg in LANGS
+)
+
+_EVAL_TAIL = f"""
+, scores AS (
+  SELECT f.doc_id, m.lang, sum(f.cnt * m.logp_q10) AS sc
+  FROM feats f JOIN model m ON f.dim = m.dim
+  GROUP BY f.doc_id, m.lang
+),
+withp AS (
+  SELECT s.doc_id, s.lang, s.sc + p.logp_q10 AS score
+  FROM scores s JOIN prior p ON s.lang = p.lang
+),
+wide AS (
+  SELECT doc_id,
+         {_SCORE_COLS}
+  FROM withp GROUP BY doc_id
+),
+pred AS (
+  SELECT doc_id, {_PRED_CASE} AS student
+  FROM wide
+)
+SELECT CASE WHEN t.is_train THEN 'train' ELSE 'val' END AS split,
+       t.teacher, p.student,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM teach t JOIN pred p ON t.doc_id = p.doc_id
+GROUP BY 1, 2, 3
+"""
+
+LANGID_TRAIN_SPARK = f"WITH {_chain('spark')}{_TRAIN_TAIL}"
+LANGID_TRAIN_DUCK = f"WITH {_chain('duck')}{_TRAIN_TAIL}"
+LANGID_EVAL_SPARK = f"WITH {_chain('spark')}{_EVAL_TAIL}"
+LANGID_EVAL_DUCK = f"WITH {_chain('duck')}{_EVAL_TAIL}"
+
+
+def _run(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "documents"
+        )
+        return spark.sql(sql)
+
+    return q
+
+
+QUERIES = {
+    "docs_langid_train": _run(LANGID_TRAIN_SPARK),
+    "docs_langid_eval": _run(LANGID_EVAL_SPARK),
+}
+ORACLES = {
+    "docs_langid_train": LANGID_TRAIN_DUCK,
+    "docs_langid_eval": LANGID_EVAL_DUCK,
+}
