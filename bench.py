@@ -161,6 +161,17 @@ def main() -> None:
           lambda: similarity.ivf_flat_assign(spark, sf_dir).count())
     _warm("ivf_trained_centroids",
           lambda: similarity._trained_index(spark, sf_dir))
+    # r9 VERDICT wrong#1: the perceptron weights are session-shared
+    # between docs_classifier_train and _eval (_TRAIN_CACHE) — without
+    # a warmup build, whichever ran first absorbed the ~5-6 s training
+    # cost and the pair swapped timings run-to-run. (The unigram vocab
+    # was audited for the same hazard and needs NO warmup: bpe.
+    # unigram_train is deliberately uncached, so docs_unigram_train
+    # and docs_tokenizer_fertility each pay their own full training
+    # every run — order-insensitive by construction.)
+    from dataset_batch_processor_spark.operators import perceptron
+    _warm("perceptron_weights",
+          lambda: perceptron.train_trajectory(spark, sf_dir))
     pair_graph_build_s = warmup_builds["pair_graph"]
 
     # Queries whose registered form scans a matcache-materialized

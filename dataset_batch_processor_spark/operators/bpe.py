@@ -1102,14 +1102,46 @@ def _ppm_split(t: str, w: str, div: str) -> str:
             f" + (((({t}) % ({w})) * 1000 % ({w})) * 1000) {div} ({w})")
 
 
+def _per_doc_all_tokenizers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tokenizer, doc_id, n_words, n_tokens, n_unk_words) for all
+    three gated tokenizers. Each rides its own gated pipeline
+    unchanged (planted suffixes, word regexes and all) — fertility is
+    a property of the WHOLE tokenizer pipeline, so the comparison
+    keeps each one exactly as its own gate proved it. BPE is
+    open-vocabulary (character fallback): n_unk_words ≡ 0 by
+    construction, which the cross-tokenizer row makes visible."""
+    uni = _q_unigram_tokens(spark, sf_dir).select(
+        F.lit("unigram").alias("tokenizer"), "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unk_words").cast("long").alias("n_unk_words"),
+    )
+    wp = _q_wordpiece_tokens(spark, sf_dir).select(
+        F.lit("wordpiece").alias("tokenizer"), "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unk_words").cast("long").alias("n_unk_words"),
+    )
+    bpe_sub = _q_subword_tokens(spark, sf_dir).select(
+        F.lit("bpe").alias("tokenizer"), "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subword_tokens").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_unk_words"),
+    )
+    return uni.unionByName(wp).unionByName(bpe_sub)
+
+
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = _q_unigram_tokens(spark, sf_dir)
+    """One row per (tokenizer, lang) across ALL THREE gated tokenizers
+    (round 10, VERDICT r9 next #7) — the cross-tokenizer fertility
+    comparison is the number a tokenizer choice actually turns on."""
+    per_doc = _per_doc_all_tokenizers(spark, sf_dir)
     langs = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
     return (
         per_doc.join(langs, "doc_id")
-        .groupBy("lang")
+        .groupBy("tokenizer", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_words"),
@@ -1119,13 +1151,30 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ppm_split("sum(n_unk_words)", "sum(n_words)", "DIV"))
             .cast("long").alias("unk_ppm"),
         )
-        .orderBy("lang")
+        .orderBy("tokenizer", "lang")
     )
 
 
 def _fertility_duck() -> str:
+    per_doc = f"""
+SELECT 'unigram' AS tokenizer, doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_unk_words AS BIGINT) AS n_unk_words
+FROM ({_unigram_duck()})
+UNION ALL
+SELECT 'wordpiece' AS tokenizer, doc_id,
+       CAST(n_words AS BIGINT), CAST(n_tokens AS BIGINT),
+       CAST(n_unk_words AS BIGINT)
+FROM ({_wordpiece_duck()})
+UNION ALL
+SELECT 'bpe' AS tokenizer, doc_id,
+       CAST(n_words AS BIGINT), CAST(n_subword_tokens AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM ({_duck_sql(FIXED_MERGES)})
+"""
     return f"""
-SELECT d.lang,
+SELECT u.tokenizer, d.lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(u.n_words) AS BIGINT) AS n_words,
        CAST(sum(u.n_tokens) AS BIGINT) AS n_tokens,
@@ -1133,10 +1182,10 @@ SELECT d.lang,
             AS BIGINT) AS fertility_ppm,
        CAST({_ppm_split('sum(u.n_unk_words)', 'sum(u.n_words)', '//')}
             AS BIGINT) AS unk_ppm
-FROM ({_unigram_duck()}) u
+FROM ({per_doc}) u
 JOIN documents d ON d.doc_id = u.doc_id
-GROUP BY d.lang
-ORDER BY d.lang
+GROUP BY u.tokenizer, d.lang
+ORDER BY u.tokenizer, d.lang
 """
 
 
