@@ -307,7 +307,158 @@ FROM capped a JOIN capped b
 """
 
 
-# ------------------------------------------------- independent renderer
+# ----------------------------------------------- SFT sequence packing
+# Pack rendered conversations into fixed token-budget training
+# sequences (concat-and-split, the standard packed-SFT layout) and
+# report, per sequence, what the trainer needs to weight batches:
+# docs started/ended inside it, tokens used, and how many of its
+# tokens are LOSS tokens (assistant content) — the per-sequence mask
+# density. Token accounting: every turn costs its content tokens + 3
+# specials (<|im_start|>, role, <|im_end|>); the system turn costs
+# SYS_TOKENS. Global doc offsets come from the W1 scalable exclusive
+# prefix sum (textops.exclusive_prefix_sum — range repartition +
+# per-partition cumsum + broadcast totals; no global data window on
+# the Spark side). Docs straddle sequence boundaries by design
+# (pretraining-style packing); n_docs_started/ended make the straddle
+# visible. All arithmetic is integer.
+
+SEQ_BUDGET = 256
+TURN_SPECIALS = 3          # im_start + role + im_end
+SYS_TOKENS = 8             # 5 content words + 3 specials
+
+_DOC_LENS_TAIL = f"""
+SELECT doc_id,
+       CAST({SYS_TOKENS} + sum(n_t + {TURN_SPECIALS}) AS BIGINT) AS doc_len
+FROM (SELECT doc_id, turn_id,
+             length(content) - length(replace(content, ' ', '')) + 1 AS n_t
+      FROM turns)
+GROUP BY doc_id
+"""
+
+CHAT_DOC_LENS_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_DOC_LENS_TAIL}"
+
+# Assistant-turn token spans in DOC-LOCAL coordinates: turn t starts
+# at SYS_TOKENS + Σ_{{u<t}}(n_u + 3); its content starts 2 specials in.
+_TURN_SPANS_TAIL = f"""
+SELECT doc_id, turn_id,
+       t_off + 2 AS t_start,
+       t_off + 2 + n_t AS t_end
+FROM (
+  SELECT doc_id, turn_id, role, n_t,
+         {SYS_TOKENS} + coalesce(sum(n_t + {TURN_SPECIALS}) OVER (
+             PARTITION BY doc_id ORDER BY turn_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_off
+  FROM (SELECT doc_id, turn_id, role,
+               length(content) - length(replace(content, ' ', '')) + 1 AS n_t
+        FROM turns)
+)
+WHERE role = 'assistant'
+"""
+
+CHAT_TURN_SPANS_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_TURN_SPANS_TAIL}"
+
+# Sequence rollup over doc_offs(doc_id, doc_len, s) and
+# turn_spans(doc_id, t_start, t_end): explode each doc/span over the
+# sequences it overlaps (bounded fanout: ceil(len/B) + 1), group.
+_PACK_TAIL = f"""
+, docspan AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s,
+         CAST(s + doc_len AS BIGINT) AS e
+  FROM doc_offs
+),
+occ AS (
+  SELECT seq_id, doc_id, s, e
+  FROM docspan
+  {{seq_explode_doc}}
+),
+seqs AS (
+  SELECT seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN s {{div}} {SEQ_BUDGET} = seq_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+         CAST(sum(CASE WHEN (e - 1) {{div}} {SEQ_BUDGET} = seq_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ended,
+         CAST(sum(least(e, (seq_id + 1) * {SEQ_BUDGET})
+                  - greatest(s, seq_id * {SEQ_BUDGET})) AS BIGINT)
+             AS tokens_used,
+         CAST(min(doc_id) AS BIGINT) AS first_doc,
+         CAST(max(doc_id) AS BIGINT) AS last_doc
+  FROM occ GROUP BY seq_id
+),
+gspans AS (
+  SELECT d.doc_id, CAST(d.s + t.t_start AS BIGINT) AS a_s,
+         CAST(d.s + t.t_end AS BIGINT) AS a_e
+  FROM doc_offs d JOIN turn_spans t ON d.doc_id = t.doc_id
+),
+mocc AS (
+  SELECT seq_id,
+         CAST(sum(least(a_e, (seq_id + 1) * {SEQ_BUDGET})
+                  - greatest(a_s, seq_id * {SEQ_BUDGET})) AS BIGINT)
+             AS mask_tokens
+  FROM gspans
+  {{seq_explode_span}}
+  GROUP BY seq_id
+)
+SELECT q.seq_id, q.n_docs, q.n_docs_started, q.n_docs_ended,
+       q.tokens_used,
+       CAST(coalesce(m.mask_tokens, 0) AS BIGINT) AS mask_tokens,
+       q.first_doc, q.last_doc
+FROM seqs q LEFT JOIN mocc m ON q.seq_id = m.seq_id
+"""
+
+
+def _pack_tail(engine: str) -> str:
+    if engine == "spark":
+        doc_x = (
+            f"LATERAL VIEW explode(sequence(s DIV {SEQ_BUDGET},"
+            f" (e - 1) DIV {SEQ_BUDGET})) t AS seq_id"
+        )
+        span_x = (
+            f"LATERAL VIEW explode(sequence(a_s DIV {SEQ_BUDGET},"
+            f" (a_e - 1) DIV {SEQ_BUDGET})) t AS seq_id"
+        )
+        div = "DIV"
+    else:
+        doc_x = (
+            ", LATERAL (SELECT unnest(generate_series("
+            f"s // {SEQ_BUDGET}, (e - 1) // {SEQ_BUDGET})) AS seq_id)"
+        )
+        span_x = (
+            ", LATERAL (SELECT unnest(generate_series("
+            f"a_s // {SEQ_BUDGET}, (a_e - 1) // {SEQ_BUDGET})) AS seq_id)"
+        )
+        div = "//"
+    return _PACK_TAIL.format(
+        seq_explode_doc=doc_x, seq_explode_span=span_x, div=div
+    )
+
+
+def _q_chat_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    lens = spark.sql(CHAT_DOC_LENS_SPARK)
+    exclusive_prefix_sum(lens, ["doc_id"], "doc_len", "s").createOrReplaceTempView(
+        "doc_offs"
+    )
+    spark.sql(CHAT_TURN_SPANS_SPARK).createOrReplaceTempView("turn_spans")
+    return spark.sql("WITH _x AS (SELECT 1)" + _pack_tail("spark"))
+
+
+def _pack_duck() -> str:
+    return f"""WITH {_TOKS_DUCK},
+{_TURNS_DUCK},
+doc_lens AS ({_DOC_LENS_TAIL}),
+doc_offs AS (
+  SELECT doc_id, doc_len,
+         CAST(coalesce(sum(doc_len) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+  FROM doc_lens
+),
+turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 # Plain-Python replay for tests: NO SQL, no Spark — the cross-check
 # that the SQL render/mask really implement the template they claim.
 
@@ -362,6 +513,7 @@ QUERIES = {
     "docs_chat_loss_mask": _run(CHAT_LOSS_MASK_SPARK),
     "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
     "docs_turn_near_dup": _q_turn_near_dup,
+    "docs_chat_pack_sequences": _q_chat_pack_sequences,
 }
 
 ORACLES = {
@@ -369,4 +521,5 @@ ORACLES = {
     "docs_chat_loss_mask": CHAT_LOSS_MASK_DUCK,
     "docs_turn_dedup": CHAT_TURN_DEDUP_DUCK,
     "docs_turn_near_dup": _turn_near_dup_duck(),
+    "docs_chat_pack_sequences": _pack_duck(),
 }

@@ -186,3 +186,58 @@ def test_signatures_front_door_dispatch(spark, sf_dir):
     oph = dedup.signatures_df(docs, method="oph").columns
     assert kp == dedup.minhash_signatures_df(docs).columns
     assert oph == dedup.oph_signatures_df(docs).columns
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing conservation laws: every non-final sequence is exactly
+    full; tokens_used sums to the corpus token total; every doc starts
+    in exactly one sequence and ends in exactly one; mask_tokens never
+    exceeds tokens_used and is positive overall."""
+    rows = {
+        r["seq_id"]: r
+        for r in chat._q_chat_pack_sequences(spark, sf_dir).collect()
+    }
+    last = max(rows)
+    assert set(rows) == set(range(last + 1))  # contiguous sequences
+    for k, r in rows.items():
+        if k != last:
+            assert r["tokens_used"] == chat.SEQ_BUDGET, k
+        assert 0 <= r["mask_tokens"] <= r["tokens_used"], k
+        assert r["n_docs"] >= 1
+
+    from dataset_batch_processor_spark import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    total_len = spark.sql(
+        f"SELECT CAST(sum(doc_len) AS BIGINT) t FROM ({chat.CHAT_DOC_LENS_SPARK})"
+    ).collect()[0]["t"]
+    assert sum(r["tokens_used"] for r in rows.values()) == total_len
+    n_docs = spark.sql("SELECT count(*) c FROM documents").collect()[0]["c"]
+    assert sum(r["n_docs_started"] for r in rows.values()) == n_docs
+    assert sum(r["n_docs_ended"] for r in rows.values()) == n_docs
+    assert sum(r["mask_tokens"] for r in rows.values()) > 0
+
+
+def test_pack_doc_token_length_matches_renderer(spark, sf_dir, docs):
+    """The token accounting the packer uses must equal the independent
+    Python renderer's: content tokens + 3 specials per turn + the
+    system cost."""
+    from dataset_batch_processor_spark import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    got = {
+        r["doc_id"]: r["doc_len"]
+        for r in spark.sql(chat.CHAT_DOC_LENS_SPARK).collect()
+    }
+    for doc_id, text in docs[:100]:
+        conv = chat.conversation_py(doc_id, text)
+        exp = chat.SYS_TOKENS + sum(
+            len(c.split(" ")) + chat.TURN_SPECIALS for _, c in conv
+        )
+        assert got.get(doc_id, chat.SYS_TOKENS) == exp or (
+            not conv and doc_id not in got
+        ), doc_id
