@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
     langid,
+    preference,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -497,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(perceptron.QUERIES)
     q.update(chat.QUERIES)
     q.update(langid.QUERIES)
+    q.update(preference.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
 
@@ -611,5 +613,6 @@ FROM images_meta GROUP BY 1
     o.update(perceptron.ORACLES)
     o.update(chat.ORACLES)
     o.update(langid.ORACLES)
+    o.update(preference.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

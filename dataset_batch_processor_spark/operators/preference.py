@@ -1,0 +1,189 @@
+"""RLHF preference-data operators: pair construction, best-of-N
+rejection sampling, and policy win-rate rollup.
+
+After SFT (operators/chat.py) the pipeline turns to preference data:
+pairs of candidate responses ranked by a scorer (RLHF/DPO training
+rows), best-of-N selection (rejection sampling, the Llama-2/RLAIF
+data-generation step), and per-policy win-rate tracking. No reference
+counterpart (the reference is image-caption only); public anchors:
+Ouyang et al. 2022 (InstructGPT pairwise comparisons), Touvron et al.
+2023 (Llama-2 rejection sampling), Rafailov et al. 2023 (DPO's
+(prompt, chosen, rejected) row shape).
+
+Deterministic instantiation (the lmobjectives.py seeding pattern):
+candidate k for a prompt (doc) is a seeded 40-char window into the
+document — md5-derived offsets, so both engines replay it — and the
+"reward model" is an exact-integer fluency scorer over the candidate:
+
+    score = 1_000_000·stop_hits DIV n_toks + 1_000·n_distinct DIV n_toks
+
+(stopword density dominates, type diversity breaks ranks; all integer,
+so argmax/margins are exact and the whole family hash-gates). Ties
+break toward the SMALLER candidate index — pinned in both dialects.
+
+Scale posture: the candidate explode is a bounded ×N fan-out of a
+40-char window (never the full document); scoring is one more bounded
+explode + a (doc, k) map-side-combined count; selection is a per-doc
+argmax via one doc-keyed window; the win-rate rollup groups by source.
+Nothing shuffles anything wider than (doc_id, k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from .textanalysis import _SW_LIST_SQL
+
+N_CANDIDATES = 4     # rejection sampling best-of-N
+RESP_CHARS = 40      # candidate window width
+
+
+def _hk(engine: str) -> str:
+    """28-bit md5 int seeded by (doc_id, k)."""
+    if engine == "spark":
+        return ("CAST(conv(substr(md5(concat(doc_id, ':c', k)), 1, 7),"
+                " 16, 10) AS BIGINT)")
+    return ("CAST(concat('0x', substr(md5(concat(doc_id, ':c', k)), 1, 7))"
+            " AS BIGINT)")
+
+
+def _chain(engine: str, n_cands: int) -> str:
+    """cands -> ctoks -> scored: shared by all three queries."""
+    if engine == "spark":
+        kgen = (f"LATERAL VIEW explode(sequence(0, {n_cands - 1})) t AS k")
+        tok_x = ("LATERAL VIEW explode(split(resp, ' ')) t2 AS token")
+        div = "DIV"
+    else:
+        kgen = (f", LATERAL (SELECT unnest(generate_series(0,"
+                f" {n_cands - 1})) AS k)")
+        tok_x = (", LATERAL (SELECT unnest(string_split(resp, ' '))"
+                 " AS token)")
+        div = "//"
+    return f"""cands AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         substr(text,
+                CAST(1 + ({_hk(engine)}
+                     % greatest(length(text) - {RESP_CHARS - 1}, 1)) AS INT),
+                {RESP_CHARS}) AS resp
+  FROM documents
+  {kgen}
+),
+ctoks AS (
+  SELECT doc_id, k, token
+  FROM cands
+  {tok_x}
+  WHERE length(token) > 0
+),
+scored AS (
+  SELECT c.doc_id, c.k, md5(c.resp) AS resp_md5,
+         CAST(s.stop_hits * 1000000 {div} s.n_toks
+              + s.n_distinct * 1000 {div} s.n_toks AS BIGINT) AS score
+  FROM cands c JOIN (
+    SELECT doc_id, k,
+           count(*) AS n_toks,
+           count(DISTINCT token) AS n_distinct,
+           sum(CASE WHEN token IN ({_SW_LIST_SQL}) THEN 1 ELSE 0 END)
+               AS stop_hits
+    FROM ctoks GROUP BY doc_id, k
+  ) s ON c.doc_id = s.doc_id AND c.k = s.k
+),
+ranked AS (
+  SELECT doc_id, k, resp_md5, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, k ASC) AS rnk
+  FROM scored
+)"""
+
+
+# -------------------------------------------------- (chosen, rejected)
+# DPO row shape over the first two candidates: k=0 vs k=1, chosen by
+# score with the k-asc tie rule.
+
+_PAIRS_TAIL = """
+SELECT a.doc_id,
+       CAST(CASE WHEN a.score >= b.score THEN a.k ELSE b.k END AS INT)
+           AS chosen_k,
+       CAST(CASE WHEN a.score >= b.score THEN b.k ELSE a.k END AS INT)
+           AS rejected_k,
+       CASE WHEN a.score >= b.score THEN a.resp_md5 ELSE b.resp_md5 END
+           AS chosen_md5,
+       CASE WHEN a.score >= b.score THEN b.resp_md5 ELSE a.resp_md5 END
+           AS rejected_md5,
+       CAST(abs(a.score - b.score) AS BIGINT) AS margin
+FROM scored a JOIN scored b
+  ON a.doc_id = b.doc_id AND a.k = 0 AND b.k = 1
+"""
+
+# ------------------------------------------------- best-of-N selection
+
+_BESTOF_TAIL = f"""
+, agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_cands,
+         CAST(max(score) AS BIGINT) AS best_score,
+         CAST(min(score) AS BIGINT) AS worst_score,
+         CAST(sum(score) {{div}} count(*) AS BIGINT) AS mean_score
+  FROM scored GROUP BY doc_id
+)
+SELECT r.doc_id, r.k AS best_k, r.resp_md5 AS best_md5,
+       a.n_cands, a.best_score, a.worst_score,
+       CAST(a.best_score - a.worst_score AS BIGINT) AS score_spread,
+       a.mean_score
+FROM ranked r JOIN agg a ON r.doc_id = a.doc_id
+WHERE r.rnk = 1
+"""
+
+# --------------------------------------------------- policy win rates
+# Treat candidate index k as the generating POLICY (k seeded windows =
+# k sampling strategies); per source report each policy's best-of-N
+# win count and its win rate in ppm — the per-policy tracking number
+# an RLHF data loop monitors.
+
+_WINRATE_TAIL = """
+, best AS (
+  SELECT doc_id, k FROM ranked WHERE rnk = 1
+)
+SELECT d.source, b.k AS policy,
+       CAST(count(*) AS BIGINT) AS n_wins,
+       CAST(count(*) * 1000000 {div} max(t.n_docs) AS BIGINT) AS win_ppm
+FROM best b
+     JOIN documents d ON b.doc_id = d.doc_id
+     JOIN (SELECT source, count(*) AS n_docs
+           FROM documents GROUP BY source) t ON d.source = t.source
+GROUP BY d.source, b.k
+"""
+
+
+def _sql(engine: str, tail: str, n_cands: int = N_CANDIDATES) -> str:
+    div = "DIV" if engine == "spark" else "//"
+    return f"WITH {_chain(engine, n_cands)}" + tail.format(div=div)
+
+
+def _run(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "documents"
+        )
+        return spark.sql(sql)
+
+    return q
+
+
+PREF_PAIRS_SPARK = _sql("spark", _PAIRS_TAIL, 2)
+PREF_PAIRS_DUCK = _sql("duck", _PAIRS_TAIL, 2)
+BESTOF_SPARK = _sql("spark", _BESTOF_TAIL)
+BESTOF_DUCK = _sql("duck", _BESTOF_TAIL)
+WINRATE_SPARK = _sql("spark", _WINRATE_TAIL)
+WINRATE_DUCK = _sql("duck", _WINRATE_TAIL)
+
+QUERIES = {
+    "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
+    "docs_rejection_sampling": _run(BESTOF_SPARK),
+    "docs_policy_winrate": _run(WINRATE_SPARK),
+}
+ORACLES = {
+    "docs_pref_pairs": PREF_PAIRS_DUCK,
+    "docs_rejection_sampling": BESTOF_DUCK,
+    "docs_policy_winrate": WINRATE_DUCK,
+}

@@ -1,0 +1,114 @@
+"""RLHF preference family: the oracle is pinned against an
+independent plain-Python replay of the candidate windows, the integer
+fluency scorer, and the tie rules; plus the selection-consistency laws
+linking the three queries."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from dataset_batch_processor_spark.operators import preference
+from dataset_batch_processor_spark.operators.textanalysis import STOPWORDS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _cand(doc_id: int, text: str, k: int) -> str:
+    off = _h28(f"{doc_id}:c{k}") % max(len(text) - preference.RESP_CHARS + 1, 1)
+    return text[off : off + preference.RESP_CHARS]
+
+
+def _score(resp: str) -> int:
+    toks = [t for t in resp.split(" ") if t]
+    n = len(toks)
+    stop = sum(1 for t in toks if t in STOPWORDS)
+    return stop * 1_000_000 // n + len(set(toks)) * 1000 // n
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_pref_pairs_match_python(docs):
+    got = {r[0]: r[1:] for r in _duck(preference.PREF_PAIRS_DUCK)}
+    assert len(got) == len(docs)
+    n_swapped = 0
+    for doc_id, text, _ in docs:
+        a, b = _cand(doc_id, text, 0), _cand(doc_id, text, 1)
+        sa, sb = _score(a), _score(b)
+        chosen, rejected = (0, 1) if sa >= sb else (1, 0)
+        cm = hashlib.md5((a if chosen == 0 else b).encode()).hexdigest()
+        rm = hashlib.md5((b if chosen == 0 else a).encode()).hexdigest()
+        assert got[doc_id] == (chosen, rejected, cm, rm, abs(sa - sb)), doc_id
+        n_swapped += chosen
+    # both orders really occur — the scorer is not a constant rank
+    assert 0 < n_swapped < len(docs)
+
+
+def test_rejection_sampling_matches_python(docs):
+    got = {r[0]: r[1:] for r in _duck(preference.BESTOF_DUCK)}
+    for doc_id, text, _ in docs:
+        scores = [
+            _score(_cand(doc_id, text, k))
+            for k in range(preference.N_CANDIDATES)
+        ]
+        best = max(range(len(scores)), key=lambda k: (scores[k], -k))
+        exp = (
+            best,
+            hashlib.md5(_cand(doc_id, text, best).encode()).hexdigest(),
+            preference.N_CANDIDATES,
+            max(scores),
+            min(scores),
+            max(scores) - min(scores),
+            sum(scores) // preference.N_CANDIDATES,
+        )
+        assert got[doc_id] == exp, doc_id
+
+
+def test_winrate_consistent_with_bestof(docs):
+    best = {r[0]: r[1] for r in _duck(preference.BESTOF_DUCK)}
+    srcs = {d: s for d, _, s in docs}
+    from collections import Counter
+
+    exp = Counter((srcs[d], k) for d, k in best.items())
+    per_src = Counter(srcs.values())
+    got = {(r[0], r[1]): (r[2], r[3]) for r in _duck(preference.WINRATE_DUCK)}
+    assert got == {
+        (s, k): (n, n * 1_000_000 // per_src[s]) for (s, k), n in exp.items()
+    }
+    # every policy wins somewhere — seeded windows are unbiased
+    assert len({k for _, k in got}) == preference.N_CANDIDATES
+
+
+def test_spark_pairs_match_oracle(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in preference.QUERIES["docs_pref_pairs"](spark, sf_dir).collect()
+    )
+    exp = sorted(tuple(r) for r in _duck(preference.PREF_PAIRS_DUCK))
+    assert got == exp
