@@ -459,6 +459,72 @@ doc_offs AS (
   FROM doc_lens
 ),
 turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
+
+
+# ------------------------------------- multimodal-SFT token planning
+# Interleaved image+text conversations (the LLaVA/GPT-4V SFT shape):
+# a doc whose id carries an image contributes VISION tokens -- the
+# image expands to its ViT patch-grid count (PATCH_P from
+# multimodal/qpatch.py, the same patch geometry mm_vit_patchify
+# gates) plus 2 boundary specials -- spliced into the first user
+# turn. The planner emits per conversation what a multimodal trainer
+# budgets with: text vs vision token counts and the loss-token count
+# (assistant TEXT only -- vision tokens are never loss positions).
+# Image fixture: doc_id % 3 == 0 carries a (32*(d%2+1)) x (16*(d%4+1))
+# image -- patch counts vary 8..32 across docs.
+
+IMG_MOD = 3            # docs with doc_id % 3 == 0 carry an image
+IMG_SPECIALS = 2       # <image> ... </image> boundary tokens
+_PATCH_P = 8           # == multimodal.qpatch.PATCH_P (asserted in tests)
+
+_MM_PLAN_TAIL = f"""
+, tstats AS (
+  SELECT doc_id,
+         CAST({SYS_TOKENS} + sum(n_t + {TURN_SPECIALS}) AS BIGINT)
+             AS text_tokens,
+         CAST(sum(CASE WHEN role = 'assistant' THEN n_t ELSE 0 END)
+             AS BIGINT) AS mask_tokens
+  FROM (SELECT doc_id, turn_id, role,
+               length(content) - length(replace(content, ' ', '')) + 1
+                   AS n_t
+        FROM turns)
+  GROUP BY doc_id
+),
+imgs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {IMG_MOD} = 0 THEN 1 ELSE 0 END AS has_image,
+         CASE WHEN doc_id % {IMG_MOD} = 0
+              THEN (32 * (doc_id % 2 + 1) {{div}} {_PATCH_P})
+                   * (16 * (doc_id % 4 + 1) {{div}} {_PATCH_P})
+              ELSE 0 END AS n_patches
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(i.has_image AS INT) AS has_image,
+       CAST(i.n_patches AS BIGINT) AS n_patches,
+       t.text_tokens,
+       CAST(CASE WHEN i.has_image = 1
+                 THEN i.n_patches + {IMG_SPECIALS} ELSE 0 END AS BIGINT)
+           AS vision_tokens,
+       CAST(t.text_tokens
+            + CASE WHEN i.has_image = 1
+                   THEN i.n_patches + {IMG_SPECIALS} ELSE 0 END AS BIGINT)
+           AS total_tokens,
+       t.mask_tokens
+FROM tstats t JOIN imgs i ON t.doc_id = i.doc_id
+"""
+
+MM_CHAT_PLAN_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _MM_PLAN_TAIL.format(div="DIV")
+)
+MM_CHAT_PLAN_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _MM_PLAN_TAIL.format(div="//")
+)
+
+
+# ------------------------------------------------- independent renderer
 # Plain-Python replay for tests: NO SQL, no Spark — the cross-check
 # that the SQL render/mask really implement the template they claim.
 
@@ -514,6 +580,7 @@ QUERIES = {
     "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
     "docs_turn_near_dup": _q_turn_near_dup,
     "docs_chat_pack_sequences": _q_chat_pack_sequences,
+    "docs_mm_chat_token_plan": _run(MM_CHAT_PLAN_SPARK),
 }
 
 ORACLES = {
@@ -522,4 +589,5 @@ ORACLES = {
     "docs_turn_dedup": CHAT_TURN_DEDUP_DUCK,
     "docs_turn_near_dup": _turn_near_dup_duck(),
     "docs_chat_pack_sequences": _pack_duck(),
+    "docs_mm_chat_token_plan": MM_CHAT_PLAN_DUCK,
 }

@@ -241,3 +241,30 @@ def test_pack_doc_token_length_matches_renderer(spark, sf_dir, docs):
         assert got.get(doc_id, chat.SYS_TOKENS) == exp or (
             not conv and doc_id not in got
         ), doc_id
+
+
+def test_mm_token_plan_consistency(spark, sf_dir):
+    """Cross-family pins: _PATCH_P really is qpatch.PATCH_P; vision
+    tokens appear exactly on the image-carrying ids with the patch
+    count the fixture dims imply; mask tokens are text-side only
+    (<= text_tokens) and match the render's assistant accounting."""
+    from dataset_batch_processor_spark.multimodal import qpatch
+
+    assert chat._PATCH_P == qpatch.PATCH_P
+    rows = {
+        r["doc_id"]: r
+        for r in chat.QUERIES["docs_mm_chat_token_plan"](
+            spark, sf_dir
+        ).collect()
+    }
+    for d, r in rows.items():
+        if d % chat.IMG_MOD == 0:
+            w, h = 32 * (d % 2 + 1), 16 * (d % 4 + 1)
+            n_p = (w // chat._PATCH_P) * (h // chat._PATCH_P)
+            assert r["has_image"] == 1 and r["n_patches"] == n_p, d
+            assert r["vision_tokens"] == n_p + chat.IMG_SPECIALS
+        else:
+            assert r["has_image"] == 0 and r["vision_tokens"] == 0, d
+        assert r["total_tokens"] == r["text_tokens"] + r["vision_tokens"]
+        assert 0 <= r["mask_tokens"] <= r["text_tokens"]
+    assert sum(r["mask_tokens"] for r in rows.values()) > 0
