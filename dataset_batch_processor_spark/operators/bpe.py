@@ -1102,25 +1102,56 @@ def _ppm_split(t: str, w: str, div: str) -> str:
             f" + (((({t}) % ({w})) * 1000 % ({w})) * 1000) {div} ({w})")
 
 
+# Per-tokenizer PLANT corrections (round 10 review finding #1): the
+# gated unigram/wordpiece queries append fixture plants (_UNI_PLANTED,
+# _WP_PLANTED) whose guaranteed-UNK words would dominate the
+# cross-tokenizer unk_ppm comparison (one planted UNK per doc ≈
+# 1.7% "UNK rate" that is pure fixture). The fertility rollup
+# subtracts each plant's exact per-doc contribution — constants
+# computed here with the SAME Python kernels the gates pin — so the
+# published rows compare the tokenizers on the unplanted corpus.
+# (Word-count basis note: after subtraction, whitespace words equal
+# WORD_RE words on this corpus — the fixture text is pure lowercase
+# alpha — so the BPE row is directly comparable.)
+
+def _plant_stats(words: list[str], tok) -> tuple[int, int, int]:
+    n_t = n_u = 0
+    for w in words:
+        t = tok(w)
+        if t is None:
+            n_t += 1
+            n_u += 1
+        else:
+            n_t += len(t)
+            n_u += sum(1 for x in t if x == "[UNK]")
+    return len(words), n_t, n_u
+
+
+_UNI_PLANT = _plant_stats(_UNI_PLANTED.split(), unigram_word)
+_WP_PLANT = _plant_stats(_WP_PLANTED.split(), wordpiece_word)
+
+
 def _per_doc_all_tokenizers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(tokenizer, doc_id, n_words, n_tokens, n_unk_words) for all
-    three gated tokenizers. Each rides its own gated pipeline
-    unchanged (planted suffixes, word regexes and all) — fertility is
-    a property of the WHOLE tokenizer pipeline, so the comparison
-    keeps each one exactly as its own gate proved it. BPE is
-    open-vocabulary (character fallback): n_unk_words ≡ 0 by
-    construction, which the cross-tokenizer row makes visible."""
+    three gated tokenizers, with each gate's fixture-plant
+    contribution subtracted (see _plant_stats above) so the rows are
+    comparable. BPE is open-vocabulary (character fallback):
+    n_unk_words ≡ 0 by construction, which the cross-tokenizer row
+    makes visible — after the plant correction that 0 is a real
+    tokenizer property, not a fixture artifact."""
+    uw, ut, uu = _UNI_PLANT
+    ww, wt, wu = _WP_PLANT
     uni = _q_unigram_tokens(spark, sf_dir).select(
         F.lit("unigram").alias("tokenizer"), "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_unk_words").cast("long").alias("n_unk_words"),
+        (F.col("n_words").cast("long") - uw).alias("n_words"),
+        (F.col("n_tokens").cast("long") - ut).alias("n_tokens"),
+        (F.col("n_unk_words").cast("long") - uu).alias("n_unk_words"),
     )
     wp = _q_wordpiece_tokens(spark, sf_dir).select(
         F.lit("wordpiece").alias("tokenizer"), "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_unk_words").cast("long").alias("n_unk_words"),
+        (F.col("n_words").cast("long") - ww).alias("n_words"),
+        (F.col("n_tokens").cast("long") - wt).alias("n_tokens"),
+        (F.col("n_unk_words").cast("long") - wu).alias("n_unk_words"),
     )
     bpe_sub = _q_subword_tokens(spark, sf_dir).select(
         F.lit("bpe").alias("tokenizer"), "doc_id",
@@ -1158,14 +1189,15 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fertility_duck() -> str:
     per_doc = f"""
 SELECT 'unigram' AS tokenizer, doc_id,
-       CAST(n_words AS BIGINT) AS n_words,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(n_unk_words AS BIGINT) AS n_unk_words
+       CAST(n_words - {_UNI_PLANT[0]} AS BIGINT) AS n_words,
+       CAST(n_tokens - {_UNI_PLANT[1]} AS BIGINT) AS n_tokens,
+       CAST(n_unk_words - {_UNI_PLANT[2]} AS BIGINT) AS n_unk_words
 FROM ({_unigram_duck()})
 UNION ALL
 SELECT 'wordpiece' AS tokenizer, doc_id,
-       CAST(n_words AS BIGINT), CAST(n_tokens AS BIGINT),
-       CAST(n_unk_words AS BIGINT)
+       CAST(n_words - {_WP_PLANT[0]} AS BIGINT),
+       CAST(n_tokens - {_WP_PLANT[1]} AS BIGINT),
+       CAST(n_unk_words - {_WP_PLANT[2]} AS BIGINT)
 FROM ({_wordpiece_duck()})
 UNION ALL
 SELECT 'bpe' AS tokenizer, doc_id,

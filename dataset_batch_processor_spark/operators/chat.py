@@ -283,9 +283,7 @@ def _q_turn_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _turn_near_dup_duck() -> str:
     from . import dedup as dedup_ops
 
-    shingles = dedup_ops._SHINGLES_DUCK.replace(
-        "FROM documents,", "FROM turn_docs,"
-    )
+    shingles = dedup_ops.shingles_duck("turn_docs")
     return f"""WITH {_TOKS_DUCK},
 {_TURNS_DUCK},
 turn_docs AS (
@@ -475,7 +473,9 @@ turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 
 IMG_MOD = 3            # docs with doc_id % 3 == 0 carry an image
 IMG_SPECIALS = 2       # <image> ... </image> boundary tokens
-_PATCH_P = 8           # == multimodal.qpatch.PATCH_P (asserted in tests)
+from ..multimodal.qpatch import PATCH_P as _PATCH_P  # noqa: E402 — the
+# chat and patchify families SHARE the patch geometry (round-10 review
+# #4: a literal copy would drift silently if PATCH_P were retuned)
 
 _MM_PLAN_TAIL = f"""
 , tstats AS (

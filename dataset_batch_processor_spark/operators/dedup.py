@@ -471,9 +471,15 @@ def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- DuckDB oracle
 
-_SHINGLES_DUCK = f"""shingles AS (
+def shingles_duck(src: str = "documents") -> str:
+    """The shingle+hash CTE pair over any (doc_id, text) relation —
+    parameterized so oracles shingling a derived unit table (e.g.
+    chat.py's distinct-turn units) compose it explicitly instead of
+    string-patching the constant (round-10 review finding #2: a
+    silent .replace() no-op would re-shingle the wrong table)."""
+    return f"""shingles AS (
   SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {SHINGLE_W}) AS shingle
-  FROM documents,
+  FROM {src},
        LATERAL (SELECT unnest(generate_series(1, len(text) - {SHINGLE_W} + 1,
                 {SHINGLE_STRIDE})) AS p)
   WHERE len(text) >= {SHINGLE_W}
@@ -483,6 +489,9 @@ hashed AS (
          CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
   FROM shingles
 )"""
+
+
+_SHINGLES_DUCK = shingles_duck()
 
 _SIG_COLS_DUCK = ",\n         ".join(
     f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{k}"

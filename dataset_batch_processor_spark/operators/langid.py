@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import catalog
 from .bpe import _L2_FRAC
 from .curation import TRAIN_PCT
-from .textanalysis import _LANG_BODY, LANG_CHAIN_DUCK, LANG_CHAIN_SPARK
+from .textanalysis import _LANG_BODY, lang_chain_duck, lang_chain_spark
 
 LID_DIM = 32
 LANGS = ("en", "de", "es", "fr")  # the teacher's output domain
@@ -89,7 +89,7 @@ def _chain(engine: str) -> str:
     """Every CTE both queries share: teacher, bigram features, dense
     NB model with exact Q10 log-probs, and smoothed priors."""
     if engine == "spark":
-        lang_chain = LANG_CHAIN_SPARK.replace("FROM documents", "FROM lid_docs")
+        lang_chain = lang_chain_spark("lid_docs")
         lid_docs = _LID_DOCS.format(div="DIV")
         l2frac = _L2FRAC_SPARK
         split = (
@@ -115,7 +115,7 @@ def _chain(engine: str) -> str:
        (SELECT explode(sequence(0, {LID_DIM - 1})) AS dim) d
 )"""
     else:
-        lang_chain = LANG_CHAIN_DUCK.replace("FROM documents", "FROM lid_docs")
+        lang_chain = lang_chain_duck("lid_docs")
         lid_docs = _LID_DOCS.format(div="//")
         l2frac = _L2FRAC_DUCK
         split = (

@@ -141,9 +141,14 @@ FROM hits
 
 # Exported Spark-side CTE chain too (round 8 late), so the confusion
 # audit below shares the exact token/hit SQL with the classifier.
-LANG_CHAIN_SPARK = f"""toks AS (
+def lang_chain_spark(src: str = "documents") -> str:
+    """The token/hit CTE chain over any (doc_id, text) relation —
+    parameterized so composing queries (curation funnel, lang-ID
+    distillation over planted text) name their source explicitly
+    instead of string-patching the constant (round-10 review #3)."""
+    return f"""toks AS (
   SELECT doc_id, token
-  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM {src})
   WHERE length(token) > 0
 ),
 hits AS (
@@ -152,6 +157,9 @@ hits AS (
   FROM toks GROUP BY doc_id
 )"""
 
+
+LANG_CHAIN_SPARK = lang_chain_spark()
+
 LANG_ID_SPARK = f"""
 WITH {LANG_CHAIN_SPARK}
 {_LANG_BODY}
@@ -159,9 +167,10 @@ WITH {LANG_CHAIN_SPARK}
 
 # Exported CTE chain (toks -> hits) so composing oracles (the
 # curation funnel) share the exact token/hit SQL instead of a copy.
-LANG_CHAIN_DUCK = f"""toks AS (
+def lang_chain_duck(src: str = "documents") -> str:
+    return f"""toks AS (
   SELECT doc_id, token
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src})
   WHERE length(token) > 0
 ),
 hits AS (
@@ -169,6 +178,9 @@ hits AS (
          {_lang_case('duck')}
   FROM toks GROUP BY doc_id
 )"""
+
+
+LANG_CHAIN_DUCK = lang_chain_duck()
 
 LANG_ID_DUCK = f"""
 WITH {LANG_CHAIN_DUCK}
