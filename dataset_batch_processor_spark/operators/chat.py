@@ -459,6 +459,53 @@ doc_offs AS (
 turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 
 
+# ------------------------------------------- token-window chunking
+# Overlapping token windows (W tokens, stride S) — the chunking step
+# every retrieval/embedding pipeline runs before encoding (RAG
+# ingestion; also the long-doc split for context-bounded training).
+# Membership is computed TOKEN-side: each token explodes over the
+# ≤ ceil(W/S) windows that contain it (bounded fan-out — never a
+# range join), then one (doc, window) groupBy assembles the chunk.
+# k_min = max(0, ceil((pos-W+1)/S)) via trunc-div on a clamped-
+# nonnegative numerator — identical in both engines.
+
+CHUNK_W = 32
+CHUNK_S = 24
+
+_CHUNK_TAIL = f"""
+, member AS (
+  SELECT doc_id, pos, token, k
+  FROM toks
+  {{kgen}}
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       md5({{tok_agg}}) AS chunk_md5
+FROM member
+GROUP BY doc_id, k
+"""
+
+_KGEN_SPARK = (
+    f"LATERAL VIEW explode(sequence("
+    f"greatest(0, (pos - {CHUNK_W} + {CHUNK_S}) DIV {CHUNK_S}),"
+    f" pos DIV {CHUNK_S})) t AS k"
+)
+_KGEN_DUCK = (
+    f", LATERAL (SELECT unnest(generate_series("
+    f"greatest(0, (pos - {CHUNK_W} + {CHUNK_S}) // {CHUNK_S}),"
+    f" pos // {CHUNK_S})) AS k)"
+)
+
+CHUNK_WINDOWS_SPARK = (
+    f"WITH {_TOKS_SPARK}"
+    + _CHUNK_TAIL.format(kgen=_KGEN_SPARK, tok_agg=_CONTENT_AGG_SPARK)
+)
+CHUNK_WINDOWS_DUCK = (
+    f"WITH {_TOKS_DUCK}"
+    + _CHUNK_TAIL.format(kgen=_KGEN_DUCK, tok_agg=_CONTENT_AGG_DUCK)
+)
+
+
 # ------------------------------------- multimodal-SFT token planning
 # Interleaved image+text conversations (the LLaVA/GPT-4V SFT shape):
 # a doc whose id carries an image contributes VISION tokens -- the
@@ -581,6 +628,7 @@ QUERIES = {
     "docs_turn_near_dup": _q_turn_near_dup,
     "docs_chat_pack_sequences": _q_chat_pack_sequences,
     "docs_mm_chat_token_plan": _run(MM_CHAT_PLAN_SPARK),
+    "docs_chunk_windows": _run(CHUNK_WINDOWS_SPARK),
 }
 
 ORACLES = {
@@ -590,4 +638,5 @@ ORACLES = {
     "docs_turn_near_dup": _turn_near_dup_duck(),
     "docs_chat_pack_sequences": _pack_duck(),
     "docs_mm_chat_token_plan": MM_CHAT_PLAN_DUCK,
+    "docs_chunk_windows": CHUNK_WINDOWS_DUCK,
 }

@@ -268,3 +268,27 @@ def test_mm_token_plan_consistency(spark, sf_dir):
         assert r["total_tokens"] == r["text_tokens"] + r["vision_tokens"]
         assert 0 <= r["mask_tokens"] <= r["text_tokens"]
     assert sum(r["mask_tokens"] for r in rows.values()) > 0
+
+
+def test_chunk_windows_match_python(docs):
+    """Independent Python replay of the overlapping-window chunker:
+    every window of W tokens at stride S, last windows short."""
+    got = {(r[0], r[1]): r[2:] for r in _duck(chat.CHUNK_WINDOWS_DUCK)}
+    exp = {}
+    W, S = chat.CHUNK_W, chat.CHUNK_S
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        k = 0
+        while k * S < len(toks):
+            window = toks[k * S : k * S + W]
+            exp[(doc_id, k)] = (
+                len(window),
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+            )
+            k += 1
+    assert got == exp
+    # overlap really occurs: some docs produce 2+ chunks
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in exp)
+    assert max(per_doc.values()) >= 3
