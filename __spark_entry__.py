@@ -31,6 +31,7 @@ from dataset_batch_processor_spark.sources import tabular as tabular_ops
 from dataset_batch_processor_spark.streaming import batchcheck as stream_check
 from dataset_batch_processor_spark.streaming import incremental as stream_inc
 from dataset_batch_processor_spark.streaming import driftmon as stream_drift
+from dataset_batch_processor_spark.streaming import turndedup as stream_turndedup
 from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(chat.QUERIES)
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
+    q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
 
@@ -614,5 +616,6 @@ FROM images_meta GROUP BY 1
     o.update(chat.ORACLES)
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
+    o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

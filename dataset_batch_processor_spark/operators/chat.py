@@ -65,26 +65,36 @@ _H_DUCK = (
 # Tokenize + renumber kept tokens 0..n-1 per doc (row_number is a
 # per-doc window — bounded by one document). The empty-token filter
 # keeps content a single-spaced token join in both engines.
-_TOKS_SPARK = """toks AS (
+def toks_spark(src: str = "documents") -> str:
+    """Tokenize CTE over any (doc_id, text) relation — parameterized
+    (review-finding #2/#3 convention) so the streaming twin can run
+    the same chain over a micro-batch view."""
+    return f"""toks AS (
   SELECT doc_id,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos,
          token
   FROM (SELECT doc_id, pos0, token
-        FROM documents
+        FROM {src}
         LATERAL VIEW posexplode(split(text, ' ')) t AS pos0, token)
   WHERE length(token) > 0
 )"""
 
-_TOKS_DUCK = """toks AS (
+
+def toks_duck(src: str = "documents") -> str:
+    return f"""toks AS (
   SELECT doc_id,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos,
          token
   FROM (SELECT doc_id,
                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos0,
                unnest(string_split(text, ' ')) AS token
-        FROM documents)
+        FROM {src})
   WHERE length(token) > 0
 )"""
+
+
+_TOKS_SPARK = toks_spark()
+_TOKS_DUCK = toks_duck()
 
 # Turn assembly: seeded per-doc turn length, integer-div turn ids,
 # alternating roles, content = ordered token join. {div} is the
@@ -92,7 +102,7 @@ _TOKS_DUCK = """toks AS (
 # engine's ordered-string-agg idiom.
 _TURNS_BODY = f"""tl AS (
   SELECT doc_id, {TURN_MIN} + ({{h}} % {TURN_MOD}) AS turn_len
-  FROM documents
+  FROM {{src}}
 ),
 turns AS (
   SELECT doc_id, turn_id,
@@ -111,12 +121,20 @@ _CONTENT_AGG_SPARK = (
 )
 _CONTENT_AGG_DUCK = "array_to_string(list(token ORDER BY pos), ' ')"
 
-_TURNS_SPARK = _TURNS_BODY.format(
-    h=_H_SPARK, div="DIV", content_agg=_CONTENT_AGG_SPARK
-)
-_TURNS_DUCK = _TURNS_BODY.format(
-    h=_H_DUCK, div="//", content_agg=_CONTENT_AGG_DUCK
-)
+def turns_spark(src: str = "documents") -> str:
+    return _TURNS_BODY.format(
+        h=_H_SPARK, div="DIV", content_agg=_CONTENT_AGG_SPARK, src=src
+    )
+
+
+def turns_duck(src: str = "documents") -> str:
+    return _TURNS_BODY.format(
+        h=_H_DUCK, div="//", content_agg=_CONTENT_AGG_DUCK, src=src
+    )
+
+
+_TURNS_SPARK = turns_spark()
+_TURNS_DUCK = turns_duck()
 
 # Per-turn rendered piece: <|im_start|>role\ncontent<|im_end|>\n.
 # chr(10) on both sides — no literal-newline escaping differences.

@@ -1,0 +1,165 @@
+"""Streaming turn-dedup admission — the SFT-ingestion twin of
+``docs_turn_dedup`` (operators/chat.py).
+
+Production shape: conversation shards arrive continuously; each
+micro-batch derives its turns (the SAME parameterized chain the batch
+gate pins — chat.toks_spark/turns_spark over the batch view), and a
+turn is ADMITTED only if its content digest has never been admitted
+before — first by the accumulated digest index, then first-within-
+batch. Admitted digests append to the index; both sinks use the
+batch_id-keyed overwrite layout (incremental.py's exactly-once
+pattern), so a retried micro-batch rewrites its own directory.
+
+Order-free gate (the driftmon.py requirement): WHICH copy of a
+duplicated turn gets admitted depends on arrival order, so the gated
+output carries only arrival-order-invariant facts — the admitted
+digest SET (one row per digest) with its token count. The DuckDB
+oracle recomputes ``SELECT DISTINCT`` over the batch turn chain;
+equality proves exactly-once admission end to end (zero double-admits
+in any batch partitioning of the input). The order-DEPENDENT fields
+(admitted doc_id/turn_id) stay in the commit log for lineage but out
+of the gate; tests pin that two different arrival orders admit the
+identical digest set.
+
+Bounded state: the index holds one 32-char digest row per DISTINCT
+turn — it grows with unique content, never with corpus volume; the
+admission join is an equi-join on the digest, the same key the batch
+dedup shuffles. At deployment the index is bucketed by digest
+(storage.write_bucketed) for exchange-free probes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import chat
+
+
+def _batch_turns_sql() -> str:
+    return (
+        f"WITH {chat.toks_spark('stream_batch_docs')},\n"
+        f"{chat.turns_spark('stream_batch_docs')}\n"
+        "SELECT doc_id, turn_id, md5(content) AS digest,\n"
+        "       length(content) - length(replace(content, ' ', '')) + 1"
+        " AS n_tokens\n"
+        "FROM turns"
+    )
+
+
+def incremental_turn_admission(
+    docs_stream: DataFrame, index_dir: str, admitted_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch loop; returns the StreamingQuery."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.createOrReplaceTempView("stream_batch_docs")
+        turns = spark.sql(_batch_turns_sql()).persist()
+        try:
+            # first occurrence WITHIN the batch (digest-keyed window —
+            # bounded by the batch)
+            w_first = F.row_number().over(
+                Window.partitionBy("digest").orderBy("doc_id", "turn_id")
+            )
+            firsts = turns.withColumn("_occ", w_first).filter(
+                F.col("_occ") == 1
+            ).drop("_occ")
+            # not already admitted by an earlier batch (anti-join on
+            # the accumulated digest index; explicit probe — a bare
+            # except would silently re-admit history, incremental.py's
+            # have-index lesson)
+            have_index = (
+                any(
+                    e.name.startswith("batch_id=")
+                    for e in os.scandir(index_dir)
+                )
+                if os.path.isdir(index_dir)
+                else False
+            )
+            if have_index:
+                idx = spark.read.parquet(index_dir).select("digest")
+                firsts = firsts.join(idx, "digest", "left_anti")
+            firsts.write.mode("overwrite").parquet(
+                os.path.join(admitted_dir, f"batch_id={batch_id}")
+            )
+            firsts.select("digest").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            turns.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_turn_admission_over_dir(
+    spark: SparkSession, staged_dir: str, work_dir: str,
+    max_files_per_trigger: int = 1, schema=None,
+) -> DataFrame:
+    """Drive the admission loop over staged parquet and return the
+    ORDER-FREE gated view: one row per admitted digest."""
+    if schema is None:
+        schema = spark.read.parquet(staged_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+        .select("doc_id", "text")
+    )
+    q = incremental_turn_admission(
+        stream,
+        index_dir=os.path.join(work_dir, "digest_index"),
+        admitted_dir=os.path.join(work_dir, "admitted"),
+        checkpoint_dir=os.path.join(work_dir, "checkpoint"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(work_dir, "admitted"))
+        .select("digest", F.col("n_tokens").cast("int").alias("n_tokens"))
+    )
+
+
+def admitted_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Full commit log incl. the order-dependent admitted copy ids —
+    lineage, NOT gated."""
+    return spark.read.parquet(os.path.join(work_dir, "admitted"))
+
+
+# ------------------------------------------------------- driver query
+
+
+def _q_stream_turn_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog as cat
+    from ..matcache import scratch_dir
+
+    docs = cat.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    stage = scratch_dir("dbp_turnadm_stage_")
+    for part in range(3):  # three micro-batches, duplicates split
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    work = scratch_dir("dbp_turnadm_work_")
+    return run_turn_admission_over_dir(spark, stage, work)
+
+
+TURN_ADMISSION_DUCK = f"""WITH {chat.toks_duck()},
+{chat.turns_duck()}
+SELECT DISTINCT md5(content) AS digest,
+       CAST(length(content) - length(replace(content, ' ', '')) + 1
+            AS INT) AS n_tokens
+FROM turns
+"""
+
+QUERIES = {"docs_stream_turn_admission": _q_stream_turn_admission}
+ORACLES = {"docs_stream_turn_admission": TURN_ADMISSION_DUCK}
