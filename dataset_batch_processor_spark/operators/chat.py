@@ -477,6 +477,56 @@ doc_offs AS (
 turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 
 
+
+
+# --------------------------------------- JSONL conversations source
+# The wire format SFT data actually arrives in: one JSON object per
+# conversation with a role/content turn ARRAY. The gate drives the
+# array<struct> I/O path end to end: conversations are assembled from
+# the gated turn chain, written as JSONL, read back with an EXPLICIT
+# schema (inference = a second full scan, banned at 100 TB; the
+# tabular.py roundtrip convention), re-exploded, and re-rendered —
+# the oracle is the SAME CHAT_RENDER_DUCK, so any serialization drift
+# (key order, escaping, array element order, struct field loss)
+# breaks the render hash.
+
+CHAT_CONV_SCHEMA = (
+    "doc_id BIGINT, turns ARRAY<STRUCT<role: STRING, content: STRING>>"
+)
+
+_CONV_AGG_SPARK = (
+    "transform(array_sort(collect_list(struct(turn_id, role, content))),"
+    " x -> struct(x.role AS role, x.content AS content))"
+)
+
+
+def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    conv = spark.sql(
+        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n"
+        f"SELECT doc_id, {_CONV_AGG_SPARK} AS turns FROM turns"
+        " GROUP BY doc_id"
+    )
+    path = tempfile.mkdtemp(prefix="dbp_chat_jsonl_") + "/conversations"
+    conv.write.mode("errorifexists").json(path)
+    from ..sources.jsonl import read_jsonl
+
+    back = read_jsonl(spark, path, CHAT_CONV_SCHEMA)
+    back.createOrReplaceTempView("chat_conversations_rt")
+    return spark.sql(
+        """WITH turns AS (
+  SELECT doc_id, pos AS turn_id, t.role AS role, t.content AS content
+  FROM chat_conversations_rt
+  LATERAL VIEW posexplode(turns) x AS pos, t
+)"""
+        + _RENDER_TAIL.format(sys=_SYS_SQL, piece_agg=_PIECE_AGG_SPARK)
+    )
+
+
 # ------------------------------------------- token-window chunking
 # Overlapping token windows (W tokens, stride S) — the chunking step
 # every retrieval/embedding pipeline runs before encoding (RAG
@@ -647,6 +697,7 @@ QUERIES = {
     "docs_chat_pack_sequences": _q_chat_pack_sequences,
     "docs_mm_chat_token_plan": _run(MM_CHAT_PLAN_SPARK),
     "docs_chunk_windows": _run(CHUNK_WINDOWS_SPARK),
+    "chat_jsonl_roundtrip": _q_chat_jsonl_roundtrip,
 }
 
 ORACLES = {
@@ -657,4 +708,5 @@ ORACLES = {
     "docs_chat_pack_sequences": _pack_duck(),
     "docs_mm_chat_token_plan": MM_CHAT_PLAN_DUCK,
     "docs_chunk_windows": CHUNK_WINDOWS_DUCK,
+    "chat_jsonl_roundtrip": CHAT_RENDER_DUCK,
 }
