@@ -75,6 +75,11 @@ HEADLINE_V2_EXTRA = (
     # (the two new training-loop families)
     "docs_unigram_train",
     "docs_doremi_mixture",
+    # round 10: one representative each for the SFT/chat family, the
+    # RLHF preference family, and the trained lang-ID family
+    "docs_chat_render",
+    "docs_rejection_sampling",
+    "docs_langid_train",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive

@@ -479,6 +479,46 @@ turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 
 
 
+# --------------------------------------- context-window truncation
+# Conversation trimming for a bounded context: keep the system turn,
+# the FIRST user turn (the instruction), and the LAST TRUNC_KEEP
+# turns — the standard recency policy chat runtimes and SFT
+# preprocessors apply when a conversation outgrows the window. The
+# gate re-renders the KEPT turns through the same template, so the
+# policy (which turns survive, in what order) is pinned end to end.
+
+TRUNC_KEEP = 4
+
+_TRUNC_TAIL = f"""
+, maxt AS (
+  SELECT doc_id, max(turn_id) AS mt, count(*) AS nt
+  FROM turns GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.turn_id, t.role, t.content
+  FROM turns t JOIN maxt m ON t.doc_id = m.doc_id
+  WHERE t.turn_id = 0 OR t.turn_id > m.mt - {TRUNC_KEEP}
+)
+SELECT k.doc_id,
+       CAST(count(*) AS INT) AS n_turns_kept,
+       CAST(max(m.nt) - count(*) AS INT) AS n_turns_dropped,
+       CAST(length({{sys}} || {{piece_agg}}) AS INT) AS trunc_render_len,
+       md5({{sys}} || {{piece_agg}}) AS trunc_render_md5
+FROM (SELECT doc_id, turn_id, role, {_PIECE} AS piece FROM kept) k
+JOIN maxt m ON k.doc_id = m.doc_id
+GROUP BY k.doc_id
+"""
+
+CHAT_TRUNCATE_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _TRUNC_TAIL.format(sys=_SYS_SQL, piece_agg=_PIECE_AGG_SPARK)
+)
+CHAT_TRUNCATE_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _TRUNC_TAIL.format(sys=_SYS_SQL, piece_agg=_PIECE_AGG_DUCK)
+)
+
+
 # --------------------------------------- JSONL conversations source
 # The wire format SFT data actually arrives in: one JSON object per
 # conversation with a role/content turn ARRAY. The gate drives the
@@ -698,6 +738,7 @@ QUERIES = {
     "docs_mm_chat_token_plan": _run(MM_CHAT_PLAN_SPARK),
     "docs_chunk_windows": _run(CHUNK_WINDOWS_SPARK),
     "chat_jsonl_roundtrip": _q_chat_jsonl_roundtrip,
+    "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
 }
 
 ORACLES = {
@@ -709,4 +750,5 @@ ORACLES = {
     "docs_mm_chat_token_plan": MM_CHAT_PLAN_DUCK,
     "docs_chunk_windows": CHUNK_WINDOWS_DUCK,
     "chat_jsonl_roundtrip": CHAT_RENDER_DUCK,
+    "docs_chat_truncate": CHAT_TRUNCATE_DUCK,
 }

@@ -292,3 +292,34 @@ def test_chunk_windows_match_python(docs):
 
     per_doc = Counter(d for d, _ in exp)
     assert max(per_doc.values()) >= 3
+
+
+def test_truncation_policy_matches_python(docs):
+    """Independent replay: keep system + turn 0 + last TRUNC_KEEP
+    turns, render through the template; short conversations pass
+    through untruncated."""
+    got = {r[0]: r[1:] for r in _duck(chat.CHAT_TRUNCATE_DUCK)}
+    n_trunc = 0
+    for doc_id, text in docs:
+        conv = chat.conversation_py(doc_id, text)
+        if not conv:
+            assert doc_id not in got
+            continue
+        mt = len(conv) - 1
+        kept = [
+            (i, r, c)
+            for i, (r, c) in enumerate(conv)
+            if i == 0 or i > mt - chat.TRUNC_KEEP
+        ]
+        rendered = chat.SYS_RENDERED + "".join(
+            f"{chat.IM_START}{r}\n{c}{chat.IM_END}\n" for _, r, c in kept
+        )
+        exp = (
+            len(kept),
+            len(conv) - len(kept),
+            len(rendered),
+            hashlib.md5(rendered.encode()).hexdigest(),
+        )
+        assert got[doc_id] == exp, doc_id
+        n_trunc += exp[1] > 0
+    assert n_trunc > 100  # truncation genuinely fires on the fixture
