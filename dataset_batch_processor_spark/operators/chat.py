@@ -479,6 +479,69 @@ turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 
 
 
+# ------------------------------------------ tool-call trace rendering
+# Agentic SFT traces (function calling): a tool-using conversation
+# interleaves an assistant TOOL-CALL turn and a tool RESULT turn after
+# the opening user turn. Loss semantics differ from plain chat: the
+# assistant's tool-call text IS trained (the model must learn to emit
+# calls), the tool's result is context only (masked) — the
+# train/masked token split below is the number an agent-SFT trainer
+# budgets with. Fixture: docs with doc_id % 3 == 0 carry one seeded
+# call/result pair (args are md5-derived integers); ordering key
+# ord = 10*turn_id with the pair at 5/6 splices them after turn 0
+# deterministically in both engines.
+
+TOOL_MOD = 3
+
+_TOOL_TAIL = f"""
+, tooldocs AS (
+  SELECT doc_id, {{h}} AS th FROM documents WHERE doc_id % {TOOL_MOD} = 0
+),
+aug AS (
+  SELECT doc_id, turn_id * 10 AS ord, role, content FROM turns
+  UNION ALL
+  SELECT doc_id, 5 AS ord, 'assistant' AS role,
+         'call search limit ' || CAST(th % 10 AS STRING) AS content
+  FROM tooldocs
+  UNION ALL
+  SELECT doc_id, 6 AS ord, 'tool' AS role,
+         'result rows ' || CAST(th % 7 AS STRING) AS content
+  FROM tooldocs
+),
+astats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS INT)
+             AS n_tool_turns,
+         CAST(sum(CASE WHEN role = 'assistant' THEN
+             length(content) - length(replace(content, ' ', '')) + 1
+             ELSE 0 END) AS BIGINT) AS train_tokens,
+         CAST(sum(CASE WHEN role <> 'assistant' THEN
+             length(content) - length(replace(content, ' ', '')) + 1
+             ELSE 0 END) AS BIGINT) AS masked_tokens
+  FROM aug GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(CASE WHEN p.doc_id % {TOOL_MOD} = 0 THEN 1 ELSE 0 END AS INT)
+           AS has_tool,
+       a.n_tool_turns, a.train_tokens, a.masked_tokens,
+       md5({{sys}} || {{piece_agg}}) AS render_md5
+FROM (SELECT doc_id, ord AS turn_id, role, {_PIECE} AS piece FROM aug) p
+JOIN astats a ON p.doc_id = a.doc_id
+GROUP BY p.doc_id, a.n_tool_turns, a.train_tokens, a.masked_tokens
+"""
+
+TOOL_TRACE_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _TOOL_TAIL.format(h=_H_SPARK.replace(":tl", ":tool"),
+                        sys=_SYS_SQL, piece_agg=_PIECE_AGG_SPARK)
+)
+TOOL_TRACE_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _TOOL_TAIL.format(h=_H_DUCK.replace(":tl", ":tool"),
+                        sys=_SYS_SQL, piece_agg=_PIECE_AGG_DUCK)
+)
+
+
 # --------------------------------------- context-window truncation
 # Conversation trimming for a bounded context: keep the system turn,
 # the FIRST user turn (the instruction), and the LAST TRUNC_KEEP
@@ -739,6 +802,7 @@ QUERIES = {
     "docs_chunk_windows": _run(CHUNK_WINDOWS_SPARK),
     "chat_jsonl_roundtrip": _q_chat_jsonl_roundtrip,
     "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
+    "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
 }
 
 ORACLES = {
@@ -751,4 +815,5 @@ ORACLES = {
     "docs_chunk_windows": CHUNK_WINDOWS_DUCK,
     "chat_jsonl_roundtrip": CHAT_RENDER_DUCK,
     "docs_chat_truncate": CHAT_TRUNCATE_DUCK,
+    "docs_tool_trace_render": TOOL_TRACE_DUCK,
 }

@@ -323,3 +323,41 @@ def test_truncation_policy_matches_python(docs):
         assert got[doc_id] == exp, doc_id
         n_trunc += exp[1] > 0
     assert n_trunc > 100  # truncation genuinely fires on the fixture
+
+
+def test_tool_trace_render_matches_python(docs):
+    """Independent replay of the tool-trace splice + loss split:
+    tool-call args from the seeded hash, pair spliced after turn 0,
+    assistant text (incl. the call) trained, tool result masked."""
+    got = {r[0]: r[1:] for r in _duck(chat.TOOL_TRACE_DUCK)}
+    for doc_id, text in docs:
+        conv = chat.conversation_py(doc_id, text)
+        if not conv:
+            assert doc_id not in got
+            continue
+        aug = [(i * 10, r, c) for i, (r, c) in enumerate(conv)]
+        has_tool = doc_id % chat.TOOL_MOD == 0
+        if has_tool:
+            th = int(
+                hashlib.md5(f"{doc_id}:tool".encode()).hexdigest()[:7], 16
+            )
+            aug.append((5, "assistant", f"call search limit {th % 10}"))
+            aug.append((6, "tool", f"result rows {th % 7}"))
+        aug.sort()
+        rendered = chat.SYS_RENDERED + "".join(
+            f"{chat.IM_START}{r}\n{c}{chat.IM_END}\n" for _, r, c in aug
+        )
+        train = sum(
+            len(c.split(" ")) for _, r, c in aug if r == "assistant"
+        )
+        masked = sum(
+            len(c.split(" ")) for _, r, c in aug if r != "assistant"
+        )
+        exp = (
+            int(has_tool),
+            sum(1 for _, r, _ in aug if r == "tool"),
+            train,
+            masked,
+            hashlib.md5(rendered.encode()).hexdigest(),
+        )
+        assert got[doc_id] == exp, doc_id
