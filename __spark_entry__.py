@@ -37,6 +37,7 @@ from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
     langid,
+    matryoshka,
     preference,
     boilerplate,
     bpe,
@@ -500,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(chat.QUERIES)
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
+    q.update(matryoshka.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -616,6 +618,7 @@ FROM images_meta GROUP BY 1
     o.update(chat.ORACLES)
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
+    o.update(matryoshka.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

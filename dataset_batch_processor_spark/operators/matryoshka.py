@@ -1,0 +1,125 @@
+"""Matryoshka embedding truncation report (Kusupati et al. 2022,
+"Matryoshka Representation Learning").
+
+MRL-trained encoders let a pipeline serve ANN from a PREFIX of the
+embedding — 8 of 64 dims costs 8× less memory/bandwidth — if the
+truncated ranking stays close to the full-dimension ranking. This
+report measures exactly that trade on the corpus: for each dim tier,
+exact top-k retrieval over the tier's prefix vs the full-dim top-k,
+reported as overlap@k — the number that decides which tier a serving
+config can drop to.
+
+Reuses the gated brute-force machinery verbatim (similarity.py's
+query panel, JVM sequential cosine fold, cosine6_duck single
+definition) with ``slice()``/list-prefix bounds as the only change —
+so a tier at D=64 is BY CONSTRUCTION the gated emb_cosine_topk
+ranking (identity pinned in tests).
+
+Scale: each tier is the same broadcast-panel scan the brute-force
+baseline costs; T tiers = T scans of the panel join (at 100 TB the
+panel is the sampled-QA run, similarity.py:1246 posture). Overlap is
+an exact integer join count; the ppm share is one trunc division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import vector
+from .similarity import DIM, QUERY_MOD, TOP_K, cosine6_duck
+
+MRL_TIERS = (8, 16, 32, 64)
+
+
+def _prefix_topk(emb: DataFrame, d: int) -> DataFrame:
+    """Exact top-k on the first ``d`` dims (oracle-grade JVM fold)."""
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, d).alias("q_emb"),
+    )
+    pairs = (
+        emb.select("vec_id", F.slice("embedding", 1, d).alias("c_emb"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(vector.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    full = _prefix_topk(emb, DIM).persist()
+    n_queries = full.select("query_id").distinct().count()
+    out = None
+    for d in MRL_TIERS:
+        tier = _prefix_topk(emb, d)
+        overlap = tier.join(full, ["query_id", "neighbor_id"]).count()
+        row = spark.createDataFrame(
+            [(d, n_queries, TOP_K, overlap,
+              overlap * 1_000_000 // (n_queries * TOP_K))],
+            "dim_tier int, n_queries bigint, k int, total_overlap bigint,"
+            " overlap_ppm bigint",
+        )
+        out = row if out is None else out.unionByName(row)
+    full.unpersist()
+    return out
+
+
+def _cos_d(a: str, b: str, d: int) -> str:
+    """cosine6_duck truncated to the first d list elements."""
+    return cosine6_duck(a, b).replace(
+        f"generate_series(1, {DIM})", f"generate_series(1, {d})"
+    )
+
+
+def _tier_duck(d: int) -> str:
+    return f"""
+SELECT query_id, neighbor_id
+FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_d("q.q_emb", "e.embedding", d)} AS cos_sim
+  FROM embeddings e,
+       (SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) q
+  WHERE e.vec_id <> q.query_id
+)
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+def _matryoshka_duck() -> str:
+    tiers = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INT) AS dim_tier,
+       (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM full_k)
+           AS n_queries,
+       CAST({TOP_K} AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS total_overlap,
+       CAST(count(*) * 1000000 //
+            ((SELECT count(DISTINCT query_id) FROM full_k) * {TOP_K})
+            AS BIGINT) AS overlap_ppm
+FROM ({_tier_duck(d)}) t
+JOIN full_k f USING (query_id, neighbor_id)"""
+        for d in MRL_TIERS
+    )
+    return f"""WITH full_k AS MATERIALIZED ({_tier_duck(DIM)})
+{tiers}"""
+
+
+QUERIES = {"emb_matryoshka_recall": _q_matryoshka_recall}
+ORACLES = {"emb_matryoshka_recall": _matryoshka_duck()}
