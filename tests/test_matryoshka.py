@@ -1,7 +1,10 @@
 """Matryoshka truncation report: the full-dim tier must be the
 identity (overlap 1.0 by construction — it IS the gated brute-force
-ranking), tiers are monotone non-decreasing in D on this fixture, and
-the Spark side equals the oracle row for row."""
+ranking) and must strictly dominate every truncated tier. NOTE: the
+fixture embeddings are random, not MRL-trained, so tier-to-tier
+monotonicity is NOT guaranteed (and indeed 8 beats 16 at sf0.001 by
+sampling noise) — the report faithfully measuring that is the point;
+an MRL-trained encoder is what makes the curve monotone."""
 
 from __future__ import annotations
 
@@ -30,8 +33,9 @@ def test_full_dim_tier_is_identity_and_monotone():
     full = by_d[matryoshka.DIM]
     assert full[4] == 1_000_000  # overlap_ppm == 1.0 exactly
     assert full[3] == full[1] * full[2]  # every (query, k) pair overlaps
-    ppms = [by_d[d][4] for d in sorted(matryoshka.MRL_TIERS)]
-    assert all(a <= b for a, b in zip(ppms, ppms[1:]))
+    for d in matryoshka.MRL_TIERS:
+        if d != matryoshka.DIM:
+            assert by_d[d][4] < 1_000_000, d
 
 
 def test_spark_matches_oracle(spark, sf_dir):
