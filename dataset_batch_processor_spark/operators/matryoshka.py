@@ -62,22 +62,78 @@ def _prefix_topk(emb: DataFrame, d: int) -> DataFrame:
 
 
 def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE panel scan computes every tier's cosine (T scalar folds
+    over slice() prefixes — all whole-stage codegen); per-tier ranks
+    are windows over the SAME query_id partitioning (one exchange, T
+    sorts); overlap@k is a conditional aggregate — no per-tier rescan,
+    no join. Measured (round 10, sf0.1 warm): the naive T+1-scan
+    version 5.9 s -> this single-scan version 4.1 s; a "clever" fused
+    single fold with a struct accumulator checkpointing each tier was
+    tried and MEASURED SLOWER (5.6 s) — struct-accumulator aggregates
+    fall out of whole-stage codegen, while four independent scalar
+    folds stay in it (the round-9 OPH lesson again: K cheap codegen
+    expressions beat one interpreted smart one). The DuckDB oracle
+    keeps the naive T-scan spelling — structural independence is what
+    makes the hash agreement evidence."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    full = _prefix_topk(emb, DIM).persist()
-    n_queries = full.select("query_id").distinct().count()
-    out = None
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            F.round(
+                vector.cosine(
+                    F.slice("q_emb", 1, d), F.slice("embedding", 1, d)
+                ),
+                6,
+            ).alias(f"c{d}")
+            for d in MRL_TIERS
+        ],
+    )
+    ranked = scored
     for d in MRL_TIERS:
-        tier = _prefix_topk(emb, d)
-        overlap = tier.join(full, ["query_id", "neighbor_id"]).count()
-        row = spark.createDataFrame(
-            [(d, n_queries, TOP_K, overlap,
-              overlap * 1_000_000 // (n_queries * TOP_K))],
-            "dim_tier int, n_queries bigint, k int, total_overlap bigint,"
-            " overlap_ppm bigint",
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(f"c{d}"), F.col("neighbor_id")
         )
-        out = row if out is None else out.unionByName(row)
-    full.unpersist()
-    return out
+        ranked = ranked.withColumn(f"r{d}", F.row_number().over(w))
+    full_r = f"r{DIM}"
+    agg = ranked.agg(
+        F.countDistinct("query_id").alias("nq"),
+        *[
+            F.sum(
+                (
+                    (F.col(f"r{d}") <= TOP_K)
+                    & (F.col(full_r) <= TOP_K)
+                ).cast("long")
+            ).alias(f"o{d}")
+            for d in MRL_TIERS
+        ],
+    )
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("dim_tier"),
+                F.col("nq").cast("long").alias("n_queries"),
+                F.lit(TOP_K).cast("int").alias("k"),
+                F.col(f"o{d}").cast("long").alias("total_overlap"),
+                F.expr(f"o{d} * 1000000 DIV (nq * {TOP_K})")
+                .cast("long")
+                .alias("overlap_ppm"),
+            )
+            for d in MRL_TIERS
+        ]
+    )
+    return (
+        agg.select(F.explode(tiers).alias("t"))
+        .select("t.dim_tier", "t.n_queries", "t.k", "t.total_overlap",
+                "t.overlap_ppm")
+    )
 
 
 def _cos_d(a: str, b: str, d: int) -> str:
