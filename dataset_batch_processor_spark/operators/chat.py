@@ -495,7 +495,9 @@ TOOL_MOD = 3
 
 _TOOL_TAIL = f"""
 , tooldocs AS (
-  SELECT doc_id, {{h}} AS th FROM documents WHERE doc_id % {TOOL_MOD} = 0
+  SELECT doc_id, {{h}} AS th
+  FROM (SELECT DISTINCT doc_id FROM turns)
+  WHERE doc_id % {TOOL_MOD} = 0
 ),
 aug AS (
   SELECT doc_id, turn_id * 10 AS ord, role, content FROM turns
@@ -604,7 +606,7 @@ _CONV_AGG_SPARK = (
 
 
 def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..matcache import scratch_dir
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
@@ -614,7 +616,7 @@ def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, {_CONV_AGG_SPARK} AS turns FROM turns"
         " GROUP BY doc_id"
     )
-    path = tempfile.mkdtemp(prefix="dbp_chat_jsonl_") + "/conversations"
+    path = scratch_dir("dbp_chat_jsonl_") + "/conversations"
     conv.write.mode("errorifexists").json(path)
     from ..sources.jsonl import read_jsonl
 

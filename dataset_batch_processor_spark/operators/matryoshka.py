@@ -33,34 +33,6 @@ from .similarity import DIM, QUERY_MOD, TOP_K, cosine6_duck
 MRL_TIERS = (8, 16, 32, 64)
 
 
-def _prefix_topk(emb: DataFrame, d: int) -> DataFrame:
-    """Exact top-k on the first ``d`` dims (oracle-grade JVM fold)."""
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.slice("embedding", 1, d).alias("q_emb"),
-    )
-    pairs = (
-        emb.select("vec_id", F.slice("embedding", 1, d).alias("c_emb"))
-        .crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(vector.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias(
-            "cos_sim"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-
-
 def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE panel scan computes every tier's cosine (T scalar folds
     over slice() prefixes — all whole-stage codegen); per-tier ranks
@@ -137,10 +109,9 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_d(a: str, b: str, d: int) -> str:
-    """cosine6_duck truncated to the first d list elements."""
-    return cosine6_duck(a, b).replace(
-        f"generate_series(1, {DIM})", f"generate_series(1, {d})"
-    )
+    """cosine6_duck truncated to the first d list elements (via its
+    dim parameter — no textual surgery)."""
+    return cosine6_duck(a, b, d)
 
 
 def _tier_duck(d: int) -> str:

@@ -106,15 +106,18 @@ def _q_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explicit, and rounding to 6 decimals absorbs last-ulp noise anyway.
 
 
-def cosine6_duck(a: str, b: str) -> str:
+def cosine6_duck(a: str, b: str, dim: int = DIM) -> str:
     """The canonical DuckDB cosine-rounded-to-6 expression between two
     list columns — the ONE definition every oracle that scores
     embeddings must use (mining.py shares it), so a precision or
-    bounds change can never leave a second copy stale."""
+    bounds change can never leave a second copy stale. ``dim`` bounds
+    the accumulation (matryoshka prefix tiers pass d < DIM — round-10
+    review #5: a textual .replace on this function's spelling would
+    no-op silently if the spelling drifted)."""
 
     def dot(x: str, y: str) -> str:
         return (
-            f"list_sum(list_transform(generate_series(1, {DIM}),\n"
+            f"list_sum(list_transform(generate_series(1, {dim}),\n"
             f"                    i -> CAST({x}[i] AS DOUBLE) "
             f"* CAST({y}[i] AS DOUBLE)))"
         )

@@ -50,6 +50,68 @@ def _batch_turns_sql() -> str:
     )
 
 
+def process_turn_batch(
+    batch: DataFrame, batch_id: int, index_dir: str, admitted_dir: str
+) -> None:
+    """One micro-batch of the admission loop — module-level so the
+    at-least-once RETRY path is directly testable (round-10 review #1:
+    a replayed batch must not anti-join against its own prior commit;
+    tests/test_turn_admission.py replays a committed batch and pins
+    byte-identical output)."""
+    spark = batch.sparkSession
+    batch.createOrReplaceTempView("stream_batch_docs")
+    turns = spark.sql(_batch_turns_sql()).persist()
+    try:
+        # first occurrence WITHIN the batch (digest-keyed window —
+        # bounded by the batch)
+        w_first = F.row_number().over(
+            Window.partitionBy("digest").orderBy("doc_id", "turn_id")
+        )
+        firsts = turns.withColumn("_occ", w_first).filter(
+            F.col("_occ") == 1
+        ).drop("_occ")
+        # not already admitted by an earlier batch (anti-join on
+        # the accumulated digest index; explicit probe — a bare
+        # except would silently re-admit history, incremental.py's
+        # have-index lesson). CRITICAL retry rule (round-10 review
+        # #1): exclude the CURRENT batch's own partition from the
+        # index read — foreachBatch is at-least-once, and a
+        # retried batch that read its own prior commit would
+        # anti-join away its own digests and overwrite both sinks
+        # with an empty set, permanently dropping those turns.
+        have_index = (
+            any(
+                e.name.startswith("batch_id=")
+                and e.name != f"batch_id={batch_id}"
+                for e in os.scandir(index_dir)
+            )
+            if os.path.isdir(index_dir)
+            else False
+        )
+        if have_index:
+            idx = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("digest")
+            )
+            firsts = firsts.join(idx, "digest", "left_anti")
+        # persist + materialize once: both sinks reuse the SAME
+        # computed admission set (review #3 — the recompute paid
+        # the growing index scan twice per batch), and the index
+        # read completes before its own partition is overwritten
+        firsts = firsts.persist()
+        firsts.count()
+        firsts.write.mode("overwrite").parquet(
+            os.path.join(admitted_dir, f"batch_id={batch_id}")
+        )
+        firsts.select("digest").write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        firsts.unpersist()
+    finally:
+        turns.unpersist()
+
+
 def incremental_turn_admission(
     docs_stream: DataFrame, index_dir: str, admitted_dir: str,
     checkpoint_dir: str,
@@ -57,41 +119,7 @@ def incremental_turn_admission(
     """foreachBatch loop; returns the StreamingQuery."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch.createOrReplaceTempView("stream_batch_docs")
-        turns = spark.sql(_batch_turns_sql()).persist()
-        try:
-            # first occurrence WITHIN the batch (digest-keyed window —
-            # bounded by the batch)
-            w_first = F.row_number().over(
-                Window.partitionBy("digest").orderBy("doc_id", "turn_id")
-            )
-            firsts = turns.withColumn("_occ", w_first).filter(
-                F.col("_occ") == 1
-            ).drop("_occ")
-            # not already admitted by an earlier batch (anti-join on
-            # the accumulated digest index; explicit probe — a bare
-            # except would silently re-admit history, incremental.py's
-            # have-index lesson)
-            have_index = (
-                any(
-                    e.name.startswith("batch_id=")
-                    for e in os.scandir(index_dir)
-                )
-                if os.path.isdir(index_dir)
-                else False
-            )
-            if have_index:
-                idx = spark.read.parquet(index_dir).select("digest")
-                firsts = firsts.join(idx, "digest", "left_anti")
-            firsts.write.mode("overwrite").parquet(
-                os.path.join(admitted_dir, f"batch_id={batch_id}")
-            )
-            firsts.select("digest").write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"batch_id={batch_id}")
-            )
-        finally:
-            turns.unpersist()
+        process_turn_batch(batch, batch_id, index_dir, admitted_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

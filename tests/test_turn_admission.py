@@ -64,3 +64,42 @@ def test_admission_exactly_once_and_order_free(spark, tmp_path):
     assert set(admitted_batch) == set(first_shard)
     for d, b in admitted_batch.items():
         assert b == first_shard[d], d
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    """The at-least-once failure scenario from the round-10 review:
+    a micro-batch that committed its partitions but died before the
+    checkpoint offset commit gets REPLAYED. The replay must reproduce
+    its own admitted set byte-identically — not anti-join against its
+    own prior commit and wipe it."""
+    from pyspark.sql import functions as F2
+
+    docs = catalog.load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    )
+    index_dir = str(tmp_path / "idx")
+    admitted_dir = str(tmp_path / "adm")
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 = 1")
+    turndedup.process_turn_batch(b0, 0, index_dir, admitted_dir)
+    turndedup.process_turn_batch(b1, 1, index_dir, admitted_dir)
+
+    def snap():
+        return sorted(
+            (r["batch_id"], r["digest"])
+            for r in spark.read.parquet(admitted_dir)
+            .select("batch_id", "digest")
+            .collect()
+        )
+
+    before = snap()
+    assert any(b == 1 for b, _ in before)  # batch 1 admitted something
+    # replay batch 1 (same input, same id) — the retry
+    turndedup.process_turn_batch(b1, 1, index_dir, admitted_dir)
+    assert snap() == before
+    # and a genuinely NEW batch still dedups against history
+    turndedup.process_turn_batch(
+        docs.filter("doc_id % 3 = 2"), 2, index_dir, admitted_dir
+    )
+    after = spark.read.parquet(admitted_dir).select("digest")
+    assert after.count() == after.distinct().count()
