@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
+    datacard,
     langid,
     matryoshka,
     preference,
@@ -502,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
     q.update(matryoshka.QUERIES)
+    q.update(datacard.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -619,6 +621,7 @@ FROM images_meta GROUP BY 1
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
     o.update(matryoshka.ORACLES)
+    o.update(datacard.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

