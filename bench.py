@@ -91,6 +91,11 @@ HEADLINE_V2_EXTRA = (
 # so the median is the warm-path cost; a large spread max marks the
 # rep that happened to pay a cold build, wherever it landed.
 HEAVY = (
+    # round 10: the two most expensive new-family members (streaming
+    # availableNow harness cost; the NB eval's double chain replay) —
+    # multi-rep so their recorded medians are attributable
+    "docs_stream_turn_admission",
+    "docs_langid_eval",
     "img_phash_components",
     "emb_ann_recall_report",
     "dedup_dashboard_all_families",
