@@ -177,13 +177,39 @@ BESTOF_DUCK = _sql("duck", _BESTOF_TAIL)
 WINRATE_SPARK = _sql("spark", _WINRATE_TAIL)
 WINRATE_DUCK = _sql("duck", _WINRATE_TAIL)
 
+
+
+# ------------------------------------------- margin distribution
+# DPO data-quality audit: the margin histogram decides whether the
+# pair set carries signal (wide margins) or is mostly coin-flips
+# (mass at zero) — the check run before paying for preference
+# training. Pure re-aggregation of the SAME gated pairs chain.
+
+MARGIN_BUCKET = 50_000  # margin DIV 50k, clamped to bucket 9
+
+_MARGIN_TAIL = f"""
+SELECT CAST(least(abs(a.score - b.score) {{div}} {MARGIN_BUCKET}, 9)
+            AS INT) AS margin_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.score - b.score)) AS BIGINT) AS min_margin,
+       CAST(max(abs(a.score - b.score)) AS BIGINT) AS max_margin
+FROM scored a JOIN scored b
+  ON a.doc_id = b.doc_id AND a.k = 0 AND b.k = 1
+GROUP BY 1
+"""
+
+MARGIN_HIST_SPARK = _sql("spark", _MARGIN_TAIL, 2)
+MARGIN_HIST_DUCK = _sql("duck", _MARGIN_TAIL, 2)
+
 QUERIES = {
     "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
     "docs_rejection_sampling": _run(BESTOF_SPARK),
     "docs_policy_winrate": _run(WINRATE_SPARK),
+    "docs_pref_margin_hist": _run(MARGIN_HIST_SPARK),
 }
 ORACLES = {
     "docs_pref_pairs": PREF_PAIRS_DUCK,
     "docs_rejection_sampling": BESTOF_DUCK,
     "docs_policy_winrate": WINRATE_DUCK,
+    "docs_pref_margin_hist": MARGIN_HIST_DUCK,
 }

@@ -112,3 +112,20 @@ def test_spark_pairs_match_oracle(spark, sf_dir):
     )
     exp = sorted(tuple(r) for r in _duck(preference.PREF_PAIRS_DUCK))
     assert got == exp
+
+
+def test_margin_hist_reconciles_with_pairs(docs):
+    hist = _duck(preference.MARGIN_HIST_DUCK)
+    pairs = _duck(preference.PREF_PAIRS_DUCK)
+    margins = [r[5] for r in pairs]
+    from collections import Counter
+
+    exp = Counter(min(m // preference.MARGIN_BUCKET, 9) for m in margins)
+    got = {r[0]: r[1] for r in hist}
+    assert got == dict(exp)
+    for b, n, mn, mx in hist:
+        bucket_ms = [
+            m for m in margins if min(m // preference.MARGIN_BUCKET, 9) == b
+        ]
+        assert (mn, mx) == (min(bucket_ms), max(bucket_ms)), b
+    assert sum(got.values()) == len(pairs)
