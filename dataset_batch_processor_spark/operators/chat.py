@@ -689,7 +689,8 @@ CHUNK_WINDOWS_DUCK = (
 # budgets with: text vs vision token counts and the loss-token count
 # (assistant TEXT only -- vision tokens are never loss positions).
 # Image fixture: doc_id % 3 == 0 carries a (32*(d%2+1)) x (16*(d%4+1))
-# image -- patch counts vary 8..32 across docs.
+# image -- patch counts vary 8..64 across docs (64 = 8*8 at the
+# w=64,h=64 corner of the dims grid with PATCH_P=8).
 
 IMG_MOD = 3            # docs with doc_id % 3 == 0 carry an image
 IMG_SPECIALS = 2       # <image> ... </image> boundary tokens

@@ -94,7 +94,11 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nq").cast("long").alias("n_queries"),
                 F.lit(TOP_K).cast("int").alias("k"),
                 F.col(f"o{d}").cast("long").alias("total_overlap"),
-                F.expr(f"o{d} * 1000000 DIV (nq * {TOP_K})")
+                # greatest(nq,1): on an empty query panel Spark DIV
+                # returns NULL while DuckDB // raises — guard BOTH
+                # dialects identically (ADVICE r10) so a degenerate
+                # corpus yields 0 rows on each side, never a split.
+                F.expr(f"o{d} * 1000000 DIV (greatest(nq, 1) * {TOP_K})")
                 .cast("long")
                 .alias("overlap_ppm"),
             )
@@ -138,7 +142,8 @@ def _matryoshka_duck() -> str:
        CAST({TOP_K} AS INT) AS k,
        CAST(count(*) AS BIGINT) AS total_overlap,
        CAST(count(*) * 1000000 //
-            ((SELECT count(DISTINCT query_id) FROM full_k) * {TOP_K})
+            (greatest((SELECT count(DISTINCT query_id) FROM full_k), 1)
+             * {TOP_K})
             AS BIGINT) AS overlap_ppm
 FROM ({_tier_duck(d)}) t
 JOIN full_k f USING (query_id, neighbor_id)"""

@@ -26,6 +26,15 @@ turn — it grows with unique content, never with corpus volume; the
 admission join is an equi-join on the digest, the same key the batch
 dedup shuffles. At deployment the index is bucketed by digest
 (storage.write_bucketed) for exchange-free probes.
+
+LOCAL-FS CONSTRAINT (ADVICE r10): the exactly-once retry exclusion
+discovers existing ``batch_id=*`` index partitions with driver-local
+``os.scandir`` — correct in this harness and matching the
+incremental.py precedent, but on a non-local filesystem (S3/HDFS) the
+listing silently returns nothing and every batch re-admits history.
+A deployment off local disk must swap ``_index_batch_dirs`` for a
+Hadoop-FS listing (``spark._jvm.org.apache.hadoop.fs.FileSystem``)
+— the single seam the function isolates.
 """
 
 from __future__ import annotations
@@ -48,6 +57,20 @@ def _batch_turns_sql() -> str:
         " AS n_tokens\n"
         "FROM turns"
     )
+
+
+def _index_batch_dirs(index_dir: str) -> list[str]:
+    """``batch_id=*`` partition names present in the digest index.
+    DRIVER-LOCAL listing (os.scandir) — the one filesystem-coupled
+    seam of the admission loop (see module docstring: swap this for a
+    Hadoop-FS listing on any non-local filesystem, or the retry
+    exclusion silently degrades to 'no index')."""
+    if not os.path.isdir(index_dir):
+        return []
+    return [
+        e.name for e in os.scandir(index_dir)
+        if e.name.startswith("batch_id=")
+    ]
 
 
 def process_turn_batch(
@@ -79,14 +102,9 @@ def process_turn_batch(
         # retried batch that read its own prior commit would
         # anti-join away its own digests and overwrite both sinks
         # with an empty set, permanently dropping those turns.
-        have_index = (
-            any(
-                e.name.startswith("batch_id=")
-                and e.name != f"batch_id={batch_id}"
-                for e in os.scandir(index_dir)
-            )
-            if os.path.isdir(index_dir)
-            else False
+        have_index = any(
+            name != f"batch_id={batch_id}"
+            for name in _index_batch_dirs(index_dir)
         )
         if have_index:
             idx = (

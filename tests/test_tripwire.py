@@ -73,6 +73,24 @@ def test_every_registered_query_has_a_verification_row():
     )
 
 
+def test_readme_query_count_matches_registry():
+    """VERDICT r10 wrong #2: README said 285 while the registry held
+    290 — the figure is now DERIVED (round_close.sync_readme_count)
+    and this tripwire fails any commit where it drifts again."""
+    import __spark_entry__ as entrymod
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        m = re.search(r"entry\(\) \+ (\d+) driver queries", fh.read())
+    assert m, "README.md lost the 'N driver queries' line"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"README.md says {m.group(1)} driver queries but the registry "
+        f"has {len(entrymod.queries())} — run tools/round_close.py "
+        f"(step 0 rewrites it) or python -c \"import sys; "
+        f"sys.path.insert(0,'tools'); import round_close; "
+        f"round_close.sync_readme_count()\""
+    )
+
+
 def test_every_oracle_names_a_registered_query():
     import __spark_entry__ as entrymod
 

@@ -36,10 +36,40 @@ def run(desc: str, cmd: list[str], **kw) -> None:
                  f"this script from the top")
 
 
+def sync_readme_count() -> None:
+    """Rewrite README.md's ``N driver queries`` figure from the live
+    registry (VERDICT r10 wrong #2: the count was typed by hand and
+    drifted 285 vs 290; derived numbers don't drift). The tripwire
+    test pins README == len(queries()) so a close that skips this
+    step fails pytest."""
+    import re
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    n_q = len(entrymod.queries())
+    path = f"{REPO}/README.md"
+    with open(path) as fh:
+        text = fh.read()
+    new, n_sub = re.subn(
+        r"entry\(\) \+ \d+ driver queries",
+        f"entry() + {n_q} driver queries",
+        text,
+    )
+    if n_sub != 1:
+        sys.exit("round_close: README.md lost the 'N driver queries' "
+                 "line — restore it before closing")
+    if new != text:
+        with open(path, "w") as fh:
+            fh.write(new)
+        print(f"=== README.md query count rewritten to {n_q}", flush=True)
+
+
 def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         sys.exit("usage: python tools/round_close.py <round-number>")
     n = int(sys.argv[1])
+    sync_readme_count()
     # snapshot the last COMMITTED bench detail before bench.py
     # overwrites the working-tree copy (memory: a smoke run or driver
     # rewrite in the tree must not poison the comparison baseline)
