@@ -182,6 +182,13 @@ def main() -> None:
     from dataset_batch_processor_spark.operators import perceptron
     _warm("perceptron_weights",
           lambda: perceptron.train_trajectory(spark, sf_dir))
+    # r10 VERDICT wrong#1: the NB lang-ID model is session-shared
+    # between docs_langid_train and _eval (matcache) — build the
+    # 132-row model+prior table here so both queries time their own
+    # probe work, not the first-builder training pass.
+    from dataset_batch_processor_spark.operators import langid
+    _warm("langid_nb_model",
+          lambda: langid.nb_model_df(spark, sf_dir).count())
     pair_graph_build_s = warmup_builds["pair_graph"]
 
     # Queries whose registered form scans a matcache-materialized
