@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
+    chatvalidate,
     datacard,
     langid,
     matryoshka,
@@ -500,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(coreset.QUERIES)
     q.update(perceptron.QUERIES)
     q.update(chat.QUERIES)
+    q.update(chatvalidate.QUERIES)
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
     q.update(matryoshka.QUERIES)
@@ -618,6 +620,7 @@ FROM images_meta GROUP BY 1
     o.update(coreset.ORACLES)
     o.update(perceptron.ORACLES)
     o.update(chat.ORACLES)
+    o.update(chatvalidate.ORACLES)
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
     o.update(matryoshka.ORACLES)
