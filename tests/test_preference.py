@@ -129,3 +129,55 @@ def test_margin_hist_reconciles_with_pairs(docs):
         ]
         assert (mn, mx) == (min(bucket_ms), max(bucket_ms)), b
     assert sum(got.values()) == len(pairs)
+
+
+# ------------------------------------------------ Bradley-Terry fit
+
+
+def _pairwise_rows():
+    return [
+        (int(ki), int(kj), int(n), int(w))
+        for ki, kj, n, w in _duck(
+            f"WITH {preference._chain('duck', preference.N_CANDIDATES)}"
+            f"{preference._PAIRWISE_TAIL}"
+        )
+    ]
+
+
+def test_bt_oracle_matches_python_trajectory():
+    """The unrolled DuckDB replay equals the driver-side exact-integer
+    MM fit row for row (the DoReMi trajectory-parity test shape)."""
+    got = [tuple(r) for r in _duck(preference.BT_STRENGTHS_DUCK)]
+    exp = [tuple(r) for r in preference.bt_trajectory(_pairwise_rows())]
+    assert got == exp
+
+
+def test_bt_strengths_consistent_with_winrate():
+    """Balanced complete design (every policy plays every other on
+    every doc): BT strength order must match total-win order, the
+    fitted summary agreeing with the gated win-rate rollup."""
+    rows = preference.bt_trajectory(_pairwise_rows())
+    assert len(rows) == preference.N_CANDIDATES
+    by_wins = sorted(rows, key=lambda r: r[1])
+    by_strength = sorted(rows, key=lambda r: r[2])
+    assert [r[0] for r in by_wins] == [r[0] for r in by_strength]
+    # normalization: Q6 within trunc slack; every strength positive
+    tot = sum(r[2] for r in rows)
+    assert 1_000_000 - preference.N_CANDIDATES <= tot <= 1_000_000
+    assert all(r[2] >= 1 for r in rows)
+    # balanced design: n_games identical for every pair
+    n_games = {n for _, _, n, _ in _pairwise_rows()}
+    assert len(n_games) == 1
+
+
+def test_bt_fit_separates_a_planted_lopsided_matrix():
+    """Sanity on the estimator itself, not the fixture: a policy that
+    wins 90% of its games against everyone must land a strength above
+    every uniform-ish opponent's."""
+    n = 100
+    rows = [
+        (0, 1, n, 90), (0, 2, n, 90), (0, 3, n, 90),
+        (1, 2, n, 50), (1, 3, n, 50), (2, 3, n, 50),
+    ]
+    fit = {p: s for p, _, s in preference.bt_trajectory(rows)}
+    assert fit[0] > max(fit[1], fit[2], fit[3]) * 2
