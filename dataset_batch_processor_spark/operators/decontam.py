@@ -375,3 +375,111 @@ GROUP BY vec_id
 
 QUERIES["emb_semantic_decontam"] = _q_semantic_decontam
 ORACLES["emb_semantic_decontam"] = SEM_DECONTAM_DUCK
+
+
+# ------------------------------------- turn-grain eval decontamination
+# Round 11 (VERDICT r10 missing #4): the 8-gram gate above runs at
+# DOCUMENT grain; the SFT-specific hazard is a benchmark prompt
+# leaking in as a USER TURN of a conversation. Same collision rule
+# (word 8-grams, 60-bit md5 hash), run over the chat family's turns
+# CTE against a STATIC benchmark-prompt panel — an eval suite is a
+# fixed small artifact, so the panel is embedded VALUES and Catalyst
+# broadcasts its gram table; the corpus side never shuffles anything
+# wider than (doc_id, turn_id, 8-byte gh).
+#
+# Fixture plant (the alignment/chatvalidate convention): organic
+# fixture turns run 3-8 tokens — too short to carry an 8-gram — so
+# docs with doc_id % TURN_PLANT_MOD == TURN_PLANT_RESIDUE get turn 0
+# (always the first user turn) REPLACED by panel prompt
+# (doc_id % len(panel)); the gate must flag exactly the turns that
+# really contain a panel 8-gram, plant schedule unknown to it.
+
+TURN_PLANT_MOD = 43
+TURN_PLANT_RESIDUE = 7
+
+#: the "benchmark suite": each prompt >= 8 words so it carries >= 1
+#: collision gram (real eval prompts are sentence-length or longer).
+BENCH_PROMPTS = (
+    "what is the capital of france answer in one word",
+    "summarize the following passage in exactly two short sentences",
+    "translate the phrase good morning dear friends into formal german",
+    "which planet in the solar system has the most moons",
+    "compute the sum of the first one hundred natural numbers",
+    "name the author of the novel pride and prejudice please",
+)
+
+
+def _chat_decontam_sql(engine: str) -> str:
+    from .chat import toks_duck, toks_spark, turns_duck, turns_spark
+
+    n = len(BENCH_PROMPTS)
+    lits = ", ".join(f"'{p}'" for p in BENCH_PROMPTS)
+    if engine == "spark":
+        toks, turns = toks_spark(), turns_spark()
+        pick = (f"element_at(array({lits}),"
+                f" CAST(doc_id % {n} AS INT) + 1)")
+        panel = f"panel AS (SELECT explode(array({lits})) AS prompt)"
+        gh = _H_SPARK.format(g="gram")
+        turn_grams = f"""turn_grams AS (
+  SELECT DISTINCT doc_id, turn_id, {gh} AS gh
+  FROM (SELECT doc_id, turn_id, split(content, ' ') AS t
+        FROM pturns WHERE role = 'user')
+  LATERAL VIEW explode(transform(
+    sequence(0, size(t) - {DECON_N}),
+    i -> concat_ws(' ', slice(t, i + 1, {DECON_N}))
+  )) g AS gram
+  WHERE size(t) >= {DECON_N}
+)"""
+        panel_grams = f"""panel_grams AS (
+  SELECT DISTINCT {gh} AS gh
+  FROM (SELECT split(prompt, ' ') AS t FROM panel)
+  LATERAL VIEW explode(transform(
+    sequence(0, size(t) - {DECON_N}),
+    i -> concat_ws(' ', slice(t, i + 1, {DECON_N}))
+  )) g AS gram
+)"""
+    else:
+        toks, turns = toks_duck(), turns_duck()
+        pick = f"([{lits}])[CAST(doc_id % {n} AS INT) + 1]"
+        panel = f"panel AS (SELECT unnest([{lits}]) AS prompt)"
+        gh = _H_DUCK.format(
+            g=f"array_to_string(t[i:i+{DECON_N - 1}], ' ')"
+        )
+        turn_grams = f"""turn_grams AS (
+  SELECT DISTINCT doc_id, turn_id, {gh} AS gh
+  FROM (SELECT doc_id, turn_id, string_split(content, ' ') AS t
+        FROM pturns WHERE role = 'user'),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {DECON_N - 1}))
+                AS i)
+  WHERE len(t) >= {DECON_N}
+)"""
+        panel_grams = f"""panel_grams AS (
+  SELECT DISTINCT {gh} AS gh
+  FROM (SELECT string_split(prompt, ' ') AS t FROM panel),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - {DECON_N - 1}))
+                AS i)
+)"""
+    return f"""WITH {toks},
+{turns},
+pturns AS (
+  SELECT doc_id, turn_id, role,
+         CASE WHEN doc_id % {TURN_PLANT_MOD} = {TURN_PLANT_RESIDUE}
+                   AND turn_id = 0
+              THEN {pick} ELSE content END AS content
+  FROM turns
+),
+{panel},
+{panel_grams},
+{turn_grams}
+SELECT g.doc_id, g.turn_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM turn_grams g JOIN panel_grams p ON g.gh = p.gh
+GROUP BY g.doc_id, g.turn_id
+ORDER BY g.doc_id, g.turn_id
+"""
+
+
+CHAT_DECONTAM_SPARK = _chat_decontam_sql("spark")
+CHAT_DECONTAM_DUCK = _chat_decontam_sql("duck")
+
+QUERIES["docs_chat_decontam"] = _run(CHAT_DECONTAM_SPARK, ("documents",))
+ORACLES["docs_chat_decontam"] = CHAT_DECONTAM_DUCK

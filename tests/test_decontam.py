@@ -69,3 +69,48 @@ def test_ngram_jaccard_at_or_below_cutoff_survives(spark, n_docs):
     rows = _run_on_docs(spark, docs, decontam.NGRAM_JACCARD_SPARK).collect()
     assert len(rows) == n_docs * (n_docs - 1) // 2
     assert all(r.jaccard == 1.0 for r in rows)
+
+
+# ------------------------------------- turn-grain (chat) decontam
+
+
+def test_chat_decontam_catches_exactly_the_planted_turns(spark):
+    """Every doc in the plant class is flagged at turn 0 with the
+    prompt's full gram count; no unplanted turn is flagged (organic
+    fixture turns run 3-8 tokens — below the 8-gram width)."""
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import decontam
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["turn_id"]): r["n_shared_grams"]
+        for r in decontam.QUERIES["docs_chat_decontam"](spark, sf).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in catalog.load_table(spark, sf, "documents")
+        .select("doc_id").collect()
+    ]
+    planted = {
+        d for d in doc_ids
+        if d % decontam.TURN_PLANT_MOD == decontam.TURN_PLANT_RESIDUE
+    }
+    assert set(got) == {(d, 0) for d in planted}
+    for d in planted:
+        prompt = decontam.BENCH_PROMPTS[d % len(decontam.BENCH_PROMPTS)]
+        n_words = len(prompt.split())
+        assert n_words >= decontam.DECON_N
+        assert got[(d, 0)] == n_words - decontam.DECON_N + 1, d
+
+
+def test_chat_decontam_plan_broadcasts_panel(spark):
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import decontam
+    from dataset_batch_processor_spark.plans import explain
+
+    catalog.load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).createOrReplaceTempView("documents")
+    plan = explain.formatted_plan(spark.sql(decontam.CHAT_DECONTAM_SPARK))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
