@@ -209,3 +209,63 @@ def test_wordpiece_oracle_matches_kernel_on_synthetic_corpus():
             unk += wt == ["[UNK]"]
         md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
         assert rows[i] == (len(words), len(toks), unk, md5), (i, rows[i])
+
+
+# ---------------------- persisted artifact + frozen apply (round 11)
+
+
+def test_frozen_apply_matches_in_session_trainer(spark):
+    """VERDICT r10 missing #3 'Done' criterion: tokens from the
+    persisted merges are byte-identical to applying the in-session
+    trainer's output with the reference Python fold."""
+    from dataset_batch_processor_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load_table(spark, sf, "documents")
+    merges = bpe.bpe_train(docs, bpe.N_TRAIN_MERGES)
+    got = {
+        r["w"]: (r["tokenizer_version"], r["tokens"], r["n_tokens"])
+        for r in bpe.QUERIES["docs_bpe_frozen_apply"](spark, sf).collect()
+    }
+    new_words = {
+        w
+        for (text,) in docs.filter(
+            f"doc_id % {bpe.NEW_BATCH_MOD} = {bpe.NEW_BATCH_RESIDUE}"
+        ).select("text").collect()
+        for w in re.findall("[a-z]+", text.lower())
+    }
+    assert set(got) == new_words
+    for w in new_words:
+        toks = bpe.bpe_apply_tokens(w, merges)
+        assert got[w] == (bpe.TOKENIZER_VERSION, " ".join(toks), len(toks)), w
+    # the learned merges genuinely fire on the new batch — at least
+    # one word tokenizes into fewer pieces than chars+1
+    assert any(
+        n < len(w) + 1 for w, (_, _, n) in got.items() if len(w) > 1
+    )
+
+
+def test_frozen_apply_never_retrains(spark, monkeypatch):
+    """After the artifact is materialized, the apply path must not
+    touch the trainer (the 'frozen tokenizer over a growing corpus'
+    contract): poison bpe_train and re-run."""
+    sf = "/root/testdata/sf0.001"
+    bpe.bpe_merges_artifact(spark, sf).count()  # ensure materialized
+
+    def boom(*a, **kw):
+        raise AssertionError("frozen apply retrained the tokenizer")
+
+    monkeypatch.setattr(bpe, "bpe_train", boom)
+    out = bpe.QUERIES["docs_bpe_frozen_apply"](spark, sf)
+    assert out.count() > 0
+
+
+def test_artifact_is_versioned(spark):
+    art = bpe.bpe_merges_artifact(spark, "/root/testdata/sf0.001")
+    assert set(art.columns) == {
+        "tokenizer_version", "merge_rank", "lhs", "rhs", "merged",
+        "pair_count",
+    }
+    rows = art.collect()
+    assert len(rows) == bpe.N_TRAIN_MERGES
+    assert {r["tokenizer_version"] for r in rows} == {bpe.TOKENIZER_VERSION}
