@@ -605,17 +605,25 @@ _CONV_AGG_SPARK = (
 )
 
 
+def conversations_df(spark: SparkSession) -> DataFrame:
+    """``(doc_id, turns array<struct<role, content>>)`` over the
+    registered ``documents`` view — the JSONL-ingest row shape
+    (CHAT_CONV_SCHEMA). Public seam for pipelines that publish or
+    ingest conversation shards (examples/sft_pipeline.py)."""
+    return spark.sql(
+        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n"
+        f"SELECT doc_id, {_CONV_AGG_SPARK} AS turns FROM turns"
+        " GROUP BY doc_id"
+    )
+
+
 def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    conv = spark.sql(
-        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n"
-        f"SELECT doc_id, {_CONV_AGG_SPARK} AS turns FROM turns"
-        " GROUP BY doc_id"
-    )
+    conv = conversations_df(spark)
     path = scratch_dir("dbp_chat_jsonl_") + "/conversations"
     conv.write.mode("errorifexists").json(path)
     from ..sources.jsonl import read_jsonl
