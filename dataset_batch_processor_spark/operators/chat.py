@@ -237,13 +237,19 @@ CHAT_LOSS_MASK_DUCK = (
 # 16-byte digest shuffles twice (group + window); turn text never
 # leaves its map task — the dedup_lines/K5 posture at turn grain.
 
-_DEDUP_TAIL = """
-, keyed AS (
+# keyed: every turn with its digest and global first-occurrence rank.
+# Shared by the digest-grain dedup gate below and the per-doc dup
+# counts the SFT data card composes (round 11) — one definition, no
+# drift.
+_KEYED_CTE = """keyed AS (
   SELECT doc_id, turn_id, role, md5(content) AS digest,
          row_number() OVER (PARTITION BY md5(content)
                             ORDER BY doc_id, turn_id) AS occ
   FROM turns
-)
+)"""
+
+_DEDUP_TAIL = f"""
+, {_KEYED_CTE}
 SELECT digest,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -258,6 +264,22 @@ HAVING count(*) > 1
 
 CHAT_TURN_DEDUP_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_DEDUP_TAIL}"
 CHAT_TURN_DEDUP_DUCK = f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}{_DEDUP_TAIL}"
+
+# Per-DOC dup view of the same keyed chain: how many of a
+# conversation's turns are non-first copies of a global digest
+# (the SFT data card's dup_turn numerator).
+_DUPDOC_TAIL = f"""
+, {_KEYED_CTE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_turns
+FROM keyed
+GROUP BY doc_id
+"""
+
+CHAT_TURN_DUPDOC_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_DUPDOC_TAIL}"
+CHAT_TURN_DUPDOC_DUCK = f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}{_DUPDOC_TAIL}"
 
 
 # ------------------------------------------------ turn-level near-dup

@@ -93,5 +93,115 @@ def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(DATA_CARD_SPARK)
 
 
-QUERIES = {"docs_data_card": _q_data_card}
-ORACLES = {"docs_data_card": DATA_CARD_DUCK}
+# ------------------------------------------- SFT data card (round 11)
+# The conversation-corpus datasheet: the pretraining card above
+# summarizes raw documents; an SFT mixture decision needs the CHAT
+# signals — validation keep rate (chatvalidate), duplicate-turn rate
+# (chat's keyed chain), benchmark-leak rate (turn-grain decontam),
+# and the assistant-content share of rendered chars (the loss-mask
+# ratio a trainer budgets with). Same composition rule: every signal
+# is the GATED chain spliced verbatim (Spark registers the gated
+# queries as views; the oracle nests each family's full WITH as an
+# independent subquery — DuckDB scopes CTEs per subquery, so the
+# families' shared CTE names never collide).
+#
+# Scale: each signal is its own one-pass turns-chain scan (the gated
+# queries' own posture); the card adds doc-keyed equi-joins and one
+# source-keyed rollup. ppm products are int64-safe to ~9.2e12 total
+# turns; past that, split the multiplication per the fertility
+# exact-split precedent (bpe._ppm_split).
+
+_SFT_CARD_TAIL = """
+, perdoc AS (
+  SELECT d.doc_id, d.source, v.decision, v.reason,
+         k.n_turns, k.n_dup_turns, r.render_len,
+         coalesce(m.mask_chars, 0) AS mask_chars,
+         CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS leaked
+  FROM documents d
+       JOIN {v} v ON v.doc_id = d.doc_id
+       JOIN {k} k ON k.doc_id = d.doc_id
+       JOIN {r} r ON r.doc_id = d.doc_id
+       LEFT JOIN {m} m ON m.doc_id = d.doc_id
+       LEFT JOIN (SELECT DISTINCT doc_id FROM {lk}) l
+              ON l.doc_id = d.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(sum(n_turns) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN decision = 'keep' THEN 1 ELSE 0 END)
+              * 1000000 {div} count(*) AS BIGINT) AS keep_ppm,
+         CAST(sum(n_dup_turns) * 1000000 {div} sum(n_turns) AS BIGINT)
+             AS dup_turn_ppm,
+         CAST(sum(leaked) * 1000000 {div} count(*) AS BIGINT)
+             AS decontam_ppm,
+         CAST(sum(mask_chars) * 1000000 {div} sum(render_len) AS BIGINT)
+             AS mask_char_ppm
+  FROM perdoc GROUP BY source
+),
+topr AS (
+  SELECT source, reason,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY count(*) DESC, reason) AS rn
+  FROM perdoc WHERE decision = 'quarantine'
+  GROUP BY source, reason
+)
+SELECT a.source, a.n_convs, a.n_turns, a.keep_ppm, a.dup_turn_ppm,
+       a.decontam_ppm, a.mask_char_ppm,
+       coalesce(t.reason, 'none') AS top_quarantine_reason
+FROM agg a LEFT JOIN topr t ON a.source = t.source AND t.rn = 1
+"""
+
+SFT_CARD_SPARK = "WITH _x AS (SELECT 1)" + _SFT_CARD_TAIL.format(
+    v="sft_verdicts", k="sft_dupdoc", r="sft_render", m="sft_mask",
+    lk="sft_leaks", div="DIV",
+)
+
+
+def _sft_card_duck() -> str:
+    from .chat import (
+        CHAT_LOSS_MASK_DUCK,
+        CHAT_RENDER_DUCK,
+        CHAT_TURN_DUPDOC_DUCK,
+    )
+    from .chatvalidate import CHAT_VALIDATE_DUCK
+    from .decontam import CHAT_DECONTAM_DUCK
+
+    return "WITH _x AS (SELECT 1)" + _SFT_CARD_TAIL.format(
+        v=f"({CHAT_VALIDATE_DUCK})",
+        k=f"({CHAT_TURN_DUPDOC_DUCK})",
+        r=f"({CHAT_RENDER_DUCK})",
+        m=f"({CHAT_LOSS_MASK_DUCK})",
+        lk=f"({CHAT_DECONTAM_DUCK})",
+        div="//",
+    )
+
+
+def _q_sft_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chat import (
+        CHAT_LOSS_MASK_SPARK,
+        CHAT_RENDER_SPARK,
+        CHAT_TURN_DUPDOC_SPARK,
+    )
+    from .chatvalidate import CHAT_VALIDATE_SPARK
+    from .decontam import CHAT_DECONTAM_SPARK
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spark.sql(CHAT_VALIDATE_SPARK).createOrReplaceTempView("sft_verdicts")
+    spark.sql(CHAT_TURN_DUPDOC_SPARK).createOrReplaceTempView("sft_dupdoc")
+    spark.sql(CHAT_RENDER_SPARK).createOrReplaceTempView("sft_render")
+    spark.sql(CHAT_LOSS_MASK_SPARK).createOrReplaceTempView("sft_mask")
+    spark.sql(CHAT_DECONTAM_SPARK).createOrReplaceTempView("sft_leaks")
+    return spark.sql(SFT_CARD_SPARK)
+
+
+QUERIES = {
+    "docs_data_card": _q_data_card,
+    "docs_sft_data_card": _q_sft_data_card,
+}
+ORACLES = {
+    "docs_data_card": DATA_CARD_DUCK,
+    "docs_sft_data_card": _sft_card_duck(),
+}

@@ -119,3 +119,71 @@ def test_validate_shares_chat_turn_chain():
     assert chat.turns_spark() in chatvalidate.CHAT_VALIDATE_SPARK
     assert chat.toks_duck() in chatvalidate.CHAT_VALIDATE_DUCK
     assert chat.turns_duck() in chatvalidate.CHAT_VALIDATE_DUCK
+
+
+def test_sft_data_card_reconciles_with_component_gates(spark, sf_dir, detail):
+    """The card composes the gated chains verbatim — its per-source
+    numbers must reconcile with independent recomputation from the
+    component gates' own outputs."""
+    from dataset_batch_processor_spark.operators import chat, datacard, decontam
+
+    card = {
+        r["source"]: r
+        for r in datacard.QUERIES["docs_sft_data_card"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    assert sum(r["n_convs"] for r in card.values()) == len(src_of)
+
+    # keep_ppm from the validation detail
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(list)
+    for doc_id, r in detail.items():
+        per_src[src_of[doc_id]].append(r)
+    for src, rows in per_src.items():
+        keep = sum(1 for r in rows if r["decision"] == "keep")
+        assert card[src]["keep_ppm"] == keep * 1_000_000 // len(rows), src
+        # top quarantine reason: count desc, reason asc, 'none' if all keep
+        q = Counter(r["reason"] for r in rows if r["decision"] != "keep")
+        expect = (
+            sorted(q.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            if q else "none"
+        )
+        assert card[src]["top_quarantine_reason"] == expect, src
+
+    # decontam_ppm from the gated leak rows
+    leak_docs = {
+        r["doc_id"]
+        for r in decontam.QUERIES["docs_chat_decontam"](
+            spark, sf_dir
+        ).collect()
+    }
+    for src, rows in per_src.items():
+        n_leak = sum(
+            1 for d in leak_docs if src_of[d] == src
+        )
+        assert card[src]["decontam_ppm"] == (
+            n_leak * 1_000_000 // len(rows)
+        ), src
+
+    # mask_char_ppm from the gated render + mask rows
+    docs.createOrReplaceTempView("documents")
+    render_len = {
+        r["doc_id"]: r["render_len"]
+        for r in spark.sql(chat.CHAT_RENDER_SPARK).collect()
+    }
+    mask_chars = {
+        r["doc_id"]: r["mask_chars"]
+        for r in spark.sql(chat.CHAT_LOSS_MASK_SPARK).collect()
+    }
+    for src, rows in per_src.items():
+        ids = [d for d, s in src_of.items() if s == src]
+        tot_r = sum(render_len[d] for d in ids)
+        tot_m = sum(mask_chars.get(d, 0) for d in ids)
+        assert card[src]["mask_char_ppm"] == tot_m * 1_000_000 // tot_r, src
