@@ -40,6 +40,7 @@ from dataset_batch_processor_spark.operators import (
     datacard,
     langid,
     matryoshka,
+    mmr,
     preference,
     boilerplate,
     bpe,
@@ -505,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
     q.update(matryoshka.QUERIES)
+    q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
@@ -624,6 +626,7 @@ FROM images_meta GROUP BY 1
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
     o.update(matryoshka.ORACLES)
+    o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
