@@ -346,12 +346,69 @@ ORDER BY policy
 
 BT_STRENGTHS_DUCK = _bt_duck()
 
+# ------------------------------ reward-ensemble disagreement audit
+# Round 11: a single reward model is gameable; production RLHF loops
+# score candidates with an ENSEMBLE and audit where the members
+# disagree (reward-hacking detection — Coste et al. 2023 "Reward
+# Model Ensembles Help Mitigate Overoptimization"; Llama-2 dual
+# helpfulness/safety RMs). Scorer A is the gated fluency scorer
+# (stopword density; the `scored` chain verbatim); scorer B prefers
+# lexical DIVERSITY and length:
+#
+#     score_b = n_distinct * 10^6 DIV n_toks + n_toks * 1000
+#
+# Per prompt the audit reports each scorer's argmax, whether they
+# agree, and ``regret_a`` — how much scorer A thinks is lost by
+# deferring to B's pick (the number that decides which prompts need
+# human adjudication). All integers; ties break toward smaller k,
+# the family rule.
+
+_ENSEMBLE_TAIL = """
+, bstats AS (
+  SELECT doc_id, k,
+         count(*) AS n_toks,
+         count(DISTINCT token) AS n_distinct
+  FROM ctoks GROUP BY doc_id, k
+),
+duo AS (
+  SELECT s.doc_id, s.k, s.score AS score_a,
+         CAST(b.n_distinct * 1000000 {div} b.n_toks
+              + b.n_toks * 1000 AS BIGINT) AS score_b
+  FROM scored s JOIN bstats b ON s.doc_id = b.doc_id AND s.k = b.k
+),
+pa AS (
+  SELECT doc_id, k, score_a,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_a DESC, k) AS rn
+  FROM duo
+),
+pb AS (
+  SELECT doc_id, k,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_b DESC, k) AS rn
+  FROM duo
+)
+SELECT a.doc_id,
+       CAST(a.k AS INT) AS best_a,
+       CAST(b.k AS INT) AS best_b,
+       a.k = b.k AS agree,
+       CAST(a.score_a - d.score_a AS BIGINT) AS regret_a
+FROM pa a
+     JOIN pb b ON a.doc_id = b.doc_id AND b.rn = 1
+     JOIN duo d ON d.doc_id = a.doc_id AND d.k = b.k
+WHERE a.rn = 1
+"""
+
+ENSEMBLE_SPARK = _sql("spark", _ENSEMBLE_TAIL)
+ENSEMBLE_DUCK = _sql("duck", _ENSEMBLE_TAIL)
+
 QUERIES = {
     "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
     "docs_rejection_sampling": _run(BESTOF_SPARK),
     "docs_policy_winrate": _run(WINRATE_SPARK),
     "docs_pref_margin_hist": _run(MARGIN_HIST_SPARK),
     "docs_policy_bt_strengths": _q_bt_strengths,
+    "docs_reward_ensemble_disagreement": _run(ENSEMBLE_SPARK),
 }
 ORACLES = {
     "docs_pref_pairs": PREF_PAIRS_DUCK,
@@ -359,4 +416,5 @@ ORACLES = {
     "docs_policy_winrate": WINRATE_DUCK,
     "docs_pref_margin_hist": MARGIN_HIST_DUCK,
     "docs_policy_bt_strengths": BT_STRENGTHS_DUCK,
+    "docs_reward_ensemble_disagreement": ENSEMBLE_DUCK,
 }

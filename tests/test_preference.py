@@ -181,3 +181,52 @@ def test_bt_fit_separates_a_planted_lopsided_matrix():
     ]
     fit = {p: s for p, _, s in preference.bt_trajectory(rows)}
     assert fit[0] > max(fit[1], fit[2], fit[3]) * 2
+
+
+# --------------------------------- reward-ensemble disagreement
+
+
+def _score_b(resp: str) -> int:
+    toks = [t for t in resp.split(" ") if t]
+    return len(set(toks)) * 1_000_000 // len(toks) + len(toks) * 1000
+
+
+def test_ensemble_disagreement_matches_python(docs):
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in _duck(preference.ENSEMBLE_DUCK)
+    }
+    assert len(got) == len(docs)
+    n_disagree = 0
+    for doc_id, text, _src in docs:
+        cands = [
+            _cand(doc_id, text, k) for k in range(preference.N_CANDIDATES)
+        ]
+        sa = [_score(c) for c in cands]
+        sb = [_score_b(c) for c in cands]
+        best_a = max(range(len(sa)), key=lambda k: (sa[k], -k))
+        best_b = max(range(len(sb)), key=lambda k: (sb[k], -k))
+        regret = sa[best_a] - sa[best_b]
+        assert got[doc_id] == (best_a, best_b, best_a == best_b, regret), (
+            doc_id
+        )
+        n_disagree += best_a != best_b
+    # the audit carries signal on the fixture: the two reward models
+    # genuinely disagree on a nontrivial share of prompts
+    assert n_disagree > 0
+    # when the scorers agree the regret is exactly zero
+    for doc_id, (ba, bb, agree, regret) in got.items():
+        if agree:
+            assert regret == 0, doc_id
+        assert regret >= 0, doc_id
+
+
+def test_ensemble_spark_matches_oracle(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in preference.QUERIES[
+            "docs_reward_ensemble_disagreement"
+        ](spark, sf_dir).collect()
+    )
+    exp = sorted(tuple(r) for r in _duck(preference.ENSEMBLE_DUCK))
+    assert got == exp
