@@ -80,6 +80,12 @@ HEADLINE_V2_EXTRA = (
     "docs_chat_render",
     "docs_rejection_sampling",
     "docs_langid_train",
+    # round 11: one representative each for the conversation-gate
+    # family (validation), the frozen-tokenizer artifact path, and
+    # the BT trajectory fit
+    "docs_chat_validate",
+    "docs_bpe_frozen_apply",
+    "docs_policy_bt_strengths",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
@@ -96,6 +102,11 @@ HEAVY = (
     # multi-rep so their recorded medians are attributable
     "docs_stream_turn_admission",
     "docs_langid_eval",
+    # round 11: the two most expensive new queries (MMR's deep
+    # unrolled plan; the card's five composed chains) — multi-rep so
+    # their recorded medians are attributable
+    "emb_mmr_topk",
+    "docs_sft_data_card",
     "img_phash_components",
     "emb_ann_recall_report",
     "dedup_dashboard_all_families",
@@ -189,6 +200,12 @@ def main() -> None:
     from dataset_batch_processor_spark.operators import langid
     _warm("langid_nb_model",
           lambda: langid.nb_model_df(spark, sf_dir).count())
+    # round 11: the frozen-tokenizer artifact is session-shared
+    # between docs_bpe_train_merges' trainer and docs_bpe_frozen_apply
+    # — build it here so the apply times its probe, not the training.
+    from dataset_batch_processor_spark.operators import bpe
+    _warm("bpe_merges_artifact",
+          lambda: bpe.bpe_merges_artifact(spark, sf_dir).count())
     pair_graph_build_s = warmup_builds["pair_graph"]
 
     # Queries whose registered form scans a matcache-materialized
