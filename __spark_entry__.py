@@ -33,6 +33,7 @@ from dataset_batch_processor_spark.streaming import incremental as stream_inc
 from dataset_batch_processor_spark.streaming import driftmon as stream_drift
 from dataset_batch_processor_spark.streaming import turndedup as stream_turndedup
 from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
+from dataset_batch_processor_spark.streaming import convgate as stream_cvg
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
@@ -495,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(substring.QUERIES)
     q.update(stream_inc.QUERIES)
     q.update(stream_qg.QUERIES)
+    q.update(stream_cvg.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
@@ -615,6 +617,7 @@ FROM images_meta GROUP BY 1
     o.update(substring.ORACLES)
     o.update(stream_inc.ORACLES)
     o.update(stream_qg.ORACLES)
+    o.update(stream_cvg.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)

@@ -64,9 +64,12 @@ REFUSAL_PREFIXES = ("I cannot help", "I''m sorry")  # SQL-escaped
 REFUSAL_DENSITY_PCT = 50
 
 
-def _validate_ctes(engine: str) -> str:
-    toks = toks_spark() if engine == "spark" else toks_duck()
-    turns = turns_spark() if engine == "spark" else turns_duck()
+def _validate_ctes(engine: str, src: str = "documents") -> str:
+    """Parameterized by source relation (the house CTE-chain
+    convention — never retarget with .replace()): the streaming twin
+    runs the SAME chain over a micro-batch view."""
+    toks = toks_spark(src) if engine == "spark" else toks_duck(src)
+    turns = turns_spark(src) if engine == "spark" else turns_duck(src)
     refusal_pred = " OR ".join(
         f"content LIKE '{p}%'" for p in REFUSAL_PREFIXES
     )
@@ -142,6 +145,12 @@ CHAT_VALIDATE_SPARK = f"WITH {_validate_ctes('spark')}{_DETAIL_TAIL}"
 CHAT_VALIDATE_DUCK = f"WITH {_validate_ctes('duck')}{_DETAIL_TAIL}"
 CHAT_VALIDATE_COUNTS_SPARK = f"WITH {_validate_ctes('spark')}{_COUNTS_TAIL}"
 CHAT_VALIDATE_COUNTS_DUCK = f"WITH {_validate_ctes('duck')}{_COUNTS_TAIL}"
+
+
+def validate_counts_sql(src: str) -> str:
+    """The counts rollup over an arbitrary (doc_id, text) relation —
+    the streaming twin's per-batch partial (streaming/convgate.py)."""
+    return f"WITH {_validate_ctes('spark', src)}{_COUNTS_TAIL}"
 
 
 def _run(sql: str):
