@@ -20,10 +20,10 @@ scale factor drops out and the trajectory stays integer.
 
 Structure: candidates = exact top-``CAND_N`` per panel query (the
 gated brute-force machinery); pairwise candidate similarity is a
-bounded CAND_N^2-per-query self-join; selection is MMR_K unrolled
-greedy rounds — each round one join + one per-query argmax window.
-The Spark side unrolls the same rounds as DataFrame ops; the DuckDB
-oracle replays them as materialized CTEs (the DoReMi/BT convention).
+bounded CAND_N^2-per-query self-join; the greedy selection runs on
+the driver over ONE pool-bounded collect (see mmr_topk's measured
+rejection of the all-DataFrame variant); the DuckDB oracle replays
+the rounds as materialized CTEs (the DoReMi/BT convention).
 
 Scale posture: the broadcast panel x corpus scan is the same cost as
 the gated brute-force baseline; everything after it operates on
@@ -58,7 +58,23 @@ def mmr_topk(
     query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """(query_id, mmr_rank, neighbor_id, rel_q6, penalty_q6, mmr_q6)
-    — the greedy MMR selection over the exact top-``cand_n`` pool."""
+    — the greedy MMR selection over the exact top-``cand_n`` pool.
+
+    Split of labor (measured, round 11): the corpus-scale work — the
+    broadcast-panel scan, the per-query pool window, and the pool's
+    pairwise similarities — is distributed; the greedy selection then
+    runs on the driver over ONE pool-bounded collect
+    (panel x cand_n rel rows + panel x cand_n^2 sim rows — the
+    doremi/BT k-row-witness policy; the panel is a fixed sampled set
+    at any corpus scale, similarity.py's stance). A fully-distributed
+    variant unrolling the MMR_K rounds as DataFrame joins was built
+    first and MEASURED SLOWER ~4-13x (sf0.01 fixed-panel study:
+    18-20 s flat at every fanout vs 5.8 s cold / 1.3-1.5 s warm here
+    — the cost was Catalyst planning/execution of the 5-round
+    union-of-joins plan, pure overhead at ANY data size since the
+    rounds only touch pool-sized tables); rejected for the same
+    reason the matryoshka fused fold was (clever plan shape, worse
+    constant)."""
     queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -105,67 +121,42 @@ def mmr_topk(
         )
         .persist()
     )
-    picked = (
-        cand.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id", "neighbor_id", "rel_q6",
-            F.lit(0).cast("long").alias("penalty_q6"),
-            F.lit(1).cast("int").alias("mmr_rank"),
+    # pool-bounded collects (NOT corpus-sized): panel x cand_n rel
+    # rows + panel x cand_n^2 sim rows
+    rel: dict[int, dict[int, int]] = {}
+    for r in cand.collect():
+        rel.setdefault(r["query_id"], {})[r["neighbor_id"]] = int(
+            r["rel_q6"]
         )
-    )
-    cp = cpairs.select(
-        F.col("query_id").alias("p_q"), F.col("i").alias("p_i"),
-        F.col("j").alias("p_j"), "sim_q6",
-    )
-    for t in range(2, k + 1):
-        # disambiguated aliases: cand/cpairs/picked share lineage, so
-        # bare column refs in the round-t joins are ambiguous
-        sel = picked.select(
-            F.col("query_id").alias("s_q"),
-            F.col("neighbor_id").alias("s_j"),
-        )
-        remaining = cand.join(
-            picked.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"], "left_anti",
-        ).select(
-            F.col("query_id").alias("r_q"),
-            F.col("neighbor_id").alias("r_n"),
-            F.col("rel_q6").alias("r_rel"),
-        )
-        pen = (
-            remaining.join(
-                cp, (F.col("p_q") == F.col("r_q"))
-                & (F.col("p_i") == F.col("r_n"))
+    sim: dict[tuple[int, int, int], int] = {}
+    for r in cpairs.collect():
+        sim[(r["query_id"], r["i"], r["j"])] = int(r["sim_q6"])
+    cand.unpersist()
+    cpairs.unpersist()
+
+    rows: list[tuple[int, int, int, int, int, int]] = []
+    for q in sorted(rel):
+        pool = rel[q]
+        first = min(pool, key=lambda n: (-pool[n], n))
+        sel = [first]
+        rows.append((q, 1, first, pool[first], 0, pool[first]))
+        for t in range(2, min(k, len(pool)) + 1):
+            best, best_key, best_pen = None, None, 0
+            for n in pool:
+                if n in sel:
+                    continue
+                pen = max(sim[(q, n, s)] for s in sel)
+                key = (-(pool[n] - pen), n)
+                if best_key is None or key < best_key:
+                    best, best_key, best_pen = n, key, pen
+            sel.append(best)
+            rows.append(
+                (q, t, best, pool[best], best_pen, pool[best] - best_pen)
             )
-            .join(sel, (F.col("s_q") == F.col("p_q"))
-                  & (F.col("s_j") == F.col("p_j")))
-            .groupBy("r_q", "r_n", "r_rel")
-            .agg(F.max("sim_q6").alias("penalty_q6"))
-        )
-        w_mmr = Window.partitionBy("r_q").orderBy(
-            F.desc(F.col("r_rel") - F.col("penalty_q6")),
-            F.col("r_n"),
-        )
-        pick_t = (
-            pen.withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("r_q").alias("query_id"),
-                F.col("r_n").alias("neighbor_id"),
-                F.col("r_rel").alias("rel_q6"),
-                "penalty_q6",
-                F.lit(t).cast("int").alias("mmr_rank"),
-            )
-        )
-        picked = picked.unionByName(pick_t)
-    return picked.select(
-        "query_id",
-        "mmr_rank",
-        "neighbor_id",
-        "rel_q6",
-        "penalty_q6",
-        (F.col("rel_q6") - F.col("penalty_q6")).cast("long").alias("mmr_q6"),
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "query_id BIGINT, mmr_rank INT, neighbor_id BIGINT, "
+        "rel_q6 BIGINT, penalty_q6 BIGINT, mmr_q6 BIGINT",
     ).orderBy("query_id", "mmr_rank")
 
 
