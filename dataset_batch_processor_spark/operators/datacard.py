@@ -177,7 +177,11 @@ def _sft_card_duck() -> str:
     )
 
 
-def _q_sft_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+def register_sft_card_views(spark: SparkSession) -> None:
+    """Register the card's five component views from the CURRENT
+    ``documents`` view (round-11 review #5: the scale study needs the
+    same composition over a fanned-out view — one seam, no duplicated
+    registration block that could silently measure a different card)."""
     from .chat import (
         CHAT_LOSS_MASK_SPARK,
         CHAT_RENDER_SPARK,
@@ -186,14 +190,18 @@ def _q_sft_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .chatvalidate import CHAT_VALIDATE_SPARK
     from .decontam import CHAT_DECONTAM_SPARK
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
     spark.sql(CHAT_VALIDATE_SPARK).createOrReplaceTempView("sft_verdicts")
     spark.sql(CHAT_TURN_DUPDOC_SPARK).createOrReplaceTempView("sft_dupdoc")
     spark.sql(CHAT_RENDER_SPARK).createOrReplaceTempView("sft_render")
     spark.sql(CHAT_LOSS_MASK_SPARK).createOrReplaceTempView("sft_mask")
     spark.sql(CHAT_DECONTAM_SPARK).createOrReplaceTempView("sft_leaks")
+
+
+def _q_sft_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    register_sft_card_views(spark)
     return spark.sql(SFT_CARD_SPARK)
 
 

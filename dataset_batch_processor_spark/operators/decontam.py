@@ -420,15 +420,21 @@ def _chat_decontam_sql(engine: str) -> str:
                 f" CAST(doc_id % {n} AS INT) + 1)")
         panel = f"panel AS (SELECT explode(array({lits})) AS prompt)"
         gh = _H_SPARK.format(g="gram")
+        # the size guard sits IN the source subquery (the
+        # _grams_cte_spark convention, round-11 review #2): if it
+        # trailed the LATERAL VIEW, correctness would ride on Catalyst
+        # pushing the predicate through Generate — without that,
+        # sequence(0, size(t)-8) on a short turn counts DOWN and
+        # slice(t, 0, 8) throws
         turn_grams = f"""turn_grams AS (
   SELECT DISTINCT doc_id, turn_id, {gh} AS gh
   FROM (SELECT doc_id, turn_id, split(content, ' ') AS t
-        FROM pturns WHERE role = 'user')
+        FROM pturns
+        WHERE role = 'user' AND size(split(content, ' ')) >= {DECON_N})
   LATERAL VIEW explode(transform(
     sequence(0, size(t) - {DECON_N}),
     i -> concat_ws(' ', slice(t, i + 1, {DECON_N}))
   )) g AS gram
-  WHERE size(t) >= {DECON_N}
 )"""
         panel_grams = f"""panel_grams AS (
   SELECT DISTINCT {gh} AS gh

@@ -78,11 +78,18 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.countDistinct("query_id").alias("nq"),
         *[
-            F.sum(
-                (
-                    (F.col(f"r{d}") <= TOP_K)
-                    & (F.col(full_r) <= TOP_K)
-                ).cast("long")
+            # coalesce: Spark's ungrouped sum over ZERO input rows is
+            # NULL (DuckDB's ungrouped count(*) twin is 0) — without
+            # it the degenerate-corpus row would be NULL-vs-0 split
+            # (round-11 review finding #1)
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col(f"r{d}") <= TOP_K)
+                        & (F.col(full_r) <= TOP_K)
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias(f"o{d}")
             for d in MRL_TIERS
         ],
@@ -96,8 +103,10 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"o{d}").cast("long").alias("total_overlap"),
                 # greatest(nq,1): on an empty query panel Spark DIV
                 # returns NULL while DuckDB // raises — guard BOTH
-                # dialects identically (ADVICE r10) so a degenerate
-                # corpus yields 0 rows on each side, never a split.
+                # dialects identically (ADVICE r10). With the
+                # coalesced overlap sums above, a degenerate corpus
+                # yields one (dim, 0, k, 0, 0) row per tier on EACH
+                # side — identical, never a split.
                 F.expr(f"o{d} * 1000000 DIV (greatest(nq, 1) * {TOP_K})")
                 .cast("long")
                 .alias("overlap_ppm"),

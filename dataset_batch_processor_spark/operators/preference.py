@@ -77,6 +77,7 @@ ctoks AS (
 ),
 scored AS (
   SELECT c.doc_id, c.k, md5(c.resp) AS resp_md5,
+         s.n_toks, s.n_distinct,
          CAST(s.stop_hits * 1000000 {div} s.n_toks
               + s.n_distinct * 1000 {div} s.n_toks AS BIGINT) AS score
   FROM cands c JOIN (
@@ -364,17 +365,11 @@ BT_STRENGTHS_DUCK = _bt_duck()
 # the family rule.
 
 _ENSEMBLE_TAIL = """
-, bstats AS (
-  SELECT doc_id, k,
-         count(*) AS n_toks,
-         count(DISTINCT token) AS n_distinct
-  FROM ctoks GROUP BY doc_id, k
-),
-duo AS (
-  SELECT s.doc_id, s.k, s.score AS score_a,
-         CAST(b.n_distinct * 1000000 {div} b.n_toks
-              + b.n_toks * 1000 AS BIGINT) AS score_b
-  FROM scored s JOIN bstats b ON s.doc_id = b.doc_id AND s.k = b.k
+, duo AS (
+  SELECT doc_id, k, score AS score_a,
+         CAST(n_distinct * 1000000 {div} n_toks
+              + n_toks * 1000 AS BIGINT) AS score_b
+  FROM scored
 ),
 pa AS (
   SELECT doc_id, k, score_a,

@@ -69,6 +69,40 @@ def export_merged_text(df: DataFrame, out_path: str, sep: str = "\n\n") -> None:
         fh.write(row["merged"])
 
 
+def _write_ordered_parts(ordered: DataFrame, out_dir: str, fmt) -> int:
+    """Shared ordered-part writer (round-11 review #4: the merged-text
+    and purged-lines sinks had copy-pasted partition writers that
+    could silently diverge). ``ordered`` must already be arranged so
+    partition index order is global order and rows are sorted within
+    partitions; ``fmt(fh, row)`` writes ONE record. Each executor
+    lazily opens its own ``part-<pid>.txt`` (empty partitions write
+    nothing), memory stays bounded by one record, and the
+    byte-concatenation of the parts in filename order is the single
+    logical file. Returns the number of part files written."""
+    import glob
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        fh = None
+        try:
+            for row in rows:
+                if fh is None:
+                    pid = TaskContext.get().partitionId()
+                    fh = open(
+                        os.path.join(out_dir, f"part-{pid:05d}.txt"), "w"
+                    )
+                fmt(fh, row)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    ordered.foreachPartition(write_partition)
+    return len(glob.glob(os.path.join(out_dir, "part-*.txt")))
+
+
 def export_merged_text_distributed(
     df: DataFrame, out_dir: str, sep: str = "\n\n"
 ) -> int:
@@ -78,40 +112,20 @@ def export_merged_text_distributed(
 
     attach_global_row_number range-partitions on the merge order
     (input_file, line_no), so partition index order IS global order and
-    rows are sorted within each partition. Each executor then streams
-    its own ``part-<pid>.txt`` — record ``rn`` is prefixed by ``sep``
-    unless it is the global first — and the byte-concatenation of part
-    files in filename order equals exactly what export_merged_text
-    writes (asserted in tests/test_textops.py). No driver hop, no
-    single reducer, memory bounded by one record. Returns the number
-    of part files written."""
-    import glob
-
-    from pyspark import TaskContext
-
+    rows are sorted within each partition. Record ``rn`` is prefixed by
+    ``sep`` unless it is the global first, so the part concatenation
+    equals exactly what export_merged_text writes (asserted in
+    tests/test_textops.py)."""
     from ..operators.textops import attach_global_row_number
 
-    os.makedirs(out_dir, exist_ok=True)
     numbered = attach_global_row_number(df).select("rn", "value")
 
-    def write_partition(rows):
-        fh = None
-        try:
-            for row in rows:
-                if fh is None:
-                    pid = TaskContext.get().partitionId()
-                    fh = open(
-                        os.path.join(out_dir, f"part-{pid:05d}.txt"), "w"
-                    )
-                if row["rn"] > 1:
-                    fh.write(sep)
-                fh.write(row["value"])
-        finally:
-            if fh is not None:
-                fh.close()
+    def fmt(fh, row):
+        if row["rn"] > 1:
+            fh.write(sep)
+        fh.write(row["value"])
 
-    numbered.foreachPartition(write_partition)
-    return len(glob.glob(os.path.join(out_dir, "part-*.txt")))
+    return _write_ordered_parts(numbered, out_dir, fmt)
 
 
 def export_ordered_lines_distributed(df: DataFrame, out_dir: str) -> int:
@@ -120,35 +134,17 @@ def export_ordered_lines_distributed(df: DataFrame, out_dir: str) -> int:
     files — ``repartitionByRange(rn)`` makes partition index order the
     global order (rn may be SPARSE, e.g. first-occurrence ranks after
     a dedup, so this re-ranges rather than trusting upstream layout),
-    each executor writes its own part, and byte-concatenation of the
-    parts in filename order reproduces the single purged file exactly.
-    No driver hop, no single reducer, memory bounded by one record."""
-    import glob as _glob
-
-    from pyspark import TaskContext
-
-    os.makedirs(out_dir, exist_ok=True)
+    and the part concatenation reproduces the single purged file
+    exactly."""
     ordered = df.select("rn", "value").repartitionByRange(
         "rn"
     ).sortWithinPartitions("rn")
 
-    def write_partition(rows):
-        fh = None
-        try:
-            for row in rows:
-                if fh is None:
-                    pid = TaskContext.get().partitionId()
-                    fh = open(
-                        os.path.join(out_dir, f"part-{pid:05d}.txt"), "w"
-                    )
-                fh.write(row["value"])
-                fh.write("\n")
-        finally:
-            if fh is not None:
-                fh.close()
+    def fmt(fh, row):
+        fh.write(row["value"])
+        fh.write("\n")
 
-    ordered.foreachPartition(write_partition)
-    return len(_glob.glob(os.path.join(out_dir, "part-*.txt")))
+    return _write_ordered_parts(ordered, out_dir, fmt)
 
 
 def export_chunked_text(df: DataFrame, out_dir: str, records_per_file: int = 50) -> int:

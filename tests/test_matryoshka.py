@@ -44,3 +44,43 @@ def test_spark_matches_oracle(spark, sf_dir):
         for r in matryoshka._q_matryoshka_recall(spark, sf_dir).collect()
     )
     assert got == _duck()
+
+
+def test_degenerate_empty_corpus_parity(spark, tmp_path):
+    """ADVICE r10 + round-11 review finding #1: on an EMPTY embeddings
+    table both engines must emit the identical one-row-per-tier
+    (dim, 0, k, 0, 0) shape — Spark's NULL-sum and DuckDB's //-raise
+    hazards are both guarded."""
+    import duckdb
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import matryoshka
+
+    sf = str(tmp_path)
+    empty = catalog.load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).limit(0)
+    empty.write.parquet(f"{sf}/embeddings.parquet")
+
+    got = sorted(
+        tuple(r)
+        for r in matryoshka.QUERIES["emb_matryoshka_recall"](
+            spark, sf
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            matryoshka.ORACLES["emb_matryoshka_recall"]
+        ).fetchall()
+    )
+    con.close()
+    assert got == exp
+    assert got == sorted(
+        (d, 0, 5, 0, 0) for d in matryoshka.MRL_TIERS
+    )

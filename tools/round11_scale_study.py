@@ -77,27 +77,12 @@ def study_a(spark):
         spark.sql(decontam.CHAT_DECONTAM_SPARK).count()
         decontam_s = time.time() - t0
 
-        # the card over the fanned-out view: register its component
-        # views from the CURRENT documents view (the _q wrapper would
-        # reset the view to the parquet table)
+        # the card over the fanned-out view: the one registration seam
+        # (datacard.register_sft_card_views builds the component views
+        # from the CURRENT documents view; the _q wrapper would reset
+        # the view to the parquet table)
         t0 = time.time()
-        from dataset_batch_processor_spark.operators.chat import (
-            CHAT_LOSS_MASK_SPARK,
-            CHAT_RENDER_SPARK,
-            CHAT_TURN_DUPDOC_SPARK,
-        )
-
-        spark.sql(chatvalidate.CHAT_VALIDATE_SPARK).createOrReplaceTempView(
-            "sft_verdicts"
-        )
-        spark.sql(CHAT_TURN_DUPDOC_SPARK).createOrReplaceTempView(
-            "sft_dupdoc"
-        )
-        spark.sql(CHAT_RENDER_SPARK).createOrReplaceTempView("sft_render")
-        spark.sql(CHAT_LOSS_MASK_SPARK).createOrReplaceTempView("sft_mask")
-        spark.sql(decontam.CHAT_DECONTAM_SPARK).createOrReplaceTempView(
-            "sft_leaks"
-        )
+        datacard.register_sft_card_views(spark)
         spark.sql(datacard.SFT_CARD_SPARK).count()
         card_s = time.time() - t0
 
