@@ -662,6 +662,77 @@ def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- prefix-sharing report
+# KV-cache / prefix-caching planning (round 11; public anchors: vLLM
+# automatic prefix caching, SGLang RadixAttention): conversations that
+# share a rendered PREFIX (system turn + first d turns) can reuse one
+# KV-cache entry per group at serving/training time. Per depth d this
+# reports how much sharing the corpus actually carries: group
+# conversations by the md5 of their depth-d rendered prefix and count
+# the chars a shared cache would not re-prefill —
+# ``saved_chars = sum_groups (group_size - 1) * prefix_len``.
+# Conversations shorter than d turns sit out of that depth (HAVING
+# count(*) = d), so every group member shares the FULL prefix.
+# Depth 0 (system turn only) is omitted — it is constant by
+# construction, sharing = n_convs - 1 trivially.
+#
+# Scale: pieces x depths is a bounded <=|PREFIX_DEPTHS| fan-out of
+# turn rows; grouping keys are 16-byte digests; the rollup is
+# depth-sized. All integers — exact gate.
+
+PREFIX_DEPTHS = (1, 2, 3)
+
+_PREF_AGG_SPARK = (
+    "md5(array_join(transform(array_sort(collect_list(struct(turn_id,"
+    " piece))), x -> x.piece), ''))"
+)
+_PREF_AGG_DUCK = "md5(array_to_string(list(piece ORDER BY turn_id), ''))"
+
+_PREFIX_TAIL = f"""
+, pieces AS (
+  SELECT doc_id, turn_id, {_PIECE} AS piece FROM turns
+),
+depths AS ({{depths}}),
+pref AS (
+  SELECT p.doc_id, d.depth,
+         {{pref_agg}} AS digest,
+         CAST({SYS_LEN} + sum(length(piece)) AS BIGINT) AS prefix_len
+  FROM pieces p JOIN depths d ON p.turn_id < d.depth
+  GROUP BY p.doc_id, d.depth
+  HAVING count(*) = d.depth
+),
+grp AS (
+  SELECT depth, digest, prefix_len, CAST(count(*) AS BIGINT) AS cnt
+  FROM pref GROUP BY depth, digest, prefix_len
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(sum(cnt) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_shared_convs,
+       CAST(sum((cnt - 1) * prefix_len) AS BIGINT) AS saved_chars
+FROM grp
+GROUP BY depth
+"""
+
+_DEPTH_LIST = ", ".join(str(d) for d in PREFIX_DEPTHS)
+
+CHAT_PREFIX_SHARE_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _PREFIX_TAIL.format(
+        depths=f"SELECT explode(array({_DEPTH_LIST})) AS depth",
+        pref_agg=_PREF_AGG_SPARK,
+    )
+)
+CHAT_PREFIX_SHARE_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _PREFIX_TAIL.format(
+        depths=f"SELECT unnest([{_DEPTH_LIST}]) AS depth",
+        pref_agg=_PREF_AGG_DUCK,
+    )
+)
+
+
 # ------------------------------------------- token-window chunking
 # Overlapping token windows (W tokens, stride S) — the chunking step
 # every retrieval/embedding pipeline runs before encoding (RAG
@@ -836,6 +907,7 @@ QUERIES = {
     "chat_jsonl_roundtrip": _q_chat_jsonl_roundtrip,
     "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
     "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
+    "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
 }
 
 ORACLES = {
@@ -849,4 +921,5 @@ ORACLES = {
     "chat_jsonl_roundtrip": CHAT_RENDER_DUCK,
     "docs_chat_truncate": CHAT_TRUNCATE_DUCK,
     "docs_tool_trace_render": TOOL_TRACE_DUCK,
+    "docs_chat_prefix_share": CHAT_PREFIX_SHARE_DUCK,
 }

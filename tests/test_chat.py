@@ -361,3 +361,48 @@ def test_tool_trace_render_matches_python(docs):
             hashlib.md5(rendered.encode()).hexdigest(),
         )
         assert got[doc_id] == exp, doc_id
+
+
+def test_prefix_share_matches_python(docs):
+    """docs_chat_prefix_share vs an independent Python replay: group
+    conversations by the depth-d rendered prefix, count groups and the
+    chars a shared KV cache would not re-prefill."""
+    from collections import Counter, defaultdict
+
+    exp = {}
+    for d in chat.PREFIX_DEPTHS:
+        groups: Counter = Counter()
+        plen: dict = {}
+        for doc_id, text in docs:
+            turns = chat.conversation_py(doc_id, text)
+            if len(turns) < d:
+                continue
+            prefix = chat.SYS_RENDERED + "".join(
+                f"{chat.IM_START}{role}\n{content}{chat.IM_END}\n"
+                for role, content in turns[:d]
+            )
+            groups[prefix] += 1
+        n_convs = sum(groups.values())
+        n_groups = len(groups)
+        n_shared = sum(c for c in groups.values() if c > 1)
+        saved = sum((c - 1) * len(p) for p, c in groups.items())
+        exp[d] = (n_convs, n_groups, n_shared, saved)
+
+    got = {
+        r[0]: tuple(r[1:])
+        for r in _duck(chat.CHAT_PREFIX_SHARE_DUCK)
+    }
+    assert got == exp
+    # the fixture carries genuine organic sharing at every depth
+    assert all(v[2] > 0 for v in exp.values())
+
+
+def test_prefix_share_spark_matches_oracle(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in chat.QUERIES["docs_chat_prefix_share"](
+            spark, sf_dir
+        ).collect()
+    )
+    exp = sorted(tuple(r) for r in _duck(chat.CHAT_PREFIX_SHARE_DUCK))
+    assert got == exp
