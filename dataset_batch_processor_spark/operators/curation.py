@@ -583,6 +583,65 @@ GROUP BY bucket, batch_id
 """
 
 
+# --------------------------------- per-source quota sample (round 11)
+# The rate-based stratified sample above keeps a PERCENTAGE per
+# stratum; a mixture builder often needs an exact QUOTA per source
+# ("give me the same k docs from every source, reproducibly on any
+# cluster") — bottom-k hash sampling, the deterministic reservoir
+# (public anchor: Cohen & Kaplan 2007 bottom-k sketches; the md5
+# draw makes it rerunnable, the curation-family contract).
+#
+# 100-TB shape: a bare per-source row_number window funnels each
+# source's entire slice through ONE task (sources are few, slices are
+# corpus-sized — a skew funnel). This runs the exact two-level
+# tournament instead: bottom-k within (source, draw % B) buckets
+# (B=16: B× the parallelism, bounded windows), then bottom-k of the
+# B·k survivors. Exactly equivalent to the global bottom-k — a row
+# outside its bucket's top k cannot be in the global top k. The
+# DuckDB oracle computes the straight one-level window, so the gate
+# ALSO proves the tournament's equivalence on the fixture.
+
+QUOTA_K = 20
+_QUOTA_BUCKETS = 16
+
+_QUOTA_DRAW_SPARK = (
+    "CAST(conv(substr(md5(concat(source, '#', CAST(doc_id AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT)"
+)
+_QUOTA_DRAW_DUCK = (
+    "CAST(concat('0x', substr(md5(concat(source, '#',"
+    " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+QUOTA_SAMPLE_SPARK = f"""
+WITH draws AS (
+  SELECT source, doc_id, {_QUOTA_DRAW_SPARK} AS h FROM documents
+),
+lvl1 AS (
+  SELECT source, doc_id, h FROM (
+    SELECT source, doc_id, h,
+           row_number() OVER (PARTITION BY source, h % {_QUOTA_BUCKETS}
+                              ORDER BY h, doc_id) AS rb
+    FROM draws
+  ) WHERE rb <= {QUOTA_K}
+)
+SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM lvl1
+) WHERE rn <= {QUOTA_K}
+"""
+
+QUOTA_SAMPLE_DUCK = f"""
+SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM (SELECT source, doc_id, {_QUOTA_DRAW_DUCK} AS h FROM documents)
+) WHERE rn <= {QUOTA_K}
+"""
+
 QUERIES = {
     "docs_train_val_split": _run(SPLIT_SPARK, ("documents",)),
     "docs_length_bucket_packing": _q_length_bucket_packing,
@@ -596,6 +655,7 @@ QUERIES = {
     "docs_shard_packing": _q_shard_packing,
     "docs_weighted_sample": _run(WEIGHTED_SPARK, ("documents",)),
     "docs_epoch_shuffle": _run(EPOCH_SHUFFLE_SPARK, ("documents",)),
+    "docs_quota_sample": _run(QUOTA_SAMPLE_SPARK, ("documents",)),
 }
 
 ORACLES = {
@@ -609,6 +669,7 @@ ORACLES = {
     "docs_shard_packing": SHARD_DUCK,
     "docs_weighted_sample": WEIGHTED_DUCK,
     "docs_epoch_shuffle": EPOCH_SHUFFLE_DUCK,
+    "docs_quota_sample": QUOTA_SAMPLE_DUCK,
 }
 
 
