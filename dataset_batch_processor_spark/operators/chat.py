@@ -799,7 +799,9 @@ from ..multimodal.qpatch import PATCH_P as _PATCH_P  # noqa: E402 — the
 # chat and patchify families SHARE the patch geometry (round-10 review
 # #4: a literal copy would drift silently if PATCH_P were retuned)
 
-_MM_PLAN_TAIL = f"""
+# Split CTES/SELECT (round 11): the mm sequence packer reuses the
+# plan's CTE chain with the final select wrapped as one more CTE.
+_MM_PLAN_CTES = f"""
 , tstats AS (
   SELECT doc_id,
          CAST({SYS_TOKENS} + sum(n_t + {TURN_SPECIALS}) AS BIGINT)
@@ -820,7 +822,9 @@ imgs AS (
                    * (16 * (doc_id % 4 + 1) {{div}} {_PATCH_P})
               ELSE 0 END AS n_patches
   FROM documents
-)
+)"""
+
+_MM_PLAN_SELECT = f"""
 SELECT t.doc_id,
        CAST(i.has_image AS INT) AS has_image,
        CAST(i.n_patches AS BIGINT) AS n_patches,
@@ -838,12 +842,110 @@ FROM tstats t JOIN imgs i ON t.doc_id = i.doc_id
 
 MM_CHAT_PLAN_SPARK = (
     f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
-    + _MM_PLAN_TAIL.format(div="DIV")
+    + _MM_PLAN_CTES.format(div="DIV") + _MM_PLAN_SELECT
 )
 MM_CHAT_PLAN_DUCK = (
     f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
-    + _MM_PLAN_TAIL.format(div="//")
+    + _MM_PLAN_CTES.format(div="//") + _MM_PLAN_SELECT
 )
+
+
+# --------------------------------- multimodal sequence packing
+# The packer above (docs_chat_pack_sequences) budgets TEXT tokens; a
+# multimodal trainer packs on text+vision totals and additionally
+# tracks per sequence how many vision tokens land in it and how many
+# images START in it (an image's patch block must not be split across
+# data-parallel ranks without its header — the count a packer
+# monitors). Token layout pinned per doc: [sys][turn-0 specials]
+# [vision block][rest of the text stream] — the vision block sits at
+# offset SYS_TOKENS + TURN_SPECIALS, the start of the first user
+# turn's content, the same splice the MM plan describes. Same
+# exclusive-prefix-sum machinery as the text packer (no global
+# windows, plan-pinned).
+
+_MM_PACK_TAIL = f"""
+, docspan AS (
+  SELECT o.doc_id, CAST(o.s AS BIGINT) AS s,
+         CAST(o.s + o.doc_len AS BIGINT) AS e,
+         CAST(o.s + {SYS_TOKENS} + {TURN_SPECIALS} AS BIGINT) AS v_s,
+         CAST(o.s + {SYS_TOKENS} + {TURN_SPECIALS} + p.vision_tokens
+              AS BIGINT) AS v_e
+  FROM doc_offs o JOIN mmplan p ON o.doc_id = p.doc_id
+),
+occ AS (
+  SELECT seq_id, doc_id, s, e, v_s, v_e
+  FROM docspan
+  {{seq_explode_doc}}
+),
+seqs AS (
+  SELECT seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(least(e, (seq_id + 1) * {SEQ_BUDGET})
+                  - greatest(s, seq_id * {SEQ_BUDGET})) AS BIGINT)
+             AS tokens_used,
+         CAST(sum(greatest(least(v_e, (seq_id + 1) * {SEQ_BUDGET})
+                  - greatest(v_s, seq_id * {SEQ_BUDGET}), 0)) AS BIGINT)
+             AS vision_tokens,
+         CAST(sum(CASE WHEN v_e > v_s
+                       AND v_s {{div}} {SEQ_BUDGET} = seq_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_imgs_started
+  FROM occ GROUP BY seq_id
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, n_docs, tokens_used,
+       vision_tokens, n_imgs_started
+FROM seqs
+"""
+
+
+def _mm_pack_tail(engine: str) -> str:
+    if engine == "spark":
+        doc_x = (
+            f"LATERAL VIEW explode(sequence(s DIV {SEQ_BUDGET},"
+            f" (e - 1) DIV {SEQ_BUDGET})) t AS seq_id"
+        )
+        div = "DIV"
+    else:
+        doc_x = (
+            f", LATERAL (SELECT unnest(generate_series("
+            f"s // {SEQ_BUDGET}, (e - 1) // {SEQ_BUDGET})) AS seq_id)"
+        )
+        div = "//"
+    return _MM_PACK_TAIL.format(seq_explode_doc=doc_x, div=div)
+
+
+def _q_mm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    plan = spark.sql(MM_CHAT_PLAN_SPARK)
+    plan.createOrReplaceTempView("mmplan")
+    lens = plan.select(
+        "doc_id", plan["total_tokens"].alias("doc_len")
+    )
+    exclusive_prefix_sum(
+        lens, ["doc_id"], "doc_len", "s"
+    ).createOrReplaceTempView("doc_offs")
+    return spark.sql("WITH _x AS (SELECT 1)" + _mm_pack_tail("spark"))
+
+
+def _mm_pack_duck() -> str:
+    return (
+        f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+        + _MM_PLAN_CTES.format(div="//")
+        + f",\nmmplan AS ({_MM_PLAN_SELECT}),"
+        + f"""
+doc_lens AS (SELECT doc_id, total_tokens AS doc_len FROM mmplan),
+doc_offs AS (
+  SELECT doc_id, doc_len,
+         CAST(coalesce(sum(doc_len) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+  FROM doc_lens
+)"""
+        + _mm_pack_tail("duck")
+    )
 
 
 # ------------------------------------------------- independent renderer
@@ -908,6 +1010,7 @@ QUERIES = {
     "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
     "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
     "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
+    "docs_mm_pack_sequences": _q_mm_pack_sequences,
 }
 
 ORACLES = {
@@ -922,4 +1025,5 @@ ORACLES = {
     "docs_chat_truncate": CHAT_TRUNCATE_DUCK,
     "docs_tool_trace_render": TOOL_TRACE_DUCK,
     "docs_chat_prefix_share": CHAT_PREFIX_SHARE_DUCK,
+    "docs_mm_pack_sequences": _mm_pack_duck(),
 }

@@ -406,3 +406,38 @@ def test_prefix_share_spark_matches_oracle(spark, sf_dir):
     )
     exp = sorted(tuple(r) for r in _duck(chat.CHAT_PREFIX_SHARE_DUCK))
     assert got == exp
+
+
+def test_mm_pack_conserves_plan_totals(spark, sf_dir):
+    """docs_mm_pack_sequences vs the gated MM token plan: packed
+    sequences conserve total/vision tokens exactly, and every image
+    starts in exactly one sequence."""
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    p = spark.sql(chat.MM_CHAT_PLAN_SPARK).agg(
+        F.sum("total_tokens").alias("tot"),
+        F.sum("vision_tokens").alias("vis"),
+        F.sum("has_image").alias("n_imgs"),
+    ).collect()[0]
+    packed = chat.QUERIES["docs_mm_pack_sequences"](spark, sf_dir)
+    q = packed.agg(
+        F.sum("tokens_used").alias("tot"),
+        F.sum("vision_tokens").alias("vis"),
+        F.sum("n_imgs_started").alias("n_imgs"),
+    ).collect()[0]
+    assert (q["tot"], q["vis"], q["n_imgs"]) == (
+        p["tot"], p["vis"], p["n_imgs"],
+    )
+    # budget respected: every sequence holds <= SEQ_BUDGET tokens
+    assert packed.filter(
+        F.col("tokens_used") > chat.SEQ_BUDGET
+    ).count() == 0
+    # vision never exceeds the sequence's own tokens
+    assert packed.filter(
+        F.col("vision_tokens") > F.col("tokens_used")
+    ).count() == 0
