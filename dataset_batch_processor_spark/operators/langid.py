@@ -262,18 +262,45 @@ LANGID_EVAL_SPARK = f"WITH {_chain('spark')}{_EVAL_TAIL}"
 LANGID_EVAL_DUCK = f"WITH {_chain('duck')}{_EVAL_TAIL}"
 
 # Model-PROBE eval (round 11, VERDICT r10 wrong #1): the registered
-# Spark eval no longer re-derives the model chain — it probes the
-# session-shared ``nb_model`` table (model rows dim>=0, prior rows
-# dim=-1, exactly docs_langid_train's gated output) and pays only the
-# corpus-side teach + feature passes. The DuckDB oracle keeps the full
-# self-contained derivation (LANGID_EVAL_DUCK), so the hash gate now
-# ALSO proves the persisted model reproduces the inline chain.
-LANGID_EVAL_PROBE_SPARK = (
-    f"WITH {_corpus_ctes('spark')},\n"
-    "model AS (SELECT lang, dim, logp_q10 FROM nb_model WHERE dim >= 0),\n"
-    "prior AS (SELECT lang, logp_q10 FROM nb_model WHERE dim = -1)"
-    f"{_EVAL_TAIL}"
-)
+# Spark eval no longer re-derives the model chain — it inlines the
+# session-shared artifact's 132 rows (model rows dim>=0, prior rows
+# dim=-1, exactly docs_langid_train's gated output) as VALUES CTEs
+# and pays only the corpus-side teach + feature passes. The DuckDB
+# oracle keeps the full self-contained derivation (LANGID_EVAL_DUCK),
+# so the hash gate ALSO proves the persisted model reproduces the
+# inline chain.
+
+
+def eval_probe_sql(model_rows) -> str:
+    """Probe-form eval with the persisted model inlined as VALUES.
+    ``model_rows`` = the 132-row artifact collect as (lang, dim, cnt,
+    logp_q10) tuples — the k-row-witness policy (perceptron-weights
+    precedent).
+
+    Why VALUES and not a temp view over the materialized parquet
+    (measured, sf0.1, round 11): joining the corpus chains against a
+    tiny stats-less parquet collapsed Catalyst's size estimates under
+    it and flipped a join to broadcasting the CORPUS-derived side
+    (BuildLeft) — that probe ran 11.6-12.8 s vs the full inline
+    chain's 8.5 s, and a MERGE hint on the confusion join made it
+    worse (13.2-14.0 s). With the model as literal VALUES the planner
+    sees true sizes and the probe runs 8.0-8.8 s — full-chain speed
+    while paying the model derivation ZERO times."""
+    mvals = ",".join(
+        f"('{lang}',{dim},{logp})"
+        for lang, dim, _cnt, logp in model_rows if dim >= 0
+    )
+    pvals = ",".join(
+        f"('{lang}',{logp})"
+        for lang, dim, _cnt, logp in model_rows if dim == -1
+    )
+    return (
+        f"WITH {_corpus_ctes('spark')},\n"
+        f"model AS (SELECT * FROM VALUES {mvals}"
+        " AS t(lang, dim, logp_q10)),\n"
+        f"prior AS (SELECT * FROM VALUES {pvals} AS t(lang, logp_q10))"
+        f"{_EVAL_TAIL}"
+    )
 
 
 def nb_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +329,11 @@ def _q_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    nb_model_df(spark, sf_dir).createOrReplaceTempView("nb_model")
-    return spark.sql(LANGID_EVAL_PROBE_SPARK)
+    model_rows = [
+        (r["lang"], int(r["dim"]), int(r["cnt"]), int(r["logp_q10"]))
+        for r in nb_model_df(spark, sf_dir).collect()  # 132 rows
+    ]
+    return spark.sql(eval_probe_sql(model_rows))
 
 
 QUERIES = {

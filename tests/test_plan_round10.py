@@ -43,20 +43,22 @@ def test_langid_no_cartesian_no_global_window(spark, sf_dir):
 
 
 def test_langid_eval_probe_plan(spark, sf_dir):
-    """Round 11 (VERDICT r10 wrong #1): the REGISTERED eval probes the
-    session-shared nb_model table — its plan must scan the
-    materialized parquet (no second model derivation: the full chain
-    has two corpus bigram explodes, the probe exactly one) and keep
-    the no-cartesian / bounded-SinglePartition posture."""
+    """Round 11 (VERDICT r10 wrong #1): the REGISTERED eval inlines
+    the session-shared model as VALUES (measured: a temp view over
+    the tiny stats-less parquet flipped a join to broadcasting the
+    corpus side — see langid.eval_probe_sql) and pays the corpus
+    passes once, with no model-derivation CTEs."""
     from dataset_batch_processor_spark.operators import langid
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    langid.nb_model_df(spark, sf_dir).createOrReplaceTempView("nb_model")
-    plan = explain.formatted_plan(
-        spark.sql(langid.LANGID_EVAL_PROBE_SPARK)
-    )
+    model_rows = [
+        (r["lang"], int(r["dim"]), int(r["cnt"]), int(r["logp_q10"]))
+        for r in langid.nb_model_df(spark, sf_dir).collect()
+    ]
+    sql = langid.eval_probe_sql(model_rows)
+    plan = explain.formatted_plan(spark.sql(sql))
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     # one bigram explode (the probe's corpus pass), not the train
@@ -64,7 +66,7 @@ def test_langid_eval_probe_plan(spark, sf_dir):
     assert plan.count("Generate explode") <= 1, plan
     # probe SQL never mentions the model-derivation CTEs
     for cte in ("cnts AS", "model0 AS", "ltot AS", "pric AS"):
-        assert cte not in langid.LANGID_EVAL_PROBE_SPARK
+        assert cte not in sql
 
 
 def test_chunk_windows_keyed(spark, sf_dir):
