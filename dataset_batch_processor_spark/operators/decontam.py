@@ -489,3 +489,95 @@ CHAT_DECONTAM_DUCK = _chat_decontam_sql("duck")
 
 QUERIES["docs_chat_decontam"] = _run(CHAT_DECONTAM_SPARK, ("documents",))
 ORACLES["docs_chat_decontam"] = CHAT_DECONTAM_DUCK
+
+
+# --------------------------------------- decontamination report card
+# Round 11: the per-source rollup a model card's contamination
+# section publishes (GPT-4/PaLM report exactly this table) — every
+# number composed from the GATED screens verbatim (the SFT-card
+# composition rule): exact 8-gram hits, Bloom-screen hits with the
+# false-positive margin visible (bloom-hit docs with ZERO exact
+# grams), and turn-grain benchmark leaks. Spark registers the gated
+# queries as views; the oracle nests each screen's full WITH as an
+# independent subquery (CTE names never collide across screens).
+#
+# Denominators differ by design: the doc-grain screens run on TRAIN
+# docs (doc_id % EVAL_MOD <> 0 — eval docs are the panel), the turn
+# screen on every conversation. greatest(...,1) guards both dialects
+# on a degenerate source (the matryoshka ADVICE rule).
+
+_DECON_REPORT_TAIL = """
+, report_base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % {eval_mod} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_train_docs
+  FROM documents GROUP BY source
+),
+ex AS (
+  SELECT d.source, CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n
+  FROM {ex} e JOIN documents d ON d.doc_id = e.doc_id
+  GROUP BY d.source
+),
+bl AS (
+  SELECT d.source,
+         CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n,
+         CAST(count(DISTINCT CASE WHEN b.n_exact_grams = 0
+                                  THEN b.doc_id END) AS BIGINT) AS n_fp
+  FROM {bl} b JOIN documents d ON d.doc_id = b.doc_id
+  GROUP BY d.source
+),
+tn AS (
+  SELECT d.source, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n
+  FROM {tn} t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY d.source
+)
+SELECT b.source, b.n_docs, b.n_train_docs,
+       CAST(coalesce(ex.n, 0) AS BIGINT) AS ngram8_hit_docs,
+       CAST(coalesce(ex.n, 0) * 1000000
+            {div} greatest(b.n_train_docs, 1) AS BIGINT) AS ngram8_ppm,
+       CAST(coalesce(bl.n, 0) AS BIGINT) AS bloom_hit_docs,
+       CAST(coalesce(bl.n_fp, 0) AS BIGINT) AS bloom_fp_docs,
+       CAST(coalesce(tn.n, 0) AS BIGINT) AS turn_hit_docs,
+       CAST(coalesce(tn.n, 0) * 1000000
+            {div} greatest(b.n_docs, 1) AS BIGINT) AS turn_hit_ppm
+FROM report_base b
+     LEFT JOIN ex ON b.source = ex.source
+     LEFT JOIN bl ON b.source = bl.source
+     LEFT JOIN tn ON b.source = tn.source
+"""
+
+DECON_REPORT_SPARK = (
+    "WITH _x AS (SELECT 1)"
+    + _DECON_REPORT_TAIL.format(
+        eval_mod=EVAL_MOD, ex="dr_exact", bl="dr_bloom", tn="dr_turn",
+        div="DIV",
+    )
+)
+
+DECON_REPORT_DUCK = (
+    "WITH _x AS (SELECT 1)"
+    + _DECON_REPORT_TAIL.format(
+        eval_mod=EVAL_MOD,
+        ex=f"({DECONTAMINATE_DUCK})",
+        bl=f"({BLOOM_DUCK})",
+        tn=f"({CHAT_DECONTAM_DUCK})",
+        div="//",
+    )
+)
+
+
+def _q_decontam_report(spark, sf_dir):
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spark.sql(DECONTAMINATE_SPARK).createOrReplaceTempView("dr_exact")
+    spark.sql(BLOOM_SPARK).createOrReplaceTempView("dr_bloom")
+    spark.sql(CHAT_DECONTAM_SPARK).createOrReplaceTempView("dr_turn")
+    return spark.sql(DECON_REPORT_SPARK)
+
+
+QUERIES["docs_decontam_report"] = _q_decontam_report
+ORACLES["docs_decontam_report"] = DECON_REPORT_DUCK

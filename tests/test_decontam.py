@@ -114,3 +114,55 @@ def test_chat_decontam_plan_broadcasts_panel(spark):
     plan = explain.formatted_plan(spark.sql(decontam.CHAT_DECONTAM_SPARK))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontam_report_reconciles_with_component_gates(spark):
+    """The report card composes the gated screens verbatim — every
+    per-source number must reconcile with an independent recomputation
+    from the screens' own outputs."""
+    from collections import defaultdict
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import decontam
+
+    sf = "/root/testdata/sf0.001"
+    card = {
+        r["source"]: r
+        for r in decontam.QUERIES["docs_decontam_report"](
+            spark, sf
+        ).collect()
+    }
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in catalog.load_table(spark, sf, "documents")
+        .select("doc_id", "source").collect()
+    }
+    exact = defaultdict(set)
+    for r in decontam.QUERIES["docs_decontaminate"](spark, sf).collect():
+        exact[src_of[r["doc_id"]]].add(r["doc_id"])
+    bloom, bloom_fp = defaultdict(set), defaultdict(set)
+    for r in decontam.QUERIES["docs_bloom_decontam"](spark, sf).collect():
+        bloom[src_of[r["doc_id"]]].add(r["doc_id"])
+        if r["n_exact_grams"] == 0:
+            bloom_fp[src_of[r["doc_id"]]].add(r["doc_id"])
+    turn = defaultdict(set)
+    for r in decontam.QUERIES["docs_chat_decontam"](spark, sf).collect():
+        turn[src_of[r["doc_id"]]].add(r["doc_id"])
+
+    n_total = sum(r["n_docs"] for r in card.values())
+    assert n_total == len(src_of)
+    for src, r in card.items():
+        assert r["ngram8_hit_docs"] == len(exact[src]), src
+        assert r["bloom_hit_docs"] == len(bloom[src]), src
+        assert r["bloom_fp_docs"] == len(bloom_fp[src]), src
+        assert r["turn_hit_docs"] == len(turn[src]), src
+        assert r["ngram8_ppm"] == (
+            len(exact[src]) * 1_000_000 // max(r["n_train_docs"], 1)
+        ), src
+        assert r["turn_hit_ppm"] == (
+            len(turn[src]) * 1_000_000 // max(r["n_docs"], 1)
+        ), src
+    # the Bloom screen over-approximates the exact screen per source
+    # (an exactly-shared gram always sets all of its own bits)
+    for src, r in card.items():
+        assert r["bloom_hit_docs"] >= r["ngram8_hit_docs"], src
