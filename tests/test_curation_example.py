@@ -198,3 +198,37 @@ def test_web_pipeline_example(spark):
         # no repeated paragraphs survive
         paras = r.text.split("\n")
         assert len(paras) == len(set(paras))
+
+
+def test_rlhf_pipeline_example(spark, tmp_path):
+    """examples/rlhf_pipeline.py runs end to end on sf0.001; the
+    published training pairs are exactly the margin-real,
+    ensemble-agreed subset of the gated pair set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import rlhf_pipeline
+
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import preference
+
+    out = str(tmp_path / "rlhf")
+    m = rlhf_pipeline.run(spark, "/root/testdata/sf0.001", out)
+    n_docs = catalog.load_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).count()
+    assert m["n_pairs"] == n_docs == m["n_bestof"]
+    assert sum(m["margin_buckets"].values()) == n_docs
+    assert 0 < m["n_train_pairs"] < n_docs
+    # strengths ordered like the fixture's known policy ranking and
+    # normalized to ~Q6
+    s = {int(k): v for k, v in m["bt_strengths_ppm"].items()}
+    assert len(s) == preference.N_CANDIDATES
+    assert 1_000_000 - preference.N_CANDIDATES <= sum(s.values()) <= 1_000_000
+    # published artifact matches the metric
+    got = spark.read.parquet(f"{out}/dpo_pairs")
+    assert got.count() == m["n_train_pairs"]
+    # exclusion semantics: no published pair has a bucket-0 margin
+    assert got.filter(
+        got["margin"] < preference.MARGIN_BUCKET
+    ).count() == 0
