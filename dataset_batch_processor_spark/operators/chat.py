@@ -948,6 +948,66 @@ doc_offs AS (
     )
 
 
+# ------------------------------------ instruction-tag diversity
+# InsTag-style instruction-diversity report (Lu et al. 2023 "InsTag":
+# SFT quality tracks instruction DIVERSITY, not just volume): tag
+# every user turn by its leading token (the instruction-verb
+# surrogate — a production pipeline swaps in a tagger model, the
+# rollup is identical) and report per source the tag spread and a
+# CONCENTRATION index. Simpson/Herfindahl concentration
+# (Σ (cnt_i/total)^2, in ppm) instead of entropy — the no-ln
+# determinism rule; Simpson carries the same "one tag dominates"
+# signal. Exact integers: Σ cnt² * 10^6 DIV total² (int64-safe to
+# ~3e6 turns/source; past that, the bpe._ppm_split trick).
+
+_DIVERSITY_TAIL = """
+, utags AS (
+  SELECT d.source, {first_tok} AS tag
+  FROM turns t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE t.role = 'user'
+),
+tcnts AS (
+  SELECT source, tag, CAST(count(*) AS BIGINT) AS cnt
+  FROM utags GROUP BY source, tag
+),
+ttot AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_turns,
+         CAST(count(*) AS BIGINT) AS n_tags,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM tcnts GROUP BY source
+),
+ttop AS (
+  SELECT source, tag, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tag) AS rn
+  FROM tcnts
+)
+SELECT t.source,
+       t.n_turns AS n_user_turns,
+       t.n_tags AS n_distinct_tags,
+       p.tag AS top_tag,
+       CAST(p.cnt * 1000000 {div} greatest(t.n_turns, 1) AS BIGINT)
+           AS top_tag_ppm,
+       CAST(t.ss * 1000000 {div} greatest(t.n_turns * t.n_turns, 1)
+            AS BIGINT) AS simpson_ppm
+FROM ttot t JOIN ttop p ON t.source = p.source AND p.rn = 1
+"""
+
+INSTR_DIVERSITY_SPARK = (
+    f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+    + _DIVERSITY_TAIL.format(
+        first_tok="element_at(split(t.content, ' '), 1)", div="DIV"
+    )
+)
+INSTR_DIVERSITY_DUCK = (
+    f"WITH {_TOKS_DUCK},\n{_TURNS_DUCK}"
+    + _DIVERSITY_TAIL.format(
+        first_tok="string_split(t.content, ' ')[1]", div="//"
+    )
+)
+
+
 # ------------------------------------------------- independent renderer
 # Plain-Python replay for tests: NO SQL, no Spark — the cross-check
 # that the SQL render/mask really implement the template they claim.
@@ -1011,6 +1071,7 @@ QUERIES = {
     "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
     "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
     "docs_mm_pack_sequences": _q_mm_pack_sequences,
+    "docs_instruction_diversity": _run(INSTR_DIVERSITY_SPARK),
 }
 
 ORACLES = {
@@ -1026,4 +1087,5 @@ ORACLES = {
     "docs_tool_trace_render": TOOL_TRACE_DUCK,
     "docs_chat_prefix_share": CHAT_PREFIX_SHARE_DUCK,
     "docs_mm_pack_sequences": _mm_pack_duck(),
+    "docs_instruction_diversity": INSTR_DIVERSITY_DUCK,
 }

@@ -441,3 +441,38 @@ def test_mm_pack_conserves_plan_totals(spark, sf_dir):
     assert packed.filter(
         F.col("vision_tokens") > F.col("tokens_used")
     ).count() == 0
+
+
+def test_instruction_diversity_matches_python(docs):
+    """docs_instruction_diversity vs an independent Python replay:
+    leading-token tags per user turn, Simpson concentration in ppm."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    con = duckdb.connect()
+    srcs = dict(
+        con.execute(
+            f"SELECT doc_id, source FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    con.close()
+
+    tags = defaultdict(Counter)
+    for doc_id, text in docs:
+        for role, content in chat.conversation_py(doc_id, text):
+            if role == "user":
+                tags[srcs[doc_id]][content.split(" ")[0]] += 1
+
+    got = {r[0]: tuple(r[1:]) for r in _duck(chat.INSTR_DIVERSITY_DUCK)}
+    assert set(got) == set(tags)
+    for src, c in tags.items():
+        n = sum(c.values())
+        top_tag, top_cnt = sorted(
+            c.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        ss = sum(v * v for v in c.values())
+        assert got[src] == (
+            n, len(c), top_tag,
+            top_cnt * 1_000_000 // n,
+            ss * 1_000_000 // (n * n),
+        ), src
