@@ -441,6 +441,93 @@ FROM new_words
     )
 
 
+# ---------------------------------- tokenizer staleness monitor
+# Round 11: a FROZEN tokenizer degrades as the corpus drifts — new
+# vocabulary arrives that the trained merges never fire on, and
+# tokens-per-char creeps up (the fertility drift a tokenizer owner
+# alerts on before deciding to retrain; the HF/tiktoken operational
+# pattern). This compares, at distinct-word grain (the apply-path
+# unit), the TRAINING slice vs the ARRIVING batch under the SAME
+# persisted merges: words where ZERO merges fired (token count ==
+# chars + 1, the untouched delimiter encoding) and the exact
+# tokens-per-char ratio in ppm. All integers; greatest(,1) guards the
+# degenerate empty-split case in both dialects.
+
+_STALE_WORDS_TMPL = """stale_words AS (
+  SELECT DISTINCT CASE WHEN doc_id % {mod} = {res}
+                       THEN 'newbatch' ELSE 'train' END AS batch, w
+  FROM (SELECT doc_id, {tok_x} AS w FROM documents){unnest}
+)"""
+
+
+def _stale_tail(applied: str, div: str) -> str:
+    n_tok = (
+        f"CAST((length({applied}) - length(replace({applied}, '__', '')))"
+        f" / 2 + 1 AS BIGINT)"
+    )
+    return f"""
+, scored_words AS (
+  SELECT batch, w, length(w) AS n_chars, {n_tok} AS n_tokens
+  FROM stale_words
+)
+SELECT batch,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN n_tokens = n_chars + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unmerged_words,
+       CAST(sum(CASE WHEN n_tokens = n_chars + 1 THEN 1 ELSE 0 END)
+            * 1000000 {div} greatest(count(*), 1) AS BIGINT)
+           AS unmerged_ppm,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tokens) * 1000000 {div} greatest(sum(n_chars), 1)
+            AS BIGINT) AS tokens_per_char_ppm
+FROM scored_words
+GROUP BY batch
+"""
+
+
+def _q_tokenizer_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    art = bpe_merges_artifact(spark, sf_dir)
+    rows = sorted(
+        ((int(r["merge_rank"]), r["lhs"], r["rhs"]) for r in art.collect())
+    )
+    merges = [(lhs, rhs) for _, lhs, rhs in rows]
+    enc = "'_' || concat_ws('__', regexp_extract_all(w, '.', 0)) || '__</w>_'"
+    applied = _fold_merges(enc, merges)
+    words = _STALE_WORDS_TMPL.format(
+        mod=NEW_BATCH_MOD, res=NEW_BATCH_RESIDUE,
+        tok_x=f"explode(regexp_extract_all(lower(text), '{WORD_RE}', 0))",
+        unnest="",
+    )
+    return spark.sql(f"WITH {words}{_stale_tail(applied, 'DIV')}")
+
+
+def _tokenizer_staleness_duck(n: int = N_TRAIN_MERGES) -> str:
+    enc = "'_' || array_to_string(string_split(w, ''), '__') || '__</w>_'"
+    applied = enc
+    for i in range(n):
+        applied = (
+            f"replace({applied},"
+            f" '_' || (SELECT lhs FROM b{i}) || '__'"
+            f" || (SELECT rhs FROM b{i}) || '_',"
+            f" '_' || (SELECT lhs || rhs FROM b{i}) || '_')"
+        )
+    words = _STALE_WORDS_TMPL.format(
+        mod=NEW_BATCH_MOD, res=NEW_BATCH_RESIDUE,
+        tok_x=f"unnest(regexp_extract_all(lower(text), '{WORD_RE}'))",
+        unnest="",
+    )
+    return (
+        "WITH "
+        + ",".join(_train_chain_parts(n))
+        + f",\n{words}"
+        + _stale_tail(applied, "//")
+    )
+
+
 # --------------------------- WordPiece greedy longest-match (apply)
 
 # The OTHER production tokenizer family (Wu et al. 2016 / BERT
@@ -1186,6 +1273,7 @@ QUERIES = {
     "docs_unigram_tokens": _q_unigram_tokens,
     "docs_unigram_train": _q_unigram_train,
     "docs_bpe_frozen_apply": _q_bpe_frozen_apply,
+    "docs_tokenizer_staleness": _q_tokenizer_staleness,
 }
 ORACLES = {
     "docs_bpe_tokens": BPE_ESTIMATE_DUCK,
@@ -1195,6 +1283,7 @@ ORACLES = {
     "docs_unigram_tokens": _unigram_duck(),
     "docs_unigram_train": _unigram_train_duck(),
     "docs_bpe_frozen_apply": _frozen_apply_duck(),
+    "docs_tokenizer_staleness": _tokenizer_staleness_duck(),
 }
 
 

@@ -269,3 +269,45 @@ def test_artifact_is_versioned(spark):
     rows = art.collect()
     assert len(rows) == bpe.N_TRAIN_MERGES
     assert {r["tokenizer_version"] for r in rows} == {bpe.TOKENIZER_VERSION}
+
+
+def test_tokenizer_staleness_matches_python(spark):
+    """Staleness rows vs an independent Python replay at distinct-word
+    grain with the in-session-trained merges."""
+    import re as _re
+
+    from dataset_batch_processor_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog.load_table(spark, sf, "documents")
+    merges = bpe.bpe_train(docs, bpe.N_TRAIN_MERGES)
+    by_batch = {"train": set(), "newbatch": set()}
+    for doc_id, text in docs.select("doc_id", "text").collect():
+        b = (
+            "newbatch"
+            if doc_id % bpe.NEW_BATCH_MOD == bpe.NEW_BATCH_RESIDUE
+            else "train"
+        )
+        by_batch[b].update(_re.findall("[a-z]+", text.lower()))
+    got = {
+        r["batch"]: r
+        for r in bpe.QUERIES["docs_tokenizer_staleness"](
+            spark, sf
+        ).collect()
+    }
+    for b, words in by_batch.items():
+        toks = {w: bpe.bpe_apply_tokens(w, merges) for w in words}
+        n_unmerged = sum(
+            1 for w, t in toks.items() if len(t) == len(w) + 1
+        )
+        total_tokens = sum(len(t) for t in toks.values())
+        total_chars = sum(len(w) for w in words)
+        r = got[b]
+        assert r["n_words"] == len(words), b
+        assert r["n_unmerged_words"] == n_unmerged, b
+        assert r["unmerged_ppm"] == n_unmerged * 1_000_000 // len(words)
+        assert r["total_tokens"] == total_tokens, b
+        assert r["total_chars"] == total_chars, b
+        assert r["tokens_per_char_ppm"] == (
+            total_tokens * 1_000_000 // total_chars
+        ), b
