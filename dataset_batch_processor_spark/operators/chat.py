@@ -948,6 +948,38 @@ doc_offs AS (
     )
 
 
+# ---------------------------------------- packing fill-rate report
+# Round 11: the utilization number a packed dataset is judged by —
+# fill-rate histogram of the gated sequence packer's output (decile =
+# tokens_used*10 DIV SEQ_BUDGET; decile 10 = exactly full). Interior
+# sequences of a contiguous packer are full by construction; the
+# histogram quantifies the tail waste that decides whether a smarter
+# packer (FFD) would pay for itself. Pure re-aggregation of the SAME
+# gated pack chain.
+
+_FILL_TAIL = f"""
+SELECT CAST(tokens_used * 10 {{div}} {SEQ_BUDGET} AS INT) AS fill_decile,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(min(tokens_used) AS BIGINT) AS min_tokens,
+       CAST(max(tokens_used) AS BIGINT) AS max_tokens,
+       CAST(sum(tokens_used) AS BIGINT) AS tokens
+FROM packed_seqs
+GROUP BY 1
+"""
+
+
+def _q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _q_chat_pack_sequences(spark, sf_dir).createOrReplaceTempView(
+        "packed_seqs"
+    )
+    return spark.sql("WITH _x AS (SELECT 1)" + _FILL_TAIL.format(div="DIV"))
+
+
+PACK_FILL_DUCK = (
+    f"WITH packed_seqs AS ({_pack_duck()})" + _FILL_TAIL.format(div="//")
+)
+
+
 # ------------------------------------ instruction-tag diversity
 # InsTag-style instruction-diversity report (Lu et al. 2023 "InsTag":
 # SFT quality tracks instruction DIVERSITY, not just volume): tag
@@ -1072,6 +1104,7 @@ QUERIES = {
     "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
     "docs_mm_pack_sequences": _q_mm_pack_sequences,
     "docs_instruction_diversity": _run(INSTR_DIVERSITY_SPARK),
+    "docs_pack_fill_report": _q_pack_fill_report,
 }
 
 ORACLES = {
@@ -1088,4 +1121,5 @@ ORACLES = {
     "docs_chat_prefix_share": CHAT_PREFIX_SHARE_DUCK,
     "docs_mm_pack_sequences": _mm_pack_duck(),
     "docs_instruction_diversity": INSTR_DIVERSITY_DUCK,
+    "docs_pack_fill_report": PACK_FILL_DUCK,
 }
