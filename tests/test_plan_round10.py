@@ -50,9 +50,7 @@ def test_langid_eval_probe_plan(spark, sf_dir):
     passes once, with no model-derivation CTEs."""
     from dataset_batch_processor_spark.operators import langid
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
+    langid._register_corpus_views(spark, sf_dir)
     model_rows = [
         (r["lang"], int(r["dim"]), int(r["cnt"]), int(r["logp_q10"]))
         for r in langid.nb_model_df(spark, sf_dir).collect()
@@ -61,9 +59,11 @@ def test_langid_eval_probe_plan(spark, sf_dir):
     plan = explain.formatted_plan(spark.sql(sql))
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
-    # one bigram explode (the probe's corpus pass), not the train
-    # chain's second one
-    assert plan.count("Generate explode") <= 1, plan
+    # round 12 (VERDICT r11 next #1): the probe's corpus side is the
+    # session-shared feats/teach parquets — ZERO bigram explodes and
+    # zero lang-chain recomputation in the registered eval plan
+    assert plan.count("Generate explode") == 0, plan
+    assert "lid_docs" not in sql
     # probe SQL never mentions the model-derivation CTEs
     for cte in ("cnts AS", "model0 AS", "ltot AS", "pric AS"):
         assert cte not in sql
