@@ -39,6 +39,7 @@ from dataset_batch_processor_spark.operators import (
     chat,
     chatvalidate,
     datacard,
+    ffdpack,
     langid,
     matryoshka,
     mmr,
@@ -510,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
+    q.update(ffdpack.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -631,6 +633,7 @@ FROM images_meta GROUP BY 1
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)
+    o.update(ffdpack.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)
