@@ -688,7 +688,7 @@ _PREF_AGG_SPARK = (
 )
 _PREF_AGG_DUCK = "md5(array_to_string(list(piece ORDER BY turn_id), ''))"
 
-_PREFIX_TAIL = f"""
+_PREF_CTES = f"""
 , pieces AS (
   SELECT doc_id, turn_id, {_PIECE} AS piece FROM turns
 ),
@@ -700,7 +700,9 @@ pref AS (
   FROM pieces p JOIN depths d ON p.turn_id < d.depth
   GROUP BY p.doc_id, d.depth
   HAVING count(*) = d.depth
-),
+)"""
+
+_PREFIX_TAIL = _PREF_CTES + """,
 grp AS (
   SELECT depth, digest, prefix_len, CAST(count(*) AS BIGINT) AS cnt
   FROM pref GROUP BY depth, digest, prefix_len
@@ -731,6 +733,112 @@ CHAT_PREFIX_SHARE_DUCK = (
         pref_agg=_PREF_AGG_DUCK,
     )
 )
+
+
+# --------------------------------------- prefix-grouped serving order
+# Round 12 (VERDICT r11 next #3): the prefix-share report quantifies
+# KV reuse but nothing produced the ORDER that realizes it. This
+# operator emits the batch order a prefix-caching server/trainer
+# should consume: every conversation is assigned to its DEEPEST
+# shared-prefix group (max depth d in PREFIX_DEPTHS where >= 2 convs
+# share the full depth-d rendered prefix; convs sharing nothing fall
+# into one depth-0 group — they still reuse the constant system
+# turn), and the total order makes group members ADJACENT, so each
+# member after a group's first re-prefills nothing of the group
+# prefix. ``reuse_chars`` is that per-request saving; its sum is the
+# realized-reuse number tests tie back to the report (every depth-3
+# report group survives intact at the max depth, so the realized
+# total is >= the report's depth-3 saved_chars).
+#
+# Scale: grouping keys are 16-byte digests; the deepest-group choice
+# is one digest-keyed join + per-doc max; the ONLY global sort is the
+# serve_pos numbering, which rides the W1 prefix-sum machinery on the
+# Spark side (the oracle keeps the one-level row_number spelling).
+# Within-group rank windows are bounded by group size (a pathological
+# all-identical corpus degenerates to one group — the same hot-key
+# caveat as the dedup hot-bucket cap, acceptable for an ORDERING).
+
+_SERVE_TAIL = (
+    _PREF_CTES
+    + f""",
+shared AS (
+  SELECT depth, digest FROM pref GROUP BY depth, digest
+  HAVING count(*) > 1
+),
+deep AS (
+  SELECT p.doc_id, max(p.depth) AS grp_depth
+  FROM pref p JOIN shared s ON p.depth = s.depth AND p.digest = s.digest
+  GROUP BY p.doc_id
+),
+asg AS (
+  SELECT t.doc_id,
+         CAST(coalesce(d.grp_depth, 0) AS INT) AS grp_depth,
+         CASE WHEN d.doc_id IS NULL THEN 'sys' ELSE p.digest END AS digest,
+         CAST(CASE WHEN d.doc_id IS NULL THEN {SYS_LEN}
+                   ELSE p.prefix_len END AS BIGINT) AS prefix_len
+  FROM (SELECT DISTINCT doc_id FROM turns) t
+  LEFT JOIN deep d ON t.doc_id = d.doc_id
+  LEFT JOIN pref p ON d.doc_id = p.doc_id AND d.grp_depth = p.depth
+),
+ranked_asg AS (
+  SELECT doc_id, grp_depth, digest,
+         CAST(CASE WHEN row_number() OVER (
+                PARTITION BY grp_depth, digest ORDER BY doc_id) > 1
+              THEN prefix_len ELSE 0 END AS BIGINT) AS reuse_chars
+  FROM asg
+)"""
+)
+
+
+def _serve_tail(engine: str) -> str:
+    if engine == "spark":
+        return _SERVE_TAIL.format(
+            depths=f"SELECT explode(array({_DEPTH_LIST})) AS depth",
+            pref_agg=_PREF_AGG_SPARK,
+        )
+    return _SERVE_TAIL.format(
+        depths=f"SELECT unnest([{_DEPTH_LIST}]) AS depth",
+        pref_agg=_PREF_AGG_DUCK,
+    )
+
+
+CHAT_SERVING_ORDER_DUCK = f"""WITH {_TOKS_DUCK},
+{_TURNS_DUCK}{_serve_tail('duck')}
+SELECT CAST(row_number() OVER (
+         ORDER BY grp_depth DESC, digest, doc_id) AS BIGINT) AS serve_pos,
+       doc_id, grp_depth, reuse_chars
+FROM ranked_asg
+"""
+
+
+def _q_serving_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    asg = spark.sql(
+        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_serve_tail('spark')}\n"
+        "SELECT doc_id, grp_depth, digest, reuse_chars FROM ranked_asg"
+    )
+    # global serve_pos without a global window: exclusive prefix sum
+    # of ones over the (depth DESC, digest, doc_id) total order
+    numbered = exclusive_prefix_sum(
+        asg.withColumn("_ng", -F.col("grp_depth")).withColumn(
+            "_one", F.lit(1)
+        ),
+        ["_ng", "digest", "doc_id"],
+        "_one",
+        "_g",
+    )
+    return numbered.select(
+        (F.col("_g") + 1).cast("bigint").alias("serve_pos"),
+        "doc_id",
+        "grp_depth",
+        "reuse_chars",
+    )
 
 
 # ------------------------------------------- token-window chunking
@@ -1102,6 +1210,7 @@ QUERIES = {
     "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
     "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
     "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
+    "docs_chat_serving_order": _q_serving_order,
     "docs_mm_pack_sequences": _q_mm_pack_sequences,
     "docs_instruction_diversity": _run(INSTR_DIVERSITY_SPARK),
     "docs_pack_fill_report": _q_pack_fill_report,
@@ -1119,6 +1228,7 @@ ORACLES = {
     "docs_chat_truncate": CHAT_TRUNCATE_DUCK,
     "docs_tool_trace_render": TOOL_TRACE_DUCK,
     "docs_chat_prefix_share": CHAT_PREFIX_SHARE_DUCK,
+    "docs_chat_serving_order": CHAT_SERVING_ORDER_DUCK,
     "docs_mm_pack_sequences": _mm_pack_duck(),
     "docs_instruction_diversity": INSTR_DIVERSITY_DUCK,
     "docs_pack_fill_report": PACK_FILL_DUCK,
