@@ -265,9 +265,13 @@ def bt_trajectory(
     ks = sorted(wins)
     p = {i: _Q6 // len(ks) for i in ks}
     for _ in range(rounds):
+        # .get(): a pair with no recorded games contributes nothing to
+        # the MM denominator (ADVICE r11 — the fixed all-pairs fixture
+        # always has every pair, but sparse comparison data must not
+        # KeyError on reuse)
         denom = {
             i: sum(
-                games[(i, j)] * _Q12 // (p[i] + p[j])
+                games.get((i, j), 0) * _Q12 // (p[i] + p[j])
                 for j in ks if j != i
             )
             for i in ks
@@ -397,6 +401,72 @@ WHERE a.rn = 1
 ENSEMBLE_SPARK = _sql("spark", _ENSEMBLE_TAIL)
 ENSEMBLE_DUCK = _sql("duck", _ENSEMBLE_TAIL)
 
+# ----------------------------------------- chosen-length bias audit
+# Round 12 (VERDICT r11 next #4): the best-documented preference-data
+# artifact is length bias — reward models that prefer VERBOSE
+# responses (public anchors: Singhal et al. 2023 "A Long Way to Go:
+# Investigating Length Correlations in RLHF"; Dubois et al. 2024
+# length-controlled AlpacaEval). The audit rolls the pairs chain up
+# by the token-length delta of (chosen - rejected), clamped to
+# [-LEN_BIAS_CLAMP, +LEN_BIAS_CLAMP] buckets: an unbiased scorer
+# spreads mass across both signs; a verbose-biased one concentrates
+# at delta >= 0. The fixture follows the chatvalidate planted-defect
+# convention — docs with doc_id % 5 = 3 form a PLANTED slice whose
+# winner is picked by a deliberately verbose-biased rule (longer
+# candidate wins, score breaks ties), everything else keeps the
+# organic normalized scorer — so the audit must CATCH the planted
+# slice (its mass sits entirely in delta >= 0 buckets) while the
+# organic slice shows the scorer's true spread. share_ppm is within-
+# slice (integer ppm), so the two slices read on one scale.
+#
+# Scale: one extra projection over the same bounded pairs join;
+# rollup is slice x 9 buckets. All integer — exact gate.
+
+LEN_BIAS_CLAMP = 4
+_PLANTED_PRED = "a.doc_id % 5 = 3"
+
+_LEN_BIAS_TAIL = f"""
+, pairs2 AS (
+  SELECT a.doc_id,
+         CASE WHEN {_PLANTED_PRED} THEN 'planted' ELSE 'organic' END
+             AS slice,
+         CASE WHEN (CASE WHEN {_PLANTED_PRED}
+                         THEN a.n_toks > b.n_toks
+                              OR (a.n_toks = b.n_toks
+                                  AND a.score >= b.score)
+                         ELSE a.score >= b.score END)
+              THEN a.n_toks ELSE b.n_toks END AS chosen_toks,
+         CASE WHEN (CASE WHEN {_PLANTED_PRED}
+                         THEN a.n_toks > b.n_toks
+                              OR (a.n_toks = b.n_toks
+                                  AND a.score >= b.score)
+                         ELSE a.score >= b.score END)
+              THEN b.n_toks ELSE a.n_toks END AS rejected_toks
+  FROM scored a JOIN scored b
+    ON a.doc_id = b.doc_id AND a.k = 0 AND b.k = 1
+),
+bucketed AS (
+  SELECT slice,
+         CAST(least(greatest(chosen_toks - rejected_toks,
+                             -{LEN_BIAS_CLAMP}), {LEN_BIAS_CLAMP})
+              AS INT) AS len_delta_bucket
+  FROM pairs2
+),
+slice_tot AS (
+  SELECT slice, CAST(count(*) AS BIGINT) AS n_slice
+  FROM bucketed GROUP BY slice
+)
+SELECT b.slice, b.len_delta_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * 1000000 {{div}} max(t.n_slice) AS BIGINT)
+           AS share_ppm
+FROM bucketed b JOIN slice_tot t ON b.slice = t.slice
+GROUP BY b.slice, b.len_delta_bucket
+"""
+
+LEN_BIAS_SPARK = _sql("spark", _LEN_BIAS_TAIL, 2)
+LEN_BIAS_DUCK = _sql("duck", _LEN_BIAS_TAIL, 2)
+
 QUERIES = {
     "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
     "docs_rejection_sampling": _run(BESTOF_SPARK),
@@ -404,6 +474,7 @@ QUERIES = {
     "docs_pref_margin_hist": _run(MARGIN_HIST_SPARK),
     "docs_policy_bt_strengths": _q_bt_strengths,
     "docs_reward_ensemble_disagreement": _run(ENSEMBLE_SPARK),
+    "docs_pref_length_bias": _run(LEN_BIAS_SPARK),
 }
 ORACLES = {
     "docs_pref_pairs": PREF_PAIRS_DUCK,
@@ -412,4 +483,5 @@ ORACLES = {
     "docs_pref_margin_hist": MARGIN_HIST_DUCK,
     "docs_policy_bt_strengths": BT_STRENGTHS_DUCK,
     "docs_reward_ensemble_disagreement": ENSEMBLE_DUCK,
+    "docs_pref_length_bias": LEN_BIAS_DUCK,
 }

@@ -230,3 +230,52 @@ def test_ensemble_spark_matches_oracle(spark, sf_dir):
     )
     exp = sorted(tuple(r) for r in _duck(preference.ENSEMBLE_DUCK))
     assert got == exp
+
+
+def test_length_bias_audit_catches_planted_slice(docs):
+    """docs_pref_length_bias (VERDICT r11 next #4) vs an independent
+    Python replay, and the audit's point: the planted verbose-winner
+    slice (doc_id % 5 == 3) must show ZERO mass at negative
+    length-delta buckets while the organic slice spreads across both
+    signs."""
+    from collections import Counter
+
+    exp = Counter()
+    for doc_id, text, _src in docs:
+        a, b = _cand(doc_id, text, 0), _cand(doc_id, text, 1)
+        na = len([t for t in a.split(" ") if t])
+        nb = len([t for t in b.split(" ") if t])
+        planted = doc_id % 5 == 3
+        if planted:
+            a_wins = na > nb or (na == nb and _score(a) >= _score(b))
+        else:
+            a_wins = _score(a) >= _score(b)
+        delta = (na - nb) if a_wins else (nb - na)
+        clamp = preference.LEN_BIAS_CLAMP
+        exp[("planted" if planted else "organic",
+             max(-clamp, min(clamp, delta)))] += 1
+
+    rows = _duck(preference.LEN_BIAS_DUCK)
+    got = {(r[0], r[1]): r[2] for r in rows}
+    assert got == dict(exp)
+    totals = Counter()
+    for (sl, _d), n in exp.items():
+        totals[sl] += n
+    for sl, d, n, ppm in rows:
+        assert ppm == n * 1_000_000 // totals[sl]
+    # the audit catches the plant: verbose winners never lose length
+    assert all(d >= 0 for (sl, d) in got if sl == "planted")
+    # and the organic scorer genuinely spreads across both signs
+    assert any(d < 0 for (sl, d) in got if sl == "organic")
+    assert any(d > 0 for (sl, d) in got if sl == "organic")
+
+
+def test_length_bias_spark_matches_oracle(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in preference.QUERIES["docs_pref_length_bias"](
+            spark, sf_dir
+        ).collect()
+    )
+    exp = sorted(tuple(r) for r in _duck(preference.LEN_BIAS_DUCK))
+    assert got == exp
