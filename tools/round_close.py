@@ -13,11 +13,13 @@ closing commit, mechanically. This script is that order:
    (also folds VERIFY_LEDGER.json, so the tripwire test stays green)
 3. uncontended bench.py at sf0.1 -> prints the headline JSON
 4. tools/bench_compare.py vs the prior committed BENCH_DETAIL.json
+5. stages + commits the snapshot artifacts it regenerated and FAILS
+   if any bench/verify artifact is still newer than HEAD afterwards
+   (round 12, VERDICT r11 wrong #2 / next #5: the close leaves
+   ``git status`` clean for these files, mechanically)
 
-It STOPS on the first failure and never commits — the operator
-reviews, then commits VERIFY_FULL_r{N}.json + VERIFY_LEDGER.json +
-BENCH_COMPARE_r{N}.md as the final snapshot commit. If ANY code
-change lands after this ran, run it again.
+It STOPS on the first failure; only the all-green path commits. If
+ANY code change lands after this ran, run it again.
 """
 
 from __future__ import annotations
@@ -93,12 +95,53 @@ def main() -> None:
              ".bench_detail_prev.json", "BENCH_DETAIL.json"],
             stdout=out,
         )
+    commit_snapshot(n)
     print(
-        f"\nround_close: all green. Commit VERIFY_FULL_r{n}.json, "
-        f"VERIFY_LEDGER.json, BENCH_DETAIL.json, BENCH_COMPARE_r{n}.md "
-        f"as the snapshot commit. Re-run this script if any code "
-        f"changes after it."
+        f"\nround_close: all green and the r{n} snapshot is committed. "
+        f"Re-run this script if any code changes after it."
     )
+
+
+def commit_snapshot(n: int) -> None:
+    """Stage + commit the artifacts this close regenerated, plus any
+    driver-written BENCH_r*/CORRECTNESS_r* still untracked from an
+    earlier window, then ASSERT the tree holds no bench/verify
+    artifact newer than HEAD (VERDICT r11 wrong #2: round 11's final
+    bench swap sat unstaged while the snapshot commit pointed at the
+    contended run — the close must leave `git status` clean for these
+    files, mechanically)."""
+    import glob as _glob
+    import os
+
+    paths = [
+        f"VERIFY_FULL_r{n}.json", "VERIFY_LEDGER.json",
+        "BENCH_DETAIL.json", f"BENCH_COMPARE_r{n}.md", "README.md",
+    ]
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        paths += [
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(REPO, pat))
+        ]
+    subprocess.run(["git", "add", "--"] + paths, cwd=REPO, check=True)
+    staged = subprocess.run(
+        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+    )
+    if staged.returncode != 0:
+        run("snapshot commit", [
+            "git", "commit", "-m",
+            f"Round-{n} close: verify + bench snapshot artifacts",
+        ])
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "BENCH_*.json", "BENCH_DETAIL.json", "CORRECTNESS_*.json",
+         "VERIFY_*.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if dirty:
+        sys.exit(
+            "round_close: bench/verify artifacts newer than HEAD after "
+            f"the snapshot commit — resolve and rerun:\n{dirty}"
+        )
 
 
 if __name__ == "__main__":
