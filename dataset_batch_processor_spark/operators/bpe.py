@@ -240,14 +240,21 @@ def bpe_apply_tokens(word: str, merges) -> list[str]:
 N_TRAIN_MERGES = 10
 
 
-def _q_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_train_merges(
+    spark: SparkSession, sf_dir: str, exclude_new_batch: bool = False,
+) -> DataFrame:
     """Run the REAL distributed training loop and surface the learned
     merge table. The per-iteration argmax collect is exactly one row
     (house k-row-witness policy); everything corpus-sized stays in the
     cluster. Raises if training dries up before ``N_TRAIN_MERGES`` so
     an early stop can never silently desync from the oracle's fixed
-    unroll depth."""
+    unroll depth. ``exclude_new_batch`` holds the arriving batch out
+    of the training corpus (the frozen-artifact path, ADVICE r11)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
+    if exclude_new_batch:
+        docs = docs.filter(
+            f"doc_id % {NEW_BATCH_MOD} <> {NEW_BATCH_RESIDUE}"
+        )
     merges = bpe_train(docs, N_TRAIN_MERGES)
     if len(merges) < N_TRAIN_MERGES:
         raise RuntimeError(
@@ -263,13 +270,22 @@ def _q_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-def _train_chain_parts(n: int = N_TRAIN_MERGES) -> list[str]:
+def _train_chain_parts(
+    n: int = N_TRAIN_MERGES, holdout: bool = False,
+) -> list[str]:
     """The unrolled-training CTE parts (w0, p{i}/b{i}/w{i+1} per
-    iteration) — shared by the training oracle and the frozen-apply
-    oracle (round 11), which folds the LEARNED b{i} rows into an
-    apply instead of selecting them."""
+    iteration) — shared by the training oracle and the frozen-apply /
+    staleness oracles (round 11), which fold the LEARNED b{i} rows
+    into an apply instead of selecting them. ``holdout=True`` trains
+    w0 on the corpus MINUS the arriving batch (ADVICE r11: merges
+    that have already seen the new batch's vocabulary dilute the
+    frozen-apply and fertility-drift contrast the fixture models)."""
+    where = (
+        f"\n          WHERE doc_id % {NEW_BATCH_MOD}"
+        f" <> {NEW_BATCH_RESIDUE}" if holdout else ""
+    )
     parts = [
-        """
+        f"""
 w0 AS MATERIALIZED (
   SELECT '_' || array_to_string(string_split(w, ''), '__') || '__</w>_'
            AS enc,
@@ -277,7 +293,7 @@ w0 AS MATERIALIZED (
   FROM (
     SELECT w, count(*) AS cnt
     FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-          FROM documents)
+          FROM documents{where})
     GROUP BY w
   )
 )"""
@@ -345,11 +361,16 @@ ORDER BY merge_rank
 # FIXED_MERGES query gates — over the arriving batch (doc_id % 10 ==
 # 7, the newbatch convention), and never touches the training chain.
 # The DuckDB oracle re-derives the merges via the unrolled training
-# CTEs and folds them through scalar subqueries, so the hash gate
-# proves the persisted artifact reproduces the in-session trainer
-# byte for byte.
+# CTEs (holdout form — trained on the corpus MINUS the arriving
+# batch, ADVICE r11) and folds them through scalar subqueries, so the
+# hash gate proves the persisted artifact reproduces the holdout
+# trainer byte for byte on vocabulary it has never seen.
 
-TOKENIZER_VERSION = 1
+#: v2 (round 12, ADVICE r11): the artifact trains on the corpus MINUS
+#: the arriving batch, so the frozen-apply / staleness contrast
+#: measures a tokenizer that has genuinely never seen the new data —
+#: the HF merges.txt flow the fixture models.
+TOKENIZER_VERSION = 2
 NEW_BATCH_MOD, NEW_BATCH_RESIDUE = 10, 7
 
 
@@ -359,7 +380,9 @@ def bpe_merges_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import matcache
 
     def build() -> DataFrame:
-        return _q_train_merges(spark, sf_dir).withColumn(
+        return _q_train_merges(
+            spark, sf_dir, exclude_new_batch=True
+        ).withColumn(
             "tokenizer_version", F.lit(TOKENIZER_VERSION).cast("int")
         )
 
@@ -430,7 +453,7 @@ def _frozen_apply_duck(n: int = N_TRAIN_MERGES) -> str:
         )
     return (
         "WITH "
-        + ",".join(_train_chain_parts(n))
+        + ",".join(_train_chain_parts(n, holdout=True))
         + f""",
 {_NEW_WORDS_DUCK}
 SELECT w,
@@ -522,7 +545,7 @@ def _tokenizer_staleness_duck(n: int = N_TRAIN_MERGES) -> str:
     )
     return (
         "WITH "
-        + ",".join(_train_chain_parts(n))
+        + ",".join(_train_chain_parts(n, holdout=True))
         + f",\n{words}"
         + _stale_tail(applied, "//")
     )

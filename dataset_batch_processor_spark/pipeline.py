@@ -251,9 +251,16 @@ def dedup_text_file(spark: SparkSession, in_path: str, out_path: str) -> RunResu
     sinks.export_ordered_lines_distributed(kept, part_dir)
     with open(out_path, "wb") as out:
         for part in sorted(
-            os.path.join(part_dir, p)
-            for p in os.listdir(part_dir)
-            if p.startswith("part-")
+            (
+                os.path.join(part_dir, p)
+                for p in os.listdir(part_dir)
+                if p.startswith("part-")
+            ),
+            # parsed partition id, not lexicographic filename (ADVICE
+            # r11: 'part-100000' < 'part-99999' as strings)
+            key=lambda q: int(
+                os.path.basename(q).split("-")[1].split(".")[0]
+            ),
         ):
             with open(part, "rb") as fh:
                 shutil.copyfileobj(fh, out)

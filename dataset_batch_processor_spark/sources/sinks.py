@@ -77,8 +77,13 @@ def _write_ordered_parts(ordered: DataFrame, out_dir: str, fmt) -> int:
     partitions; ``fmt(fh, row)`` writes ONE record. Each executor
     lazily opens its own ``part-<pid>.txt`` (empty partitions write
     nothing), memory stays bounded by one record, and the
-    byte-concatenation of the parts in filename order is the single
-    logical file. Returns the number of part files written."""
+    byte-concatenation of the parts in partition-id order is the
+    single logical file. Ids are zero-padded to 9 digits (ADVICE r11:
+    at 100 TB repartitionByRange can exceed 5 digits, where
+    'part-100000' sorts lexicographically before 'part-99999'), and
+    in-house consumers additionally sort by the PARSED id
+    (pipeline.py) so even foreign-width files order correctly.
+    Returns the number of part files written."""
     import glob
 
     from pyspark import TaskContext
@@ -92,7 +97,7 @@ def _write_ordered_parts(ordered: DataFrame, out_dir: str, fmt) -> int:
                 if fh is None:
                     pid = TaskContext.get().partitionId()
                     fh = open(
-                        os.path.join(out_dir, f"part-{pid:05d}.txt"), "w"
+                        os.path.join(out_dir, f"part-{pid:09d}.txt"), "w"
                     )
                 fmt(fh, row)
         finally:

@@ -222,7 +222,14 @@ def test_frozen_apply_matches_in_session_trainer(spark):
 
     sf = "/root/testdata/sf0.001"
     docs = catalog.load_table(spark, sf, "documents")
-    merges = bpe.bpe_train(docs, bpe.N_TRAIN_MERGES)
+    # v2 artifact (ADVICE r11): the frozen tokenizer trains on the
+    # corpus MINUS the arriving batch it is later applied to
+    merges = bpe.bpe_train(
+        docs.filter(
+            f"doc_id % {bpe.NEW_BATCH_MOD} <> {bpe.NEW_BATCH_RESIDUE}"
+        ),
+        bpe.N_TRAIN_MERGES,
+    )
     got = {
         r["w"]: (r["tokenizer_version"], r["tokens"], r["n_tokens"])
         for r in bpe.QUERIES["docs_bpe_frozen_apply"](spark, sf).collect()
@@ -280,7 +287,12 @@ def test_tokenizer_staleness_matches_python(spark):
 
     sf = "/root/testdata/sf0.001"
     docs = catalog.load_table(spark, sf, "documents")
-    merges = bpe.bpe_train(docs, bpe.N_TRAIN_MERGES)
+    merges = bpe.bpe_train(
+        docs.filter(
+            f"doc_id % {bpe.NEW_BATCH_MOD} <> {bpe.NEW_BATCH_RESIDUE}"
+        ),
+        bpe.N_TRAIN_MERGES,
+    )
     by_batch = {"train": set(), "newbatch": set()}
     for doc_id, text in docs.select("doc_id", "text").collect():
         b = (
