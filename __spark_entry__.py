@@ -34,6 +34,7 @@ from dataset_batch_processor_spark.streaming import driftmon as stream_drift
 from dataset_batch_processor_spark.streaming import turndedup as stream_turndedup
 from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.streaming import convgate as stream_cvg
+from dataset_batch_processor_spark.streaming import quotagate as stream_qt
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
@@ -498,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_inc.QUERIES)
     q.update(stream_qg.QUERIES)
     q.update(stream_cvg.QUERIES)
+    q.update(stream_qt.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
@@ -620,6 +622,7 @@ FROM images_meta GROUP BY 1
     o.update(stream_inc.ORACLES)
     o.update(stream_qg.ORACLES)
     o.update(stream_cvg.ORACLES)
+    o.update(stream_qt.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)

@@ -613,9 +613,17 @@ _QUOTA_DRAW_DUCK = (
     " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
 )
 
-QUOTA_SAMPLE_SPARK = f"""
+def quota_bottomk_sql(src: str = "documents") -> str:
+    """The two-level tournament bottom-k, KEEPING the draw ``h`` —
+    the mergeable-partial form: bottom-k is associative (bottom-k of
+    per-shard bottom-k's == bottom-k of the union, the same argument
+    as the tournament itself), which is what lets the streaming twin
+    (streaming/quotagate.py) commit per-batch partials and merge on
+    read. Parameterized by source table (the review-finding #2/#3
+    convention — never retarget with .replace())."""
+    return f"""
 WITH draws AS (
-  SELECT source, doc_id, {_QUOTA_DRAW_SPARK} AS h FROM documents
+  SELECT source, doc_id, {_QUOTA_DRAW_SPARK} AS h FROM {src}
 ),
 lvl1 AS (
   SELECT source, doc_id, h FROM (
@@ -625,12 +633,20 @@ lvl1 AS (
     FROM draws
   ) WHERE rb <= {QUOTA_K}
 )
-SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+SELECT source, doc_id, h
 FROM (
-  SELECT source, doc_id,
+  SELECT source, doc_id, h,
          row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
   FROM lvl1
 ) WHERE rn <= {QUOTA_K}
+"""
+
+
+QUOTA_SAMPLE_SPARK = f"""
+SELECT source, doc_id,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+            AS INT) AS sample_rank
+FROM ({quota_bottomk_sql("documents")})
 """
 
 QUOTA_SAMPLE_DUCK = f"""
