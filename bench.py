@@ -178,6 +178,16 @@ def main() -> None:
           lambda: components.doc_dup_labels(spark, sf_dir).count())
     _warm("curation_gates",
           lambda: curationfunnel.doc_gates(spark, sf_dir).count())
+    # round 12 (VERDICT r11 wrong #3): the 4-5x single-rep excursions
+    # on img_phash_components / dedup_dashboard_all_families were the
+    # image pair graphs + CC labels building cold inside whichever rep
+    # touched them first (reproduced: first rep 11.4/11.6 s, warm reps
+    # 2-2.8 s) — build them here like every other shared artifact.
+    from dataset_batch_processor_spark.operators import dedupdash
+    _warm("dhash_graph",
+          lambda: dedupdash.dhash_labels(spark, sf_dir).count())
+    _warm("phash_graph",
+          lambda: dedupdash.phash_labels(spark, sf_dir).count())
     _warm("ivf_flat_assign",
           lambda: similarity.ivf_flat_assign(spark, sf_dir).count())
     _warm("ivf_trained_centroids",
