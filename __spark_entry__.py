@@ -41,6 +41,7 @@ from dataset_batch_processor_spark.operators import (
     chatvalidate,
     datacard,
     ffdpack,
+    icp,
     langid,
     matryoshka,
     mmr,
@@ -514,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
     q.update(ffdpack.QUERIES)
+    q.update(icp.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -637,6 +639,7 @@ FROM images_meta GROUP BY 1
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)
     o.update(ffdpack.ORACLES)
+    o.update(icp.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)

@@ -86,6 +86,13 @@ HEADLINE_V2_EXTRA = (
     "docs_chat_validate",
     "docs_bpe_frozen_apply",
     "docs_policy_bt_strengths",
+    # round 12: one representative each for the FFD packer, the
+    # prefix-grouped serving order, and the preference length-bias
+    # audit (the streaming quota twin rides the HEAVY tier instead —
+    # its wall is availableNow harness cost, like turn_admission)
+    "docs_ffd_pack_sequences",
+    "docs_chat_serving_order",
+    "docs_pref_length_bias",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
@@ -112,6 +119,9 @@ HEAVY = (
     "dedup_dashboard_all_families",
     "img_dhash_components",
     "docs_incremental_lsh_pairs",
+    # round 12: the streaming quota twin (availableNow harness cost,
+    # the turn_admission class)
+    "docs_stream_quota_sample",
 )
 
 # Watch tier: queries whose single-rep timing flagged in a

@@ -812,13 +812,19 @@ FROM ranked_asg
 
 
 def _q_serving_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return serving_order(spark)
+
+
+def serving_order(spark: SparkSession) -> DataFrame:
+    """Serving order over the CURRENT ``documents`` view (the view
+    seam the scale study fans out)."""
     from pyspark.sql import functions as F
 
     from .textops import exclusive_prefix_sum
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
     asg = spark.sql(
         f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_serve_tail('spark')}\n"
         "SELECT doc_id, grp_depth, digest, reuse_chars FROM ranked_asg"

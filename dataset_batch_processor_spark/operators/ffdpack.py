@@ -124,14 +124,20 @@ def _blen_expr(div: str) -> str:
 
 
 def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, blen, bin_id): whole-doc FFD assignment. The corpus
-    side is a prefix-sum rank + a broadcast segment join; the only
-    collect is the <=16-row length histogram."""
-    from .textops import exclusive_prefix_sum
-
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
+    return ffd_assign(spark)
+
+
+def ffd_assign(spark: SparkSession) -> DataFrame:
+    """(doc_id, blen, bin_id): whole-doc FFD assignment over the
+    CURRENT ``documents`` view (the datacard view seam — the scale
+    study fans the view out without reloading the parquet). The
+    corpus side is a prefix-sum rank + a broadcast segment join; the
+    only collect is the <=16-row length histogram."""
+    from .textops import exclusive_prefix_sum
+
     lens = spark.sql(CHAT_DOC_LENS_SPARK)
     blens = lens.select(
         "doc_id", F.expr(_blen_expr("DIV")).cast("bigint").alias("blen")

@@ -1,0 +1,132 @@
+"""In-context-pretraining packing order: arrange documents so that
+ADJACENT documents in the training stream are semantically related.
+
+Public anchor: Shi et al. 2023 "In-Context Pretraining: Language
+Modeling Beyond Document Boundaries" (ICLM) — packing related
+documents into the same context window improves long-context use of
+cross-document information; the practical distributed realization is
+cluster-then-order (the paper's own approximation of its traveling-
+salesman ordering at corpus scale). This module gates that order and
+— the number a data team actually decides on — the measured
+ADJACENCY GAIN: mean cosine of adjacent pairs under the semantic
+order vs the naive vec_id (arrival) order baseline, in one output so
+the delta is a committed, hash-gated quantity.
+
+Composition (nothing new shuffles): the coarse clustering is the
+SAME session-materialized lattice-centroid IVF assignment the ANN
+family probes (similarity.ivf_flat_assign — the index build, paid
+once, warm in bench); both orderings get positions from the W1
+scalable prefix sum (no global window on the Spark side); adjacency
+is a self-join on pos+1 (n-1 pairs, never n^2); per-pair cosine is
+the family's exact-to-6dp fold, quantized floor(x*1e6 + 0.5) per the
+determinism rules so the rollup sums integers. The DuckDB oracle
+replays the assignment via similarity.IVF_ASSIGN_CTES (verbatim the
+IVF gate's index definition) with one-level row_number positions, so
+the hash gate proves the prefix-sum orderings == the sequential
+spelling AND the adjacency gain is real, not a plan artifact.
+
+Scale: assignment cost is the IVF index build (centroid density
+should track ~sqrt(n), similarity.ivf_assignments' documented
+posture); orderings are prefix sums; the adjacency join shuffles
+(pos, vec_id) pairs only. At 100 TB the semantic order is exactly
+what the sequence packer (ffdpack/chat) consumes upstream — packing
+related docs into the same FFD bin is the end-to-end ICLM recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..functions import vector
+from .similarity import IVF_ASSIGN_CTES, _cos_sql
+
+
+def _adjacent_stats(
+    ordered: DataFrame, emb: DataFrame, label: str
+) -> DataFrame:
+    """(ordering, n_pairs, sum_cos6, avg_cos6) over pos -> pos+1."""
+    left = ordered.select("vec_id", "pos")
+    right = ordered.select(
+        F.col("vec_id").alias("vec_b"), (F.col("pos") - 1).alias("pos")
+    )
+    pairs = left.join(right, "pos")
+    j = (
+        pairs.join(
+            emb.select("vec_id", F.col("embedding").alias("ea")), "vec_id"
+        ).join(
+            emb.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+            ),
+            "vec_b",
+        )
+    )
+    cos6 = F.round(vector.cosine(F.col("ea"), F.col("eb")), 6)
+    q = F.floor(cos6 * 1000000 + F.lit(0.5)).cast("bigint")
+    return j.agg(
+        F.lit(label).alias("ordering"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(q).cast("bigint").alias("sum_cos6"),
+    ).select(
+        "ordering", "n_pairs", "sum_cos6",
+        F.expr("sum_cos6 DIV n_pairs").cast("bigint").alias("avg_cos6"),
+    )
+
+
+def _q_semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import ivf_flat_assign
+    from .textops import exclusive_prefix_sum
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    assign = ivf_flat_assign(spark, sf_dir)  # warm session index
+    sem = exclusive_prefix_sum(
+        assign.withColumn("_one", F.lit(1)),
+        ["centroid_id", "vec_id"], "_one", "pos",
+    ).select("vec_id", "pos")
+    base = exclusive_prefix_sum(
+        emb.select("vec_id").withColumn("_one", F.lit(1)),
+        ["vec_id"], "_one", "pos",
+    ).select("vec_id", "pos")
+    return _adjacent_stats(sem, emb, "semantic").unionByName(
+        _adjacent_stats(base, emb, "baseline")
+    )
+
+
+SEMANTIC_PACK_ORDER_DUCK = f"""
+WITH {IVF_ASSIGN_CTES},
+sem AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY centroid_id, vec_id) - 1 AS pos
+  FROM assign
+),
+base AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM embeddings
+),
+adj AS (
+  SELECT 'semantic' AS ordering, x.vec_id AS va, y.vec_id AS vb
+  FROM sem x JOIN sem y ON y.pos = x.pos + 1
+  UNION ALL
+  SELECT 'baseline', x.vec_id, y.vec_id
+  FROM base x JOIN base y ON y.pos = x.pos + 1
+),
+scored AS (
+  SELECT ordering,
+         CAST(floor({_cos_sql('ea.embedding', 'eb.embedding')}
+                    * 1000000 + 0.5) AS BIGINT) AS c6
+  FROM adj p
+  JOIN embeddings ea ON ea.vec_id = p.va
+  JOIN embeddings eb ON eb.vec_id = p.vb
+)
+SELECT ordering,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c6) AS BIGINT) AS sum_cos6,
+       CAST(CAST(sum(c6) AS BIGINT) // count(*) AS BIGINT) AS avg_cos6
+FROM scored
+GROUP BY ordering
+"""
+
+QUERIES = {"emb_semantic_pack_order": _q_semantic_pack_order}
+ORACLES = {"emb_semantic_pack_order": SEMANTIC_PACK_ORDER_DUCK}

@@ -970,8 +970,10 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
-IVF_TOPK_DUCK = f"""
-WITH centroids AS (
+# The lattice-centroid assignment CTEs, shared by IVF_TOPK_DUCK and
+# the in-context packing-order oracle (operators/icp.py, round 12) —
+# factored verbatim so both gates replay the same index definition.
+IVF_ASSIGN_CTES = f"""centroids AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
   FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
 ),
@@ -987,7 +989,10 @@ assign AS (
                               ORDER BY cos_sim DESC, centroid_id) AS rnk
     FROM assign_scored
   ) WHERE rnk = 1
-),
+)"""
+
+IVF_TOPK_DUCK = f"""
+WITH {IVF_ASSIGN_CTES},
 queries AS (
   SELECT vec_id AS query_id, embedding AS q_emb
   FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
