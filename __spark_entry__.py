@@ -42,6 +42,7 @@ from dataset_batch_processor_spark.operators import (
     datacard,
     ffdpack,
     icp,
+    recipe,
     langid,
     matryoshka,
     mmr,
@@ -516,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(datacard.QUERIES)
     q.update(ffdpack.QUERIES)
     q.update(icp.QUERIES)
+    q.update(recipe.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -640,6 +642,7 @@ FROM images_meta GROUP BY 1
     o.update(datacard.ORACLES)
     o.update(ffdpack.ORACLES)
     o.update(icp.ORACLES)
+    o.update(recipe.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)
