@@ -128,5 +128,67 @@ FROM scored
 GROUP BY ordering
 """
 
-QUERIES = {"emb_semantic_pack_order": _q_semantic_pack_order}
-ORACLES = {"emb_semantic_pack_order": SEMANTIC_PACK_ORDER_DUCK}
+# ------------------------------- ICLM end-to-end: pack the order
+# The gated concat-and-split packer (chat.docs_chat_pack_sequences)
+# consumes a TOTAL ORDER through its doc-offset prefix sum; ICLM is
+# exactly that packer fed the SEMANTIC order instead of arrival
+# order, so related documents land in the same context window. Same
+# output schema and conservation laws as the arrival-order packer
+# (total tokens, sequence count, mask tokens are order-invariant —
+# pinned in tests); only the composition changes. vec_id == doc_id in
+# the fixture tables (1:1, both SFs — verified), the join is the
+# alignment contract.
+
+
+def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .chat import CHAT_DOC_LENS_SPARK, CHAT_TURN_SPANS_SPARK, _pack_tail
+    from .similarity import ivf_flat_assign
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    lens = spark.sql(CHAT_DOC_LENS_SPARK)
+    assign = ivf_flat_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    ordered = lens.join(assign, "doc_id")
+    exclusive_prefix_sum(
+        ordered, ["centroid_id", "doc_id"], "doc_len", "s"
+    ).select("doc_id", "doc_len", "s").createOrReplaceTempView("doc_offs")
+    spark.sql(CHAT_TURN_SPANS_SPARK).createOrReplaceTempView("turn_spans")
+    return spark.sql("WITH _x AS (SELECT 1)" + _pack_tail("spark"))
+
+
+def _icp_pack_duck() -> str:
+    from .chat import (
+        _DOC_LENS_TAIL,
+        _TOKS_DUCK,
+        _TURN_SPANS_TAIL,
+        _TURNS_DUCK,
+        _pack_tail,
+    )
+
+    return f"""WITH {_TOKS_DUCK},
+{_TURNS_DUCK},
+doc_lens AS ({_DOC_LENS_TAIL}),
+{IVF_ASSIGN_CTES},
+doc_offs AS (
+  SELECT d.doc_id, d.doc_len,
+         CAST(coalesce(sum(d.doc_len) OVER (
+             ORDER BY a.centroid_id, d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS s
+  FROM doc_lens d JOIN assign a ON a.vec_id = d.doc_id
+),
+turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
+
+
+QUERIES = {
+    "emb_semantic_pack_order": _q_semantic_pack_order,
+    "docs_icp_pack_sequences": _q_icp_pack_sequences,
+}
+ORACLES = {
+    "emb_semantic_pack_order": SEMANTIC_PACK_ORDER_DUCK,
+    "docs_icp_pack_sequences": _icp_pack_duck(),
+}

@@ -86,3 +86,28 @@ def test_plan_no_corpus_window(spark):
     ]
     assert bad == [], plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_icp_pack_conserves_and_differs(spark):
+    """The semantic-order packer is the SAME packer under a different
+    total order: totals conserve exactly (tokens, sequences, mask,
+    docs started), but the composition genuinely changes."""
+    from dataset_batch_processor_spark.operators import chat
+
+    sem = icp._q_icp_pack_sequences(spark, SF).collect()
+    base = chat.QUERIES["docs_chat_pack_sequences"](spark, SF).collect()
+
+    def totals(rows):
+        return (
+            len(rows),
+            sum(r["tokens_used"] for r in rows),
+            sum(r["mask_tokens"] for r in rows),
+            sum(r["n_docs_started"] for r in rows),
+        )
+
+    assert totals(sem) == totals(base)
+    # a different order: at least one sequence leads with a
+    # different doc
+    sem_first = {r["seq_id"]: r["first_doc"] for r in sem}
+    base_first = {r["seq_id"]: r["first_doc"] for r in base}
+    assert sem_first != base_first
