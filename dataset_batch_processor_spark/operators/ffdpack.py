@@ -130,15 +130,18 @@ def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ffd_assign(spark)
 
 
-def ffd_assign(spark: SparkSession) -> DataFrame:
+def ffd_assign(spark: SparkSession, lens: DataFrame | None = None) -> DataFrame:
     """(doc_id, blen, bin_id): whole-doc FFD assignment over the
     CURRENT ``documents`` view (the datacard view seam — the scale
     study fans the view out without reloading the parquet). The
     corpus side is a prefix-sum rank + a broadcast segment join; the
-    only collect is the <=16-row length histogram."""
+    only collect is the <=16-row length histogram. Callers that
+    already derived the (doc_id, doc_len) table pass it via ``lens``
+    so the tokenize chain is paid once (review r12 #6)."""
     from .textops import exclusive_prefix_sum
 
-    lens = spark.sql(CHAT_DOC_LENS_SPARK)
+    if lens is None:
+        lens = spark.sql(CHAT_DOC_LENS_SPARK)
     blens = lens.select(
         "doc_id", F.expr(_blen_expr("DIV")).cast("bigint").alias("blen")
     )
@@ -148,6 +151,10 @@ def ffd_assign(spark: SparkSession) -> DataFrame:
             F.count("*").alias("n")
         ).collect()  # <= 16 rows: one per length bucket, never corpus-sized
     }
+    if not hist:  # empty corpus: empty assignment, not a VALUES parse
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, blen BIGINT, bin_id BIGINT"
+        )
     segs, _ = ffd_segments(hist)
     # shift segments into GLOBAL (blen ASC, doc_id ASC) rank space so
     # the Spark side needs no per-class window at all
@@ -316,8 +323,15 @@ FROM unioned GROUP BY 1, 2
 def _q_ffd_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .chat import _q_chat_pack_sequences
 
-    _q_ffd_pack(spark, sf_dir).createOrReplaceTempView("ffd_asgn")
-    spark.sql(CHAT_DOC_LENS_SPARK).createOrReplaceTempView("doc_lens")
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    # one tokenize pass serves the assignment AND the report's real
+    # token sums (review r12 #6: three independently registered views
+    # each re-derived the toks->turns->doc_lens chain)
+    lens = spark.sql(CHAT_DOC_LENS_SPARK).localCheckpoint()
+    ffd_assign(spark, lens).createOrReplaceTempView("ffd_asgn")
+    lens.createOrReplaceTempView("doc_lens")
     _q_chat_pack_sequences(spark, sf_dir).createOrReplaceTempView(
         "packed_seqs"
     )

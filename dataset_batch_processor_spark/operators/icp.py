@@ -152,6 +152,16 @@ def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_flat_assign(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "centroid_id"
     )
+    # enforce the alignment contract instead of assuming it (review
+    # r12 #3): an inner join would silently DROP docs with no
+    # embedding row — and identically in both engines, so the hash
+    # gate could not see the packer's conservation law break
+    if lens.join(assign, "doc_id", "left_anti").limit(1).count() > 0:
+        raise ValueError(
+            "docs_icp_pack_sequences: documents exist with no "
+            "embedding/IVF row — the semantic order is undefined for "
+            "them; align the tables or pack the remainder separately"
+        )
     ordered = lens.join(assign, "doc_id")
     exclusive_prefix_sum(
         ordered, ["centroid_id", "doc_id"], "doc_len", "s"

@@ -45,11 +45,21 @@ _SKEW_GRP = ("CASE WHEN doc_id % 32 = 0 THEN 'tail_rare' "
 
 def _recipe_sql(engine: str, grain: str = "source",
                 grp: str = "source") -> str:
+    from .bpe import _ppm_split
+
     div = "DIV" if engine == "spark" else "//"
     ntok = (
         "size(split(text, ' '))" if engine == "spark"
         else "len(string_split(text, ' '))"
     )
+    # int64-safe at the documented 100-TB posture (review r12 #2):
+    # quota never forms total*EPOCH_X*weight_ppm (~4e19 at 2e13
+    # tokens) — it splits the budget at the ppm boundary first; the
+    # epochs ratio rides bpe._ppm_split (floor(t*1e6/w) without
+    # forming t*1e6). Spark with ANSI off would otherwise WRAP
+    # silently while DuckDB promotes to hugeint — a production wrong
+    # answer the fixture scale never exercises.
+    epochs = _ppm_split("quota_tokens", "greatest(n_tokens, 1)", div)
     return f"""
 WITH sized AS (
   SELECT {grp} AS source, {ntok} AS ntok FROM documents
@@ -77,16 +87,15 @@ weighted AS (
 ),
 quotas AS (
   SELECT w.source, w.n_docs, w.n_tokens, w.token_ppm, w.weight_ppm,
-         CAST(t.total * {EPOCH_X} * w.weight_ppm {div} 1000000 AS BIGINT)
-             AS quota_tokens
+         CAST((t.total * {EPOCH_X} {div} 1000000) * w.weight_ppm
+              + (t.total * {EPOCH_X} % 1000000) * w.weight_ppm
+                {div} 1000000 AS BIGINT) AS quota_tokens
   FROM weighted w CROSS JOIN tot t
 )
 SELECT '{grain}' AS grain,
        source, n_docs, n_tokens, token_ppm, weight_ppm, quota_tokens,
-       CAST(quota_tokens * 1000000 {div} greatest(n_tokens, 1) AS BIGINT)
-           AS epochs_ppm,
-       quota_tokens * 1000000 {div} greatest(n_tokens, 1)
-           > {REPEAT_CLIFF_PPM} AS repeat_risk
+       CAST({epochs} AS BIGINT) AS epochs_ppm,
+       {epochs} > {REPEAT_CLIFF_PPM} AS repeat_risk
 FROM quotas
 """
 

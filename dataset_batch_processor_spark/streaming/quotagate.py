@@ -28,6 +28,7 @@ to corrupt on retry).
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,12 +37,20 @@ from .. import catalog
 from ..operators import curation
 
 
+_VIEW_SEQ = itertools.count()
+
+
 def quota_partial(batch_docs: DataFrame) -> DataFrame:
     """(source, doc_id, h): one shard's per-source bottom-k via the
-    gated tournament chain."""
+    gated tournament chain. The batch view name is unique per call
+    (review r12 #5): two quota streams sharing a SparkSession must
+    not race on one global view name — a partial computed over the
+    OTHER stream's batch would be a wrong, permanently committed
+    admission decision."""
     spark = batch_docs.sparkSession
-    batch_docs.createOrReplaceTempView("stream_quota_docs")
-    return spark.sql(curation.quota_bottomk_sql("stream_quota_docs"))
+    view = f"stream_quota_docs_{next(_VIEW_SEQ)}"
+    batch_docs.createOrReplaceTempView(view)
+    return spark.sql(curation.quota_bottomk_sql(view))
 
 
 def accumulate_quota(

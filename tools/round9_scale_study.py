@@ -39,25 +39,15 @@ RESULTS: dict = {}
 
 
 def _fanout_docs(spark, mult: int):
-    docs = catalog.load_table(spark, SF_DIR, "documents")
-    if mult == 1:
-        return docs
-    return (
-        docs.crossJoin(F.broadcast(spark.range(mult).withColumnRenamed("id", "_m")))
-        .withColumn("doc_id", F.col("doc_id") * mult + F.col("_m"))
-        .drop("_m")
-    )
+    from studylib import fanout_table
+
+    return fanout_table(spark, SF_DIR, "documents", "doc_id", mult)
 
 
 def _fanout_emb(spark, mult: int):
-    emb = catalog.load_table(spark, SF_DIR, "embeddings")
-    if mult == 1:
-        return emb
-    return (
-        emb.crossJoin(F.broadcast(spark.range(mult).withColumnRenamed("id", "_m")))
-        .withColumn("vec_id", F.col("vec_id") * mult + F.col("_m"))
-        .drop("_m")
-    )
+    from studylib import fanout_table
+
+    return fanout_table(spark, SF_DIR, "embeddings", "vec_id", mult)
 
 
 def _perms(k: int):

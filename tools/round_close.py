@@ -122,15 +122,18 @@ def commit_snapshot(n: int) -> None:
             os.path.basename(p)
             for p in _glob.glob(os.path.join(REPO, pat))
         ]
+    # pathspec-limited commit (review r12 #1): a bare `git commit`
+    # would sweep any pre-staged unrelated WIP into the snapshot
     subprocess.run(["git", "add", "--"] + paths, cwd=REPO, check=True)
     staged = subprocess.run(
-        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+        ["git", "diff", "--cached", "--quiet", "--"] + paths, cwd=REPO
     )
     if staged.returncode != 0:
         run("snapshot commit", [
             "git", "commit", "-m",
             f"Round-{n} close: verify + bench snapshot artifacts",
-        ])
+            "--",
+        ] + paths)
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--",
          "BENCH_*.json", "BENCH_DETAIL.json", "CORRECTNESS_*.json",
