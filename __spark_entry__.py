@@ -43,6 +43,7 @@ from dataset_batch_processor_spark.operators import (
     ffdpack,
     icp,
     recipe,
+    curriculum,
     langid,
     matryoshka,
     mmr,
@@ -518,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(ffdpack.QUERIES)
     q.update(icp.QUERIES)
     q.update(recipe.QUERIES)
+    q.update(curriculum.QUERIES)
     q.update(stream_turndedup.QUERIES)
     q.update(mm_alignment.QUERIES)
     return _prioritize(q)
@@ -643,6 +645,7 @@ FROM images_meta GROUP BY 1
     o.update(ffdpack.ORACLES)
     o.update(icp.ORACLES)
     o.update(recipe.ORACLES)
+    o.update(curriculum.ORACLES)
     o.update(stream_turndedup.ORACLES)
     o.update(mm_alignment.ORACLES)
     return _prioritize(o)
