@@ -135,9 +135,12 @@ GROUP BY ordering
 # order, so related documents land in the same context window. Same
 # output schema and conservation laws as the arrival-order packer
 # (total tokens, sequence count, mask tokens are order-invariant —
-# pinned in tests); only the composition changes. vec_id == doc_id in
-# the fixture tables (1:1, both SFs — verified), the join is the
-# alignment contract.
+# pinned in tests); only the composition changes. vec_id == doc_id is
+# the alignment contract where embeddings exist; docs WITHOUT an
+# embedding row (sf0.1 has 10:1 docs:embeddings) form one trailing
+# arrival-order block — defined remainder semantics instead of a
+# silent inner-join drop (review r12 #3), parity pinned at the
+# misaligned scale in tests/test_icp.py.
 
 
 def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,19 +155,21 @@ def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_flat_assign(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "centroid_id"
     )
-    # enforce the alignment contract instead of assuming it (review
-    # r12 #3): an inner join would silently DROP docs with no
-    # embedding row — and identically in both engines, so the hash
-    # gate could not see the packer's conservation law break
-    if lens.join(assign, "doc_id", "left_anti").limit(1).count() > 0:
-        raise ValueError(
-            "docs_icp_pack_sequences: documents exist with no "
-            "embedding/IVF row — the semantic order is undefined for "
-            "them; align the tables or pack the remainder separately"
-        )
-    ordered = lens.join(assign, "doc_id")
+    # alignment contract with DEFINED remainder semantics (review r12
+    # #3): an inner join would silently DROP docs with no embedding
+    # row — identically in both engines, invisibly to the hash gate.
+    # Instead, unembedded docs form one trailing arrival-order block
+    # after the semantic clusters (what a real pipeline does with
+    # embed-missing docs: still trained on, just not re-ordered) —
+    # conservation vs the arrival-order packer holds by construction.
+    ordered = lens.join(assign, "doc_id", "left").select(
+        "doc_id", "doc_len",
+        F.when(F.col("centroid_id").isNull(), F.lit(1))
+        .otherwise(F.lit(0)).alias("_unemb"),
+        F.coalesce("centroid_id", F.lit(-1)).alias("_cid"),
+    )
     exclusive_prefix_sum(
-        ordered, ["centroid_id", "doc_id"], "doc_len", "s"
+        ordered, ["_unemb", "_cid", "doc_id"], "doc_len", "s"
     ).select("doc_id", "doc_len", "s").createOrReplaceTempView("doc_offs")
     spark.sql(CHAT_TURN_SPANS_SPARK).createOrReplaceTempView("turn_spans")
     return spark.sql("WITH _x AS (SELECT 1)" + _pack_tail("spark"))
@@ -186,10 +191,11 @@ doc_lens AS ({_DOC_LENS_TAIL}),
 doc_offs AS (
   SELECT d.doc_id, d.doc_len,
          CAST(coalesce(sum(d.doc_len) OVER (
-             ORDER BY a.centroid_id, d.doc_id
+             ORDER BY CASE WHEN a.centroid_id IS NULL THEN 1 ELSE 0 END,
+                      coalesce(a.centroid_id, -1), d.doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS s
-  FROM doc_lens d JOIN assign a ON a.vec_id = d.doc_id
+  FROM doc_lens d LEFT JOIN assign a ON a.vec_id = d.doc_id
 ),
 turn_spans AS ({_TURN_SPANS_TAIL}){_pack_tail('duck')}"""
 

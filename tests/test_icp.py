@@ -111,3 +111,35 @@ def test_icp_pack_conserves_and_differs(spark):
     sem_first = {r["seq_id"]: r["first_doc"] for r in sem}
     base_first = {r["seq_id"]: r["first_doc"] for r in base}
     assert sem_first != base_first
+
+
+def test_icp_pack_misaligned_corpus_parity(spark):
+    """sf0.1 has 5000 docs but only 500 embeddings — the remainder
+    path (unembedded docs as one trailing arrival-order block) must
+    agree across engines and conserve totals there too."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.1"
+    got = sorted(
+        tuple(r)
+        for r in icp._q_icp_pack_sequences(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf}/{t}.parquet')"
+        )
+    exp = sorted(tuple(r) for r in con.execute(
+        icp.ORACLES["docs_icp_pack_sequences"]
+    ).fetchall())
+    con.close()
+    assert got == exp
+    # conservation vs the arrival-order packer holds at the
+    # misaligned scale by construction (left join drops nothing)
+    from dataset_batch_processor_spark.operators import chat
+
+    base = chat.QUERIES["docs_chat_pack_sequences"](spark, sf).collect()
+    assert sum(r[4] for r in got) == sum(
+        r["tokens_used"] for r in base
+    )
