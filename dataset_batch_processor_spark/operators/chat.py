@@ -780,12 +780,18 @@ asg AS (
   LEFT JOIN deep d ON t.doc_id = d.doc_id
   LEFT JOIN pref p ON d.doc_id = p.doc_id AND d.grp_depth = p.depth
 ),
+conv_len AS (
+  SELECT doc_id,
+         CAST({SYS_LEN} + sum(length(piece)) AS BIGINT) AS render_len
+  FROM pieces GROUP BY doc_id
+),
 ranked_asg AS (
-  SELECT doc_id, grp_depth, digest,
+  SELECT a.doc_id, a.grp_depth, a.digest, l.render_len,
          CAST(CASE WHEN row_number() OVER (
-                PARTITION BY grp_depth, digest ORDER BY doc_id) > 1
-              THEN prefix_len ELSE 0 END AS BIGINT) AS reuse_chars
-  FROM asg
+                PARTITION BY a.grp_depth, a.digest
+                ORDER BY l.render_len, a.doc_id) > 1
+              THEN a.prefix_len ELSE 0 END AS BIGINT) AS reuse_chars
+  FROM asg a JOIN conv_len l ON a.doc_id = l.doc_id
 )"""
 )
 
@@ -805,8 +811,9 @@ def _serve_tail(engine: str) -> str:
 CHAT_SERVING_ORDER_DUCK = f"""WITH {_TOKS_DUCK},
 {_TURNS_DUCK}{_serve_tail('duck')}
 SELECT CAST(row_number() OVER (
-         ORDER BY grp_depth DESC, digest, doc_id) AS BIGINT) AS serve_pos,
-       doc_id, grp_depth, reuse_chars
+         ORDER BY grp_depth DESC, digest, render_len, doc_id)
+         AS BIGINT) AS serve_pos,
+       doc_id, grp_depth, render_len, reuse_chars
 FROM ranked_asg
 """
 
@@ -827,15 +834,19 @@ def serving_order(spark: SparkSession) -> DataFrame:
 
     asg = spark.sql(
         f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_serve_tail('spark')}\n"
-        "SELECT doc_id, grp_depth, digest, reuse_chars FROM ranked_asg"
+        "SELECT doc_id, grp_depth, digest, render_len, reuse_chars"
+        " FROM ranked_asg"
     )
     # global serve_pos without a global window: exclusive prefix sum
-    # of ones over the (depth DESC, digest, doc_id) total order
+    # of ones over the (depth DESC, digest, length, doc_id) total
+    # order — length-sorted within groups so a serving batch pads
+    # minimally (VERDICT r11 next #3's "shared-prefix group, then
+    # length" spelling)
     numbered = exclusive_prefix_sum(
         asg.withColumn("_ng", -F.col("grp_depth")).withColumn(
             "_one", F.lit(1)
         ),
-        ["_ng", "digest", "doc_id"],
+        ["_ng", "digest", "render_len", "doc_id"],
         "_one",
         "_g",
     )
@@ -843,6 +854,7 @@ def serving_order(spark: SparkSession) -> DataFrame:
         (F.col("_g") + 1).cast("bigint").alias("serve_pos"),
         "doc_id",
         "grp_depth",
+        "render_len",
         "reuse_chars",
     )
 

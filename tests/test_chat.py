@@ -454,14 +454,20 @@ def test_serving_order_realizes_prefix_reuse(docs):
 
     rows = sorted(_duck(chat.CHAT_SERVING_ORDER_DUCK))
     assert [r[0] for r in rows] == list(range(1, len(docs) + 1))
+    render_len = {
+        doc_id: len(chat.render_py(doc_id, text)) for doc_id, text in docs
+    }
     # depth assignment matches the replay; adjacency: walking the
-    # serve order, each group's members form one contiguous block
+    # serve order, each group's members form one contiguous block,
+    # LENGTH-sorted inside it (minimal batch padding)
     seen_done = set()
     prev_key = None
+    prev_len = None
     reuse_total = 0
-    for _pos, doc_id, depth, reuse in rows:
+    for _pos, doc_id, depth, rlen, reuse in rows:
         exp_d, exp_key, exp_len = exp_grp[doc_id]
         assert depth == exp_d, doc_id
+        assert rlen == render_len[doc_id], doc_id
         key = (exp_d, exp_key)
         if key != prev_key:
             assert key not in seen_done  # contiguous blocks only
@@ -471,6 +477,8 @@ def test_serving_order_realizes_prefix_reuse(docs):
             prev_key = key
         else:
             assert reuse == exp_len, doc_id
+            assert rlen >= prev_len  # length-sorted within the group
+        prev_len = rlen
         reuse_total += reuse
     assert reuse_total == exp_total
     # tie to the gated report: realized reuse dominates the report's
