@@ -48,6 +48,7 @@ from dataset_batch_processor_spark.operators import (
     matryoshka,
     mmr,
     preference,
+    rlvr,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -513,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(chatvalidate.QUERIES)
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
+    q.update(rlvr.QUERIES)
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
@@ -639,6 +641,7 @@ FROM images_meta GROUP BY 1
     o.update(chatvalidate.ORACLES)
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
+    o.update(rlvr.ORACLES)
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)

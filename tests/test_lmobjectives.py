@@ -100,3 +100,85 @@ def test_span_mask_rate_near_fifteen_percent():
     ).fetchone()
     rate = masked / tot
     assert 0.12 < rate < 0.18, rate
+
+
+# ------------------------------------------------------- UL2 mixture
+
+
+def _ref_ul2(doc_id: int, text: str):
+    toks = text.split(" ")
+    n = len(toks)
+    mode_h = _h(f"{doc_id}:ul2m") % 4
+    mode = {2: "S", 3: "X"}.get(mode_h, "R")
+    cut = n // 4 + _h(f"{doc_id}:ul2c") % (n // 2 + 1)
+    if mode == "S":
+        mask = [p >= cut for p in range(n)]
+    else:
+        num = lmo.X_NUM if mode == "X" else lmo.MASK_NUM
+        mask = [
+            _h(f"{doc_id}:{p}") % lmo.MASK_DEN < num for p in range(n)
+        ]
+    inputs, targets = [], []
+    k = -1
+    for p, (t, m) in enumerate(zip(toks, mask)):
+        start = m and (p == 0 or not mask[p - 1])
+        if start:
+            k += 1
+            inputs.append(f"<extra_id_{k}>")
+            targets.append(f"<extra_id_{k}>")
+            targets.append(t)
+        elif m:
+            targets.append(t)
+        else:
+            inputs.append(t)
+    return (
+        mode,
+        n,
+        sum(mask),
+        k + 1,
+        hashlib.md5(f"[{mode}] " + " ".join(inputs)).hexdigest()
+        if False
+        else hashlib.md5((f"[{mode}] " + " ".join(inputs)).encode()).hexdigest(),
+        hashlib.md5(" ".join(targets).encode()).hexdigest(),
+    )
+
+
+def test_ul2_oracle_matches_reference():
+    con = duckdb.connect()
+    _view(con, TEXTS)
+    rows = {r[0]: r[1:] for r in con.execute(lmo.UL2_DOC_DUCK).fetchall()}
+    for i, t in enumerate(TEXTS):
+        assert rows[i] == _ref_ul2(i, t), (i, rows[i], _ref_ul2(i, t))
+
+
+def test_ul2_mixture_semantics():
+    """Paradigm semantics at corpus scale: S is a SINGLE tail span at
+    ~50% mass in the middle-half window, X masks ~50% in many spans,
+    R matches the T5 rate; every doc appears in exactly one mode."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    docs = con.execute(lmo.UL2_DOC_DUCK).fetchall()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(docs) == n_docs
+    card = {r[0]: r[1:] for r in con.execute(lmo.UL2_CARD_DUCK).fetchall()}
+    assert set(card) == {"R", "S", "X"}
+    assert sum(c[0] for c in card.values()) == n_docs
+    # S: exactly one span per doc; cut lands in [n/4, 3n/4]
+    assert card["S"][3] == 1000
+    assert 250_000 <= card["S"][2] <= 760_000
+    # X: ~50% mask, multiple spans
+    assert 400_000 <= card["X"][2] <= 600_000
+    assert card["X"][3] > 1000
+    # R: the T5 rate
+    assert 100_000 <= card["R"][2] <= 200_000
+    # card reconciles with the per-doc rows exactly
+    for mode in ("R", "S", "X"):
+        sub = [d for d in docs if d[1] == mode]
+        assert card[mode][0] == len(sub)
+        assert card[mode][1] == sum(d[2] for d in sub)
+        assert card[mode][2] == (
+            sum(d[3] for d in sub) * 1_000_000 // sum(d[2] for d in sub)
+        )

@@ -1,0 +1,151 @@
+"""RLVR family: the oracle is pinned against an independent
+plain-Python replay of the rollout windows, the modal-token verifier,
+and the containment grading; pass@k against a brute-force subset
+enumeration of the Chen et al. estimator; and the cross-query
+consistency laws (GRPO group sums, pass@1/pass@8 closed forms)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from itertools import combinations
+from math import comb
+
+import duckdb
+import pytest
+
+from dataset_batch_processor_spark.operators import rlvr
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def _rollout(doc_id: int, text: str, r: int) -> str:
+    off = _h28(f"{doc_id}:v{r}") % max(len(text) - rlvr.RESP_CHARS + 1, 1)
+    return text[off : off + rlvr.RESP_CHARS]
+
+
+def _answer(text: str) -> str:
+    counts = Counter(t for t in text.split(" ") if t)
+    return min(counts, key=lambda t: (-counts[t], t))
+
+
+def _replay(docs):
+    """{doc_id: (answer, [correct per rollout])}"""
+    out = {}
+    for doc_id, text in docs:
+        ans = _answer(text)
+        marks = [
+            1 if f" {ans} " in f" {_rollout(doc_id, text, r)} " else 0
+            for r in range(rlvr.N_ROLLOUTS)
+        ]
+        out[doc_id] = (ans, marks)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_verifier_grade_matches_python(docs):
+    replay = _replay(docs)
+    got = {r[0]: r[1:] for r in _duck(rlvr.GRADE_DUCK)}
+    assert len(got) == len(docs)
+    n_signal = 0
+    for doc_id, text in docs:
+        ans, marks = replay[doc_id]
+        n_rolls, n_correct, n_distinct, pass1, has_signal, ans_md5 = got[
+            doc_id
+        ]
+        assert n_rolls == rlvr.N_ROLLOUTS
+        assert n_correct == sum(marks)
+        assert n_distinct == len(
+            {_rollout(doc_id, text, r) for r in range(rlvr.N_ROLLOUTS)}
+        )
+        assert pass1 == sum(marks) * 1_000_000 // rlvr.N_ROLLOUTS
+        assert has_signal == (0 < sum(marks) < rlvr.N_ROLLOUTS)
+        assert ans_md5 == hashlib.md5(ans.encode()).hexdigest()
+        n_signal += has_signal
+    # the fixture must exercise both signal and no-signal tasks
+    assert 0 < n_signal < len(docs)
+
+
+def test_passk_unbiased_against_subset_enumeration():
+    # the estimator 1 - C(n-c,k)/C(n,k) IS the exact mean over all
+    # C(n,k) rollout subsets of "subset contains a correct rollout"
+    n = rlvr.N_ROLLOUTS
+    for c in range(n + 1):
+        marks = [1] * c + [0] * (n - c)
+        for k in rlvr.PASS_KS:
+            brute_num = sum(
+                1 for s in combinations(range(n), k)
+                if any(marks[i] for i in s)
+            )
+            assert comb(n, k) - comb(n - c, k) == brute_num
+
+
+def test_passk_rollup_closed_forms(docs):
+    grade = {r[0]: r[1:] for r in _duck(rlvr.GRADE_DUCK)}
+    passk = {r[0]: (r[1], r[2]) for r in _duck(rlvr.PASSK_DUCK)}
+    assert set(passk) == set(rlvr.PASS_KS)
+    n_tasks = len(docs)
+    cs = [g[1] for g in grade.values()]
+    # k=1: per-task ppm equals pass1_ppm exactly (10^6 divisible by 8)
+    assert passk[1] == (
+        n_tasks,
+        sum(c * 1_000_000 // 8 for c in cs) // n_tasks,
+    )
+    # k=n: solved iff any rollout correct
+    assert passk[8] == (
+        n_tasks,
+        sum(1_000_000 for c in cs if c > 0) // n_tasks,
+    )
+    # per-task truncated estimator replay for the middle ks
+    for k in (2, 4):
+        want = (
+            sum(
+                1_000_000 - comb(8 - c, k) * 1_000_000 // comb(8, k)
+                for c in cs
+            )
+            // n_tasks
+        )
+        assert passk[k][1] == want
+    # monotone in k
+    assert passk[1][1] <= passk[2][1] <= passk[4][1] <= passk[8][1]
+
+
+def test_grpo_groups_center_exactly(docs):
+    grade = {r[0]: r[1:] for r in _duck(rlvr.GRADE_DUCK)}
+    rows = _duck(rlvr.GRPO_DUCK)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, rollout, correct, adv in rows:
+        by_doc.setdefault(doc_id, []).append((correct, adv))
+    signal_docs = {d for d, g in grade.items() if g[4]}
+    assert set(by_doc) == signal_docs
+    for doc_id, grp in by_doc.items():
+        assert len(grp) == rlvr.N_ROLLOUTS
+        c = grade[doc_id][1]
+        # 10^6 is divisible by n=8, so each group centers to EXACTLY 0
+        assert sum(adv for _, adv in grp) == 0
+        for correct, adv in grp:
+            assert adv == correct * 1_000_000 - c * 1_000_000 // 8
