@@ -983,3 +983,174 @@ ORDER BY family
 
 QUERIES["docs_dedup_dashboard"] = _q_dedup_dashboard
 ORACLES["docs_dedup_dashboard"] = DEDUP_DASHBOARD_DUCK
+
+
+# ------------------------------------- cluster-capped corpus sample
+# D4-style soft dedup (Tirumala et al. 2023 "D4": dedup + diversify
+# beats hard keep-one): instead of keeping ONE member per dup cluster,
+# keep up to CLUSTER_CAP members chosen by a seeded draw — caps the
+# over-represented content without erasing intra-cluster variation —
+# and keep every singleton (docs outside the pair graph), so the
+# output is a full training-corpus selection, not just the clustered
+# slice. The draw is the house 28-bit md5 (seed ':cap', node asc tie),
+# so the pick is deterministic and engine-identical.
+#
+# Scale: the labels/sizes/window work is all on the CLUSTERED slice
+# (|members| << corpus); singletons join in via one broadcast-able
+# left-anti against the label table. Nothing corpus-sized shuffles.
+
+CLUSTER_CAP = 2
+
+_CAP_DRAW_SPARK = (
+    "CAST(conv(substr(md5(concat(node, ':cap')), 1, 7), 16, 10) AS BIGINT)"
+)
+_CAP_DRAW_DUCK = (
+    "CAST(concat('0x', substr(md5(concat(node, ':cap')), 1, 7)) AS BIGINT)"
+)
+
+
+def _q_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = doc_dup_labels(spark, sf_dir)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    w = Window.partitionBy("comp").orderBy(
+        F.expr(_CAP_DRAW_SPARK).asc(), F.col("node").asc()
+    )
+    kept_clustered = (
+        labels.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= CLUSTER_CAP)
+        .join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("keep_rank").cast("int").alias("keep_rank"),
+        )
+    )
+    singles = (
+        docs.join(labels.select(F.col("node").alias("doc_id")), "doc_id",
+                  "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.lit(1).cast("int").alias("keep_rank"),
+        )
+    )
+    return kept_clustered.union(singles).orderBy("doc_id")
+
+
+_CAP_LABELS_CHAIN = """
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp
+  FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY comp
+),
+memb AS (
+  SELECT l.node, l.comp, s.cluster_size,
+         row_number() OVER (
+           PARTITION BY l.comp
+           ORDER BY {draw} ASC, l.node ASC
+         ) AS rn
+  FROM labels l JOIN sizes s ON l.comp = s.comp
+)"""
+
+CLUSTER_CAPPED_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + ","
+    + _CAP_LABELS_CHAIN.format(
+        draw=_CAP_DRAW_DUCK.replace("concat(node", "concat(l.node")
+    )
+    + f"""
+SELECT node AS doc_id, comp AS component, cluster_size,
+       CAST(rn AS INT) AS keep_rank
+FROM memb WHERE rn <= {CLUSTER_CAP}
+UNION ALL
+SELECT doc_id, doc_id AS component, CAST(1 AS BIGINT) AS cluster_size,
+       1 AS keep_rank
+FROM documents WHERE doc_id NOT IN (SELECT node FROM labels)
+ORDER BY doc_id
+"""
+)
+
+QUERIES["docs_cluster_capped_sample"] = _q_cluster_capped_sample
+ORACLES["docs_cluster_capped_sample"] = CLUSTER_CAPPED_DUCK
+
+
+# Cap pressure report: per cluster-size bucket, how many clusters and
+# how many docs survive the cap — the number that says what the cap
+# actually removes (the audit beside the sample, same pattern as
+# docs_pack_fill_report beside the packers).
+
+
+def _q_cluster_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = doc_dup_labels(spark, sf_dir)
+    sizes = labels.groupBy("comp").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.withColumn(
+            "size_bucket",
+            F.least(F.col("cluster_size"), F.lit(8)).cast("int"),
+        )
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs_before"),
+            F.sum(F.least(F.col("cluster_size"), F.lit(CLUSTER_CAP)))
+            .cast("bigint")
+            .alias("n_docs_after"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+CLUSTER_CAP_REPORT_DUCK = (
+    "WITH RECURSIVE "
+    + _PAIRS_AS_CTE.removeprefix("WITH ")
+    + f""",
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, other) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.other = s.node
+),
+labels AS (
+  SELECT node, least(node, min(other)) AS comp
+  FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY comp
+)
+SELECT CAST(least(cluster_size, 8) AS INT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs_before,
+       CAST(sum(least(cluster_size, {CLUSTER_CAP})) AS BIGINT)
+           AS n_docs_after
+FROM sizes
+GROUP BY 1
+ORDER BY size_bucket
+"""
+)
+
+QUERIES["docs_cluster_cap_report"] = _q_cluster_cap_report
+ORACLES["docs_cluster_cap_report"] = CLUSTER_CAP_REPORT_DUCK

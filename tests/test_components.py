@@ -206,3 +206,60 @@ def test_keep_best_same_clusters_as_keep_longest(spark, sf_dir):
             assert not (members_of[c] & passing), (
                 f"cluster {c} picked a failing doc but has passing members"
             )
+
+
+def test_cluster_capped_sample_laws(spark, sf_dir):
+    """D4-style cap: per cluster exactly min(CAP, size) survivors,
+    chosen as the CAP smallest by (seeded draw, node); singletons all
+    kept; the cap report reconciles with the sample exactly."""
+    import hashlib
+
+    from dataset_batch_processor_spark.operators import components as comp
+
+    labels = {
+        r.node: r.comp for r in comp.doc_dup_labels(spark, sf_dir).collect()
+    }
+    by_comp: dict[int, list[int]] = {}
+    for node, c in labels.items():
+        by_comp.setdefault(c, []).append(node)
+
+    sample = comp._q_cluster_capped_sample(spark, sf_dir).collect()
+    ids = [r.doc_id for r in sample]
+    assert len(ids) == len(set(ids))  # each doc at most once
+    got_by_comp: dict[int, list] = {}
+    for r in sample:
+        got_by_comp.setdefault(r.component, []).append(r)
+
+    def draw(node: int) -> int:
+        return int(
+            hashlib.md5(f"{node}:cap".encode()).hexdigest()[:7], 16
+        )
+
+    from dataset_batch_processor_spark import catalog
+
+    n_docs = catalog.load_table(spark, sf_dir, "documents").count()
+    for c, members in by_comp.items():
+        want = sorted(members, key=lambda n: (draw(n), n))[
+            : comp.CLUSTER_CAP
+        ]
+        got = sorted(got_by_comp[c], key=lambda r: r.keep_rank)
+        assert [r.doc_id for r in got] == want
+        for i, r in enumerate(got):
+            assert r.keep_rank == i + 1
+            assert r.cluster_size == len(members)
+    # singletons: every unclustered doc kept with size 1, rank 1
+    singles = [r for r in sample if r.doc_id not in labels]
+    assert len(singles) == n_docs - len(labels)
+    assert all(
+        r.cluster_size == 1 and r.keep_rank == 1 and r.component == r.doc_id
+        for r in singles
+    )
+
+    report = comp._q_cluster_cap_report(spark, sf_dir).collect()
+    assert sum(r.n_docs_before for r in report) == len(labels)
+    assert sum(r.n_docs_after for r in report) == len(sample) - len(singles)
+    for r in report:
+        assert r.n_docs_after <= r.n_docs_before
+        # bucket semantics: every cluster in bucket b<8 has size b
+        if r.size_bucket < 8:
+            assert r.n_docs_before == r.size_bucket * r.n_clusters
