@@ -467,6 +467,46 @@ GROUP BY b.slice, b.len_delta_bucket
 LEN_BIAS_SPARK = _sql("spark", _LEN_BIAS_TAIL, 2)
 LEN_BIAS_DUCK = _sql("duck", _LEN_BIAS_TAIL, 2)
 
+# -------------------------------- margin-vs-agreement calibration curve
+# A reward margin is only meaningful if larger margins predict more
+# reliable preferences (the calibration property ensemble methods
+# lean on — Coste et al. 2023). The audit buckets the k0-vs-k1 pairs
+# by scorer A's margin (the gated MARGIN_BUCKET grid) and reports how
+# often scorer B (the diversity+length member of the gated ensemble)
+# orders the pair the SAME way: a calibrated margin shows agreement
+# rising with the bucket; a flat curve means margin magnitude carries
+# no information and margin-filtering the pair set is theater. Both
+# scorers apply the k-asc tie rule (>= 0 chooses k=0), so agreement
+# is exact-integer; one more projection over the bounded pairs join.
+
+_CALIB_TAIL = f"""
+, duo2 AS (
+  SELECT doc_id, k, score AS score_a,
+         CAST(n_distinct * 1000000 {{div}} n_toks
+              + n_toks * 1000 AS BIGINT) AS score_b
+  FROM scored
+),
+pairsd AS (
+  SELECT a.doc_id,
+         a.score_a - b.score_a AS da,
+         a.score_b - b.score_b AS db
+  FROM duo2 a JOIN duo2 b
+    ON a.doc_id = b.doc_id AND a.k = 0 AND b.k = 1
+)
+SELECT CAST(least(abs(da) {{div}} {MARGIN_BUCKET}, 9) AS INT)
+           AS margin_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN (da >= 0) = (db >= 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN (da >= 0) = (db >= 0) THEN 1 ELSE 0 END)
+            * 1000000 {{div}} count(*) AS BIGINT) AS agree_ppm
+FROM pairsd
+GROUP BY 1
+"""
+
+CALIB_SPARK = _sql("spark", _CALIB_TAIL, 2)
+CALIB_DUCK = _sql("duck", _CALIB_TAIL, 2)
+
 QUERIES = {
     "docs_pref_pairs": _run(PREF_PAIRS_SPARK),
     "docs_rejection_sampling": _run(BESTOF_SPARK),
@@ -475,6 +515,7 @@ QUERIES = {
     "docs_policy_bt_strengths": _q_bt_strengths,
     "docs_reward_ensemble_disagreement": _run(ENSEMBLE_SPARK),
     "docs_pref_length_bias": _run(LEN_BIAS_SPARK),
+    "docs_margin_agreement_curve": _run(CALIB_SPARK),
 }
 ORACLES = {
     "docs_pref_pairs": PREF_PAIRS_DUCK,
@@ -484,4 +525,5 @@ ORACLES = {
     "docs_policy_bt_strengths": BT_STRENGTHS_DUCK,
     "docs_reward_ensemble_disagreement": ENSEMBLE_DUCK,
     "docs_pref_length_bias": LEN_BIAS_DUCK,
+    "docs_margin_agreement_curve": CALIB_DUCK,
 }

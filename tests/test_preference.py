@@ -279,3 +279,29 @@ def test_length_bias_spark_matches_oracle(spark, sf_dir):
     )
     exp = sorted(tuple(r) for r in _duck(preference.LEN_BIAS_DUCK))
     assert got == exp
+
+
+def test_margin_agreement_curve(docs):
+    """Calibration audit: replay both scorers in Python; the curve's
+    per-bucket pair counts must equal the margin histogram's, and
+    agreement must reconcile with the ensemble tie rule exactly."""
+    got = {r[0]: r[1:] for r in _duck(preference.CALIB_DUCK)}
+    hist = {r[0]: r[1] for r in _duck(preference.MARGIN_HIST_DUCK)}
+    assert {b: v[0] for b, v in got.items()} == hist
+
+    buckets: dict[int, list[int]] = {}
+    for doc_id, text, _src in docs:
+        r0, r1 = _cand(doc_id, text, 0), _cand(doc_id, text, 1)
+        t0 = [t for t in r0.split(" ") if t]
+        t1 = [t for t in r1.split(" ") if t]
+        a0, a1 = _score(r0), _score(r1)
+        b0 = len(set(t0)) * 1_000_000 // len(t0) + len(t0) * 1000
+        b1 = len(set(t1)) * 1_000_000 // len(t1) + len(t1) * 1000
+        bucket = min(abs(a0 - a1) // preference.MARGIN_BUCKET, 9)
+        agree = (a0 >= a1) == (b0 >= b1)
+        buckets.setdefault(bucket, []).append(agree)
+    for b, marks in buckets.items():
+        n, n_agree, ppm = got[b]
+        assert n == len(marks)
+        assert n_agree == sum(marks)
+        assert ppm == sum(marks) * 1_000_000 // len(marks)
