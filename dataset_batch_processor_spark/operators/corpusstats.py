@@ -188,14 +188,82 @@ tf AS (
 ),
 {_TFIDF_TAIL}"""
 
+# --------------------------------------- long-context upsampling plan
+# The long-context continued-pretraining stage upsamples LONG
+# documents so a target share of the token budget comes from them
+# (public anchors: Fu et al. 2024 "Data Engineering for Scaling
+# Language Models to 128K Context" — length-upsampled continual
+# pretraining; Llama-3's long-context stage). Deterministic plan over
+# the SAME power-of-two buckets as docs_length_histogram: docs in
+# bucket >= LONGCTX_B are "long", and the plan allocates
+# LONGCTX_TARGET_PPM of the output budget to them (within a side,
+# buckets keep their natural proportions). repeat_ppm is the
+# per-bucket epoch multiplier in ppm — computed from SHARES (both
+# operands <= 10^6) rather than masses, so the products stay < 2^63
+# at any corpus size; the per-bucket target_ppm multiplies a ppm by a
+# mass ratio the same way. All integer division, trunc-toward-zero in
+# both dialects.
+
+LONGCTX_B = 9            # long = n_chars >= 512 (log2 bucket >= 9)
+LONGCTX_TARGET_PPM = 600_000  # 60% of output tokens from long docs
+
+_LONGCTX_CORE = f"""
+WITH per_doc AS (
+  SELECT {{bucket_expr}} AS log2_bucket, n_chars FROM documents
+),
+bucket AS (
+  SELECT log2_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS natural_tokens
+  FROM per_doc GROUP BY log2_bucket
+),
+tot AS (
+  SELECT CAST(sum(natural_tokens) AS BIGINT) AS t_all,
+         CAST(sum(CASE WHEN log2_bucket >= {LONGCTX_B}
+                       THEN natural_tokens ELSE 0 END) AS BIGINT) AS t_long
+  FROM bucket
+),
+shares AS (
+  SELECT t_all, t_long,
+         t_long * 1000000 {{div}} t_all AS nat_long_ppm
+  FROM tot
+)
+SELECT b.log2_bucket, b.n_docs, b.natural_tokens,
+       CAST(b.natural_tokens * 1000000 {{div}} s.t_all AS BIGINT)
+           AS natural_ppm,
+       CAST(CASE WHEN b.log2_bucket >= {LONGCTX_B}
+            THEN {LONGCTX_TARGET_PPM} * b.natural_tokens
+                 {{div}} greatest(s.t_long, 1)
+            ELSE {1_000_000 - LONGCTX_TARGET_PPM} * b.natural_tokens
+                 {{div}} greatest(s.t_all - s.t_long, 1) END AS BIGINT)
+           AS target_ppm,
+       CAST(CASE WHEN b.log2_bucket >= {LONGCTX_B}
+            THEN {LONGCTX_TARGET_PPM} * CAST(1000000 AS BIGINT)
+                 {{div}} greatest(s.nat_long_ppm, 1)
+            ELSE {1_000_000 - LONGCTX_TARGET_PPM} * CAST(1000000 AS BIGINT)
+                 {{div}} greatest(1000000 - s.nat_long_ppm, 1) END AS BIGINT)
+           AS repeat_ppm
+FROM bucket b CROSS JOIN shares s
+ORDER BY log2_bucket
+"""
+
+LONGCTX_PLAN_SPARK = _LONGCTX_CORE.format(
+    bucket_expr="CAST(length(bin(n_chars)) AS INT) - 1", div="DIV"
+)
+LONGCTX_PLAN_DUCK = _LONGCTX_CORE.format(
+    bucket_expr="CAST(length(printf('%b', n_chars)) AS INT) - 1", div="//"
+)
+
 QUERIES = {
     "docs_token_rarity": _run(TOKEN_RARITY_SPARK, ("documents",)),
+    "docs_longctx_upsample_plan": _run(LONGCTX_PLAN_SPARK, ("documents",)),
     "docs_length_histogram": _run(LENGTH_HIST_SPARK, ("documents",)),
     "emb_label_centroids": _run(LABEL_CENTROIDS_SPARK, ("embeddings",)),
     "docs_tfidf_topterms": _run(TFIDF_SPARK, ("documents",)),
 }
 ORACLES = {
     "docs_token_rarity": TOKEN_RARITY_DUCK,
+    "docs_longctx_upsample_plan": LONGCTX_PLAN_DUCK,
     "docs_length_histogram": LENGTH_HIST_DUCK,
     "emb_label_centroids": LABEL_CENTROIDS_DUCK,
     "docs_tfidf_topterms": TFIDF_DUCK,
