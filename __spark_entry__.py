@@ -49,6 +49,7 @@ from dataset_batch_processor_spark.operators import (
     mmr,
     preference,
     rlvr,
+    canary,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -515,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(langid.QUERIES)
     q.update(preference.QUERIES)
     q.update(rlvr.QUERIES)
+    q.update(canary.QUERIES)
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
@@ -642,6 +644,7 @@ FROM images_meta GROUP BY 1
     o.update(langid.ORACLES)
     o.update(preference.ORACLES)
     o.update(rlvr.ORACLES)
+    o.update(canary.ORACLES)
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)
