@@ -867,3 +867,90 @@ def _q_curriculum_stages(spark, sf_dir):
 
 QUERIES["docs_curriculum_stages"] = _q_curriculum_stages
 ORACLES["docs_curriculum_stages"] = _curriculum_sql("duck")
+
+
+# ------------------------------------------- shuffle resume slice
+# Deterministic training RESUME (round 12): a preempted run at global
+# step S must reproduce the exact upcoming batches without replaying
+# the epoch permutation from step 0 — the property data loaders get
+# from seed+skip and a distributed engine gets from a rank filter
+# over the SAME hash permutation docs_epoch_shuffle gates. Position =
+# global rank in (shard, sort_key, doc_id) order, computed scalably
+# via the W1 exclusive prefix sum (range repartition + per-partition
+# cumsum + broadcast offsets — no single-task global window); the
+# oracle uses the one-level row_number a fixture-scale engine can
+# afford. The slice filter sits UNDER the rank attachment, so at
+# 100 TB only the K*B requested rows survive to the driver-facing
+# result while the rank pass stays one linear scan.
+
+RESUME_STEP = 7     # resume at global step 7
+RESUME_BATCH = 32   # docs per step
+RESUME_NBATCH = 3   # reproduce the next 3 batches
+
+
+def _q_shuffle_resume_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    perm = spark.sql(f"""
+        SELECT doc_id,
+               CAST(k % {EPOCH_SHARDS} AS INT) AS shard,
+               k AS sort_key
+        FROM (
+          SELECT doc_id,
+                 CAST(conv(substr(md5(concat('epoch{EPOCH}:',
+                        CAST(doc_id AS STRING))), 1, 15), 16, 10)
+                      AS BIGINT) AS k
+          FROM documents
+        )
+    """).withColumn("one", F.lit(1).cast("bigint"))
+    lo = RESUME_STEP * RESUME_BATCH
+    hi = (RESUME_STEP + RESUME_NBATCH) * RESUME_BATCH
+    ranked = exclusive_prefix_sum(
+        perm, ["shard", "sort_key", "doc_id"], "one", out_col="pos"
+    )
+    return (
+        ranked.filter((F.col("pos") >= lo) & (F.col("pos") < hi))
+        .select(
+            (F.col("pos") / RESUME_BATCH).cast("int").alias("step"),
+            (F.col("pos") % RESUME_BATCH).cast("int").alias("pos_in_batch"),
+            "doc_id",
+            "shard",
+        )
+        .orderBy("step", "pos_in_batch")
+    )
+
+
+SHUFFLE_RESUME_DUCK = f"""
+WITH perm AS (
+  SELECT doc_id,
+         CAST(k % {EPOCH_SHARDS} AS INT) AS shard,
+         k AS sort_key
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat('epoch{EPOCH}:',
+                  CAST(doc_id AS VARCHAR))), 1, 15))
+                AS BIGINT) AS k
+    FROM documents
+  )
+),
+pos AS (
+  SELECT doc_id, shard,
+         row_number() OVER (ORDER BY shard, sort_key, doc_id) - 1 AS p
+  FROM perm
+)
+SELECT CAST(p // {RESUME_BATCH} AS INT) AS step,
+       CAST(p % {RESUME_BATCH} AS INT) AS pos_in_batch,
+       doc_id, shard
+FROM pos
+WHERE p >= {RESUME_STEP * RESUME_BATCH}
+  AND p < {(RESUME_STEP + RESUME_NBATCH) * RESUME_BATCH}
+ORDER BY step, pos_in_batch
+"""
+
+QUERIES["docs_shuffle_resume_slice"] = _q_shuffle_resume_slice
+ORACLES["docs_shuffle_resume_slice"] = SHUFFLE_RESUME_DUCK

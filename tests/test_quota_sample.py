@@ -97,3 +97,29 @@ def test_oracle_is_the_one_level_spelling():
     ).fetchone()[0]
     con.close()
     assert n > 0
+
+
+def test_shuffle_resume_slice_consistent_with_epoch_shuffle():
+    """The resume slice IS rows [S*B, (S+K)*B) of the gated epoch
+    shuffle order — no drift between the two permutations."""
+    import duckdb
+
+    from dataset_batch_processor_spark.operators import curation as cur
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    full = con.execute(cur.EPOCH_SHUFFLE_DUCK).fetchall()
+    got = con.execute(cur.SHUFFLE_RESUME_DUCK).fetchall()
+    con.close()
+    lo = cur.RESUME_STEP * cur.RESUME_BATCH
+    hi = (cur.RESUME_STEP + cur.RESUME_NBATCH) * cur.RESUME_BATCH
+    want = full[lo:hi]
+    assert len(got) == cur.RESUME_NBATCH * cur.RESUME_BATCH
+    for i, (step, pos_in_batch, doc_id, shard) in enumerate(got):
+        assert step == (lo + i) // cur.RESUME_BATCH
+        assert pos_in_batch == (lo + i) % cur.RESUME_BATCH
+        assert doc_id == want[i][0]
+        assert shard == want[i][1]
