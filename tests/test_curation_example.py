@@ -232,3 +232,47 @@ def test_rlhf_pipeline_example(spark, tmp_path):
     assert got.filter(
         got["margin"] < preference.MARGIN_BUCKET
     ).count() == 0
+
+
+def test_rlvr_pipeline_example(spark, tmp_path):
+    """examples/rlvr_pipeline.py runs end to end on sf0.001; the
+    published GRPO batch is exactly the signal-bearing rollout set
+    minus canary-leaked tasks."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import rlvr_pipeline
+
+    from dataset_batch_processor_spark.operators import rlvr
+
+    out = str(tmp_path / "rlvr")
+    m = rlvr_pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert m["n_grpo_rows"] == m["n_signal_tasks"] * rlvr.N_ROLLOUTS
+    assert 0 < m["n_signal_tasks"] < m["n_tasks"]
+    # pass@k monotone in k
+    ks = sorted(int(k) for k in m["pass_at_k_ppm"])
+    vals = [m["pass_at_k_ppm"][str(k)] for k in ks]
+    assert vals == sorted(vals)
+    # the quarantine removed full task groups (multiples of N_ROLLOUTS)
+    removed = m["n_grpo_rows"] - m["n_published_rows"]
+    assert removed % rlvr.N_ROLLOUTS == 0
+    assert removed <= m["n_leaked_tasks"] * rlvr.N_ROLLOUTS
+    got = spark.read.parquet(f"{out}/grpo_batch")
+    assert got.count() == m["n_published_rows"]
+    # no leaked task survives in the artifact
+    from pyspark.sql import functions as F
+
+    from dataset_batch_processor_spark.operators import canary
+
+    leaked_ids = {
+        r.doc_id
+        for r in canary.QUERIES["docs_canary_exposure"](
+            spark, "/root/testdata/sf0.001"
+        ).filter(F.col("leaked")).collect()
+    }
+    assert not leaked_ids & {r.doc_id for r in got.collect()}
+    assert removed == len(leaked_ids & set(
+        r.doc_id for r in rlvr.QUERIES["docs_grpo_advantage"](
+            spark, "/root/testdata/sf0.001"
+        ).select("doc_id").distinct().collect()
+    )) * rlvr.N_ROLLOUTS
