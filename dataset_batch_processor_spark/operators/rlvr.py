@@ -79,8 +79,10 @@ def _comb_cte(engine: str) -> str:
     return f"comb(m, k, c) AS (VALUES {_comb_rows()})"
 
 
-def _chain(engine: str) -> str:
-    """rolls -> ref -> graded -> task: shared by all three queries."""
+def _chain(engine: str, table: str = "documents") -> str:
+    """rolls -> ref -> graded -> task: shared by all three queries.
+    ``table`` lets the streaming twin run the same chain over a
+    micro-batch view."""
     if engine == "spark":
         rgen = f"LATERAL VIEW explode(sequence(0, {N_ROLLOUTS - 1})) t AS r"
         tok_x = "LATERAL VIEW explode(split(text, ' ')) t2 AS token"
@@ -94,12 +96,12 @@ def _chain(engine: str) -> str:
                 CAST(1 + ({_hr(engine)}
                      % greatest(length(text) - {RESP_CHARS - 1}, 1)) AS INT),
                 {RESP_CHARS}) AS resp
-  FROM documents
+  FROM {table}
   {rgen}
 ),
 tokc AS (
   SELECT doc_id, token, count(*) AS n
-  FROM documents
+  FROM {table}
   {tok_x}
   WHERE length(token) > 0
   GROUP BY doc_id, token
@@ -180,9 +182,12 @@ WHERE t.n_correct > 0 AND t.n_correct < t.n_rolls
 """
 
 
-def _sql(engine: str, tail: str, with_comb: bool = False) -> str:
+def _sql(
+    engine: str, tail: str, with_comb: bool = False,
+    table: str = "documents",
+) -> str:
     div = "DIV" if engine == "spark" else "//"
-    ctes = _chain(engine)
+    ctes = _chain(engine, table)
     if with_comb:
         ctes = ctes + ",\n" + _comb_cte(engine)
     return f"WITH {ctes}" + tail.format(div=div)
