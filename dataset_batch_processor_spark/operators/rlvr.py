@@ -1,5 +1,6 @@
 """RLVR (verifiable-reward) data operators: rollout grading, unbiased
-pass@k estimation, and GRPO group advantages.
+pass@k estimation, GRPO group advantages, verifier-DPO pair
+distillation, and the difficulty-curriculum card.
 
 The post-RLHF frontier of training-data work grades ROLLOUTS against a
 programmatic verifier instead of a learned reward model (public
@@ -80,7 +81,7 @@ def _comb_cte(engine: str) -> str:
 
 
 def _chain(engine: str, table: str = "documents") -> str:
-    """rolls -> ref -> graded -> task: shared by all three queries.
+    """rolls -> ref -> graded -> task: shared by every rlvr query.
     ``table`` lets the streaming twin run the same chain over a
     micro-batch view."""
     if engine == "spark":
@@ -182,6 +183,37 @@ WHERE t.n_correct > 0 AND t.n_correct < t.n_rolls
 """
 
 
+# ----------------------------------- verifier-DPO pair distillation
+# RLVR rollouts double as preference data: per signal-bearing task,
+# (chosen = a correct rollout, rejected = an incorrect one) is a DPO
+# row whose label comes from the VERIFIER, not a reward model — the
+# rejection-sampling-to-DPO distillation loop (public anchors:
+# Rafailov et al. 2023 row shape; Yuan et al. 2024 "Self-Rewarding"
+# /iterated DPO variants that harvest pairs from graded samples).
+# Deterministic pick: the smallest rollout index on each side (the
+# preference.py k-asc tie convention); only 0 < c < n tasks emit a
+# row (both sides must exist).
+
+_DPO_TAIL = """
+, sides AS (
+  SELECT g.doc_id,
+         min(CASE WHEN g.correct = 1 THEN g.r END) AS chosen_r,
+         min(CASE WHEN g.correct = 0 THEN g.r END) AS rejected_r
+  FROM graded g JOIN task t ON g.doc_id = t.doc_id
+  WHERE t.n_correct > 0 AND t.n_correct < t.n_rolls
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.chosen_r AS INT) AS chosen_r,
+       CAST(s.rejected_r AS INT) AS rejected_r,
+       md5(gc.resp) AS chosen_md5,
+       md5(gr.resp) AS rejected_md5
+FROM sides s
+     JOIN graded gc ON gc.doc_id = s.doc_id AND gc.r = s.chosen_r
+     JOIN graded gr ON gr.doc_id = s.doc_id AND gr.r = s.rejected_r
+"""
+
+
 def _sql(
     engine: str, tail: str, with_comb: bool = False,
     table: str = "documents",
@@ -203,20 +235,87 @@ def _run(sql: str):
     return q
 
 
+# ------------------------------------- difficulty curriculum card
+# RLVR training orders tasks easy-to-hard (staged difficulty is the
+# standard curriculum for verifiable-reward RL: Bengio et al. 2009
+# curriculum learning; R1-style pipelines stage by solve rate). Phase
+# p holds ranks [p*n/P, (p+1)*n/P) under (difficulty ASC, doc_id)
+# with difficulty = n - n_correct, so phase 0 is the easiest quarter
+# and phase P-1 the hardest. Ranks ride the W1 prefix sum on the
+# Spark side (the curriculum.py pattern); the oracle keeps the
+# one-level row_number spelling — the gate proves the distributed
+# ranking reproduces the sequential order.
+
+N_CURR_PHASES = 4
+
+_CURR_CARD_TAIL = """
+SELECT CAST(phase AS INT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(min(n_correct) AS INT) AS min_correct,
+       CAST(max(n_correct) AS INT) AS max_correct,
+       CAST(sum(CASE WHEN n_correct > 0 AND n_correct < n_rolls
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signal
+FROM phased
+GROUP BY phase
+"""
+
+CURR_DUCK = (
+    f"WITH {_chain('duck')},\n"
+    + f"""n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM task),
+phased AS (
+  SELECT t.doc_id, t.n_correct, t.n_rolls,
+         (CAST(row_number() OVER (
+              ORDER BY t.n_rolls - t.n_correct, t.doc_id) - 1 AS BIGINT)
+          * {N_CURR_PHASES}) // n.c AS phase
+  FROM task t CROSS JOIN n
+){_CURR_CARD_TAIL}"""
+)
+
+
+def _q_rlvr_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    task = spark.sql(
+        f"WITH {_chain('spark')} SELECT doc_id, n_correct, n_rolls,"
+        " n_rolls - n_correct AS difficulty FROM task"
+    )
+    ranked = exclusive_prefix_sum(
+        task.withColumn("_one", F.lit(1)),
+        ["difficulty", "doc_id"], "_one", "rnk",
+    )
+    total = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked.crossJoin(F.broadcast(total)).selectExpr(
+        "doc_id", "n_correct", "n_rolls",
+        f"(rnk * {N_CURR_PHASES}) DIV c AS phase",
+    ).createOrReplaceTempView("phased")
+    return spark.sql("WITH _x AS (SELECT 1)" + _CURR_CARD_TAIL)
+
+
 GRADE_SPARK = _sql("spark", _GRADE_TAIL)
 GRADE_DUCK = _sql("duck", _GRADE_TAIL)
 PASSK_SPARK = _sql("spark", _PASSK_TAIL, with_comb=True)
 PASSK_DUCK = _sql("duck", _PASSK_TAIL, with_comb=True)
 GRPO_SPARK = _sql("spark", _GRPO_TAIL)
 GRPO_DUCK = _sql("duck", _GRPO_TAIL)
+DPO_SPARK = _sql("spark", _DPO_TAIL)
+DPO_DUCK = _sql("duck", _DPO_TAIL)
 
 QUERIES = {
     "docs_verifier_grade": _run(GRADE_SPARK),
     "docs_passk_estimate": _run(PASSK_SPARK),
     "docs_grpo_advantage": _run(GRPO_SPARK),
+    "docs_verifier_dpo_pairs": _run(DPO_SPARK),
+    "docs_rlvr_curriculum": _q_rlvr_curriculum,
 }
 ORACLES = {
     "docs_verifier_grade": GRADE_DUCK,
     "docs_passk_estimate": PASSK_DUCK,
     "docs_grpo_advantage": GRPO_DUCK,
+    "docs_verifier_dpo_pairs": DPO_DUCK,
+    "docs_rlvr_curriculum": CURR_DUCK,
 }

@@ -149,3 +149,55 @@ def test_grpo_groups_center_exactly(docs):
         assert sum(adv for _, adv in grp) == 0
         for correct, adv in grp:
             assert adv == correct * 1_000_000 - c * 1_000_000 // 8
+
+
+def test_verifier_dpo_pairs_match_replay(docs):
+    """One pair per signal task: chosen = smallest correct rollout
+    index, rejected = smallest incorrect; md5s match the windows."""
+    replay = _replay(docs)
+    texts = dict(docs)
+    got = {r[0]: r[1:] for r in _duck(rlvr.DPO_DUCK)}
+    want_ids = {
+        d for d, (_a, m) in replay.items() if 0 < sum(m) < rlvr.N_ROLLOUTS
+    }
+    assert set(got) == want_ids
+    for doc_id in want_ids:
+        _ans, marks = replay[doc_id]
+        chosen = marks.index(1)
+        rejected = marks.index(0)
+        c_r, r_r, c_md5, r_md5 = got[doc_id]
+        assert (c_r, r_r) == (chosen, rejected)
+        assert c_md5 == hashlib.md5(
+            _rollout(doc_id, texts[doc_id], chosen).encode()
+        ).hexdigest()
+        assert r_md5 == hashlib.md5(
+            _rollout(doc_id, texts[doc_id], rejected).encode()
+        ).hexdigest()
+
+
+def test_rlvr_curriculum_card(docs):
+    """Phases balanced to +-1 task, difficulty monotone across phases
+    (phase 0 easiest), signal counts reconcile with the grade rows."""
+    replay = _replay(docs)
+    rows = sorted(_duck(rlvr.CURR_DUCK))
+    assert [r[0] for r in rows] == list(range(rlvr.N_CURR_PHASES))
+    n = len(docs)
+    assert sum(r[1] for r in rows) == n
+    assert max(r[1] for r in rows) - min(r[1] for r in rows) <= 1
+    # easy-to-hard: correctness ranges non-increasing across phases
+    for a, b in zip(rows, rows[1:]):
+        assert a[2] >= b[2]  # min_correct monotone non-increasing
+        assert a[3] >= b[3]  # max_correct monotone non-increasing
+    # replay the phase assignment exactly
+    order = sorted(
+        ((rlvr.N_ROLLOUTS - sum(m), d) for d, (_a, m) in replay.items())
+    )
+    want: dict[int, list[int]] = {}
+    for rank, (_diff, d) in enumerate(order):
+        want.setdefault(rank * rlvr.N_CURR_PHASES // n, []).append(d)
+    for phase, n_tasks, mn, mx, n_signal in rows:
+        members = want[phase]
+        cs = [sum(replay[d][1]) for d in members]
+        assert n_tasks == len(members)
+        assert (mn, mx) == (min(cs), max(cs))
+        assert n_signal == sum(1 for c in cs if 0 < c < rlvr.N_ROLLOUTS)
