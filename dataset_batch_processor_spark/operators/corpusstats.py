@@ -197,19 +197,32 @@ tf AS (
 # the SAME power-of-two buckets as docs_length_histogram: docs in
 # bucket >= LONGCTX_B are "long", and the plan allocates
 # LONGCTX_TARGET_PPM of the output budget to them (within a side,
-# buckets keep their natural proportions). repeat_ppm is the
-# per-bucket epoch multiplier in ppm — computed from SHARES (both
-# operands <= 10^6) rather than masses, so the products stay < 2^63
-# at any corpus size; the per-bucket target_ppm multiplies a ppm by a
-# mass ratio the same way. All integer division, trunc-toward-zero in
-# both dialects.
+# buckets keep their natural proportions). Every mass-times-ppm
+# product goes through ``_scaled_div`` — floor(t*m_hi*m_lo/w) formed
+# WITHOUT the full t*10^6 intermediate (the bpe._ppm_split
+# decomposition), so the int64 ledger holds to w < ~9.2e15 token
+# masses (an exabyte-class corpus), and the repeat_ppm ratio is pure
+# shares (operands <= 10^6). All integer division, trunc-toward-zero
+# in both dialects; the decomposition is value-identical to the
+# single multiply, so fixture hashes are unchanged.
 
 LONGCTX_B = 9            # long = n_chars >= 512 (log2 bucket >= 9)
 LONGCTX_TARGET_PPM = 600_000  # 60% of output tokens from long docs
 
-_LONGCTX_CORE = f"""
+
+def _scaled_div(t: str, m_hi: int, m_lo: int, w: str, div: str) -> str:
+    """floor((t * m_hi * m_lo) / w) without forming t*m_hi*m_lo:
+    exact for t*m_hi < 2^63 and w*m_lo < 2^63."""
+    a = f"(({t}) * {m_hi})"
+    return (f"(({a}) {div} ({w})) * {m_lo}"
+            f" + ((({a}) % ({w})) * {m_lo}) {div} ({w})")
+
+
+def _longctx_core(bucket_expr: str, div: str) -> str:
+    t_ppm = 1_000_000 - LONGCTX_TARGET_PPM
+    return f"""
 WITH per_doc AS (
-  SELECT {{bucket_expr}} AS log2_bucket, n_chars FROM documents
+  SELECT {bucket_expr} AS log2_bucket, n_chars FROM documents
 ),
 bucket AS (
   SELECT log2_bucket,
@@ -225,33 +238,35 @@ tot AS (
 ),
 shares AS (
   SELECT t_all, t_long,
-         t_long * 1000000 {{div}} t_all AS nat_long_ppm
+         {_scaled_div('t_long', 1000, 1000, 't_all', div)} AS nat_long_ppm
   FROM tot
 )
 SELECT b.log2_bucket, b.n_docs, b.natural_tokens,
-       CAST(b.natural_tokens * 1000000 {{div}} s.t_all AS BIGINT)
-           AS natural_ppm,
+       CAST({_scaled_div('b.natural_tokens', 1000, 1000, 's.t_all', div)}
+            AS BIGINT) AS natural_ppm,
        CAST(CASE WHEN b.log2_bucket >= {LONGCTX_B}
-            THEN {LONGCTX_TARGET_PPM} * b.natural_tokens
-                 {{div}} greatest(s.t_long, 1)
-            ELSE {1_000_000 - LONGCTX_TARGET_PPM} * b.natural_tokens
-                 {{div}} greatest(s.t_all - s.t_long, 1) END AS BIGINT)
-           AS target_ppm,
+            THEN {_scaled_div('b.natural_tokens',
+                              LONGCTX_TARGET_PPM // 1000, 1000,
+                              'greatest(s.t_long, 1)', div)}
+            ELSE {_scaled_div('b.natural_tokens', t_ppm // 1000, 1000,
+                              'greatest(s.t_all - s.t_long, 1)', div)}
+            END AS BIGINT) AS target_ppm,
        CAST(CASE WHEN b.log2_bucket >= {LONGCTX_B}
             THEN {LONGCTX_TARGET_PPM} * CAST(1000000 AS BIGINT)
-                 {{div}} greatest(s.nat_long_ppm, 1)
-            ELSE {1_000_000 - LONGCTX_TARGET_PPM} * CAST(1000000 AS BIGINT)
-                 {{div}} greatest(1000000 - s.nat_long_ppm, 1) END AS BIGINT)
+                 {div} greatest(s.nat_long_ppm, 1)
+            ELSE {t_ppm} * CAST(1000000 AS BIGINT)
+                 {div} greatest(1000000 - s.nat_long_ppm, 1) END AS BIGINT)
            AS repeat_ppm
 FROM bucket b CROSS JOIN shares s
 ORDER BY log2_bucket
 """
 
-LONGCTX_PLAN_SPARK = _LONGCTX_CORE.format(
-    bucket_expr="CAST(length(bin(n_chars)) AS INT) - 1", div="DIV"
+
+LONGCTX_PLAN_SPARK = _longctx_core(
+    "CAST(length(bin(n_chars)) AS INT) - 1", "DIV"
 )
-LONGCTX_PLAN_DUCK = _LONGCTX_CORE.format(
-    bucket_expr="CAST(length(printf('%b', n_chars)) AS INT) - 1", div="//"
+LONGCTX_PLAN_DUCK = _longctx_core(
+    "CAST(length(printf('%b', n_chars)) AS INT) - 1", "//"
 )
 
 QUERIES = {

@@ -394,7 +394,11 @@ def _pair_overlap(docs: DataFrame, pairs: DataFrame | None) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(nodes), "doc_id", "semi")
+    # no broadcast hint: the node list scales with the dup slice (69%
+    # of the fixture corpus), so a forced broadcast would hit the 8 GB
+    # limit on a big corpus — AQE upgrades the semi join to broadcast
+    # at runtime whenever the list actually is small
+    cand_docs = docs.join(nodes, "doc_id", "semi")
     sh = shingle_sets(cand_docs).select("doc_id", "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -368,11 +368,16 @@ BT_STRENGTHS_DUCK = _bt_duck()
 # human adjudication). All integers; ties break toward smaller k,
 # the family rule.
 
-_ENSEMBLE_TAIL = """
+# scorer B (lexical diversity + length) — ONE definition shared by
+# the ensemble audit and the calibration curve, so the two gates can
+# never audit different scorers (review r12b finding #3)
+_SCORE_B_EXPR = ("CAST(n_distinct * 1000000 {div} n_toks"
+                 " + n_toks * 1000 AS BIGINT)")
+
+_ENSEMBLE_TAIL = f"""
 , duo AS (
   SELECT doc_id, k, score AS score_a,
-         CAST(n_distinct * 1000000 {div} n_toks
-              + n_toks * 1000 AS BIGINT) AS score_b
+         {_SCORE_B_EXPR} AS score_b
   FROM scored
 ),
 pa AS (
@@ -482,8 +487,7 @@ LEN_BIAS_DUCK = _sql("duck", _LEN_BIAS_TAIL, 2)
 _CALIB_TAIL = f"""
 , duo2 AS (
   SELECT doc_id, k, score AS score_a,
-         CAST(n_distinct * 1000000 {{div}} n_toks
-              + n_toks * 1000 AS BIGINT) AS score_b
+         {_SCORE_B_EXPR} AS score_b
   FROM scored
 ),
 pairsd AS (

@@ -136,9 +136,7 @@ def _ref_ul2(doc_id: int, text: str):
         n,
         sum(mask),
         k + 1,
-        hashlib.md5(f"[{mode}] " + " ".join(inputs)).hexdigest()
-        if False
-        else hashlib.md5((f"[{mode}] " + " ".join(inputs)).encode()).hexdigest(),
+        hashlib.md5((f"[{mode}] " + " ".join(inputs)).encode()).hexdigest(),
         hashlib.md5(" ".join(targets).encode()).hexdigest(),
     )
 

@@ -144,11 +144,12 @@ def main():
         lambda s: s.sql(corpusstats.LONGCTX_PLAN_SPARK).count(),
     )
 
-    def resume(s):
-        out = curation._q_shuffle_resume_slice(s, SF_DIR)
-        n = out.count()
-        # output is K*B rows at ANY corpus size — the resume property
-        assert n == curation.RESUME_NBATCH * curation.RESUME_BATCH, n
+    # sanity: the real driver query produces exactly K*B rows before
+    # any fanout math is trusted
+    assert (
+        curation._q_shuffle_resume_slice(spark, SF_DIR).count()
+        == curation.RESUME_NBATCH * curation.RESUME_BATCH
+    )
 
     # _q_shuffle_resume_slice re-registers the documents view from
     # sf_dir; sweep over the fanned view by calling the inner SQL shape
