@@ -976,3 +976,125 @@ ORACLES = {
     "mm_format_convert_chain": CONVERT_CHAIN_DUCK,
     "mm_jpeg12_roundtrip": JPEG12_DUCK,
 }
+
+
+# -------------------------------------- LSB provenance watermark probe
+# The image-side sibling of the text canary family (operators/
+# canary.py): plant an invisible per-image payload, round-trip it
+# through the REAL lossless codec, and verify recovery — the
+# provenance/watermark plumbing a multimodal pipeline uses to track
+# dataset membership (public anchors: classical LSB steganography;
+# Zhu et al. 2018 "HiDDeN" for the learned variant this stubs the
+# data path for). Per doc_id: the standard gradient fixture (>= 8x8
+# so the 64-bit payload fits), payload = first 16 md5 hex chars of
+# seed ':wm', bit j embedded in the LSB of channel 0 of row-major
+# pixel j. The Spark side does the real embed -> encode_png ->
+# decode -> extract and emits the RECOVERED payload plus the
+# watermarked pixel sum; the oracle recomputes both in closed form
+# (payload from the same md5, sum via the LSB-delta formula), so a
+# hash match proves bit-exact embed/recover through the codec. The
+# baseline column extracts the same positions from the CLEAN image —
+# showing detection separates watermarked from unwatermarked pixels.
+
+WATERMARK_SCHEMA = ("doc_id long, width int, height int, "
+                    "payload_hex string, wm_pix_sum bigint, "
+                    "baseline_match_bits int")
+
+
+def _q_watermark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+
+    from . import binary, png
+
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 16 + 8, d % 13 + 8
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+                hex16 = hashlib.md5(f"{d}:wm".encode()).hexdigest()[:16]
+                bits = [
+                    (int(hex16[j // 4], 16) >> (3 - j % 4)) & 1
+                    for j in range(64)
+                ]
+                wm = arr.copy()
+                flat = wm[:, :, 0].reshape(-1)
+                flat[:64] = (flat[:64] & 0xFE) | np.array(
+                    bits, dtype=np.uint8
+                )
+                dec = binary.decode_any("png", png.encode_png(wm))
+                got = (dec[:, :, 0].reshape(-1)[:64] & 1).tolist()
+                rec_hex = "".join(
+                    f"{int(''.join(map(str, got[i:i + 4])), 2):x}"
+                    for i in range(0, 64, 4)
+                )
+                clean = binary.decode_any("png", png.encode_png(arr))
+                base = (clean[:, :, 0].reshape(-1)[:64] & 1).tolist()
+                out.append({
+                    "doc_id": d,
+                    "width": w,
+                    "height": h,
+                    "payload_hex": rec_hex,
+                    "wm_pix_sum": int(dec.astype(np.int64).sum()),
+                    "baseline_match_bits": int(
+                        sum(1 for b, g in zip(bits, base) if b == g)
+                    ),
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "payload_hex",
+                         "wm_pix_sum", "baseline_match_bits"],
+            )
+
+    return docs.mapInPandas(run, schema=WATERMARK_SCHEMA)
+
+
+# closed-form oracle: payload bits from the same md5; watermarked sum
+# = gradient sum + sum(bit_j - lsb(orig_j)) over the 64 embed sites
+# (channel 0, row-major); baseline matches = bits agreeing with the
+# clean LSBs.
+WATERMARK_DUCK = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 + 8 AS INT) AS w,
+         CAST(doc_id % 13 + 8 AS INT) AS h,
+         substr(md5(concat(doc_id, ':wm')), 1, 16) AS hex16
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, w, h, hex16, j,
+         (CAST(concat('0x', substr(hex16, j // 4 + 1, 1)) AS BIGINT)
+          >> (3 - j % 4)) & 1 AS bit,
+         ((doc_id + 3 * (j % w) + 7 * (j // w)) % 256) % 2 AS lsb0
+  FROM base, LATERAL (SELECT unnest(generate_series(0, 63)) AS j)
+),
+delta AS (
+  SELECT doc_id,
+         CAST(sum(bit - lsb0) AS BIGINT) AS d_sum,
+         CAST(sum(CASE WHEN bit = lsb0 THEN 1 ELSE 0 END) AS INT)
+             AS baseline_match_bits
+  FROM bits GROUP BY doc_id
+),
+grad AS (
+  SELECT doc_id, w, h, hex16,
+         CAST(list_sum(list_transform(generate_series(0, h - 1), y ->
+           list_sum(list_transform(generate_series(0, w - 1), x ->
+             list_sum(list_transform([0,1,2], c ->
+               (doc_id + 3*x + 7*y + 11*c) % 256)))))) AS BIGINT) AS g_sum
+  FROM base
+)
+SELECT g.doc_id, g.w AS width, g.h AS height,
+       g.hex16 AS payload_hex,
+       g.g_sum + d.d_sum AS wm_pix_sum,
+       d.baseline_match_bits
+FROM grad g JOIN delta d ON g.doc_id = d.doc_id
+"""
+
+QUERIES["mm_watermark_lsb_roundtrip"] = _q_watermark_roundtrip
+ORACLES["mm_watermark_lsb_roundtrip"] = WATERMARK_DUCK
