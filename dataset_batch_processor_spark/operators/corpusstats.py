@@ -212,7 +212,10 @@ LONGCTX_TARGET_PPM = 600_000  # 60% of output tokens from long docs
 
 def _scaled_div(t: str, m_hi: int, m_lo: int, w: str, div: str) -> str:
     """floor((t * m_hi * m_lo) / w) without forming t*m_hi*m_lo:
-    exact for t*m_hi < 2^63 and w*m_lo < 2^63."""
+    exact for t*m_hi < 2^63, w*m_lo < 2^63, AND t <= w (share
+    semantics — every call site divides a part by its whole, so the
+    quotient is bounded by m_hi and q*m_lo cannot overflow; hypothesis
+    found the t > w edge, tests/test_corpusstats_plan.py pins it)."""
     a = f"(({t}) * {m_hi})"
     return (f"(({a}) {div} ({w})) * {m_lo}"
             f" + ((({a}) % ({w})) * {m_lo}) {div} ({w})")

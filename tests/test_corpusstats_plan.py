@@ -74,3 +74,32 @@ def test_longctx_plan_conservation():
     t_all = sum(r[2] for r in rows)
     realized = sum(r[2] * r[5] for r in rows) // 1_000_000
     assert abs(realized - t_all) <= t_all // 1000 + n_buckets
+
+
+def test_scaled_div_decomposition_is_exact():
+    """_scaled_div must equal floor(t*m_hi*m_lo/w) for every input in
+    the int64-safe envelope — property-checked against arbitrary-
+    precision Python."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        t=st.integers(min_value=0, max_value=9_000_000_000_000_000),
+        m_hi=st.sampled_from([400, 600, 1000]),
+        w=st.integers(min_value=1, max_value=9_000_000_000_000_000),
+    )
+    def check(t, m_hi, w):
+        # documented envelope: share semantics (t <= w) + int64 products
+        if t > w or t * m_hi >= 2**63:
+            return
+        # literals type as INT32 in DuckDB; the real queries feed
+        # BIGINT columns, so the probe casts to match
+        sql = cs._scaled_div(
+            f"CAST({t} AS BIGINT)", m_hi, 1000,
+            f"CAST({w} AS BIGINT)", "//",
+        )
+        got = duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+        assert got == t * m_hi * 1000 // w
+
+    check()
