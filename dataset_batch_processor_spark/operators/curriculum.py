@@ -101,3 +101,72 @@ def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"docs_curriculum_schedule": _q_curriculum}
 ORACLES = {"docs_curriculum_schedule": CURRICULUM_DUCK}
+
+
+# --------------------------------- epoch-anneal mixture schedule
+# Mid-training practice shifts the SOURCE MIXTURE across epochs: start
+# at the natural mix, end the run on the quality-weighted mix (the
+# same decay-phase data shift the phase schedule above orders within
+# one pass — MiniCPM WSD decay data, Llama-3 annealing, OLMo staged
+# mixes). Per (epoch e, source): weight interpolates linearly,
+#
+#     w_e = ((E-1-e) * nat_ppm + e * qual_ppm) DIV (E-1)
+#
+# — all operands non-negative (no negative-division dialect hazard),
+# nat/qual shares ride corpusstats._scaled_div (part-by-whole, int64-
+# safe at any corpus size). qual share = each source's fraction of
+# the corpus-total quality mass under the gated integer scorer.
+
+N_EPOCHS = 4
+
+
+def _anneal_sql(engine: str) -> str:
+    from .corpusstats import _scaled_div
+
+    div = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        egen = f"LATERAL VIEW explode(sequence(0, {N_EPOCHS - 1})) t AS e"
+    else:
+        egen = (f", LATERAL (SELECT unnest(generate_series(0,"
+                f" {N_EPOCHS - 1})) AS e)")
+    return f"""WITH {_scored_sql(engine)},
+per_source AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s.q) AS BIGINT) AS sum_q
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY d.source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         CAST(sum(sum_q) AS BIGINT) AS q_all
+  FROM per_source
+),
+shares AS (
+  SELECT p.source,
+         CAST({_scaled_div('p.n_docs', 1000, 1000, 't.n_all', div)}
+              AS BIGINT) AS nat_ppm,
+         CAST({_scaled_div('p.sum_q', 1000, 1000, 't.q_all', div)}
+              AS BIGINT) AS qual_ppm
+  FROM per_source p CROSS JOIN tot t
+)
+SELECT CAST(e AS INT) AS epoch, s.source,
+       CAST((({N_EPOCHS - 1} - e) * s.nat_ppm + e * s.qual_ppm)
+            {div} {N_EPOCHS - 1} AS BIGINT) AS weight_ppm,
+       s.nat_ppm, s.qual_ppm
+FROM shares s
+{egen}
+"""
+
+
+def _q_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_anneal_sql("spark"))
+
+
+ANNEAL_DUCK = _anneal_sql("duck")
+
+QUERIES["docs_anneal_mixture_schedule"] = _q_anneal
+ORACLES["docs_anneal_mixture_schedule"] = ANNEAL_DUCK

@@ -54,3 +54,40 @@ def test_schedule_matches_python_replay(spark):
         assert got[p][3] <= got[p + 1][2]  # max(p) <= min(p+1)
     # the anneal slice really is higher quality than the start
     assert got[curriculum.N_PHASES - 1][2] > got[0][3]
+
+
+def test_anneal_mixture_schedule_laws():
+    """Endpoints equal the natural and quality shares exactly, every
+    epoch's mixture conserves ~1e6 ppm, and the path is monotone per
+    source (linear interpolation over non-negative integers)."""
+    import duckdb
+
+    from dataset_batch_processor_spark.operators import curriculum as cur
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(cur.ANNEAL_DUCK).fetchall()
+    con.close()
+    by_src: dict[str, dict[int, tuple]] = {}
+    for epoch, source, w, nat, qual in rows:
+        by_src.setdefault(source, {})[epoch] = (w, nat, qual)
+    E = cur.N_EPOCHS
+    for source, eps in by_src.items():
+        assert set(eps) == set(range(E))
+        w0, nat, qual = eps[0]
+        assert w0 == nat
+        assert eps[E - 1][0] == qual
+        for e in range(E):
+            assert eps[e][0] == ((E - 1 - e) * nat + e * qual) // (E - 1)
+        ws = [eps[e][0] for e in range(E)]
+        assert ws == sorted(ws) or ws == sorted(ws, reverse=True)
+    # per-epoch conservation up to one truncation per source
+    n_src = len(by_src)
+    for e in range(E):
+        tot = sum(eps[e][0] for eps in by_src.values())
+        assert 1_000_000 - 2 * n_src <= tot <= 1_000_000
+    # the anneal genuinely moves mass: endpoints differ somewhere
+    assert any(eps[0][0] != eps[E - 1][0] for eps in by_src.values())
