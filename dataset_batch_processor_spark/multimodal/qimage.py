@@ -1001,58 +1001,61 @@ WATERMARK_SCHEMA = ("doc_id long, width int, height int, "
                     "baseline_match_bits int")
 
 
-def _q_watermark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _watermark_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Module-level so the scale study can drive the kernel directly."""
     import hashlib
 
     import numpy as np
 
     from . import binary, png
 
-    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = d % 16 + 8, d % 13 + 8
-                y, x, c = np.mgrid[0:h, 0:w, 0:3]
-                arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
-                hex16 = hashlib.md5(f"{d}:wm".encode()).hexdigest()[:16]
-                bits = [
-                    (int(hex16[j // 4], 16) >> (3 - j % 4)) & 1
-                    for j in range(64)
-                ]
-                wm = arr.copy()
-                flat = wm[:, :, 0].reshape(-1)
-                flat[:64] = (flat[:64] & 0xFE) | np.array(
-                    bits, dtype=np.uint8
-                )
-                dec = binary.decode_any("png", png.encode_png(wm))
-                got = (dec[:, :, 0].reshape(-1)[:64] & 1).tolist()
-                rec_hex = "".join(
-                    f"{int(''.join(map(str, got[i:i + 4])), 2):x}"
-                    for i in range(0, 64, 4)
-                )
-                clean = binary.decode_any("png", png.encode_png(arr))
-                base = (clean[:, :, 0].reshape(-1)[:64] & 1).tolist()
-                out.append({
-                    "doc_id": d,
-                    "width": w,
-                    "height": h,
-                    "payload_hex": rec_hex,
-                    "wm_pix_sum": int(dec.astype(np.int64).sum()),
-                    "baseline_match_bits": int(
-                        sum(1 for b, g in zip(bits, base) if b == g)
-                    ),
-                })
-            yield pd.DataFrame(
-                out,
-                columns=["doc_id", "width", "height", "payload_hex",
-                         "wm_pix_sum", "baseline_match_bits"],
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 16 + 8, d % 13 + 8
+            y, x, c = np.mgrid[0:h, 0:w, 0:3]
+            arr = ((d + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+            hex16 = hashlib.md5(f"{d}:wm".encode()).hexdigest()[:16]
+            bits = [
+                (int(hex16[j // 4], 16) >> (3 - j % 4)) & 1
+                for j in range(64)
+            ]
+            wm = arr.copy()
+            flat = wm[:, :, 0].reshape(-1)
+            flat[:64] = (flat[:64] & 0xFE) | np.array(
+                bits, dtype=np.uint8
             )
+            dec = binary.decode_any("png", png.encode_png(wm))
+            got = (dec[:, :, 0].reshape(-1)[:64] & 1).tolist()
+            rec_hex = "".join(
+                f"{int(''.join(map(str, got[i:i + 4])), 2):x}"
+                for i in range(0, 64, 4)
+            )
+            clean = binary.decode_any("png", png.encode_png(arr))
+            base = (clean[:, :, 0].reshape(-1)[:64] & 1).tolist()
+            out.append({
+                "doc_id": d,
+                "width": w,
+                "height": h,
+                "payload_hex": rec_hex,
+                "wm_pix_sum": int(dec.astype(np.int64).sum()),
+                "baseline_match_bits": int(
+                    sum(1 for b, g in zip(bits, base) if b == g)
+                ),
+            })
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "width", "height", "payload_hex",
+                     "wm_pix_sum", "baseline_match_bits"],
+        )
 
-    return docs.mapInPandas(run, schema=WATERMARK_SCHEMA)
+
+def _q_watermark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+    return docs.mapInPandas(_watermark_kernel, schema=WATERMARK_SCHEMA)
 
 
 # closed-form oracle: payload bits from the same md5; watermarked sum

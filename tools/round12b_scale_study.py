@@ -183,6 +183,32 @@ def main():
         resume_fanned,
     )
 
+    from dataset_batch_processor_spark.operators import curriculum
+
+    _sweep(
+        spark, "anneal",
+        "G. epoch-anneal mixture schedule wall vs corpus fanout",
+        lambda s: s.sql(curriculum._anneal_sql("spark")).count(),
+    )
+
+    # watermark: the kernel is per-row codec work — measure it over
+    # the fanned id list directly
+    def wm_fanned(s):
+        from dataset_batch_processor_spark.multimodal.qimage import (
+            WATERMARK_SCHEMA,
+            _watermark_kernel,
+        )
+
+        s.table("documents").select("doc_id").repartition(64).mapInPandas(
+            _watermark_kernel, schema=WATERMARK_SCHEMA
+        ).count()
+
+    _sweep(
+        spark, "watermark",
+        "H. LSB watermark embed/recover wall vs corpus fanout",
+        wm_fanned,
+    )
+
     print("\n" + json.dumps(RESULTS))
 
 
