@@ -82,3 +82,30 @@ def test_resume_slice_rides_prefix_sum(spark, sf_dir):
     df = curation.QUERIES["docs_shuffle_resume_slice"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert _unpartitioned_windows(plan) == []
+
+
+def test_verifier_dpo_pairs_doc_keyed(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import rlvr
+
+    df = rlvr.QUERIES["docs_verifier_dpo_pairs"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_rlvr_curriculum_rides_prefix_sum(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import rlvr
+
+    df = rlvr.QUERIES["docs_rlvr_curriculum"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert _unpartitioned_windows(plan) == []
+
+
+def test_anneal_schedule_totals_broadcast(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import curriculum
+
+    df = curriculum.QUERIES["docs_anneal_mixture_schedule"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    # the 1-row totals cross join must broadcast, never shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert _unpartitioned_windows(plan) == []
