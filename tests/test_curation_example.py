@@ -276,3 +276,31 @@ def test_rlvr_pipeline_example(spark, tmp_path):
             spark, "/root/testdata/sf0.001"
         ).select("doc_id").distinct().collect()
     )) * rlvr.N_ROLLOUTS
+
+
+def test_governance_pipeline_example(spark, tmp_path):
+    """examples/governance_pipeline.py runs end to end on sf0.001; the
+    published snapshot is exactly scrubbed-minus-contaminated-minus-
+    leaked, and the provenance check passed on every image."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import governance_pipeline
+
+    out = str(tmp_path / "gov")
+    m = governance_pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert m["n_scrubbed"] == m["n_docs"]
+    assert m["n_watermark_failures"] == 0
+    assert 0 < m["n_contaminated"] < m["n_docs"]
+    assert 0 < m["n_leaked"]
+    got = spark.read.parquet(f"{out}/clean_corpus")
+    assert got.count() == m["n_published"]
+    # removed set is bounded by the union of the two gates (they can
+    # overlap) and published + removed covers the corpus
+    removed = m["n_docs"] - m["n_published"]
+    assert removed <= m["n_contaminated"] + m["n_leaked"]
+    assert removed >= max(m["n_contaminated"], m["n_leaked"])
+    # no masked-PII artifacts missing: published text carries masks,
+    # never raw emails
+    sample = got.limit(50).collect()
+    assert all("@example.com" not in r.text for r in sample)
