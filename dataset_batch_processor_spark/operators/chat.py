@@ -1216,7 +1216,74 @@ def _run(sql: str):
     return q
 
 
+
+# -------------------------------------- template-migration diff
+# Round 12, the chat-template sibling of the tokenizer staleness
+# monitor (bpe.py): when the serving/training template changes
+# (ChatML -> a Llama-3-style header format here), every cached render
+# is stale and the token budget shifts. The audit renders each
+# conversation under BOTH templates over the SAME gated turns chain
+# and emits the per-doc length delta + changed flag — the table a
+# render-cache invalidation (and a context-budget re-plan) is driven
+# from. Template v2 is a fixed public shape:
+#
+#     <|start_header_id|>role<|end_header_id|>\n\ncontent<|eot_id|>
+#
+# Per-doc grain keeps every value small-integer (no overflow ledger
+# needed); one turns pass feeds both renders.
+
+_PIECE_V2 = ("'<|start_header_id|>' || role || '<|end_header_id|>'"
+             " || chr(10) || chr(10) || content || '<|eot_id|>'")
+_SYS_V2 = ("'<|start_header_id|>system<|end_header_id|>' || chr(10)"
+           f" || chr(10) || '{SYSTEM_PROMPT}' || '<|eot_id|>'")
+
+_TMPL_DIFF_TAIL = f"""
+SELECT doc_id,
+       CAST(length({{sys1}} || {{agg1}}) AS INT) AS len_v1,
+       CAST(length({{sys2}} || {{agg2}}) AS INT) AS len_v2,
+       CAST(length({{sys2}} || {{agg2}})
+            - length({{sys1}} || {{agg1}}) AS INT) AS len_delta,
+       md5({{sys1}} || {{agg1}}) <> md5({{sys2}} || {{agg2}}) AS changed
+FROM (
+  SELECT doc_id, turn_id,
+         {_PIECE} AS piece,
+         {_PIECE_V2} AS piece2
+  FROM turns
+)
+GROUP BY doc_id
+"""
+
+
+def _tmpl_diff_sql(engine: str) -> str:
+    if engine == "spark":
+        toks, turns = _TOKS_SPARK, _TURNS_SPARK
+        agg = ("array_join(transform(array_sort("
+               "collect_list(struct(turn_id, {p}))), x -> x.{p}), '')")
+    else:
+        toks, turns = _TOKS_DUCK, _TURNS_DUCK
+        agg = "array_to_string(list({p} ORDER BY turn_id), '')"
+    return (
+        f"WITH {toks},\n{turns}"
+        + _TMPL_DIFF_TAIL.format(
+            sys1=_SYS_SQL, sys2=_SYS_V2,
+            agg1=agg.format(p="piece"), agg2=agg.format(p="piece2"),
+        )
+    )
+
+
+TMPL_DIFF_SPARK = _tmpl_diff_sql("spark")
+TMPL_DIFF_DUCK = _tmpl_diff_sql("duck")
+
+
+def _q_template_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(TMPL_DIFF_SPARK)
+
+
 QUERIES = {
+    "docs_template_migration_diff": _q_template_diff,
     "docs_chat_render": _run(CHAT_RENDER_SPARK),
     "docs_chat_loss_mask": _run(CHAT_LOSS_MASK_SPARK),
     "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
@@ -1235,6 +1302,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_template_migration_diff": TMPL_DIFF_DUCK,
     "docs_chat_render": CHAT_RENDER_DUCK,
     "docs_chat_loss_mask": CHAT_LOSS_MASK_DUCK,
     "docs_turn_dedup": CHAT_TURN_DEDUP_DUCK,

@@ -568,3 +568,56 @@ def test_instruction_diversity_matches_python(docs):
             top_cnt * 1_000_000 // n,
             ss * 1_000_000 // (n * n),
         ), src
+
+
+def test_template_migration_diff_replay():
+    """Both templates replayed in plain Python over the gated turn
+    fixture: v2 length = v1 + per-turn overhead delta + system delta,
+    and every conversation changes (a template migration rewrites
+    every render)."""
+    import duckdb
+
+    from dataset_batch_processor_spark.operators import chat
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(chat.TMPL_DIFF_DUCK).fetchall()
+    render = {
+        r[0]: r[3]  # render_len column
+        for r in con.execute(chat.CHAT_RENDER_DUCK).fetchall()
+    }
+    turns = con.execute(
+        "WITH "
+        + chat.toks_duck()
+        + ",\n"
+        + chat.turns_duck()
+        + " SELECT doc_id, turn_id, role, content FROM turns"
+    ).fetchall()
+    con.close()
+    by_doc: dict[int, list] = {}
+    for doc_id, turn_id, role, content in turns:
+        by_doc.setdefault(doc_id, []).append((turn_id, role, content))
+    assert len(rows) == len(by_doc)
+    for doc_id, len_v1, len_v2, delta, changed in rows:
+        assert changed is True
+        assert delta == len_v2 - len_v1
+        # v1 must agree with the gated render query's length
+        assert len_v1 == render[doc_id]
+        parts = sorted(by_doc[doc_id])
+        v1 = chat.SYS_RENDERED + "".join(
+            f"{chat.IM_START}{role}\n{content}{chat.IM_END}\n"
+            for _t, role, content in parts
+        )
+        v2 = (
+            f"<|start_header_id|>system<|end_header_id|>\n\n"
+            f"{chat.SYSTEM_PROMPT}<|eot_id|>"
+            + "".join(
+                f"<|start_header_id|>{role}<|end_header_id|>\n\n"
+                f"{content}<|eot_id|>"
+                for _t, role, content in parts
+            )
+        )
+        assert (len_v1, len_v2) == (len(v1), len(v2))
