@@ -131,10 +131,12 @@ def _anneal_sql(engine: str) -> str:
                 f" {N_EPOCHS - 1})) AS e)")
     return f"""WITH {_scored_sql(engine)},
 per_source AS (
+  -- LEFT join from documents: a doc whose text yields zero tokens
+  -- still counts toward its source's natural share (q contributes 0)
   SELECT d.source,
          CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(s.q) AS BIGINT) AS sum_q
-  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+         CAST(sum(coalesce(s.q, 0)) AS BIGINT) AS sum_q
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
   GROUP BY d.source
 ),
 tot AS (

@@ -34,8 +34,17 @@ from dataset_batch_processor_spark.operators import (  # noqa: E402
     decontam,
     textclean,
 )
+from dataset_batch_processor_spark.operators.rlvr import (  # noqa: E402
+    N_ROLLOUTS,
+)
 from dataset_batch_processor_spark.multimodal import qimage  # noqa: E402
 from dataset_batch_processor_spark.session import get_spark  # noqa: E402
+
+
+# every PII_PLANT_MOD-th doc gets a synthetic contact line appended
+# before the scrub, so the example (and its test) demonstrably
+# exercises the masks on text that genuinely carries PII
+PII_PLANT_MOD = 7
 
 
 def run(spark, sf_dir: str, out_dir: str) -> dict:
@@ -46,56 +55,85 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
     n_docs = docs.count()
     metrics["n_docs"] = n_docs
 
-    # 1. PII scrub over the whole corpus (masked text is what ships)
+    # 1. PII scrub over the whole corpus (masked text is what ships);
+    #    a planted slice carries a synthetic contact line so the masks
+    #    are exercised on real PII shapes, not vacuously
+    planted_pii = F.when(
+        F.col("doc_id") % PII_PLANT_MOD == 1,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id"),
+            F.lit("@example.com via https://ex.org/u/"), F.col("doc_id"),
+        ),
+    ).otherwise(F.col("text"))
+    metrics["n_pii_planted"] = docs.filter(
+        F.col("doc_id") % PII_PLANT_MOD == 1
+    ).count()
     scrubbed = docs.select(
         "doc_id",
-        textclean.clean_text(F.col("text")).alias("text"),
+        textclean.clean_text(planted_pii).alias("text"),
         "lang",
         "source",
     )
     metrics["n_scrubbed"] = scrubbed.count()
 
-    # 2. eval decontamination: drop train docs sharing 8-grams with
-    #    the eval slice (the gated inverted-index join)
-    contaminated = decontam.QUERIES["docs_decontaminate"](
-        spark, sf_dir
+    # 2. eval decontamination: the eval slice itself NEVER ships in a
+    #    training snapshot, and train docs sharing 8-grams with it are
+    #    dropped (the gated inverted-index join)
+    eval_slice = docs.filter(
+        F.col("doc_id") % decontam.EVAL_MOD == 0
     ).select("doc_id")
+    metrics["n_eval_held_out"] = eval_slice.count()
+    contaminated = (
+        decontam.QUERIES["docs_decontaminate"](spark, sf_dir)
+        .select("doc_id")
+        .persist()  # reused by the anti join and the count
+    )
     metrics["n_contaminated"] = contaminated.count()
 
     # 3. canary exposure: drop docs whose planted canary leaked into
-    #    any rollout window (memorization risk)
-    leaked = (
-        spark.sql(canary.EXPOSURE_SPARK)
-        .filter(F.col("leaked"))
-        .select("doc_id")
-    )
+    #    any rollout window (memorization risk); exposure_ppm derives
+    #    from the SAME exposure rows — no second pass over the chain
+    exposure = spark.sql(canary.EXPOSURE_SPARK).persist()
+    leaked = exposure.filter(F.col("leaked")).select("doc_id")
     metrics["n_leaked"] = leaked.count()
-    metrics["exposure_ppm"] = spark.sql(canary.CARD_SPARK).collect()[0][
-        "exposure_ppm"
-    ]
+    agg = exposure.agg(
+        F.sum("n_leaking_rollouts").alias("n_leak"),
+        F.count(F.lit(1)).alias("n_planted"),
+    ).collect()[0]
+    metrics["exposure_ppm"] = int(
+        agg["n_leak"] * 1_000_000 // (agg["n_planted"] * N_ROLLOUTS)
+    )
 
     # 4. image provenance: the watermark probe must recover EVERY
-    #    payload bit-exactly or the release aborts (a failed recovery
-    #    means the image path corrupted provenance bits)
+    #    payload bit-exactly or the release aborts. The expected
+    #    payload is recomputed in SQL and the mismatch count
+    #    aggregates distributed — one row to the driver, never the
+    #    per-image table.
     wm = qimage.QUERIES["mm_watermark_lsb_roundtrip"](spark, sf_dir)
-    import hashlib
-
-    bad = 0
-    for r in wm.collect():
-        want = hashlib.md5(f"{r['doc_id']}:wm".encode()).hexdigest()[:16]
-        bad += r["payload_hex"] != want
+    bad = (
+        wm.filter(
+            F.col("payload_hex")
+            != F.expr("substr(md5(concat(doc_id, ':wm')), 1, 16)")
+        ).count()
+    )
     metrics["n_watermark_failures"] = bad
     if bad:
         raise RuntimeError(f"provenance check failed on {bad} images")
 
-    # 5. publish: scrubbed text minus contaminated minus leaked
-    publish = scrubbed.join(contaminated, "doc_id", "anti").join(
-        leaked, "doc_id", "anti"
+    # 5. publish: scrubbed text minus eval minus contaminated minus
+    #    leaked
+    publish = (
+        scrubbed.join(eval_slice, "doc_id", "anti")
+        .join(contaminated, "doc_id", "anti")
+        .join(leaked, "doc_id", "anti")
     )
     metrics["n_published"] = publish.count()
     publish.write.mode("errorifexists").parquet(
         os.path.join(out_dir, "clean_corpus")
     )
+    contaminated.unpersist()
+    exposure.unpersist()
     return metrics
 
 

@@ -287,20 +287,36 @@ def test_governance_pipeline_example(spark, tmp_path):
     sys.path.insert(0, "/root/repo/examples")
     import governance_pipeline
 
+    from dataset_batch_processor_spark.operators import decontam
+
     out = str(tmp_path / "gov")
     m = governance_pipeline.run(spark, "/root/testdata/sf0.001", out)
     assert m["n_scrubbed"] == m["n_docs"]
     assert m["n_watermark_failures"] == 0
     assert 0 < m["n_contaminated"] < m["n_docs"]
     assert 0 < m["n_leaked"]
+    assert 0 < m["n_eval_held_out"] < m["n_docs"]
     got = spark.read.parquet(f"{out}/clean_corpus")
     assert got.count() == m["n_published"]
-    # removed set is bounded by the union of the two gates (they can
-    # overlap) and published + removed covers the corpus
+    rows = got.collect()
+    # the eval slice never ships in the training snapshot
+    assert all(r.doc_id % decontam.EVAL_MOD != 0 for r in rows)
+    # removed set is bounded by the union of the three gates (they
+    # can overlap) and covers at least the largest gate
     removed = m["n_docs"] - m["n_published"]
-    assert removed <= m["n_contaminated"] + m["n_leaked"]
-    assert removed >= max(m["n_contaminated"], m["n_leaked"])
-    # no masked-PII artifacts missing: published text carries masks,
-    # never raw emails
-    sample = got.limit(50).collect()
-    assert all("@example.com" not in r.text for r in sample)
+    assert removed <= (
+        m["n_contaminated"] + m["n_leaked"] + m["n_eval_held_out"]
+    )
+    assert removed >= max(
+        m["n_contaminated"], m["n_leaked"], m["n_eval_held_out"]
+    )
+    # the PII masks genuinely fired: every published doc from the
+    # planted slice carries <EMAIL>/<URL> masks and no raw address
+    planted = [
+        r for r in rows
+        if r.doc_id % governance_pipeline.PII_PLANT_MOD == 1
+    ]
+    assert planted and m["n_pii_planted"] > 0
+    for r in planted:
+        assert "@example.com" not in r.text
+        assert "<EMAIL>" in r.text and "<URL>" in r.text

@@ -30,11 +30,19 @@ def _extract(img) -> list[int]:
 
 def test_png_roundtrip_recovers_every_bit():
     for d in (0, 1, 7, 42, 311):
-        _arr, wm, bits = _fixture(d)
+        arr, wm, bits = _fixture(d)
         dec = binary.decode_any("png", png.encode_png(wm))
         assert _extract(dec) == bits
-        # invisible: the embed changed only LSBs of 64 pixels
+        # lossless: decode reproduces the watermarked array exactly
         assert int(np.abs(dec.astype(int) - wm.astype(int)).max()) == 0
+        # invisible: vs the CLEAN image the embed moved only channel-0
+        # LSBs of the first 64 pixels, by at most 1
+        diff = np.abs(wm.astype(int) - arr.astype(int))
+        assert int(diff.max()) <= 1
+        assert diff[:, :, 1:].max() == 0
+        assert int(diff.sum()) == int(
+            diff[:, :, 0].reshape(-1)[:64].sum()
+        )
 
 
 def test_baseline_does_not_carry_the_payload():
