@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.streaming import convgate as stream_cvg
 from dataset_batch_processor_spark.streaming import quotagate as stream_qt
 from dataset_batch_processor_spark.streaming import rlvrgate as stream_rvg
+from dataset_batch_processor_spark.streaming import prefgate as stream_pfg
 from dataset_batch_processor_spark.operators import (
     analytics,
     chat,
@@ -507,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_cvg.QUERIES)
     q.update(stream_qt.QUERIES)
     q.update(stream_rvg.QUERIES)
+    q.update(stream_pfg.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
     q.update(bpe.QUERIES)
@@ -636,6 +638,7 @@ FROM images_meta GROUP BY 1
     o.update(stream_cvg.ORACLES)
     o.update(stream_qt.ORACLES)
     o.update(stream_rvg.ORACLES)
+    o.update(stream_pfg.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
     o.update(bpe.ORACLES)

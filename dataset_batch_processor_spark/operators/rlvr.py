@@ -305,12 +305,38 @@ GRPO_DUCK = _sql("duck", _GRPO_TAIL)
 DPO_SPARK = _sql("spark", _DPO_TAIL)
 DPO_DUCK = _sql("duck", _DPO_TAIL)
 
+
+# --------------------------------------- per-source pass-rate rollup
+# The drift grain an RLVR ops loop monitors: per SOURCE the task
+# count, the aggregate pass@1 (sum-correct over sum-rollouts — the
+# micro-average, exact in ppm), and the signal-bearing task count.
+# One doc_id equi-join to documents + a source-keyed combine.
+
+_SRC_TAIL = """
+, tsk2 AS (
+  SELECT t.doc_id, t.n_correct, t.n_rolls, d.source
+  FROM task t JOIN documents d ON t.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       CAST(sum(n_correct) * 1000000 {div} sum(n_rolls) AS BIGINT)
+           AS pass1_ppm,
+       CAST(sum(CASE WHEN n_correct > 0 AND n_correct < n_rolls
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_signal
+FROM tsk2 GROUP BY source
+"""
+
+SRC_PASS_SPARK = _sql("spark", _SRC_TAIL)
+SRC_PASS_DUCK = _sql("duck", _SRC_TAIL)
+
+
 QUERIES = {
     "docs_verifier_grade": _run(GRADE_SPARK),
     "docs_passk_estimate": _run(PASSK_SPARK),
     "docs_grpo_advantage": _run(GRPO_SPARK),
     "docs_verifier_dpo_pairs": _run(DPO_SPARK),
     "docs_rlvr_curriculum": _q_rlvr_curriculum,
+    "docs_rlvr_source_passrate": _run(SRC_PASS_SPARK),
 }
 ORACLES = {
     "docs_verifier_grade": GRADE_DUCK,
@@ -318,4 +344,5 @@ ORACLES = {
     "docs_grpo_advantage": GRPO_DUCK,
     "docs_verifier_dpo_pairs": DPO_DUCK,
     "docs_rlvr_curriculum": CURR_DUCK,
+    "docs_rlvr_source_passrate": SRC_PASS_DUCK,
 }

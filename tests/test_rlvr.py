@@ -201,3 +201,29 @@ def test_rlvr_curriculum_card(docs):
         assert n_tasks == len(members)
         assert (mn, mx) == (min(cs), max(cs))
         assert n_signal == sum(1 for c in cs if 0 < c < rlvr.N_ROLLOUTS)
+
+
+def test_source_passrate_reconciles_with_grade(docs):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    )
+    src_rows = con.execute(rlvr.SRC_PASS_DUCK).fetchall()
+    doc_src = dict(
+        con.execute("SELECT doc_id, source FROM documents").fetchall()
+    )
+    con.close()
+    grade = {r[0]: r[1:] for r in _duck(rlvr.GRADE_DUCK)}
+    by_src: dict[str, list] = {}
+    for doc_id, g in grade.items():
+        by_src.setdefault(doc_src[doc_id], []).append(g)
+    assert {r[0] for r in src_rows} == set(by_src)
+    for source, n_tasks, pass1_ppm, n_signal in src_rows:
+        gs = by_src[source]
+        assert n_tasks == len(gs)
+        assert pass1_ppm == (
+            sum(g[1] for g in gs) * 1_000_000
+            // sum(g[0] for g in gs)
+        )
+        assert n_signal == sum(1 for g in gs if g[4])
