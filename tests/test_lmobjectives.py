@@ -180,3 +180,21 @@ def test_ul2_mixture_semantics():
         assert card[mode][2] == (
             sum(d[3] for d in sub) * 1_000_000 // sum(d[2] for d in sub)
         )
+
+
+def test_ul2_on_adversarial_texts():
+    """Differential fuzz for the UL2 chain on degenerate docs: single
+    token (cut can be 0 -> whole doc is the S target), two tokens,
+    all-identical tokens, and a long doc — oracle == Python replay."""
+    texts = [
+        "solo",
+        "a b",
+        "x x x x x x x x",
+        " ".join(f"w{i % 7}" for i in range(120)),
+    ]
+    con = duckdb.connect()
+    _view(con, texts)
+    rows = {r[0]: r[1:] for r in con.execute(lmo.UL2_DOC_DUCK).fetchall()}
+    con.close()
+    for i, t in enumerate(texts):
+        assert rows[i] == _ref_ul2(i, t), (i, t, rows[i], _ref_ul2(i, t))

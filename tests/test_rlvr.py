@@ -227,3 +227,38 @@ def test_source_passrate_reconciles_with_grade(docs):
             // sum(g[0] for g in gs)
         )
         assert n_signal == sum(1 for g in gs if g[4])
+
+
+def test_grading_chain_on_adversarial_texts():
+    """Differential fuzz: the DuckDB chain vs the Python replay over
+    synthetic docs exercising the edges the corpus fixture never hits
+    — single-token docs, repeated-token docs, docs shorter than the
+    window, and md5-hex-looking tokens."""
+    import duckdb
+
+    texts = [
+        "x",
+        "a a a a a a a a a a",
+        "one two",
+        " ".join(f"t{i}" for i in range(200)),
+        "deadbeef " * 5,
+        "short doc",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text)"
+    )
+    got = {r[0]: r[1:] for r in con.execute(rlvr.GRADE_DUCK).fetchall()}
+    con.close()
+    replay = _replay(list(enumerate(texts)))
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        ans, marks = replay[i]
+        assert got[i][1] == sum(marks), (i, t)
+        assert got[i][5] == hashlib.md5(ans.encode()).hexdigest()
+        # degenerate docs: the window IS the doc, so every rollout
+        # contains the modal token -> all-correct, no GRPO signal
+        if len(t) <= rlvr.RESP_CHARS:
+            assert got[i][1] == rlvr.N_ROLLOUTS and got[i][4] is False
