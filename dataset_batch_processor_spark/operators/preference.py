@@ -48,8 +48,14 @@ def _hk(engine: str) -> str:
             " AS BIGINT)")
 
 
-def _chain(engine: str, n_cands: int) -> str:
-    """cands -> ctoks -> scored: shared by all three queries."""
+def _chain(engine: str, n_cands: int, table: str = "documents") -> str:
+    """cands -> ctoks -> scored: shared by all three queries.
+
+    ``table`` parameterizes the source relation (the rlvr._chain
+    convention) so streaming twins build their per-batch partial SQL
+    from the SAME template instead of textually rewriting the batch
+    string (ADVICE r12: a rename/alias inside this chain would have
+    silently broken prefgate's ``.replace("FROM documents", ...)``)."""
     if engine == "spark":
         kgen = (f"LATERAL VIEW explode(sequence(0, {n_cands - 1})) t AS k")
         tok_x = ("LATERAL VIEW explode(split(resp, ' ')) t2 AS token")
@@ -66,7 +72,7 @@ def _chain(engine: str, n_cands: int) -> str:
                 CAST(1 + ({_hk(engine)}
                      % greatest(length(text) - {RESP_CHARS - 1}, 1)) AS INT),
                 {RESP_CHARS}) AS resp
-  FROM documents
+  FROM {table}
   {kgen}
 ),
 ctoks AS (
@@ -156,9 +162,10 @@ GROUP BY d.source, b.k
 """
 
 
-def _sql(engine: str, tail: str, n_cands: int = N_CANDIDATES) -> str:
+def _sql(engine: str, tail: str, n_cands: int = N_CANDIDATES,
+         table: str = "documents") -> str:
     div = "DIV" if engine == "spark" else "//"
-    return f"WITH {_chain(engine, n_cands)}" + tail.format(div=div)
+    return f"WITH {_chain(engine, n_cands, table)}" + tail.format(div=div)
 
 
 def _run(sql: str):

@@ -35,8 +35,11 @@ def margin_partial(batch_docs: DataFrame) -> DataFrame:
     via the gated pairs chain."""
     spark = batch_docs.sparkSession
     batch_docs.createOrReplaceTempView("stream_pref_docs")
-    sql = preference.MARGIN_HIST_SPARK.replace(
-        "FROM documents", "FROM stream_pref_docs"
+    # built from the SAME parameterized template as the batch query
+    # (rlvr._chain convention) — no textual rewriting of the batch
+    # SQL, so a chain-internal rename cannot silently retarget it
+    sql = preference._sql(
+        "spark", preference._MARGIN_TAIL, 2, table="stream_pref_docs"
     )
     return spark.sql(sql)
 

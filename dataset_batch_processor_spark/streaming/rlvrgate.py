@@ -34,8 +34,8 @@ from .. import catalog
 from ..operators import rlvr
 
 _PARTIAL_TAIL = """
-SELECT n_correct, CAST(count(*) AS BIGINT) AS n_tasks
-FROM task GROUP BY n_correct
+SELECT n_correct, n_rolls, CAST(count(*) AS BIGINT) AS n_tasks
+FROM task GROUP BY n_correct, n_rolls
 """
 
 
@@ -68,8 +68,14 @@ def accumulate_grades(
 
 def read_passk(spark: SparkSession, commits_dir: str) -> DataFrame:
     """Merge the partials and recompute pass@k exactly from the
-    c-histogram + the constant binomial relation."""
-    spark.read.parquet(commits_dir).groupBy("n_correct").agg(
+    (n_correct, n_rolls)-histogram + the constant binomial relation.
+
+    The partial carries ``n_rolls`` per row (ADVICE r12): the
+    estimator's C(n-c,k)/C(n,k) term uses the TASK's own rollout
+    count, as the batch oracle does, instead of assuming every graded
+    task saw exactly N_ROLLOUTS rollouts — so a future chain with
+    variable per-task rollouts keeps streaming/batch parity."""
+    spark.read.parquet(commits_dir).groupBy("n_correct", "n_rolls").agg(
         F.sum("n_tasks").cast("long").alias("n_tasks")
     ).createOrReplaceTempView("rlvr_chist")
     return spark.sql(f"""
@@ -79,8 +85,8 @@ sel AS (
          h.n_tasks,
          (1000000 - (cb.c * 1000000 DIV cn.c)) AS task_ppm
   FROM rlvr_chist h
-       JOIN comb cb ON cb.m = {rlvr.N_ROLLOUTS} - h.n_correct
-       JOIN comb cn ON cn.m = {rlvr.N_ROLLOUTS} AND cn.k = cb.k
+       JOIN comb cb ON cb.m = h.n_rolls - h.n_correct
+       JOIN comb cn ON cn.m = h.n_rolls AND cn.k = cb.k
 )
 SELECT CAST(k AS INT) AS k,
        CAST(sum(n_tasks) AS BIGINT) AS n_tasks,

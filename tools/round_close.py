@@ -129,11 +129,20 @@ def commit_snapshot(n: int) -> None:
         ["git", "diff", "--cached", "--quiet", "--"] + paths, cwd=REPO
     )
     if staged.returncode != 0:
-        run("snapshot commit", [
-            "git", "commit", "-m",
-            f"Round-{n} close: verify + bench snapshot artifacts",
-            "--",
-        ] + paths)
+        # squash-on-reclose (VERDICT r12 wrong #4): a re-run after a
+        # post-close fix used to STACK a second identical-message
+        # snapshot commit (r12 left three). If HEAD already is this
+        # round's close snapshot, amend it in place instead — one
+        # close commit per round, whatever the rerun count.
+        msg = f"Round-{n} close: verify + bench snapshot artifacts"
+        head_msg = subprocess.run(
+            ["git", "log", "-1", "--format=%s"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        cmd = ["git", "commit", "-m", msg]
+        if head_msg == msg:
+            cmd.insert(2, "--amend")
+        run("snapshot commit", cmd + ["--"] + paths)
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--",
          "BENCH_*.json", "BENCH_DETAIL.json", "CORRECTNESS_*.json",
