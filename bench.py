@@ -232,6 +232,31 @@ def main() -> None:
     from dataset_batch_processor_spark.operators import bpe
     _warm("bpe_merges_artifact",
           lambda: bpe.bpe_merges_artifact(spark, sf_dir).count())
+    # round 13 (VERDICT r12 next #4): the streaming twins' shard
+    # staging is session-shared now (fixtures.stage_mod_shards /
+    # staged_once) — build each once here so every twin's recorded
+    # timing is its drain loop, not fixture parquet writes.
+    from dataset_batch_processor_spark.streaming import (
+        convgate,
+        driftmon,
+        incremental,
+        prefgate,
+        qualitygate,
+        quotagate,
+        rlvrgate,
+        turndedup,
+    )
+    for _mod, _label in (
+        (turndedup, "stage_turnadm"),
+        (incremental, "stage_inc_q"),
+        (driftmon, "stage_drift"),
+        (convgate, "stage_cvg"),
+        (qualitygate, "stage_qg"),
+        (quotagate, "stage_qg2"),
+        (prefgate, "stage_pfg"),
+        (rlvrgate, "stage_rvg"),
+    ):
+        _warm(_label, lambda m=_mod: m.stage(spark, sf_dir))
     pair_graph_build_s = warmup_builds["pair_graph"]
 
     # Queries whose registered form scans a matcache-materialized
@@ -264,10 +289,41 @@ def main() -> None:
     multi_rep = (
         set(HEADLINE) | set(HEADLINE_V2_EXTRA) | set(HEAVY) | set(WATCH)
     )
+    # Tenancy hardening (VERDICT r12 wrong #1 / next #1): median-of-3
+    # does not damp a ±25% tenancy band with occasional 3x excursions
+    # — the r12 driver snapshot (19.14 s) disagreed with the committed
+    # close (13.04 s) on IDENTICAL code, almost entirely via three
+    # variance-dominated queries. Any query whose LAST RECORDED spread
+    # exceeded 1.5x max/min is promoted to 5 reps with the min and max
+    # dropped and the middle runs averaged (trimmed mean) — one 3x
+    # excursion then costs nothing, and two would have to land in the
+    # same 5-rep window to move the number. The rule is read from the
+    # prior BENCH_DETAIL.json, so it self-heals: a query whose spread
+    # tightens drops back to the base protocol next run. Per-query rep
+    # counts are persisted in BENCH_DETAIL ("reps").
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    reps_promoted = max(5, reps_headline)
+    promoted: set[str] = set()
+    try:
+        with open(detail_path) as fh:
+            _prior_spread = (json.load(fh).get("spread") or {})
+        for qname, sp in _prior_spread.items():
+            if sp and sp[0] > 0 and sp[-1] / sp[0] > 1.5:
+                promoted.add(qname)
+    except (OSError, ValueError):
+        pass
     spread: dict[str, list[float]] = {}
+    reps_used: dict[str, int] = {}
     total = 0.0
     for name, fn in qs.items():
-        reps = reps_headline if name in multi_rep else 1
+        if name in promoted:
+            reps = reps_promoted
+        elif name in multi_rep:
+            reps = reps_headline
+        else:
+            reps = 1
         runs: list[float] = []
         n = 0
         for _ in range(reps):
@@ -282,12 +338,19 @@ def main() -> None:
             # queries/reps aren't squeezed by earlier storage memory
             spark.catalog.clearCache()
         runs.sort()
-        dt = runs[len(runs) // 2]  # median (reps odd) / upper-median
+        if reps >= 5:
+            # trimmed mean: drop min and max, average the middle runs
+            mid = runs[1:-1]
+            dt = sum(mid) / len(mid)
+        else:
+            dt = runs[len(runs) // 2]  # median (reps odd) / upper-median
         timings[name] = round(dt, 3)
+        reps_used[name] = reps
         if reps > 1:
             spread[name] = [round(runs[0], 3), round(dt, 3), round(runs[-1], 3)]
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s (median of {reps})",
+        est = "trimmed mean" if reps >= 5 else "median"
+        print(f"# {name}: {n} rows in {dt:.2f}s ({est} of {reps})",
               file=sys.stderr)
 
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
@@ -316,13 +379,13 @@ def main() -> None:
         "evicts a sibling's cache; emb_ann_recall_report times the "
         "composition over the warm family caches by design; "
         "headline-v2 extras and the heavy tier (top-cost "
-        "non-headline) also run median-of-reps; remaining queries "
-        "run once; spread entries for queries a reps=1 rewrite did "
-        "not re-measure are carried forward from the prior "
-        "BENCH_DETAIL (marked in spread_carried)"
-    )
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        "non-headline) also run median-of-reps; any query whose "
+        "prior recorded spread exceeded 1.5x max/min is promoted to "
+        f"{reps_promoted} reps with a min/max-trimmed mean (round "
+        "13 tenancy hardening — per-query rep counts in 'reps'); "
+        "remaining queries run once; spread entries for queries a "
+        "reps=1 rewrite did not re-measure are carried forward from "
+        "the prior BENCH_DETAIL (marked in spread_carried)"
     )
     # Preserve spread arrays across rewrites (VERDICT r8 wrong #3): a
     # reps=1 driver re-run used to overwrite the committed multi-rep
@@ -356,6 +419,8 @@ def main() -> None:
                 "headline_v2_extra": list(HEADLINE_V2_EXTRA),
                 "heavy_tier": list(HEAVY),
                 "headline_reps": reps_headline,
+                "reps": reps_used,
+                "promoted_high_spread": sorted(promoted),
                 "pair_graph_build_s": pair_graph_build_s,
                 "warmup_builds": warmup_builds,
                 "spread": spread,

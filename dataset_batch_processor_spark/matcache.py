@@ -112,3 +112,39 @@ def materialize_once(
                 if base in _SCRATCH_DIRS:
                     _SCRATCH_DIRS.remove(base)
     return spark.read.parquet(path)
+
+
+def staged_once(
+    spark: SparkSession, kind: str, key: str,
+    write: Callable[[str], None],
+) -> str:
+    """Return a directory populated by ``write(path)`` at most once
+    per (session, kind, key) — the staging-dir sibling of
+    :func:`materialize_once` for content that is a DIRECTORY LAYOUT
+    rather than one DataFrame (the streaming twins' multi-file shard
+    staging, where file count drives micro-batch count).
+
+    Round 13 (VERDICT r12 next #4): each availableNow streaming twin
+    used to rewrite its 3-shard parquet staging on EVERY run — pure
+    fixture setup, deterministic per (session, dataset), now built
+    once and shared like every other session-scoped artifact. The
+    per-run checkpoint/commit work dirs stay fresh scratch: they are
+    run STATE, not fixtures."""
+    ck = (spark.sparkContext.applicationId, f"staged:{kind}",
+          os.path.abspath(key))
+    with _LOCK:
+        path = _CACHE.get(ck)
+    if path is None:
+        base = scratch_dir(f"dbp_{kind}_stage_")
+        candidate = os.path.join(base, "stage")
+        write(candidate)
+        with _LOCK:
+            path = _CACHE.get(ck)
+            if path is None:
+                path = _CACHE[ck] = candidate
+        if path != candidate:  # lost the publication race
+            shutil.rmtree(base, ignore_errors=True)
+            with _LOCK:
+                if base in _SCRATCH_DIRS:
+                    _SCRATCH_DIRS.remove(base)
+    return path

@@ -1091,8 +1091,23 @@ def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_trained(emb, ids, Cn, vectorized=False)
 
 
-def _ivf_trained_duck(iters: int = 2) -> str:
-    """Unrolled-Lloyd DuckDB replay of ``_q_ivf_trained_topk``.
+def _cosq_duck(v: str, c: str) -> str:
+    """Engine-exact quantized cosine between (f, s) and (c, sc):
+    floor( dot / (sqrt(s)*sqrt(sc)) * 1e6 + 0.5 ) — same op order as
+    _cos_fx."""
+    return (
+        f"CAST(floor(CAST(list_sum(list_transform("
+        f"generate_series(1, {DIM}), j -> {v}.f[j] * {c}.c[j])) "
+        f"AS DOUBLE) / (sqrt(CAST({v}.s AS DOUBLE)) "
+        f"* sqrt(CAST({c}.sc AS DOUBLE))) * 1000000.0 + 0.5) "
+        f"AS BIGINT)"
+    )
+
+
+def _lloyd_ctes(iters: int = 2) -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE chain shared by the trained-top-k oracle
+    and the centroid-level roundtrip oracle: returns (ctes, name of
+    the final normalized-quantized centroid CTE).
 
     Mirrors the trainer op-for-op through the ENGINE-EXACT fixed-point
     primitives (_fx6/_vn_fx/_cos_fx): per-component floor(x*1e6+0.5)
@@ -1105,18 +1120,7 @@ def _ivf_trained_duck(iters: int = 2) -> str:
     is truncating integer division (``//`` == _truncdiv).
     MATERIALIZED CTEs: each iteration references its predecessor
     several times and would otherwise inline exponentially."""
-    # engine-exact quantized cosine between (f, s) and (c, sc):
-    # floor( dot / (sqrt(s)·sqrt(sc)) · 1e6 + 0.5 ) — same op order
-    # as _cos_fx
-    def cosq(v: str, c: str) -> str:
-        return (
-            f"CAST(floor(CAST(list_sum(list_transform("
-            f"generate_series(1, {DIM}), j -> {v}.f[j] * {c}.c[j])) "
-            f"AS DOUBLE) / (sqrt(CAST({v}.s AS DOUBLE)) "
-            f"* sqrt(CAST({c}.sc AS DOUBLE))) * 1000000.0 + 0.5) "
-            f"AS BIGINT)"
-        )
-
+    cosq = _cosq_duck
     ctes = [
         """fxq AS MATERIALIZED (
   SELECT vec_id,
@@ -1192,6 +1196,15 @@ def _ivf_trained_duck(iters: int = 2) -> str:
 )""")
         ctes.append(with_sc(f"c{it}"))
         prev = f"c{it}s"
+    return ctes, prev
+
+
+def _ivf_trained_duck(iters: int = 2) -> str:
+    """Probe tail over the Lloyd chain: qv/pr/af + exact re-rank —
+    the DuckDB replay of ``_q_ivf_trained_topk`` (and of every
+    persisted/serving variant, which must be bit-identical to it)."""
+    ctes, prev = _lloyd_ctes(iters)
+    cosq = _cosq_duck
     ctes.append(
         f"""qv AS MATERIALIZED (
   SELECT vec_id AS query_id, f, s FROM nv

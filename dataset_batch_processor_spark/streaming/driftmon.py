@@ -117,24 +117,35 @@ def read_drift(spark: SparkSession, commits_dir: str) -> DataFrame:
 # ------------------------------------------------------- driver query
 
 
-def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..matcache import scratch_dir
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging: ONE corpus pass into N_SHARDS
+    files (review fix: the per-shard filter loop scanned the table
+    N_SHARDS times). The monitor is keyed on shard DATA identity, so
+    arbitrary file slicing — even mixed-shard batches — drains to the
+    identical gated output; that indifference is the point. Staged
+    once per session (matcache.staged_once), drained fresh every
+    run."""
+    from ..matcache import staged_once
 
     docs = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    stage = scratch_dir("dbp_drift_stage_")
-    # ONE corpus pass into N_SHARDS files (review fix: the per-shard
-    # filter loop scanned the table N_SHARDS times). The monitor is
-    # keyed on shard DATA identity, so arbitrary file slicing — even
-    # mixed-shard batches — drains to the identical gated output;
-    # that indifference is the point.
-    docs.repartition(N_SHARDS).write.mode("overwrite").parquet(stage)
+    return staged_once(
+        spark, "drift", sf_dir,
+        lambda path: docs.repartition(N_SHARDS)
+        .write.mode("overwrite").parquet(path),
+    )
+
+
+def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    stage_path = stage(spark, sf_dir)
     work = scratch_dir("dbp_drift_work_")
     q = accumulate_drift(
         spark.readStream.schema("doc_id long, n_chars long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
+        .parquet(stage_path),
         commits_dir=os.path.join(work, "commits"),
         checkpoint_dir=os.path.join(work, "ckpt"),
     )

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_bands_df, minhash_signatures_df
+from . import fixtures
 
 
 def incremental_lsh_pairs(
@@ -195,18 +196,24 @@ def run_incremental_over_dir(
 # index accumulation, new-vs-old/new-vs-new joins, exactly-once log.
 
 
-def _q_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging: two micro-batches, dup partners
+    split (fixtures.stage_mod_shards; slice order preserved, so the
+    new-vs-old/new-vs-new split sees the identical batch sequence)."""
     from .. import catalog as cat
+
+    docs = cat.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return fixtures.stage_mod_shards(docs, "inc_q", sf_dir, n_shards=2)
+
+
+def _q_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    docs = cat.load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = scratch_dir("dbp_inc_q_stage_")
-    for part in range(2):  # two micro-batches, dup partners split
-        docs.filter(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    stage_path = stage(spark, sf_dir)
     work = scratch_dir("dbp_inc_q_work_")
-    return run_incremental_over_dir(spark, stage, work)
+    return run_incremental_over_dir(spark, stage_path, work)
 
 
 def _oracle():

