@@ -93,6 +93,10 @@ HEADLINE_V2_EXTRA = (
     "docs_ffd_pack_sequences",
     "docs_chat_serving_order",
     "docs_pref_length_bias",
+    # round 13: the steady-state ANN serving probe (split out of the
+    # persistence gate, VERDICT r12 next #2) — the number a deployed
+    # index reader actually sees
+    "emb_ivf_serving_topk",
 )
 
 # Top-cost tier (round 8, VERDICT r7 next#4): the most expensive
@@ -202,6 +206,15 @@ def main() -> None:
           lambda: similarity.ivf_flat_assign(spark, sf_dir).count())
     _warm("ivf_trained_centroids",
           lambda: similarity._trained_index(spark, sf_dir))
+    # round 13 (VERDICT r12 next #2): the serving-path artifacts — the
+    # materialized inverted lists and the persisted index dir — are
+    # session-shared; build them here so emb_ivf_serving_topk times
+    # the probe a deployed reader pays, and emb_ivf_persisted_topk
+    # times save+load+probe rather than a corpus re-assignment.
+    _warm("ivf_trained_assign",
+          lambda: similarity.trained_assign_df(spark, sf_dir).count())
+    _warm("ivf_persisted_index",
+          lambda: similarity.persisted_index_dir(spark, sf_dir))
     # r9 VERDICT wrong#1: the perceptron weights are session-shared
     # between docs_classifier_train and _eval (_TRAIN_CACHE) — without
     # a warmup build, whichever ran first absorbed the ~5-6 s training

@@ -1514,12 +1514,26 @@ ORACLES["emb_norm_histogram"] = NORM_HIST_DUCK
 
 
 def save_ivf_index(spark: SparkSession, ids, Cn, index_dir: str) -> None:
-    """Persist trained centroids (ids + L2-normalized rows)."""
-    rows = [
-        (int(cid), [float(x) for x in Cn[j]]) for j, cid in enumerate(ids)
-    ]
+    """Persist trained centroids (ids + L2-normalized rows).
+
+    Arrow path on purpose (round 13, measured): ``createDataFrame``
+    on a plain Python list splits the k rows across
+    defaultParallelism pickled partitions, and the single-file write
+    then pays one Python-worker round-trip PER partition (~5 s for 65
+    rows on local[32]); the pandas/Arrow batch is one JVM-side slice
+    (~0.2 s) — same bytes, 20x less fixed cost on every index
+    publish."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "centroid_id": [int(cid) for cid in ids],
+            "components": [[float(x) for x in Cn[j]]
+                           for j in range(len(ids))],
+        }
+    )
     spark.createDataFrame(
-        rows, "centroid_id int, components array<double>"
+        pdf, "centroid_id int, components array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(index_dir)
 
 
@@ -1538,19 +1552,132 @@ def load_ivf_index(spark: SparkSession, index_dir: str):
     return ids, Cn
 
 
+def trained_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted lists (vec_id, centroid_id) for the
+    trained index — built once per (session, dataset), the local twin
+    of the production bucketed index table (``ivf_build_index``). A
+    serving deployment reads these lists from storage; it does NOT
+    re-assign the corpus per probe, so neither do the serving-path
+    queries below."""
+
+    def build() -> DataFrame:
+        emb, ids, Cn = _trained_index(spark, sf_dir)
+        return ivf_assign_trained(emb, ids, Cn).select(
+            "vec_id", "centroid_id"
+        )
+
+    return matcache.materialize_once(
+        spark, "ivf_trained_assign", sf_dir, build
+    )
+
+
+_PERSISTED_INDEX_CACHE: dict = {}
+
+
+def persisted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Save the trained index to scratch parquet once per session —
+    the serving fixture ('an index trained and persisted months
+    ago')."""
+    from ..matcache import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PERSISTED_INDEX_CACHE:
+        for k in [k for k in _PERSISTED_INDEX_CACHE if k[0] != key[0]]:
+            del _PERSISTED_INDEX_CACHE[k]
+        _emb, ids, Cn = _trained_index(spark, sf_dir)
+        index_dir = scratch_dir("dbp_ivf_index_")
+        save_ivf_index(spark, ids, Cn, index_dir)
+        _PERSISTED_INDEX_CACHE[key] = index_dir
+    return _PERSISTED_INDEX_CACHE[key]
+
+
+def _q_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistence gate ITSELF (round 13, VERDICT r12 next #2):
+    fresh save -> load through the real serving functions every run,
+    emitting every loaded centroid component re-quantized to the
+    trainer's 6-dp fixed point, unpivoted to (centroid_id, j, c_fx)
+    scalars. The oracle replays the Lloyd chain to the same centroid
+    table — ANY bit perturbed by the parquet roundtrip flips a c_fx
+    and the hash goes red. k x dim rows — index-sized, never
+    corpus-sized."""
+    import numpy as np
+
+    from ..matcache import scratch_dir
+
+    import pandas as pd
+
+    _emb, ids, Cn = _trained_index(spark, sf_dir)
+    index_dir = scratch_dir("dbp_ivf_rt_")
+    save_ivf_index(spark, ids, Cn, index_dir)
+    ids2, Cn2 = load_ivf_index(spark, index_dir)
+    k, dim = Cn2.shape
+    fx = np.floor(Cn2 * 1000000.0 + 0.5).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "centroid_id": np.repeat(ids2.astype(np.int32), dim),
+            "j": np.tile(np.arange(1, dim + 1, dtype=np.int32), k),
+            "c_fx": fx.ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf, "centroid_id int, j int, c_fx long")
+
+
+def _ivf_centroids_duck(iters: int = 2) -> str:
+    """Centroid-level cut of the Lloyd replay: the final normalized-
+    quantized centroid table, unpivoted — the oracle of
+    ``_q_ivf_index_roundtrip``."""
+    ctes, prev = _lloyd_ctes(iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(cid AS INT) AS centroid_id,
+       CAST(u.j AS INT) AS j,
+       CAST(c[u.j] AS BIGINT) AS c_fx
+FROM {prev}, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS j) u
+"""
+    )
+
+
 def _q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train -> SAVE -> LOAD -> probe. Hash-gated by the SAME oracle
-    as emb_ivf_trained_topk: if the parquet roundtrip perturbed one
-    centroid bit, assignments (and therefore the probed lists and the
-    top-k) would drift and the gate goes red."""
+    """Train -> SAVE -> LOAD -> probe, end-to-end. Hash-gated by the
+    SAME oracle as emb_ivf_trained_topk: if the parquet roundtrip
+    perturbed one centroid bit, the probe GEMM against the LOADED
+    centroids would pick different lists, the candidates would drift,
+    and the gate goes red. Round 13 (VERDICT r12 wrong #2): probes
+    the session-materialized inverted lists instead of re-assigning
+    the corpus per run — the component-level roundtrip bit-exactness
+    has its own gate (emb_ivf_index_roundtrip), and the steady-state
+    serving number its own query (emb_ivf_serving_topk)."""
     from ..matcache import scratch_dir
 
     emb, ids, Cn = _trained_index(spark, sf_dir)
     index_dir = scratch_dir("dbp_ivf_index_")
     save_ivf_index(spark, ids, Cn, index_dir)
     ids2, Cn2 = load_ivf_index(spark, index_dir)
-    return ivf_topk_trained(emb, ids2, Cn2, vectorized=False)
+    return ivf_topk_trained(
+        emb, ids2, Cn2, assign=trained_assign_df(spark, sf_dir),
+        vectorized=False,
+    )
+
+
+def _q_ivf_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state SERVING number (round 13, VERDICT r12 next
+    #2): probe over an index LOADED from disk + the materialized
+    inverted lists — no training, no saving, no corpus re-assignment
+    in the timed path, exactly what a deployed reader pays per probe
+    batch. Same oracle as the trained path: serving must be
+    bit-identical to training-time results or the index artifact is
+    corrupt."""
+    emb, _ids, _Cn = _trained_index(spark, sf_dir)
+    ids2, Cn2 = load_ivf_index(spark, persisted_index_dir(spark, sf_dir))
+    return ivf_topk_trained(
+        emb, ids2, Cn2, assign=trained_assign_df(spark, sf_dir),
+        vectorized=False,
+    )
 
 
 QUERIES["emb_ivf_persisted_topk"] = _q_ivf_persisted_topk
 ORACLES["emb_ivf_persisted_topk"] = IVF_TRAINED_TOPK_DUCK
+QUERIES["emb_ivf_index_roundtrip"] = _q_ivf_index_roundtrip
+ORACLES["emb_ivf_index_roundtrip"] = _ivf_centroids_duck()
+QUERIES["emb_ivf_serving_topk"] = _q_ivf_serving_topk
+ORACLES["emb_ivf_serving_topk"] = IVF_TRAINED_TOPK_DUCK

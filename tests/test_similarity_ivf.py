@@ -160,3 +160,47 @@ def test_ivf_index_roundtrips_bit_exact(spark, sf_dir, tmp_path):
     ids2, Cn2 = similarity.load_ivf_index(spark, d)
     assert list(ids2) == list(ids)
     np.testing.assert_array_equal(Cn2, Cn)  # bit-exact, not allclose
+
+
+def test_roundtrip_query_matches_trainer_centroids(spark, sf_dir):
+    """Python replay of emb_ivf_index_roundtrip: the query's c_fx
+    values must equal the trainer's own quantized centroids — the
+    save/load in the middle is the thing under test."""
+    import numpy as np
+
+    rows = similarity._q_ivf_index_roundtrip(spark, sf_dir).collect()
+    _emb2, ids, Cn = similarity._trained_index(spark, sf_dir)
+    expect = {
+        (int(cid), j + 1): int(np.floor(Cn[r][j] * 1000000.0 + 0.5))
+        for r, cid in enumerate(ids)
+        for j in range(Cn.shape[1])
+    }
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r.centroid_id, r.j)] == r.c_fx
+
+
+def test_serving_topk_bit_identical_to_trained_path(spark, sf_dir):
+    """Serving (load + warm inverted lists) must be bit-identical to
+    the training-time probe — if not, the persisted artifact is
+    corrupt."""
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity._q_ivf_serving_topk(spark, sf_dir).collect()
+    }
+    trained = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity._q_ivf_trained_topk(spark, sf_dir).collect()
+    }
+    assert served == trained
+
+
+def test_serving_probe_plan_has_no_corpus_reassign(spark, sf_dir):
+    """The serving probe scans the MATERIALIZED inverted lists (a
+    parquet scan), never a corpus-wide GEMM re-assignment: exactly one
+    mapInPandas (the tiny query-side probe) in the plan."""
+    df = similarity._q_ivf_serving_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
