@@ -1132,61 +1132,97 @@ def _build_banding_sweep(
     truth = jaccard_truth(spark, sf_dir, panel_mod=mod)
     truth_flag = truth.withColumn("_true", F.lit(1))
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
-    rows = []
-    for b, r in SWEEP_CONFIGS:
-        bands = _bands_config_df(sigs, b, r)
-        cand = (
-            bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-            .join(
-                bands.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("band").alias("band_b"),
-                    F.col("bucket").alias("bucket_b"),
-                ),
-                (F.col("band") == F.col("band_b"))
-                & (F.col("bucket") == F.col("bucket_b"))
-                & (F.col("doc_a") < F.col("doc_b")),
-            )
-            .select("doc_a", "doc_b")
-            .distinct()
+    # ONE long-format banded table keyed by config (round 13, VERDICT
+    # r12 next #3): the old shape ran one band self-join PER (b, r)
+    # config over the shared signature build — four shuffles of the
+    # same signatures. Tagging each config's bands with a cfg key and
+    # self-joining ONCE on (cfg, band, bucket) produces the identical
+    # candidate sets (bucket strings already differ per config — the
+    # md5 input includes the band index and r signature values — and
+    # the cfg key prevents any cross-config collision from pairing),
+    # in a single shuffle whose volume is the sum of the four
+    # bandings (15 rows/doc total at the production K=8 width).
+    banded = None
+    for i, (b, r) in enumerate(SWEEP_CONFIGS):
+        part = _bands_config_df(sigs, b, r).select(
+            F.lit(i).cast("int").alias("cfg"), "doc_id", "band", "bucket"
         )
-        # precision/recall are measured on the truth panel (both
-        # endpoints panel members); n_candidates stays the FULL
-        # candidate volume — it is the cost signal the chooser
-        # trades off. At the gated fixture mod == 1, so every column
-        # reduces to the full-corpus value and the oracle needs no
-        # panel term.
-        in_panel = (
-            _in_panel("doc_a", mod) & _in_panel("doc_b", mod)
-            if mod > 1
-            else F.lit(True)
+        banded = part if banded is None else banded.unionAll(part)
+    cand = (
+        banded.select("cfg", F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            banded.select(
+                F.col("cfg").alias("cfg_b"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("band").alias("band_b"),
+                F.col("bucket").alias("bucket_b"),
+            ),
+            (F.col("cfg") == F.col("cfg_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        rows.append(
-            cand.join(F.broadcast(truth_flag), ["doc_a", "doc_b"], "left")
-            .select(
-                in_panel.cast("int").alias("_panel"),
-                F.coalesce(F.col("_true"), F.lit(0)).alias("_true"),
-            )
-            .agg(
-                F.lit(b).cast("int").alias("n_bands"),
-                F.lit(r).cast("int").alias("band_rows"),
-                F.lit(_est_threshold(b, r)).alias("est_threshold"),
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                # coalesce AFTER the sums too: an empty candidate set
-                # makes sum() NULL on Spark while the oracle's scalar
-                # count emits 0 — a latent hash mismatch on corpora
-                # where a config yields zero candidates
-                F.coalesce(F.sum("_panel"), F.lit(0))
-                .cast("long")
-                .alias("_n_panel_cand"),
-                F.coalesce(F.sum(F.col("_panel") * F.col("_true")), F.lit(0))
-                .cast("long")
-                .alias("n_detected"),
-            )
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    # precision/recall are measured on the truth panel (both
+    # endpoints panel members); n_candidates stays the FULL candidate
+    # volume — it is the cost signal the chooser trades off. At the
+    # gated fixture mod == 1, so every column reduces to the
+    # full-corpus value and the oracle needs no panel term.
+    in_panel = (
+        _in_panel("doc_a", mod) & _in_panel("doc_b", mod)
+        if mod > 1
+        else F.lit(True)
+    )
+    per_cfg = (
+        cand.join(F.broadcast(truth_flag), ["doc_a", "doc_b"], "left")
+        .select(
+            "cfg",
+            in_panel.cast("int").alias("_panel"),
+            F.coalesce(F.col("_true"), F.lit(0)).alias("_true"),
         )
-    sweep = rows[0]
-    for df in rows[1:]:
-        sweep = sweep.unionAll(df)
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("_panel"), F.lit(0))
+            .cast("long")
+            .alias("_n_panel_cand"),
+            F.coalesce(F.sum(F.col("_panel") * F.col("_true")), F.lit(0))
+            .cast("long")
+            .alias("n_detected"),
+        )
+    )
+    # config metadata joined back; LEFT join from the metadata side so
+    # a config with ZERO candidates still emits its row (the old
+    # per-config global agg emitted count=0 rows; groupBy alone would
+    # drop them — a latent hash mismatch on corpora where a config
+    # yields no candidates)
+    meta = spark.createDataFrame(
+        [
+            (i, b, r, _est_threshold(b, r))
+            for i, (b, r) in enumerate(SWEEP_CONFIGS)
+        ],
+        "cfg int, n_bands int, band_rows int, est_threshold double",
+    )
+    sweep = (
+        meta
+        .join(F.broadcast(per_cfg), "cfg", "left")
+        .select(
+            "n_bands",
+            "band_rows",
+            "est_threshold",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("_n_panel_cand"), F.lit(0))
+            .cast("long")
+            .alias("_n_panel_cand"),
+            F.coalesce(F.col("n_detected"), F.lit(0))
+            .cast("long")
+            .alias("n_detected"),
+        )
+    )
     return sweep.crossJoin(F.broadcast(total)).select(
         "n_bands",
         "band_rows",
