@@ -52,6 +52,7 @@ from dataset_batch_processor_spark.operators import (
     preference,
     rlvr,
     canary,
+    embed,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -521,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(preference.QUERIES)
     q.update(rlvr.QUERIES)
     q.update(canary.QUERIES)
+    q.update(embed.QUERIES)
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
@@ -651,6 +653,7 @@ FROM images_meta GROUP BY 1
     o.update(preference.ORACLES)
     o.update(rlvr.ORACLES)
     o.update(canary.ORACLES)
+    o.update(embed.ORACLES)
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)

@@ -113,13 +113,22 @@ EXACT_DUCK = EXACT_SPARK  # dialect-identical
 
 def shingle_sets(docs: DataFrame, width: int = SHINGLE_W,
                  stride: int = SHINGLE_STRIDE,
-                 distinct: bool = True) -> DataFrame:
+                 distinct: bool = True,
+                 production_hash: bool = False) -> DataFrame:
     """Character shingles per doc with their 28-bit base hash —
     distinct sets by default (what intersection/Jaccard math needs).
     ``distinct=False`` skips the set shuffle for consumers whose
     downstream aggregate is multiplicity-invariant (min/max): at
     corpus scale the distinct is a full shuffle of every exploded
-    shingle STRING, by far the widest stage of the signature build."""
+    shingle STRING, by far the widest stage of the signature build.
+
+    ``production_hash`` swaps the oracle's md5-substr base hash for
+    Spark's codegen-native xxhash64 folded to the same 28-bit range
+    (the cms.py precedent; round 13, VERDICT r12 missing #3). Any
+    single hash family is a valid MinHash base; md5 is the default
+    ONLY because DuckDB can reproduce it for the driver gate.
+    Signatures from the two families are NOT comparable with each
+    other — pick one per corpus pass."""
     pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -134,18 +143,31 @@ def shingle_sets(docs: DataFrame, width: int = SHINGLE_W,
     )
     if distinct:
         sh = sh.distinct()
+    if production_hash:
+        return sh.withColumn(
+            "h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 28)).cast("long")
+        )
     return sh.withColumn(
         "h", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
 
 
-def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+def minhash_signatures_df(
+    docs: DataFrame, production_hash: bool = False
+) -> DataFrame:
     """K minhashes per doc as one wide aggregation — single shuffle,
     map-side partial mins. Skips the shingle-set distinct: min over a
     multiset equals min over its support, so duplicate shingles
     cannot change any signature value and the set shuffle would be
-    pure overhead (hash-identical results, one full shuffle saved)."""
-    sh = shingle_sets(docs, distinct=False)
+    pure overhead (hash-identical results, one full shuffle saved).
+
+    ``production_hash=True`` is the at-scale escape hatch for the
+    single hottest corpus pass (see shingle_sets): xxhash64 base
+    hashing instead of md5-substr-conv, same affine permutation
+    stack, statistically equivalent signatures (pair-recall parity
+    pinned in tests/test_dedup_production_hash.py, speedup measured
+    in SCALE.md). The md5 path stays the default/oracle spelling."""
+    sh = shingle_sets(docs, distinct=False, production_hash=production_hash)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh_{k}")
         for k, (a, b) in enumerate(PERMS)
@@ -268,7 +290,8 @@ OPH_K = NUM_HASHES
 OPH_C = 1 << 25
 
 
-def signatures_df(docs: DataFrame, method: str = "kperm") -> DataFrame:
+def signatures_df(docs: DataFrame, method: str = "kperm",
+                  production_hash: bool = False) -> DataFrame:
     """The ONE front door for MinHash signature builds (round 10,
     VERDICT r9 next #8). Defaults to K-perm because that is what the
     measurements say to run on this engine: tools/round9_scale_study.py
@@ -282,8 +305,14 @@ def signatures_df(docs: DataFrame, method: str = "kperm") -> DataFrame:
     callers who reach for it get that guidance here instead of
     accidentally picking the measured-slower shape."""
     if method == "kperm":
-        return minhash_signatures_df(docs)
+        return minhash_signatures_df(docs, production_hash=production_hash)
     if method == "oph":
+        if production_hash:
+            raise ValueError(
+                "production_hash is implemented for the kperm build "
+                "(the measured-fastest default); the OPH parity path "
+                "keeps the oracle md5 base hash"
+            )
         return oph_signatures_df(docs)
     raise ValueError(f"unknown signature method {method!r}:"
                      " expected 'kperm' (default, measured-fastest at"

@@ -1,0 +1,115 @@
+"""In-engine embedding stage (embed.py, round 13).
+
+Pins: (1) the mapInPandas feature-hash encoder is EXACTLY the
+Catalyst feathash path (same math, two engines, bit-equal output);
+(2) the encoder registry is the real plug point; (3) the end-to-end
+ANN query's plan broadcasts the query side and never self-joins the
+corpus; (4) a plain-Python replay of the ANN top-k matches."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.operators import embed, feathash
+
+
+def test_mapinpandas_encoder_equals_catalyst_path(spark, sf_dir):
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    via_arrow = {
+        r.doc_id: r.embedding
+        for r in embed.embed_text(docs).collect()
+    }
+    via_catalyst = {
+        r.doc_id: r.embedding
+        for r in feathash.embed_df(docs).collect()
+    }
+    # catalyst path only emits docs with >=1 token; arrow path emits
+    # every doc (all-zero vector for token-less text)
+    assert set(via_catalyst) <= set(via_arrow)
+    for doc_id, vec in via_catalyst.items():
+        assert via_arrow[doc_id] == vec
+    for doc_id in set(via_arrow) - set(via_catalyst):
+        assert all(x == 0.0 for x in via_arrow[doc_id])
+
+
+def test_encoder_registry_plug_point(spark, sf_dir):
+    docs = catalog.load_table(spark, sf_dir, "documents").limit(5)
+
+    def toy(texts):
+        return [[float(len(t or "")), 1.0] for t in texts]
+
+    embed.register_encoder("toy-test", toy, 2)
+    out = embed.embed_text(docs, encoder="toy-test").collect()
+    assert len(out) == 5
+    assert all(len(r.embedding) == 2 and r.embedding[1] == 1.0 for r in out)
+    with pytest.raises(ValueError):
+        embed.embed_text(docs, encoder="no-such-encoder")
+
+
+def test_embed_ann_plan_broadcasts_queries(spark, sf_dir):
+    plan = (
+        embed._q_embed_ann_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_feathash(text: str) -> list:
+    vec = [0] * feathash.FH_DIM
+    for token in (text or "").split(" "):
+        if not token:
+            continue
+        h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+        vec[h % feathash.FH_DIM] += 1 if (h // feathash.FH_DIM) % 2 == 0 else -1
+    return vec
+
+
+def test_embed_ann_topk_python_replay(spark, sf_dir):
+    docs = {
+        r.doc_id: r.text
+        for r in catalog.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    vecs = {d: _py_feathash(t) for d, t in docs.items()}
+    sparse = {
+        d: {i: w for i, w in enumerate(v) if w != 0}
+        for d, v in vecs.items()
+    }
+    nrm = {d: sum(w * w for w in s.values()) for d, s in sparse.items()
+           if s}
+    expect = {}
+    for q in sorted(nrm):
+        if q % embed.EMBED_ANN_QUERY_MOD != 0:
+            continue
+        scored = []
+        for nb in nrm:
+            if nb == q:
+                continue
+            dot = sum(
+                w * sparse[nb].get(i, 0) for i, w in sparse[q].items()
+            )
+            if all(sparse[nb].get(i, 0) == 0 for i in sparse[q]):
+                continue  # no shared non-zero dim: not a candidate
+            cos_fx = math.floor(
+                dot / (math.sqrt(nrm[q]) * math.sqrt(nrm[nb]))
+                * 1000000.0 + 0.5
+            )
+            scored.append((-cos_fx, nb))
+        scored.sort()
+        for rank, (neg, nb) in enumerate(scored[: embed.EMBED_ANN_TOP_K], 1):
+            expect[(q, rank)] = (nb, -neg)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_fx)
+        for r in embed._q_embed_ann_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
