@@ -53,6 +53,7 @@ from dataset_batch_processor_spark.operators import (
     rlvr,
     canary,
     embed,
+    batching,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -523,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(rlvr.QUERIES)
     q.update(canary.QUERIES)
     q.update(embed.QUERIES)
+    q.update(batching.QUERIES)
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
@@ -654,6 +656,7 @@ FROM images_meta GROUP BY 1
     o.update(rlvr.ORACLES)
     o.update(canary.ORACLES)
     o.update(embed.ORACLES)
+    o.update(batching.ORACLES)
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)

@@ -542,3 +542,96 @@ ORDER BY source
 
 QUERIES["corpus_source_summary"] = _run(_SUMMARY_CORE, ("documents",))
 ORACLES["corpus_source_summary"] = _SUMMARY_CORE
+
+
+# ------------------------------------- robust per-source outliers
+# Round 13: the ingestion-health check a mixture pipeline runs per
+# source — median + MAD (median absolute deviation, the robust
+# spread; Hampel's identifier) on document length, and the count of
+# docs beyond 5 MADs. Mean/stddev would be poisoned by exactly the
+# outliers being hunted; median/MAD are not.
+#
+# Exact-integer spelling WITHOUT a corpus sort: n_chars has a bounded
+# small-int domain, so the median is read off the per-(source,
+# n_chars) HISTOGRAM — one map-side-combinable groupBy producing an
+# index-sized table, cumulated with a window over THAT table (tiny
+# partitions: distinct lengths per source, not docs per source). The
+# rank convention is the house one-level row_number rule: median =
+# smallest value whose cumulative count reaches (n+1) DIV 2 (lower
+# median — integer, deterministic, no even/odd float averaging).
+# At 100 TB this is the difference between a per-source corpus SORT
+# and a 16-byte-key combine: the histogram approach is the exact
+# sibling of the approx-quantile sketch production would stream.
+
+
+def _outlier_sql(engine: str) -> str:
+    div = "DIV" if engine == "spark" else "//"
+    return f"""
+WITH hist AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY source
+),
+cum AS (
+  SELECT source, n_chars, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumc
+  FROM hist
+),
+med AS (
+  SELECT c2.source, min(c2.n_chars) AS med
+  FROM cum c2 JOIN tot t ON t.source = c2.source
+  WHERE c2.cumc >= (t.n + 1) {div} 2
+  GROUP BY c2.source
+),
+dhist AS (
+  SELECT h.source, abs(h.n_chars - m.med) AS adev, sum(h.c) AS c
+  FROM hist h JOIN med m ON h.source = m.source
+  GROUP BY h.source, abs(h.n_chars - m.med)
+),
+dcum AS (
+  SELECT source, adev, c,
+         sum(c) OVER (PARTITION BY source ORDER BY adev
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumc
+  FROM dhist
+),
+mad AS (
+  SELECT d2.source, min(d2.adev) AS mad
+  FROM dcum d2 JOIN tot t ON t.source = d2.source
+  WHERE d2.cumc >= (t.n + 1) {div} 2
+  GROUP BY d2.source
+)
+SELECT t.source,
+       CAST(t.n AS BIGINT) AS n_docs,
+       CAST(m.med AS BIGINT) AS median_chars,
+       CAST(a.mad AS BIGINT) AS mad_chars,
+       CAST(coalesce(sum(CASE WHEN abs(h.n_chars - m.med) > 5 * a.mad
+                               THEN h.c END), 0) AS BIGINT) AS n_outliers
+FROM tot t
+     JOIN med m ON m.source = t.source
+     JOIN mad a ON a.source = t.source
+     JOIN hist h ON h.source = t.source
+GROUP BY t.source, t.n, m.med, a.mad
+ORDER BY t.source
+"""
+
+
+OUTLIER_SPARK = _outlier_sql("spark")
+OUTLIER_DUCK = _outlier_sql("duck")
+
+
+def _q_source_length_outliers(spark, sf_dir):
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(OUTLIER_SPARK)
+
+
+QUERIES["docs_source_length_outliers"] = _q_source_length_outliers
+ORACLES["docs_source_length_outliers"] = OUTLIER_DUCK

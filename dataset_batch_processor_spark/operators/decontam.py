@@ -581,3 +581,122 @@ def _q_decontam_report(spark, sf_dir):
 
 QUERIES["docs_decontam_report"] = _q_decontam_report
 ORACLES["docs_decontam_report"] = DECON_REPORT_DUCK
+
+
+# --------------------------------------- fuzzy (MinHash) decontam
+# Round 13: the SKETCH-based sibling of docs_decontaminate. Exact
+# 8-gram collision catches verbatim leakage; production pipelines
+# (Llama-2/3 style) ALSO run fuzzy decontam — near-duplicate eval
+# docs whose wording drifted (whitespace, casing, paraphrase chunks)
+# never collide on a full 8-gram. This reuses the dedup MinHash
+# machinery CROSS-SET: LSH band buckets between the eval slice and
+# the training side propose candidates, and exact shingle CONTAINMENT
+# of the eval doc in the training doc (n_inter / n_eval_shingles, the
+# asymmetric measure — a training doc EMBEDDING the whole eval doc
+# must flag even if the training doc is much longer) verifies them.
+#
+# 100-TB shape: signature build is the gated one-shuffle pass
+# (dedup.minhash_signatures_df); the eval side of the band join is
+# tiny by construction (an eval set is thousands of docs) so Catalyst
+# broadcasts it; hot buckets are capped by the house default before
+# the join; verification touches only candidate pairs' shingles.
+
+
+def _q_fuzzy_decontam(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .. import catalog
+    from .dedup import (
+        _drop_hot_buckets,
+        lsh_bands_df,
+        minhash_signatures_df,
+        shingle_sets,
+    )
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    bands = _drop_hot_buckets(
+        lsh_bands_df(minhash_signatures_df(docs)), 256
+    )
+    ev = bands.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "band", "bucket"
+    )
+    tr = bands.filter(F.col("doc_id") % EVAL_MOD != 0)
+    cand = (
+        tr.join(F.broadcast(ev), ["band", "bucket"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    sh = shingle_sets(docs, distinct=True).select("doc_id", "shingle")
+    ev_sizes = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_shingles"))
+        .select(F.col("doc_id").alias("eval_doc_id"), "n_eval_shingles")
+    )
+    inter = (
+        cand.join(sh, "doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("_ev_id"),
+                F.col("shingle").alias("eval_shingle"),
+            ),
+            (F.col("eval_doc_id") == F.col("_ev_id"))
+            & (F.col("shingle") == F.col("eval_shingle")),
+        )
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(ev_sizes), "eval_doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_eval_shingles").cast("long").alias("n_eval_shingles"),
+            F.expr("CAST(n_inter * 1000000 DIV n_eval_shingles AS BIGINT)")
+            .alias("containment_ppm"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("containment_ppm") >= 500_000).cast("int"),
+        )
+    )
+
+
+def _fuzzy_decontam_duck() -> str:
+    from .dedup import _BANDS_DUCK, _SHINGLES_DUCK, _SIGS_DUCK
+
+    return f"""WITH {_SHINGLES_DUCK},
+{_SIGS_DUCK},
+{_BANDS_DUCK},
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_doc_id
+  FROM bands t JOIN bands e
+    ON t.band = e.band AND t.bucket = e.bucket
+  WHERE e.doc_id % {EVAL_MOD} = 0 AND t.doc_id % {EVAL_MOD} <> 0
+),
+ev_sizes AS (
+  SELECT doc_id AS eval_doc_id, count(*) AS n_eval_shingles
+  FROM shingles WHERE doc_id % {EVAL_MOD} = 0 GROUP BY 1
+),
+inter AS (
+  SELECT c.doc_id, c.eval_doc_id, count(*) AS n_inter
+  FROM cand c
+       JOIN shingles st ON st.doc_id = c.doc_id
+       JOIN shingles se ON se.doc_id = c.eval_doc_id
+                       AND se.shingle = st.shingle
+  GROUP BY c.doc_id, c.eval_doc_id
+)
+SELECT i.doc_id, i.eval_doc_id,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(z.n_eval_shingles AS BIGINT) AS n_eval_shingles,
+       CAST(i.n_inter * 1000000 // z.n_eval_shingles AS BIGINT)
+           AS containment_ppm,
+       CAST(CASE WHEN i.n_inter * 1000000 // z.n_eval_shingles >= 500000
+                 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM inter i JOIN ev_sizes z ON z.eval_doc_id = i.eval_doc_id
+"""
+
+
+QUERIES["docs_fuzzy_decontam"] = _q_fuzzy_decontam
+ORACLES["docs_fuzzy_decontam"] = _fuzzy_decontam_duck()

@@ -346,3 +346,57 @@ ORACLES = {
     "docs_rlvr_curriculum": CURR_DUCK,
     "docs_rlvr_source_passrate": SRC_PASS_DUCK,
 }
+
+
+# ----------------------------------------------- rollout diversity
+# Round 13: duplicate or near-duplicate rollouts carry no extra GRPO
+# signal (the n_distinct_rolls column already counts EXACT dups); the
+# sampling-health number an RLVR loop actually monitors is n-gram
+# DIVERSITY across a task's rollout set (self-BLEU's complement —
+# Zhu et al. 2018 texygen). Per task: total token bigrams across all
+# rollouts, distinct bigrams, and their ratio in ppm. Low diversity =
+# the sampler has collapsed on that task; the curriculum should stop
+# paying 8 rollouts for it.
+#
+# Scale shape: the bigram windows are partitioned by (doc_id, r) —
+# rollout-sized partitions (a 40-char window is <= ~10 tokens), never
+# corpus-sized; the rollup is one map-side-combinable groupBy(doc_id).
+
+
+def _diversity_sql(engine: str) -> str:
+    div = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        src = ("SELECT doc_id, r, pos0, token FROM rolls "
+               "LATERAL VIEW posexplode(split(resp, ' ')) t AS pos0, token")
+    else:
+        src = ("SELECT doc_id, r, "
+               "generate_subscripts(string_split(resp, ' '), 1) - 1 AS pos0,"
+               " unnest(string_split(resp, ' ')) AS token FROM rolls")
+    return f"""WITH {_chain(engine)},
+rtoks AS (
+  SELECT doc_id, r,
+         row_number() OVER (PARTITION BY doc_id, r ORDER BY pos0) AS pos,
+         token
+  FROM ({src}) WHERE length(token) > 0
+),
+bi AS (
+  SELECT doc_id,
+         token || ' ' || lead(token) OVER (PARTITION BY doc_id, r
+                                           ORDER BY pos) AS bigram
+  FROM rtoks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams,
+       CAST(count(DISTINCT bigram) * 1000000 {div} count(*) AS BIGINT)
+           AS diversity_ppm
+FROM bi WHERE bigram IS NOT NULL
+GROUP BY doc_id
+"""
+
+
+DIVERSITY_SPARK = _diversity_sql("spark")
+DIVERSITY_DUCK = _diversity_sql("duck")
+
+QUERIES["docs_rollout_diversity"] = _run(DIVERSITY_SPARK)
+ORACLES["docs_rollout_diversity"] = DIVERSITY_DUCK

@@ -170,7 +170,8 @@ def test_turn_near_dup_pairs_are_really_similar(spark, sf_dir):
 def test_signatures_front_door():
     from dataset_batch_processor_spark.operators import dedup
 
-    assert dedup.signatures_df.__defaults__ == ("kperm",)
+    # kperm default; production_hash defaults OFF (md5 = oracle path)
+    assert dedup.signatures_df.__defaults__ == ("kperm", False)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

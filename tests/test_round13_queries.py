@@ -1,0 +1,191 @@
+"""Round-13 query family replays + plan pins.
+
+Each gated query gets an independent plain-Python reimplementation
+checked against the Spark result (the house replay rule), plus a
+plan-shape pin where the query has joins/windows."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.operators import (
+    batching,
+    corpusstats,
+    decontam,
+    dedup,
+    rlvr,
+)
+
+
+def _docs(spark, sf_dir):
+    return {
+        r.doc_id: (r.text, r.source, r.n_chars)
+        for r in catalog.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source", "n_chars")
+        .collect()
+    }
+
+
+# ------------------------------------------------- padded batch plan
+
+
+def test_padded_batch_plan_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    buckets: dict[int, list[int]] = {}
+    for _id, (_t, _s, n) in docs.items():
+        if n <= 0:
+            continue
+        cap = max(batching.MIN_CAP,
+                  1 if n <= 1 else 1 << (n - 1).bit_length())
+        buckets.setdefault(cap, []).append(n)
+    expect = {}
+    for cap, lens in buckets.items():
+        bs = max(batching.BATCH_BUDGET // cap, 1)
+        n_docs = len(lens)
+        real = sum(lens)
+        padded = n_docs * cap
+        expect[cap] = (
+            bs,
+            n_docs,
+            (n_docs + bs - 1) // bs,
+            real,
+            padded,
+            (padded - real) * 1_000_000 // padded,
+        )
+    got = {
+        r.cap: (r.batch_size, r.n_docs, r.n_batches, r.real_chars,
+                r.padded_chars, r.waste_ppm)
+        for r in batching._q_padded_batch_plan(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for cap, (_bs, _nd, _nb, real, padded, waste) in expect.items():
+        assert 0 <= waste < 1_000_000 and padded >= real
+
+
+# --------------------------------------------------- fuzzy decontam
+
+
+def _shingles(text: str) -> set:
+    w, s = dedup.SHINGLE_W, dedup.SHINGLE_STRIDE
+    if len(text) < w:
+        return set()
+    return {text[p:p + w] for p in range(0, len(text) - w + 1, s)}
+
+
+def _mh(shingles: set) -> list:
+    hs = [int(hashlib.md5(x.encode()).hexdigest()[:7], 16)
+          for x in shingles]
+    return [
+        min((a * h + b) % dedup.MERSENNE_P for h in hs)
+        for a, b in dedup.PERMS
+    ]
+
+
+def _bands(sig: list) -> set:
+    out = set()
+    for band in range(dedup.N_BANDS):
+        vals = sig[band * dedup.BAND_ROWS:(band + 1) * dedup.BAND_ROWS]
+        key = ",".join([str(band)] + [str(v) for v in vals])
+        out.add((band, hashlib.md5(key.encode()).hexdigest()))
+    return out
+
+
+def test_fuzzy_decontam_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = {d: _shingles(t) for d, (t, _s, _n) in docs.items()}
+    bands = {d: _bands(_mh(s)) for d, s in sh.items() if s}
+    ev = {d for d in bands if d % decontam.EVAL_MOD == 0}
+    tr = {d for d in bands if d % decontam.EVAL_MOD != 0}
+    expect = {}
+    for t in tr:
+        for e in ev:
+            if not (bands[t] & bands[e]):
+                continue
+            inter = len(sh[t] & sh[e])
+            if inter == 0:
+                continue
+            cont = inter * 1_000_000 // len(sh[e])
+            expect[(t, e)] = (inter, len(sh[e]), cont,
+                              1 if cont >= 500_000 else 0)
+    got = {
+        (r.doc_id, r.eval_doc_id): (r.n_inter, r.n_eval_shingles,
+                                    r.containment_ppm, r.flagged)
+        for r in decontam._q_fuzzy_decontam(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[3] == 1 for v in got.values()) or len(got) == 0
+
+
+def test_fuzzy_decontam_plan_broadcasts_eval_side(spark, sf_dir):
+    plan = (
+        decontam._q_fuzzy_decontam(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- rollout diversity
+
+
+def test_rollout_diversity_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    expect = {}
+    for d, (t, _s, _n) in docs.items():
+        bigrams = []
+        for r in range(rlvr.N_ROLLOUTS):
+            hr = int(
+                hashlib.md5(f"{d}:v{r}".encode()).hexdigest()[:7], 16
+            )
+            start = hr % max(len(t) - (rlvr.RESP_CHARS - 1), 1)
+            resp = t[start:start + rlvr.RESP_CHARS]
+            toks = [x for x in resp.split(" ") if x]
+            bigrams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bigrams:
+            expect[d] = (
+                len(bigrams),
+                len(set(bigrams)),
+                len(set(bigrams)) * 1_000_000 // len(bigrams),
+            )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_distinct_bigrams, r.diversity_ppm)
+        for r in rlvr.QUERIES["docs_rollout_diversity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------- source length outliers
+
+
+def test_source_length_outliers_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    by_src: dict[str, list[int]] = {}
+    for _d, (_t, s, n) in docs.items():
+        by_src.setdefault(s, []).append(n)
+
+    def lower_median(vals: list) -> int:
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    expect = {}
+    for s, lens in by_src.items():
+        med = lower_median(lens)
+        mad = lower_median([abs(x - med) for x in lens])
+        out = sum(1 for x in lens if abs(x - med) > 5 * mad)
+        expect[s] = (len(lens), med, mad, out)
+    got = {
+        r.source: (r.n_docs, r.median_chars, r.mad_chars, r.n_outliers)
+        for r in corpusstats._q_source_length_outliers(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
