@@ -36,6 +36,7 @@ from dataset_batch_processor_spark.streaming import qualitygate as stream_qg
 from dataset_batch_processor_spark.streaming import convgate as stream_cvg
 from dataset_batch_processor_spark.streaming import quotagate as stream_qt
 from dataset_batch_processor_spark.streaming import rlvrgate as stream_rvg
+from dataset_batch_processor_spark.streaming import canarygate as stream_cng
 from dataset_batch_processor_spark.streaming import prefgate as stream_pfg
 from dataset_batch_processor_spark.operators import (
     analytics,
@@ -54,6 +55,7 @@ from dataset_batch_processor_spark.operators import (
     canary,
     embed,
     batching,
+    hll,
     boilerplate,
     bpe,
     captions as cap_ops,
@@ -510,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_cvg.QUERIES)
     q.update(stream_qt.QUERIES)
     q.update(stream_rvg.QUERIES)
+    q.update(stream_cng.QUERIES)
     q.update(stream_pfg.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
@@ -525,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(canary.QUERIES)
     q.update(embed.QUERIES)
     q.update(batching.QUERIES)
+    q.update(hll.QUERIES)
     q.update(matryoshka.QUERIES)
     q.update(mmr.QUERIES)
     q.update(datacard.QUERIES)
@@ -642,6 +646,7 @@ FROM images_meta GROUP BY 1
     o.update(stream_cvg.ORACLES)
     o.update(stream_qt.ORACLES)
     o.update(stream_rvg.ORACLES)
+    o.update(stream_cng.ORACLES)
     o.update(stream_pfg.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)
@@ -657,6 +662,7 @@ FROM images_meta GROUP BY 1
     o.update(canary.ORACLES)
     o.update(embed.ORACLES)
     o.update(batching.ORACLES)
+    o.update(hll.ORACLES)
     o.update(matryoshka.ORACLES)
     o.update(mmr.ORACLES)
     o.update(datacard.ORACLES)

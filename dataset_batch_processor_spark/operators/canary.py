@@ -49,7 +49,7 @@ def _hx(engine: str) -> str:
             " AS BIGINT)")
 
 
-def _chain(engine: str) -> str:
+def _chain(engine: str, table: str = "documents") -> str:
     if engine == "spark":
         rgen = f"LATERAL VIEW explode(sequence(0, {N_ROLLOUTS - 1})) t AS r"
     else:
@@ -64,7 +64,7 @@ def _chain(engine: str) -> str:
               THEN text || ' CANARY-'
                    || substr(md5(concat(doc_id, ':canary')), 1, 12)
               ELSE text END AS ptext
-  FROM documents
+  FROM {table}
 ),
 rolls AS (
   SELECT p.doc_id, CAST(r AS INT) AS r, p.is_planted, p.canary,
@@ -123,9 +123,9 @@ FROM per_doc
 """
 
 
-def _sql(engine: str, tail: str) -> str:
+def _sql(engine: str, tail: str, table: str = "documents") -> str:
     div = "DIV" if engine == "spark" else "//"
-    return f"WITH {_chain(engine)}" + tail.format(div=div)
+    return f"WITH {_chain(engine, table)}" + tail.format(div=div)
 
 
 def _run(sql: str):
