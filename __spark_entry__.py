@@ -37,6 +37,7 @@ from dataset_batch_processor_spark.streaming import convgate as stream_cvg
 from dataset_batch_processor_spark.streaming import quotagate as stream_qt
 from dataset_batch_processor_spark.streaming import rlvrgate as stream_rvg
 from dataset_batch_processor_spark.streaming import canarygate as stream_cng
+from dataset_batch_processor_spark.streaming import hllgate as stream_hlg
 from dataset_batch_processor_spark.streaming import prefgate as stream_pfg
 from dataset_batch_processor_spark.operators import (
     analytics,
@@ -513,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(stream_qt.QUERIES)
     q.update(stream_rvg.QUERIES)
     q.update(stream_cng.QUERIES)
+    q.update(stream_hlg.QUERIES)
     q.update(stream_pfg.QUERIES)
     q.update(linkage.QUERIES)
     q.update(semdedup.QUERIES)
@@ -647,6 +649,7 @@ FROM images_meta GROUP BY 1
     o.update(stream_qt.ORACLES)
     o.update(stream_rvg.ORACLES)
     o.update(stream_cng.ORACLES)
+    o.update(stream_hlg.ORACLES)
     o.update(stream_pfg.ORACLES)
     o.update(linkage.ORACLES)
     o.update(semdedup.ORACLES)

@@ -250,8 +250,10 @@ def main() -> None:
     # staged_once) — build each once here so every twin's recorded
     # timing is its drain loop, not fixture parquet writes.
     from dataset_batch_processor_spark.streaming import (
+        canarygate,
         convgate,
         driftmon,
+        hllgate,
         incremental,
         prefgate,
         qualitygate,
@@ -268,6 +270,8 @@ def main() -> None:
         (quotagate, "stage_qg2"),
         (prefgate, "stage_pfg"),
         (rlvrgate, "stage_rvg"),
+        (canarygate, "stage_cng"),
+        (hllgate, "stage_hlg"),
     ):
         _warm(_label, lambda m=_mod: m.stage(spark, sf_dir))
     pair_graph_build_s = warmup_builds["pair_graph"]
