@@ -320,3 +320,29 @@ def test_governance_pipeline_example(spark, tmp_path):
     for r in planted:
         assert "@example.com" not in r.text
         assert "<EMAIL>" in r.text and "<URL>" in r.text
+
+
+def test_serving_pipeline_example(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from serving_pipeline import serve_plan
+
+    from dataset_batch_processor_spark.operators import curation
+
+    arts = serve_plan(spark, "/root/testdata/sf0.001")
+    plan = arts["batch_plan"].collect()
+    assert plan
+    for r in plan:
+        assert 0 <= r.waste_ppm < 1_000_000
+        assert r.padded_chars >= r.real_chars
+        assert r.n_batches * r.batch_size >= r.n_docs
+    served = arts["ann_served"].collect()
+    assert served and all(1 <= r.rank <= 5 for r in served)
+    admitted = arts["admitted"].collect()
+    per_src = {}
+    for r in admitted:
+        per_src.setdefault(r.source, []).append(r.sample_rank)
+    for ranks in per_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= curation.QUOTA_K
