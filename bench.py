@@ -188,6 +188,16 @@ def main() -> None:
         warmup_builds[name] = round(time.time() - t0, 3)
 
     _warm("pair_graph", lambda: dedup.pair_graph(spark, sf_dir).count())
+    # round 13: the exact-Jaccard truth panel is session-shared
+    # (matcache kind "jaccard_truth") and was the dominant first-touch
+    # cost inside whichever sweep-family query ran first
+    # (minhash_banding_sweep's recorded 4.4 s was ~3 s panel build)
+    from dataset_batch_processor_spark import catalog as _cat
+    _n_docs = _cat.load_table(spark, sf_dir, "documents").count()
+    _warm("jaccard_truth",
+          lambda: dedup.jaccard_truth(
+              spark, sf_dir,
+              panel_mod=dedup.truth_panel_mod(_n_docs)).count())
     _warm("dup_labels",
           lambda: components.doc_dup_labels(spark, sf_dir).count())
     _warm("curation_gates",
