@@ -954,3 +954,111 @@ ORDER BY step, pos_in_batch
 
 QUERIES["docs_shuffle_resume_slice"] = _q_shuffle_resume_slice
 ORACLES["docs_shuffle_resume_slice"] = SHUFFLE_RESUME_DUCK
+
+
+# ------------------------------------- deterministic mixture interleave
+# Round 13: recipe.py plans per-source QUOTAS; the reader still needs
+# the actual ORDER in which a mixture is served — the deterministic
+# stride interleave (T5/GLaM-style mixing): each source's docs get a
+# seeded per-source shuffle rank r, an interleave key
+# k = r * 1e6 DIV share_ppm (the position a proportional stream would
+# serve the source's r-th doc), and the global serve order sorts by
+# (k, source, r). Any prefix of the schedule then holds each source
+# ~proportionally to its share — no RNG at read time, resumable at
+# any position (the shuffle-resume property), identical on any
+# cluster. Both global orders ride exclusive_prefix_sum (the W1
+# scalable-rank machinery), NEVER an unpartitioned window; the
+# oracle keeps the one-level row_number spelling, so the gate also
+# proves the two-pass rank == the global window on the fixture.
+
+_MIX_DRAW_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':mix')),"
+    " 1, 15), 16, 10) AS BIGINT)"
+)
+_MIX_DRAW_DUCK = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),"
+    " ':mix')), 1, 15)) AS BIGINT)"
+)
+
+
+def _q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textops import exclusive_prefix_sum
+
+    docs = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_MIX_DRAW_SPARK).alias("h")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    # per-source rank via ONE global prefix sum ordered (source, h,
+    # doc_id) minus broadcast per-source starts (the
+    # length_bucket_packing pattern)
+    ranked = exclusive_prefix_sum(
+        docs, ["source", "h", "doc_id"], "_one", out_col="_g"
+    )
+    starts = ranked.groupBy("source").agg(F.min("_g").alias("_start"))
+    tot = ranked.count()
+    shares = (
+        ranked.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            "source",
+            F.expr(f"greatest(_n * 1000000 DIV {tot}, 1)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+    keyed = (
+        ranked.join(F.broadcast(starts), "source")
+        .join(F.broadcast(shares), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("_g") - F.col("_start") + 1).alias("src_rank"),
+            F.expr("(_g - _start + 1) * 1000000 DIV share_ppm").alias("k"),
+        )
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    out = exclusive_prefix_sum(
+        keyed, ["k", "source", "src_rank"], "_one", out_col="_sp"
+    )
+    return out.select(
+        (F.col("_sp") + 1).cast("long").alias("serve_pos"),
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        F.col("k").cast("long").alias("k"),
+    )
+
+
+MIXTURE_INTERLEAVE_DUCK = f"""
+WITH draws AS (
+  SELECT doc_id, source, {_MIX_DRAW_DUCK} AS h FROM documents
+),
+tot AS (SELECT count(*) AS n FROM draws),
+shares AS (
+  SELECT source,
+         greatest(count(*) * 1000000 // (SELECT n FROM tot), 1)
+             AS share_ppm
+  FROM draws GROUP BY source
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+             AS src_rank
+  FROM draws
+),
+keyed AS (
+  SELECT r.doc_id, r.source, r.src_rank,
+         r.src_rank * 1000000 // s.share_ppm AS k
+  FROM ranked r JOIN shares s ON s.source = r.source
+)
+SELECT CAST(row_number() OVER (ORDER BY k, source, src_rank) AS BIGINT)
+           AS serve_pos,
+       doc_id, source,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(k AS BIGINT) AS k
+FROM keyed
+"""
+
+QUERIES["docs_mixture_interleave"] = _q_mixture_interleave
+ORACLES["docs_mixture_interleave"] = MIXTURE_INTERLEAVE_DUCK

@@ -1681,3 +1681,71 @@ QUERIES["emb_ivf_index_roundtrip"] = _q_ivf_index_roundtrip
 ORACLES["emb_ivf_index_roundtrip"] = _ivf_centroids_duck()
 QUERIES["emb_ivf_serving_topk"] = _q_ivf_serving_topk
 ORACLES["emb_ivf_serving_topk"] = IVF_TRAINED_TOPK_DUCK
+
+
+# ------------------------------------------------ trained-cluster card
+# Round 13: the per-cluster health ledger an embedding pipeline
+# publishes next to a trained index — cluster sizes (empty/mega
+# clusters mean the k-means collapsed or the data is skewed) and
+# mean member-to-centroid cosine COHESION (how tight each list is;
+# low cohesion = the probe will rank poorly for members of that
+# list). Integer-exact: the assignment cosine is the engine's
+# quantized fx/1e6, recovered to BIGINT with the house
+# floor(x*1e6+0.5), so per-cluster sums and truncating-div means are
+# exact on both engines. One scan of the materialized assignment +
+# one combine over k keys.
+
+
+def _q_ivf_cluster_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, ids, Cn = _trained_index(spark, sf_dir)
+    assign = ivf_assign_trained(emb, ids, Cn)
+    return (
+        assign.select(
+            "vec_id",
+            "centroid_id",
+            F.expr(
+                "CAST(floor(cos_sim * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("cos_fx"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+            F.expr("CAST(sum(cos_fx) DIV count(*) AS BIGINT)").alias(
+                "mean_cos_fx"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _ivf_cluster_card_duck(iters: int = 2) -> str:
+    ctes, prev = _lloyd_ctes(iters)
+    cosq = _cosq_duck("v", "c")
+    ctes.append(
+        f"""afc AS (
+  SELECT vec_id, cid, cosfx FROM (
+    SELECT v.vec_id, c.cid, {cosq} AS cosfx,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cosq} DESC, c.cid ASC) AS rn
+    FROM nv v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT cid AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+       CAST(sum(cosfx) // count(*) AS BIGINT) AS mean_cos_fx
+FROM afc
+GROUP BY cid
+ORDER BY centroid_id
+"""
+    )
+
+
+QUERIES["emb_ivf_cluster_card"] = _q_ivf_cluster_card
+ORACLES["emb_ivf_cluster_card"] = _ivf_cluster_card_duck()

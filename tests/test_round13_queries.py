@@ -189,3 +189,90 @@ def test_source_length_outliers_replay(spark, sf_dir):
         ).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------- mixture interleave
+
+
+def test_mixture_interleave_replay_and_fairness(spark, sf_dir):
+    from dataset_batch_processor_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    draws = {
+        d: int(hashlib.md5(f"{d}:mix".encode()).hexdigest()[:15], 16)
+        for d in docs
+    }
+    by_src: dict[str, list[int]] = {}
+    for d, (_t, s, _n) in docs.items():
+        by_src.setdefault(s, []).append(d)
+    n_tot = len(docs)
+    keyed = []
+    share = {}
+    for s, ds in by_src.items():
+        share[s] = max(len(ds) * 1_000_000 // n_tot, 1)
+        for r, d in enumerate(
+            sorted(ds, key=lambda x: (draws[x], x)), start=1
+        ):
+            keyed.append((r * 1_000_000 // share[s], s, r, d))
+    keyed.sort()
+    expect = {
+        pos: (d, s, r, k)
+        for pos, (k, s, r, d) in enumerate(keyed, start=1)
+    }
+    got = {
+        r.serve_pos: (r.doc_id, r.source, r.src_rank, r.k)
+        for r in curation._q_mixture_interleave(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # fairness: every prefix holds each source near its share
+    seen: dict[str, int] = {}
+    worst = 0.0
+    for pos in range(1, len(expect) + 1):
+        _d, s, _r, _k = expect[pos]
+        seen[s] = seen.get(s, 0) + 1
+        for src, cnt in seen.items():
+            ideal = pos * share[src] / 1_000_000
+            worst = max(worst, abs(cnt - ideal))
+    assert worst <= len(by_src) + 1, worst
+
+
+# --------------------------------------------- IVF cluster card
+
+
+def test_ivf_cluster_card_replay(spark, sf_dir):
+    import numpy as np
+
+    from dataset_batch_processor_spark.operators import similarity
+
+    emb, ids, Cn = similarity._trained_index(spark, sf_dir)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    C_fx = np.rint(Cn * 1000000.0).astype(np.int64)
+    Sc = np.sum(C_fx * C_fx, axis=1)
+    agg: dict[int, list] = {}
+    for vid, v in vecs.items():
+        v_fx = np.floor(v * 1000000.0 + 0.5).astype(np.int64)
+        s = int(np.sum(v_fx * v_fx))
+        cos = np.floor(
+            (v_fx @ C_fx.T).astype(np.float64)
+            / (math.sqrt(s) * np.sqrt(Sc.astype(np.float64)))
+            * 1000000.0 + 0.5
+        ).astype(np.int64)
+        j = int(np.argmax(cos))  # ties -> first (lowest cid)
+        cid = int(ids[j])
+        a = agg.setdefault(cid, [0, None, None, 0])
+        a[0] += 1
+        a[1] = vid if a[1] is None else min(a[1], vid)
+        a[2] = vid if a[2] is None else max(a[2], vid)
+        a[3] += int(cos[j])
+    expect = {
+        cid: (n, lo, hi, s // n) for cid, (n, lo, hi, s) in agg.items()
+    }
+    got = {
+        r.centroid_id: (r.n_vecs, r.min_vec_id, r.max_vec_id,
+                        r.mean_cos_fx)
+        for r in similarity._q_ivf_cluster_card(spark, sf_dir).collect()
+    }
+    assert got == expect
