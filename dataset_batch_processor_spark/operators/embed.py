@@ -162,9 +162,15 @@ FROM scaffold s LEFT JOIN sums m
 # the house floor(x*1e6+0.5) idiom). Candidates are inner-product
 # candidates — pairs sharing >= 1 non-zero dim (the sparse-retrieval
 # posture); identical candidate definition on both engines. Scale
-# shape: the query-side vectors are broadcast (n/query_mod rows), the
-# corpus is touched by ONE narrow pass + a map-side-combinable
-# (query, neighbor) aggregation — no corpus self-join.
+# honesty (round-13 study C, SCALE.md): the query panel grows with
+# the corpus (doc_id % 50), so exact brute force is TH(n * |Q|) =
+# TH(n^2/50) — measured 5.1/19.3/422 s at 1/4/16x. That is the
+# DEFINITION of the exact baseline, not a plan bug (the broadcast +
+# map-side combine is the best shape for it); the production path
+# for ANN over produced vectors is the IVF/LSH index family, and
+# examples/embed_ann_pipeline.py shows exactly that swap. A fixed
+# query panel (the MMR stance) makes this linear if the baseline
+# itself must run at corpus scale.
 
 EMBED_ANN_QUERY_MOD = 50
 EMBED_ANN_TOP_K = 5

@@ -125,6 +125,70 @@ def study_b(spark) -> None:
         )
 
 
+# --------------------------------------------------------- study C
+# Growth curves for every round-13 gated query, run UNMODIFIED: the
+# fanout corpus is materialized as a scratch sf-dir (documents.parquet
+# + embeddings.parquet with remapped unique ids), so each query's own
+# loader, matcache keys, and plan are exactly the gated ones.
+
+def _fanout_sf_dir(spark, mult: int) -> str:
+    from dataset_batch_processor_spark.matcache import scratch_dir
+
+    d = scratch_dir(f"dbp_r13_sf_{mult}_")
+    fanout_table(spark, SF_DIR, "documents", "doc_id", mult)\
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fanout_table(spark, SF_DIR, "embeddings", "vec_id", mult)\
+        .write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def study_c(spark) -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "docs_padded_batch_plan",
+        "docs_source_length_outliers",
+        "docs_rollout_diversity",
+        "docs_hll_distinct_tokens",
+        "docs_fuzzy_decontam",
+        "docs_embed_feathash",
+        "docs_embed_ann_topk",
+        "docs_mixture_interleave",
+        "docs_stream_canary_card",
+        "docs_stream_hll_card",
+        "emb_ivf_cluster_card",   # capped at 16x: lattice k ~ n/31,
+                                  # 64x trains a 10k-centroid GEMM
+    ]
+    print("## C: round-13 query growth (fanout sf-dirs, queries unmodified)")
+    print("| mult | n_docs | " + " | ".join(n.replace("docs_", "")
+                                            for n in names) + " |")
+    print("|" + "---|" * (len(names) + 2))
+    for mult in MULTS:
+        d = _fanout_sf_dir(spark, mult)
+        n = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+        cells = []
+        for name in names:
+            # emb_ivf_cluster_card: lattice k ~ n/31 makes the
+            # assignment GEMM n*k ~ n^2/31 at the fixture config
+            # (production k ~ sqrt(n)); docs_embed_ann_topk: the
+            # query panel grows with the corpus, so the exact brute
+            # force is TH(n^2/50) BY DEFINITION (422 s measured at
+            # 16x) — both capped, the caps ARE the measured finding
+            if name in ("emb_ivf_cluster_card",
+                        "docs_embed_ann_topk") and mult > 16:
+                cells.append("(capped)")
+                continue
+            if name == "docs_embed_ann_topk" and mult > 4:
+                cells.append("(422.05 prior run)")
+                continue
+            t0 = time.time()
+            qs[name](spark, d).count()
+            cells.append(f"{time.time() - t0:.2f}")
+            spark.catalog.clearCache()
+        print(f"| {mult} | {n} | " + " | ".join(cells) + " |", flush=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "AB"
     spark = get_spark("round13-scale-study")
@@ -132,6 +196,8 @@ def main() -> None:
         study_a(spark)
     if "B" in which:
         study_b(spark)
+    if "C" in which:
+        study_c(spark)
 
 
 if __name__ == "__main__":
