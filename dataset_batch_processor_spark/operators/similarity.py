@@ -1580,15 +1580,24 @@ def persisted_index_dir(spark: SparkSession, sf_dir: str) -> str:
     ago')."""
     from ..matcache import scratch_dir
 
+    import os
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PERSISTED_INDEX_CACHE:
+    cached = _PERSISTED_INDEX_CACHE.get(key)
+    # self-heal after matcache.cleanup_scratch(): the scratch dir this
+    # cache points at may have been deleted under us (test teardown /
+    # service scratch rotation) — rebuild rather than serve a dangling
+    # path
+    if cached is not None and not os.path.isdir(cached):
+        cached = None
+    if cached is None:
         for k in [k for k in _PERSISTED_INDEX_CACHE if k[0] != key[0]]:
             del _PERSISTED_INDEX_CACHE[k]
         _emb, ids, Cn = _trained_index(spark, sf_dir)
         index_dir = scratch_dir("dbp_ivf_index_")
         save_ivf_index(spark, ids, Cn, index_dir)
-        _PERSISTED_INDEX_CACHE[key] = index_dir
-    return _PERSISTED_INDEX_CACHE[key]
+        cached = _PERSISTED_INDEX_CACHE[key] = index_dir
+    return cached
 
 
 def _q_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
