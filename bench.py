@@ -331,7 +331,10 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    reps_promoted = max(5, reps_headline)
+    # an EXPLICIT reps=1 run (SPARK_GRAFT_BENCH_REPS=1, the smoke /
+    # rewrite-check path the spread_carried machinery supports) stays
+    # single-pass: promotion only applies when multi-rep is on at all
+    reps_promoted = max(5, reps_headline) if reps_headline > 1 else 1
     promoted: set[str] = set()
     try:
         with open(detail_path) as fh:

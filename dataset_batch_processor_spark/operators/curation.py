@@ -986,7 +986,12 @@ def _q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .textops import exclusive_prefix_sum
 
-    docs = catalog.load_table(spark, sf_dir, "documents").select(
+    base = catalog.load_table(spark, sf_dir, "documents")
+    # corpus total from the narrow parquet count, NOT a count() over
+    # the prefix-sum plan (review r13 #6: that re-ran the whole rank
+    # stage just to size share_ppm)
+    tot = base.count()
+    docs = base.select(
         "doc_id", "source", F.expr(_MIX_DRAW_SPARK).alias("h")
     ).withColumn("_one", F.lit(1).cast("long"))
     # per-source rank via ONE global prefix sum ordered (source, h,
@@ -996,7 +1001,6 @@ def _q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source", "h", "doc_id"], "_one", out_col="_g"
     )
     starts = ranked.groupBy("source").agg(F.min("_g").alias("_start"))
-    tot = ranked.count()
     shares = (
         ranked.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))

@@ -1089,7 +1089,10 @@ def jaccard_truth(
 ) -> DataFrame:
     """Exact shingle-Jaccard >= 1/2 ground truth over the panel docs
     (block sampling, see truth_panel_mod), materialized once per
-    (session, dataset). Integer comparison only:
+    (session, dataset, panel_mod) — panel_mod MUST be in the cache
+    kind (review r13 #1: the sweep's mod-10 panel and the parity
+    test's mod-1 full truth share a session; a mod-less key silently
+    serves whichever built first). Integer comparison only:
     2*n_inter >= n_union."""
     from ..matcache import materialize_once
 
@@ -1127,7 +1130,9 @@ def jaccard_truth(
             .select("doc_a", "doc_b")
         )
 
-    return materialize_once(spark, "jaccard_truth", sf_dir, build)
+    return materialize_once(
+        spark, f"jaccard_truth_m{panel_mod}", sf_dir, build
+    )
 
 
 def _q_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 from .feathash import FH_DIM
 
 # encoder registry: name -> (fn(list[str]) -> list[list[float]], dim).
-# Kept module-level (executor-importable); mapInPandas closures carry
-# only the NAME, so a registered lambda must be importable or defined
-# before the action runs on this (local-mode) session.
+# The mapInPandas closure captures the FUNCTION OBJECT (cloudpickled
+# into the task) — that is what makes runtime-registered encoders
+# work at all: Python workers import this module fresh and would not
+# see a driver-side registry mutation. Consequence for model-backed
+# encoders: the registered fn must be picklable; construct heavy
+# model handles LAZILY inside the fn (first-call memo), never capture
+# them at registration time.
 _ENCODERS: dict[str, tuple[Callable, int]] = {}
 
 

@@ -67,15 +67,16 @@ def _ln_cte(engine: str) -> str:
             f" t(v, ln_ppm))")
 
 
-def _hll_sql(engine: str) -> str:
+def _hll_sql(engine: str, table: str = "documents",
+             regs_table: str | None = None) -> str:
     if engine == "spark":
         div = "DIV"
         h = "CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"
         tokx = ("SELECT source, 'token' AS grain,"
-                " explode(split(text, ' ')) AS v FROM documents")
+                f" explode(split(text, ' ')) AS v FROM {table}")
         shx = (f"SELECT source, 'shingle' AS grain,"
                f" substr(text, CAST(p AS INT), {SHINGLE_W}) AS v"
-               f" FROM documents"
+               f" FROM {table}"
                f" LATERAL VIEW explode(sequence(1,"
                f" greatest(length(text) - {SHINGLE_W} + 1, 1), 4)) t AS p"
                f" WHERE length(text) >= {SHINGLE_W}")
@@ -86,10 +87,10 @@ def _hll_sql(engine: str) -> str:
         div = "//"
         h = "CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT)"
         tokx = ("SELECT source, 'token' AS grain,"
-                " unnest(string_split(text, ' ')) AS v FROM documents")
+                f" unnest(string_split(text, ' ')) AS v FROM {table}")
         shx = (f"SELECT source, 'shingle' AS grain,"
                f" substr(text, CAST(p AS INT), {SHINGLE_W}) AS v"
-               f" FROM documents,"
+               f" FROM {table},"
                f" LATERAL (SELECT unnest(generate_series(1,"
                f" greatest(len(text) - {SHINGLE_W} + 1, 1), 4)) AS p)"
                f" WHERE len(text) >= {SHINGLE_W}")
@@ -104,7 +105,7 @@ def _hll_sql(engine: str) -> str:
     # overflow-safe raw * ALPHA_PPM / 1e6 (raw can reach m*m*2^30)
     est_raw = (f"(raw {div} 1000000) * {ALPHA_PPM}"
                f" + ((raw % 1000000) * {ALPHA_PPM}) {div} 1000000")
-    return f"""
+    head = f"""
 WITH vals AS (
   SELECT source, grain, v FROM ({tokx}) WHERE length(v) > 0
   UNION ALL
@@ -119,7 +120,20 @@ hashed AS (
 regs AS (
   SELECT source, grain, reg, max({rho}) AS m_j
   FROM hashed GROUP BY source, grain, reg
+)"""
+    if regs_table is not None:
+        # merged-register entry point (the streaming read path): keep
+        # vals (exact-audit + scaffold source), swap the in-query
+        # register build for the externally merged table — built from
+        # the SAME template, no textual surgery (review r13 #2)
+        head = f"""
+WITH vals AS (
+  SELECT source, grain, v FROM ({tokx}) WHERE length(v) > 0
+  UNION ALL
+  SELECT source, grain, v FROM ({shx})
 ),
+regs AS (SELECT source, grain, reg, m_j FROM {regs_table})"""
+    return head + f""",
 scaffold AS (
   SELECT s.source, s.grain, j.reg
   FROM (SELECT DISTINCT source, grain FROM vals) s
@@ -182,16 +196,23 @@ def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combine with one groupBy.max and the estimator runs on the merge.
 
 
+def _regs_sql(engine: str, table: str) -> str:
+    """Just the vals->hashed->regs chain head over ``table`` — built
+    from the SAME template as the gated query (a table parameter, not
+    a .replace() of the batch SQL — review r13 #2: textual surgery
+    silently no-ops when the chain is reworded, and the register
+    max-merge would mask the resulting full-corpus partials from the
+    driver gate forever)."""
+    full = _hll_sql(engine, table=table)
+    return (full[: full.index(",\nscaffold AS")]
+            + "\nSELECT source, grain, reg, m_j FROM regs")
+
+
 def hll_partial(docs: DataFrame) -> DataFrame:
     """(source, grain, reg, m_j) register maxima for one batch."""
     spark = docs.sparkSession
     docs.createOrReplaceTempView("hll_batch_docs")
-    sql = _hll_sql("spark")
-    return spark.sql(
-        sql[: sql.index("scaffold AS")].rstrip().rstrip(",")
-        .replace("FROM documents", "FROM hll_batch_docs")
-        + "\nSELECT source, grain, reg, m_j FROM regs"
-    )
+    return spark.sql(_regs_sql("spark", "hll_batch_docs"))
 
 
 QUERIES = {"docs_hll_distinct_tokens": _q_hll_distinct_tokens}

@@ -1563,7 +1563,15 @@ def trained_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         emb, ids, Cn = _trained_index(spark, sf_dir)
         return ivf_assign_trained(emb, ids, Cn).select(
-            "vec_id", "centroid_id"
+            "vec_id",
+            "centroid_id",
+            # quantized member-to-centroid cosine (cos_sim is the
+            # engine's exact fx/1e6) — materialized so the cluster
+            # card is a SCAN of this table, not a fresh corpus GEMM
+            # (review r13 #5)
+            F.expr(
+                "CAST(floor(cos_sim * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("cos_fx"),
         )
 
     return matcache.materialize_once(
@@ -1571,33 +1579,22 @@ def trained_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PERSISTED_INDEX_CACHE: dict = {}
-
-
 def persisted_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Save the trained index to scratch parquet once per session —
     the serving fixture ('an index trained and persisted months
-    ago')."""
-    from ..matcache import scratch_dir
+    ago'). Rides matcache.staged_once (review r13 #3): the cache
+    entry and the directory are managed TOGETHER, so
+    matcache.cleanup_scratch() cannot leave a dangling path (the
+    hand-rolled predecessor cache needed an isdir self-heal for
+    exactly that), and publication races resolve to one surviving
+    copy."""
+    from ..matcache import staged_once
 
-    import os
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PERSISTED_INDEX_CACHE.get(key)
-    # self-heal after matcache.cleanup_scratch(): the scratch dir this
-    # cache points at may have been deleted under us (test teardown /
-    # service scratch rotation) — rebuild rather than serve a dangling
-    # path
-    if cached is not None and not os.path.isdir(cached):
-        cached = None
-    if cached is None:
-        for k in [k for k in _PERSISTED_INDEX_CACHE if k[0] != key[0]]:
-            del _PERSISTED_INDEX_CACHE[k]
+    def write(path: str) -> None:
         _emb, ids, Cn = _trained_index(spark, sf_dir)
-        index_dir = scratch_dir("dbp_ivf_index_")
-        save_ivf_index(spark, ids, Cn, index_dir)
-        cached = _PERSISTED_INDEX_CACHE[key] = index_dir
-    return cached
+        save_ivf_index(spark, ids, Cn, path)
+
+    return staged_once(spark, "ivf_index", sf_dir, write)
 
 
 def _q_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,7 +1660,10 @@ def _q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_ivf_index(spark, ids, Cn, index_dir)
     ids2, Cn2 = load_ivf_index(spark, index_dir)
     return ivf_topk_trained(
-        emb, ids2, Cn2, assign=trained_assign_df(spark, sf_dir),
+        emb, ids2, Cn2,
+        assign=trained_assign_df(spark, sf_dir).select(
+            "vec_id", "centroid_id"
+        ),
         vectorized=False,
     )
 
@@ -1679,7 +1679,10 @@ def _q_ivf_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ids, _Cn = _trained_index(spark, sf_dir)
     ids2, Cn2 = load_ivf_index(spark, persisted_index_dir(spark, sf_dir))
     return ivf_topk_trained(
-        emb, ids2, Cn2, assign=trained_assign_df(spark, sf_dir),
+        emb, ids2, Cn2,
+        assign=trained_assign_df(spark, sf_dir).select(
+            "vec_id", "centroid_id"
+        ),
         vectorized=False,
     )
 
@@ -1706,16 +1709,12 @@ ORACLES["emb_ivf_serving_topk"] = IVF_TRAINED_TOPK_DUCK
 
 
 def _q_ivf_cluster_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb, ids, Cn = _trained_index(spark, sf_dir)
-    assign = ivf_assign_trained(emb, ids, Cn)
+    # scan of the session-materialized assignment (which carries the
+    # quantized cohesion column), NOT a fresh corpus GEMM per run
+    # (review r13 #5)
+    assign = trained_assign_df(spark, sf_dir)
     return (
-        assign.select(
-            "vec_id",
-            "centroid_id",
-            F.expr(
-                "CAST(floor(cos_sim * 1000000.0 + 0.5) AS BIGINT)"
-            ).alias("cos_fx"),
-        )
+        assign
         .groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),

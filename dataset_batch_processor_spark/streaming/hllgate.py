@@ -55,15 +55,10 @@ def read_hll_card(spark: SparkSession, commits_dir: str) -> DataFrame:
     spark.read.parquet(commits_dir).groupBy("source", "grain", "reg").agg(
         F.max("m_j").alias("m_j")
     ).createOrReplaceTempView("hll_merged_regs")
-    sql = hll._hll_sql("spark")
-    # swap the in-query register build for the merged table: keep
-    # vals (exact side + scaffold) and everything from scaffold on
-    head = sql[: sql.index("hashed AS (")]
-    tail = sql[sql.index("scaffold AS (") :]
+    # built from the SAME parameterized template as the batch query
+    # (review r13 #2: no textual splicing of the batch SQL)
     return spark.sql(
-        head
-        + "regs AS (SELECT source, grain, reg, m_j FROM hll_merged_regs),\n"
-        + tail
+        hll._hll_sql("spark", regs_table="hll_merged_regs")
     )
 
 

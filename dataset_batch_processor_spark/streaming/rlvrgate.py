@@ -41,8 +41,9 @@ FROM task GROUP BY n_correct, n_rolls
 
 
 def grade_partial(batch_docs: DataFrame) -> DataFrame:
-    """(n_correct, n_tasks) histogram for one shard via the gated
-    grading chain."""
+    """(n_correct, n_rolls, n_tasks) histogram for one shard via the
+    gated grading chain — n_rolls rides along so read_passk's
+    binomial term uses the TASK's own rollout count (ADVICE r12)."""
     spark = batch_docs.sparkSession
     batch_docs.createOrReplaceTempView("stream_rlvr_docs")
     return spark.sql(
