@@ -291,3 +291,156 @@ ORACLES = {
     "docs_embed_feathash": EMBED_FH_DUCK,
     "docs_embed_ann_topk": EMBED_ANN_DUCK,
 }
+
+
+# ---------------------------------- sign-LSH ANN over produced vectors
+# The SCALE path the brute-force gate's TH(n^2/50) note points at
+# (round-13 study C: 422 s at 16x), now gated itself: random-
+# hyperplane LSH (Charikar 2002 SimHash) over the feathash vectors.
+# P=8 md5-derived +-1 planes (precomputed constants, engine-shared);
+# a vector's bucket is the 8-bit sign pattern of its plane dots;
+# candidates = MULTI-PROBE: the query's own bucket plus all 8
+# single-bit-flip buckets (Lv et al. 2007 multi-probe LSH — recall
+# without more tables), spelled pure-arithmetic (bucket +- 2^p, no
+# xor — DuckDB's ^ is exponent); exact integer-cosine rerank within
+# candidates. Cost: one plane-join pass (128 broadcast rows) +
+# a bucket equi-join whose output is sum over buckets of
+# |Q_b| x |D_b| — linear-ish while buckets stay balanced; at corpus
+# scale P grows O(log n) (the dedup.py sign-LSH note) so bucket sizes
+# stay O(duplication density), and hot buckets would be capped by the
+# dedup._drop_hot_buckets lever. Recall is the LSH trade: the gate
+# pins both engines to the identical candidate definition, and the
+# test measures recall vs the exact baseline on the fixture.
+
+LSH_PLANES = 8
+
+
+def _plane_sign(p: int, dim: int) -> int:
+    h = int(hashlib.md5(f"pl{p}:{dim}".encode()).hexdigest()[:7], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+_PLANE_ROWS = ", ".join(
+    f"({p}, {j}, {_plane_sign(p, j)})"
+    for p in range(LSH_PLANES)
+    for j in range(FH_DIM)
+)
+
+
+def _plane_cte(engine: str) -> str:
+    if engine == "spark":
+        return (f"planes AS (SELECT col1 AS p, col2 AS pdim, col3 AS s"
+                f" FROM (VALUES {_PLANE_ROWS}))")
+    return (f"planes AS (SELECT p, pdim, s FROM (VALUES {_PLANE_ROWS})"
+            f" t(p, pdim, s))")
+
+
+def _embed_lsh_sql(engine: str) -> str:
+    div = "DIV" if engine == "spark" else "//"
+    if engine == "spark":
+        h = "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
+        tokx = ("SELECT doc_id, explode(split(text, ' ')) AS token"
+                " FROM documents")
+        pow2 = "shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"
+    else:
+        h = "CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)"
+        tokx = ("SELECT doc_id, unnest(string_split(text, ' ')) AS token"
+                " FROM documents")
+        pow2 = "(CAST(1 AS BIGINT) << CAST(p AS INT))"
+    pws = ", ".join(f"({1 << p})" for p in range(LSH_PLANES))
+    if engine == "spark":
+        flips_rel = f"SELECT col1 AS pw FROM (VALUES {pws})"
+    else:
+        flips_rel = f"SELECT pw FROM (VALUES {pws}) t(pw)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, token FROM ({tokx}) WHERE length(token) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(h % {FH_DIM} AS INT) AS dim,
+         CASE WHEN (h {div} {FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM (SELECT doc_id, {h} AS h FROM toks)
+),
+vec AS (
+  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS w
+  FROM hashed GROUP BY doc_id, dim
+  HAVING sum(sign) != 0
+),
+nrm AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s FROM vec GROUP BY doc_id
+),
+{_plane_cte(engine)},
+dots AS (
+  SELECT v.doc_id, pl.p, CAST(sum(v.w * pl.s) AS BIGINT) AS d
+  FROM vec v JOIN planes pl ON pl.pdim = v.dim
+  GROUP BY v.doc_id, pl.p
+),
+buckets AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN d >= 0 THEN {pow2} ELSE 0 END) AS BIGINT)
+             AS bucket
+  FROM dots GROUP BY doc_id
+),
+q AS (
+  SELECT b.doc_id AS query_id, b.bucket, n.s AS qs
+  FROM buckets b JOIN nrm n ON n.doc_id = b.doc_id
+  WHERE b.doc_id % {EMBED_ANN_QUERY_MOD} = 0
+),
+flips AS ({flips_rel}),
+qp AS (
+  SELECT query_id, qs, bucket AS pbucket FROM q
+  UNION ALL
+  SELECT q.query_id, q.qs,
+         CASE WHEN (q.bucket {div} f.pw) % 2 = 1
+              THEN q.bucket - f.pw ELSE q.bucket + f.pw END AS pbucket
+  FROM q CROSS JOIN flips f
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, qp.qs, b.doc_id AS neighbor_id
+  FROM qp JOIN buckets b ON b.bucket = qp.pbucket
+  WHERE b.doc_id != qp.query_id
+),
+cdots AS (
+  SELECT c.query_id, c.qs, c.neighbor_id,
+         CAST(sum(va.w * vb.w) AS BIGINT) AS dot
+  FROM cand c
+       JOIN vec va ON va.doc_id = c.query_id
+       JOIN vec vb ON vb.doc_id = c.neighbor_id AND vb.dim = va.dim
+  GROUP BY c.query_id, c.qs, c.neighbor_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(floor(CAST(d.dot AS DOUBLE) / (sqrt(CAST(d.qs AS DOUBLE))
+              * sqrt(CAST(n.s AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+             AS cos_fx
+  FROM cdots d JOIN nrm n ON n.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_fx,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_fx DESC, neighbor_id) AS INT)
+           AS rank
+FROM scored
+QUALIFY rank <= {EMBED_ANN_TOP_K}
+"""
+
+
+EMBED_LSH_DUCK = _embed_lsh_sql("duck")
+
+
+def _q_embed_ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    # Spark has no QUALIFY: wrap the shared body
+    body = _embed_lsh_sql("spark")
+    body = body[: body.index("QUALIFY rank <= ")]
+    return spark.sql(
+        "SELECT * FROM (" + body + f") WHERE rank <= {EMBED_ANN_TOP_K}"
+    )
+
+
+QUERIES["docs_embed_ann_lsh_topk"] = _q_embed_ann_lsh_topk
+ORACLES["docs_embed_ann_lsh_topk"] = EMBED_LSH_DUCK

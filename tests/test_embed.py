@@ -113,3 +113,65 @@ def test_embed_ann_topk_python_replay(spark, sf_dir):
         for r in embed._q_embed_ann_topk(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_embed_ann_lsh_recall_and_replay(spark, sf_dir):
+    """sign-LSH path: Python replay exact + recall vs the exact
+    brute-force baseline measured on the fixture."""
+    docs = {
+        r.doc_id: r.text
+        for r in catalog.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    sparse = {}
+    for d, t in docs.items():
+        v = _py_feathash(t)
+        s = {i: w for i, w in enumerate(v) if w != 0}
+        if s:
+            sparse[d] = s
+    nrm = {d: sum(w * w for w in s.values()) for d, s in sparse.items()}
+    buckets = {}
+    for d, s in sparse.items():
+        b = 0
+        for p in range(embed.LSH_PLANES):
+            dot = sum(w * embed._plane_sign(p, i) for i, w in s.items())
+            if dot >= 0:
+                b |= 1 << p
+        buckets[d] = b
+    expect = {}
+    for q in sorted(sparse):
+        if q % embed.EMBED_ANN_QUERY_MOD != 0:
+            continue
+        probes = {buckets[q]} | {
+            buckets[q] ^ (1 << p) for p in range(embed.LSH_PLANES)
+        }
+        scored = []
+        for nb in sparse:
+            if nb == q or buckets[nb] not in probes:
+                continue
+            dot = sum(w * sparse[nb].get(i, 0)
+                      for i, w in sparse[q].items())
+            cos_fx = math.floor(
+                dot / (math.sqrt(nrm[q]) * math.sqrt(nrm[nb]))
+                * 1000000.0 + 0.5
+            )
+            scored.append((-cos_fx, nb))
+        scored.sort()
+        for rank, (neg, nb) in enumerate(scored[: embed.EMBED_ANN_TOP_K], 1):
+            expect[(q, rank)] = (nb, -neg)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_fx)
+        for r in embed._q_embed_ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # recall vs the exact baseline: rank-1 neighbors recovered for a
+    # reasonable share of queries (LSH trade; 8 planes on 16 dims)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in embed._q_embed_ann_topk(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    lsh1 = {q: nb for (q, rk), (nb, _c) in got.items() if rk == 1}
+    hits = sum(1 for q, nb in exact.items() if lsh1.get(q) == nb)
+    assert hits / max(len(exact), 1) >= 0.5, (hits, len(exact))
