@@ -155,6 +155,7 @@ def study_c(spark) -> None:
         "docs_embed_feathash",
         "docs_embed_ann_topk",
         "docs_mixture_interleave",
+        "docs_embed_ann_lsh_topk",
         "docs_stream_canary_card",
         "docs_stream_hll_card",
         "emb_ivf_cluster_card",   # capped at 16x: lattice k ~ n/31,
