@@ -320,22 +320,28 @@ def _plane_sign(p: int, dim: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
-_PLANE_ROWS = ", ".join(
-    f"({p}, {j}, {_plane_sign(p, j)})"
-    for p in range(LSH_PLANES)
-    for j in range(FH_DIM)
-)
+def _plane_rows(planes: int) -> str:
+    return ", ".join(
+        f"({p}, {j}, {_plane_sign(p, j)})"
+        for p in range(planes)
+        for j in range(FH_DIM)
+    )
 
 
-def _plane_cte(engine: str) -> str:
+def _plane_cte(engine: str, planes: int) -> str:
+    rows = _plane_rows(planes)
     if engine == "spark":
         return (f"planes AS (SELECT col1 AS p, col2 AS pdim, col3 AS s"
-                f" FROM (VALUES {_PLANE_ROWS}))")
-    return (f"planes AS (SELECT p, pdim, s FROM (VALUES {_PLANE_ROWS})"
+                f" FROM (VALUES {rows}))")
+    return (f"planes AS (SELECT p, pdim, s FROM (VALUES {rows})"
             f" t(p, pdim, s))")
 
 
-def _embed_lsh_sql(engine: str) -> str:
+def _embed_lsh_sql(engine: str, planes: int = LSH_PLANES) -> str:
+    """``planes`` is the at-scale knob (P = O(log n) keeps per-bucket
+    density constant as the corpus grows — the dedup.py sign-LSH
+    rule); the GATED config stays P=8 because the plane relation is
+    part of the oracle contract."""
     div = "DIV" if engine == "spark" else "//"
     if engine == "spark":
         h = "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
@@ -347,7 +353,7 @@ def _embed_lsh_sql(engine: str) -> str:
         tokx = ("SELECT doc_id, unnest(string_split(text, ' ')) AS token"
                 " FROM documents")
         pow2 = "(CAST(1 AS BIGINT) << CAST(p AS INT))"
-    pws = ", ".join(f"({1 << p})" for p in range(LSH_PLANES))
+    pws = ", ".join(f"({1 << p})" for p in range(planes))
     if engine == "spark":
         flips_rel = f"SELECT col1 AS pw FROM (VALUES {pws})"
     else:
@@ -370,7 +376,7 @@ vec AS (
 nrm AS (
   SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s FROM vec GROUP BY doc_id
 ),
-{_plane_cte(engine)},
+{_plane_cte(engine, planes)},
 dots AS (
   SELECT v.doc_id, pl.p, CAST(sum(v.w * pl.s) AS BIGINT) AS d
   FROM vec v JOIN planes pl ON pl.pdim = v.dim
