@@ -115,9 +115,25 @@ def attach_global_row_number(lines: DataFrame) -> DataFrame:
     (unique (input_file, line_no)); range-boundary sampling only
     decides WHERE a row sits, never its global rank.
     """
-    ranged = lines.repartitionByRange(
-        F.col("input_file"), F.col("line_no")
-    ).sortWithinPartitions("input_file", "line_no")
+    return attach_rank(lines, ["input_file", "line_no"], out_col="rn")
+
+
+def attach_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn"
+) -> DataFrame:
+    """Generic scalable global row_number over an arbitrary total order.
+
+    Same two-pass machinery as :func:`attach_global_row_number`
+    (range-repartition + per-partition offsets), parameterized on the
+    order key so rank-based scorers (Zipf vocab rank, top-k fusion)
+    never reach for an unpartitioned ``row_number() OVER (ORDER BY)``.
+    ``order_cols`` must form a TOTAL order (pass a unique tiebreak
+    column last) — ranks ascend in that order; for a descending
+    component, pass a pre-negated column.
+    """
+    ranged = df.repartitionByRange(
+        *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
     # CHECKPOINT before fanning out: the offsets branch and the output
     # branch below both depend on the partition ids, and range
     # partitioning samples its boundaries NON-deterministically per
@@ -145,7 +161,9 @@ def attach_global_row_number(lines: DataFrame) -> DataFrame:
     ).select("_pid", "_offset")
     return (
         with_idx.join(F.broadcast(offsets), "_pid")
-        .withColumn("rn", (F.col("_offset") + F.col("_idx") + 1).cast("long"))
+        .withColumn(
+            out_col, (F.col("_offset") + F.col("_idx") + 1).cast("long")
+        )
         .drop("_pid", "_idx", "_offset")
     )
 

@@ -152,16 +152,28 @@ def test_bm25_topk_has_no_full_sort(spark, sf_dir):
 
 
 def test_vocab_coverage_never_windows_full_vocab(spark, sf_dir):
-    """Totals via plain agg, top set via TakeOrderedAndProject; the
-    only single-partition exchange feeds the 1000-row cum window. A
-    row_number()/sum() OVER () over the raw vocab would serialize
-    ~10^8 types through one task at web scale."""
+    """Totals via plain agg, top set via TakeOrderedAndProject, the
+    1000-row rank/cumsum driver-side — so the final plan has NO window
+    node at all. A row_number()/sum() OVER () over the raw vocab would
+    serialize ~10^8 types through one task at web scale. (The
+    TakeOrderedAndProject runs eagerly inside the query builder; the
+    returned plan is the final share aggregation over the two bounded
+    views.)"""
     from dataset_batch_processor_spark.operators import corpusstats
 
     df = corpusstats.QUERIES["docs_vocab_coverage"](spark, sf_dir)
     plan = explain.formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Window" not in plan
+    # the eager top-k arm must itself be heap-based, never a full sort
+    top_plan = explain.formatted_plan(
+        spark.sql(
+            "SELECT token, count(*) AS c FROM documents "
+            "LATERAL VIEW explode(split(text, ' ')) t AS token "
+            "WHERE length(token) > 0 GROUP BY token "
+            "ORDER BY c DESC, token ASC LIMIT 1000"
+        )
+    )
+    assert "TakeOrderedAndProject" in top_plan
 
 
 def test_norm_histogram_single_agg_shuffle(spark, sf_dir):

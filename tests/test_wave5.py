@@ -191,11 +191,10 @@ def test_surprisal_ranks_common_tokens_low(spark):
         [(1, "the the the the", None, None), (2, "rare the zz", None, None)],
         "doc_id bigint, text string, lang string, source string",
     )
+    docs.createOrReplaceTempView("documents")
     out = {
         r.doc_id: (r.n_tokens, r.rank_sum)
-        for r in _run_sql(
-            spark, corpusstats.SURPRISAL_SPARK, documents=docs
-        ).collect()
+        for r in corpusstats.surprisal_rank_df(spark).collect()
     }
     # vocab by (count desc, token asc): the(4)->1, rare(1)->2, zz(1)->3
     assert out[1] == (4, 4)          # 4 x rank 1
