@@ -42,14 +42,26 @@ def broadcast_caption(df: DataFrame, caption: str) -> DataFrame:
 def mru_captions(caption_dict: DataFrame) -> DataFrame:
     """A5: caption list ordered most-recently-used first
     (/root/reference/modules/caption_manager.py:19-22); the rank
-    column makes the MRU order a checkable value, not a row order."""
-    from pyspark.sql import Window
+    column makes the MRU order a checkable value, not a row order.
+
+    The dict is UI-sized in the reference, but rank via the two-pass
+    textops.attach_rank anyway — an unpartitioned row_number window
+    would funnel the whole dict through one task if a pipeline ever
+    feeds a corpus-scale caption table through this operator."""
+    from .textops import attach_rank
 
     normalized = caption_dict.filter(
         scalar.is_nonempty_caption(F.col("caption"))
     ).select(scalar.normalize_caption(F.col("caption")).alias("caption"), "last_used_seq")
-    w = Window.orderBy(F.desc("last_used_seq"), "caption")
-    return normalized.withColumn("mru_rank", F.row_number().over(w))
+    return (
+        attach_rank(
+            normalized.withColumn("_negseq", -F.col("last_used_seq")),
+            ["_negseq", "caption"],
+            out_col="mru_rank",
+        )
+        .drop("_negseq")
+        .withColumn("mru_rank", F.col("mru_rank").cast("int"))
+    )
 
 
 MRU_CAPTIONS_SQL = """

@@ -88,6 +88,47 @@ FROM mins CROSS JOIN (
 ORDER BY pct
 """
 
+# Spark side: the bin table is bounded by the VALUE DOMAIN (thousands
+# of bins), not the corpus — but an unpartitioned running-sum window
+# is still the banned shape (a wide domain would funnel through one
+# task), so the cumulative count comes from textops.exclusive_prefix_sum
+# over the bin table. The DuckDB oracle keeps the window form above.
+_QUANTILES_FINAL_SPARK = f"""
+WITH total AS (SELECT sum(n) AS total_n FROM _histq_hist),
+mins AS (
+  SELECT {_Q_MINS}
+  FROM _histq_cum CROSS JOIN total
+)
+SELECT CAST(pct AS INT) AS pct,
+       CAST({_Q_BIN_CASE} AS BIGINT) AS bin,
+       CAST({_Q_BIN_CASE} AS DOUBLE) / {BIN_SCALE} AS value_estimate
+FROM mins CROSS JOIN (
+  {_Q_PCTS}
+) pcts
+ORDER BY pct
+"""
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import exclusive_prefix_sum
+
+    catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    hist = spark.sql(f"""
+SELECT CAST(floor(value * {BIN_SCALE}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY floor(value * {BIN_SCALE})
+""")
+    cum = (
+        exclusive_prefix_sum(hist, ["bin"], "n", out_col="_excl")
+        .select("bin", (F.col("_excl") + F.col("n")).alias("cum_n"))
+    )
+    hist.createOrReplaceTempView("_histq_hist")
+    cum.createOrReplaceTempView("_histq_cum")
+    return spark.sql(_QUANTILES_FINAL_SPARK)
+
 
 def _run_events(sql: str):
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +181,7 @@ def read_hist(spark: SparkSession, hist_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_value_histogram": _run_events(HIST_SPARK),
-    "events_hist_quantiles": _run_events(QUANTILES_SQL),
+    "events_hist_quantiles": _q_hist_quantiles,
 }
 ORACLES = {
     "events_value_histogram": HIST_DUCK,

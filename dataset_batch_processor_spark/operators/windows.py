@@ -179,6 +179,50 @@ FROM (
 WINDOW w AS (ORDER BY total_spent DESC, c_custkey)
 """
 
+# Spark side of customer_value_ntiles: the DuckDB oracle keeps the
+# window form above (single-node, scale-exempt); Spark ranks via the
+# two-pass textops.attach_rank — an unpartitioned ntile/percent_rank
+# window serializes every customer through one task at scale. With a
+# total order (the window sorts on (total_spent, c_custkey)) the
+# window functions reduce to closed forms of the global row number r
+# and count n: ntile(k) fills the first n%k buckets with n/k+1 rows
+# and the rest with n/k; percent_rank = (r-1)/(n-1); cume_dist = r/n.
+_NTILE_BASE_SPARK = """
+SELECT c_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spent
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+_NTILE_FINAL_SPARK = """
+WITH p AS (
+  SELECT count(*) AS n, count(*) DIV 4 AS q, count(*) % 4 AS rem
+  FROM _ntile_ranked
+)
+SELECT c_custkey, total_spent,
+       CAST(CASE WHEN r <= rem * (q + 1) THEN (r + q) DIV (q + 1)
+                 ELSE rem + (r - rem * (q + 1) + q - 1) DIV q
+            END AS INT) AS quartile,
+       round(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct_rank,
+       round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cume
+FROM _ntile_ranked CROSS JOIN p
+"""
+
+
+def _q_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import attach_rank
+
+    for t in ("orders", "customer"):
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    base = spark.sql(_NTILE_BASE_SPARK)
+    ranked = attach_rank(
+        base.withColumn("_neg", -F.col("total_spent")),
+        ["_neg", "c_custkey"],
+        out_col="r",
+    ).drop("_neg")
+    ranked.createOrReplaceTempView("_ntile_ranked")
+    return spark.sql(_NTILE_FINAL_SPARK)
+
 # First/last order per customer — the argmax/argmin shape. max_by/
 # arg_max tie rules are engine-specific, so the argmax is ENCODED:
 # epoch-day * 10^11 + orderkey is a single bigint whose min/max is
@@ -387,7 +431,7 @@ QUERIES = {
     "lineitem_qty_mode": _run(MODE_SPARK, ("lineitem",)),
     "customer_order_gaps": _run(ORDER_GAPS_SPARK, ("orders",)),
     "orders_trailing_30d": _run(TRAILING_SPARK, ("orders",)),
-    "customer_value_ntiles": _run(NTILE_SPARK, ("customer", "orders")),
+    "customer_value_ntiles": _q_value_ntiles,
     "customer_first_last_order": _run(FIRST_LAST_SPARK, ("orders",)),
     "customer_nation_spend_percentile": _q_spend_pctile,
     "customer_rfm_segments": _q_rfm,

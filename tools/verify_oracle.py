@@ -31,6 +31,8 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+from dataset_batch_processor_spark.plans import audit
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -137,6 +139,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            plan_violations = audit.audit_df(sdf)
             scols = sdf.columns
             srows = sdf.collect()
         except Exception:
@@ -147,6 +150,13 @@ def main() -> int:
                              "err": "spark error"}
             continue
         if name not in oracles:
+            if plan_violations:
+                print(f"FAIL  {name}: plan violations {plan_violations}")
+                failures.append(name)
+                records[name] = {"status": "FAIL", "rows": len(srows),
+                                 "wall_s": round(time.time() - t0, 2),
+                                 "err": f"plan violations: {plan_violations}"}
+                continue
             print(f"rows-only  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             records[name] = {"status": "rows-only", "rows": len(srows),
                              "wall_s": round(time.time() - t0, 2)}
@@ -164,6 +174,13 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        if plan_violations:
+            # scale-shape tripwire (plans/audit.py): an unpartitioned
+            # data window / cartesian / row-wise Python UDF is a FAIL
+            # even when the values match — correct-at-sf0.01 but
+            # fatal-at-100TB is not done.
+            ok = False
+            msgs.append(f"plan violations: {plan_violations}")
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
