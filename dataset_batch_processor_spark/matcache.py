@@ -116,7 +116,7 @@ def materialize_once(
 
 def staged_once(
     spark: SparkSession, kind: str, key: str,
-    write: Callable[[str], None],
+    write: Callable[[str], None], layout: str = "",
 ) -> str:
     """Return a directory populated by ``write(path)`` at most once
     per (session, kind, key) — the staging-dir sibling of
@@ -129,8 +129,14 @@ def staged_once(
     fixture setup, deterministic per (session, dataset), now built
     once and shared like every other session-scoped artifact. The
     per-run checkpoint/commit work dirs stay fresh scratch: they are
-    run STATE, not fixtures."""
-    ck = (spark.sparkContext.applicationId, f"staged:{kind}",
+    run STATE, not fixtures.
+
+    ``layout`` is part of the cache identity (r13 ADVICE): two callers
+    reusing one kind with a different shard count or column selection
+    must NOT silently share a staging dir — callers that parameterize
+    the written layout encode those parameters here (see
+    fixtures.stage_mod_shards)."""
+    ck = (spark.sparkContext.applicationId, f"staged:{kind}:{layout}",
           os.path.abspath(key))
     with _LOCK:
         path = _CACHE.get(ck)

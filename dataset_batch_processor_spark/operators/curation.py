@@ -1001,14 +1001,26 @@ def _q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source", "h", "doc_id"], "_one", out_col="_g"
     )
     starts = ranked.groupBy("source").agg(F.min("_g").alias("_start"))
+    # int64-safe ppm arithmetic (r13 ADVICE): both the share division
+    # and the interleave key split *1e6 into *1000 twice via
+    # _scaled_div, so no intermediate forms t*1e6. share: exact under
+    # its t<=w share bound. key k = src_rank*1e6 DIV share: the same
+    # split is exact for ANY t; its bounds are src_rank*1000 < 2^63
+    # (rank < 9.2e15 — beyond any per-source doc count; the old
+    # single-product form overflowed at 9.2e12) and the RESULT k
+    # itself fitting int64, which holds whenever the corpus-scale
+    # serve position does.
+    from .corpusstats import _scaled_div
+
     shares = (
         ranked.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .select(
             "source",
-            F.expr(f"greatest(_n * 1000000 DIV {tot}, 1)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                f"greatest({_scaled_div('_n', 1000, 1000, str(tot), 'DIV')},"
+                " 1)"
+            ).alias("share_ppm"),
         )
     )
     keyed = (
@@ -1018,7 +1030,10 @@ def _q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             (F.col("_g") - F.col("_start") + 1).alias("src_rank"),
-            F.expr("(_g - _start + 1) * 1000000 DIV share_ppm").alias("k"),
+            F.expr(
+                _scaled_div("_g - _start + 1", 1000, 1000,
+                            "share_ppm", "DIV")
+            ).alias("k"),
         )
         .withColumn("_one", F.lit(1).cast("long"))
     )

@@ -598,14 +598,30 @@ ORACLES["docs_decontam_report"] = DECON_REPORT_DUCK
 # 100-TB shape: signature build is the gated one-shuffle pass
 # (dedup.minhash_signatures_df); the eval side of the band join is
 # tiny by construction (an eval set is thousands of docs) so Catalyst
-# broadcasts it; hot buckets are capped by the house default before
-# the join; verification touches only candidate pairs' shingles.
+# broadcasts it; hot buckets are capped at FUZZY_BUCKET_CAP before
+# the join — and the DuckDB oracle applies the IDENTICAL cap, so the
+# candidate definition matches on both engines at any bucket size
+# (r13 ADVICE: parity previously held only while no fixture bucket
+# exceeded the cap).
+#
+# RECALL ASYMMETRY (decontam-specific, unlike dedup): dedup tolerates
+# a dropped mega-bucket because connected components restores cliques
+# from surviving edges; decontam has no transitive rescue — a dropped
+# candidate pair IS a potentially-leaked eval doc. The cap is still
+# the right default (a mega-bucket is a degenerate shingle pattern —
+# boilerplate — whose members also collide in other buckets), but a
+# governance run that must not trade recall for cost should call this
+# builder with cap=None and pay the quadratic bucket.
+
+FUZZY_BUCKET_CAP = 256
 
 
-def _q_fuzzy_decontam(spark, sf_dir):
+def fuzzy_decontam_df(docs, cap: int | None = FUZZY_BUCKET_CAP):
+    """Fuzzy (MinHash-LSH) cross-set decontam over a documents frame.
+    ``cap=None`` disables the hot-bucket cap for zero-recall-loss
+    governance runs (see module note on the recall asymmetry)."""
     from pyspark.sql import functions as F
 
-    from .. import catalog
     from .dedup import (
         _drop_hot_buckets,
         lsh_bands_df,
@@ -613,10 +629,9 @@ def _q_fuzzy_decontam(spark, sf_dir):
         shingle_sets,
     )
 
-    docs = catalog.load_table(spark, sf_dir, "documents")
-    bands = _drop_hot_buckets(
-        lsh_bands_df(minhash_signatures_df(docs)), 256
-    )
+    bands = lsh_bands_df(minhash_signatures_df(docs))
+    if cap is not None:
+        bands = _drop_hot_buckets(bands, cap)
     ev = bands.filter(F.col("doc_id") % EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "band", "bucket"
     )
@@ -663,15 +678,28 @@ def _q_fuzzy_decontam(spark, sf_dir):
     )
 
 
+def _q_fuzzy_decontam(spark, sf_dir):
+    from .. import catalog
+
+    return fuzzy_decontam_df(catalog.load_table(spark, sf_dir, "documents"))
+
+
 def _fuzzy_decontam_duck() -> str:
     from .dedup import _BANDS_DUCK, _SHINGLES_DUCK, _SIGS_DUCK
 
     return f"""WITH {_SHINGLES_DUCK},
 {_SIGS_DUCK},
 {_BANDS_DUCK},
+bands_capped AS (
+  SELECT band, bucket, doc_id FROM (
+    SELECT band, bucket, doc_id,
+           count(*) OVER (PARTITION BY band, bucket) AS _bsz
+    FROM bands
+  ) WHERE _bsz <= {FUZZY_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT t.doc_id, e.doc_id AS eval_doc_id
-  FROM bands t JOIN bands e
+  FROM bands_capped t JOIN bands_capped e
     ON t.band = e.band AND t.bucket = e.bucket
   WHERE e.doc_id % {EVAL_MOD} = 0 AND t.doc_id % {EVAL_MOD} <> 0
 ),

@@ -39,4 +39,8 @@ def stage_mod_shards(
                 1
             ).write.mode("append").parquet(path)
 
-    return staged_once(docs.sparkSession, kind, key, write)
+    # layout parameters are cache identity (r13 ADVICE): a second
+    # caller reusing `kind` with another shard count or schema gets
+    # its own staging dir instead of silently sharing this one
+    layout = f"mod{n_shards}|{','.join(docs.columns)}"
+    return staged_once(docs.sparkSession, kind, key, write, layout=layout)

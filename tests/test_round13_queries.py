@@ -98,6 +98,15 @@ def test_fuzzy_decontam_replay(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sh = {d: _shingles(t) for d, (t, _s, _n) in docs.items()}
     bands = {d: _bands(_mh(s)) for d, s in sh.items() if s}
+    # mirror the engine-side hot-bucket cap (applied on the FULL
+    # bands table, before the eval/train split) — r13 ADVICE parity
+    members: dict = {}
+    for d, bs in bands.items():
+        for b in bs:
+            members.setdefault(b, set()).add(d)
+    hot = {b for b, m in members.items()
+           if len(m) > decontam.FUZZY_BUCKET_CAP}
+    bands = {d: bs - hot for d, bs in bands.items()}
     ev = {d for d in bands if d % decontam.EVAL_MOD == 0}
     tr = {d for d in bands if d % decontam.EVAL_MOD != 0}
     expect = {}
@@ -118,6 +127,36 @@ def test_fuzzy_decontam_replay(spark, sf_dir):
     }
     assert got == expect
     assert any(v[3] == 1 for v in got.values()) or len(got) == 0
+
+
+def test_fuzzy_decontam_cap_drops_hot_bucket_and_none_restores(spark):
+    """The hot-bucket cap must actually drop candidates when a bucket
+    exceeds it (identical docs collide in every band), and cap=None
+    must restore full recall — the governance escape hatch."""
+    import pandas as pd
+
+    text = "identical boilerplate text repeated across many documents!"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [text] * 6,
+                "lang": ["en"] * 6,
+                "source": ["s"] * 6,
+            }
+        )
+    )
+    capped = decontam.fuzzy_decontam_df(docs, cap=5).collect()
+    assert capped == []  # every bucket holds all 6 docs -> dropped
+    full = decontam.fuzzy_decontam_df(docs, cap=None).collect()
+    # doc 0 is the eval doc (0 % EVAL_MOD == 0); all 5 train docs
+    # fully contain it
+    assert {(r.doc_id, r.eval_doc_id) for r in full} == {
+        (d, 0) for d in range(1, 6)
+    }
+    assert all(
+        r.containment_ppm == 1_000_000 and r.flagged == 1 for r in full
+    )
 
 
 def test_fuzzy_decontam_plan_broadcasts_eval_side(spark, sf_dir):

@@ -149,3 +149,23 @@ def test_ledger_fail_erases_green_row(tmp_path, monkeypatch):
     # a FAIL erases the row entirely
     vo._update_ledger({"q": {"status": "FAIL"}}, "/data/sf0.01")
     assert "q" not in json.load(open(ledger))
+
+
+def test_coverage_doc_never_calls_a_real_module_a_stub():
+    """COVERAGE.md <-> code consistency (r13 verdict minor): rounds 8
+    and 12 closed the lossy-VP8 and vendor-RAW gaps but the doc rows
+    kept saying "stub" for two more rounds. Pin the invariant: the
+    word "stub" may appear in COVERAGE.md only inside an explicitly
+    allowlisted phrase describing something that genuinely is stubbed
+    (currently: nothing). A new legitimate stub must be added to the
+    allowlist here together with its doc row."""
+    allowed_phrases: set[str] = set()
+    with open(os.path.join(REPO, "COVERAGE.md")) as fh:
+        text = fh.read()
+    for m in re.finditer(r"[^|\n]*stub[^|\n]*", text, re.IGNORECASE):
+        phrase = m.group(0).strip()
+        assert any(a in phrase for a in allowed_phrases), (
+            f"COVERAGE.md mentions a stub outside the allowlist: "
+            f"{phrase!r} — if this is a genuinely stubbed surface, "
+            f"allowlist it here; if the module is real, fix the doc."
+        )

@@ -102,6 +102,26 @@ def main() -> None:
     )
 
 
+def _head_is_published() -> bool:
+    """True when HEAD is already contained in its upstream — amending
+    it would rewrite published history and the next push would fail
+    non-fast-forward (r13 ADVICE). No upstream configured -> not
+    published -> amend is safe."""
+    has_upstream = subprocess.run(
+        ["git", "rev-parse", "--abbrev-ref", "@{u}"],
+        cwd=REPO, capture_output=True,
+    )
+    if has_upstream.returncode != 0:
+        return False
+    return (
+        subprocess.run(
+            ["git", "merge-base", "--is-ancestor", "HEAD", "@{u}"],
+            cwd=REPO, capture_output=True,
+        ).returncode
+        == 0
+    )
+
+
 def commit_snapshot(n: int) -> None:
     """Stage + commit the artifacts this close regenerated, plus any
     driver-written BENCH_r*/CORRECTNESS_r* still untracked from an
@@ -140,7 +160,7 @@ def commit_snapshot(n: int) -> None:
             capture_output=True, text=True, check=True,
         ).stdout.strip()
         cmd = ["git", "commit", "-m", msg]
-        if head_msg == msg:
+        if head_msg == msg and not _head_is_published():
             cmd.insert(2, "--amend")
         run("snapshot commit", cmd + ["--"] + paths)
     dirty = subprocess.run(
