@@ -55,6 +55,8 @@ from dataset_batch_processor_spark.operators import (
     rlvr,
     canary,
     embed,
+    agreement,
+    ragchunk,
     batching,
     hll,
     boilerplate,
@@ -464,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": relational.orders_running_total,
     }
     q.update(dedup_ops.QUERIES)
+    q.update(agreement.QUERIES)
+    q.update(ragchunk.QUERIES)
     q.update(components.QUERIES)
     q.update(decontam.QUERIES)
     q.update(corpusstats.QUERIES)
@@ -599,6 +603,8 @@ FROM images_meta GROUP BY 1
         "orders_running_total": relational.ORDERS_RUNNING_SQL,
     }
     o.update(dedup_ops.ORACLES)
+    o.update(agreement.ORACLES)
+    o.update(ragchunk.ORACLES)
     o.update(components.ORACLES)
     o.update(decontam.ORACLES)
     o.update(corpusstats.ORACLES)

@@ -729,3 +729,112 @@ def _q_source_length_outliers(spark, sf_dir):
 
 QUERIES["docs_source_length_outliers"] = _q_source_length_outliers
 ORACLES["docs_source_length_outliers"] = OUTLIER_DUCK
+
+
+# --------------------------------------- source vocabulary overlap
+# Mixture-design diagnostic (round 14): the pairwise similarity of
+# sources' top-K vocabularies — near-duplicate sources waste mixture
+# budget (the D4/DoReMi inputs assume sources are distinct), and a
+# source pair with ~1.0 overlap is a candidate for merging before
+# weights are fit. Top-K per source via a PARTITIONED row_number
+# (per-source window — the sanctioned shape; K=100 rows survive per
+# source), then one self-join on token over the K*|sources| rows —
+# index-sized, broadcastable at any corpus scale. Jaccard in exact
+# integer ppm over the fixed-K sets.
+
+VOCAB_OVERLAP_K = 100
+
+
+def _vocab_overlap_sql(dialect: str) -> str:
+    toks = (
+        "SELECT source, token FROM documents "
+        "LATERAL VIEW explode(split(text, ' ')) t AS token"
+        if dialect == "spark"
+        else "SELECT source, unnest(string_split(text, ' ')) AS token "
+        "FROM documents"
+    )
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH toks AS ({toks}),
+toks2 AS (SELECT source, token FROM toks WHERE length(token) > 0),
+vocab AS (
+  SELECT source, token, count(*) AS c FROM toks2 GROUP BY source, token
+),
+topk AS (
+  SELECT source, token FROM (
+    SELECT source, token,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, token ASC) AS rnk
+    FROM vocab
+  ) r WHERE rnk <= {VOCAB_OVERLAP_K}
+),
+sizes AS (SELECT source, count(*) AS k FROM topk GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_common
+  FROM topk a JOIN topk b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(i.n_common * 1000000 {div}
+            (sa.k + sb.k - i.n_common) AS BIGINT) AS jaccard_ppm
+FROM inter i
+     JOIN sizes sa ON sa.source = i.source_a
+     JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+QUERIES["docs_source_vocab_overlap"] = _run(
+    _vocab_overlap_sql("spark"), ("documents",)
+)
+ORACLES["docs_source_vocab_overlap"] = _vocab_overlap_sql("duck")
+
+
+# ------------------------------------------------ n-gram novelty rate
+# Memorization/novelty audit (round 14): the share of each document's
+# positional token TRIGRAMS that appear exactly once in the whole
+# corpus — the doc-level "novel text" signal (the complement of the
+# repeated-ngram mass a memorization audit tracks). Distinct from
+# docs_token_rarity (unigram frequency mean): a doc of common words
+# in a novel ORDER scores high here, low there. Exact integers:
+# positional gram counts, freq==1 membership, one ppm division.
+# Scale shape: one explode (3x token positions), one gram-count
+# shuffle with map-side combine, one gram->freq join back (the
+# surprisal join shape), one per-doc combine.
+
+
+def _novelty_sql(dialect: str) -> str:
+    if dialect == "spark":
+        t = "SELECT doc_id, split(text, ' ') AS w FROM documents"
+        pos = ("SELECT doc_id, w, explode(sequence(1, size(w) - 2)) AS i "
+               "FROM t WHERE size(w) >= 3")
+        gram = ("concat(element_at(w, i), ' ', element_at(w, i + 1), "
+                "' ', element_at(w, i + 2))")
+        div = "DIV"
+    else:
+        t = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+        pos = ("SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) "
+               "AS i FROM t WHERE len(w) >= 3")
+        gram = "concat(w[i], ' ', w[i + 1], ' ', w[i + 2])"
+        div = "//"
+    return f"""
+WITH t AS ({t}),
+pos AS ({pos}),
+grams AS (SELECT doc_id, {gram} AS g FROM pos),
+freq AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 {div}
+            count(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["docs_ngram_novelty"] = _run(_novelty_sql("spark"), ("documents",))
+ORACLES["docs_ngram_novelty"] = _novelty_sql("duck")

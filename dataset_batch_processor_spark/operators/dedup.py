@@ -218,6 +218,7 @@ def _drop_hot_buckets(
 def lsh_pairs_df(
     docs: DataFrame,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    production_hash: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs: docs sharing any band bucket.
 
@@ -229,8 +230,16 @@ def lsh_pairs_df(
     self-join, hard-bounding per-bucket candidates at cap²/2.
     Default-on since round 9 (DEFAULT_MAX_BUCKET_SIZE, sized above
     every fixture bucket so the driver hashes are byte-stable);
-    ``None`` is the explicit uncapped escape hatch."""
-    bands = lsh_bands_df(minhash_signatures_df(docs)).persist()
+    ``None`` is the explicit uncapped escape hatch.
+
+    ``production_hash=True`` (round 14, r13 verdict item 7) runs the
+    whole candidate chain — signatures, bands, capped pair join — off
+    the codegen-native xxhash64 base hash instead of md5 (see
+    minhash_signatures_df), so the at-scale dedup path never touches
+    md5."""
+    bands = lsh_bands_df(
+        minhash_signatures_df(docs, production_hash=production_hash)
+    ).persist()
     return _bucket_pairs(bands, max_bucket_size)
 
 
@@ -1612,6 +1621,104 @@ FROM bands a JOIN bands b
 """
 
 
+# ----------------------- production-hash END-TO-END chain twin (r14)
+# r13 gated the xxhash64 SIGNATURE build; this runs the ENTIRE
+# at-scale dedup chain off the production hash — signatures → bands →
+# capped candidate join → exact-Jaccard verify → connected components
+# → canonical policy — with zero md5 in any hot path (r13 verdict
+# item 7). Gating trick: the output is restricted to VERIFIED J=1
+# clusters (identical distinct shingle sets). Identical sets hash to
+# identical signatures under ANY base hash family, so every intra-
+# class pair is guaranteed a band collision — candidate recall for
+# J=1 is exactly 1 BY CONSTRUCTION, which makes the xxhash64 chain's
+# output deterministic and equal to a hash-family-free oracle
+# (equivalence classes of the distinct shingle-set fingerprint).
+# The fixture carries no natural J=1 cluster (measured: zero
+# identical texts at sf0.01), so the GATED query plants one exact
+# copy of every doc_id % 7 == 0 document (re-id'd at +2^40) on BOTH
+# engines — a deterministic, non-vacuous J=1 population that the
+# xxhash64 chain must recover completely; any natural identical-set
+# class would flow through both sides identically as well.
+# The J<1 recall parity between the families — statistical, not
+# deterministic — stays pinned separately in
+# tests/test_dedup_production_hash.py; the end-to-end wall-clock
+# delta md5 vs xxhash64 is measured at 1/16/64x fanout in SCALE.md
+# (round-14 addendum).
+
+PLANT_MOD = 7
+PLANT_OFFSET = 1 << 40
+
+
+def prodhash_chain_labels_df(
+    docs: DataFrame, production_hash: bool = True
+) -> DataFrame:
+    """(doc_id, canonical_doc_id, is_survivor) for members of
+    verified J=1 clusters, computed by the full production-hash
+    chain over ``docs``. ``production_hash=False`` runs the identical
+    chain off the md5 oracle hash — the A/B lever the scale study
+    times. Callers plant their own J=1 population if the corpus may
+    not contain one (see _q_prodhash_chain)."""
+    from .components import connected_components
+
+    pairs = lsh_pairs_df(docs, production_hash=production_hash)
+    exact = jaccard_verify_df(docs, pairs=pairs).filter(
+        F.col("n_inter") == F.col("n_union")
+    )
+    labels = connected_components(
+        exact.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("canonical_doc_id"),
+        F.when(F.col("node") == F.col("comp"), 1)
+        .otherwise(0).cast("int").alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+def plant_exact_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ one exact copy of every doc_id % PLANT_MOD == 0
+    doc, re-id'd at +PLANT_OFFSET — the deterministic J=1 population
+    the chain gate recovers."""
+    base = docs.select("doc_id", "text")
+    plant = base.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    return base.unionAll(plant)
+
+
+def _q_prodhash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prodhash_chain_labels_df(
+        plant_exact_copies(catalog.load_table(spark, sf_dir, "documents"))
+    )
+
+
+PRODHASH_CHAIN_DUCK = f"""WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {PLANT_MOD} = 0
+),
+{shingles_duck("planted")},
+fp AS (
+  SELECT doc_id, string_agg(md5(shingle), '' ORDER BY md5(shingle)) AS f
+  FROM shingles GROUP BY doc_id
+),
+cls AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY f) AS canonical,
+         count(*) OVER (PARTITION BY f) AS n
+  FROM fp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(canonical AS BIGINT) AS canonical_doc_id,
+       CAST(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END AS INT)
+           AS is_survivor
+FROM cls WHERE n >= 2
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": _run(EXACT_SPARK),
     "dup_source_overlap": _q_source_overlap,
@@ -1627,6 +1734,7 @@ QUERIES = {
     "minhash_chosen_banding_pairs": _q_chosen_banding_pairs,
     "minhash_oph_signatures": _q_oph_signatures,
     "minhash_oph_pairs": _q_oph_pairs,
+    "docs_prodhash_dedup_chain": _q_prodhash_chain,
 }
 
 ORACLES = {
@@ -1644,4 +1752,5 @@ ORACLES = {
     "minhash_chosen_banding_pairs": _chosen_banding_duck(),
     "minhash_oph_signatures": OPH_DUCK,
     "minhash_oph_pairs": OPH_PAIRS_DUCK,
+    "docs_prodhash_dedup_chain": PRODHASH_CHAIN_DUCK,
 }

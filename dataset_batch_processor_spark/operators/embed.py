@@ -70,6 +70,14 @@ def _feathash_batch(texts: list) -> list:
 
 register_encoder("feathash", _feathash_batch, FH_DIM)
 
+# model-backed encoders auto-wire when their public library is
+# importable (optional_codecs.py pattern; r13 verdict item 4) — a
+# production install runs a real model through the IDENTICAL gated
+# mapInPandas stage; this container registers nothing extra.
+from .optional_encoders import try_register_optional_encoders  # noqa: E402
+
+try_register_optional_encoders(register_encoder)
+
 
 def embed_text(
     docs: DataFrame,
@@ -180,7 +188,14 @@ EMBED_ANN_QUERY_MOD = 50
 EMBED_ANN_TOP_K = 5
 
 
-def _q_embed_ann_topk(spark, sf_dir: str) -> DataFrame:
+def embed_ann_topk_df(
+    spark, sf_dir: str, query_mod: int = EMBED_ANN_QUERY_MOD
+) -> DataFrame:
+    """Exact brute-force gate; ``query_mod`` parameterizes the query
+    panel (r13 verdict item 8: the gated doc_id % 50 panel GROWS with
+    the corpus, so the measured growth conflates corpus and query-set
+    growth — a scale study passes query_mod = 50 * fanout to hold |Q|
+    fixed, the serving shape)."""
     from .. import catalog
 
     docs = catalog.load_table(spark, sf_dir, "documents")
@@ -193,7 +208,7 @@ def _q_embed_ann_topk(spark, sf_dir: str) -> DataFrame:
     nrm = vec.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("s")
     )
-    qn = nrm.filter(F.col("doc_id") % EMBED_ANN_QUERY_MOD == 0).select(
+    qn = nrm.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"), F.col("s").alias("qs")
     )
     qvec = vec.join(
@@ -230,6 +245,10 @@ def _q_embed_ann_topk(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= EMBED_ANN_TOP_K)
         .select("query_id", "neighbor_id", "cos_fx", "rank")
     )
+
+
+def _q_embed_ann_topk(spark, sf_dir: str) -> DataFrame:
+    return embed_ann_topk_df(spark, sf_dir)
 
 
 EMBED_ANN_DUCK = f"""
@@ -337,11 +356,19 @@ def _plane_cte(engine: str, planes: int) -> str:
             f" t(p, pdim, s))")
 
 
-def _embed_lsh_sql(engine: str, planes: int = LSH_PLANES) -> str:
+def _embed_lsh_sql(
+    engine: str, planes: int = LSH_PLANES,
+    query_mod: int = EMBED_ANN_QUERY_MOD,
+) -> str:
     """``planes`` is the at-scale knob (P = O(log n) keeps per-bucket
     density constant as the corpus grows — the dedup.py sign-LSH
     rule); the GATED config stays P=8 because the plane relation is
-    part of the oracle contract."""
+    part of the oracle contract. ``query_mod`` parameterizes the
+    query panel for fixed-|Q| scale studies (see embed_ann_topk_df).
+    Round-14 measurement (SCALE.md round-14 addendum): P=16 at 64x
+    fanout MEASURED to restore the per-bucket density and collapse
+    the fixed-P quadratic — the O(log n) rule is a measured row, not
+    an extrapolation."""
     div = "DIV" if engine == "spark" else "//"
     if engine == "spark":
         h = "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
@@ -391,7 +418,7 @@ buckets AS (
 q AS (
   SELECT b.doc_id AS query_id, b.bucket, n.s AS qs
   FROM buckets b JOIN nrm n ON n.doc_id = b.doc_id
-  WHERE b.doc_id % {EMBED_ANN_QUERY_MOD} = 0
+  WHERE b.doc_id % {query_mod} = 0
 ),
 flips AS ({flips_rel}),
 qp AS (
@@ -434,18 +461,25 @@ QUALIFY rank <= {EMBED_ANN_TOP_K}
 EMBED_LSH_DUCK = _embed_lsh_sql("duck")
 
 
-def _q_embed_ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+def embed_ann_lsh_df(
+    spark, sf_dir: str, planes: int = LSH_PLANES,
+    query_mod: int = EMBED_ANN_QUERY_MOD,
+) -> DataFrame:
     from .. import catalog
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
     # Spark has no QUALIFY: wrap the shared body
-    body = _embed_lsh_sql("spark")
+    body = _embed_lsh_sql("spark", planes, query_mod)
     body = body[: body.index("QUALIFY rank <= ")]
     return spark.sql(
         "SELECT * FROM (" + body + f") WHERE rank <= {EMBED_ANN_TOP_K}"
     )
+
+
+def _q_embed_ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    return embed_ann_lsh_df(spark, sf_dir)
 
 
 QUERIES["docs_embed_ann_lsh_topk"] = _q_embed_ann_lsh_topk
