@@ -158,6 +158,23 @@ def main() -> None:
     spark.range(128).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Host-regime calibration (round 14, VERDICT r13 next #6): a
+    # FIXED pure-codegen aggregation — data-free, shuffle-free,
+    # sf-independent — whose wall clock moves only with the host's
+    # effective CPU budget (tenancy, clock, contention). Recorded in
+    # BENCH_DETAIL as calibration_s; tools/bench_compare.py divides
+    # round-over-round query ratios by the calibration ratio so a
+    # host-regime shift (r13's 67 spread-moves on identical code)
+    # reads as ~1.0x normalized instead of a wall of false moves.
+    # Median of 3 so one scheduler hiccup can't mislabel the regime.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr(
+            "sum(id % 1000003) AS s"
+        ).collect()
+        cal_runs.append(time.time() - t0)
+    calibration_s = round(sorted(cal_runs)[1], 3)
     # The shared pair-graph INDEX is built once per session by design
     # (matcache); which query paid for it used to depend on the
     # _prioritize ordering — a real inter-round noise source. Build it
@@ -451,6 +468,8 @@ def main() -> None:
                 "headline_reps": reps_headline,
                 "reps": reps_used,
                 "promoted_high_spread": sorted(promoted),
+                "calibration_s": calibration_s,
+                "calibration_runs": [round(v, 3) for v in cal_runs],
                 "pair_graph_build_s": pair_graph_build_s,
                 "warmup_builds": warmup_builds,
                 "spread": spread,
@@ -470,6 +489,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "sf": sf,
+                "cal": calibration_s,
                 "all_total": round(total, 3),
                 "headline_v2_total": round(headline_v2_total, 3),
                 "n_queries": len(timings),

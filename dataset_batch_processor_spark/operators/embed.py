@@ -334,6 +334,21 @@ ORACLES = {
 LSH_PLANES = 8
 
 
+def _cap_cte(bucket_cap: int | None) -> str:
+    """Optional capped candidate-index CTE (empty when cap is None,
+    keeping the gated SQL's candidate definition untouched)."""
+    if bucket_cap is None:
+        return ""
+    return f"""
+bidx AS (
+  SELECT doc_id, bucket FROM (
+    SELECT doc_id, bucket,
+           count(*) OVER (PARTITION BY bucket) AS _bsz
+    FROM buckets
+  ) cb WHERE _bsz <= {bucket_cap}
+),"""
+
+
 def _plane_sign(p: int, dim: int) -> int:
     h = int(hashlib.md5(f"pl{p}:{dim}".encode()).hexdigest()[:7], 16)
     return 1 if h % 2 == 0 else -1
@@ -359,6 +374,7 @@ def _plane_cte(engine: str, planes: int) -> str:
 def _embed_lsh_sql(
     engine: str, planes: int = LSH_PLANES,
     query_mod: int = EMBED_ANN_QUERY_MOD,
+    bucket_cap: int | None = None,
 ) -> str:
     """``planes`` is the at-scale knob (P = O(log n) keeps per-bucket
     density constant as the corpus grows — the dedup.py sign-LSH
@@ -368,7 +384,25 @@ def _embed_lsh_sql(
     Round-14 measurement (SCALE.md round-14 addendum): P=16 at 64x
     fanout MEASURED to restore the per-bucket density and collapse
     the fixed-P quadratic — the O(log n) rule is a measured row, not
-    an extrapolation."""
+    an extrapolation.
+
+    ``bucket_cap`` (round 14): the dedup._drop_hot_buckets lever made
+    REAL for this operator — the r13 docstring said hot buckets
+    "would be" capped; the round-14 study showed one skewed sign
+    pattern driving the candidate join to tens of minutes at 16x
+    fanout. When set, the candidate INDEX side drops buckets holding
+    more than cap members (a window count partitioned by bucket —
+    the shuffle key the join needs anyway); the query side keeps its
+    own bucket so a query in a dropped bucket still probes its flip
+    neighbors. None (the default and the gated/oracle config) leaves
+    the candidate definition identical to the r13 contract.
+
+    Duplication caveat (round-14 study A, plain-fanout DNF): a corpus
+    whose growth is copy multiplicity keeps mega-buckets at ANY plane
+    count — identical texts give identical vectors. The structural
+    answer there is dedup BEFORE ANN (the dedup.py families), with
+    bucket_cap as the runtime backstop; P=O(log n) is the knob for
+    distinct-content growth."""
     div = "DIV" if engine == "spark" else "//"
     if engine == "spark":
         h = "CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)"
@@ -420,7 +454,7 @@ q AS (
   FROM buckets b JOIN nrm n ON n.doc_id = b.doc_id
   WHERE b.doc_id % {query_mod} = 0
 ),
-flips AS ({flips_rel}),
+flips AS ({flips_rel}),{_cap_cte(bucket_cap)}
 qp AS (
   SELECT query_id, qs, bucket AS pbucket FROM q
   UNION ALL
@@ -431,7 +465,8 @@ qp AS (
 ),
 cand AS (
   SELECT DISTINCT qp.query_id, qp.qs, b.doc_id AS neighbor_id
-  FROM qp JOIN buckets b ON b.bucket = qp.pbucket
+  FROM qp JOIN {"bidx" if bucket_cap is not None else "buckets"} b
+    ON b.bucket = qp.pbucket
   WHERE b.doc_id != qp.query_id
 ),
 cdots AS (
@@ -464,6 +499,7 @@ EMBED_LSH_DUCK = _embed_lsh_sql("duck")
 def embed_ann_lsh_df(
     spark, sf_dir: str, planes: int = LSH_PLANES,
     query_mod: int = EMBED_ANN_QUERY_MOD,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     from .. import catalog
 
@@ -471,7 +507,7 @@ def embed_ann_lsh_df(
         "documents"
     )
     # Spark has no QUALIFY: wrap the shared body
-    body = _embed_lsh_sql("spark", planes, query_mod)
+    body = _embed_lsh_sql("spark", planes, query_mod, bucket_cap)
     body = body[: body.index("QUALIFY rank <= ")]
     return spark.sql(
         "SELECT * FROM (" + body + f") WHERE rank <= {EMBED_ANN_TOP_K}"
@@ -482,5 +518,22 @@ def _q_embed_ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
     return embed_ann_lsh_df(spark, sf_dir)
 
 
+#: gated config for the capped twin — small enough to BITE on the
+#: fixture (several sf0.01 sign-buckets exceed it), so the gate is
+#: non-vacuous: both engines must agree on exactly which hot buckets
+#: drop out of the candidate index.
+EMBED_LSH_BUCKET_CAP = 32
+
+
+def _q_embed_ann_lsh_capped(spark, sf_dir: str) -> DataFrame:
+    return embed_ann_lsh_df(
+        spark, sf_dir, bucket_cap=EMBED_LSH_BUCKET_CAP
+    )
+
+
 QUERIES["docs_embed_ann_lsh_topk"] = _q_embed_ann_lsh_topk
+QUERIES["docs_embed_ann_lsh_capped"] = _q_embed_ann_lsh_capped
 ORACLES["docs_embed_ann_lsh_topk"] = EMBED_LSH_DUCK
+ORACLES["docs_embed_ann_lsh_capped"] = _embed_lsh_sql(
+    "duck", bucket_cap=EMBED_LSH_BUCKET_CAP
+)

@@ -95,6 +95,18 @@ def test_ann_lsh_planes_knob_changes_buckets_not_contract(spark, sf_dir):
         assert len(ranks) <= embed.EMBED_ANN_TOP_K
 
 
+def test_ann_lsh_bucket_cap_prunes_candidate_index(spark, sf_dir):
+    """bucket_cap drops hot buckets from the candidate INDEX side
+    only; cap=None must reproduce the gated contract exactly."""
+    base = embed.embed_ann_lsh_df(spark, sf_dir).collect()
+    capped = embed.embed_ann_lsh_df(spark, sf_dir, bucket_cap=1).collect()
+    assert len(capped) < len(base)  # fixture has shared buckets
+    again = embed.embed_ann_lsh_df(
+        spark, sf_dir, bucket_cap=None
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, base))
+
+
 def test_ann_query_mod_knob_fixes_panel_size(spark, sf_dir):
     """query_mod is the fixed-|Q| scale-study lever: doubling it must
     (roughly) halve the query panel, and every query id must satisfy

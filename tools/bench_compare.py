@@ -54,6 +54,15 @@ def main() -> None:
     old_q, old_s, old_doc = load(old_path)
     new_q, new_s, new_doc = load(new_path)
 
+    # Host-regime calibration ratio (round 14): both artifacts carry
+    # the fixed pure-codegen calibration_s when produced by r14+
+    # bench.py. cal_ratio > 1 means the NEW host window was that much
+    # slower on constant work; per-query ratios divided by it read as
+    # code-driven moves.
+    cal_ratio = None
+    if old_doc.get("calibration_s") and new_doc.get("calibration_s"):
+        cal_ratio = new_doc["calibration_s"] / old_doc["calibration_s"]
+
     flagged: list[tuple[float, str, float, float]] = []
     floor = 0.2  # below this many seconds, ratios are pure jitter
     for name in sorted(set(old_q) & set(new_q)):
@@ -81,18 +90,37 @@ def main() -> None:
                        ("all_total", "all_total")):
         if key in old_doc and key in new_doc:
             print(f"- {label}: {old_doc[key]} -> {new_doc[key]}")
+    if cal_ratio is not None:
+        print(
+            f"- host calibration: {old_doc['calibration_s']}s -> "
+            f"{new_doc['calibration_s']}s (host-regime ratio "
+            f"{cal_ratio:.2f}x; 'norm' column = ratio / {cal_ratio:.2f})"
+        )
+    else:
+        print(
+            "- host calibration: not present on both sides — raw "
+            "ratios include any host-regime shift"
+        )
     print()
     if not flagged:
         print(f"**No per-query move beyond {threshold}x.**")
     else:
         print(f"## Moves beyond {threshold}x ({len(flagged)})")
         print()
-        print("| query | old s | new s | ratio | old spread | new spread |")
-        print("|---|---|---|---|---|---|")
+        norm_hdr = " norm |" if cal_ratio is not None else ""
+        print("| query | old s | new s | ratio |" + norm_hdr
+              + " old spread | new spread |")
+        print("|---|---|---|---|" + ("---|" if cal_ratio is not None else "")
+              + "---|---|")
         for _, name, a, b in flagged:
+            norm_cell = (
+                f" {b / a / cal_ratio:.2f}x |" if cal_ratio is not None
+                else ""
+            )
             print(
-                f"| {name} | {a:.3f} | {b:.3f} | {b / a:.2f}x "
-                f"| {fmt_spread(old_s, name)} | {fmt_spread(new_s, name)} |"
+                f"| {name} | {a:.3f} | {b:.3f} | {b / a:.2f}x |"
+                + norm_cell
+                + f" {fmt_spread(old_s, name)} | {fmt_spread(new_s, name)} |"
             )
     if added:
         print()
