@@ -531,9 +531,59 @@ def _q_embed_ann_lsh_capped(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- LSH recall vs exact gate
+# The recall the sign-LSH path trades for its speed, MEASURED as a
+# gated query (round 14): per query, how many of the exact top-k the
+# multi-probe P=8 path recovers. Both sides are deterministic on both
+# engines (the exact gate and the LSH gate above), so their
+# composition hash-gates too — recall is a pinned VALUE, not a test
+# assertion. Scale: the join is k-row per query on both sides.
+
+
+def _q_ann_lsh_recall(spark, sf_dir: str) -> DataFrame:
+    exact = embed_ann_topk_df(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = embed_ann_lsh_df(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_hit"),
+            F.expr(
+                "CAST(sum(coalesce(_hit, 0)) * 1000000 DIV count(*)"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_LSH_RECALL_DUCK = f"""
+WITH exact_r AS ({EMBED_ANN_DUCK}),
+lsh_r AS ({EMBED_LSH_DUCK})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS recall_ppm
+FROM exact_r e LEFT JOIN lsh_r l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES["docs_embed_ann_lsh_topk"] = _q_embed_ann_lsh_topk
 QUERIES["docs_embed_ann_lsh_capped"] = _q_embed_ann_lsh_capped
+QUERIES["docs_ann_lsh_recall"] = _q_ann_lsh_recall
 ORACLES["docs_embed_ann_lsh_topk"] = EMBED_LSH_DUCK
 ORACLES["docs_embed_ann_lsh_capped"] = _embed_lsh_sql(
     "duck", bucket_cap=EMBED_LSH_BUCKET_CAP
 )
+ORACLES["docs_ann_lsh_recall"] = ANN_LSH_RECALL_DUCK

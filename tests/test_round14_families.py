@@ -150,3 +150,66 @@ def test_window_chunks_replay(con, docs):
     assert got == expect
     # overlap property: consecutive chunks share W - S tokens
     assert any(r[1] > 0 for r in expect), "fixture must have long docs"
+
+
+def test_chunk_dedup_replay(con, docs):
+    from collections import Counter
+
+    W, S = ragchunk.CHUNK_W, ragchunk.CHUNK_S
+    per_doc: dict = {}
+    freq: Counter = Counter()
+    for d, text, _s in docs:
+        if not text:
+            continue
+        w = text.split(" ")
+        ntok = len(w)
+        kmax = max(-(-(ntok - W) // S), 0)
+        addrs = []
+        for k in range(kmax + 1):
+            start = 1 + k * S
+            if start > ntok:
+                continue
+            addrs.append(
+                hashlib.md5(
+                    " ".join(w[start - 1: start - 1 + W]).encode()
+                ).hexdigest()
+            )
+        per_doc[d] = addrs
+        freq.update(addrs)
+    expect = {}
+    for d, addrs in per_doc.items():
+        dup = sum(1 for a in addrs if freq[a] > 1)
+        expect[d] = (len(addrs), dup, dup * 1_000_000 // len(addrs))
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ragchunk._chunk_dedup_sql("duck")).fetchall()
+    }
+    assert got == expect
+
+
+def test_ann_lsh_recall_is_consistent(con):
+    """recall rows must be exactly |exact top-k sets ∩ lsh top-k
+    sets| per query — replayed from the two gated oracles."""
+    from dataset_batch_processor_spark.operators import embed
+
+    exact = con.execute(embed.EMBED_ANN_DUCK).fetchall()
+    lsh = con.execute(embed.EMBED_LSH_DUCK).fetchall()
+    ex: dict = {}
+    for q, n, *_ in exact:
+        ex.setdefault(q, set()).add(n)
+    ls: dict = {}
+    for q, n, *_ in lsh:
+        ls.setdefault(q, set()).add(n)
+    expect = {
+        q: (
+            len(ns),
+            len(ns & ls.get(q, set())),
+            len(ns & ls.get(q, set())) * 1_000_000 // len(ns),
+        )
+        for q, ns in ex.items()
+    }
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(embed.ANN_LSH_RECALL_DUCK).fetchall()
+    }
+    assert got == expect
