@@ -346,3 +346,23 @@ def test_serving_pipeline_example(spark):
     for ranks in per_src.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= curation.QUOTA_K
+
+
+def test_rag_store_pipeline(spark, sf_dir):
+    """examples/rag_store_pipeline.py runs end to end on sf0.001:
+    chunking covers the corpus, dedup strictly shrinks the store
+    (the fixture has duplicate windows), every unique chunk embeds,
+    and retrieval returns a descending cosine list."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rag_store_pipeline", "/root/repo/examples/rag_store_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["rag_store_pipeline"] = mod
+    spec.loader.exec_module(mod)
+    m = mod.run(spark, sf_dir)
+    assert m["n_chunks"] > m["n_store"] > 0
+    assert m["n_vecs"] == m["n_store"]
+    assert m["top_cos"] == sorted(m["top_cos"], reverse=True)
+    assert len(m["top_cos"]) == 5
