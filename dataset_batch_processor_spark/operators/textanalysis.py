@@ -266,9 +266,93 @@ def _run(sql: str):
     return f
 
 
+# --------------------------------- quality-vs-length rank correlation
+# "Is my quality filter just a length filter?" — the curation audit
+# that catches a heuristic score which secretly ranks documents by
+# size. Spearman's rho (public closed form, 1 - 6*sum(d^2)/(n(n^2-1)))
+# over the TIE-BROKEN ranks of quality_score and n_chars (both ranked
+# under the total order (value, doc_id) — the deterministic variant;
+# with near-unique doubles the average-rank correction is sub-ppm and
+# engine-portability wins). All integers until one sign-handled
+# _scaled_div to ppm (integer DIV truncates toward zero in Spark but
+# FLOORS in DuckDB, so the negative branch negates a positive split —
+# dialect-identical). Spark side ranks via the two-pass
+# textops.attach_rank — never an unpartitioned window. int64 ledger:
+# 6*sum(d^2) <= 2n(n^2-1), so the exact closed form holds to n ~2.1e6
+# docs; past that run it on a deterministic doc_id % k sample (the
+# diagnostic does not need the full corpus) or lift d2 to
+# DECIMAL(38,0) on both engines.
+
+
+def _spearman_rho_expr(div: str) -> str:
+    from .corpusstats import _scaled_div
+
+    den = "n * (n * n - 1)"
+    num = f"{den} - 6 * d2"
+    return f"""CASE WHEN n < 2 THEN 0
+     WHEN ({num}) >= 0
+     THEN {_scaled_div(f'({num})', 1000, 1000, f'({den})', div)}
+     ELSE -({_scaled_div(f'(6 * d2 - {den})', 1000, 1000,
+                         f'({den})', div)})
+END"""
+
+
+_SPEARMAN_FINAL_SPARK = f"""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS d2
+  FROM _sp_ranks
+)
+SELECT n AS n_docs, d2 AS sum_d2,
+       CAST({_spearman_rho_expr("DIV")} AS BIGINT) AS rho_ppm
+FROM s
+"""
+
+
+def _q_quality_length_spearman(spark, sf_dir):
+    from .. import catalog
+    from .textops import attach_rank
+
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    base = spark.sql(QUALITY_SPARK).select(
+        "doc_id", "n_chars", "quality_score"
+    )
+    rq = attach_rank(
+        base.select("doc_id", "quality_score"),
+        ["quality_score", "doc_id"], out_col="rq",
+    ).select("doc_id", "rq")
+    rl = attach_rank(
+        base.select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"], out_col="rl",
+    ).select("doc_id", "rl")
+    rq.join(rl, "doc_id").createOrReplaceTempView("_sp_ranks")
+    return spark.sql(_SPEARMAN_FINAL_SPARK)
+
+
+SPEARMAN_DUCK = f"""
+WITH ranks AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY quality_score, doc_id) AS rq,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rl
+  FROM ({QUALITY_DUCK})
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS d2
+  FROM ranks
+)
+SELECT n AS n_docs, d2 AS sum_d2,
+       CAST({_spearman_rho_expr("//")} AS BIGINT) AS rho_ppm
+FROM s
+"""
+
+
 QUERIES = {
     "docs_token_stats": _run(TOKEN_STATS_SPARK),
     "docs_quality_score": _run(QUALITY_SPARK),
+    "docs_quality_length_spearman": _q_quality_length_spearman,
     "docs_lang_id": _run(LANG_ID_SPARK),
     "docs_langid_confusion": _run(LANGID_CONFUSION_SPARK),
     "docs_fingerprint": _run(FINGERPRINT_SPARK),
@@ -277,6 +361,7 @@ QUERIES = {
 ORACLES = {
     "docs_token_stats": TOKEN_STATS_DUCK,
     "docs_quality_score": QUALITY_DUCK,
+    "docs_quality_length_spearman": SPEARMAN_DUCK,
     "docs_lang_id": LANG_ID_DUCK,
     "docs_langid_confusion": LANGID_CONFUSION_DUCK,
     "docs_fingerprint": FINGERPRINT_DUCK,

@@ -213,3 +213,41 @@ def test_ann_lsh_recall_is_consistent(con):
         for r in con.execute(embed.ANN_LSH_RECALL_DUCK).fetchall()
     }
     assert got == expect
+
+
+def test_quality_length_spearman_replay(con):
+    """Independent Python Spearman over the quality oracle's own
+    rows, with the identical (value, doc_id) tie-broken ranks and
+    truncate-toward-zero ppm."""
+    from dataset_batch_processor_spark.operators import textanalysis
+
+    rows = con.execute(
+        f"SELECT doc_id, n_chars, quality_score "
+        f"FROM ({textanalysis.QUALITY_DUCK})"
+    ).fetchall()
+    rq = {
+        d: i + 1
+        for i, (d, _c, _q) in enumerate(
+            sorted(rows, key=lambda r: (r[2], r[0]))
+        )
+    }
+    rl = {
+        d: i + 1
+        for i, (d, _c, _q) in enumerate(
+            sorted(rows, key=lambda r: (r[1], r[0]))
+        )
+    }
+    n = len(rows)
+    d2 = sum((rq[d] - rl[d]) ** 2 for d, _c, _q in rows)
+    den = n * (n * n - 1)
+    num = den - 6 * d2
+    # truncate-toward-zero ppm (matches the sign-handled _scaled_div)
+    rho_ppm = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+    got = con.execute(textanalysis.SPEARMAN_DUCK).fetchone()
+    assert tuple(got) == (n, d2, rho_ppm)
+    # the diagnostic DOES fire on the fixture: type-token ratio falls
+    # with document length (longer word-soup docs repeat vocabulary),
+    # so the heuristic quality score is a strong INVERSE length proxy
+    # here — exactly the kind of hidden coupling the query exists to
+    # expose (sf0.001 rho ~ -0.96)
+    assert rho_ppm < -500_000
