@@ -353,14 +353,15 @@ def main() -> None:
     # single-pass: promotion only applies when multi-rep is on at all
     reps_promoted = max(5, reps_headline) if reps_headline > 1 else 1
     promoted: set[str] = set()
+    prior_doc: dict = {}
     try:
         with open(detail_path) as fh:
-            _prior_spread = (json.load(fh).get("spread") or {})
-        for qname, sp in _prior_spread.items():
-            if sp and sp[0] > 0 and sp[-1] / sp[0] > 1.5:
-                promoted.add(qname)
+            prior_doc = json.load(fh)
     except (OSError, ValueError):
         pass
+    for qname, sp in (prior_doc.get("spread") or {}).items():
+        if sp and sp[0] > 0 and sp[-1] / sp[0] > 1.5:
+            promoted.add(qname)
     spread: dict[str, list[float]] = {}
     reps_used: dict[str, int] = {}
     total = 0.0
@@ -400,6 +401,72 @@ def main() -> None:
         print(f"# {name}: {n} rows in {dt:.2f}s ({est} of {reps})",
               file=sys.stderr)
 
+    # Mover auto-requeue (round 15, VERDICT r14 next #3): r14's
+    # compare printed 28 >=1.5x "movers", ~all of which inverted on
+    # the next run — host noise the CPU calibration can't normalize
+    # (page-cache/shuffle regimes). Instead of hand-adjudicating,
+    # any query whose fresh timing moved beyond the threshold vs the
+    # prior BENCH_DETAIL (calibration-normalized) is immediately
+    # re-measured at 5 reps IN THIS SESSION (artifacts warm, same
+    # regime) with a min/max-trimmed mean; the re-measured value
+    # replaces the timing, and BENCH_DETAIL records first/remeasured/
+    # prior + whether the move survived ("confirmed"). A compare over
+    # the written detail then lists only moves that survived a
+    # same-session repeat. Capped at the largest 40 ratios so a
+    # whole-host regime shift can't quintuple bench wall.
+    requeue: dict[str, dict] = {}
+    # sf guard: a reps=1 smoke at another sf overwrites the detail
+    # file; comparing this run against it would mislabel every query
+    # a "mover" and requeue 40 of them for nothing
+    if reps_headline > 1 and prior_doc.get("sf") == sf:
+        prior_q = prior_doc.get("queries") or {}
+        _cal_prior = prior_doc.get("calibration_s")
+        cal_ratio = (
+            calibration_s / _cal_prior if _cal_prior else 1.0
+        )
+        mover_thresh, mover_floor = 1.5, 0.2
+        movers: list[tuple[float, str, float]] = []
+        for name, dt0 in timings.items():
+            a = prior_q.get(name)
+            if not a or max(a, dt0) < mover_floor:
+                continue
+            r = dt0 / a / cal_ratio
+            if not (1 / mover_thresh <= r <= mover_thresh):
+                movers.append((max(r, 1 / r), name, a))
+        movers.sort(reverse=True)
+        for _, name, a in movers[:40]:
+            fn = qs[name]
+            runs = []
+            for _ in range(5):
+                if name in DERIVED_CACHED:
+                    matcache.invalidate_exact(DERIVED_CACHED[name])
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+                spark.catalog.clearCache()
+            runs.sort()
+            dt = sum(runs[1:-1]) / len(runs[1:-1])
+            r2 = dt / a / cal_ratio
+            requeue[name] = {
+                "prior": a,
+                "first": timings[name],
+                "remeasured": round(dt, 3),
+                "confirmed": not (1 / mover_thresh <= r2 <= mover_thresh),
+            }
+            timings[name] = round(dt, 3)
+            spread[name] = [
+                round(runs[0], 3), round(dt, 3), round(runs[-1], 3)
+            ]
+            reps_used[name] = 5
+            print(
+                f"# requeue {name}: prior {a:.2f}s first "
+                f"{requeue[name]['first']:.2f}s remeasured {dt:.2f}s "
+                f"({'CONFIRMED' if requeue[name]['confirmed'] else 'absorbed'})",
+                file=sys.stderr,
+            )
+        if requeue:
+            total = sum(timings.values())
+
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     headline_v2_total = headline_total + sum(
         timings[n] for n in HEADLINE_V2_EXTRA if n in timings
@@ -432,26 +499,26 @@ def main() -> None:
         "13 tenancy hardening — per-query rep counts in 'reps'); "
         "remaining queries run once; spread entries for queries a "
         "reps=1 rewrite did not re-measure are carried forward from "
-        "the prior BENCH_DETAIL (marked in spread_carried)"
+        "the prior BENCH_DETAIL (marked in spread_carried); any "
+        "query that moved >1.5x (calibration-normalized) vs the "
+        "prior detail was auto-requeued at 5 reps in-session and "
+        "the trimmed mean recorded instead — first/remeasured/"
+        "confirmed in 'requeue' (round 15)"
     )
     # Preserve spread arrays across rewrites (VERDICT r8 wrong #3): a
     # reps=1 driver re-run used to overwrite the committed multi-rep
     # spreads with nothing. Carry forward any prior spread for a query
     # this run did not multi-rep, and record which ones are carried.
     spread_carried: list[str] = []
-    try:
-        with open(detail_path) as fh:
-            prior = json.load(fh)
-        # a query carried in run N-1 sits in run N-1's spread, so the
-        # first condition re-carries it (and re-labels it) naturally;
-        # anything this run DID multi-rep gets a fresh spread and no
-        # carried label
-        for qname, sp in (prior.get("spread") or {}).items():
-            if qname not in spread and qname in timings:
-                spread[qname] = sp
-                spread_carried.append(qname)
-    except (OSError, ValueError):
-        pass
+    # a query carried in run N-1 sits in run N-1's spread, so the
+    # first condition re-carries it (and re-labels it) naturally;
+    # anything this run DID multi-rep gets a fresh spread and no
+    # carried label (prior_doc was read before this run overwrote
+    # the file)
+    for qname, sp in (prior_doc.get("spread") or {}).items():
+        if qname not in spread and qname in timings:
+            spread[qname] = sp
+            spread_carried.append(qname)
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -468,6 +535,7 @@ def main() -> None:
                 "headline_reps": reps_headline,
                 "reps": reps_used,
                 "promoted_high_spread": sorted(promoted),
+                "requeue": requeue,
                 "calibration_s": calibration_s,
                 "calibration_runs": [round(v, 3) for v in cal_runs],
                 "pair_graph_build_s": pair_graph_build_s,

@@ -26,10 +26,13 @@ the trunc-vs-floor negative-division divergence between dialects is
 never reached — a CASE pins 0 if a real dataset drove it negative).
 
 Scale: one narrow scan, one 1-row aggregate. Nothing else. int64
-ledger bound: the exact-count formulation forms n*n, so it holds to
-n < ~3e9 docs; a corpus beyond that precomputes po/pe as ppm rates
-first (two rounded divisions, 1-ulp looser) — noted here because the
-module's aggregate is otherwise scale-free.
+ledger bound: the exact-count formulation forms n*n AND _scaled_div
+multiplies that n²-scale numerator/remainder by 1000 for the ppm
+split, so exactness holds to n²·1000 < 2^63, i.e. n < ~9.6e7 docs
+(ADVICE r14 — the earlier ~3e9 claim ignored the ×1000). A corpus
+beyond that precomputes po/pe as ppm rates first (two rounded
+divisions, 1-ulp looser) or lifts the division to DECIMAL(38,0) —
+noted here because the module's aggregate is otherwise scale-free.
 """
 
 from __future__ import annotations

@@ -1643,30 +1643,99 @@ FROM bands a JOIN bands b
 # deterministic — stays pinned separately in
 # tests/test_dedup_production_hash.py; the end-to-end wall-clock
 # delta md5 vs xxhash64 is measured at 1/16/64x fanout in SCALE.md
-# (round-14 addendum).
+# (round-15 addendum).
+#
+# Round 15 (VERDICT r14 next #1): the J=1 slice no longer pays the
+# pair x shingle intersection join to prove n_inter == n_union.
+# Identical distinct shingle SETS are an equivalence relation, so one
+# per-doc fingerprint — a hash of the sorted distinct shingle-hash
+# set, exactly the oracle's own formulation (PRODHASH_CHAIN_DUCK fp
+# CTE) — turns "verified J=1 clusters" into a LINEAR groupBy on the
+# fingerprint: one shingle pass, one partitioned window, no candidate
+# join, no Jaccard join, no connected components. Production chains
+# run exact dedup before near-dup for the same reason. The banded
+# candidate chain (signatures -> bands -> capped join -> exact-Jaccard
+# verify -> CC) remains the J<1 path, reachable via
+# ``jaccard_threshold_ppm`` below.
 
 PLANT_MOD = 7
 PLANT_OFFSET = 1 << 40
 
 
-def prodhash_chain_labels_df(
+def doc_shingle_fingerprints(
     docs: DataFrame, production_hash: bool = True
 ) -> DataFrame:
+    """(doc_id, f): one 64-bit fingerprint per doc over its SORTED
+    DISTINCT shingle-hash set. Two docs share ``f`` iff their distinct
+    shingle sets are identical (up to base-hash collision, the same
+    trust level as every hash-keyed dedup here). The base hash is the
+    family under test — codegen-native xxhash64 on the production arm,
+    md5 on the oracle arm — so the fingerprint itself is a valid A/B
+    lever. Scale shape: the explode streams, ``collect_set`` dedups
+    map-side (set size is O(doc length / stride), the same order as
+    the text column itself), and the only shuffle is the groupBy on
+    doc_id."""
+    sh = shingle_sets(docs, distinct=False,
+                      production_hash=production_hash)
+    base = (F.xxhash64("shingle") if production_hash
+            else F.md5("shingle"))
+    return (
+        sh.select("doc_id", base.alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.xxhash64(F.sort_array(F.collect_set("sh"))).alias("f"))
+    )
+
+
+def prodhash_chain_labels_df(
+    docs: DataFrame,
+    production_hash: bool = True,
+    jaccard_threshold_ppm: int = 1_000_000,
+) -> DataFrame:
     """(doc_id, canonical_doc_id, is_survivor) for members of
-    verified J=1 clusters, computed by the full production-hash
-    chain over ``docs``. ``production_hash=False`` runs the identical
-    chain off the md5 oracle hash — the A/B lever the scale study
-    times. Callers plant their own J=1 population if the corpus may
-    not contain one (see _q_prodhash_chain)."""
+    verified Jaccard >= threshold clusters, computed by the full
+    production-hash chain over ``docs``. ``production_hash=False``
+    runs the identical chain off the md5 oracle hash — the A/B lever
+    the scale study times. Callers plant their own J=1 population if
+    the corpus may not contain one (see _q_prodhash_chain).
+
+    ``jaccard_threshold_ppm >= 1_000_000`` (the gated default) takes
+    the exact-duplicate fast path: a per-doc sorted-shingle-set
+    fingerprint equi-grouping — linear, no pair join (r15, VERDICT
+    r14 next #1). Lower thresholds run the banded LSH chain with a
+    candidates-only exact-Jaccard verify and connected components."""
     from .components import connected_components
 
+    if jaccard_threshold_ppm >= 1_000_000:
+        fps = doc_shingle_fingerprints(
+            docs, production_hash=production_hash
+        )
+        w = Window.partitionBy("f")
+        return (
+            fps.select(
+                "doc_id",
+                F.min("doc_id").over(w).alias("canonical"),
+                F.count(F.lit(1)).over(w).alias("n"),
+            )
+            .filter(F.col("n") >= 2)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("canonical").cast("long")
+                .alias("canonical_doc_id"),
+                F.when(F.col("doc_id") == F.col("canonical"), 1)
+                .otherwise(0).cast("int").alias("is_survivor"),
+            )
+            .orderBy("doc_id")
+        )
+
     pairs = lsh_pairs_df(docs, production_hash=production_hash)
-    exact = jaccard_verify_df(docs, pairs=pairs).filter(
-        F.col("n_inter") == F.col("n_union")
+    verified = jaccard_verify_df(docs, pairs=pairs).filter(
+        F.col("n_inter").cast("bigint") * F.lit(1_000_000)
+        >= F.lit(int(jaccard_threshold_ppm)).cast("bigint")
+        * F.col("n_union")
     )
     labels = connected_components(
-        exact.select(F.col("doc_a").alias("src"),
-                     F.col("doc_b").alias("dst"))
+        verified.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
     )
     return labels.select(
         F.col("node").cast("long").alias("doc_id"),

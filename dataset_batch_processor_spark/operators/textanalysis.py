@@ -278,10 +278,13 @@ def _run(sql: str):
 # FLOORS in DuckDB, so the negative branch negates a positive split —
 # dialect-identical). Spark side ranks via the two-pass
 # textops.attach_rank — never an unpartitioned window. int64 ledger:
-# 6*sum(d^2) <= 2n(n^2-1), so the exact closed form holds to n ~2.1e6
-# docs; past that run it on a deterministic doc_id % k sample (the
-# diagnostic does not need the full corpus) or lift d2 to
-# DECIMAL(38,0) on both engines.
+# 6*sum(d^2) <= 2n(n^2-1), so both sign branches divide an operand
+# <= n(n²-1) — but _scaled_div multiplies that n³-scale operand by
+# 1000 for the ppm split, so the exact closed form holds to
+# n³·1000 < 2^63, i.e. n ~2.1e5 docs (ADVICE r14 — the earlier
+# ~2.1e6 claim ignored the ×1000); past that run it on a
+# deterministic doc_id % k sample (the diagnostic does not need the
+# full corpus) or lift d2 to DECIMAL(38,0) on both engines.
 
 
 def _spearman_rho_expr(div: str) -> str:

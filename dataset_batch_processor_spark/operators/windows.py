@@ -186,7 +186,9 @@ WINDOW w AS (ORDER BY total_spent DESC, c_custkey)
 # total order (the window sorts on (total_spent, c_custkey)) the
 # window functions reduce to closed forms of the global row number r
 # and count n: ntile(k) fills the first n%k buckets with n/k+1 rows
-# and the rest with n/k; percent_rank = (r-1)/(n-1); cume_dist = r/n.
+# and the rest with n/k; percent_rank = (r-1)/(n-1) — with the n=1
+# degenerate case pinned to 0.0, matching SQL percent_rank (ADVICE
+# r14: the raw closed form yields NaN there); cume_dist = r/n.
 _NTILE_BASE_SPARK = """
 SELECT c_custkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spent
@@ -203,7 +205,9 @@ SELECT c_custkey, total_spent,
        CAST(CASE WHEN r <= rem * (q + 1) THEN (r + q) DIV (q + 1)
                  ELSE rem + (r - rem * (q + 1) + q - 1) DIV q
             END AS INT) AS quartile,
-       round(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct_rank,
+       CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+       END AS pct_rank,
        round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cume
 FROM _ntile_ranked CROSS JOIN p
 """

@@ -35,16 +35,42 @@ from . import explain
 SANCTIONED_WINDOW_PREFIXES = ("_pid",)
 
 
+def _first_toplevel_arg(plan: str, start: int) -> str:
+    """Text from ``start`` up to the first comma or close-paren at
+    paren depth 0 — the windowspecdefinition's first argument even
+    when it is itself a parenthesized expression like
+    ``cast(x#1 as bigint) ASC NULLS FIRST`` (ADVICE r14: the old
+    ``[^,)]*`` regex truncated at the cast's ')' and silently dropped
+    the ASC/DESC marker, a false negative in the gate)."""
+    depth = 0
+    i = start
+    while i < len(plan):
+        c = plan[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            break
+        i += 1
+    return plan[start:i]
+
+
 def unpartitioned_windows(plan: str) -> list[str]:
     """Window specs whose FIRST argument is already a sort spec —
     i.e. no partition columns. ``windowspecdefinition(part..., col
-    ASC ..., frame)``: with no partitioning the first token carries
-    an ASC/DESC marker."""
+    ASC ..., frame)``: with no partitioning the first argument
+    carries an ASC/DESC marker. The first argument is extracted with
+    a paren-depth scan, not a regex, so parenthesized ORDER BY
+    expressions cannot hide the marker."""
     return [
-        m.group(1)
-        for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan)
-        if re.search(r"\s(ASC|DESC)\b", m.group(1))
-        and not m.group(1).startswith(SANCTIONED_WINDOW_PREFIXES)
+        arg
+        for m in re.finditer(r"windowspecdefinition\(", plan)
+        for arg in (_first_toplevel_arg(plan, m.end()),)
+        if re.search(r"\s(ASC|DESC)\b", arg)
+        and not arg.startswith(SANCTIONED_WINDOW_PREFIXES)
     ]
 
 

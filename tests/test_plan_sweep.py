@@ -43,6 +43,26 @@ def test_detector_fires_on_naive_shapes(spark):
         for v in audit.audit_df(naive_window)
     )
 
+    # parenthesized ORDER BY expression (ADVICE r14: the old regex
+    # truncated at the cast's ')' and missed the ASC marker)
+    paren_window = spark.sql(
+        "SELECT id, sum(v) OVER (ORDER BY CAST(id AS STRING)) AS s "
+        "FROM _sweep_naive"
+    )
+    assert any(
+        v.startswith("unpartitioned-window")
+        for v in audit.audit_df(paren_window)
+    ), "paren-wrapped unpartitioned ORDER BY must still fire"
+    # pure-string probe of the depth scanner (engine-independent)
+    assert audit.unpartitioned_windows(
+        "windowspecdefinition(cast(x#1 as bigint) ASC NULLS FIRST, "
+        "specifiedwindowframe(...))"
+    )
+    assert not audit.unpartitioned_windows(
+        "windowspecdefinition(part#3, cast(x#1 as bigint) ASC NULLS "
+        "FIRST, specifiedwindowframe(...))"
+    )
+
     a = spark.range(50).selectExpr("id AS x")
     b = spark.range(50).selectExpr("id AS y")
     cart = a.hint("shuffle_replicate_nl").crossJoin(b)

@@ -169,3 +169,31 @@ def test_coverage_doc_never_calls_a_real_module_a_stub():
             f"{phrase!r} — if this is a genuinely stubbed surface, "
             f"allowlist it here; if the module is real, fix the doc."
         )
+
+
+def test_coverage_doc_never_claims_rows_only_when_ledger_is_clean():
+    """Same failure mode as the "stub" tripwire, next word (VERDICT
+    r14 wrong #2): emb_ivf_trained_topk was hash-gated in r14 but
+    COVERAGE.md kept calling it "rows-only". While VERIFY_LEDGER.json
+    records zero rows-only entries, the phrase must not appear in
+    COVERAGE.md at all (except inside an explicit negation like "no
+    longer rows-only" / "zero rows-only")."""
+    with open(os.path.join(REPO, "VERIFY_LEDGER.json")) as fh:
+        ledger = json.load(fh)
+    rows_only_in_ledger = [
+        k for k, v in ledger.items()
+        if isinstance(v, dict) and v.get("status") not in ("PASS",)
+    ]
+    if rows_only_in_ledger:
+        return  # ledger itself has non-hash-gated entries; doc may say so
+    with open(os.path.join(REPO, "COVERAGE.md")) as fh:
+        text = fh.read()
+    for m in re.finditer(r"[^|\n]*rows-only[^|\n]*", text):
+        phrase = m.group(0).strip()
+        assert re.search(
+            r"(no longer|zero|not|never)[^|]*rows-only", phrase
+        ), (
+            f"COVERAGE.md claims a rows-only check but the ledger is "
+            f"fully hash-gated: {phrase!r} — fix the doc (or the "
+            f"query actually regressed to rows-only; gate it)."
+        )

@@ -102,25 +102,50 @@ def main() -> None:
             "ratios include any host-regime shift"
         )
     print()
+    # Round 15 (VERDICT r14 next #3): bench.py now re-measures every
+    # in-session mover at 5 reps and records the outcome in
+    # "requeue"; annotate each flagged row so a move that already
+    # survived a same-session repeat reads as confirmed, not as one
+    # more row to hand-adjudicate.
+    requeue = new_doc.get("requeue") or {}
+    if requeue:
+        n_conf = sum(1 for v in requeue.values() if v.get("confirmed"))
+        print(
+            f"- in-session requeue: {len(requeue)} movers re-measured "
+            f"at 5 reps by bench.py; {n_conf} confirmed, "
+            f"{len(requeue) - n_conf} absorbed (values below are the "
+            f"re-measured trimmed means)"
+        )
+        print()
     if not flagged:
         print(f"**No per-query move beyond {threshold}x.**")
     else:
         print(f"## Moves beyond {threshold}x ({len(flagged)})")
         print()
         norm_hdr = " norm |" if cal_ratio is not None else ""
+        rq_hdr = " requeue |" if requeue else ""
         print("| query | old s | new s | ratio |" + norm_hdr
-              + " old spread | new spread |")
+              + " old spread | new spread |" + rq_hdr)
         print("|---|---|---|---|" + ("---|" if cal_ratio is not None else "")
-              + "---|---|")
+              + "---|---|" + ("---|" if requeue else ""))
         for _, name, a, b in flagged:
             norm_cell = (
                 f" {b / a / cal_ratio:.2f}x |" if cal_ratio is not None
                 else ""
             )
+            rq = requeue.get(name)
+            rq_cell = ""
+            if requeue:
+                if rq:
+                    tag = "confirmed" if rq.get("confirmed") else "absorbed"
+                    rq_cell = f" {tag} (first {rq['first']:.2f}s) |"
+                else:
+                    rq_cell = " — |"
             print(
                 f"| {name} | {a:.3f} | {b:.3f} | {b / a:.2f}x |"
                 + norm_cell
                 + f" {fmt_spread(old_s, name)} | {fmt_spread(new_s, name)} |"
+                + rq_cell
             )
     if added:
         print()

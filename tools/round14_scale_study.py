@@ -129,6 +129,8 @@ def study_a(spark) -> None:
 
 
 def study_b(spark) -> None:
+    from pyspark.sql import functions as F
+
     from dataset_batch_processor_spark.operators import embed
 
     print("## B: fixed-|Q| ANN growth (query_mod = 50 * mult)")
@@ -138,9 +140,15 @@ def study_b(spark) -> None:
         d = _fanout_sf_dir(spark, mult)
         n = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         qmod = embed.EMBED_ANN_QUERY_MOD * mult
-        t0 = time.time()
-        exact_rows = embed.embed_ann_topk_df(spark, d, query_mod=qmod)
-        nq = exact_rows.select("query_id").distinct().count()
+        # |Q| comes straight from the fanout table — building (and
+        # counting) the exact ANN result a second time just to read
+        # its query_id cardinality doubled the exact-arm cost and
+        # mixed cache effects into the timed run (ADVICE r14).
+        nq = (
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .filter(F.col("doc_id") % qmod == 0)
+            .count()
+        )
         t0 = time.time()
         embed.embed_ann_topk_df(spark, d, query_mod=qmod).count()
         exact_s = time.time() - t0
