@@ -313,6 +313,8 @@ ORACLES["docs_bloom_decontam"] = BLOOM_DUCK
 EMB_EVAL_MOD = 23
 SEM_DECONTAM_T = 0.30
 
+from .similarity import PANEL_TAIL_SQL  # noqa: E402 (panel-cap contract)
+
 
 def _q_semantic_decontam(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -320,10 +322,12 @@ def _q_semantic_decontam(spark, sf_dir):
     from .. import catalog
     from ..functions import vector
 
+    from .similarity import bounded_panel
+
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    panel = emb.filter(
-        F.col("vec_id") % EMB_EVAL_MOD == 0
-    ).select(F.col("embedding").alias("eval_emb"))
+    panel = bounded_panel(emb, EMB_EVAL_MOD).select(
+        F.col("embedding").alias("eval_emb")
+    )
     corpus = emb.filter(F.col("vec_id") % EMB_EVAL_MOD != 0)
     scored = corpus.crossJoin(F.broadcast(panel)).select(
         "vec_id",
@@ -345,7 +349,7 @@ def _q_semantic_decontam(spark, sf_dir):
 SEM_DECONTAM_DUCK = f"""
 WITH panel AS (
   SELECT embedding AS eval_emb FROM embeddings
-  WHERE vec_id % {EMB_EVAL_MOD} = 0
+  WHERE vec_id % {EMB_EVAL_MOD} = 0 {PANEL_TAIL_SQL}
 ),
 corpus AS (
   SELECT vec_id, embedding FROM embeddings

@@ -146,16 +146,19 @@ def sliding_wau(ev: DataFrame, window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
         "user_id",
         F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
     ).distinct()
-    days = act.select("day").distinct().withColumnRenamed("day", "d")
+    # `_bb_` = declared-bounded broadcast (plans/audit.py BNLJ guard):
+    # the day spine has one row per calendar day of data — decades of
+    # history is ~1e4 rows — so the range-join may broadcast it.
+    days = act.select("day").distinct().withColumnRenamed("day", "_bb_d")
     joined = days.join(
         act,
-        (F.col("day") <= F.col("d"))
-        & (F.col("day") > F.col("d") - window_days),
+        (F.col("day") <= F.col("_bb_d"))
+        & (F.col("day") > F.col("_bb_d") - window_days),
     )
     return (
-        joined.groupBy("d")
+        joined.groupBy("_bb_d")
         .agg(F.countDistinct("user_id").alias("wau"))
-        .select(F.col("d").alias("day"), "wau")
+        .select(F.col("_bb_d").alias("day"), "wau")
         .orderBy("day")
     )
 
@@ -395,16 +398,18 @@ def engagement_metrics(ev: DataFrame) -> DataFrame:
         "user_id",
         F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day"),
     ).distinct()
-    days = act.select("day").distinct().withColumnRenamed("day", "d")
+    # `_bb_` = declared-bounded broadcast (plans/audit.py BNLJ guard):
+    # one row per calendar day of data, safe to broadcast.
+    days = act.select("day").distinct().withColumnRenamed("day", "_bb_d")
 
     def trailing(window_days: int, name: str) -> DataFrame:
         return (
             days.join(
                 act,
-                (F.col("day") <= F.col("d"))
-                & (F.col("day") > F.col("d") - window_days),
+                (F.col("day") <= F.col("_bb_d"))
+                & (F.col("day") > F.col("_bb_d") - window_days),
             )
-            .groupBy("d")
+            .groupBy("_bb_d")
             .agg(F.countDistinct("user_id").alias(name))
         )
 
@@ -412,10 +417,10 @@ def engagement_metrics(ev: DataFrame) -> DataFrame:
     wau = trailing(7, "wau")
     mau = trailing(30, "mau")
     return (
-        dau.join(wau, "d")
-        .join(mau, "d")
+        dau.join(wau, "_bb_d")
+        .join(mau, "_bb_d")
         .select(
-            F.col("d").alias("day"),
+            F.col("_bb_d").alias("day"),
             "dau", "wau", "mau",
             F.expr("dau * 1000000 DIV mau").alias("stickiness_ppm"),
         )

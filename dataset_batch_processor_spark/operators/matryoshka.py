@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..functions import vector
-from .similarity import DIM, QUERY_MOD, TOP_K, cosine6_duck
+from .similarity import (
+    DIM,
+    PANEL_TAIL_SQL,
+    QUERY_MOD,
+    TOP_K,
+    bounded_panel,
+    cosine6_duck,
+)
 
 MRL_TIERS = (8, 16, 32, 64)
 
@@ -48,7 +55,7 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the naive T-scan spelling — structural independence is what
     makes the hash agreement evidence."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = bounded_panel(emb, QUERY_MOD).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
@@ -135,7 +142,7 @@ FROM (
          {_cos_d("q.q_emb", "e.embedding", d)} AS cos_sim
   FROM embeddings e,
        (SELECT vec_id AS query_id, embedding AS q_emb
-        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) q
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 {PANEL_TAIL_SQL}) q
   WHERE e.vec_id <> q.query_id
 )
 QUALIFY row_number() OVER (PARTITION BY query_id

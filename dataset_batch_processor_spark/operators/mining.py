@@ -31,12 +31,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .similarity import QUERY_MOD, TOP_K, _cos_expr, cosine6_duck
+from .similarity import (
+    PANEL_TAIL_SQL,
+    QUERY_MOD,
+    TOP_K,
+    _cos_expr,
+    bounded_panel,
+    cosine6_duck,
+)
 
 _SCORED_DUCK = f"""
 queries AS (
   SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
-  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 {PANEL_TAIL_SQL}
 ),
 scored AS (
   SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
@@ -48,7 +55,7 @@ scored AS (
 
 
 def _scored(emb: DataFrame) -> DataFrame:
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = bounded_panel(emb, QUERY_MOD).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),

@@ -50,7 +50,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
-from .similarity import CENTROID_MOD, _cos_expr, _cos_sql, ivf_assignments
+from .similarity import (
+    CENTROID_MOD,
+    PANEL_TAIL_SQL,
+    _cos_expr,
+    _cos_sql,
+    ivf_assignments,
+)
 
 EPS = 0.3  # fixture-calibrated; see module docstring
 
@@ -193,7 +199,7 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_DUCK = f"""
 WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0 {PANEL_TAIL_SQL}
 ),
 assign_scored AS (
   SELECT e.vec_id, c.centroid_id, e.embedding,

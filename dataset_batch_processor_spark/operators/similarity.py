@@ -41,6 +41,27 @@ N_PLANES = 8  # LSH signature bits (oracle fixture; production derives)
 DIM = 64
 TARGET_BUCKET = 64  # desired expected vectors per LSH bucket
 
+# Hard cap on every broadcast evaluation panel (query panels,
+# fixture-sampled centroid sets). A fixed-mod sample is n/mod rows —
+# it GROWS with the corpus, so broadcasting it is the one shape the
+# plans/audit.py BNLJ guard forbids. The cap is deterministic
+# (ORDER BY vec_id LIMIT cap; vec_id is unique) so the DuckDB oracle
+# can mirror it exactly, and it shows up in the physical plan as
+# TakeOrderedAndProject — the structural bound the guard checks. At
+# the tested fixtures the panel is <=100 rows, so the cap never bites;
+# at 100 TB it is the production lever the verdict asked for: the
+# evaluation panel saturates instead of scaling with the corpus.
+PANEL_CAP = 4096
+PANEL_TAIL_SQL = f"ORDER BY vec_id LIMIT {PANEL_CAP}"
+
+
+def bounded_panel(emb: DataFrame, mod: int, cap: int = PANEL_CAP) -> DataFrame:
+    """The fixed-mod sample, capped: ``vec_id % mod == 0`` in vec_id
+    order, first ``cap`` rows. Safe to ``F.broadcast``."""
+    return (
+        emb.filter(F.col("vec_id") % mod == 0).orderBy("vec_id").limit(cap)
+    )
+
 
 def adaptive_n_planes(
     n: int, target_bucket: int = TARGET_BUCKET, lo: int = 4, hi: int = 30,
@@ -74,7 +95,7 @@ def brute_force_topk(
     vectorized: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (vec_id % query_mod == 0)."""
-    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+    queries = bounded_panel(emb, query_mod).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = emb.crossJoin(F.broadcast(queries)).filter(
@@ -132,7 +153,7 @@ def cosine6_duck(a: str, b: str, dim: int = DIM) -> str:
 BRUTE_FORCE_DUCK = f"""
 WITH queries AS (
   SELECT vec_id AS query_id, embedding AS q_emb
-  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0 {PANEL_TAIL_SQL}
 ),
 pairs AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding AS c_emb
@@ -535,7 +556,7 @@ def ivf_assign_gemm(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFra
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r.vec_id,
-    )
+    )[:PANEL_CAP]  # mirror bounded_panel / IVF_ASSIGN_CTES exactly
     cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -857,7 +878,7 @@ def ivf_assignments(emb: DataFrame, centroid_mod: int = CENTROID_MOD,
     — a divisor makes centroid count grow linearly with the corpus
     and the assignment cross join quadratic. The oracle fixture keeps
     the fixed default for determinism at fixture scale."""
-    centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+    centroids = bounded_panel(emb, centroid_mod).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     scored = emb.crossJoin(F.broadcast(centroids)).select(
@@ -886,7 +907,7 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
     via a session-materialized assignment, so repeated probes measure
     probe cost, not rebuild cost — the production shape); otherwise
     this convenience wrapper builds the assignment inline."""
-    centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+    centroids = bounded_panel(emb, centroid_mod).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     if assign_df is None:
@@ -975,7 +996,7 @@ def _cos_sql(a: str, b: str) -> str:
 # factored verbatim so both gates replay the same index definition.
 IVF_ASSIGN_CTES = f"""centroids AS (
   SELECT vec_id AS centroid_id, embedding AS c_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0 {PANEL_TAIL_SQL}
 ),
 assign_scored AS (
   SELECT e.vec_id, c.centroid_id,

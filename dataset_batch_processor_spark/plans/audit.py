@@ -13,7 +13,11 @@ sf0.01 and fatal at 100 TB:
 - ``cartesian``: CartesianProduct = |left| x |right| with both sides
   shuffled; even a "small" side explodes. Deliberate query-panel x
   corpus scorers must broadcast the bounded side instead
-  (BroadcastNestedLoopJoin — allowed).
+  (BroadcastNestedLoopJoin).
+- ``bnlj-unbounded-broadcast``: a BroadcastNestedLoopJoin whose BUILD
+  side shows no structural bound (global agg / limit / bounded
+  leaves) and no declared ``_bb_`` bound — a corpus-sized broadcast
+  that OOMs executors long before the nested loop finishes.
 - ``rowwise-python``: BatchEvalPython is the row-at-a-time Python UDF
   path (pickle per row); every kernel here is Arrow-batched
   (ArrowEvalPython / mapInPandas — allowed).
@@ -74,6 +78,182 @@ def unpartitioned_windows(plan: str) -> list[str]:
     ]
 
 
+# --- BroadcastNestedLoopJoin guard (r14 verdict item 6) ------------
+#
+# A BNLJ is |probe| x |build| work and |build| broadcast bytes; it is
+# only scale-safe when the BUILD side is structurally bounded. The
+# engine's contract: every deliberate BNLJ build side must show one of
+# these bounded shapes in its own subtree —
+#   - a global aggregate (``Keys: []``) -> exactly one row,
+#   - a Limit (GlobalLimit / CollectLimit / TakeOrderedAndProject) ->
+#     explicit k-row cap (filter-defined query panels carry one),
+#   - only bounded leaves (LocalTableScan = driver-side k-row witness,
+#     OneRowRelation = literal enumeration, literal ``Range (a, b)``
+#     with ``b - a <=`` :data:`MAX_BOUNDED_RANGE` = salt/grid spine),
+#   - a DECLARED bound: any BroadcastExchange input column named with
+#     the :data:`DECLARED_BOUNDED_PREFIX` — the reviewed-in-code
+#     annotation for relations whose bound is semantic, not structural
+#     (a date spine, a fixed hash-bucket histogram). Renaming a column
+#     ``_bb_*`` is a greppable claim that its domain is bounded.
+# Anything else (e.g. a corpus-sized scan broadcast by a bad hint or a
+# misestimated size) is tagged ``bnlj-unbounded-broadcast``.
+
+MAX_BOUNDED_RANGE = 65536
+
+#: column-name prefix declaring a semantically bounded broadcast side
+DECLARED_BOUNDED_PREFIX = "_bb_"
+
+_BOUNDED_NODE_NAMES = (
+    "LocalTableScan",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "ReusedExchange",  # re-reads an exchange audited at its first site
+)
+
+_BOUNDED_LEAVES = ("LocalTableScan", "Scan OneRowRelation")
+
+
+def _tree_lines(plan: str) -> list[str]:
+    """The indented tree at the top of explain(formatted)."""
+    out, started = [], False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if started:
+            if not ln.strip():
+                break
+            out.append(ln)
+    return out
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a tree line. The whole-stage-codegen
+    ``* `` marker is part of the node label, not the indent — counting
+    it would make a starred sibling look like a child."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+_NODE_ID_RE = re.compile(r"\((\d+)\)\s*$")
+
+
+def _details_by_id(plan: str) -> dict[int, str]:
+    """node id -> its detail block text (the ``(N) Name`` sections)."""
+    out: dict[int, str] = {}
+    cur_id: int | None = None
+    cur: list[str] = []
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\) \S", ln)
+        if m:
+            if cur_id is not None:
+                out[cur_id] = "\n".join(cur)
+            cur_id = int(m.group(1))
+            cur = [ln]
+        elif cur_id is not None:
+            if not ln.strip() and cur and not cur[-1].strip():
+                out[cur_id] = "\n".join(cur)
+                cur_id = None
+                cur = []
+            else:
+                cur.append(ln)
+    if cur_id is not None:
+        out[cur_id] = "\n".join(cur)
+    return out
+
+
+def _subtree(lines: list[str], root_idx: int) -> list[str]:
+    d = _tree_depth(lines[root_idx])
+    sub = [lines[root_idx]]
+    for nxt in lines[root_idx + 1:]:
+        if _tree_depth(nxt) <= d:
+            break
+        sub.append(nxt)
+    return sub
+
+
+def _node_name(line: str) -> str:
+    return re.sub(r"^[\s:+\-*]*", "", line).split(" (")[0].strip()
+
+
+def _is_bounded_leaf(name: str, nid: int | None,
+                     details: dict[int, str]) -> bool:
+    if name.startswith(_BOUNDED_LEAVES):
+        return True
+    if name == "Range" and nid in details:
+        rm = re.search(r"Range \((-?\d+), (-?\d+)", details[nid])
+        return bool(
+            rm and int(rm.group(2)) - int(rm.group(1)) <= MAX_BOUNDED_RANGE
+        )
+    return False
+
+
+def _is_bounded_build(sub: list[str], details: dict[int, str]) -> bool:
+    """``sub[0]`` is the BroadcastExchange line; the rest its subtree."""
+    m = _NODE_ID_RE.search(sub[0])
+    ex_id = int(m.group(1)) if m else None
+    if ex_id in details and re.search(
+        rf"^Input(?: \[\d+\])?: \[[^\]]*\b{DECLARED_BOUNDED_PREFIX}",
+        details[ex_id],
+        re.MULTILINE,
+    ):
+        return True  # declared-bounded relation (reviewed annotation)
+    leaves_bounded = True
+    saw_leaf = False
+    for idx, ln in enumerate(sub[1:], start=1):
+        name = _node_name(ln)
+        m = _NODE_ID_RE.search(ln)
+        nid = int(m.group(1)) if m else None
+        if name.startswith(_BOUNDED_NODE_NAMES):
+            return True
+        if "Aggregate" in name and nid in details and re.search(
+            r"^Keys(?: \[\d+\])?: \[\]", details[nid], re.MULTILINE
+        ):
+            return True
+        # leaf = a tree line with no deeper line directly following it
+        is_leaf = (
+            idx + 1 >= len(sub)
+            or _tree_depth(sub[idx + 1]) <= _tree_depth(ln)
+        )
+        if is_leaf:
+            saw_leaf = True
+            if not _is_bounded_leaf(name, nid, details):
+                leaves_bounded = False
+    return saw_leaf and leaves_bounded
+
+
+def unbounded_bnlj(plan: str) -> list[str]:
+    """BroadcastNestedLoopJoin nodes whose build-side subtree shows no
+    structural bound (global agg / LocalTableScan / Limit / literal
+    small Range). Returns one tag per offending BNLJ node id."""
+    lines = _tree_lines(plan)
+    details = _details_by_id(plan)
+    bad = []
+    for idx, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        d = _tree_depth(ln)
+        m = _NODE_ID_RE.search(ln)
+        bnlj_id = m.group(1) if m else "?"
+        # the build side is the BroadcastExchange child subtree
+        bounded = False
+        sub = _subtree(lines, idx)
+        for j in range(1, len(sub)):
+            if (
+                "BroadcastExchange" in sub[j] or "ReusedExchange" in sub[j]
+            ) and _tree_depth(sub[j]) == d + 3:
+                if "ReusedExchange" in sub[j] or _is_bounded_build(
+                    _subtree(sub, j), details
+                ):
+                    bounded = True
+        if not bounded:
+            bad.append(f"node {bnlj_id}")
+    return bad
+
+
 def audit_plan(plan: str) -> list[str]:
     """Violation tags found in one explain(formatted) text."""
     out = []
@@ -83,6 +263,8 @@ def audit_plan(plan: str) -> list[str]:
         out.append("cartesian")
     if re.search(r"^\(\d+\) BatchEvalPython\b", plan, re.MULTILINE):
         out.append("rowwise-python")
+    for tag in unbounded_bnlj(plan):
+        out.append(f"bnlj-unbounded-broadcast({tag})")
     return out
 
 
@@ -95,6 +277,7 @@ def audit_registry(
     sf_dir: str,
     names: list[str] | None = None,
     on_error: str = "record",
+    max_workers: int = 8,
 ) -> dict[str, list[str]]:
     """Build every registered query's DataFrame and audit its plan.
 
@@ -103,20 +286,35 @@ def audit_registry(
     query MAY run eager work (staged fixtures, bounded collects) —
     that is the query's real construction path, exactly what the
     driver runs.
+
+    Builds run on ``max_workers`` threads (r14 verdict item 8: the
+    sequential sweep was ~200 s of the test suite). Safe because the
+    build step is py4j socket I/O (GIL released), scratch publication
+    in matcache.materialize_once/staged_once is lock-guarded with a
+    loser-cleanup path, and racing createOrReplaceTempView calls all
+    install the same (name, definition) for one sf_dir. Set
+    ``max_workers=1`` to debug a build failure sequentially.
     """
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     if names:
         qs = {n: qs[n] for n in names}
-    bad: dict[str, list[str]] = {}
-    for name, fn in qs.items():
+
+    def one(item) -> tuple[str, list[str]]:
+        name, fn = item
         try:
-            violations = audit_df(fn(spark, sf_dir))
+            return name, audit_df(fn(spark, sf_dir))
         except Exception as e:  # pragma: no cover - build failures
             if on_error == "raise":
                 raise
-            violations = [f"build-error: {type(e).__name__}: {e}"]
-        if violations:
-            bad[name] = violations
-    return bad
+            return name, [f"build-error: {type(e).__name__}: {e}"]
+
+    if max_workers <= 1:
+        results = map(one, qs.items())
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(one, qs.items()))
+    return {name: viol for name, viol in results if viol}

@@ -17,10 +17,22 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    """explain("formatted") as a string. Taken directly from the JVM
+    (queryExecution.explainString) rather than by capturing stdout:
+    redirect_stdout swaps the PROCESS-global sys.stdout, so the
+    capture path corrupts plans when audit_registry explains from
+    several threads at once."""
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    except Exception:  # pragma: no cover - connect/classic drift
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
 def count_exchanges(df: DataFrame) -> int:

@@ -81,8 +81,11 @@ def read_drift(spark: SparkSession, commits_dir: str) -> DataFrame:
     shard_tot = hist.groupBy("shard_id").agg(
         F.sum("cnt").cast("long").alias("n_shard")
     )
+    # `_bb_` = declared-bounded broadcast (plans/audit.py BNLJ guard):
+    # bucket domain is N_BUCKETS=8 by construction, so this per-bucket
+    # rollup is a fixed-size relation no matter the corpus size.
     corpus = hist.groupBy("bucket").agg(
-        F.sum("cnt").cast("long").alias("c_cnt")
+        F.sum("cnt").cast("long").alias("_bb_c_cnt")
     )
     corpus_tot = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
     # dense (shard x bucket) grid: a bucket a shard never saw still
@@ -95,7 +98,7 @@ def read_drift(spark: SparkSession, commits_dir: str) -> DataFrame:
             "shard_id",
             "n_shard",
             F.expr("coalesce(cnt, 0) * 1000000 DIV n_shard").alias("s_ppm"),
-            F.expr("c_cnt * 1000000 DIV n_total").alias("r_ppm"),
+            F.expr("_bb_c_cnt * 1000000 DIV n_total").alias("r_ppm"),
         )
     )
     return (

@@ -88,6 +88,69 @@ def test_lazy_encoder_builds_model_via_loader_spec(monkeypatch):
         bad(["x"])
 
 
+def test_model_backed_wiring_runs_in_ci(spark, sf_dir, tmp_path):
+    """r14 verdict item 5: the FULL model-backed path — cloudpickle of
+    the LazyModelEncoder into Python workers (__reduce__ memo drop),
+    lazy in-worker model construction via the loader spec, Arrow
+    batching through the real mapInPandas stage, and the dim plumb —
+    executed on every CI run with a deterministic stub module shipped
+    to workers via addPyFile. Only the true network/model-weights
+    decode remains behind the skipif below."""
+    mod_file = tmp_path / "dbps_ci_fake_st.py"
+    mod_file.write_text(
+        "class _Model:\n"
+        "    def __init__(self, name):\n"
+        "        self.name = name\n"
+        "    def encode(self, texts):\n"
+        "        return [[float(len(t)), float(sum(map(ord, t)) % 97),\n"
+        "                 float(t.count('a')), 1.0] for t in texts]\n"
+        "\n"
+        "def FakeST(name):\n"
+        "    return _Model(name)\n"
+    )
+    spark.sparkContext.addPyFile(str(mod_file))
+
+    enc = optional_encoders.LazyModelEncoder(
+        "dbps_ci_fake_st", "FakeST", "ci-stub-model", 4
+    )
+    embed.register_encoder("fake_st_ci", enc, 4)
+    try:
+        from dataset_batch_processor_spark import catalog
+
+        docs = (
+            catalog.load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(8)
+            .select("doc_id", "text")
+        )
+        rows = {
+            r.doc_id: list(r.embedding)
+            for r in embed.embed_text(docs, encoder="fake_st_ci").collect()
+        }
+        expected = {
+            r.doc_id: [
+                float(len(r.text)),
+                float(sum(map(ord, r.text)) % 97),
+                float(r.text.count("a")),
+                1.0,
+            ]
+            for r in docs.collect()
+        }
+        assert rows == expected  # exact parity through the worker path
+
+        # dim plumb: an encoder that lies about its dim fails IN THE
+        # WORKER with the registry's precise error, not silently
+        bad = optional_encoders.LazyModelEncoder(
+            "dbps_ci_fake_st", "FakeST", "ci-stub-model", 7
+        )
+        embed.register_encoder("fake_st_ci_bad", bad, 7)
+        with pytest.raises(Exception, match="dim"):
+            embed.embed_text(docs, encoder="fake_st_ci_bad").collect()
+    finally:
+        embed._ENCODERS.pop("fake_st_ci", None)
+        embed._ENCODERS.pop("fake_st_ci_bad", None)
+
+
 @pytest.mark.skipif(not _has_st(), reason="sentence-transformers not "
                     "installed (container ships without it; a full "
                     "deployment auto-wires it)")
