@@ -226,7 +226,7 @@ ORACLES = {
 
 # ------------------------------------------------- driver-gated stream
 # Runs the WHOLE streaming accumulation loop inside one query (the
-# docs_incremental_lsh_pairs precedent): stage the events in three
+# docs_incremental_lsh_pairs precedent): stage the events in two
 # chunks, drain an availableNow foreachBatch stream that commits one
 # partial grid per micro-batch, merge on read. The result equals the
 # one-pass batch grid by mergeability, so CMS_COUNTERS_DUCK hash-gates
@@ -236,12 +236,10 @@ ORACLES = {
 def _q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
+    from ..streaming.fixtures import stage_expr_shards
+
     events = catalog.load_table(spark, sf_dir, "events").select("user_id")
-    stage = scratch_dir("dbp_cms_stage_")
-    for part in range(3):
-        events.filter(F.col("user_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    stage = stage_expr_shards(events, "cms_q", sf_dir, "user_id % 2")
 
     work = scratch_dir("dbp_cms_work_")
     q = accumulate_cms(

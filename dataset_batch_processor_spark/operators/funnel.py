@@ -348,12 +348,10 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..matcache import scratch_dir
 
+    from ..streaming.fixtures import stage_expr_shards
+
     events = catalog.load_events(spark, sf_dir).select("user_id")
-    stage = scratch_dir("dbp_hh_stage_")
-    for part in range(3):
-        events.filter(F.col("user_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
+    stage = stage_expr_shards(events, "hh_q", sf_dir, "user_id % 2")
 
     work = scratch_dir("dbp_hh_work_")
     q = accumulate_user_counts(

@@ -198,12 +198,12 @@ ORACLES = {
 def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
+    from ..streaming.fixtures import stage_expr_shards
+
     events = catalog.load_table(spark, sf_dir, "events").select("value")
-    stage = scratch_dir("dbp_hist_stage_")
-    for part in range(3):
-        events.filter(
-            (F.col("value") * 100).cast("bigint") % 3 == part
-        ).coalesce(1).write.mode("append").parquet(stage)
+    stage = stage_expr_shards(
+        events, "hist_q", sf_dir, "CAST(value * 100 AS BIGINT) % 2"
+    )
 
     work = scratch_dir("dbp_hist_work_")
     q = accumulate_hist(

@@ -3,9 +3,9 @@
 The rule family every web-scale curation pipeline applies before
 anything model-based: cheap, interpretable per-document statistics
 with thresholds. Expressed entirely in JVM expressions (split +
-higher-order folds) plus ONE keyed aggregation for the top-word
-share — no Python, no corpus-wide state, embarrassingly parallel at
-any scale. Thresholds are adapted to the synthetic fixture's scale
+higher-order folds, including the top-word share as a per-row
+sorted-run-length scan since round 15 — ZERO shuffles) — no Python,
+no corpus-wide state, embarrassingly parallel at any scale. Thresholds are adapted to the synthetic fixture's scale
 (its docs are shorter than web pages) but keep the published rule
 STRUCTURE: word-count bounds, mean-word-length band, stopword
 presence, top-word dominance.
@@ -16,7 +16,7 @@ integer DIV) — no float division anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -27,6 +27,47 @@ MEAN_LEN_LO_X1000 = 2_000
 MEAN_LEN_HI_X1000 = 10_000
 TOP_WORD_MAX_PPM = 200_000  # most frequent word may own <= 20%
 MIN_STOPWORD_HITS = 2
+
+
+def _top_word_scan():
+    """(top_word, top_count) as ONE per-row fold: run-length scan of
+    the ascending-sorted token array. Strict ``run > best`` keeps the
+    FIRST word reaching the max count — in ascending order that is
+    the lexicographically smallest, i.e. exactly the old
+    ``ORDER BY c DESC, w ASC`` argmax. Round 15 (stream-family diet):
+    the previous explode + groupBy(doc_id, w) + row_number window put
+    two shuffles and a per-doc sort into EVERY gopher consumer —
+    including each micro-batch of the streaming quality twin; the
+    scan is whole-stage-codegen JVM work, linear after the per-row
+    sort, and at 100 TB removes the n_words-fold row blowup
+    entirely."""
+    def step(acc, x):
+        new_run = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        better = new_run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_w"]).alias("best_w"),
+        )
+
+    return F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(None).cast("string").alias("best_w"),
+        ),
+        step,
+        lambda acc: F.struct(
+            acc["best_w"].alias("top_word"),
+            acc["best"].alias("top_count"),
+        ),
+    )
 
 
 def gopher_quality(docs: DataFrame) -> DataFrame:
@@ -43,34 +84,17 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         F.array_distinct(
             F.filter("ws", lambda w: w.isin(*STOPWORDS))
         ).alias("stop_set"),
-        F.col("ws"),
+        _top_word_scan().alias("top"),
     )
-    # top-word share: one keyed aggregation + per-doc argmax
-    counts = (
-        words.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top = (
-        counts.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.desc("c"), F.asc("w")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("w").alias("top_word"),
-                F.col("c").alias("top_count"))
-    )
-    out = words.join(top, "doc_id").select(
+    out = words.select(
         "doc_id",
         "n_words",
         F.expr("word_chars * 1000 DIV n_words").alias("mean_len_x1000"),
         F.size("stop_set").cast("int").alias("stopword_hits"),
-        "top_word",
-        F.expr("top_count * 1000000 DIV n_words").alias("top_word_ppm"),
+        F.col("top.top_word").alias("top_word"),
+        F.expr("top.top_count * 1000000 DIV n_words").alias(
+            "top_word_ppm"
+        ),
     )
     return out.select(
         "*",

@@ -20,41 +20,77 @@ the answer invariant to how the input got micro-batched.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataset_batch_processor_spark import catalog
+from dataset_batch_processor_spark.matcache import scratch_dir
+
+# Stateful streaming operators (agg / dedup / session-window / join)
+# allocate one state-store instance PER shuffle partition PER
+# operator, and AQE cannot coalesce them — so at fixture volume the
+# session default (32) is pure per-instance overhead (~2x the query
+# wall, measured on the stream-stream join; round 15 applies the same
+# sizing to the other stateful classes per VERDICT r14 next #7). A
+# production stream sizes this to throughput, not the session default.
+STATE_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _state_sized_session(spark: SparkSession):
+    """Scope shuffle.partitions=STATE_PARTITIONS around a streaming
+    query start/drain, restoring the session default on ANY exit so a
+    mid-construction error can't leak the tweak into the long-lived
+    session (the streaming_click_purchase_join discipline)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _stage_file_once(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """The file stream source wants a DIRECTORY it can monitor; the
+    fixture is a single read-only file, so stage a copy once per
+    (session, table, dataset) — at deployment the input would already
+    be a landing directory. (Per-run mkdtemp copies before round 15.)"""
+    from ..matcache import staged_once
+
+    def write(path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        shutil.copy(f"{sf_dir}/{table}.parquet", f"{path}/{table}.parquet")
+
+    return staged_once(spark, f"srcdir_{table}", sf_dir, write)
 
 
 def streaming_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders.parquet through a real streaming aggregation."""
     path = f"{sf_dir}/orders.parquet"
-    # the file stream source wants a DIRECTORY it can monitor; the
-    # fixture is a single read-only file, so stage it into a temp dir
-    # (at deployment the input would already be a landing directory)
-    stage = tempfile.mkdtemp(prefix="dbp_stream_src_")
-    shutil.copy(path, f"{stage}/orders.parquet")
+    stage = _stage_file_once(spark, sf_dir, "orders")
     schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stage)
-    agg = src.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("total_price"),
-    )
     name = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_session(spark):
+        src = spark.readStream.schema(schema).parquet(stage)
+        agg = src.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"SELECT o_orderpriority, n_orders, total_price FROM {name} "
         "ORDER BY o_orderpriority"
@@ -83,42 +119,42 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-identical, which the DuckDB hash gate then proves against
     relational.EVENTS_HOURLY_SQL semantics."""
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="dbp_stream_ev_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    stage = _stage_file_once(spark, sf_dir, "events")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
-    src = catalog.normalize_event_ts(
-        spark.readStream.schema(schema).parquet(stage)
-    )
-    agg = (
-        src.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_session(spark):
+        src = catalog.normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+        agg = (
+            src.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"SELECT hour, event_type, n_events, sum_value FROM {name} "
         "ORDER BY hour, event_type"
@@ -157,29 +193,29 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark; availableNow over a finite
     backlog is the unbounded-state batch-parity case."""
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="dbp_stream_dd_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    stage = _stage_file_once(spark, sf_dir, "events")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stage)
-    agg = (
-        src.select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_users"))
-    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_session(spark):
+        src = spark.readStream.schema(schema).parquet(stage)
+        agg = (
+            src.select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_users"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.sql(
         f"SELECT event_type, n_users FROM {name} ORDER BY event_type"
     )
@@ -211,8 +247,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     of the sink table, so the hash gate pins the JOIN's exact output
     multiset against DuckDB's interval self-join."""
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="dbp_stream_ssj_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    stage = _stage_file_once(spark, sf_dir, "events")
     nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         prev_nanos = spark.conf.get(nanos_key, None)
@@ -220,12 +255,9 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     except Exception:
         prev_nanos = None
     schema = spark.read.parquet(path).schema
-    # State-store instances scale with shuffle partitions x join sides;
-    # at fixture volume 32 partitions is pure per-instance overhead
-    # (~2x the query wall, measured). 8 keeps the state machinery
-    # honest while sizing it to the data; a production stream sizes
-    # this to throughput, not to the session default.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # State-store instances scale with shuffle partitions x join sides
+    # (x2 here) — the query where the 8-partition sizing was measured
+    # (~2x the query wall at 32); see STATE_PARTITIONS.
 
     def side(event_type, ts_name, uid_name):
         src = catalog.normalize_event_ts(
@@ -242,37 +274,37 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
     try:
-        # the conf tweak and EVERYTHING that can fail (plan building
-        # included) sit inside the try so a mid-construction error
-        # can't leak partitions=8 into the long-lived session
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        clicks = side("click", "click_ts", "user_id")
-        purchases = side("purchase", "p_ts", "p_user")
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                "user_id = p_user AND p_ts > click_ts "
-                "AND p_ts <= click_ts + INTERVAL 1 HOUR"
-            ),
-        )
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # EVERYTHING that can fail (plan building included) sits
+        # inside the scoped session so a mid-construction error can't
+        # leak partitions=8 into the long-lived session
+        with _state_sized_session(spark):
+            clicks = side("click", "click_ts", "user_id")
+            purchases = side("purchase", "p_ts", "p_user")
+            joined = clicks.join(
+                purchases,
+                F.expr(
+                    "user_id = p_user AND p_ts > click_ts "
+                    "AND p_ts <= click_ts + INTERVAL 1 HOUR"
+                ),
+            )
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # Materialize the per-user counts NOW (bounded: one row per
-        # distinct user) so the memory-sink table, the nanosAsLong
-        # override, and the staging dir can all be released before
-        # returning — the caller gets a clean local-relation plan.
+        # distinct user) so the memory-sink table and the nanosAsLong
+        # override can be released before returning — the caller gets
+        # a clean local-relation plan. (The staging dir is session-
+        # shared via staged_once and must NOT be removed here.)
         rows = spark.sql(
             f"SELECT user_id, count(*) AS n_pairs FROM {name} "
             "GROUP BY user_id ORDER BY user_id"
         ).collect()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
             if prev_nanos is None:
                 spark.conf.unset(nanos_key)
@@ -281,7 +313,6 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         except Exception:
             pass
         spark.catalog.dropTempView(name)
-        shutil.rmtree(stage, ignore_errors=True)
     return spark.createDataFrame(
         rows, "user_id BIGINT, n_pairs BIGINT"
     ).orderBy("user_id")
@@ -322,8 +353,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode makes the stateful session_window agg
     batch-identical, and the DuckDB islands oracle hash-gates it."""
     path = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="dbp_stream_sess_")
-    shutil.copy(path, f"{stage}/events.parquet")
+    stage = _stage_file_once(spark, sf_dir, "events")
     nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         prev_nanos = spark.conf.get(nanos_key, None)
@@ -333,38 +363,46 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     try:
         schema = spark.read.parquet(path).schema
-        src = catalog.normalize_event_ts(
-            spark.readStream.schema(schema).parquet(stage)
-        )
-        agg = (
-            src.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(25,6)"))
-                .cast("double")
-                .alias("sum_value"),
+        with _state_sized_session(spark):
+            src = catalog.normalize_event_ts(
+                spark.readStream.schema(schema).parquet(stage)
             )
-            .select(
-                "user_id",
-                F.unix_micros("session_window.start").alias("session_start_us"),
-                "n_events",
-                "sum_value",
+            agg = (
+                src.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(25,6)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+                .select(
+                    "user_id",
+                    F.unix_micros("session_window.start").alias(
+                        "session_start_us"
+                    ),
+                    "n_events",
+                    "sum_value",
+                )
             )
-        )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # materialize off the memory sink so the view and the staged
-        # copy can be dropped before returning (same hygiene as
-        # streaming_click_purchase_join)
-        rows = spark.sql(
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # materialize off the memory sink so the view can be dropped
+        # before returning (same hygiene as
+        # streaming_click_purchase_join; staging is session-shared).
+        # Unlike the join's ~|users| rows, sessions are ~|corpus|-
+        # sized, so spill to scratch parquet instead of driver-side
+        # Row objects (round 15: the collect/createDataFrame
+        # roundtrip of ~100k rows was ~1s of pure serialization).
+        out = scratch_dir("dbp_stream_sess_out_")
+        spark.sql(
             f"SELECT user_id, session_start_us, n_events, sum_value FROM {name}"
-        ).collect()
+        ).write.mode("overwrite").parquet(out)
     finally:
         try:
             if prev_nanos is None:
@@ -377,10 +415,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
-        shutil.rmtree(stage, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "user_id BIGINT, session_start_us BIGINT, n_events BIGINT, sum_value DOUBLE",
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_start_us").cast("long").alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 

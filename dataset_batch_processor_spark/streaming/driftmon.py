@@ -34,7 +34,7 @@ from .. import catalog
 
 N_BUCKETS = 8
 BUCKET_CHARS = 64  # n_chars DIV 64, clamped to N_BUCKETS-1
-N_SHARDS = 3
+N_SHARDS = 2
 
 
 def drift_partial(batch_docs: DataFrame) -> DataFrame:
@@ -137,6 +137,7 @@ def stage(spark: SparkSession, sf_dir: str) -> str:
         spark, "drift", sf_dir,
         lambda path: docs.repartition(N_SHARDS)
         .write.mode("overwrite").parquet(path),
+        layout=f"rep{N_SHARDS}",
     )
 
 

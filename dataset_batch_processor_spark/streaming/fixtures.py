@@ -8,14 +8,22 @@ shared across runs/reps, like every other session-scoped artifact;
 bench.py pre-builds them in warmup so each twin's recorded timing is
 the drain loop, not fixture I/O.
 
-The write layout is IDENTICAL to the old per-run writes (one
-``coalesce(1)`` append per ``doc_id % n_shards`` slice, in slice
-order), because two twins (turn admission, incremental LSH) are
-first-wins loops whose output is gated UNDER this specific arrival
-order: same file count, same per-file contents, same append sequence
-=> ``maxFilesPerTrigger=1`` drains the identical micro-batch
-sequence. The per-run checkpoint/commit work dirs deliberately stay
-fresh ``scratch_dir`` state.
+The write layout is one ``coalesce(1)`` append per
+``doc_id % n_shards`` slice, in slice order: same file count, same
+per-file contents, same append sequence => ``maxFilesPerTrigger=1``
+drains a deterministic micro-batch sequence (the first-wins loops —
+turn admission, incremental LSH — gate only arrival-order-INVARIANT
+facts, but determinism keeps their lineage logs reproducible). The
+per-run checkpoint/commit work dirs deliberately stay fresh
+``scratch_dir`` state.
+
+Round 15 (VERDICT r14 next #7, stream-family cost diet): the default
+shard count drops 3 -> 2. Two micro-batches prove exactly what three
+did — multi-batch accumulation, idempotent per-batch commits, and
+merge-on-read — while paying one fewer micro-batch cycle of planning
+and commit machinery per run. Every twin's gate is batch-partitioning
+-invariant (counts/sketches merge; pair/digest sets are emission-
+exact), so the gated outputs are unchanged.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ from ..matcache import staged_once
 
 
 def stage_mod_shards(
-    docs: DataFrame, kind: str, key: str, n_shards: int = 3
+    docs: DataFrame, kind: str, key: str, n_shards: int = 2
 ) -> str:
     """Stage ``docs`` as ``n_shards`` single-file parquet appends
     split by ``doc_id % n_shards`` (slice order preserved), once per
@@ -44,3 +52,24 @@ def stage_mod_shards(
     # its own staging dir instead of silently sharing this one
     layout = f"mod{n_shards}|{','.join(docs.columns)}"
     return staged_once(docs.sparkSession, kind, key, write, layout=layout)
+
+
+def stage_expr_shards(
+    df: DataFrame, kind: str, key: str, shard_expr: str, n_shards: int = 2
+) -> str:
+    """:func:`stage_mod_shards` for tables without a ``doc_id`` —
+    shards on an arbitrary integer SQL expression (e.g.
+    ``user_id % 2``... the expression must already be reduced modulo
+    ``n_shards``). Round 15: the cms / histsketch / funnel
+    heavy-hitter stream twins rebuilt their shard staging on EVERY
+    run; their splits ride this helper so staging is session-shared
+    like every other twin's."""
+
+    def write(path: str) -> None:
+        for part in range(n_shards):
+            df.filter(F.expr(shard_expr) == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+
+    layout = f"expr({shard_expr})x{n_shards}|{','.join(df.columns)}"
+    return staged_once(df.sparkSession, kind, key, write, layout=layout)

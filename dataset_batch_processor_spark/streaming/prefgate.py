@@ -81,7 +81,7 @@ def stage(spark: SparkSession, sf_dir: str) -> str:
     docs = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    return fixtures.stage_mod_shards(docs, "pfg", sf_dir, n_shards=3)
+    return fixtures.stage_mod_shards(docs, "pfg", sf_dir)
 
 
 # ------------------------------------------------------- driver query

@@ -185,7 +185,7 @@ def admitted_log(spark: SparkSession, work_dir: str) -> DataFrame:
 
 
 def stage(spark: SparkSession, sf_dir: str) -> str:
-    """Session-shared shard staging: three micro-batches, duplicates
+    """Session-shared shard staging: two micro-batches, duplicates
     split (fixtures.stage_mod_shards; slice order preserved, so the
     first-wins admission drains the identical batch sequence)."""
     from .. import catalog as cat

@@ -45,8 +45,12 @@ def test_late_shard_is_merged_on_read(spark, tmp_path):
     docs = catalog.load_table(spark, SF, "documents").select(
         "doc_id", "n_chars"
     )
-    early = docs.filter("doc_id % 3 != 2")
-    late = docs.filter("doc_id % 3 = 2")
+    # shard ids come from the monitor's own doc_id % N_SHARDS key; the
+    # highest shard arrives late (shard-count-agnostic since round 15)
+    n = driftmon.N_SHARDS
+    early_ids = set(range(n - 1))
+    early = docs.filter(f"doc_id % {n} != {n - 1}")
+    late = docs.filter(f"doc_id % {n} = {n - 1}")
 
     stage = str(tmp_path / "stage")
     commits = str(tmp_path / "commits")
@@ -54,19 +58,19 @@ def test_late_shard_is_merged_on_read(spark, tmp_path):
     early.coalesce(1).write.mode("overwrite").parquet(stage)
     _drain(spark, stage, commits, ckpt)
     snap1 = _report(spark, commits)
-    assert {s for s, *_ in snap1} == {0, 1}  # shard 2 not arrived yet
+    assert {s for s, *_ in snap1} == early_ids  # late shard not arrived
 
     # the late shard lands; the SAME checkpointed stream drains only
     # the new file (batch ids continue — no partial is overwritten)
     late.coalesce(1).write.mode("append").parquet(stage)
     _drain(spark, stage, commits, ckpt)
     final = _report(spark, commits)
-    assert {s for s, *_ in final} == {0, 1, 2}
+    assert {s for s, *_ in final} == set(range(n))
     # already-reported shards' TV moved: the corpus histogram now
-    # includes shard 2, so merge-on-read recomputed — not cached
+    # includes the late shard, so merge-on-read recomputed — not cached
     snap1_map = {s: (tv, gap) for s, _, tv, gap in snap1}
     final_map = {s: (tv, gap) for s, _, tv, gap in final}
-    assert any(snap1_map[s] != final_map[s] for s in (0, 1))
+    assert any(snap1_map[s] != final_map[s] for s in early_ids)
 
     # reversed arrival order → byte-identical final report
     stage2 = str(tmp_path / "stage2")
