@@ -57,6 +57,8 @@ from dataset_batch_processor_spark.operators import (
     embed,
     agreement,
     ragchunk,
+    winnow,
+    pii,
     batching,
     hll,
     boilerplate,
@@ -468,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup_ops.QUERIES)
     q.update(agreement.QUERIES)
     q.update(ragchunk.QUERIES)
+    q.update(winnow.QUERIES)
+    q.update(pii.QUERIES)
     q.update(components.QUERIES)
     q.update(decontam.QUERIES)
     q.update(corpusstats.QUERIES)
@@ -605,6 +609,8 @@ FROM images_meta GROUP BY 1
     o.update(dedup_ops.ORACLES)
     o.update(agreement.ORACLES)
     o.update(ragchunk.ORACLES)
+    o.update(winnow.ORACLES)
+    o.update(pii.ORACLES)
     o.update(components.ORACLES)
     o.update(decontam.ORACLES)
     o.update(corpusstats.ORACLES)

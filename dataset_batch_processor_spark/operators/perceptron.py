@@ -304,12 +304,189 @@ GROUP BY 1, 2, 3
     )
 
 
+# ------------------------------------------- rank metrics (round 15)
+# Threshold-free classifier QA: the confusion counts above pin the
+# pocket DECISION; these pin the pocket SCORE ORDERING. AUC is the
+# Mann-Whitney identity over within-split ranks,
+#     U = sum(rank of positives) - n_pos(n_pos+1)/2,
+#     AUC = U / (n_pos * n_neg),
+# with the total order (margin, doc_id) — the doc_id tiebreak makes
+# the rank (hence the gated value) deterministic on both engines; the
+# decile lift table is the monotone-calibration card reviewers read
+# (does the top decile concentrate positives?).
+#
+# Scale: ranks come from textops.attach_rank (range-repartition +
+# per-partition offsets — NO unpartitioned window; a 2-value
+# PARTITION BY split window would funnel half the corpus through one
+# task, so split is simply the LEADING order column and per-split
+# offsets are recovered from a 2-row min-rank aggregate broadcast
+# back). Integer exactness: auc_ppm needs n_pos*n_neg*1e6 < 2^63 →
+# exact to ~3e6 docs per split; beyond that, run it on a sampled QA
+# panel (the exact-truth-panel stance in SCALE.md).
+
+
+def _pocket_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, doc_id, y, margin) under the pocket weights."""
+    feats, traj = train_trajectory(spark, sf_dir)
+    w = traj[pocket_epoch(traj) - 1][0]
+    return feats.select(
+        F.when(F.col("is_train"), F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+        "doc_id",
+        "y",
+        _margin_col(w).alias("margin"),
+    )
+
+
+def _ranked_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import attach_rank
+
+    return attach_rank(
+        _pocket_scored(spark, sf_dir),
+        ["split", "margin", "doc_id"],
+        out_col="r",
+    )
+
+
+def _q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _ranked_scored(spark, sf_dir)
+    base = ranked.groupBy("split").agg(
+        F.min("r").alias("r0"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(F.lit(0)))
+        .alias("gsum_pos"),
+    )
+    # within-split rank sum of positives = gsum_pos - n_pos*(r0 - 1)
+    return base.select(
+        "split",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.expr(
+            "CAST(CASE WHEN n_pos = 0 OR n = n_pos THEN NULL ELSE"
+            " ((gsum_pos - n_pos * (r0 - 1))"
+            "  - (n_pos * (n_pos + 1)) DIV 2) * 1000000"
+            " DIV (n_pos * (n - n_pos)) END AS BIGINT)"
+        ).alias("auc_ppm"),
+    ).orderBy("split")
+
+
+def _q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _ranked_scored(spark, sf_dir)
+    spl = ranked.groupBy("split").agg(
+        F.min("r").alias("r0"), F.count(F.lit(1)).alias("n")
+    )
+    # `spl` is 2 rows by construction — broadcast equi-join on split
+    return (
+        ranked.join(F.broadcast(spl), "split")
+        .select(
+            "split",
+            "y",
+            F.expr("CAST((r - r0) * 10 DIV n AS INT)").alias("decile"),
+        )
+        .groupBy("split", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .select(
+            "split", "decile", "n_docs", "n_pos",
+            F.expr("CAST(n_pos * 1000000 DIV n_docs AS BIGINT)").alias(
+                "pos_ppm"
+            ),
+        )
+        .orderBy("split", "decile")
+    )
+
+
+def _scored_duck_ctes() -> list[str]:
+    ctes = [_FEATS_DUCK] + [
+        _epoch_ctes(e) for e in range(1, P_EPOCHS + 2)
+    ]
+    errs = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, (SELECT nerr FROM d{e + 1}) AS err"
+        for e in range(1, P_EPOCHS + 1)
+    )
+    allw = "\nUNION ALL\n".join(
+        f"SELECT {e} AS epoch, * FROM w{e}"
+        for e in range(1, P_EPOCHS + 1)
+    )
+    return ctes + [
+        f"errs AS ({errs})",
+        "best AS (SELECT epoch FROM errs ORDER BY err, epoch LIMIT 1)",
+        f"allw AS ({allw})",
+        "bw AS (SELECT w.* FROM allw w JOIN best b ON w.epoch = b.epoch)",
+        f"""scored AS (
+  SELECT CASE WHEN f.is_train THEN 'train' ELSE 'val' END AS split,
+         f.doc_id, f.y, ({_DOT}) AS margin
+  FROM feats f, bw w
+)""",
+        """ranked AS (
+  SELECT split, y,
+         row_number() OVER (PARTITION BY split
+                            ORDER BY margin, doc_id) AS r,
+         count(*) OVER (PARTITION BY split) AS n
+  FROM scored
+)""",
+    ]
+
+
+def _rank_auc_duck() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_scored_duck_ctes())
+        + """
+SELECT split,
+       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) = 0
+                   OR sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) = 0
+            THEN NULL
+            ELSE (sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+                  - (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                     * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)) // 2)
+                 * 1000000
+                 // (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                     * sum(CASE WHEN y = 1 THEN 0 ELSE 1 END))
+            END AS BIGINT) AS auc_ppm
+FROM ranked
+GROUP BY split
+ORDER BY split
+"""
+    )
+
+
+def _decile_lift_duck() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_scored_duck_ctes())
+        + """
+SELECT split,
+       CAST((r - 1) * 10 // n AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS pos_ppm
+FROM ranked
+GROUP BY 1, 2
+ORDER BY split, decile
+"""
+    )
+
+
 QUERIES = {
     "docs_classifier_train": _q_train,
     "docs_classifier_eval": _q_eval,
+    "docs_classifier_auc": _q_rank_auc,
+    "docs_classifier_decile_lift": _q_decile_lift,
 }
 
 ORACLES = {
     "docs_classifier_train": _train_duck(),
     "docs_classifier_eval": _eval_duck(),
+    "docs_classifier_auc": _rank_auc_duck(),
+    "docs_classifier_decile_lift": _decile_lift_duck(),
 }

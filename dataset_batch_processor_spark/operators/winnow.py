@@ -1,0 +1,138 @@
+"""Winnowing document fingerprints (round 15).
+
+Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+Document Fingerprinting" (SIGMOD 2003, public — the MOSS algorithm):
+hash every K-token gram, slide a window of W consecutive gram
+hashes, keep the MINIMUM of each window. The guarantee: any shared
+run of at least W+K-1 tokens between two documents yields at least
+one shared selected fingerprint, while only ~2/(W+1) of all gram
+hashes are kept — position-aware copy detection at a fraction of
+full-shingle cost. Complements the repo's other near-dup families:
+MinHash estimates SET similarity (order-free), winnowing certifies
+CONTIGUOUS overlap (the plagiarism/quotation/boilerplate shape).
+
+Both stages are engine-friendly at 100 TB:
+
+* fingerprint extraction is ONE per-row higher-order-function chain
+  (grams -> hashes -> per-window mins -> distinct) — whole-stage
+  codegen, zero shuffles, zero joins, output ~2m/(W+1) values per
+  m-gram doc;
+* overlap pairs are the banded-LSH join shape: explode the selected
+  fingerprints, drop hot fingerprints above a cap (same hazard and
+  same fix as dedup._drop_hot_buckets — one boilerplate fingerprint
+  shared by B docs would emit B²/2 pairs), equi-join on the
+  fingerprint value, count shared values per (a < b) pair.
+
+Hash parity: the house md5 28-bit base hash — Spark
+``conv(substr(md5(g),1,7),16,10)`` == DuckDB
+``CAST(concat('0x', substr(md5(g),1,7)) AS BIGINT)`` (the
+dedup.shingle_sets idiom), so DuckDB replays the selection exactly.
+Window tie-breaks don't matter for the gate: the selected VALUE set
+is what both engines compute (min of each window), and min is
+position-independent.
+"""
+
+from __future__ import annotations
+
+from .sqlrun import _run
+
+WINNOW_K = 4     # tokens per gram
+WINNOW_W = 5     # gram hashes per window
+FP_DOC_CAP = 64  # drop fingerprints appearing in more docs (hot cap)
+MIN_SHARED = 2   # pair gate: shared selected fingerprints
+
+
+def _fps_core(dialect: str) -> str:
+    """WITH-chain prefix ending in ``fps(doc_id, fp)`` — one row per
+    (doc, distinct selected fingerprint). A doc with fewer than K
+    tokens has no grams and drops out; a doc with fewer than W grams
+    gets one window spanning all of them (the standard short-doc
+    degeneration)."""
+    k, w = WINNOW_K, WINNOW_W
+    if dialect == "spark":
+        toks = "SELECT doc_id, split(text, ' ') AS t FROM documents"
+        grams = (
+            f"transform(sequence(1, size(t) - {k} + 1),"
+            f" i -> conv(substr(md5(array_join(slice(t, i, {k}), ' ')),"
+            f" 1, 7), 16, 10))"
+        )
+        hs = (f"SELECT doc_id, transform({grams}, x -> CAST(x AS BIGINT))"
+              f" AS h FROM toks WHERE size(t) >= {k}")
+        mins = (
+            f"transform(sequence(1, greatest(size(h) - {w} + 1, 1)),"
+            f" j -> array_min(slice(h, j, {w})))"
+        )
+        sel = (f"SELECT doc_id, explode(array_distinct({mins})) AS fp"
+               f" FROM hashed")
+    else:
+        toks = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+        grams = (
+            f"list_transform(generate_series(1, len(t) - {k} + 1),"
+            f" i -> CAST(concat('0x', substr(md5(array_to_string("
+            f"list_slice(t, i, i + {k} - 1), ' ')), 1, 7)) AS BIGINT))"
+        )
+        hs = (f"SELECT doc_id, {grams} AS h FROM toks"
+              f" WHERE len(t) >= {k}")
+        mins = (
+            f"list_transform(generate_series(1, greatest(len(h) - {w} + 1,"
+            f" 1)), j -> list_min(list_slice(h, j, j + {w} - 1)))"
+        )
+        sel = (f"SELECT doc_id, unnest(list_distinct({mins})) AS fp"
+               f" FROM hashed")
+    return f"""toks AS ({toks}),
+hashed AS ({hs}),
+fps AS ({sel})"""
+
+
+def _fp_card_sql(dialect: str) -> str:
+    """Per-doc fingerprint card: how many grams the doc has, how many
+    fingerprints winnowing kept (the ~2/(W+1) density check), and the
+    value range — compact, corpus-auditable, and a direct pin of the
+    whole selection chain."""
+    if dialect == "spark":
+        ngrams = "size(h)"
+    else:
+        ngrams = "len(h)"
+    return f"""
+WITH {_fps_core(dialect)}
+SELECT f.doc_id,
+       CAST(max({ngrams}) AS INT) AS n_grams,
+       CAST(count(*) AS INT) AS n_fps,
+       min(f.fp) AS min_fp,
+       max(f.fp) AS max_fp
+FROM fps f JOIN hashed USING (doc_id)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+def _pairs_sql(dialect: str) -> str:
+    """Contiguous-overlap candidate pairs: (doc_a < doc_b, n_shared
+    selected fingerprints >= MIN_SHARED). Hot fingerprints (> cap
+    docs) are dropped BEFORE the self-join — the dedup.lsh_pairs_df
+    hot-bucket stance, here sized by document frequency."""
+    return f"""
+WITH {_fps_core(dialect)},
+df AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {FP_DOC_CAP}
+),
+cold AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp))
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(count(*) AS INT) AS n_shared
+FROM cold a JOIN cold b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "docs_winnow_fingerprints": _run(_fp_card_sql("spark"), ("documents",)),
+    "docs_winnow_overlap_pairs": _run(_pairs_sql("spark"), ("documents",)),
+}
+ORACLES = {
+    "docs_winnow_fingerprints": _fp_card_sql("duck"),
+    "docs_winnow_overlap_pairs": _pairs_sql("duck"),
+}
