@@ -1,4 +1,4 @@
-"""Winnowing document fingerprints (round 15).
+"""Token-level winnowing + the overlap-pairs detector (round 15).
 
 Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
 Document Fingerprinting" (SIGMOD 2003, public — the MOSS algorithm):
@@ -7,9 +7,20 @@ hashes, keep the MINIMUM of each window. The guarantee: any shared
 run of at least W+K-1 tokens between two documents yields at least
 one shared selected fingerprint, while only ~2/(W+1) of all gram
 hashes are kept — position-aware copy detection at a fraction of
-full-shingle cost. Complements the repo's other near-dup families:
-MinHash estimates SET similarity (order-free), winnowing certifies
-CONTIGUOUS overlap (the plagiarism/quotation/boilerplate shape).
+full-shingle cost.
+
+Family split vs the EXISTING char-level winnow
+(textanalysis.docs_winnow_fingerprint, Karp-Rabin char 12-grams via
+posexplode + per-doc windows): that query pins the per-doc
+CHAR-granular fingerprint op; this module is the CROSS-DOC
+DETECTION half the family was missing — TOKEN grams (the MOSS
+configuration for source/text reuse: char grams fire on substrings
+of single words, token grams only on real shared phrasing) extracted
+by a per-row higher-order-function chain, then the capped
+fingerprint equi-join that actually finds the overlapping pairs.
+Complements the near-dup families: MinHash estimates SET similarity
+(order-free), winnowing pairs certify CONTIGUOUS overlap (the
+plagiarism/quotation/boilerplate shape).
 
 Both stages are engine-friendly at 100 TB:
 
