@@ -53,11 +53,12 @@ FP_DOC_CAP = 64  # drop fingerprints appearing in more docs (hot cap)
 MIN_SHARED = 2   # pair gate: shared selected fingerprints
 
 
-def _fps_core(dialect: str) -> str:
-    """WITH-chain prefix ending in ``fps(doc_id, fp)`` — one row per
-    (doc, distinct selected fingerprint). A doc with fewer than K
-    tokens has no grams and drops out; a doc with fewer than W grams
-    gets one window spanning all of them (the standard short-doc
+def _selected_core(dialect: str) -> str:
+    """WITH-chain prefix ending in ``selected(doc_id, n_grams,
+    fp_arr)`` — the distinct selected fingerprints as ONE per-row
+    array (no explode, no join yet). A doc with fewer than K tokens
+    has no grams and drops out; a doc with fewer than W grams gets
+    one window spanning all of them (the standard short-doc
     degeneration)."""
     k, w = WINNOW_K, WINNOW_W
     if dialect == "spark":
@@ -73,8 +74,8 @@ def _fps_core(dialect: str) -> str:
             f"transform(sequence(1, greatest(size(h) - {w} + 1, 1)),"
             f" j -> array_min(slice(h, j, {w})))"
         )
-        sel = (f"SELECT doc_id, explode(array_distinct({mins})) AS fp"
-               f" FROM hashed")
+        sel = (f"SELECT doc_id, size(h) AS n_grams,"
+               f" array_distinct({mins}) AS fp_arr FROM hashed")
     else:
         toks = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
         grams = (
@@ -88,10 +89,34 @@ def _fps_core(dialect: str) -> str:
             f"list_transform(generate_series(1, greatest(len(h) - {w} + 1,"
             f" 1)), j -> list_min(list_slice(h, j, j + {w} - 1)))"
         )
-        sel = (f"SELECT doc_id, unnest(list_distinct({mins})) AS fp"
-               f" FROM hashed")
+        sel = (f"SELECT doc_id, len(h) AS n_grams,"
+               f" list_distinct({mins}) AS fp_arr FROM hashed")
     return f"""toks AS ({toks}),
 hashed AS ({hs}),
+selected AS ({sel})"""
+
+
+def _fps_core(dialect: str) -> str:
+    """``_selected_core`` + ``fps(doc_id, fp)`` exploded — the
+    pair-join input. Exploding ``fp_arr`` projected straight off the
+    ``hashed`` CTE (not the wider ``selected``) keeps the inlined
+    expression tree minimal where the self-join duplicates it."""
+    k, w = WINNOW_K, WINNOW_W
+    if dialect == "spark":
+        mins = (
+            f"transform(sequence(1, greatest(size(h) - {w} + 1, 1)),"
+            f" j -> array_min(slice(h, j, {w})))"
+        )
+        sel = (f"SELECT doc_id, explode(array_distinct({mins})) AS fp"
+               f" FROM hashed")
+    else:
+        mins = (
+            f"list_transform(generate_series(1, greatest(len(h) - {w} + 1,"
+            f" 1)), j -> list_min(list_slice(h, j, j + {w} - 1)))"
+        )
+        sel = (f"SELECT doc_id, unnest(list_distinct({mins})) AS fp"
+               f" FROM hashed")
+    return f"""{_selected_core(dialect)},
 fps AS ({sel})"""
 
 
@@ -99,21 +124,20 @@ def _fp_card_sql(dialect: str) -> str:
     """Per-doc fingerprint card: how many grams the doc has, how many
     fingerprints winnowing kept (the ~2/(W+1) density check), and the
     value range — compact, corpus-auditable, and a direct pin of the
-    whole selection chain."""
-    if dialect == "spark":
-        ngrams = "size(h)"
-    else:
-        ngrams = "len(h)"
+    whole selection chain. Entirely per-row (array aggregates over
+    ``fp_arr``): no explode, no join, no shuffle beyond the sort."""
+    n = "size" if dialect == "spark" else "len"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    amax = "array_max" if dialect == "spark" else "list_max"
     return f"""
-WITH {_fps_core(dialect)}
-SELECT f.doc_id,
-       CAST(max({ngrams}) AS INT) AS n_grams,
-       CAST(count(*) AS INT) AS n_fps,
-       min(f.fp) AS min_fp,
-       max(f.fp) AS max_fp
-FROM fps f JOIN hashed USING (doc_id)
-GROUP BY f.doc_id
-ORDER BY f.doc_id
+WITH {_selected_core(dialect)}
+SELECT doc_id,
+       CAST(n_grams AS INT) AS n_grams,
+       CAST({n}(fp_arr) AS INT) AS n_fps,
+       {amin}(fp_arr) AS min_fp,
+       {amax}(fp_arr) AS max_fp
+FROM selected
+ORDER BY doc_id
 """
 
 
