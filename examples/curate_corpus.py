@@ -53,9 +53,16 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
             / F.size(toks)
         ).alias("sw_ratio"),
     )
+    # Each funnel stage below has MULTIPLE consumers (its count, the
+    # next stage — which may read it twice, e.g. the dedup groupBy +
+    # join — and the final split/shard/write chain). Persist each
+    # stage once at the fan-out point or every consumer re-executes
+    # the whole upstream lineage. On the tiny test fixture the gain
+    # is modest (~10-20%: fixed job overhead dominates there); at
+    # corpus scale the re-execution multiple is the whole cost.
     quality = with_q.filter(
         (F.col("n_tokens") >= MIN_TOKENS) & (F.col("sw_ratio") <= MAX_STOPWORD_RATIO)
-    )
+    ).persist()
     n_quality = quality.count()
 
     # 2. exact dedup: keep the smallest doc_id per identical text
@@ -64,7 +71,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         .agg(F.min("doc_id").alias("doc_id"))
         .join(quality, "doc_id")
         .drop("h")
-    )
+    ).persist()
     n_exact = canonical.count()
 
     # 3. near-dup removal: LSH candidates verified by Jaccard; drop
@@ -75,7 +82,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = canonical.join(near, "doc_id", "left_anti")
+    kept = canonical.join(near, "doc_id", "left_anti").persist()
     n_near = kept.count()
 
     # 3b. repeated-span removal: cut every corpus-repeated substring
@@ -105,7 +112,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         )
         .drop("spans")
         .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
-    )
+    ).persist()
 
     # 4. LEAKAGE-SAFE hash-stable split + token-budget shards: the
     #    split hash keys on the near-dup CLUSTER canonical, not the
@@ -117,7 +124,10 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         connected_components,
     )
 
-    pairs = dedup.lsh_pairs_df(kept.select("doc_id", "text"))
+    # persisted: consumed by connected_components (iterative) AND the
+    # cross-split leakage count below — without it the LSH candidate
+    # chain re-executes for each
+    pairs = dedup.lsh_pairs_df(kept.select("doc_id", "text")).persist()
     labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "comp"
     )
@@ -163,6 +173,8 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         r["split"]: r["n"]
         for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    for df in (quality, canonical, kept, pairs):
+        df.unpersist()
     return {
         "input_docs": n_in,
         "after_quality": n_quality,
