@@ -149,11 +149,57 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------- structured-data privacy card
+# The TABULAR sibling of the document census: k-anonymity (Sweeney
+# 2002, public) and l-diversity (Machanavalkjhala et al. 2007) over
+# the customer table. Quasi-identifiers = (nation, market segment,
+# in-debt flag) — the columns a released dataset would plausibly
+# keep; sensitive attribute = the exact account balance. The card a
+# release gate reads: how many rows sit in equivalence classes
+# smaller than k (linkable), how many are singletons (unique —
+# directly re-identifiable), and the worst-class sensitive-value
+# diversity (l). One groupBy over the QI tuple + one card-sized
+# rollup — map-side combinable, |classes|-sized intermediate, no
+# joins; trivially parallel at any scale.
+
+K_ANON = 5
+
+
+def _k_anon_sql(dialect: str) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_div
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END)
+            AS BIGINT) AS k{K_ANON}_violating_rows,
+       CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS singleton_rows,
+       CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) * 1000000
+            {div} sum(class_size) AS BIGINT) AS reident_risk_ppm,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+       CAST(sum(CASE WHEN l_div < 2 THEN class_size ELSE 0 END)
+            AS BIGINT) AS l2_violating_rows
+FROM classes
+"""
+
+
 QUERIES = {
     "docs_pii_scan": _run(_scan_sql("spark"), ("documents",)),
     "docs_pii_redact": _run(_redact_sql("spark"), ("documents",)),
+    "customer_k_anonymity": _run(_k_anon_sql("spark"), ("customer",)),
 }
 ORACLES = {
     "docs_pii_scan": _scan_sql("duck"),
     "docs_pii_redact": _redact_sql("duck"),
+    "customer_k_anonymity": _k_anon_sql("duck"),
 }

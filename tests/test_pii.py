@@ -72,3 +72,33 @@ def test_redaction_reaches_fixed_point(spark, sf_dir):
         or r.doc_id % pii.IP_MOD == pii.IP_REM
     }
     assert planted == expected_planted
+
+
+def test_k_anonymity_card_matches_python_replay(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from dataset_batch_processor_spark import catalog
+
+    cust = catalog.load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    got = spark.sql(pii._k_anon_sql("spark")).collect()[0]
+    size = Counter()
+    sens = defaultdict(set)
+    for r in cust.collect():
+        qi = (r.c_nationkey, r.c_mktsegment, 1 if r.c_acctbal < 0 else 0)
+        size[qi] += 1
+        sens[qi].add(r.c_acctbal)
+    n = sum(size.values())
+    singles = sum(1 for v in size.values() if v == 1)
+    assert got.n_rows == n
+    assert got.n_classes == len(size)
+    assert got.min_class_size == min(size.values())
+    assert got.k5_violating_rows == sum(
+        v for v in size.values() if v < pii.K_ANON
+    )
+    assert got.singleton_rows == singles
+    assert got.reident_risk_ppm == singles * 1_000_000 // n
+    assert got.min_l_diversity == min(len(s) for s in sens.values())
+    assert got.l2_violating_rows == sum(
+        size[q] for q, s in sens.items() if len(s) < 2
+    )
