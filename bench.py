@@ -126,6 +126,11 @@ HEAVY = (
     # round 12: the streaming quota twin (availableNow harness cost,
     # the turn_admission class)
     "docs_stream_quota_sample",
+    # round 15: the two most expensive round-15 members — the winnow
+    # pair join (banded-family class) and the decile card (training
+    # cache + rank pass) — multi-rep so their medians are attributable
+    "docs_winnow_overlap_pairs",
+    "docs_classifier_decile_lift",
 )
 
 # Watch tier: queries whose single-rep timing flagged in a

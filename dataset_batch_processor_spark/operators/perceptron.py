@@ -339,14 +339,27 @@ def _pocket_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_CACHE: dict = {}
+
+
 def _ranked_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attach_rank output shared by the AUC and decile queries —
+    session-cached like train_trajectory (attach_rank ends in a
+    localCheckpoint, so the cached handle is already materialized;
+    without the cache each rank consumer pays its own
+    range-repartition pass)."""
     from .textops import attach_rank
 
-    return attach_rank(
-        _pocket_scored(spark, sf_dir),
-        ["split", "margin", "doc_id"],
-        out_col="r",
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RANK_CACHE:
+        for k in [k for k in _RANK_CACHE if k[0] != key[0]]:
+            del _RANK_CACHE[k]
+        _RANK_CACHE[key] = attach_rank(
+            _pocket_scored(spark, sf_dir),
+            ["split", "margin", "doc_id"],
+            out_col="r",
+        )
+    return _RANK_CACHE[key]
 
 
 def _q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
