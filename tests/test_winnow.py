@@ -78,3 +78,30 @@ def test_shared_run_guarantee_produces_pair(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_guarantee_property_hypothesis():
+    """Winnowing guarantee, property-tested: ANY two token sequences
+    sharing a contiguous run of >= W+K-1 tokens share at least one
+    selected fingerprint. Pure-Python over _py_fps — sound for the
+    Spark operator because test_fingerprint_card_matches_python_replay
+    pins Spark == _py_fps on the corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k, w = winnow.WINNOW_K, winnow.WINNOW_W
+    vocab = [f"t{i}" for i in range(12)]
+    tok_lists = st.lists(st.sampled_from(vocab), min_size=0, max_size=15)
+    shared_run = st.lists(
+        st.sampled_from(vocab), min_size=w + k - 1, max_size=w + k + 4
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(pre_a=tok_lists, post_a=tok_lists, pre_b=tok_lists,
+           post_b=tok_lists, run=shared_run)
+    def check(pre_a, post_a, pre_b, post_b, run):
+        a = " ".join(pre_a + run + post_a)
+        b = " ".join(pre_b + run + post_b)
+        assert _py_fps(a) & _py_fps(b)
+
+    check()
