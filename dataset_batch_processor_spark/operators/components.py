@@ -64,6 +64,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# Round 15: edge-count gate below which connected_components labels
+# the graph with a driver union-find instead of distributed star
+# contraction. 100k canonical (hi, lo) edges is broadcast-build-side
+# scale (the collect is checked against the ALREADY-COMPUTED witness
+# count before any driver transfer); dedup pair graphs at this size
+# are pure fixed-overhead work for the 5-shuffles-per-round loop.
+SMALL_GRAPH_EDGE_CAP = int(
+    __import__("os").environ.get("SPARK_GRAFT_CC_LOCAL_EDGE_CAP", "100000")
+)
+
+
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: every node u re-hangs its smaller
     neighbors (and itself) onto m = min of those neighbors."""
@@ -131,6 +142,42 @@ def connected_components(
 
     prev = _witness(cur)
     spark = edges.sparkSession
+    # Round 15 (optimization guide §1.2: fix the distributed algorithm
+    # to the problem SIZE): the canonical edge count is already known
+    # from the witness — when the dedup graph is broadcast-scale,
+    # label it with a driver union-find instead of paying ~5 shuffles
+    # x O(log n) star rounds of fixed job overhead (measured 2.4-3.4 s
+    # per consumer at sf0.1 for graphs of a few thousand edges; the
+    # local path is ~0.3 s). The cap is the SAME scale class as a
+    # broadcast-join build side (a few MB of (hi, lo) longs, bound
+    # stated here, checked BEFORE any collect); above it the
+    # diameter-independent star contraction runs unchanged — that
+    # path is what scales to 100 TB, the gate only routes around its
+    # per-round constant for small graphs.
+    if int(prev[0]) <= SMALL_GRAPH_EDGE_CAP:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in cur.collect():  # bounded by SMALL_GRAPH_EDGE_CAP
+            ra, rb = find(int(row[0])), find(int(row[1]))
+            if ra != rb:
+                # union by MIN root so component id = min node id
+                lo_r, hi_r = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi_r] = lo_r
+        rows = [(n, find(n)) for n in parent]
+        labels_local = spark.createDataFrame(
+            rows, schema="node bigint, comp bigint"
+        )
+        return nodes.join(F.broadcast(labels_local), "node", "left").select(
+            "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
+        )
     n_parts = min(
         max(4, int(prev[0]) // 20_000 + 4),
         max(spark.sparkContext.defaultParallelism, 2048),

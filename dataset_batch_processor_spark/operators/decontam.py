@@ -179,26 +179,38 @@ ORDER BY g.doc_id
 """
 
 
-def _materialized_grams(spark, sf_dir, width, view):
+def _materialized_grams(spark, sf_dir, width, view, production_hash=False):
+    """Round 15: ``production_hash=True`` swaps the gram key to the
+    codegen-native ``xxhash64(gram)`` in the MATERIALIZED build only.
+    Safe exactly where gh is internal (compared for equality, never
+    output, never re-hashed into bloom positions): decontaminate's
+    shared-gram counts and the Jaccard index are hash-function-
+    independent barring a 64-bit collision; BLOOM_SPARK keeps the md5
+    spec — its positions are md5(gh-string) BY SEMANTICS."""
     from .. import catalog
 
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    grams = spark.sql(
-        "WITH " + _grams_cte_spark(width) + " SELECT * FROM grams"
-    ).persist()
+    cte = _grams_cte_spark(width)
+    if production_hash:
+        cte = cte.replace(_H_SPARK_GRAM, "xxhash64(gram)")
+    grams = spark.sql("WITH " + cte + " SELECT * FROM grams").persist()
     grams.createOrReplaceTempView(view)
     return grams
 
 
 def _q_decontaminate(spark, sf_dir):
-    _materialized_grams(spark, sf_dir, DECON_N, "decon_grams")
+    _materialized_grams(
+        spark, sf_dir, DECON_N, "decon_grams", production_hash=True
+    )
     return spark.sql(_DECON_TAIL.format(v="decon_grams"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    _materialized_grams(spark, sf_dir, JAC_N, "jac_grams")
+    _materialized_grams(
+        spark, sf_dir, JAC_N, "jac_grams", production_hash=True
+    )
     return spark.sql("WITH " + _JAC_TAIL.replace("FROM grams", "FROM jac_grams"))
 
 
@@ -235,20 +247,29 @@ def _bloom_sql(engine: str) -> str:
     )
     # reuse everything up to and including the grams CTE
     gram_cte = gram_cte[: gram_cte.index("eval_grams AS")].rstrip().rstrip(",")
-    slices = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, gh, {i} AS slice_id, "
-        + (
-            f"CAST(conv(substr(md5(CAST(gh AS STRING)), {1 + 6 * i}, 6), 16, 10) AS BIGINT)"
-            if engine == "spark"
-            else f"CAST(concat('0x', substr(md5(CAST(gh AS VARCHAR)), {1 + 6 * i}, 6)) AS BIGINT)"
+    if engine == "spark":
+        # round 15: ONE md5 per gram, sliced K ways after an explode —
+        # the UNION ALL form re-inlines the whole grams CTE (and its
+        # per-gram md5) once per slice (optimization guide §2.3 "don't
+        # compute things twice"; plan: 7 gram-pipeline evaluations ->
+        # 2). Byte-identical positions: same md5 string, same 6-hex
+        # windows, same conv.
+        positions = f"""positions AS (
+  SELECT doc_id, gh, slice_id,
+         CAST(conv(substr(m, 1 + 6 * slice_id, 6), 16, 10) AS BIGINT) AS pos
+  FROM (SELECT doc_id, gh, md5(CAST(gh AS STRING)) AS m FROM grams)
+  LATERAL VIEW explode(sequence(0, {_BLOOM_K - 1})) s AS slice_id
+)"""
+    else:
+        slices = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, gh, {i} AS slice_id, "
+            f"CAST(concat('0x', substr(md5(CAST(gh AS VARCHAR)), {1 + 6 * i}, 6)) AS BIGINT)"
+            " AS pos FROM grams"
+            for i in range(_BLOOM_K)
         )
-        + " AS pos FROM grams"
-        for i in range(_BLOOM_K)
-    )
+        positions = f"positions AS (\n{slices}\n)"
     return f"""{gram_cte},
-positions AS (
-{slices}
-),
+{positions},
 bits AS (
   SELECT DISTINCT pos FROM positions WHERE doc_id % {EVAL_MOD} = 0
 ),
@@ -332,7 +353,11 @@ def _q_semantic_decontam(spark, sf_dir):
     scored = corpus.crossJoin(F.broadcast(panel)).select(
         "vec_id",
         F.round(
-            vector.cosine(F.col("embedding"), F.col("eval_emb")), 6
+            # r15: exact-sequence Arrow fold — bit-identical
+            vector.cosine_exact_arrow()(
+                F.col("embedding"), F.col("eval_emb")
+            ),
+            6,
         ).alias("cos"),
     )
     return (

@@ -61,10 +61,11 @@ def dhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     excursions — the r9 build-every-artifact-in-warmup rule applies)."""
 
     def build() -> DataFrame:
-        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-            "documents"
-        )
-        return spark.sql(_pairs_bare_sql("spark"))
+        from .imagedup import dhash_pairs_df
+
+        return dhash_pairs_df(
+            catalog.load_table(spark, sf_dir, "documents"), bare=True
+        ).select("doc_a", "doc_b")
 
     return _labels(spark, sf_dir, "dhash", build)
 

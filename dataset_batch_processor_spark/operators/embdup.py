@@ -115,11 +115,14 @@ def _q_emb_near_dup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import vector
     from ..matcache import materialize_once
-    from .similarity import lsh_signature
+    from .similarity import lsh_signature_exact_arrow
 
     def build() -> DataFrame:
         emb = catalog.load_table(spark, sf_dir, "embeddings")
-        b = emb.withColumn("bucket", lsh_signature(F.col("embedding")))
+        # r15: exact-fold-order Arrow signature — identical buckets
+        b = emb.withColumn(
+            "bucket", lsh_signature_exact_arrow()(F.col("embedding"))
+        )
         left = b.select(
             F.col("vec_id").alias("vec_a"),
             F.col("embedding").alias("emb_a"),
@@ -135,7 +138,10 @@ def _q_emb_near_dup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        cos = F.round(vector.cosine(F.col("emb_a"), F.col("emb_b")), 6)
+        # r15: exact-sequence Arrow fold — bit-identical, vectorized
+        cos = F.round(
+            vector.cosine_exact_arrow()(F.col("emb_a"), F.col("emb_b")), 6
+        )
         return pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
 
     return materialize_once(spark, "embnd_cands", sf_dir, build)

@@ -54,18 +54,40 @@ def _feathash_batch(texts: list) -> list:
     token -> md5-derived 59-bit int h; dim = h % D; sign = +1 if
     (h div D) even else -1; vector = signed token counts. Integer
     counts exactly represented as doubles, so the output is
-    bit-comparable to the Catalyst path AND to the DuckDB oracle."""
-    out = []
-    for t in texts:
-        vec = [0] * FH_DIM
+    bit-comparable to the Catalyst path AND to the DuckDB oracle.
+
+    Round 15 (optimization guide §4.2): md5 runs once per DISTINCT
+    token in the batch, not once per token INSTANCE — pd.factorize
+    dedups (corpus token instances outnumber the batch vocabulary
+    ~25x here), and the signed counts accumulate via one vectorized
+    ``np.add.at`` scatter instead of a per-token Python loop. Same
+    hash, same integer counts, same output lists."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    mat = np.zeros((n, FH_DIM), dtype=np.int64)
+    flat: list[str] = []
+    rows: list[int] = []
+    for i, t in enumerate(texts):
         for token in (t or "").split(" "):
-            if not token:
-                continue
-            h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
-            sign = 1 if (h // FH_DIM) % 2 == 0 else -1
-            vec[h % FH_DIM] += sign
-        out.append([float(x) for x in vec])
-    return out
+            if token:
+                flat.append(token)
+                rows.append(i)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                for u in uniques
+            ),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        dims = hs % FH_DIM
+        signs = np.where((hs // FH_DIM) % 2 == 0, 1, -1)
+        np.add.at(mat, (np.asarray(rows), dims[codes]), signs[codes])
+    return mat.astype(np.float64).tolist()
 
 
 register_encoder("feathash", _feathash_batch, FH_DIM)

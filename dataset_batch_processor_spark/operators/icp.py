@@ -63,7 +63,8 @@ def _adjacent_stats(
             "vec_b",
         )
     )
-    cos6 = F.round(vector.cosine(F.col("ea"), F.col("eb")), 6)
+    # r15: exact-sequence Arrow fold — bit-identical, vectorized
+    cos6 = F.round(vector.cosine_exact_arrow()(F.col("ea"), F.col("eb")), 6)
     q = F.floor(cos6 * 1000000 + F.lit(0.5)).cast("bigint")
     return j.agg(
         F.lit(label).alias("ordering"),

@@ -244,11 +244,157 @@ DHASH_PAIRS_SPARK = _pairs_sql("spark")
 DHASH_PAIRS_DUCK = _pairs_sql("duck")
 
 
-def _q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
+def _lattice_dhash_batch(ids):
+    """(n, 4) int32 band values (b0..b3) of the lattice dHash for a
+    batch of doc_ids — the batch-vectorized composition of
+    ``lattice_image`` and the dHash box-mean pipeline (identical
+    integers to the SQL lattice; test-pinned). Pixels are computed on
+    a padded 24x27 grid with a validity mask (dims vary per doc, 16
+    <= w <= 27, 16 <= h <= 24); box sums ride one ``bincount`` over
+    (doc, cell) keys; the mean comparison stays the exact integer
+    cross-product ``s_l * a_r > s_r * a_l``."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    g = ids % 250
+    v = ids // 250
+    w = (g % 12 + 16)[:, None, None]
+    h = (g % 9 + 16)[:, None, None]
+    X = np.arange(27, dtype=np.int64)[None, None, :]
+    Y = np.arange(24, dtype=np.int64)[None, :, None]
+    a = (
+        X * X * (g % 7 + 1)[:, None, None]
+        + Y * Y * (g % 11 + 1)[:, None, None]
+        + X * Y * (g % 5)[:, None, None]
+        + (g * 13)[:, None, None]
+        + ((X * 7 + Y * 5) % 29 == 0) * (v * 37)[:, None, None]
+    ) % 256
+    luma = (
+        77 * a + 150 * ((a * 2 + 11) % 256) + 29 * ((a * 3 + 22) % 256)
+    ) // 256                                         # (n, 24, 27)
+    valid = (X < w) & (Y < h)
+    r = (Y * 8) // h                                  # (n, 24, 1)
+    c = (X * 9) // w                                  # (n, 1, 27)
+    # r*16+c <= 11*16+14 = 190 < 256, so one 256-wide slot per doc
+    key = (
+        np.arange(n, dtype=np.int64)[:, None, None] * 256 + r * 16 + c
     )
-    return spark.sql(DHASH_PAIRS_SPARK)
+    flat = key.ravel()
+    # integer sums are exact in the float64 bincount accumulator
+    # (cell sums are < 2^53 by orders of magnitude)
+    s = np.bincount(
+        flat, weights=np.where(valid, luma, 0).ravel(), minlength=n * 256
+    ).astype(np.int64).reshape(n, 16, 16)
+    area = np.bincount(
+        flat, weights=valid.astype(np.float64).ravel(), minlength=n * 256
+    ).astype(np.int64).reshape(n, 16, 16)
+    S, A = s[:, :8, :9], area[:, :8, :9]
+    bits = S[:, :, :8] * A[:, :, 1:9] > S[:, :, 1:9] * A[:, :, :8]
+    shl = (
+        1 << ((np.arange(8, dtype=np.int64)[:, None] % 2) * 8
+              + np.arange(8, dtype=np.int64)[None, :])
+    )                                                 # (8, 8) bit weights
+    val = bits * shl
+    out = np.zeros((n, 4), dtype=np.int64)
+    for b in range(4):
+        out[:, b] = val[:, 2 * b : 2 * b + 2, :].sum(axis=(1, 2))
+    return out.astype(np.int32)
+
+
+def lattice_dhash_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) of the lattice dHash via ONE Arrow batch
+    kernel — no pixel explode, no box-aggregation shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            b = _lattice_dhash_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": b[:, 0],
+                    "b1": b[:, 1],
+                    "b2": b[:, 2],
+                    "b3": b[:, 3],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+def dhash_pairs_df(
+    docs: DataFrame,
+    max_band_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bare: bool = False,
+) -> DataFrame:
+    """DataFrame-API twin of ``_pairs_sql('spark')`` over the Arrow
+    lattice kernel (round 15, optimization guide §4.2 / §2.4): the
+    per-doc hash runs vectorized in one Python pass instead of the
+    ~650-rows-per-doc pixel explode + box aggregation + band
+    re-aggregation (plan: 6 Exchanges -> 3); the banded candidate
+    join + exact-Hamming verify are unchanged JVM joins. Same rows,
+    same hot-band cap semantics, same ordering contract as the SQL
+    (``bare`` drops the final ORDER BY for edge-list composition)."""
+    from .dedup import _drop_hot_buckets
+
+    hashes = lattice_dhash_hashes(docs)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("band_idx"),
+                    F.col(f"b{i}").alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band_idx", "e.band_val")
+    if max_band_size is not None:
+        bands = _drop_hot_buckets(
+            bands, max_band_size, keys=("band_idx", "band_val")
+        )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(ha_b0 ^ hb_b0) + bit_count(ha_b1 ^ hb_b1) + "
+        "bit_count(ha_b2 ^ hb_b2) + bit_count(ha_b3 ^ hb_b3)"
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"ha_b{i}") for i in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"hb_b{i}") for i in range(4)],
+    )
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return out if bare else out.orderBy("doc_a", "doc_b")
+
+
+def _q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dhash_pairs_df(catalog.load_table(spark, sf_dir, "documents"))
 
 
 # ----------------------------------------------- kernel over binary images
@@ -336,10 +482,9 @@ def _q_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .components import connected_components
 
     def build() -> DataFrame:
-        catalog.load_table(
-            spark, sf_dir, "documents"
-        ).createOrReplaceTempView("documents")
-        return spark.sql(_pairs_bare_sql("spark"))
+        return dhash_pairs_df(
+            catalog.load_table(spark, sf_dir, "documents"), bare=True
+        ).select("doc_a", "doc_b")
 
     # materialize the edge list ONCE: star contraction iterates, and
     # without this every round re-runs the whole dHash pipeline

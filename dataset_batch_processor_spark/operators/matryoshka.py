@@ -67,7 +67,8 @@ def _q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         *[
             F.round(
-                vector.cosine(
+                # r15: exact-sequence Arrow fold — bit-identical
+                vector.cosine_exact_arrow()(
                     F.slice("q_emb", 1, d), F.slice("embedding", 1, d)
                 ),
                 6,

@@ -84,9 +84,12 @@ def mmr_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _q6(vector.cosine(F.col("q_emb"), F.col("embedding"))).alias(
-                "rel_q6"
-            ),
+            _q6(
+                # r15: exact-sequence Arrow fold — bit-identical
+                vector.cosine_exact_arrow()(
+                    F.col("q_emb"), F.col("embedding")
+                )
+            ).alias("rel_q6"),
         )
     )
     w_rel = Window.partitionBy("query_id").orderBy(
@@ -115,9 +118,12 @@ def mmr_topk(
         .filter(F.col("i") != F.col("j"))
         .select(
             "query_id", "i", "j",
-            _q6(vector.cosine(F.col("i_emb"), F.col("j_emb"))).alias(
-                "sim_q6"
-            ),
+            _q6(
+                # r15: exact-sequence Arrow fold — bit-identical
+                vector.cosine_exact_arrow()(
+                    F.col("i_emb"), F.col("j_emb")
+                )
+            ).alias("sim_q6"),
         )
         .persist()
     )

@@ -201,133 +201,114 @@ PHASH_PAIRS_SPARK = _phash_sql("spark")
 PHASH_PAIRS_DUCK = _phash_sql("duck")
 
 
+def _lattice_phash_batch(ids):
+    """(n, 4) int32 band values (b0..b3) for a batch of lattice
+    doc_ids — the batch-vectorized composition of ``lattice_image``
+    and :func:`phash_hash_array` (identical integers, test-pinned).
+    All arithmetic is int64 numpy: the DCT coefficients are bounded
+    by 32*1024*8.4e6 ~ 2.7e11, far inside int64, and the rank-32
+    median tie-break (coef, idx) is encoded losslessly as
+    ``coef * 64 + idx`` (idx < 64)."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    g = ids % 250
+    v = ids // 250
+    w = g % 12 + 16
+    h = g % 9 + 16
+    rng = np.arange(32, dtype=np.int64)
+    sx = (rng[None, :] * w[:, None]) // 32          # (n, 32): col c -> x
+    sy = (rng[None, :] * h[:, None]) // 32          # (n, 32): row r -> y
+    SX = sx[:, None, :]                              # varies along c axis
+    SY = sy[:, :, None]                              # varies along r axis
+    k1 = (g % 7 + 1)[:, None, None]
+    k2 = (g % 11 + 1)[:, None, None]
+    k3 = (g % 5)[:, None, None]
+    a = (
+        SX * SX * k1 + SY * SY * k2 + SX * SY * k3
+        + (g * 13)[:, None, None]
+        + ((SX * 7 + SY * 5) % 29 == 0) * (v * 37)[:, None, None]
+    ) % 256
+    luma = (
+        77 * a + 150 * ((a * 2 + 11) % 256) + 29 * ((a * 3 + 22) % 256)
+    ) // 256                                         # (n, 32, 32) int64
+    C = np.zeros((8, 32), dtype=np.int64)
+    for k, nn, q in _cos_values():
+        C[k, nn] = q
+    t2 = np.matmul(np.matmul(C, luma), C.T)          # (n, 8, 8) exact
+    coefs = t2.reshape(n, 64)[:, 1:]                 # 63 AC, idx 0..62
+    idx = np.arange(63, dtype=np.int64)
+    key = coefs * 64 + idx
+    m = np.sort(key, axis=1)[:, 31] // 64            # rank-32 by (coef, idx)
+    bits = coefs > m[:, None]
+    weights = (1 << (idx % 16)).astype(np.int64)
+    out = np.zeros((n, 4), dtype=np.int64)
+    for bi in range(4):
+        msk = (idx // 16) == bi
+        out[:, bi] = (bits[:, msk] * weights[msk]).sum(axis=1)
+    return out.astype(np.int32)
+
+
+def lattice_phash_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) of the lattice pHash via ONE Arrow batch
+    kernel — no pixel explode, no shuffle. Integers are pinned equal
+    to the SQL formulation by tests/test_phash.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            b = _lattice_phash_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": b[:, 0],
+                    "b1": b[:, 1],
+                    "b2": b[:, 2],
+                    "b3": b[:, 3],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
 def phash_pairs(docs: DataFrame) -> DataFrame:
-    """Spark production plan: the DCT passes run as ARRAY-LITERAL
-    aggregate expressions (8 sums in the row pass, 64 in the column
-    pass) instead of a join against the cosine table — the join
-    formulation multiplies the 32×32 grid by 8 before aggregating
-    (measured 19 s vs 5 s at sf0.1); the literal arrays constant-fold
-    into whole-stage codegen and the grid is aggregated exactly once.
-    Identical integers to PHASH_PAIRS_DUCK (same constants, same
-    order-free integer sums)."""
-    from pyspark.sql import Window
+    """Spark production plan, round 15 (optimization guide §4.2 /
+    §2.4): the per-doc hash — downsample, DCT, median threshold,
+    band assembly — runs as ONE vectorized Arrow batch kernel
+    (``lattice_phash_hashes``), replacing the 1024-rows-per-doc grid
+    explode, two grid aggregations, the per-doc median window and
+    the bits/bands/hashes re-aggregations (plan: 10 Exchanges -> 3,
+    199 KB formatted plan -> ~6 KB; query 4.4 s -> ~0.9 s and the
+    session pair-graph build 11.8 s -> ~2 s at sf0.1). The banded
+    candidate join + exact-Hamming verify stay JVM-side and
+    identical. Integer-identical to PHASH_PAIRS_DUCK: the kernel is
+    the batch twin of ``phash_hash_array`` (test-pinned), which is
+    pinned to the SQL lattice."""
     from pyspark.sql import functions as F
 
-    cosv = _cos_values()
-    carr = {
-        k: F.array(*[F.lit(q) for kk, n, q in cosv if kk == k])
-        for k in range(8)
-    }
-    base = docs.select(
+    hashes = lattice_phash_hashes(docs)
+    bands = hashes.select(
         "doc_id",
-        (F.col("doc_id") % 250).alias("g"),
-        F.expr("doc_id DIV 250").alias("v"),
-    ).select(
-        "doc_id", "g", "v",
-        (F.col("g") % 12 + 16).alias("w"),
-        (F.col("g") % 9 + 16).alias("h"),
-    )
-    grid = (
-        base.select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r")
-        )
-        .select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("c")
-        )
-        .select(
-            "doc_id", "g", "v", "r", "c",
-            F.expr("(c * w) DIV 32").alias("sx"),
-            F.expr("(r * h) DIV 32").alias("sy"),
-        )
-        .select(
-            "doc_id", "r", "c",
-            F.expr(
-                "(sx * sx * (g % 7 + 1) + sy * sy * (g % 11 + 1)"
-                " + sx * sy * (g % 5) + g * 13"
-                " + CASE WHEN (sx * 7 + sy * 5) % 29 = 0"
-                "        THEN v * 37 ELSE 0 END) % 256"
-            ).alias("a"),
-        )
-        .select(
-            "doc_id", "r", "c",
-            F.expr(
-                "(77 * a + 150 * ((a * 2 + 11) % 256)"
-                " + 29 * ((a * 3 + 22) % 256)) DIV 256"
-            ).alias("l"),
-        )
-    )
-    t1 = grid.groupBy("doc_id", "c").agg(
-        *[
-            F.sum(
-                F.col("l") * F.element_at(carr[k], F.col("r") + 1)
-            ).alias(f"t{k}")
-            for k in range(8)
-        ]
-    )
-    # unpivot the 8 row-pass columns, then an 8-expression column
-    # pass per (doc, k): two narrow aggregations codegen in ~1 s where
-    # a single 64-expression aggregate took ~12 s to compile
-    t1k = t1.select(
-        "doc_id", "c",
         F.explode(
             F.array(*[
-                F.struct(F.lit(k).alias("k"), F.col(f"t{k}").alias("t"))
-                for k in range(8)
+                F.struct(
+                    F.lit(i).cast("int").alias("band_idx"),
+                    F.col(f"b{i}").alias("band_val"),
+                )
+                for i in range(4)
             ])
         ).alias("e"),
-    ).select("doc_id", "c", F.col("e.k").alias("k"),
-             F.col("e.t").alias("t"))
-    t2 = t1k.groupBy("doc_id", "k").agg(
-        *[
-            F.sum(
-                F.col("t") * F.element_at(carr[kc], F.col("c") + 1)
-            ).alias(f"m{kc}")
-            for kc in range(8)
-        ]
-    )
-    ac = (
-        t2.select(
-            "doc_id", "k",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(kc).alias("kc"),
-                             F.col(f"m{kc}").alias("coef"))
-                    for kc in range(8)
-                ])
-            ).alias("e"),
-        )
-        .select(
-            "doc_id",
-            F.expr("k * 8 + e.kc - 1").cast("int").alias("idx"),
-            F.col("e.coef").alias("coef"),
-        )
-        .filter(F.col("idx") >= 0)
-    )
-    wmed = Window.partitionBy("doc_id").orderBy("coef", "idx")
-    med = (
-        ac.withColumn("rn", F.row_number().over(wmed))
-        .filter(F.col("rn") == 32)
-        .select("doc_id", F.col("coef").alias("m"))
-    )
-    bits = ac.join(med, "doc_id").select(
-        "doc_id", "idx",
-        F.when(F.col("coef") > F.col("m"), 1).otherwise(0).alias("bit"),
-    )
-    bands = bits.groupBy(
-        "doc_id", F.expr("idx DIV 16").alias("band_idx")
-    ).agg(
-        F.sum(
-            F.expr("shiftleft(bit, CAST(idx % 16 AS INT))")
-        ).cast("int").alias("band_val")
-    )
-    hashes = bands.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("band_idx") == i, F.col("band_val"))
-            ).cast("int").alias(f"b{i}")
-            for i in range(4)
-        ]
-    )
+    ).select("doc_id", "e.band_idx", "e.band_val")
     # hot-band cap (round 9, default-on — the dedup._drop_hot_buckets
     # convention on the (band_idx, band_val) key; the oracle applies
     # the identical bn <= cap filter)

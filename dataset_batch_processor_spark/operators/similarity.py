@@ -29,6 +29,9 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 — resolves the pandas_udf
+# type-hint strings under `from __future__ import annotations`
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,7 +90,10 @@ def _cos_expr(a, b, vectorized: bool):
     provable bit-determinism, see vector.cosine6_vectorized docstring)."""
     if vectorized:
         return vector.cosine6_vectorized()(a, b)
-    return F.round(vector.cosine(a, b), 6)
+    # round 15: same exact sequential fold, executed as a vectorized
+    # Arrow kernel — bit-identical by operation-sequence construction
+    # (see cosine_exact_arrow docstring), JVM-side HALF_UP rounding
+    return F.round(vector.cosine_exact_arrow()(a, b), 6)
 
 
 def brute_force_topk(
@@ -210,6 +216,37 @@ def lsh_signature(emb_col, n_planes: int = N_PLANES) -> F.Column:
     return sig.cast("int")
 
 
+def lsh_signature_exact_arrow(n_planes: int = N_PLANES):
+    """Arrow twin of :func:`lsh_signature` with the SAME fold order —
+    bit-identical buckets ALWAYS (round 15; the GEMM path below is
+    sign-identical only off the measure-zero hyperplane boundary,
+    this one reproduces the JVM fold's operation sequence exactly:
+    for each plane, the projection accumulates dimension-by-dimension
+    in index order — the dim loop below performs one vectorized
+    multiply-add per dimension across the batch x plane matrix)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = hyperplane_matrix(n_planes)          # (n_planes, dim) ±1 float64
+    w = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("int")
+    def sig(emb: "pd.Series") -> "pd.Series":
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        acc = np.zeros((len(E), P.shape[0]))
+        for d in range(E.shape[1]):
+            acc += E[:, d : d + 1] * P[:, d]
+        return pd.Series(
+            (((acc > 0) * w).sum(axis=1)).astype(np.int32)
+        )
+
+    return sig
+
+
 def hyperplane_matrix(n_planes: int, dim: int = DIM):
     """The ±1 hyperplane matrix (n_planes × dim) behind
     ``lsh_signature``, as numpy — shared by the vectorized kernel so
@@ -291,7 +328,8 @@ def ann_lsh_topk(
     if n_planes is None:
         n_planes = adaptive_n_planes(emb.count())
     bucketed = emb.withColumn(
-        "bucket", lsh_signature(F.col("embedding"), n_planes)
+        # r15: exact-fold-order Arrow signature — identical buckets
+        "bucket", lsh_signature_exact_arrow(n_planes)(F.col("embedding"))
     )
     queries = bucketed.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -49,11 +49,18 @@ MIN_SPAN = 48    # report merged spans at least this long
 
 def _spans_sql(dialect: str) -> str:
     spark = dialect == "spark"
-    # the gram hash is the md5 PREFIX STRING: numeric conversion
-    # (conv/hex cast) buys nothing — the key is only ever compared —
-    # and measurably costs; production (substring_dup_spans_df) uses
-    # xxhash64 for an 8-byte shuffle key instead
-    h = f"substr(md5(substr(text, p, {WIDTH})), 1, 15)"
+    # the gram hash is internal-only (grams are compared for
+    # EQUALITY; the gated output is span extents, which are
+    # hash-function-independent barring a 60-bit collision), so the
+    # Spark side uses the codegen-native xxhash64 — the production
+    # hash substring_dup_spans_df already runs — while the DuckDB
+    # oracle keeps the md5 prefix: identical spans, ~2x Spark
+    # throughput (round 15; measured in OPTIMIZATION_r15.md, same
+    # md5-vs-xxhash64 delta SCALE.md records for the prodhash chain)
+    if spark:
+        h = f"xxhash64(substr(text, p, {WIDTH}))"
+    else:
+        h = f"substr(md5(substr(text, p, {WIDTH})), 1, 15)"
     if spark:
         gen = (
             "LATERAL VIEW explode(sequence(1, "

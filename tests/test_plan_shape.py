@@ -393,13 +393,17 @@ def test_sequence_packing_no_single_task_window(spark, sf_dir):
 
 def test_phash_pairs_banded_never_cartesian(spark, sf_dir):
     """pHash candidates must come from the band equi-join; no
-    CartesianProduct, no Python eval (the DCT is JVM expressions)."""
+    CartesianProduct, no row-at-a-time Python (round 15: the DCT
+    moved from JVM expressions into the Arrow batch kernel
+    lattice_phash_hashes — MapInPandas is the sanctioned vectorized
+    path, BatchEvalPython remains the audit-failing hazard)."""
     from dataset_batch_processor_spark.operators import phash
 
     df = phash.QUERIES["img_phash_near_dup_pairs"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan  # the Arrow kernel actually rides the plan
 
 
 def test_funnel_shuffles_only_on_user_id(spark, sf_dir):
