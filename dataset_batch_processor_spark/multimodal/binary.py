@@ -319,12 +319,25 @@ def materialize_tiles(tiles_with_content: DataFrame, tile_size: int,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
+            # round 15 (guide §1.2 per-task work): tile rows of one
+            # image that land in the same Arrow batch share ONE
+            # decode — the per-row decode_any re-decoded the source
+            # image once per tile. Batch-scoped memo, cleared between
+            # batches; capped so a batch of many large images cannot
+            # hold every decoded array at once.
+            dec: dict = {}
             for row in pdf.itertuples(index=False):
                 rec = {"id": str(row.id), "i": int(row.i), "j": int(row.j),
                        "tile_w": None, "tile_h": None, "content": None,
                        "error": None}
                 try:
-                    arr = decode_any(row.fmt, bytes(row.content))
+                    key = (row.id, row.fmt)
+                    arr = dec.get(key)
+                    if arr is None:
+                        arr = decode_any(row.fmt, bytes(row.content))
+                        if len(dec) >= 64:
+                            dec.clear()
+                        dec[key] = arr
                     t = crop(arr, row.box_left, row.box_top,
                              row.box_right, row.box_bottom)
                     if pad_option == "Extend Edges":

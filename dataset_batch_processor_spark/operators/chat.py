@@ -68,15 +68,20 @@ _H_DUCK = (
 def toks_spark(src: str = "documents") -> str:
     """Tokenize CTE over any (doc_id, text) relation — parameterized
     (review-finding #2/#3 convention) so the streaming twin can run
-    the same chain over a micro-batch view."""
+    the same chain over a micro-batch view.
+
+    Round 15 (optimization guide §2.4, remove shuffles outright):
+    filtering empties INSIDE the array before posexplode yields the
+    kept-token positions 0..n-1 directly — identical (doc_id, pos,
+    token) rows to the old renumbering window, without the
+    corpus-wide Exchange+sort on doc_id the window forced on every
+    chat/pack-family consumer. The DuckDB oracle keeps the
+    row_number spelling, so the hash gate pins the equivalence."""
     return f"""toks AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS pos,
-         token
-  FROM (SELECT doc_id, pos0, token
-        FROM {src}
-        LATERAL VIEW posexplode(split(text, ' ')) t AS pos0, token)
-  WHERE length(token) > 0
+  SELECT doc_id, pos, token
+  FROM {src}
+  LATERAL VIEW posexplode(filter(split(text, ' '),
+                                 x -> length(x) > 0)) t AS pos, token
 )"""
 
 

@@ -437,25 +437,49 @@ def _pair_overlap(docs: DataFrame, pairs: DataFrame | None) -> DataFrame:
     # limit on a big corpus — AQE upgrades the semi join to broadcast
     # at runtime whenever the list actually is small
     cand_docs = docs.join(nodes, "doc_id", "semi")
-    sh = shingle_sets(cand_docs).select("doc_id", "shingle").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b")
+    # Round 15 (optimization guide §3.3: "explode before a join
+    # multiplies the shuffle; join first on the un-exploded key and
+    # explode after"): the old shape joined the exploded shingle
+    # table twice — pairs ⋈ shingles_of_a produced a |pairs| x
+    # |shingles/doc| intermediate (~18M rows at sf0.1) that then hash-
+    # joined the 3M-row b-side. Now each candidate doc's shingle SET
+    # is collected once (doc-bounded arrays, the prodhash-fingerprint
+    # convention) and each pair intersects two arrays —
+    # candidates-only work, no exploded intermediate. n_inter/na/nb
+    # are set cardinalities either way, so every downstream measure
+    # (Jaccard, containment) is value-identical.
+    sets = (
+        shingle_sets(cand_docs)
+        .select("doc_id", "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n_shingles"))
+        .persist()
     )
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    pa = pairs.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shs").alias("sha"),
+            F.col("n_shingles").alias("na"),
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shs").alias("shb"),
+            F.col("n_shingles").alias("nb"),
+        ),
+        "doc_b",
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return inter.join(za, "doc_a").join(zb, "doc_b")
+    return pa.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sha", "shb")).cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        # the old inner-join formulation only ever saw pairs sharing
+        # >= 1 shingle — preserve that row set exactly
+    ).filter(F.col("n_inter") >= 1)
 
 
 def jaccard_verify_df(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

@@ -68,7 +68,8 @@ def _ln_cte(engine: str) -> str:
 
 
 def _hll_sql(engine: str, table: str = "documents",
-             regs_table: str | None = None) -> str:
+             regs_table: str | None = None,
+             vals_table: str | None = None) -> str:
     if engine == "spark":
         div = "DIV"
         h = "CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"
@@ -105,11 +106,21 @@ def _hll_sql(engine: str, table: str = "documents",
     # overflow-safe raw * ALPHA_PPM / 1e6 (raw can reach m*m*2^30)
     est_raw = (f"(raw {div} 1000000) * {ALPHA_PPM}"
                f" + ((raw % 1000000) * {ALPHA_PPM}) {div} 1000000")
-    head = f"""
-WITH vals AS (
+    # round 15: the vals explode is referenced by THREE consumers
+    # (register build, scaffold, exact audit) and Spark inlines CTEs
+    # — ``vals_table`` lets the driver entry materialize the explode
+    # once (persist view) and run the estimator over the scan
+    # (optimization guide §2.3; the decontam _materialized_grams
+    # pattern). The md5 value hash itself is output-semantic
+    # (registers ARE md5-derived) and stays untouched.
+    vals_body = f"""
   SELECT source, grain, v FROM ({tokx}) WHERE length(v) > 0
   UNION ALL
-  SELECT source, grain, v FROM ({shx})
+  SELECT source, grain, v FROM ({shx})"""
+    if vals_table is not None:
+        vals_body = f"\n  SELECT source, grain, v FROM {vals_table}"
+    head = f"""
+WITH vals AS ({vals_body}
 ),
 hashed AS (
   SELECT source, grain,
@@ -127,10 +138,7 @@ regs AS (
         # register build for the externally merged table — built from
         # the SAME template, no textual surgery (review r13 #2)
         head = f"""
-WITH vals AS (
-  SELECT source, grain, v FROM ({tokx}) WHERE length(v) > 0
-  UNION ALL
-  SELECT source, grain, v FROM ({shx})
+WITH vals AS ({vals_body}
 ),
 regs AS (SELECT source, grain, reg, m_j FROM {regs_table})"""
     return head + f""",
@@ -182,11 +190,24 @@ HLL_SPARK = _hll_sql("spark")
 HLL_DUCK = _hll_sql("duck")
 
 
+def _vals_sql(engine: str = "spark", table: str = "documents") -> str:
+    """Just the vals explode (tokens + strided shingles) — the piece
+    the round-15 driver entry materializes once."""
+    full = _hll_sql(engine, table=table)
+    start = full.index("WITH vals AS (") + len("WITH vals AS (")
+    end = full.index("),\nhashed AS (")
+    return full[start:end]
+
+
 def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(HLL_SPARK)
+    # r15: materialize the token+shingle explode once — three CTE
+    # consumers used to re-run it inlined (guide §2.3)
+    vals = spark.sql(_vals_sql()).persist()
+    vals.createOrReplaceTempView("hll_vals")
+    return spark.sql(_hll_sql("spark", vals_table="hll_vals"))
 
 
 # --------------------------------------------------- mergeable partial

@@ -366,19 +366,27 @@ ORACLES = {
 def _diversity_sql(engine: str) -> str:
     div = "DIV" if engine == "spark" else "//"
     if engine == "spark":
-        src = ("SELECT doc_id, r, pos0, token FROM rolls "
-               "LATERAL VIEW posexplode(split(resp, ' ')) t AS pos0, token")
+        # r15: filter empties inside the array — kept positions come
+        # straight from posexplode, no renumbering window/Exchange
+        # (same rows as the oracle's row_number spelling)
+        rtoks = """rtoks AS (
+  SELECT doc_id, r, pos + 1 AS pos, token
+  FROM rolls
+  LATERAL VIEW posexplode(filter(split(resp, ' '),
+                                 x -> length(x) > 0)) t AS pos, token
+)"""
     else:
         src = ("SELECT doc_id, r, "
                "generate_subscripts(string_split(resp, ' '), 1) - 1 AS pos0,"
                " unnest(string_split(resp, ' ')) AS token FROM rolls")
-    return f"""WITH {_chain(engine)},
-rtoks AS (
+        rtoks = f"""rtoks AS (
   SELECT doc_id, r,
          row_number() OVER (PARTITION BY doc_id, r ORDER BY pos0) AS pos,
          token
   FROM ({src}) WHERE length(token) > 0
-),
+)"""
+    return f"""WITH {_chain(engine)},
+{rtoks},
 bi AS (
   SELECT doc_id,
          token || ' ' || lead(token) OVER (PARTITION BY doc_id, r
