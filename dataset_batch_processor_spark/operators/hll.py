@@ -200,14 +200,16 @@ def _vals_sql(engine: str = "spark", table: str = "documents") -> str:
 
 
 def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 note: a persist-the-vals-once variant (via ``vals_table``)
+    # was measured SLOWER at sf0.1 (2.13 -> 2.75 s): the explode is
+    # pure codegen and re-running it 3x inlined beats writing 1.5M
+    # rows to block storage and scanning them back. The parameter
+    # stays for the streaming register path, the inline CTE stays
+    # here.
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    # r15: materialize the token+shingle explode once — three CTE
-    # consumers used to re-run it inlined (guide §2.3)
-    vals = spark.sql(_vals_sql()).persist()
-    vals.createOrReplaceTempView("hll_vals")
-    return spark.sql(_hll_sql("spark", vals_table="hll_vals"))
+    return spark.sql(HLL_SPARK)
 
 
 # --------------------------------------------------- mergeable partial

@@ -63,8 +63,10 @@ def _adjacent_stats(
             "vec_b",
         )
     )
-    # r15: exact-sequence Arrow fold — bit-identical, vectorized
-    cos6 = F.round(vector.cosine_exact_arrow()(F.col("ea"), F.col("eb")), 6)
+    # chain-adjacency pairs are corpus-row-bounded but per-call tiny
+    # here — the JVM fold wins below Arrow's fixed round-trip cost
+    # (measured r15: 1.55 -> 2.01 s with the Arrow kernel, reverted)
+    cos6 = F.round(vector.cosine(F.col("ea"), F.col("eb")), 6)
     q = F.floor(cos6 * 1000000 + F.lit(0.5)).cast("bigint")
     return j.agg(
         F.lit(label).alias("ordering"),

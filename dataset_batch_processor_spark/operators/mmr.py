@@ -118,12 +118,11 @@ def mmr_topk(
         .filter(F.col("i") != F.col("j"))
         .select(
             "query_id", "i", "j",
-            _q6(
-                # r15: exact-sequence Arrow fold — bit-identical
-                vector.cosine_exact_arrow()(
-                    F.col("i_emb"), F.col("j_emb")
-                )
-            ).alias("sim_q6"),
+            # pool-bounded (|Q| x cand_n^2 rows): JVM fold beats an
+            # Arrow stage's fixed round-trip at this cardinality
+            _q6(vector.cosine(F.col("i_emb"), F.col("j_emb"))).alias(
+                "sim_q6"
+            ),
         )
         .persist()
     )

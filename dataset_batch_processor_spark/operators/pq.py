@@ -48,7 +48,13 @@ TOP_K = 5
 FX = 1_000_000  # fixed-point scale for squared distances
 
 
-def _pq_sql(dialect: str) -> str:
+def _pq_sql(dialect: str, codes_table: str | None = None) -> str:
+    """``codes_table`` (round 15): swap the SQL encode chain (corpus
+    x K x M interpreted distance folds + per-(vec, j) argmin window)
+    for an externally built codes relation — the driver entry passes
+    the ``pq_encode`` Arrow kernel's output, which tests/test_pq.py
+    pins code-for-code equal to this SQL chain. The cents/luts/ADC/
+    ranking spelling is unchanged (the hll regs_table convention)."""
     spark = dialect == "spark"
     # element-sequential squared L2 between two embeddings restricted
     # to subspace j (0-based), as fixed-point BIGINT
@@ -77,14 +83,10 @@ def _pq_sql(dialect: str) -> str:
     d2_lut = d2.format(a="q.emb", b="c.emb", sub=SUB, fx=FX)
     sub_src = subspaces.format(m=M - 1)
 
-    return f"""
-WITH cents AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         embedding AS emb
-  FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
-  ORDER BY vec_id LIMIT {K}
-),
-corpus AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    if codes_table is not None:
+        codes = f"codes AS (SELECT vec_id, j, cid FROM {codes_table})"
+    else:
+        codes = f"""corpus AS (SELECT vec_id, embedding AS emb FROM embeddings),
 assigns AS (
   SELECT e.vec_id, s.j, c.cid, {d2_enc} AS d2
   FROM corpus e
@@ -98,7 +100,15 @@ codes AS (
                               ORDER BY d2 ASC, cid ASC) AS rn
     FROM assigns
   ) ranked WHERE rn = 1
+)"""
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS emb
+  FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
+  ORDER BY vec_id LIMIT {K}
 ),
+{codes},
 queries AS (
   SELECT vec_id AS query_id, embedding AS emb
   FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
@@ -135,8 +145,20 @@ PQ_TOPK_DUCK = _pq_sql("duck")
 
 def build_pq_topk(spark, sf_dir):
     """The raw (un-cached) PQ top-k plan — what plan-shape tests
-    inspect; the registered query wraps it in materialize_once."""
-    return _run(PQ_TOPK_SPARK, ("embeddings",))(spark, sf_dir)
+    inspect; the registered query wraps it in materialize_once.
+
+    Round 15: codes come from the ``pq_encode`` Arrow kernel (pinned
+    code-for-code equal to the SQL encode chain by tests/test_pq.py)
+    instead of the corpus x K x M interpreted fold + argmin window;
+    the query-side LUT build (|Q| x K x M rows, KBs) and the ADC
+    equi-join keep the SQL spelling, as does the whole DuckDB oracle."""
+    from .. import catalog
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    cents = pq_centroids(emb)
+    pq_encode(emb, cents).createOrReplaceTempView("pq_codes_kernel")
+    return spark.sql(_pq_sql("spark", codes_table="pq_codes_kernel"))
 
 
 def _q_pq_topk(spark, sf_dir):

@@ -83,13 +83,20 @@ def adaptive_n_planes(
     return min(hi, max(lo, math.ceil(math.log2(max(1.0, n / target_bucket)))))
 
 
-def _cos_expr(a, b, vectorized: bool):
+def _cos_expr(a, b, vectorized: bool, small: bool = False):
     """Vectorized numpy cosine (production default: the zip_with fold
     is an interpreted higher-order function — measured 25x slower at
     200k vectors) vs the exact sequential JVM fold (oracle queries:
     provable bit-determinism, see vector.cosine6_vectorized docstring)."""
     if vectorized:
         return vector.cosine6_vectorized()(a, b)
+    if small:
+        # panel/bucket-bounded row counts (IVF probe: |Q| x cells,
+        # candidates: |Q| x n_probe x bucket): an Arrow stage's fixed
+        # JVM<->Python round-trip costs more than it saves there
+        # (measured: emb_ivf_topk 0.82 -> 1.25 s when Arrow'd) — keep
+        # the interpreted JVM fold for these stages
+        return F.round(vector.cosine(a, b), 6)
     # round 15: same exact sequential fold, executed as a vectorized
     # Arrow kernel — bit-identical by operation-sequence construction
     # (see cosine_exact_arrow docstring), JVM-side HALF_UP rounding
@@ -351,7 +358,13 @@ def ann_lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
+        # home-bucket-only candidates are bucket-bounded (JVM fold);
+        # a multi-probe Hamming ball scores enough candidates for the
+        # Arrow exact fold to pay off (measured both ways, r15)
+        _cos_expr(
+            F.col("q_emb"), F.col("embedding"), vectorized,
+            small=multiprobe == 0,
+        ).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -884,9 +897,13 @@ def ivf_topk_trained(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias(
-            "cos_sim"
-        ),
+        # partial probe: candidates are panel-bounded (JVM fold);
+        # full probe (n_probe = every list) scores corpus-sized
+        # candidates — the Arrow exact fold pays off there
+        _cos_expr(
+            F.col("q_emb"), F.col("embedding"), vectorized,
+            small=n_probe < len(ids),
+        ).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -961,7 +978,9 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
         "query_id",
         "q_emb",
         "centroid_id",
-        _cos_expr(F.col("q_emb"), F.col("c_emb"), vectorized).alias("c_cos"),
+        _cos_expr(
+            F.col("q_emb"), F.col("c_emb"), vectorized, small=True
+        ).alias("c_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.col("centroid_id"))
     probes = (
@@ -977,7 +996,10 @@ def ivf_topk(emb: DataFrame, k: int = TOP_K, query_mod: int = QUERY_MOD,
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos_expr(F.col("q_emb"), F.col("embedding"), vectorized).alias("cos_sim"),
+        # candidates are |Q| x n_probe x bucket — panel-bounded
+        _cos_expr(
+            F.col("q_emb"), F.col("embedding"), vectorized, small=True
+        ).alias("cos_sim"),
     ).distinct()  # a candidate can arrive via both probed lists
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

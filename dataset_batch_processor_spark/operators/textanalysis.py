@@ -449,7 +449,62 @@ FROM winnowed
 WHERE p <= n - {KR_W} + 1 - {WIN_W - 1}
 """
 
-QUERIES["docs_winnow_fingerprint"] = _run(WINNOW_SPARK)
+def winnow_fingerprints_arrow(docs):
+    """Round 15 (optimization guide §4.2): the per-char posexplode +
+    12-lead window + min-window pipeline, as ONE Arrow batch kernel.
+    Exact-integer twin of WINNOW_SPARK: codepoints via a vectorized
+    utf-32 reinterpret (= Spark ``ascii(ch)`` per char), Karp-Rabin
+    hashes as an int64 sliding-window matmul against the same
+    ``_KR_POWS`` (bounded by 8 * 0x10FFFF * KR_P ~ 9e12, exact),
+    window minima + per-doc unique = the SQL's min-over-window +
+    global DISTINCT. The DuckDB oracle keeps the SQL spelling."""
+    import numpy as np
+    import pandas as pd
+
+    POW = np.array(_KR_POWS, dtype=np.int64)
+
+    def run(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                if len(t) < KR_W:
+                    continue
+                a = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                H = (sliding_window_view(a, KR_W) @ POW) % KR_P
+                if len(H) < WIN_W:
+                    continue
+                u = np.unique(
+                    sliding_window_view(H, WIN_W).min(axis=1)
+                )
+                ids_out.append(np.full(len(u), doc_id, dtype=np.int64))
+                fps_out.append(u)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out).astype(np.int32),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, fp int"
+    )
+
+
+def _q_winnow_fingerprint(spark, sf_dir):
+    from .. import catalog
+
+    return winnow_fingerprints_arrow(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+QUERIES["docs_winnow_fingerprint"] = _q_winnow_fingerprint
 ORACLES["docs_winnow_fingerprint"] = WINNOW_DUCK
 
 

@@ -293,17 +293,23 @@ def test_ivfpq_registered_query_is_kernel_path(spark, sf_dir):
 
 
 def test_q2_correlated_min_decorrelates(spark, sf_dir):
-    """q2's correlated scalar-MIN must decorrelate to a per-partkey
-    aggregate re-joined on (supplycost, partkey) — never a per-row
-    rescan (BroadcastNestedLoop/Cartesian) — and every dimension join
-    (part, supplier, nation, region x2 subtrees) must broadcast."""
+    """q2's per-part minimum must never be a per-row rescan
+    (BroadcastNestedLoop/Cartesian). Round 15: the registered query
+    computes it as min() OVER (PARTITION BY ps_partkey) on ONE
+    European ps evaluation, so the dimension chain (part, supplier,
+    nation, region) broadcasts exactly once — 4 broadcast joins, not
+    the former 6+ across two inlined subtrees."""
     from dataset_batch_processor_spark.operators import tpch
 
     df = tpch.QUERIES["q2_min_cost_supplier"](spark, sf_dir)
     plan = explain.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert explain.broadcast_join_count(df) >= 6
+    assert explain.broadcast_join_count(df) >= 4
+    # the window must ride the ps aggregation's partitioning — a
+    # second lineitem-side aggregate chain would show up as more
+    # HashAggregate pairs than the single ps build needs
+    assert plan.count("Window") >= 1
 
 
 def test_q16_not_in_is_broadcast_anti(spark, sf_dir):

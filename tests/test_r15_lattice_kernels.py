@@ -73,3 +73,21 @@ def test_cc_local_fast_path_matches_star_contraction(spark):
     assert local == dist
     comp = dict(local)
     assert comp[3] == 1 and comp[11] == 1 and comp[8] == 7 and comp[9] == 9
+
+
+def test_winnow_arrow_kernel_matches_sql(spark, sf_dir):
+    """Round 15: the Arrow Karp-Rabin winnowing kernel must emit the
+    exact fingerprint set of the SQL window formulation."""
+    from dataset_batch_processor_spark import catalog
+    from dataset_batch_processor_spark.operators import textanalysis as ta
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    sql_rows = sorted(
+        (r[0], int(r[1])) for r in spark.sql(ta.WINNOW_SPARK).collect()
+    )
+    kr_rows = sorted(
+        (r[0], int(r[1]))
+        for r in ta.winnow_fingerprints_arrow(docs).collect()
+    )
+    assert kr_rows == sql_rows and len(kr_rows) > 0
