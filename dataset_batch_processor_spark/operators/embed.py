@@ -217,43 +217,76 @@ def embed_ann_topk_df(
     panel (r13 verdict item 8: the gated doc_id % 50 panel GROWS with
     the corpus, so the measured growth conflates corpus and query-set
     growth — a scale study passes query_mod = 50 * fanout to hold |Q|
-    fixed, the serving shape)."""
+    fixed, the serving shape).
+
+    Round 15 (optimization guide §4.2 / §3.3): the sparse
+    inverted-index join keyed on only FH_DIM=16 distinct dim values
+    degenerated into a near-cross-join (every corpus posting met
+    ~1/16 of all query postings). The feature-hash dots are INTEGER
+    sums — order-free, so one int64 GEMM per Arrow batch against the
+    broadcast query panel is EXACTLY the SQL's per-dim sum. Pair
+    inclusion replicates the join's sparse semantics: a (query, doc)
+    row exists iff their nonzero supports intersect (a shared-dim
+    +1/-1 cancellation still yields a dot=0 ROW, a disjoint support
+    yields NO row); cos_fx replicates the SQL float expression
+    operation-for-operation. Ranking stays a per-query JVM window."""
+    import numpy as np
+    import pandas as pd
+
     from .. import catalog
 
     docs = catalog.load_table(spark, sf_dir, "documents")
     emb = embed_text(docs)
-    vec = (
-        emb.select("doc_id", F.posexplode("embedding").alias("dim", "w"))
-        .select("doc_id", "dim", F.col("w").cast("long").alias("w"))
-        .filter(F.col("w") != 0)
+    # query panel: |corpus|/query_mod rows of FH_DIM ints — the same
+    # bounded relation the old plan broadcast; collected once and
+    # broadcast to the kernel
+    qrows = (
+        embed_text(docs.filter(F.col("doc_id") % query_mod == 0))
+        .collect()
     )
-    nrm = vec.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).cast("long").alias("s")
+    q_ids = np.array([r["doc_id"] for r in qrows], dtype=np.int64)
+    Q = (
+        np.stack([np.asarray(r["embedding"]) for r in qrows])
+        .astype(np.int64)
+        if qrows else np.zeros((0, FH_DIM), dtype=np.int64)
     )
-    qn = nrm.filter(F.col("doc_id") % query_mod == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("s").alias("qs")
-    )
-    qvec = vec.join(
-        qn, vec.doc_id == qn.query_id
-    ).select("query_id", "qs", F.col("dim").alias("qdim"),
-             F.col("w").alias("qw"))
-    dots = (
-        vec.join(F.broadcast(qvec), F.col("dim") == F.col("qdim"))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "qs", F.col("doc_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("qw") * F.col("w")).cast("long").alias("dot"))
-    )
-    scored = dots.join(
-        nrm.select(F.col("doc_id").alias("neighbor_id"),
-                   F.col("s").alias("ns")),
-        "neighbor_id",
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.expr(
-            "CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(qs AS DOUBLE))"
-            " * sqrt(CAST(ns AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)"
-        ).alias("cos_fx"),
+    qs = (Q * Q).sum(axis=1)
+    keep_q = qs > 0  # zero vectors have no postings -> never pair
+    bc = spark.sparkContext.broadcast((q_ids[keep_q], Q[keep_q],
+                                       qs[keep_q]))
+
+    def score(batches):
+        qi, Qm, qsv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qi) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.int64)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dots = E @ Qm.T                                  # exact int64
+            shared = (E != 0).astype(np.int64) @ (Qm != 0).T.astype(
+                np.int64
+            ) > 0
+            ns = (E * E).sum(axis=1)
+            mask = shared & (ids[:, None] != qi[None, :])
+            r, c = np.nonzero(mask)
+            if len(r) == 0:
+                continue
+            cos_fx = np.floor(
+                dots[r, c].astype(np.float64)
+                / (np.sqrt(qsv[c].astype(np.float64))
+                   * np.sqrt(ns[r].astype(np.float64)))
+                * 1000000.0 + 0.5
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[c],
+                    "neighbor_id": ids[r],
+                    "cos_fx": cos_fx,
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_fx long"
     )
     from pyspark.sql import Window
 

@@ -52,15 +52,21 @@ def test_encoder_registry_plug_point(spark, sf_dir):
 
 
 def test_embed_ann_plan_broadcasts_queries(spark, sf_dir):
+    """Round 15: the query panel rides a SparkContext broadcast into
+    the integer-GEMM kernel (the old plan broadcast it into a
+    16-distinct-key hash join that degenerated toward cross-join
+    volume); the plan must stay one Arrow pass + a per-query window —
+    no join of any kind touches the corpus."""
     plan = (
         embed._q_embed_ann_topk(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
 
 
 def _py_feathash(text: str) -> list:
