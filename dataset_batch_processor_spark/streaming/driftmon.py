@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from . import fixtures
 
 N_BUCKETS = 8
 BUCKET_CHARS = 64  # n_chars DIV 64, clamped to N_BUCKETS-1
@@ -146,14 +147,15 @@ def _q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_path = stage(spark, sf_dir)
     work = scratch_dir("dbp_drift_work_")
-    q = accumulate_drift(
-        spark.readStream.schema("doc_id long, n_chars long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_path),
-        commits_dir=os.path.join(work, "commits"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        q = accumulate_drift(
+            spark.readStream.schema("doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_path),
+            commits_dir=os.path.join(work, "commits"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return read_drift(spark, os.path.join(work, "commits"))
 
 

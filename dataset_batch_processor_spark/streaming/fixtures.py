@@ -28,10 +28,41 @@ exact), so the gated outputs are unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..matcache import staged_once
+
+# A micro-batch is INPUT-BOUNDED (one staged shard, ~|corpus|/2 rows
+# here), so its shuffle width should track per-batch volume, not the
+# session's core count: at the session default (32) every per-batch
+# aggregation/window/commit pays 32 tasks + 32 output files of fixed
+# overhead per micro-batch. Measured at sf0.1 across the six heaviest
+# twins (round 15b): 32 -> 4 cuts each drain 30-50% (turn admission
+# 4.8 -> 2.4 s). A production stream sizes this to micro-batch
+# throughput (rows/trigger / target partition size), which is exactly
+# what the env knob expresses; the gated outputs are partitioning-
+# invariant by construction (counts/sketches merge, pair/digest sets
+# are emission-exact), which every twin's oracle gate re-proves.
+DRAIN_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "4")
+
+
+@contextlib.contextmanager
+def drain_sized(spark: SparkSession):
+    """Scope ``shuffle.partitions`` to the micro-batch volume around a
+    streaming drain (stream build + start + awaitTermination),
+    restoring the session default on ANY exit so a mid-drain error
+    can't leak the tweak into the long-lived session (the
+    batchcheck._state_sized_session discipline)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", DRAIN_PARTITIONS)
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stage_mod_shards(

@@ -78,14 +78,17 @@ def _q_stream_hll_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_path = stage(spark, sf_dir)
     work = scratch_dir("dbp_hlg_work_")
-    q = accumulate_hll(
-        spark.readStream.schema("doc_id long, text string, source string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_path),
-        commits_dir=os.path.join(work, "commits"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        q = accumulate_hll(
+            spark.readStream.schema(
+                "doc_id long, text string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_path),
+            commits_dir=os.path.join(work, "commits"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     # the audit's exact side reads the fully-drained corpus
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"

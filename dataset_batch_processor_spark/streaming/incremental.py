@@ -166,20 +166,21 @@ def run_incremental_over_dir(
     the drained pairs DataFrame (distinct)."""
     if schema is None:
         schema = spark.read.parquet(staged_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(staged_dir)
-        .select("doc_id", "text")
-    )
-    q = incremental_lsh_pairs(
-        stream,
-        index_dir=os.path.join(work_dir, "band_index"),
-        pairs_dir=os.path.join(work_dir, "pairs"),
-        checkpoint_dir=os.path.join(work_dir, "checkpoint"),
-        max_bucket_size=max_bucket_size,
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(staged_dir)
+            .select("doc_id", "text")
+        )
+        q = incremental_lsh_pairs(
+            stream,
+            index_dir=os.path.join(work_dir, "band_index"),
+            pairs_dir=os.path.join(work_dir, "pairs"),
+            checkpoint_dir=os.path.join(work_dir, "checkpoint"),
+            max_bucket_size=max_bucket_size,
+        )
+        q.awaitTermination()
     # partition discovery adds the batch_id dir key as a column;
     # project it away so the result schema is exactly (doc_a, doc_b)
     return (

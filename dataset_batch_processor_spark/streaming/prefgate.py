@@ -93,14 +93,15 @@ def _q_stream_margin_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_pfg_work_")
-    q = accumulate_margins(
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_path),
-        commits_dir=os.path.join(work, "commits"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        q = accumulate_margins(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_path),
+            commits_dir=os.path.join(work, "commits"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return read_margins(spark, os.path.join(work, "commits"))
 
 

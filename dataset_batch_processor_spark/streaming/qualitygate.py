@@ -118,14 +118,17 @@ def _q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_qg_work_")
-    q = accumulate_admission(
-        spark.readStream.schema("doc_id long, text string, source string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_path),
-        commits_dir=os.path.join(work, "commits"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        q = accumulate_admission(
+            spark.readStream.schema(
+                "doc_id long, text string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_path),
+            commits_dir=os.path.join(work, "commits"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return read_admission(spark, os.path.join(work, "commits"))
 
 

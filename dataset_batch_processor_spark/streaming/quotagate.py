@@ -106,14 +106,15 @@ def _q_stream_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_qg2_work_")
-    q = accumulate_quota(
-        spark.readStream.schema("doc_id long, source string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_path),
-        commits_dir=os.path.join(work, "commits"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        q = accumulate_quota(
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_path),
+            commits_dir=os.path.join(work, "commits"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return read_quota(spark, os.path.join(work, "commits"))
 
 

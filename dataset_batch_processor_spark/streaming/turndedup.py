@@ -156,19 +156,20 @@ def run_turn_admission_over_dir(
     ORDER-FREE gated view: one row per admitted digest."""
     if schema is None:
         schema = spark.read.parquet(staged_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(staged_dir)
-        .select("doc_id", "text")
-    )
-    q = incremental_turn_admission(
-        stream,
-        index_dir=os.path.join(work_dir, "digest_index"),
-        admitted_dir=os.path.join(work_dir, "admitted"),
-        checkpoint_dir=os.path.join(work_dir, "checkpoint"),
-    )
-    q.awaitTermination()
+    with fixtures.drain_sized(spark):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(staged_dir)
+            .select("doc_id", "text")
+        )
+        q = incremental_turn_admission(
+            stream,
+            index_dir=os.path.join(work_dir, "digest_index"),
+            admitted_dir=os.path.join(work_dir, "admitted"),
+            checkpoint_dir=os.path.join(work_dir, "checkpoint"),
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(os.path.join(work_dir, "admitted"))
         .select("digest", F.col("n_tokens").cast("int").alias("n_tokens"))

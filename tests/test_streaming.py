@@ -200,3 +200,25 @@ def test_streaming_session_rollup_matches_batch(spark, sf_dir, tmp_path):
         assert exp[key] == v, key
     # append mode may hold back only sessions not closed by the data
     assert len(got) >= len(exp) * 0.9
+
+
+def test_drain_sized_scopes_and_restores_shuffle_partitions(spark):
+    """drain_sized must apply DRAIN_PARTITIONS only inside the drain
+    scope and restore the session default on normal AND error exit, so
+    a failed drain can't leak micro-batch sizing into the session."""
+    from dataset_batch_processor_spark.streaming import fixtures
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with fixtures.drain_sized(spark):
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == fixtures.DRAIN_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    try:
+        with fixtures.drain_sized(spark):
+            raise RuntimeError("mid-drain failure")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
