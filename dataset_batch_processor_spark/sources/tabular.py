@@ -204,7 +204,15 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = catalog.load_table(spark, sf_dir, "lineitem")
+    # Project to the columns the gated aggregate reads (guide §2.3/§6:
+    # the read side's ORC column pruning means the other 11 columns
+    # were encoded but never decoded — write-side waste, not proof; the
+    # CSV/XML roundtrip twins already project). Profiled: the write IS
+    # the query's build cost (1.53 s of 1.92 s, tools/r15_profile.py).
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
     path = tempfile.mkdtemp(prefix="dbp_orc_rt_") + "/lineitem"
     write_orc(li, path)
     read_orc(spark, path).createOrReplaceTempView("orc_lineitem_rt")
