@@ -430,6 +430,7 @@ def _embed_lsh_sql(
     engine: str, planes: int = LSH_PLANES,
     query_mod: int = EMBED_ANN_QUERY_MOD,
     bucket_cap: int | None = None,
+    vec_source: str | None = None,
 ) -> str:
     """``planes`` is the at-scale knob (P = O(log n) keeps per-bucket
     density constant as the corpus grows — the dedup.py sign-LSH
@@ -474,7 +475,21 @@ def _embed_lsh_sql(
         flips_rel = f"SELECT col1 AS pw FROM (VALUES {pws})"
     else:
         flips_rel = f"SELECT pw FROM (VALUES {pws}) t(pw)"
-    return f"""
+    if vec_source is not None:
+        # round 15 (guide §4.2): the Spark side reads the corpus
+        # vectors from the registered Arrow feathash-encoder view
+        # instead of re-deriving them with one md5 PER TOKEN
+        # OCCURRENCE in SQL. Exactness: the kernel encoder is gated
+        # to the identical md5 semantics by docs_embed_feathash
+        # (same oracle CTE chain), and the sparse vec CTE is exactly
+        # its nonzero unpivot — integer weights, no float path. The
+        # DuckDB oracle keeps the full toks/hashed/vec derivation.
+        vec_head = f"""
+WITH vec AS (
+  SELECT doc_id, dim, w FROM {vec_source}
+),"""
+    else:
+        vec_head = f"""
 WITH toks AS (
   SELECT doc_id, token FROM ({tokx}) WHERE length(token) > 0
 ),
@@ -488,7 +503,8 @@ vec AS (
   SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS w
   FROM hashed GROUP BY doc_id, dim
   HAVING sum(sign) != 0
-),
+),"""
+    return f"""{vec_head}
 nrm AS (
   SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s FROM vec GROUP BY doc_id
 ),
@@ -558,11 +574,34 @@ def embed_ann_lsh_df(
 ) -> DataFrame:
     from .. import catalog
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    # round 15 (guide §2.3 "don't compute it twice" / §4.2): Spark
+    # inlines every CTE reference, so the pure-SQL body re-derived the
+    # toks -> md5-per-token-occurrence -> vec chain SIX times in one
+    # plan (nrm x2 via q/scored, dots, cdots va/vb, buckets). Derive
+    # the sparse vec ONCE through the Arrow feathash kernel (md5 per
+    # DISTINCT token) and persist it — all six references scan the
+    # same in-memory relation. The nonzero unpivot of the kernel's
+    # dense output is exactly the SQL vec CTE (integer weights; the
+    # w != 0 filter is its HAVING), pinned by the docs_embed_feathash
+    # gate; the DuckDB oracle keeps the full SQL derivation.
+    vec = (
+        embed_text(docs)
+        .select("doc_id", F.posexplode("embedding").alias("dim", "w"))
+        .filter(F.col("w") != 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .persist()
     )
+    vec.createOrReplaceTempView("fh_sparse_vec")
     # Spark has no QUALIFY: wrap the shared body
-    body = _embed_lsh_sql("spark", planes, query_mod, bucket_cap)
+    body = _embed_lsh_sql(
+        "spark", planes, query_mod, bucket_cap, vec_source="fh_sparse_vec"
+    )
     body = body[: body.index("QUALIFY rank <= ")]
     return spark.sql(
         "SELECT * FROM (" + body + f") WHERE rank <= {EMBED_ANN_TOP_K}"
