@@ -32,6 +32,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Spread an unsplittable small scan across the worker slots ahead
+    of a CPU-bound per-row chain (optimization guide §2.5: "one huge
+    unsplittable file -> repartition immediately after the read").
+
+    The fixture tables are single-row-group parquet files, so a scan
+    yields ONE input partition and every pre-shuffle chain (gram
+    explode + hash + partial aggregation) runs in one task regardless
+    of core count — measured 2-2.5x on the md5/gram-heavy document
+    chains at sf0.1. The guard makes it scale-correct: a production
+    multi-file table already scans at least as wide as the
+    parallelism and passes through untouched, so the exchange exists
+    exactly where the input layout starves the stage. Round-robin
+    repartition is deterministic under retry (Spark sorts before
+    round-robin, SPARK-23207), and the per-row chains this guards are
+    row-independent, so results are partitioning-invariant (each
+    consumer's oracle gate re-proves it).
+
+    Applied per MEASURED call site, not in load_table: cheap scans
+    (simple projections, broadcast sides) lose more to the exchange
+    than the fan-out returns — the sweep numbers live in
+    OPTIMIZATION_r15.md."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some fixture generations store ``ts`` as TIMESTAMP(NANOS),
     which Spark's parquet reader rejects outright; others store

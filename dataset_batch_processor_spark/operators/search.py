@@ -294,9 +294,11 @@ def _rank_topk(pdf, score_col: str, id_col: str, rank_col: str):
 
 
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
+    # fanout (guide §2.5): the BM25 tokenize chain is the scan stage;
+    # 1.07 -> 0.91 s at sf0.1
+    catalog.fanout(
+        catalog.load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("documents")
     catalog.load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )

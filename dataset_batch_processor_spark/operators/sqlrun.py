@@ -14,10 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import catalog
 
 
-def _run(sql: str, tables: tuple[str, ...]):
+def _run(sql: str, tables: tuple[str, ...], fanout: tuple[str, ...] = ()):
+    """``fanout`` names tables registered through catalog.fanout —
+    for queries whose scan feeds a CPU-bound single-stage chain that
+    the one-row-group fixture layout would otherwise serialize
+    (guide §2.5; applied per measured call site)."""
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables:
-            catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            df = catalog.load_table(spark, sf_dir, t)
+            if t in fanout:
+                df = catalog.fanout(df)
+            df.createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return f

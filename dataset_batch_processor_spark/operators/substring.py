@@ -119,7 +119,12 @@ ORDER BY doc_id, span_start
 SPANS_SPARK = _spans_sql("spark")
 SPANS_DUCK = _spans_sql("duck")
 
-QUERIES = {"docs_substring_dedup_spans": _run(SPANS_SPARK, ("documents",))}
+# fanout: the stride-1 gram explode + xxhash64 is the whole scan
+# stage; one-partition input serialized it (measured 2.96 -> 1.12 s
+# at sf0.1, guide §2.5)
+QUERIES = {"docs_substring_dedup_spans": _run(
+    SPANS_SPARK, ("documents",), fanout=("documents",)
+)}
 ORACLES = {"docs_substring_dedup_spans": SPANS_DUCK}
 
 
@@ -235,5 +240,7 @@ FROM cleaned
 APPLY_SPARK = _apply_sql("spark")
 APPLY_DUCK = _apply_sql("duck")
 
-QUERIES["docs_substring_dedup_apply"] = _run(APPLY_SPARK, ("documents",))
+QUERIES["docs_substring_dedup_apply"] = _run(
+    APPLY_SPARK, ("documents",), fanout=("documents",)
+)
 ORACLES["docs_substring_dedup_apply"] = APPLY_DUCK

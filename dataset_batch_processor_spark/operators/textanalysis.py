@@ -256,11 +256,16 @@ FROM hashed WHERE fp_rank <= 4
 """
 
 
-def _run(sql: str):
+def _run(sql: str, fan: bool = False):
+    """``fan=True`` spreads the one-row-group documents scan across
+    the worker slots (catalog.fanout, guide §2.5) — only for queries
+    whose scan stage is a measured CPU-bound chain; cheap queries
+    lose more to the exchange than the fan-out returns."""
     def f(spark: SparkSession, sf_dir: str) -> DataFrame:
-        catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-            "documents"
-        )
+        df = catalog.load_table(spark, sf_dir, "documents")
+        if fan:
+            df = catalog.fanout(df)
+        df.createOrReplaceTempView("documents")
         return spark.sql(sql)
 
     return f
@@ -358,7 +363,7 @@ QUERIES = {
     "docs_quality_length_spearman": _q_quality_length_spearman,
     "docs_lang_id": _run(LANG_ID_SPARK),
     "docs_langid_confusion": _run(LANGID_CONFUSION_SPARK),
-    "docs_fingerprint": _run(FINGERPRINT_SPARK),
+    "docs_fingerprint": _run(FINGERPRINT_SPARK, fan=True),  # 1.15->0.91 s
 }
 
 ORACLES = {

@@ -165,7 +165,11 @@ ORDER BY doc_a, doc_b
 
 QUERIES = {
     "docs_winnow_fingerprints": _run(_fp_card_sql("spark"), ("documents",)),
-    "docs_winnow_overlap_pairs": _run(_pairs_sql("spark"), ("documents",)),
+    # fanout: the winnow fingerprint chain is the scan stage and the
+    # one-partition input serialized it (2.81 -> 1.11 s, guide §2.5)
+    "docs_winnow_overlap_pairs": _run(
+        _pairs_sql("spark"), ("documents",), fanout=("documents",)
+    ),
 }
 ORACLES = {
     "docs_winnow_fingerprints": _fp_card_sql("duck"),
