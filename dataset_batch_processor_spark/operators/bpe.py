@@ -1119,7 +1119,9 @@ def unigram_train(
 
 
 def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    # fanout (guide §2.5): 2.34 -> 2.08 s at sf0.1 (consistent across
+    # two probe rounds)
+    docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     vocab = unigram_train(docs)
     rows = [
         (p, len(p), len(p) == 1, int(c), int(s)) for p, c, s in vocab

@@ -647,9 +647,11 @@ def conversations_df(spark: SparkSession) -> DataFrame:
 def _q_chat_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
+    # fanout (guide §2.5): JSON render + parse are per-row CPU over
+    # the one-row-group scan; 2.70 -> 2.29 s at sf0.1
+    catalog.fanout(
+        catalog.load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("documents")
     conv = conversations_df(spark)
     path = scratch_dir("dbp_chat_jsonl_") + "/conversations"
     conv.write.mode("errorifexists").json(path)

@@ -711,7 +711,8 @@ def _q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import webquality
     from .textops import exclusive_prefix_sum
 
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    # fanout (guide §2.5): 1.71 -> 1.52 s at sf0.1
+    docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     quality = webquality.gopher_quality(docs).select(
         "doc_id",
         F.col("passes_gopher").cast("int").alias("passes"),

@@ -422,7 +422,13 @@ def _q_oph_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return oph_lsh_pairs_df(catalog.load_table(spark, sf_dir, "documents"))
+    # fanout (guide §2.5): the shingle/OPH chain is the scan stage;
+    # 2.28 -> 1.65 s at sf0.1. The signatures-ONLY query above stays
+    # unfanned (its output is the corpus-sized stage — measured
+    # 0.70 -> 1.03 s, the exchange costs more than it returns).
+    return oph_lsh_pairs_df(
+        catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
+    )
 
 
 # ------------------------------------------ shared pair-graph index
@@ -546,8 +552,10 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fanout (guide §2.5): the verify-side shingle explode is the
+    # scan stage; 1.57 -> 1.39 s at sf0.1 over the warm pair graph
     return jaccard_verify_df(
-        catalog.load_table(spark, sf_dir, "documents"),
+        catalog.fanout(catalog.load_table(spark, sf_dir, "documents")),
         pairs=pair_graph(spark, sf_dir),
     )
 
@@ -1440,7 +1448,9 @@ FROM (
 def _q_index_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    # fanout (guide §2.5): both the index build and the probe batch
+    # run the shingle/band chain off this scan; 2.22 -> 1.64 s at sf0.1
+    docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
     newb = docs.filter(F.col("doc_id") % 10 == 7)
 
@@ -1622,7 +1632,8 @@ def choose_banding(rows: list[dict]) -> tuple[int, int]:
 def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = [r.asDict() for r in _q_banding_sweep(spark, sf_dir).collect()]
     b, r = choose_banding(sweep)
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    # fanout (guide §2.5): 1.30 -> 1.16 s at sf0.1
+    docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     if sweep[0]["n_true_total"] == 25 and (b, r) != (2, 4):
         # the drift guard is scoped to the gated fixture (25 planted
         # true pairs — already in the collected report, no extra
@@ -1820,8 +1831,11 @@ def plant_exact_copies(docs: DataFrame) -> DataFrame:
 
 
 def _q_prodhash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fanout (guide §2.5): 1.16 -> 1.03 s at sf0.1
     return prodhash_chain_labels_df(
-        plant_exact_copies(catalog.load_table(spark, sf_dir, "documents"))
+        plant_exact_copies(
+            catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
+        )
     )
 
 

@@ -290,9 +290,10 @@ def bt_trajectory(
 
 
 def _q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
+    # fanout (guide §2.5): 1.45 -> 1.24 s at sf0.1
+    catalog.fanout(
+        catalog.load_table(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("documents")
     pair_rows = [
         (int(r["ki"]), int(r["kj"]), int(r["n_games"]), int(r["wins_i"]))
         for r in spark.sql(

@@ -504,8 +504,10 @@ def winnow_fingerprints_arrow(docs):
 def _q_winnow_fingerprint(spark, sf_dir):
     from .. import catalog
 
+    # fanout (guide §2.5): the Arrow winnow kernel ran in one task on
+    # the one-row-group scan; 0.78 -> 0.59 s at sf0.1
     return winnow_fingerprints_arrow(
-        catalog.load_table(spark, sf_dir, "documents")
+        catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -233,7 +233,14 @@ ORC_ROUNDTRIP_DUCK = _LINEITEM_AGG.format(src="lineitem")
 
 
 def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = catalog.load_table(spark, sf_dir, "orders").select(
+    # fanout (guide §2.5): XML render and re-parse are per-row CPU,
+    # and the one-row-group scan serialized both sides (write one
+    # file -> read one file); 2.50 -> 1.35 s at sf0.1. The gated
+    # aggregate is row-order-invariant. The CSV/ORC twins measured
+    # flat-to-worse (cheaper codecs) and stay unfanned.
+    orders = catalog.fanout(
+        catalog.load_table(spark, sf_dir, "orders")
+    ).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority",
     )
