@@ -242,14 +242,21 @@ def _q_cms_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_expr_shards(events, "cms_q", sf_dir, "user_id % 2")
 
     work = scratch_dir("dbp_cms_work_")
-    q = accumulate_cms(
-        spark.readStream.schema("user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
-        counters_dir=os.path.join(work, "counters"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    # micro-batch shuffles sized to the batch, not the session (the
+    # round-15 drain discipline — this drain was missed by the first
+    # pass); the merged grid is partitioning-invariant by
+    # mergeability, which CMS_COUNTERS_DUCK re-proves.
+    from ..streaming.fixtures import drain_sized
+
+    with drain_sized(spark):
+        q = accumulate_cms(
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            counters_dir=os.path.join(work, "counters"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return (
         read_cms(spark, os.path.join(work, "counters"))
         .select(

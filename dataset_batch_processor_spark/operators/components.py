@@ -581,6 +581,35 @@ PR_ITERS = 3
 
 
 def pagerank_lite(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    if pairs.count() <= SMALL_GRAPH_EDGE_CAP:
+        # Round-15 size gate (guide §1.2), same cap/rationale as
+        # connected_components: the fixed-point integer iteration is
+        # exactly reproducible on the driver (Python ints, floor
+        # division on positive operands == bigint DIV), so a
+        # broadcast-scale graph skips 2 shuffles x PR_ITERS of fixed
+        # job overhead. Count checked BEFORE the collect.
+        from collections import Counter, defaultdict
+
+        es = [(r[0], r[1]) for r in pairs.select(
+            "doc_a", "doc_b"
+        ).collect()]  # bounded by SMALL_GRAPH_EDGE_CAP
+        deg: Counter = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        ranks = {n: PR_SCALE for n in deg}
+        for _ in range(iters):
+            recv: dict = defaultdict(int)
+            for a, b in es:
+                recv[b] += ranks[a] // deg[a]
+                recv[a] += ranks[b] // deg[b]
+            ranks = {
+                v: (15 * PR_SCALE) // 100 + (85 * s) // 100
+                for v, s in recv.items()
+            }
+        return pairs.sparkSession.createDataFrame(
+            sorted(ranks.items()), "node bigint, pagerank bigint"
+        ).orderBy("node")
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(
@@ -670,7 +699,32 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
     star-contraction loop above — without it every round's plan
     embeds all prior rounds and the driver/executors OOM on deep
     peels (observed at sf0.1 before the cut)."""
-    edges = pairs.select(
+    proj = pairs.select(src, dst)
+    if proj.count() <= SMALL_GRAPH_EDGE_CAP:
+        # Round-15 size gate (guide §1.2), same rationale and cap as
+        # connected_components: the peel is a pure integer fixpoint of
+        # the DISTINCT edge set, so at broadcast scale run it on the
+        # driver — the dedup, the degree counts, and the rounds — and
+        # skip both the distinct shuffle and 2 jobs x O(rounds) of
+        # fixed overhead. The pre-distinct count bounds the collect
+        # BEFORE any driver transfer (it only over-counts, never
+        # under); above the cap the distributed peel runs unchanged.
+        from collections import Counter
+
+        cur = list(dict.fromkeys(
+            (r[0], r[1]) for r in proj.collect()
+        ))  # bounded by SMALL_GRAPH_EDGE_CAP; dict.fromkeys = distinct
+        for _ in range(max_rounds):
+            deg: Counter = Counter()
+            for a, b in cur:
+                deg[a] += 1
+                deg[b] += 1
+            nxt = [e for e in cur if deg[e[0]] >= k and deg[e[1]] >= k]
+            if len(nxt) == len(cur):
+                break
+            cur = nxt
+        return pairs.sparkSession.createDataFrame(cur, schema=proj.schema)
+    edges = proj.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).distinct().localCheckpoint()
     before = edges.count()
@@ -779,6 +833,33 @@ def label_propagation(
     pairs: DataFrame, iters: int = LPA_ITERS,
     src: str = "doc_a", dst: str = "doc_b",
 ) -> DataFrame:
+    if pairs.count() <= SMALL_GRAPH_EDGE_CAP:
+        # Round-15 size gate (guide §1.2), same cap/rationale as
+        # connected_components: sync LPA with the deterministic
+        # (max count, min label) vote is a pure function of the edge
+        # multiset, exactly reproducible on the driver — a
+        # broadcast-scale graph skips ~3 shuffles x LPA_ITERS of
+        # fixed job overhead. Count checked BEFORE the collect.
+        from collections import Counter, defaultdict
+
+        es = [
+            (r[0], r[1]) for r in pairs.select(src, dst).collect()
+        ]  # bounded by SMALL_GRAPH_EDGE_CAP
+        adj: dict = defaultdict(list)
+        for a, b in es:
+            adj[a].append(b)
+            adj[b].append(a)
+        lbl = {n: n for n in adj}
+        for _ in range(iters):
+            nxt = {}
+            for u, nbrs in adj.items():
+                cnt = Counter(lbl[v] for v in nbrs)
+                best = max(cnt.values())
+                nxt[u] = min(l for l, c in cnt.items() if c == best)
+            lbl = nxt
+        return pairs.sparkSession.createDataFrame(
+            sorted(lbl.items()), "node bigint, community bigint"
+        ).orderBy("node")
     sym = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))

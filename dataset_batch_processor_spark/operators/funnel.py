@@ -354,14 +354,21 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = stage_expr_shards(events, "hh_q", sf_dir, "user_id % 2")
 
     work = scratch_dir("dbp_hh_work_")
-    q = accumulate_user_counts(
-        spark.readStream.schema("user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
-        counts_dir=os.path.join(work, "counts"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    # micro-batch shuffles sized to the batch, not the session (the
+    # round-15 drain discipline — this drain was missed by the first
+    # pass); the summed counts are partitioning-invariant by
+    # mergeability, which HEAVY_HITTERS_DUCK re-proves.
+    from ..streaming.fixtures import drain_sized
+
+    with drain_sized(spark):
+        q = accumulate_user_counts(
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            counts_dir=os.path.join(work, "counts"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     per_user = (
         spark.read.parquet(os.path.join(work, "counts"))
         .groupBy("user_id")

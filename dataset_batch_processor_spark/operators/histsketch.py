@@ -206,14 +206,21 @@ def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = scratch_dir("dbp_hist_work_")
-    q = accumulate_hist(
-        spark.readStream.schema("value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage),
-        hist_dir=os.path.join(work, "hist"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination()
+    # micro-batch shuffles sized to the batch, not the session (the
+    # round-15 drain discipline — this drain was missed by the first
+    # pass); the merged histogram is partitioning-invariant by
+    # mergeability, which HIST_DUCK re-proves.
+    from ..streaming.fixtures import drain_sized
+
+    with drain_sized(spark):
+        q = accumulate_hist(
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            hist_dir=os.path.join(work, "hist"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination()
     return (
         read_hist(spark, os.path.join(work, "hist"))
         .select(

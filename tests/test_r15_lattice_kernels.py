@@ -75,6 +75,70 @@ def test_cc_local_fast_path_matches_star_contraction(spark):
     assert comp[3] == 1 and comp[11] == 1 and comp[8] == 7 and comp[9] == 9
 
 
+def _force_distributed(C, fn):
+    saved = C.SMALL_GRAPH_EDGE_CAP
+    C.SMALL_GRAPH_EDGE_CAP = -1  # force the distributed path
+    try:
+        return fn()
+    finally:
+        C.SMALL_GRAPH_EDGE_CAP = saved
+
+
+def test_kcore_local_fast_path_matches_distributed_peel(spark):
+    """Round 15b: the size-gated driver peel must emit exactly the
+    distributed k-core's edge set (multi-round convergence case: the
+    4-5-6 triangle survives only after the 1-2-3 chain peels away)."""
+    from dataset_batch_processor_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (4, 5),
+         (7, 8), (8, 9), (7, 9), (9, 10)],
+        "doc_a bigint, doc_b bigint",
+    ).distinct()
+    local = sorted(tuple(r) for r in C.kcore(edges, k=2).collect())
+    dist = _force_distributed(
+        C, lambda: sorted(tuple(r) for r in C.kcore(edges, k=2).collect())
+    )
+    assert local == dist and len(local) > 0
+
+
+def test_lpa_local_fast_path_matches_distributed(spark):
+    """Round 15b: driver LPA (max-count, min-label vote) must label
+    exactly like the distributed 4-round join/argmax chain — tie
+    votes included (node 3 sees labels {1, 4} once each)."""
+    from dataset_batch_processor_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (8, 9)],
+        "doc_a bigint, doc_b bigint",
+    )
+    local = sorted(tuple(r) for r in C.label_propagation(edges).collect())
+    dist = _force_distributed(
+        C,
+        lambda: sorted(
+            tuple(r) for r in C.label_propagation(edges).collect()
+        ),
+    )
+    assert local == dist and len(local) > 0
+
+
+def test_pagerank_local_fast_path_matches_distributed(spark):
+    """Round 15b: driver fixed-point pagerank must reproduce the
+    distributed integer iteration bit for bit (DIV == // on the
+    positive operands)."""
+    from dataset_batch_processor_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (6, 7)],
+        "doc_a bigint, doc_b bigint",
+    )
+    local = sorted(tuple(r) for r in C.pagerank_lite(edges).collect())
+    dist = _force_distributed(
+        C, lambda: sorted(tuple(r) for r in C.pagerank_lite(edges).collect())
+    )
+    assert local == dist and len(local) > 0
+
+
 def test_winnow_arrow_kernel_matches_sql(spark, sf_dir):
     """Round 15: the Arrow Karp-Rabin winnowing kernel must emit the
     exact fingerprint set of the SQL window formulation."""
