@@ -209,6 +209,12 @@ def main() -> None:
         fn()
         warmup_builds[name] = round(time.time() - t0, 3)
 
+    # round 15: the md5-family minhash signature table is session-
+    # shared (matcache kind "minhash_sigs") — the pair graph, banding
+    # sweep, chosen-banding, fuzzy decontam, the gated signatures
+    # query, and the incremental-index twin all consume it. Built
+    # first so pair_graph's recorded cost is the banding+pairs work.
+    _warm("minhash_sigs", lambda: dedup.minhash_sigs(spark, sf_dir).count())
     _warm("pair_graph", lambda: dedup.pair_graph(spark, sf_dir).count())
     # round 13: the exact-Jaccard truth panel is session-shared
     # (matcache kind "jaccard_truth") and was the dominant first-touch

@@ -210,11 +210,54 @@ def _q_decontaminate(spark, sf_dir):
     return spark.sql(_DECON_TAIL.format(v="decon_grams"))
 
 
+# Round 15b: the driver entry replaces the posting SELF-JOIN
+# (kept a ⋈ kept b ON a.gh = b.gh) with the dedup._bucket_pairs
+# shape — one groupBy(gh) collecting each gram's (distinct) doc list,
+# the DF_CAP stop-gram cutoff as a count filter on the same
+# aggregate, and the (a < b) pairs unfolded from the sorted array as
+# a codegen expression. ONE exchange of the gram table instead of
+# three (df count + two join sides), no sorts; per-gram arrays are
+# hard-bounded at DF_CAP=50 docs, so the unfold is the capped-bucket
+# case, never the degenerate one. Per-pair counts and sizes are the
+# same multisets, which NGRAM_JACCARD_DUCK re-proves.
+_JAC_UNFOLD_TAIL = f"""
+grouped AS (
+  SELECT gh, sort_array(collect_list(doc_id)) AS ids
+  FROM jac_grams
+  GROUP BY gh
+  HAVING count(*) <= {DF_CAP}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT explode(ids) AS doc_id FROM grouped)
+  GROUP BY doc_id
+),
+shared AS (
+  SELECT p.doc_a AS id1, p.doc_b AS id2, count(*) AS n_shared
+  FROM grouped
+  LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
+      transform(slice(ids, i + 2, size(ids)),
+                b -> struct(a AS doc_a, b AS doc_b))))) t AS p
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT id1, id2,
+       CAST(round(CAST(n_shared AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6)
+            AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE CAST(n_shared AS DOUBLE)
+      / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= {JAC_T}
+ORDER BY id1, id2
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     _materialized_grams(
         spark, sf_dir, JAC_N, "jac_grams", production_hash=True
     )
-    return spark.sql("WITH " + _JAC_TAIL.replace("FROM grams", "FROM jac_grams"))
+    return spark.sql("WITH " + _JAC_UNFOLD_TAIL.lstrip())
 
 
 QUERIES = {
@@ -650,10 +693,12 @@ ORACLES["docs_decontam_report"] = DECON_REPORT_DUCK
 FUZZY_BUCKET_CAP = 256
 
 
-def fuzzy_decontam_df(docs, cap: int | None = FUZZY_BUCKET_CAP):
+def fuzzy_decontam_df(docs, cap: int | None = FUZZY_BUCKET_CAP, sigs=None):
     """Fuzzy (MinHash-LSH) cross-set decontam over a documents frame.
     ``cap=None`` disables the hot-bucket cap for zero-recall-loss
-    governance runs (see module note on the recall asymmetry)."""
+    governance runs (see module note on the recall asymmetry).
+    ``sigs`` lets a caller with an already-materialized signature
+    table (dedup.minhash_sigs) skip the shingle->minhash build."""
     from pyspark.sql import functions as F
 
     from .dedup import (
@@ -663,7 +708,9 @@ def fuzzy_decontam_df(docs, cap: int | None = FUZZY_BUCKET_CAP):
         shingle_sets,
     )
 
-    bands = lsh_bands_df(minhash_signatures_df(docs))
+    bands = lsh_bands_df(
+        sigs if sigs is not None else minhash_signatures_df(docs)
+    )
     if cap is not None:
         bands = _drop_hot_buckets(bands, cap)
     ev = bands.filter(F.col("doc_id") % EVAL_MOD == 0).select(
@@ -714,10 +761,13 @@ def fuzzy_decontam_df(docs, cap: int | None = FUZZY_BUCKET_CAP):
 
 def _q_fuzzy_decontam(spark, sf_dir):
     from .. import catalog
+    from .dedup import minhash_sigs
 
-    # fanout (guide §2.5): 2.35 -> 1.73 s at sf0.1
+    # fanout (guide §2.5): 2.35 -> 1.73 s at sf0.1; signatures from
+    # the session-shared artifact (round 15)
     return fuzzy_decontam_df(
-        catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
+        catalog.fanout(catalog.load_table(spark, sf_dir, "documents")),
+        sigs=minhash_sigs(spark, sf_dir),
     )
 
 

@@ -219,6 +219,7 @@ def lsh_pairs_df(
     docs: DataFrame,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     production_hash: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs: docs sharing any band bucket.
 
@@ -236,9 +237,14 @@ def lsh_pairs_df(
     whole candidate chain — signatures, bands, capped pair join — off
     the codegen-native xxhash64 base hash instead of md5 (see
     minhash_signatures_df), so the at-scale dedup path never touches
-    md5."""
+    md5.
+
+    ``sigs`` lets a caller with an already-materialized signature
+    table (minhash_sigs) skip the shingle->minhash build entirely."""
     bands = lsh_bands_df(
-        minhash_signatures_df(docs, production_hash=production_hash)
+        sigs
+        if sigs is not None
+        else minhash_signatures_df(docs, production_hash=production_hash)
     )
     if max_bucket_size is None:
         # the uncapped path self-joins bands (two scans) — persist so
@@ -440,6 +446,26 @@ def _q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "storage.write_bucketed the pair graph once, equi-join it forever".
 
 
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized K-perm (md5-family) minhash signatures for
+    ``sf_dir``'s documents, built at most once per SparkSession —
+    round 15 (guide §2.3 "don't compute it twice"): the pair-graph
+    build, the gated signatures query, the banding sweep, the chosen-
+    banding execution, and the incremental-index twin all consumed
+    the IDENTICAL (doc_id, mh_0..mh_K) table yet each re-ran the
+    shingle->minhash chain (~2 s per consumer at sf0.1). Signatures
+    are per-doc aggregates, so every consumer's value is unchanged by
+    construction; fanout spreads the one-row-group scan (§2.5)."""
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, "minhash_sigs", sf_dir,
+        lambda: minhash_signatures_df(
+            catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 def pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized LSH candidate pairs for ``sf_dir``'s documents,
     built at most once per SparkSession."""
@@ -447,7 +473,10 @@ def pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return materialize_once(
         spark, "pair_graph", sf_dir,
-        lambda: lsh_pairs_df(catalog.load_table(spark, sf_dir, "documents")),
+        lambda: lsh_pairs_df(
+            catalog.load_table(spark, sf_dir, "documents"),
+            sigs=minhash_sigs(spark, sf_dir),
+        ),
     )
 
 
@@ -544,7 +573,7 @@ def jaccard_verify_df(docs: DataFrame, pairs: DataFrame | None = None) -> DataFr
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures_df(catalog.load_table(spark, sf_dir, "documents"))
+    return minhash_sigs(spark, sf_dir)
 
 
 def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,32 +1246,22 @@ def jaccard_truth(
 
 def _q_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep report, materialized once per (session, dataset): the
-    chooser query consumes the same 4-row artifact, so the signature
-    build and four candidate joins run once per session however many
-    consumers probe the report (the matcache convention). The
-    signature cache backing the build is dropped once the artifact
-    is written — materialize_once evaluates eagerly, so by the time
-    it returns the four config joins have already shared the cache."""
+    chooser query consumes the same 4-row artifact, so the four
+    candidate joins run once per session however many consumers probe
+    the report (the matcache convention). Signatures come from the
+    session-shared minhash_sigs artifact (round 15)."""
     from ..matcache import materialize_once
 
-    cached: list[DataFrame] = []
-    out = materialize_once(
+    return materialize_once(
         spark, "banding_sweep", sf_dir,
-        lambda: _build_banding_sweep(spark, sf_dir, _sigs_out=cached),
+        lambda: _build_banding_sweep(spark, sf_dir),
     )
-    for sigs in cached:
-        sigs.unpersist(blocking=False)
-    return out
 
 
-def _build_banding_sweep(
-    spark: SparkSession, sf_dir: str, _sigs_out: list | None = None
-) -> DataFrame:
+def _build_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load_table(spark, sf_dir, "documents")
     mod = truth_panel_mod(docs.count())
-    sigs = minhash_signatures_df(docs).persist()
-    if _sigs_out is not None:
-        _sigs_out.append(sigs)
+    sigs = minhash_sigs(spark, sf_dir)
     truth = jaccard_truth(spark, sf_dir, panel_mod=mod)
     truth_flag = truth.withColumn("_true", F.lit(1))
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_total"))
@@ -1448,14 +1467,18 @@ FROM (
 def _q_index_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..matcache import scratch_dir
 
-    # fanout (guide §2.5): both the index build and the probe batch
-    # run the shingle/band chain off this scan; 2.22 -> 1.64 s at sf0.1
+    # fanout (guide §2.5): the exact-verify shingle chain runs off
+    # this scan; 2.22 -> 1.64 s at sf0.1
     docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
-    corpus = docs.filter(F.col("doc_id") % 10 != 7)
     newb = docs.filter(F.col("doc_id") % 10 == 7)
 
+    # signatures from the session-shared artifact (round 15):
+    # signatures are per-doc aggregates, so subsetting the signature
+    # table equals signaturing the subset (the docstring invariant the
+    # oracle already leans on) — both sides skip the shingle chain
+    sigs = minhash_sigs(spark, sf_dir)
     index_dir = scratch_dir("dbp_lsh_band_index_")
-    lsh_bands_df(minhash_signatures_df(corpus)).write.mode(
+    lsh_bands_df(sigs.filter(F.col("doc_id") % 10 != 7)).write.mode(
         "overwrite"
     ).parquet(index_dir)
     # hot-bucket cap on the PERSISTED index (round 9, default-on): a
@@ -1465,7 +1488,7 @@ def _q_index_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(index_dir), DEFAULT_MAX_BUCKET_SIZE
     ).select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
 
-    new_bands = lsh_bands_df(minhash_signatures_df(newb)).select(
+    new_bands = lsh_bands_df(sigs.filter(F.col("doc_id") % 10 == 7)).select(
         F.col("doc_id").alias("new_doc"),
         F.col("band").alias("band_n"),
         F.col("bucket").alias("bucket_n"),
@@ -1632,8 +1655,6 @@ def choose_banding(rows: list[dict]) -> tuple[int, int]:
 def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = [r.asDict() for r in _q_banding_sweep(spark, sf_dir).collect()]
     b, r = choose_banding(sweep)
-    # fanout (guide §2.5): 1.30 -> 1.16 s at sf0.1
-    docs = catalog.fanout(catalog.load_table(spark, sf_dir, "documents"))
     if sweep[0]["n_true_total"] == 25 and (b, r) != (2, 4):
         # the drift guard is scoped to the gated fixture (25 planted
         # true pairs — already in the collected report, no extra
@@ -1647,7 +1668,10 @@ def _q_chosen_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"banding fixture drifted: chooser picked ({b}, {r}), "
             "expected (2, 4) — max detection at minimum candidate volume"
         )
-    bands = _bands_config_df(minhash_signatures_df(docs), b, r)
+    # signatures from the session-shared artifact (round 15): the
+    # chosen-config banding re-derives only the band table, not the
+    # shingle->minhash chain
+    bands = _bands_config_df(minhash_sigs(spark, sf_dir), b, r)
     return (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(

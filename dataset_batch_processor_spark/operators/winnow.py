@@ -163,12 +163,41 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _pairs_unfold_spark() -> str:
+    """Round 15b driver entry: the dedup._bucket_pairs shape — one
+    groupBy(fp) collecting each fingerprint's (distinct) doc list,
+    the FP_DOC_CAP hot cutoff as a count filter on the same
+    aggregate, and the (a < b) pairs unfolded from the sorted array.
+    ONE evaluation of the winnow chain and one exchange instead of
+    the self-join's two inlined chains + three exchanges; per-group
+    arrays are hard-bounded at FP_DOC_CAP docs. ``_pairs_sql`` stays
+    the self-join spec both dialects share (the oracle spelling);
+    parity pinned by test_winnow_pairs_unfold_matches_self_join."""
+    return f"""
+WITH {_fps_core('spark')},
+grouped AS (
+  SELECT fp, sort_array(collect_list(doc_id)) AS ids
+  FROM fps
+  GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND {FP_DOC_CAP}
+)
+SELECT p.doc_a, p.doc_b, CAST(count(*) AS INT) AS n_shared
+FROM grouped
+LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
+    transform(slice(ids, i + 2, size(ids)),
+              b -> struct(a AS doc_a, b AS doc_b))))) t AS p
+GROUP BY p.doc_a, p.doc_b
+HAVING count(*) >= {MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "docs_winnow_fingerprints": _run(_fp_card_sql("spark"), ("documents",)),
     # fanout: the winnow fingerprint chain is the scan stage and the
     # one-partition input serialized it (2.81 -> 1.11 s, guide §2.5)
     "docs_winnow_overlap_pairs": _run(
-        _pairs_sql("spark"), ("documents",), fanout=("documents",)
+        _pairs_unfold_spark(), ("documents",), fanout=("documents",)
     ),
 }
 ORACLES = {

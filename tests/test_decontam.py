@@ -71,6 +71,28 @@ def test_ngram_jaccard_at_or_below_cutoff_survives(spark, n_docs):
     assert all(r.jaccard == 1.0 for r in rows)
 
 
+def test_ngram_jaccard_unfold_matches_self_join_spec(spark):
+    """Round 15b: the driver entry's pair-unfold tail must emit the
+    self-join spec's exact row set on the sf0.001 fixture (pairs,
+    counts, AND the rounded jaccard values)."""
+    from dataset_batch_processor_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    catalog.load_table(spark, sf, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spec = sorted(
+        tuple(r) for r in spark.sql(decontam.NGRAM_JACCARD_SPARK).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in decontam.QUERIES["docs_ngram_jaccard_pairs"](
+            spark, sf
+        ).collect()
+    )
+    assert got == spec and len(got) > 0
+
+
 # ------------------------------------- turn-grain (chat) decontam
 
 

@@ -643,16 +643,20 @@ def test_crossdoc_line_dedup_no_cartesian_and_digest_shuffle(spark, sf_dir):
 
 
 def test_banding_sweep_single_signature_build(spark, sf_dir):
-    """All four configs must probe ONE persisted signature table: the
-    BUILD plan shows InMemoryTableScan reuse, not four shingle
-    rebuilds. (The registered query wraps this build in
-    materialize_once, whose returned DataFrame is a parquet re-scan —
-    so the pin targets the builder.)"""
+    """All four configs must probe ONE signature table — since round
+    15 the session-shared minhash_sigs parquet artifact — and never
+    re-run the shingle->minhash chain inside the sweep build. (The
+    registered query additionally wraps this build in
+    materialize_once, so the pin targets the builder.)"""
     from dataset_batch_processor_spark.operators import dedup
 
+    dedup.minhash_sigs(spark, sf_dir)  # ensure the artifact exists
     df = dedup._build_banding_sweep(spark, sf_dir)
     plan = explain.formatted_plan(df)
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # the four bandings scan the materialized signature parquet ...
+    assert "dbp_minhash_sigs_" in plan
+    # ... and the shingle derivation (substr over text) is absent
+    assert "substr(text" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -105,3 +105,25 @@ def test_guarantee_property_hypothesis():
         assert _py_fps(a) & _py_fps(b)
 
     check()
+
+
+def test_winnow_pairs_unfold_matches_self_join(spark):
+    """Round 15b: the driver entry's pair-unfold must emit the
+    self-join spec's exact row set on the sf0.001 fixture (pairs AND
+    shared counts)."""
+    from dataset_batch_processor_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    catalog.load_table(spark, sf, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spec = sorted(
+        tuple(r) for r in spark.sql(winnow._pairs_sql("spark")).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in winnow.QUERIES["docs_winnow_overlap_pairs"](
+            spark, sf
+        ).collect()
+    )
+    assert got == spec and len(got) > 0
