@@ -240,6 +240,16 @@ def main() -> None:
           lambda: dedupdash.dhash_labels(spark, sf_dir).count())
     _warm("phash_graph",
           lambda: dedupdash.phash_labels(spark, sf_dir).count())
+    # round 15: the SemDeDup survivor table is session-shared between
+    # emb_semdedup_survivors and dedup_dashboard_all_families
+    from dataset_batch_processor_spark.operators import semdedup
+    _warm("semdedup_survivors",
+          lambda: semdedup.semdedup_table(spark, sf_dir).count())
+    # round 15: the chat turns table is session-shared across the
+    # whole chat/pack/validate family (~15 registered queries)
+    from dataset_batch_processor_spark.operators import chat
+    _warm("chat_turns",
+          lambda: chat.chat_turns(spark, sf_dir).count())
     _warm("ivf_flat_assign",
           lambda: similarity.ivf_flat_assign(spark, sf_dir).count())
     _warm("ivf_trained_centroids",

@@ -141,6 +141,66 @@ def turns_duck(src: str = "documents") -> str:
 _TURNS_SPARK = turns_spark()
 _TURNS_DUCK = turns_duck()
 
+# ------------------------- session-materialized turns (round 15)
+# Every chat/pack-family consumer opens with the SAME
+# ``WITH toks, tl, turns`` chain over the documents table — the
+# tokenize explode plus the per-turn sorted-collect aggregation,
+# ~0.5-1.5 s of identical work re-run by ~15 registered queries.
+# ``chat_turns`` materializes the turns table once per (session,
+# dataset) — the pair_graph/minhash_sigs convention — and
+# ``run_with_mat_turns`` swaps the chain head for a scan of it
+# (toks stays in the WITH for the one tail that reads it; an
+# unreferenced CTE is pruned at analysis). Turns are deterministic
+# (content is the pos-sorted token join), so every consumer's value
+# is unchanged by construction, and each consumer's DuckDB oracle —
+# which keeps the full inline spelling — re-proves it.
+
+_CHAIN_SPARK = f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}"
+_MAT_TURNS_VIEW = "chat_turns_mat"
+_CHAIN_MAT = (
+    f"WITH {_TOKS_SPARK},\n"
+    f"turns AS (SELECT * FROM {_MAT_TURNS_VIEW})"
+)
+
+
+def chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, turn_id, role, content) — the assembled chat turns,
+    materialized once per (session, dataset)."""
+    from ..matcache import materialize_once
+
+    def build() -> DataFrame:
+        # fanout (guide §2.5): the tokenize explode is the scan stage
+        catalog.fanout(
+            catalog.load_table(spark, sf_dir, "documents")
+        ).createOrReplaceTempView("documents")
+        return spark.sql(
+            _CHAIN_SPARK
+            + "\nSELECT doc_id, turn_id, role, content FROM turns"
+        )
+
+    return materialize_once(spark, "chat_turns", sf_dir, build)
+
+
+def run_with_mat_turns(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run a ``WITH toks, tl, turns`` chain query with the turns CTE
+    swapped for the session-materialized table. Raises if the seam
+    text is absent (review r13 #2: textual surgery must fail loudly,
+    never silently no-op)."""
+    if _CHAIN_SPARK not in sql:
+        raise ValueError("run_with_mat_turns: chain seam missing from SQL")
+    chat_turns(spark, sf_dir).createOrReplaceTempView(_MAT_TURNS_VIEW)
+    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(sql.replace(_CHAIN_SPARK, _CHAIN_MAT, 1))
+
+
+def _run_mat(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_with_mat_turns(spark, sf_dir, sql)
+
+    return q
+
 # Per-turn rendered piece: <|im_start|>role\ncontent<|im_end|>\n.
 # chr(10) on both sides — no literal-newline escaping differences.
 _PIECE = (
@@ -314,11 +374,14 @@ def _q_turn_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import dedup as dedup_ops
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    units = spark.sql(
-        f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n{_TURN_DOCS_SPARK}"
+    # fanout (guide §2.5): the materialized turns parquet is one-two
+    # partitions, which would serialize the downstream shingle+minhash
+    # chain — spread it before the heavy stage
+    units = catalog.fanout(
+        run_with_mat_turns(
+            spark, sf_dir,
+            f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}\n{_TURN_DOCS_SPARK}",
+        )
     )
     return dedup_ops.lsh_pairs_df(units).select(
         F.col("doc_a").alias("turn_a"), F.col("doc_b").alias("turn_b")
@@ -479,14 +542,13 @@ def _pack_tail(engine: str) -> str:
 def _q_chat_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import exclusive_prefix_sum
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    lens = spark.sql(CHAT_DOC_LENS_SPARK)
+    lens = run_with_mat_turns(spark, sf_dir, CHAT_DOC_LENS_SPARK)
     exclusive_prefix_sum(lens, ["doc_id"], "doc_len", "s").createOrReplaceTempView(
         "doc_offs"
     )
-    spark.sql(CHAT_TURN_SPANS_SPARK).createOrReplaceTempView("turn_spans")
+    run_with_mat_turns(
+        spark, sf_dir, CHAT_TURN_SPANS_SPARK
+    ).createOrReplaceTempView("turn_spans")
     return spark.sql("WITH _x AS (SELECT 1)" + _pack_tail("spark"))
 
 
@@ -829,20 +891,26 @@ def _q_serving_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    return serving_order(spark)
+    return serving_order(spark, sf_dir)
 
 
-def serving_order(spark: SparkSession) -> DataFrame:
+def serving_order(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Serving order over the CURRENT ``documents`` view (the view
-    seam the scale study fans out)."""
+    seam the scale study fans out). With ``sf_dir`` the turns chain
+    comes from the session-materialized table (round 15)."""
     from pyspark.sql import functions as F
 
     from .textops import exclusive_prefix_sum
 
-    asg = spark.sql(
+    sql = (
         f"WITH {_TOKS_SPARK},\n{_TURNS_SPARK}{_serve_tail('spark')}\n"
         "SELECT doc_id, grp_depth, digest, render_len, reuse_chars"
         " FROM ranked_asg"
+    )
+    asg = (
+        run_with_mat_turns(spark, sf_dir, sql)
+        if sf_dir is not None
+        else spark.sql(sql)
     )
     # global serve_pos without a global window: exclusive prefix sum
     # of ones over the (depth DESC, digest, length, doc_id) total
@@ -1049,10 +1117,7 @@ def _mm_pack_tail(engine: str) -> str:
 def _q_mm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import exclusive_prefix_sum
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    plan = spark.sql(MM_CHAT_PLAN_SPARK)
+    plan = run_with_mat_turns(spark, sf_dir, MM_CHAT_PLAN_SPARK)
     plan.createOrReplaceTempView("mmplan")
     lens = plan.select(
         "doc_id", plan["total_tokens"].alias("doc_len")
@@ -1287,30 +1352,25 @@ TMPL_DIFF_DUCK = _tmpl_diff_sql("duck")
 
 
 def _q_template_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    return spark.sql(TMPL_DIFF_SPARK)
+    return run_with_mat_turns(spark, sf_dir, TMPL_DIFF_SPARK)
 
 
 QUERIES = {
     "docs_template_migration_diff": _q_template_diff,
-    "docs_chat_render": _run(CHAT_RENDER_SPARK),
-    "docs_chat_loss_mask": _run(CHAT_LOSS_MASK_SPARK),
-    "docs_turn_dedup": _run(CHAT_TURN_DEDUP_SPARK),
+    "docs_chat_render": _run_mat(CHAT_RENDER_SPARK),
+    "docs_chat_loss_mask": _run_mat(CHAT_LOSS_MASK_SPARK),
+    "docs_turn_dedup": _run_mat(CHAT_TURN_DEDUP_SPARK),
     "docs_turn_near_dup": _q_turn_near_dup,
     "docs_chat_pack_sequences": _q_chat_pack_sequences,
-    "docs_mm_chat_token_plan": _run(MM_CHAT_PLAN_SPARK),
+    "docs_mm_chat_token_plan": _run_mat(MM_CHAT_PLAN_SPARK),
     "docs_chunk_windows": _run(CHUNK_WINDOWS_SPARK),
     "chat_jsonl_roundtrip": _q_chat_jsonl_roundtrip,
-    "docs_chat_truncate": _run(CHAT_TRUNCATE_SPARK),
-    "docs_tool_trace_render": _run(TOOL_TRACE_SPARK),
-    "docs_chat_prefix_share": _run(CHAT_PREFIX_SHARE_SPARK),
+    "docs_chat_truncate": _run_mat(CHAT_TRUNCATE_SPARK),
+    "docs_tool_trace_render": _run_mat(TOOL_TRACE_SPARK),
+    "docs_chat_prefix_share": _run_mat(CHAT_PREFIX_SHARE_SPARK),
     "docs_chat_serving_order": _q_serving_order,
     "docs_mm_pack_sequences": _q_mm_pack_sequences,
-    "docs_instruction_diversity": _run(
-        INSTR_DIVERSITY_SPARK, fan=True  # 1.16->0.93 s
-    ),
+    "docs_instruction_diversity": _run_mat(INSTR_DIVERSITY_SPARK),
     "docs_pack_fill_report": _q_pack_fill_report,
 }
 

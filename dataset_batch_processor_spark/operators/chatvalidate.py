@@ -163,9 +163,20 @@ def _run(sql: str):
     return q
 
 
+def _run_mat(sql: str):
+    # turns chain from the session-materialized table (round 15);
+    # the streaming twin keeps the parameterized inline chain
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .chat import run_with_mat_turns
+
+        return run_with_mat_turns(spark, sf_dir, sql)
+
+    return q
+
+
 QUERIES = {
-    "docs_chat_validate": _run(CHAT_VALIDATE_SPARK),
-    "docs_chat_validate_counts": _run(CHAT_VALIDATE_COUNTS_SPARK),
+    "docs_chat_validate": _run_mat(CHAT_VALIDATE_SPARK),
+    "docs_chat_validate_counts": _run_mat(CHAT_VALIDATE_COUNTS_SPARK),
 }
 ORACLES = {
     "docs_chat_validate": CHAT_VALIDATE_DUCK,

@@ -564,7 +564,14 @@ ORDER BY g.doc_id, g.turn_id
 CHAT_DECONTAM_SPARK = _chat_decontam_sql("spark")
 CHAT_DECONTAM_DUCK = _chat_decontam_sql("duck")
 
-QUERIES["docs_chat_decontam"] = _run(CHAT_DECONTAM_SPARK, ("documents",))
+def _q_chat_decontam(spark, sf_dir):
+    # turns chain from the session-materialized table (round 15)
+    from .chat import run_with_mat_turns
+
+    return run_with_mat_turns(spark, sf_dir, CHAT_DECONTAM_SPARK)
+
+
+QUERIES["docs_chat_decontam"] = _q_chat_decontam
 ORACLES["docs_chat_decontam"] = CHAT_DECONTAM_DUCK
 
 

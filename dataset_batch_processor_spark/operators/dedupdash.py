@@ -38,7 +38,7 @@ from .components import _PAIRS_AS_CTE, connected_components, doc_dup_labels
 from .dedup import pair_graph
 from .imagedup import _pairs_bare_sql
 from .phash import PHASH_PAIRS_DUCK, phash_pairs
-from .semdedup import SEMDEDUP_DUCK, semdedup_survivors
+from .semdedup import SEMDEDUP_DUCK, semdedup_table
 
 
 def _labels(spark: SparkSession, sf_dir: str, kind: str,
@@ -105,7 +105,9 @@ def _q_dashboard_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dhash = _graph_row(dhash_labels(spark, sf_dir), "img_dhash")
     phash = _graph_row(phash_labels(spark, sf_dir), "img_phash")
-    surv = semdedup_survivors(emb, vectorized=False).agg(
+    # session-shared survivor table (round 15) — the dashboard
+    # previously re-ran the full cluster-pair computation inline
+    surv = semdedup_table(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_surv")
     )
     semd = (

@@ -124,10 +124,12 @@ def _blen_expr(div: str) -> str:
 
 
 def _q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
+    from .chat import run_with_mat_turns
+
+    # turns chain from the session-materialized table (round 15)
+    return ffd_assign(
+        spark, lens=run_with_mat_turns(spark, sf_dir, CHAT_DOC_LENS_SPARK)
     )
-    return ffd_assign(spark)
 
 
 def ffd_assign(spark: SparkSession, lens: DataFrame | None = None) -> DataFrame:
@@ -328,8 +330,13 @@ def _q_ffd_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one tokenize pass serves the assignment AND the report's real
     # token sums (review r12 #6: three independently registered views
-    # each re-derived the toks->turns->doc_lens chain)
-    lens = spark.sql(CHAT_DOC_LENS_SPARK).localCheckpoint()
+    # each re-derived the toks->turns->doc_lens chain); the turns
+    # chain itself comes from the session-materialized table (r15)
+    from .chat import run_with_mat_turns
+
+    lens = run_with_mat_turns(
+        spark, sf_dir, CHAT_DOC_LENS_SPARK
+    ).localCheckpoint()
     ffd_assign(spark, lens).createOrReplaceTempView("ffd_asgn")
     lens.createOrReplaceTempView("doc_lens")
     _q_chat_pack_sequences(spark, sf_dir).createOrReplaceTempView(

@@ -147,14 +147,17 @@ GROUP BY ordering
 
 
 def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .chat import CHAT_DOC_LENS_SPARK, CHAT_TURN_SPANS_SPARK, _pack_tail
+    from .chat import (
+        CHAT_DOC_LENS_SPARK,
+        CHAT_TURN_SPANS_SPARK,
+        _pack_tail,
+        run_with_mat_turns,
+    )
     from .similarity import ivf_flat_assign
     from .textops import exclusive_prefix_sum
 
-    catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    lens = spark.sql(CHAT_DOC_LENS_SPARK)
+    # turns chain from the session-materialized table (round 15)
+    lens = run_with_mat_turns(spark, sf_dir, CHAT_DOC_LENS_SPARK)
     assign = ivf_flat_assign(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "centroid_id"
     )
@@ -174,7 +177,9 @@ def _q_icp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive_prefix_sum(
         ordered, ["_unemb", "_cid", "doc_id"], "doc_len", "s"
     ).select("doc_id", "doc_len", "s").createOrReplaceTempView("doc_offs")
-    spark.sql(CHAT_TURN_SPANS_SPARK).createOrReplaceTempView("turn_spans")
+    run_with_mat_turns(
+        spark, sf_dir, CHAT_TURN_SPANS_SPARK
+    ).createOrReplaceTempView("turn_spans")
     return spark.sql("WITH _x AS (SELECT 1)" + _pack_tail("spark"))
 
 
