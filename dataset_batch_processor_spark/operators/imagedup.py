@@ -332,46 +332,41 @@ def lattice_dhash_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def dhash_pairs_df(
-    docs: DataFrame,
-    max_band_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
-    bare: bool = False,
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    max_band_size: int | None,
+    hamming_max: int,
 ) -> DataFrame:
-    """DataFrame-API twin of ``_pairs_sql('spark')`` over the Arrow
-    lattice kernel (round 15, optimization guide §4.2 / §2.4): the
-    per-doc hash runs vectorized in one Python pass instead of the
-    ~650-rows-per-doc pixel explode + box aggregation + band
-    re-aggregation (plan: 6 Exchanges -> 3); the banded candidate
-    join + exact-Hamming verify are unchanged JVM joins. Same rows,
-    same hot-band cap semantics, same ordering contract as the SQL
-    (``bare`` drops the final ORDER BY for edge-list composition)."""
-    from .dedup import _drop_hot_buckets
+    """(doc_a, doc_b, hamming) pairs sharing any of the four 16-bit
+    bands, exact-Hamming verified — the shared tail of the pHash and
+    dHash pair builders (round 16).
 
-    hashes = lattice_dhash_hashes(docs)
+    The hash table is persisted HERE and referenced three times (the
+    band unfold + the two verify sides), so the Arrow lattice kernel
+    evaluates ONCE per plan instead of being re-run by every
+    reference (the round-15 shape re-evaluated it up to four times:
+    two self-join sides + two verify joins). The banded candidate
+    join is ``dedup._bucket_pairs`` — the guarded bucket unfold (one
+    exchange of the bands, the hot-band cap enforced by a spill-safe
+    window count BEFORE the collect); identical kept set and pair set
+    to the old ``_drop_hot_buckets`` + self-join. The verify joins
+    read the persisted (tiny: one row per image) hash relation."""
+    from .dedup import _bucket_pairs
+
+    hashes = hashes.persist()
     bands = hashes.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).cast("int").alias("band_idx"),
-                    F.col(f"b{i}").alias("band_val"),
+                    F.lit(i).cast("int").alias("band"),
+                    F.col(f"b{i}").cast("long").alias("bucket"),
                 )
                 for i in range(4)
             ])
         ).alias("e"),
-    ).select("doc_id", "e.band_idx", "e.band_val")
-    if max_band_size is not None:
-        bands = _drop_hot_buckets(
-            bands, max_band_size, keys=("band_idx", "band_val")
-        )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    ).select("doc_id", "e.band", "e.bucket")
+    cand = _bucket_pairs(bands, max_band_size)
     ham = F.expr(
         "bit_count(ha_b0 ^ hb_b0) + bit_count(ha_b1 ^ hb_b1) + "
         "bit_count(ha_b2 ^ hb_b2) + bit_count(ha_b3 ^ hb_b3)"
@@ -384,12 +379,34 @@ def dhash_pairs_df(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{i}").alias(f"hb_b{i}") for i in range(4)],
     )
-    out = (
+    return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
     )
+
+
+def dhash_pairs_df(
+    docs: DataFrame,
+    max_band_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bare: bool = False,
+) -> DataFrame:
+    """DataFrame-API twin of ``_pairs_sql('spark')`` over the Arrow
+    lattice kernel (round 15, optimization guide §4.2 / §2.4): the
+    per-doc hash runs vectorized in one Python pass instead of the
+    ~650-rows-per-doc pixel explode + box aggregation + band
+    re-aggregation. Round 16: the kernel input is fanned
+    (guide §2.5 — the one-row-group scan serialized it in one task),
+    the hash table evaluates once (persisted in
+    ``banded_hamming_pairs``), and the banded candidate join is the
+    guarded bucket unfold. Same rows, same hot-band cap semantics,
+    same ordering contract as the SQL (``bare`` drops the final
+    ORDER BY for edge-list composition)."""
+    from .. import catalog
+
+    hashes = lattice_dhash_hashes(catalog.fanout(docs.select("doc_id")))
+    out = banded_hamming_pairs(hashes, max_band_size, HAMMING_MAX)
     return out if bare else out.orderBy("doc_a", "doc_b")
 
 

@@ -296,58 +296,17 @@ def phash_pairs(docs: DataFrame) -> DataFrame:
     pinned to the SQL lattice."""
     from pyspark.sql import functions as F
 
-    hashes = lattice_phash_hashes(docs)
-    bands = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).cast("int").alias("band_idx"),
-                    F.col(f"b{i}").alias("band_val"),
-                )
-                for i in range(4)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "e.band_idx", "e.band_val")
-    # hot-band cap (round 9, default-on — the dedup._drop_hot_buckets
-    # convention on the (band_idx, band_val) key; the oracle applies
-    # the identical bn <= cap filter)
-    from .dedup import DEFAULT_MAX_BUCKET_SIZE, _drop_hot_buckets
+    # round 16: hot-band cap + candidate join ride the shared guarded
+    # bucket unfold (imagedup.banded_hamming_pairs); the kernel input
+    # is fanned (§2.5) and the hash table evaluates ONCE (persisted)
+    # instead of once per reference (band side + two verify joins)
+    from .dedup import DEFAULT_MAX_BUCKET_SIZE
+    from .imagedup import banded_hamming_pairs
 
-    bands = _drop_hot_buckets(
-        bands, DEFAULT_MAX_BUCKET_SIZE, keys=("band_idx", "band_val")
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ham = F.expr(
-        "bit_count(ha_b0 ^ hb_b0) + bit_count(ha_b1 ^ hb_b1) + "
-        "bit_count(ha_b2 ^ hb_b2) + bit_count(ha_b3 ^ hb_b3)"
-    )
-    ha = hashes.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{i}").alias(f"ha_b{i}") for i in range(4)],
-    )
-    hb = hashes.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{i}").alias(f"hb_b{i}") for i in range(4)],
-    )
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    hashes = lattice_phash_hashes(catalog.fanout(docs.select("doc_id")))
+    return banded_hamming_pairs(
+        hashes, DEFAULT_MAX_BUCKET_SIZE, PHASH_HAMMING_MAX
+    ).orderBy("doc_a", "doc_b")
 
 
 def _q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
