@@ -61,6 +61,79 @@ from .similarity import (
 EPS = 0.3  # fixture-calibrated; see module docstring
 
 
+def _pair_cos_kernel(eps: float, vectorized: bool):
+    """Per-cluster pairwise-cosine kernel for ``applyInPandas``
+    (round 16, guide §4.2): receives one pair_key group's members
+    (vec_id, embedding, centroid_sim), emits the (a_id < b_id) pairs
+    whose RAW cosine clears the conservative prefilter
+    ``raw >= eps - 1e-6`` (HALF_UP rounding to 6 dp can raise a value
+    by < 5e-7, so no pair that would pass the exact JVM-side
+    ``round(raw, 6) >= eps`` gate is dropped; false keeps are
+    re-filtered exactly on the JVM side).
+
+    Exactness: members are sorted by vec_id and expanded to the i<j
+    index pairs; ``vectorized=False`` accumulates dot/norms with the
+    SAME dimension-major multiply-add sequence as
+    ``vector.cosine_exact_arrow`` (bit-identical doubles — see its
+    determinism proof), ``vectorized=True`` uses the same einsum as
+    ``vector.cosine6_vectorized``. Emitting the raw double and
+    rounding once JVM-side equals the old column expression for both
+    modes (the vectorized path's extra np.round was idempotent under
+    F.round)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            "a_csim": pd.Series([], dtype="float64"),
+            "b_csim": pd.Series([], dtype="float64"),
+            "raw_cos": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        csim = pdf["centroid_sim"].to_numpy(dtype=np.float64)
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        iu, ju = np.triu_indices(m, 1)
+        X = A[iu]
+        Y = A[ju]
+        if vectorized:
+            dot = np.einsum("ij,ij->i", X, Y)
+            na = np.einsum("ij,ij->i", X, X)
+            nb = np.einsum("ij,ij->i", Y, Y)
+        else:
+            n = len(X)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(X.shape[1]):
+                x = X[:, d]
+                y = Y[:, d]
+                dot += x * y
+                na += x * x
+                nb += y * y
+        raw = dot / (np.sqrt(na) * np.sqrt(nb))
+        keep = raw >= eps - 1e-6
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "a_csim": csim[iu[keep]],
+                "b_csim": csim[ju[keep]],
+                "raw_cos": raw[keep],
+            }
+        )
+
+    return run
+
+
 def semdedup_survivors(
     emb: DataFrame,
     eps: float = EPS,
@@ -92,6 +165,11 @@ def semdedup_survivors(
     ).select(
         "vec_id", "centroid_id", F.round("cos_sim", 6).alias("centroid_sim")
     )
+    # round 16: assign is referenced twice (cluster members below, the
+    # survivor join at the end) and Spark would evaluate the
+    # corpus x centroids assignment cross join once per reference —
+    # persist the (narrow) table so it runs once
+    assign = assign.persist()
     members = assign.join(emb.select("vec_id", "embedding"), "vec_id")
     if max_cluster_size:
         # sub-split only OVERSIZED clusters, into ceil(size/budget)
@@ -120,26 +198,32 @@ def semdedup_survivors(
         members = members.withColumn(
             "pair_key", F.col("centroid_id").cast("string")
         )
+    # round 16 (guide §4.2/§2.2): the per-cluster pairwise cosine runs
+    # as ONE groupBy Arrow kernel instead of a cluster self-join — the
+    # join shuffled every member's 64-float payload into a
+    # sum(cluster²) pair intermediate (two embedding copies per pair
+    # row) before the Arrow cosine stage; the kernel shuffles each
+    # embedding exactly once (the pair_key exchange the join needed
+    # anyway) and emits only the NARROW near-threshold pair rows. Per-
+    # task memory is one cluster's members — the same bound the join's
+    # per-key build side had, and the documented max_cluster_size /
+    # raise-k levers apply unchanged. Exactness: the kernel performs
+    # the identical accumulation sequence as the column expression it
+    # replaces (dimension-major multiply-add for the exact fold,
+    # einsum for the vectorized path — see _pair_cos_kernel), emits
+    # the RAW double, and leaves the HALF_UP rounding + eps gate
+    # JVM-side; the kernel prefilter keeps every pair whose raw cosine
+    # could round up to eps (round moves a value < 5e-7).
     members = members.repartition(par, "pair_key")
-    a = members.select(
-        F.col("pair_key"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("centroid_sim").alias("a_csim"),
-    )
-    b = members.select(
-        F.col("pair_key"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("centroid_sim").alias("b_csim"),
-    )
     pairs = (
-        a.join(b, "pair_key")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "pair_cos",
-            F.round(_cos_expr(F.col("a_emb"), F.col("b_emb"), vectorized), 6),
+        members.select("pair_key", "vec_id", "embedding", "centroid_sim")
+        .groupBy("pair_key")
+        .applyInPandas(
+            _pair_cos_kernel(eps, vectorized),
+            "a_id long, b_id long, a_csim double, b_csim double, "
+            "raw_cos double",
         )
+        .withColumn("pair_cos", F.round(F.col("raw_cos"), 6))
         .filter(F.col("pair_cos") >= eps)
         .select("a_id", "b_id", "a_csim", "b_csim")
     )
