@@ -142,9 +142,27 @@ def incremental_lsh_pairs(
             else:
                 pairs = new_new
             # idempotent per-batch commit: a retried batch OVERWRITES
-            # its own partition directory rather than appending dups
-            pairs.distinct().write.mode("overwrite").parquet(pairs_out)
-            all_bands.write.mode("overwrite").parquet(index_out)
+            # its own partition directory rather than appending dups.
+            # Round 16 (guide §2.6): the two sinks are independent
+            # jobs — materialize the shared bands cache ONCE first
+            # (otherwise the concurrent jobs would race to compute the
+            # signature chain), then let the index dump back-fill the
+            # pair join's tail. The pair job's index scan is pinned to
+            # the file listing taken above, so the concurrent append
+            # of this batch's index partition cannot leak into it.
+            all_bands.count()
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_pairs() -> None:
+                pairs.distinct().write.mode("overwrite").parquet(pairs_out)
+
+            def _write_index() -> None:
+                all_bands.write.mode("overwrite").parquet(index_out)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for fut in [pool.submit(_write_pairs),
+                            pool.submit(_write_index)]:
+                    fut.result()
         finally:
             all_bands.unpersist()
 

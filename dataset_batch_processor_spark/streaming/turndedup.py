@@ -120,12 +120,28 @@ def process_turn_batch(
         # read completes before its own partition is overwritten
         firsts = firsts.persist()
         firsts.count()
-        firsts.write.mode("overwrite").parquet(
-            os.path.join(admitted_dir, f"batch_id={batch_id}")
-        )
-        firsts.select("digest").write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
-        )
+        # the two sinks are independent jobs over the SAME persisted
+        # admission set — submit them concurrently (guide §2.6) so the
+        # second write's tasks back-fill the first's tail instead of
+        # waiting for it; the count above already materialized the
+        # cache (and completed the index read), so neither job
+        # recomputes the chain
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_admitted() -> None:
+            firsts.write.mode("overwrite").parquet(
+                os.path.join(admitted_dir, f"batch_id={batch_id}")
+            )
+
+        def _write_index() -> None:
+            firsts.select("digest").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch_id={batch_id}")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_write_admitted),
+                        pool.submit(_write_index)]:
+                fut.result()
         firsts.unpersist()
     finally:
         turns.unpersist()
