@@ -1294,6 +1294,12 @@ def _build_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i).cast("int").alias("cfg"), "doc_id", "band", "bucket"
         )
         banded = part if banded is None else banded.unionAll(part)
+    # the sweep join is deliberately UNCAPPED (n_candidates is the
+    # gated cost signal, so no bucket may be dropped) — the guarded
+    # unfold does not apply, and the self-join scans banded twice.
+    # Round 16: persist it so the 4-config md5 banding build runs
+    # once, the lsh_pairs_df uncapped-path rule (guide §2.3).
+    banded = banded.persist()
     cand = (
         banded.select("cfg", F.col("doc_id").alias("doc_a"), "band", "bucket")
         .join(
