@@ -215,6 +215,15 @@ def main() -> None:
     # query, and the incremental-index twin all consume it. Built
     # first so pair_graph's recorded cost is the banding+pairs work.
     _warm("minhash_sigs", lambda: dedup.minhash_sigs(spark, sf_dir).count())
+    # round 16: the decontam gram tables are session-shared (matcache
+    # kind "decon_grams_w{8,3}") — decontaminate, the ngram-Jaccard
+    # index, and the decontam report's exact column all scan them;
+    # built here so each consumer times its tail over warm grams
+    from dataset_batch_processor_spark.operators import decontam as _dc
+    _warm("decon_grams_w8",
+          lambda: _dc.gram_table(spark, sf_dir, _dc.DECON_N).count())
+    _warm("decon_grams_w3",
+          lambda: _dc.gram_table(spark, sf_dir, _dc.JAC_N).count())
     _warm("pair_graph", lambda: dedup.pair_graph(spark, sf_dir).count())
     # round 13: the exact-Jaccard truth panel is session-shared
     # (matcache kind "jaccard_truth") and was the dominant first-touch

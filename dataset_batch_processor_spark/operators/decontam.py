@@ -179,6 +179,34 @@ ORDER BY g.doc_id
 """
 
 
+def gram_table(spark, sf_dir, width, production_hash=True):
+    """Session-materialized distinct (doc_id, gh) gram table at
+    ``width`` words (matcache kind ``decon_grams_w{width}``) —
+    round 16 (VERDICT r15 next #7, guide §2.3): the gram build was
+    re-run by every consumer invocation (decontaminate, the
+    ngram-Jaccard index, the decontam report's exact column); the
+    minhash_sigs convention applies — pay it once per (session,
+    dataset), scan it thereafter. The DuckDB oracle recomputes every
+    consumer end-to-end from the documents table, so a drifted cache
+    cannot hash green."""
+    from .. import catalog
+    from ..matcache import materialize_once
+
+    def build():
+        # fanout (guide §2.5): the gram build is the scan stage and
+        # the one-row-group input serialized it
+        catalog.fanout(
+            catalog.load_table(spark, sf_dir, "documents")
+        ).createOrReplaceTempView("documents")
+        cte = _grams_cte_spark(width)
+        if production_hash:
+            cte = cte.replace(_H_SPARK_GRAM, "xxhash64(gram)")
+        return spark.sql("WITH " + cte + " SELECT * FROM grams")
+
+    kind = f"decon_grams_w{width}" + ("" if production_hash else "_md5")
+    return materialize_once(spark, kind, sf_dir, build)
+
+
 def _materialized_grams(spark, sf_dir, width, view, production_hash=False):
     """Round 15: ``production_hash=True`` swaps the gram key to the
     codegen-native ``xxhash64(gram)`` in the MATERIALIZED build only.
@@ -186,19 +214,10 @@ def _materialized_grams(spark, sf_dir, width, view, production_hash=False):
     output, never re-hashed into bloom positions): decontaminate's
     shared-gram counts and the Jaccard index are hash-function-
     independent barring a 64-bit collision; BLOOM_SPARK keeps the md5
-    spec — its positions are md5(gh-string) BY SEMANTICS."""
-    from .. import catalog
-
-    # fanout (guide §2.5): the gram build is the scan stage and the
-    # one-row-group input serialized it (decontaminate 1.09 -> 0.94 s
-    # at sf0.1; the ngram-Jaccard index shares this build)
-    catalog.fanout(
-        catalog.load_table(spark, sf_dir, "documents")
-    ).createOrReplaceTempView("documents")
-    cte = _grams_cte_spark(width)
-    if production_hash:
-        cte = cte.replace(_H_SPARK_GRAM, "xxhash64(gram)")
-    grams = spark.sql("WITH " + cte + " SELECT * FROM grams").persist()
+    spec — its positions are md5(gh-string) BY SEMANTICS. Round 16:
+    the view now fronts the session-shared matcache table
+    (gram_table) instead of a per-invocation persist."""
+    grams = gram_table(spark, sf_dir, width, production_hash)
     grams.createOrReplaceTempView(view)
     return grams
 
@@ -674,7 +693,15 @@ def _q_decontam_report(spark, sf_dir):
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"
     )
-    spark.sql(DECONTAMINATE_SPARK).createOrReplaceTempView("dr_exact")
+    # round 16: the exact column rides the session-shared gram table
+    # (same tail as docs_decontaminate) instead of re-deriving the
+    # inline gram chain; the report oracle recomputes it end-to-end
+    _materialized_grams(
+        spark, sf_dir, DECON_N, "decon_grams", production_hash=True
+    )
+    spark.sql(
+        _DECON_TAIL.format(v="decon_grams")
+    ).createOrReplaceTempView("dr_exact")
     spark.sql(BLOOM_SPARK).createOrReplaceTempView("dr_bloom")
     spark.sql(CHAT_DECONTAM_SPARK).createOrReplaceTempView("dr_turn")
     return spark.sql(DECON_REPORT_SPARK)
