@@ -188,6 +188,19 @@ def run_with_mat_turns(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     never silently no-op)."""
     if _CHAIN_SPARK not in sql:
         raise ValueError("run_with_mat_turns: chain seam missing from SQL")
+    # ADVICE r15 #4: the materialized chain drops the intermediate
+    # ``tl`` CTE — a consumer tail referencing it would pass the seam
+    # check and only fail later at analysis (or silently bind to
+    # something else). Reject it here, loudly.
+    import re
+
+    tail = sql.split(_CHAIN_SPARK, 1)[1]
+    if re.search(r"\btl\b", tail):
+        raise ValueError(
+            "run_with_mat_turns: consumer tail references the `tl` "
+            "CTE, which the materialized chain does not provide — "
+            "run it on the inline chain instead"
+        )
     chat_turns(spark, sf_dir).createOrReplaceTempView(_MAT_TURNS_VIEW)
     catalog.load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"

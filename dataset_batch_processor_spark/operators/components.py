@@ -581,6 +581,12 @@ PR_ITERS = 3
 
 
 def pagerank_lite(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    # round 16 (ADVICE r15 #1): persist before the gating count so an
+    # above-cap graph with un-materialized lineage does not pay one
+    # full extra evaluation of the upstream chain; the distributed
+    # iteration below rescans the edges every round and rides the
+    # same cache (the driver path collects once and unpersists)
+    pairs = pairs.persist()
     if pairs.count() <= SMALL_GRAPH_EDGE_CAP:
         # Round-15 size gate (guide §1.2), same cap/rationale as
         # connected_components: the fixed-point integer iteration is
@@ -593,6 +599,7 @@ def pagerank_lite(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         es = [(r[0], r[1]) for r in pairs.select(
             "doc_a", "doc_b"
         ).collect()]  # bounded by SMALL_GRAPH_EDGE_CAP
+        pairs.unpersist()
         deg: Counter = Counter()
         for a, b in es:
             deg[a] += 1
@@ -699,7 +706,8 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
     star-contraction loop above — without it every round's plan
     embeds all prior rounds and the driver/executors OOM on deep
     peels (observed at sf0.1 before the cut)."""
-    proj = pairs.select(src, dst)
+    proj = pairs.select(src, dst).persist()  # ADVICE r15 #1: the
+    # gating count must not cost an extra full evaluation above cap
     if proj.count() <= SMALL_GRAPH_EDGE_CAP:
         # Round-15 size gate (guide §1.2), same rationale and cap as
         # connected_components: the peel is a pure integer fixpoint of
@@ -714,6 +722,7 @@ def kcore(pairs: DataFrame, k: int, src: str = "doc_a",
         cur = list(dict.fromkeys(
             (r[0], r[1]) for r in proj.collect()
         ))  # bounded by SMALL_GRAPH_EDGE_CAP; dict.fromkeys = distinct
+        proj.unpersist()
         for _ in range(max_rounds):
             deg: Counter = Counter()
             for a, b in cur:
@@ -833,6 +842,9 @@ def label_propagation(
     pairs: DataFrame, iters: int = LPA_ITERS,
     src: str = "doc_a", dst: str = "doc_b",
 ) -> DataFrame:
+    # round 16 (ADVICE r15 #1): persist before the gating count (see
+    # pagerank_lite)
+    pairs = pairs.persist()
     if pairs.count() <= SMALL_GRAPH_EDGE_CAP:
         # Round-15 size gate (guide §1.2), same cap/rationale as
         # connected_components: sync LPA with the deterministic
@@ -845,6 +857,7 @@ def label_propagation(
         es = [
             (r[0], r[1]) for r in pairs.select(src, dst).collect()
         ]  # bounded by SMALL_GRAPH_EDGE_CAP
+        pairs.unpersist()
         adj: dict = defaultdict(list)
         for a, b in es:
             adj[a].append(b)

@@ -240,7 +240,16 @@ def lsh_pairs_df(
     md5.
 
     ``sigs`` lets a caller with an already-materialized signature
-    table (minhash_sigs) skip the shingle->minhash build entirely."""
+    table (minhash_sigs) skip the shingle->minhash build entirely;
+    it carries its builder's hash family, so combining it with
+    ``production_hash=True`` is ambiguous and rejected loudly
+    (ADVICE r15 #2) — hash the materialized build with the production
+    flag at its source instead."""
+    if sigs is not None and production_hash:
+        raise ValueError(
+            "lsh_pairs_df: pass either a prebuilt `sigs` table (which "
+            "fixes the hash family) or production_hash=True, not both"
+        )
     bands = lsh_bands_df(
         sigs
         if sigs is not None
