@@ -32,7 +32,7 @@ def _q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import av
 
-    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"), rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,7 +87,7 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 0)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,7 +150,7 @@ def _q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 1)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,7 +234,7 @@ def _q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 2)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 2)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -317,7 +317,7 @@ def _q_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 1)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,7 +355,7 @@ def _q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 2)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 2)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -469,7 +469,7 @@ def _q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 3 == 2).select(
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 3 == 2).select(
         "doc_id", F.expr(_FP_SEED).alias("seed")
     )
 
@@ -585,7 +585,7 @@ def _q_wav_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 9 == 1
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def riff(code, bits, payload, rate):

@@ -12,6 +12,8 @@ at sf0.1), pinned in tests/test_plan_shape.py.
 """
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,7 +81,27 @@ SELECT doc_id,
 FROM chars
 """
 
-def _fanout(spark: SparkSession, docs: DataFrame) -> DataFrame:
+# Round 16 (VERDICT r15 next #3, the catalog.fanout rule applied to
+# the mm kernels): minimum rows a LIGHT kernel task should hold. An
+# in-session sweep of every mm query at fan widths 32 vs 8 (sf0.1,
+# /tmp committed to OPTIMIZATION_r16.md) split the family cleanly:
+# the per-bit entropy decoders (vp8, progressive/tiled/lossless
+# codecs, exif scrub) want every slot (ratios 0.4-0.6 — keep the
+# full-width fan), while the vectorized-numpy kernels (audio
+# features/resample/VAD, frame sampling, scene cuts, packed-raw and
+# depth roundtrips) lose 1.3-2.6x to sub-200-row task fragmentation
+# and want >= this many rows per task. Light call sites pass ``rows``
+# (the cached documents count); at production row counts the cap
+# saturates at full parallelism, so the split is bench-visible only
+# where the input is small.
+LIGHT_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_MM_LIGHT_ROWS_PER_TASK", "512")
+)
+
+
+def _fanout(
+    spark: SparkSession, docs: DataFrame, rows: int | None = None
+) -> DataFrame:
     """doc_id-only fan-out ahead of a CPU-bound Python kernel.
 
     The documents scan is one small parquet file -> 1-2 input
@@ -89,10 +111,13 @@ def _fanout(spark: SparkSession, docs: DataFrame) -> DataFrame:
     and spreads the per-row encode/decode across all slots — the same
     shape a 1000-executor decode stage needs, where the scan
     parallelism (file count) and the kernel parallelism (CPU) are
-    unrelated quantities."""
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    unrelated quantities. ``rows`` caps the width at
+    rows / LIGHT_ROWS_PER_TASK for light vectorized kernels (see
+    LIGHT_ROWS_PER_TASK above)."""
+    par = spark.sparkContext.defaultParallelism
+    if rows is not None:
+        par = max(1, min(par, rows // LIGHT_ROWS_PER_TASK))
+    return docs.select("doc_id").repartition(par)
 
 
 QUERIES = {

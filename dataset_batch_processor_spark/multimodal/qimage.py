@@ -562,7 +562,7 @@ def _q_png_depths_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 3 == 1
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import png as pngmod
@@ -899,7 +899,7 @@ def _q_jpeg12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 11 == 4
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

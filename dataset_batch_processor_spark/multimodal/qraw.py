@@ -279,7 +279,7 @@ def _q_nef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 4 == 2
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -430,7 +430,7 @@ def _q_arw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 4 == 3
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -516,7 +516,7 @@ def _q_arw_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 5 == 1
         ),
-    )
+    rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -139,7 +139,7 @@ def _q_scrub_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import jpeg, metascrub, tiff as tiff_mod
 
-    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"))
+    docs = _fanout(spark, catalog.load_table(spark, sf_dir, "documents"), rows=catalog.table_rows(spark, sf_dir, "documents"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -42,7 +42,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 5 == 0)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 5 == 0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,7 +136,7 @@ def _q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(
         spark, catalog.load_table(spark, sf_dir, "documents")
-    ).filter(F.col("doc_id") % 5 == 0)
+    , rows=catalog.table_rows(spark, sf_dir, "documents")).filter(F.col("doc_id") % 5 == 0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
