@@ -318,7 +318,19 @@ def main() -> None:
         rlvrgate,
         turndedup,
     )
+    # round 16: the three operators-side stream twins (CMS grid, heavy
+    # hitters, histogram) were the only drains whose shard staging was
+    # not pre-built — their first-touch timing carried fixture parquet
+    # writes like every twin's did before round 13
+    from dataset_batch_processor_spark.operators import (
+        cms as _cms,
+        funnel as _funnel,
+        histsketch as _hist,
+    )
     for _mod, _label in (
+        (_cms, "stage_cms"),
+        (_funnel, "stage_hh"),
+        (_hist, "stage_hist"),
         (turndedup, "stage_turnadm"),
         (incremental, "stage_inc_q"),
         (driftmon, "stage_drift"),

@@ -343,15 +343,21 @@ def accumulate_user_counts(events_stream: DataFrame, counts_dir: str,
     )
 
 
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging for the heavy-hitter twin (see
+    cms.stage)."""
+    from ..streaming.fixtures import stage_expr_shards
+
+    events = catalog.load_events(spark, sf_dir).select("user_id")
+    return stage_expr_shards(events, "hh_q", sf_dir, "user_id % 2")
+
+
 def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..matcache import scratch_dir
 
-    from ..streaming.fixtures import stage_expr_shards
-
-    events = catalog.load_events(spark, sf_dir).select("user_id")
-    stage = stage_expr_shards(events, "hh_q", sf_dir, "user_id % 2")
+    stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_hh_work_")
     # micro-batch shuffles sized to the batch, not the session (the
@@ -364,7 +370,7 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = accumulate_user_counts(
             spark.readStream.schema("user_id long")
             .option("maxFilesPerTrigger", 1)
-            .parquet(stage),
+            .parquet(stage_path),
             counts_dir=os.path.join(work, "counts"),
             checkpoint_dir=os.path.join(work, "ckpt"),
         )

@@ -195,15 +195,21 @@ ORACLES = {
 # one-pass batch histogram, so HIST_DUCK gates the loop.
 
 
-def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..matcache import scratch_dir
-
+def stage(spark: SparkSession, sf_dir: str) -> str:
+    """Session-shared shard staging for the histogram twin (see
+    cms.stage)."""
     from ..streaming.fixtures import stage_expr_shards
 
     events = catalog.load_table(spark, sf_dir, "events").select("value")
-    stage = stage_expr_shards(
+    return stage_expr_shards(
         events, "hist_q", sf_dir, "CAST(value * 100 AS BIGINT) % 2"
     )
+
+
+def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..matcache import scratch_dir
+
+    stage_path = stage(spark, sf_dir)
 
     work = scratch_dir("dbp_hist_work_")
     # micro-batch shuffles sized to the batch, not the session (the
@@ -216,7 +222,7 @@ def _q_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = accumulate_hist(
             spark.readStream.schema("value double")
             .option("maxFilesPerTrigger", 1)
-            .parquet(stage),
+            .parquet(stage_path),
             hist_dir=os.path.join(work, "hist"),
             checkpoint_dir=os.path.join(work, "ckpt"),
         )
