@@ -47,10 +47,16 @@ def fmt_spread(spread: dict, name: str) -> str:
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    c8_path = None
+    if "--c8" in argv:
+        i = argv.index("--c8")
+        c8_path = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) < 2:
         sys.exit(__doc__)
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old_path, new_path = argv[0], argv[1]
+    threshold = float(argv[2]) if len(argv) > 2 else 1.5
     old_q, old_s, old_doc = load(old_path)
     new_q, new_s, new_doc = load(new_path)
 
@@ -153,6 +159,39 @@ def main() -> None:
     if removed:
         print()
         print(f"Removed queries: {', '.join(removed)}")
+
+    # Round 16 (VERDICT r15 next #8): the $SPARK_GRAFT_CPUS scaling
+    # check, in-repo. With --c8 pointing at a same-HEAD 8-core detail,
+    # list every query the 32-core run LOSES by >1.3x — at sf0.1 the
+    # suite is fixed-overhead-bound, so an inversion marks a stage
+    # whose parallelism is mis-sized (32 tasks of overhead on tiny
+    # data, Arrow batch fragmentation), not a scale defect.
+    if c8_path:
+        c8_q, _, c8_doc = load(c8_path)
+        inv: list[tuple[float, str, float, float]] = []
+        for name in sorted(set(new_q) & set(c8_q)):
+            a8, a32 = c8_q[name], new_q[name]
+            if max(a8, a32) < floor or a8 <= 0:
+                continue
+            if a32 / a8 > 1.3:
+                inv.append((a32 / a8, name, a8, a32))
+        inv.sort(reverse=True)
+        print()
+        print(f"## 32-core vs 8-core scaling ({c8_path})")
+        print()
+        tot8 = sum(c8_q.values())
+        tot32 = sum(v for k, v in new_q.items() if k in c8_q)
+        print(
+            f"- common-query totals: 8-core {tot8:.1f}s, 32-core "
+            f"{tot32:.1f}s ({tot32 / tot8:.2f}x); queries where "
+            f"32 cores lose by >1.3x: {len(inv)}"
+        )
+        if inv:
+            print()
+            print("| query | 8-core s | 32-core s | 32c/8c |")
+            print("|---|---|---|---|")
+            for r, name, a8, a32 in inv[:25]:
+                print(f"| {name} | {a8:.3f} | {a32:.3f} | {r:.2f}x |")
 
 
 if __name__ == "__main__":

@@ -88,11 +88,31 @@ def main() -> None:
          f"VERIFY_FULL_r{n}.json", "/root/testdata/sf0.01"],
     )
     run("bench (sf0.1, uncontended)", [sys.executable, "bench.py"])
+    # Round 16 (VERDICT r15 next #8): same-HEAD 8-core bench so the
+    # scaling inversions land in the compare report in-repo, not only
+    # in the driver's own c8 run. reps=1 keeps it one pass (and
+    # disables the mover requeue, which would otherwise compare c8
+    # timings against the c32 detail and re-measure 40 movers); the
+    # c32 detail is saved around it because bench.py overwrites
+    # BENCH_DETAIL.json unconditionally.
+    import os
+    import shutil
+
+    shutil.copyfile(f"{REPO}/BENCH_DETAIL.json",
+                    f"{REPO}/.bench_detail_c32.json")
+    env8 = dict(os.environ, SPARK_GRAFT_CPUS="8",
+                SPARK_GRAFT_BENCH_REPS="1")
+    run("bench (sf0.1, 8 cores)", [sys.executable, "bench.py"], env=env8)
+    shutil.copyfile(f"{REPO}/BENCH_DETAIL.json",
+                    f"{REPO}/BENCH_C8_DETAIL_r{n}.json")
+    shutil.copyfile(f"{REPO}/.bench_detail_c32.json",
+                    f"{REPO}/BENCH_DETAIL.json")
     with open(f"{REPO}/BENCH_COMPARE_r{n}.md", "w") as out:
         run(
             "bench compare",
             [sys.executable, "tools/bench_compare.py",
-             ".bench_detail_prev.json", "BENCH_DETAIL.json"],
+             ".bench_detail_prev.json", "BENCH_DETAIL.json",
+             "--c8", f"BENCH_C8_DETAIL_r{n}.json"],
             stdout=out,
         )
     commit_snapshot(n)
@@ -135,7 +155,8 @@ def commit_snapshot(n: int) -> None:
 
     paths = [
         f"VERIFY_FULL_r{n}.json", "VERIFY_LEDGER.json",
-        "BENCH_DETAIL.json", f"BENCH_COMPARE_r{n}.md", "README.md",
+        "BENCH_DETAIL.json", f"BENCH_C8_DETAIL_r{n}.json",
+        f"BENCH_COMPARE_r{n}.md", "README.md",
     ]
     for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
         paths += [
